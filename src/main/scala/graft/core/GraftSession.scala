@@ -1,0 +1,79 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * Mirrors the role of the reference's `StreamExecutionEnvironment`
+  * (FlinkDotNet.Core.Api/StreamExecutionEnvironment.cs) as the single entry
+  * point that owns execution configuration — but the actual runtime is
+  * Spark: AQE handles runtime re-planning (skew joins, partition
+  * coalescing), and shuffle partitioning is explicit instead of the
+  * reference's per-vertex `Parallelism`.
+  */
+object GraftSession {
+
+  /** Defaults chosen for the local[32] harness but expressed the way a
+    * cluster deployment would: AQE on (runtime skew/coalesce), broadcast
+    * threshold generous enough to broadcast TPC-H dims, shuffle
+    * partitions sized to cores rather than Spark's default 200.
+    */
+  def builder(master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
+      // for; read as long and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Typed accessors for the fixture star schema. Filters/projections applied
+  * on top of these reach the parquet scan (predicate pushdown + column
+  * pruning are verified in `PlanSpec`).
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/region.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/nation.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(s"$dir/part.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/orders.parquet")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/lineitem.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong). Normalize to µs TimestampType
+    * here — the reference's event times are epoch-ms longs (TimeWindow.cs),
+    * so µs precision is lossless for its semantics.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Register every fixture table as a temp view for the SQL surface. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+}

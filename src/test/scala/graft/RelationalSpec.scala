@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.RelationalQueries
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = graft.core.GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      .appName("graft-test").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("every relational query runs and returns a stable schema") {
+    RelationalQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("q01 pricing summary has the expected group cardinality and totals") {
+    val rows = RelationalQueries.queries("q01_agg_pricing")(spark, sfDir).collect()
+    assert(rows.length === 6) // 3 returnflags x 2 linestatus in fixture
+    val totalCount = rows.map(_.getAs[Long]("count_order")).sum
+    assert(totalCount > 3000 && totalCount <= 6010)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query with an oracle is registered, and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+  }
+
+  test("filter and projection are pushed into the parquet scan") {
+    val df = RelationalQueries.queries("q02_filter_project")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"expected pushed filters in:\n$plan")
+    // ReadSchema must not include untouched wide columns.
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"),
+      "column pruning failed: scan reads unused columns")
+  }
+
+  test("dim join uses broadcast hash join (no shuffle of the fact side)") {
+    val df = RelationalQueries.queries("q05_join_broadcast")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$plan")
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val df = RelationalQueries.queries("q11_sort_limit")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("semi/anti joins produce correct disjoint partition of customers") {
+    import org.apache.spark.sql.functions._
+    val c = graft.core.Tables.customer(spark, sfDir)
+    val o = graft.core.Tables.orders(spark, sfDir).filter(col("o_totalprice") > lit(300000.0))
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti === c.count())
+  }
+
+  test("WeightedAvg aggregator merge is associative and order-insensitive") {
+    val w = new graft.operators.WeightedAvg
+    val vals = Seq((10.0, 2.0), (20.0, 3.0), (5.0, 1.0), (40.0, 4.0))
+    val whole = vals.foldLeft(w.createAccumulator())(w.add)
+    val (l, r) = vals.splitAt(2)
+    val split = w.merge(
+      l.foldLeft(w.createAccumulator())(w.add),
+      r.foldLeft(w.createAccumulator())(w.add))
+    assert(math.abs(w.getResult(whole) - w.getResult(split)) < 1e-12)
+  }
+}

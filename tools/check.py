@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local correctness gate mirroring the driver's DuckDB compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  - expects <outDir>/<name>/ parquet dirs written by graft.Verify
+  - expects <outDir>/oracle_sql.json
+Compares each query result against DuckDB running the oracle SQL over the
+same parquet fixtures: columns sorted by name, rows sorted, floats rounded.
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as pds
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (int,)):
+        return str(v)
+    return str(v)
+
+def norm_table(tbl):
+    cols = sorted(tbl.column_names)
+    data = tbl.select(cols).to_pylist()
+    rows = sorted(tuple(norm_cell(r[c]) for c in cols) for r in data)
+    return cols, rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pds.dataset(f"{out_dir}/{name}").to_table()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})"); fail += 1; continue
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
+        gc, gr = norm_table(got)
+        ec, er = norm_table(exp)
+        if gc != ec:
+            print(f"FAIL {name}: schema {gc} != {ec}"); fail += 1; continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rows {len(gr)} != {len(er)}"); fail += 1; continue
+        if gr != er:
+            bad = next(i for i,(a,b) in enumerate(zip(gr,er)) if a != b)
+            print(f"FAIL {name}: value mismatch at sorted row {bad}:\n  got {gr[bad]}\n  exp {er[bad]}")
+            fail += 1; continue
+        print(f"OK   {name} ({len(gr)} rows)"); ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
