@@ -1,0 +1,231 @@
+package graft.datastream
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import graft.operators.AggregateFunction
+import graft.windowing._
+
+/** Typed fluent API mirroring the reference's `DataStream<TElement>`
+  * (FlinkDotNet.Core.Api/Streaming/DataStream.cs:10-19) — but every call
+  * compiles directly to a `Dataset[T]` transformation, so the logical DAG
+  * the reference builds by hand (`TransformationBase`, DataStream.cs:232-321)
+  * is Catalyst's `LogicalPlan`, and "operator chaining"
+  * (StreamExecutionEnvironment.cs:203-246) is whole-stage codegen.
+  *
+  * Works identically over batch and streaming Datasets — the reference's
+  * `IUnifiedSource.IsBounded` flag (IUnifiedSource.cs:6-13) is Spark's
+  * `ds.isStreaming`.
+  *
+  * Scale note: typed lambdas (`map`/`filter` on case classes) run inside
+  * codegen'd `DeserializeToObject/SerializeFromObject` pairs — fine for
+  * genuinely imperative logic, but the relational surface
+  * (`graft.queries.*`) should stay `Column`-based so pushdown and pruning
+  * survive. This API is for the reference's typed-program style.
+  */
+final class DataStream[T](val ds: Dataset[T]) extends Serializable {
+
+  /** IMapOperator (IMapOperator.cs:9-17). */
+  def map[R: Encoder](f: T => R): DataStream[R] = new DataStream(ds.map(f))
+
+  /** IFilterOperator (IFilterOperator.cs:8-16). */
+  def filter(p: T => Boolean): DataStream[T] = new DataStream(ds.filter(p))
+
+  /** IFlatMapOperator + ICollector (IFlatMapOperator.cs:12-21): the
+    * collector becomes the returned iterator.
+    */
+  def flatMap[R: Encoder](f: T => IterableOnce[R]): DataStream[R] =
+    new DataStream(ds.flatMap(f(_).iterator))
+
+  /** Rich-function lifecycle (IOperatorLifecycle.cs:9-26): `open` once per
+    * partition before the first element, `close` after the last — the
+    * `mapPartitions` setup/teardown idiom.
+    */
+  def mapRich[R: Encoder](rich: RichMapFunction[T, R]): DataStream[R] =
+    new DataStream(ds.mapPartitions { it =>
+      rich.open()
+      new Iterator[R] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) rich.close(); h }
+        def next(): R = rich.map(it.next())
+      }
+    })
+
+  /** KeyBy (DataStream.cs:28-49): hash-partition by key. The shuffle happens
+    * lazily at the first keyed aggregation, on Spark's HashPartitioning.
+    */
+  def keyBy[K: Encoder](f: T => K): KeyedDataStream[K, T] =
+    new KeyedDataStream(ds.groupByKey(f), ds, f)
+
+  def union(other: DataStream[T]): DataStream[T] = new DataStream(ds.union(other.ds))
+
+  /** AddSink (DataStream.cs:198-210): terminal per-record sink. For batch;
+    * streaming sinks live in graft.streaming.
+    */
+  def addSink(sink: T => Unit): Unit = ds.foreach(sink(_))
+
+  def collect(): Seq[T] = ds.collect().toSeq
+}
+
+/** Rich map with lifecycle (IRichMapOperator.cs:11 + IOperatorLifecycle). */
+trait RichMapFunction[T, R] extends Serializable {
+  def open(): Unit = ()
+  def map(value: T): R
+  def close(): Unit = ()
+}
+
+/** Keyed stream (KeyedDataStream.cs:8-17): gateway to reductions, typed
+  * aggregates and windows.
+  */
+final class KeyedDataStream[K, T](
+    val grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, T],
+    private val ds: Dataset[T],
+    private val keyFn: T => K) extends Serializable {
+
+  /** IReduceOperator (IReduceOperator.cs:9-18): pairwise combine per key.
+    * Distributed as partial reduces before the shuffle (ReduceAggregator
+    * runs map-side), matching the reference's documented combine split.
+    */
+  def reduce(f: (T, T) => T)(implicit kt: Encoder[(K, T)]): DataStream[(K, T)] =
+    new DataStream(grouped.reduceGroups(f))
+
+  /** IAggregateOperator (IAggregateOperator.cs:18-50) on a keyed stream:
+    * zero/add/merge/finish via a Spark `Aggregator`.
+    */
+  def aggregate[ACC, OUT](agg: AggregateFunction[T, ACC, OUT])(
+      implicit accEnc: Encoder[ACC], outEnc: Encoder[OUT],
+      koEnc: Encoder[(K, OUT)]): DataStream[(K, OUT)] = {
+    val sparkAgg: Aggregator[T, ACC, OUT] = AggregateFunction.toAggregator(agg)
+    new DataStream(grouped.agg(sparkAgg.toColumn))
+  }
+
+  /** Attach a window assigner (WindowedStream.cs:27-39). Requires an
+    * event-time extractor because the typed element carries its own time
+    * (the reference tracks it per-record via `CollectWithTimestamp`).
+    */
+  def window(assigner: WindowAssigner, timeMs: T => Long): WindowedStream[K, T] =
+    new WindowedStream(ds, keyFn, timeMs, assigner)
+
+  def mapGroups[R: Encoder](f: (K, Iterator[T]) => R): DataStream[R] =
+    new DataStream(grouped.mapGroups(f))
+}
+
+/** Windowed keyed stream (WindowedStream.cs:41-87): Reduce / Aggregate /
+  * Process over (key, window) panes.
+  *
+  * Window assignment runs as a typed flatMap producing one record per
+  * (element, window) — the reference's `AssignWindows`
+  * (TumblingEventTimeWindows.cs:56-67) — then groups on (key, windowStart).
+  * Tumbling/sliding use the epoch-aligned start formula (TimeWindow.cs:76-89)
+  * directly; sessions gap-merge inside `flatMapGroups` after a per-(key)
+  * in-memory sort (the same per-key-session memory bound Flink's merge has).
+  * The grouped aggregate is a standard shuffle + partial/final combine, so
+  * the pattern scales with the number of distinct (key, window) panes.
+  */
+final class WindowedStream[K, T](
+    ds: Dataset[T], keyFn: T => K, timeMs: T => Long, assigner: WindowAssigner)
+    extends Serializable {
+
+  /** Pure assignment arithmetic, shared with the reference semantics. */
+  private def windowStarts(ts: Long): Seq[Long] = assigner match {
+    case TumblingEventTimeWindows(size, offset) =>
+      val off = offset.map(_.millis).getOrElse(0L)
+      Seq(WindowedStream.startFor(ts, size.millis, off))
+    case SlidingEventTimeWindows(size, slide) =>
+      val last = WindowedStream.startFor(ts, slide.millis, 0L)
+      Iterator.iterate(last)(_ - slide.millis)
+        .takeWhile(s => s > last - size.millis).toSeq
+    case GlobalWindows => Seq(Long.MinValue)
+    case _: EventTimeSessionWindows =>
+      throw new IllegalArgumentException("sessions handled in process()")
+  }
+
+  def reduce(f: (T, T) => T)(
+      implicit tEnc: Encoder[T], kwEnc: Encoder[(K, Long)],
+      pairEnc: Encoder[((K, Long), T)],
+      outEnc: Encoder[(K, Long, T)]): DataStream[(K, Long, T)] = {
+    val (kf, tf) = (keyFn, timeMs)
+    val assigned = ds.flatMap(t => windowStarts(tf(t)).map(ws => ((kf(t), ws), t)))(pairEnc)
+    new DataStream(
+      assigned.groupByKey(_._1)(kwEnc)
+        .mapValues(_._2)(tEnc)
+        .reduceGroups(f)
+        .map { case ((k, ws), v) => (k, ws, v) }(outEnc))
+  }
+
+  /** Full-window function (IProcessWindowFunction.cs:17-41): iterate the
+    * pane with key + window metadata. Sessions are merged here.
+    */
+  def process[R: Encoder](f: ProcessWindowFunction[K, T, R])(
+      implicit kEnc: Encoder[K], kwEnc: Encoder[(K, Long)],
+      pairEnc: Encoder[((K, Long), T)]): DataStream[R] = {
+    val (kf, tf) = (keyFn, timeMs)
+    assigner match {
+      case EventTimeSessionWindows(gap) =>
+        val g = gap.millis
+        new DataStream(ds.groupByKey(kf).flatMapGroups { (k: K, it: Iterator[T]) =>
+          val sorted = it.toIndexedSeq.sortBy(tf)
+          val out = scala.collection.mutable.ArrayBuffer.empty[R]
+          var pane = scala.collection.mutable.ArrayBuffer.empty[T]
+          var paneEnd = Long.MinValue
+          def flush(): Unit = if (pane.nonEmpty) {
+            out ++= f.process(k, TimeWindow(tf(pane.head), paneEnd), pane.iterator)
+            pane = scala.collection.mutable.ArrayBuffer.empty[T]
+          }
+          sorted.foreach { t =>
+            val ts = tf(t)
+            if (ts >= paneEnd) flush()
+            pane += t; paneEnd = ts + g
+          }
+          flush()
+          out.iterator
+        })
+      case _ =>
+        new DataStream(ds.flatMap(t => windowStarts(tf(t)).map(ws => ((kf(t), ws), t)))
+          .groupByKey(_._1)
+          .flatMapGroups { (kw: (K, Long), it: Iterator[((K, Long), T)]) =>
+            val end = assigner match {
+              case TumblingEventTimeWindows(size, _) => kw._2 + size.millis
+              case SlidingEventTimeWindows(size, _) => kw._2 + size.millis
+              case _ => Long.MaxValue
+            }
+            f.process(kw._1, TimeWindow(kw._2, end), it.map(_._2))
+          })
+    }
+  }
+}
+
+object WindowedStream {
+  /** Reference start formula, TimeWindow.cs:76-89. */
+  def startFor(ts: Long, size: Long, offset: Long): Long = {
+    val rem = (ts - offset + size) % size
+    ts - (if (rem < 0) rem + size else rem)
+  }
+}
+
+/** `[start, end)` window metadata handed to process functions
+  * (TimeWindow.cs:10-89). `maxTimestamp = end - 1`.
+  */
+final case class TimeWindow(start: Long, end: Long) {
+  def maxTimestamp: Long = end - 1
+}
+
+/** IProcessWindowFunction (IProcessWindowFunction.cs:17-41). */
+trait ProcessWindowFunction[K, T, R] extends Serializable {
+  def process(key: K, window: TimeWindow, elements: Iterator[T]): IterableOnce[R]
+}
+
+/** Entry point mirroring `StreamExecutionEnvironment`
+  * (Core.Api/StreamExecutionEnvironment.cs) — sources produce DataStreams.
+  */
+final class StreamExecutionEnvironment(val spark: SparkSession) {
+  def fromCollection[T: Encoder](data: Seq[T]): DataStream[T] =
+    new DataStream(spark.createDataset(data))
+  def fromDataset[T](ds: Dataset[T]): DataStream[T] = new DataStream(ds)
+  def readTextFile(path: String): DataStream[String] = {
+    implicit val e: Encoder[String] = Encoders.STRING
+    new DataStream(spark.read.textFile(path))
+  }
+}
+object StreamExecutionEnvironment {
+  def apply(spark: SparkSession): StreamExecutionEnvironment =
+    new StreamExecutionEnvironment(spark)
+}

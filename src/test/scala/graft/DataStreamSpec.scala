@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datastream._
+import graft.table.TableEnvironment
+import graft.windowing._
+
+class DataStreamSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("map/filter/flatMap/keyBy/reduce wordcount matches groupBy") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val words = env.fromCollection(Seq("a b a", "c b a"))
+      .flatMap(_.split(" ").toSeq)
+      .map(w => (w, 1L))
+      .keyBy(_._1)
+      .reduce((x, y) => (x._1, x._2 + y._2))
+      .map { case (w, (_, n)) => (w, n) }
+      .collect().toMap
+    assert(words === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("rich lifecycle opens once per partition before first element") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val acc = spark.sparkContext.longAccumulator("opens")
+    val out = env.fromDataset(spark.range(100).map(_.toInt).repartition(4))
+      .mapRich(new RichMapFunction[Int, Int] {
+        @transient private var opened = false
+        override def open(): Unit = { opened = true; acc.add(1) }
+        override def map(v: Int): Int = { assert(opened); v * 2 }
+      })
+      .collect()
+    assert(out.sum === (0 until 100).map(_ * 2).sum)
+    assert(acc.value === 4)
+  }
+
+  test("typed tumbling window reduce matches DataFrame window aggregation") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val data = Seq((1L, 100L, 1.0), (1L, 3600001L, 2.0), (1L, 200L, 3.0), (2L, 100L, 4.0))
+    val typed = env.fromCollection(data)
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows.of(Time.hours(1)), _._2)
+      .reduce((a, b) => (a._1, a._2, a._3 + b._3))
+      .map { case (k, ws, v) => (k, ws, v._3) }
+      .collect().toSet
+    assert(typed === Set((1L, 0L, 4.0), (1L, 3600000L, 2.0), (2L, 0L, 4.0)))
+  }
+
+  test("typed sliding window assigns size/slide windows per element") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val rows = env.fromCollection(Seq((1L, 7200000L, 1.0)))
+      .keyBy(_._1)
+      .window(SlidingEventTimeWindows.of(Time.hours(2), Time.hours(1)), _._2)
+      .reduce((a, b) => a)
+      .collect()
+    assert(rows.map(_._2).toSet === Set(3600000L, 7200000L))
+  }
+
+  test("session process function merges panes and exposes window metadata") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val fn = new ProcessWindowFunction[Long, (Long, Long), (Long, Long, Long)] {
+      def process(key: Long, w: TimeWindow, els: Iterator[(Long, Long)]) =
+        Seq((key, w.start, els.size.toLong))
+    }
+    val out = env.fromCollection(Seq((1L, 0L), (1L, 1000L), (1L, 10000000L)))
+      .keyBy(_._1)
+      .window(EventTimeSessionWindows.withGap(Time.minutes(30)), _._2)
+      .process(fn)
+      .collect().toSet
+    assert(out === Set((1L, 0L, 2L), (1L, 10000000L, 1L)))
+  }
+
+  test("TableEnvironment registers, lists, queries and fetches tables") {
+    import spark.implicits._
+    val env = TableEnvironment.create(spark)
+    env.fromDataStream("t_nums", spark.range(10).toDF("n"))
+    assert(env.listTables().contains("t_nums"))
+    assert(env.getTable("t_nums").isDefined)
+    assert(env.getTable("nope").isEmpty)
+    assert(env.sqlQuery("SELECT sum(n) s FROM t_nums").head().getLong(0) === 45L)
+  }
+}
