@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+
+/** Streaming semantics (SURVEY §2.1, §2.7, §2.8): micro-batch = checkpoint
+  * barrier; exactly-once = offsets + idempotent-by-batchId sinks — the
+  * reference's 1M-message exact-count invariant
+  * (stress_test_passed_output.txt:91-96) reproduced at test scale.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // shared, survives executor closure serialization in local mode
+  private val counter = new AtomicLong(0)
+
+  test("exact-count invariant: N rows streamed -> counter == N, no loss, no dup") {
+    counter.set(0)
+    val input = MemoryStream[Long](spark)
+    val ledger = new ExactlyOnce.BatchLedger(tmp("ledger"))
+    val sink = new ExactlyOnce.TransactionalBatchSink {
+      def write(batch: DataFrame, batchId: Long): Unit =
+        counter.addAndGet(batch.count())
+    }
+    val fn = ExactlyOnce.foreachBatchIdempotent(sink, ledger)
+    val q = input.toDS().toDF("v").writeStream
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch(fn)
+      .start()
+    val n = 100000
+    (0 until 10).foreach { b =>
+      input.addData((b * 10000L) until ((b + 1) * 10000L))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(counter.get() === n, "no loss, no duplication")
+  }
+
+  test("replayed batchId is skipped by the ledger (idempotent exactly-once)") {
+    counter.set(0)
+    val ledger = new ExactlyOnce.BatchLedger(tmp("ledger"))
+    val sink = new ExactlyOnce.TransactionalBatchSink {
+      def write(batch: DataFrame, batchId: Long): Unit =
+        counter.addAndGet(batch.count())
+    }
+    val fn = ExactlyOnce.foreachBatchIdempotent(sink, ledger)
+    val df = spark.range(100).toDF()
+    fn(df, 7L)
+    fn(df, 7L) // replay after "failure between commit and offset write"
+    assert(counter.get() === 100)
+  }
+
+  test("transient failures are retried; commit happens exactly once") {
+    counter.set(0)
+    val attempts = new AtomicLong(0)
+    val ledger = new ExactlyOnce.BatchLedger(tmp("ledger"))
+    val sink = new ExactlyOnce.TransactionalBatchSink {
+      def write(batch: DataFrame, batchId: Long): Unit = {
+        if (attempts.incrementAndGet() < 3) sys.error("transient")
+        counter.addAndGet(batch.count())
+      }
+    }
+    val fn = ExactlyOnce.foreachBatchIdempotent(
+      sink, ledger, ExactlyOnce.RetryPolicy(maxAttempts = 3, backoffMs = 1))
+    fn(spark.range(50).toDF(), 1L)
+    assert(attempts.get() === 3)
+    assert(counter.get() === 50)
+  }
+
+  test("exhausted retries divert the batch to the DLQ and keep the query alive") {
+    val dlq = tmp("dlq")
+    val ledger = new ExactlyOnce.BatchLedger(tmp("ledger"))
+    val sink = new ExactlyOnce.TransactionalBatchSink {
+      def write(batch: DataFrame, batchId: Long): Unit = sys.error("permanent")
+    }
+    val fn = ExactlyOnce.foreachBatchIdempotent(
+      sink, ledger, ExactlyOnce.RetryPolicy(maxAttempts = 2, backoffMs = 1), Some(dlq))
+    fn(spark.range(25).toDF(), 3L)
+    assert(spark.read.parquet(s"$dlq/batch-3").count() === 25)
+    assert(ledger.isCommitted(3L))
+  }
+
+  test("windowed aggregation with watermark drops late data past the delay") {
+    val input = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val wm = WatermarkStrategy.forBoundedOutOfOrderness(
+      graft.windowing.Time.seconds(10))
+    val agg = wm.assign(input.toDS().toDF("ts", "value"), "ts")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("ws"), col("s"), col("n"))
+    val results = scala.collection.mutable.Map.empty[Long, (Double, Long)]
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => results(r.getLong(0)) = (r.getDouble(1), r.getLong(2)))
+      }
+      .start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData((ts(1), 1.0), (ts(5), 2.0))
+    q.processAllAvailable()
+    // advance watermark past window [0,10): wm = 60 - 10 = 50 > 10
+    input.addData((ts(60), 9.0))
+    q.processAllAvailable()
+    // late arrival for the closed window: dropped, not merged
+    input.addData((ts(2), 100.0))
+    q.processAllAvailable()
+    input.addData((ts(120), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(results(0L) === ((3.0, 2L)), "window [0,10) closed with on-time rows only")
+    assert(!results.contains(100L) || results(0L)._1 == 3.0)
+  }
+
+  test("count windows fire every N elements per key, remainder held in state") {
+    val input = MemoryStream[(String, Int)](spark)
+    val counted = StatefulOps.countWindow(
+      input.toDS().groupByKey(_._1), size = 3) {
+      (k: String, pane: Seq[(String, Int)]) => (k, pane.map(_._2).sum)
+    }
+    val fired = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val q = counted.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Int)], _: Long) =>
+        fired ++= b.collect(); ()
+      }
+      .start()
+    input.addData(("a", 1), ("a", 2), ("b", 10))
+    q.processAllAvailable()
+    assert(fired.isEmpty, "no pane reached 3 elements yet... except a has 2")
+    input.addData(("a", 3), ("b", 20), ("b", 30))
+    q.processAllAvailable()
+    q.stop()
+    assert(fired.toSet === Set(("a", 6), ("b", 60)))
+  }
+
+  test("mapWithState maintains running per-key state across batches") {
+    val input = MemoryStream[(String, Double)](spark)
+    val running = StatefulOps.mapWithState(
+      input.toDS().groupByKey(_._1))(0.0)((s, v) => s + v._2)((k, s) => (k, s))
+    val latest = scala.collection.mutable.Map.empty[String, Double]
+    val q = running.writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Double)], _: Long) =>
+        b.collect().foreach { case (k, s) => latest(k) = s }
+      }
+      .start()
+    input.addData(("x", 1.0), ("x", 2.0))
+    q.processAllAvailable()
+    input.addData(("x", 3.0), ("y", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(latest("x") === 6.0)
+    assert(latest("y") === 5.0)
+  }
+
+  test("kafka builders assemble the reference's builder options") {
+    val src = KafkaSourceBuilder()
+      .bootstrapServers("broker:9092")
+      .topic("events")
+      .groupId("g1")
+      .maxOffsetsPerTrigger(50000)
+      .startingOffsets("earliest")
+    assert(src.options("kafka.bootstrap.servers") === "broker:9092")
+    assert(src.options("subscribe") === "events")
+    assert(src.options("kafka.group.id") === "g1")
+    assert(src.options("maxOffsetsPerTrigger") === "50000")
+    val bounded = src.bounded()
+    assert(bounded.options("endingOffsets") === "latest")
+    val sink = KafkaSinkBuilder().bootstrapServers("b:9092").topic("out")
+    assert(sink.options("topic") === "out")
+  }
+
+  test("file stream source reads with schema and rate control option") {
+    val dir = tmp("files")
+    spark.range(10).toDF("n").write.mode("overwrite").parquet(s"$dir/in")
+    val df = FileSource.batch(spark, "parquet", s"$dir/in")
+    assert(df.count() === 10)
+    val stream = FileSource.stream(spark, "parquet", s"$dir/in",
+      schema = Some(df.schema), maxFilesPerTrigger = Some(1))
+    assert(stream.isStreaming)
+  }
+}
