@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json scope extension beyond the reference surface).
+  *
+  * Everything here is a pure `Column` expression — no UDFs, no
+  * object-deserialization boundary — so scans stay columnar with pruning
+  * and the operators run as a single narrow map stage with zero shuffles at
+  * any scale. (Higher-order array functions evaluate as Tungsten
+  * expressions outside whole-stage codegen; that costs far less than a
+  * UDF's serialization round-trip.)
+  *
+  * The hash primitive is md5-derived (`portableHash`) so every operator has
+  * an engine-independent definition — the DuckDB oracles recompute identical
+  * values from the same bytes.
+  */
+object TextFunctions {
+
+  /** Deterministic 32-bit hash from the first 8 hex chars of md5, seeded.
+    * Engine-portable: DuckDB spells it
+    * `CAST(concat('0x', substr(md5(concat(seed,'|',s)),1,8)) AS BIGINT)`.
+    */
+  def portableHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace normalization: lowercase, collapse runs, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Non-empty lowercase tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword proxy: count of alternating alpha/digit/punct runs —
+    * a cheap upper bound on subword token count used for budget estimates.
+    */
+  def roughSubwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-z])(?=[^a-z])|(?<=[^a-z])(?=[a-z])|\\s+"),
+      t => t =!= lit(""))).cast("long")
+
+  /** Characters matching a class, e.g. "[a-z]" — the building block for
+    * alpha/digit/punct ratios.
+    */
+  def charClassCount(text: Column, charClassRegex: String): Column =
+    (length(text) - length(regexp_replace(text, charClassRegex, ""))).cast("long")
+
+  /** Share of tokens found in `stopwords` (language-quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(stops, t)))
+        .cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: favors documents with a healthy
+    * length, some stopwords (natural language), and mid-length tokens.
+    * Deterministic arithmetic — oracle-reproducible.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * lit(5.0), lit(1.0))
+    val tokScore = when(meanTokenLength(text).between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    // raw double, not rounded: identical IEEE arithmetic on both engines
+    // beats reconciling HALF_UP vs HALF_EVEN rounding at a digit boundary
+    lenScore * lit(0.4) + stopScore * lit(0.3) + tokScore * lit(0.3)
+  }
+
+  /** Marker-word language ID: score each language by marker hits over the
+    * token array, pick the best with a fixed priority order (deterministic
+    * tie-break). An n-gram-free heuristic that stays in codegen.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "las", "es", "y"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(text)
+    val ms = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(ms, t))).cast("long")
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declaration order) achieving the max, if any hit
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Document fingerprint for exact dedup: md5 over normalized text. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+}

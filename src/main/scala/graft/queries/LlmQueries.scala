@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.{Dedup, TextFunctions => TF}
+
+/** LLM training-data pipeline operators over `documents` (SURVEY baseline
+  * extension): text analysis, exact dedup, MinHash-LSH near-dup, SimHash,
+  * n-gram Jaccard. Every operator is a Column expression whose value is
+  * recomputed independently by the DuckDB oracle from the same md5-derived
+  * hash primitive — the compare validates VALUES, not just shapes.
+  */
+object LlmQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopListSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  // shared DuckDB fragments (tk = token list per doc)
+  private val tkCte =
+    """tk AS (SELECT doc_id, lang, source, text,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        FROM documents)"""
+  private def shingleCte(n: Int) =
+    s"""sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, len(t) - ${n - 1}),
+         j -> ${(0 until n).map(o => s"t[j + $o]").mkString("concat(", ", ' ', ", ")")})) AS s
+       FROM tk WHERE len(t) >= $n)"""
+  private def duckHash(seedExpr: String, valExpr: String) =
+    s"CAST(concat('0x', substr(md5(concat($seedExpr, '|', $valExpr)), 1, 8)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document text statistics (token counting, char classes,
+    // fingerprinting) — one codegen'd map stage, no shuffle.
+    "q37_text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.charClassCount(col("text"), "[a-z]").as("alpha_chars"),
+        TF.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Quality scoring: stopword ratio, mean token length, composite score.
+    "q38_text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TF.stopwordRatio(col("text"), stopwords).as("stop_ratio"),
+        TF.meanTokenLength(col("text")).as("mean_tok_len"),
+        TF.qualityScore(col("text"), stopwords).as("quality"))
+    }),
+
+    // Marker-word language ID vs the labeled lang column (confusion matrix).
+    "q39_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TF.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact dedup by normalized-text fingerprint (hash-groupBy; at scale a
+    // single shuffle on the 128-bit fingerprint).
+    "q40_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")),
+
+    // MinHash signature values themselves (k=8 over 3-gram shingles):
+    // validates the hash pipeline value-for-value.
+    "q41_minhash_signature" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.shingles(toks, 3).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("mh"))
+        .select(col("doc_id"),
+          col("mh").getItem(0).as("m0"), col("mh").getItem(1).as("m1"),
+          col("mh").getItem(2).as("m2"), col("mh").getItem(3).as("m3"))
+    }),
+
+    // Near-duplicate pairs via MinHash-LSH bucket join + exact-Jaccard
+    // confirmation — the O(Σ bucket²) scale path, not O(n²).
+    "q42_lsh_near_dup" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
+
+    // Brute-force n-gram Jaccard within a bounded partition key (source):
+    // the exact-verification operator, joined per group rather than n².
+    "q43_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          Dedup.shingles(TF.tokens(col("text")), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, "source")
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .where(col("jac") >= 0.1)
+    }),
+
+    // 16-bit SimHash per document (frequency-weighted majority per bit).
+    "q44_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash16(TF.tokens(col("text"))).as("sh16"))
+    })
+  )
+
+  private val simhashTerms = (0 until 16).map { b =>
+    s"CASE WHEN 2 * len(list_filter(h, x -> (x >> $b) & 1 = 1)) > len(h) THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q37_text_stats" ->
+      s"""WITH $tkCte
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         FROM tk""",
+    "q38_text_quality" ->
+      s"""WITH $tkCte,
+         m AS (SELECT doc_id, text, t,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t) END AS stop_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END AS mean_tok_len
+           FROM tk)
+         SELECT doc_id, stop_ratio, mean_tok_len,
+           least(length(text) / 500.0, 1.0) * 0.4
+           + least(stop_ratio * 5.0, 1.0) * 0.3
+           + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+         FROM m""",
+    "q39_lang_id" ->
+      s"""WITH $tkCte,
+         sc AS (SELECT lang,
+             len(list_filter(t, x -> list_contains(['the','and','of','is','a'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(['el','los','las','es','y'], x))) AS s_es
+           FROM tk)
+         SELECT lang,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess,
+           CAST(count(*) AS BIGINT) AS n
+         FROM sc GROUP BY 1, 2""",
+    "q40_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q41_minhash_signature" ->
+      s"""WITH $tkCte, ${shingleCte(3)},
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 7), i ->
+             list_min(list_transform(s, x -> ${duckHash("CAST(i AS VARCHAR)", "x")}))) AS mh
+           FROM sh WHERE len(s) > 0)
+         SELECT doc_id, mh[1] AS m0, mh[2] AS m1, mh[3] AS m2, mh[4] AS m3 FROM sig""",
+    "q42_lsh_near_dup" ->
+      s"""WITH $tkCte, ${shingleCte(3)},
+         sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7), i ->
+             list_min(list_transform(s, x -> ${duckHash("CAST(i AS VARCHAR)", "x")}))) AS mh
+           FROM sh WHERE len(s) > 0),
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END AS jac
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5""",
+    "q43_ngram_jaccard" ->
+      s"""WITH $tkCte, ${shingleCte(3)},
+         d AS (SELECT sh.doc_id, tk.source, sh.s FROM sh JOIN tk ON sh.doc_id = tk.doc_id
+               WHERE len(sh.s) > 0)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) END AS jac
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) END >= 0.1""",
+    "q44_simhash" ->
+      s"""WITH $tkCte,
+         hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)
+         SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sh16 FROM hh"""
+  )
+}

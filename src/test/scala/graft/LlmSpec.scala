@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, TextFunctions => TF}
+
+class LlmSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    spark.range(1).select(c).head()
+
+  test("tokenization and counting handle messy whitespace") {
+    assert(one(TF.tokenCount(lit("  a  b\tc \n d "))).getLong(0) === 4L)
+    assert(one(TF.tokenCount(lit(""))).getLong(0) === 0L)
+  }
+
+  test("fingerprint is whitespace/case insensitive (normalized exact dedup)") {
+    val fp1 = one(TF.fingerprint(lit("Hello   World"))).getString(0)
+    val fp2 = one(TF.fingerprint(lit("  hello world "))).getString(0)
+    val fp3 = one(TF.fingerprint(lit("hello worlds"))).getString(0)
+    assert(fp1 === fp2)
+    assert(fp1 !== fp3)
+  }
+
+  test("portable hash matches the DuckDB formulation value") {
+    // CAST(concat('0x', substr(md5('3|x'),1,8)) AS BIGINT) cross-checked by
+    // the oracle gate; here assert determinism + 32-bit range
+    val h = one(TF.portableHash(lit("x"), 3)).getLong(0)
+    assert(h === one(TF.portableHash(lit("x"), 3)).getLong(0))
+    assert(h >= 0 && h <= 0xFFFFFFFFL)
+  }
+
+  test("shingles produce n-grams, empty below n tokens") {
+    val sh = one(Dedup.shingles(TF.tokens(lit("a b c d")), 3)).getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c d"))
+    assert(one(Dedup.shingles(TF.tokens(lit("a b")), 3)).getSeq[String](0).isEmpty)
+  }
+
+  test("identical texts have identical minhash; jaccard 1.0; disjoint 0.0") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                 (2L, "the quick brown fox jumps over the lazy dog"),
+                 (3L, "completely different words entirely here now today"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(TF.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("mh"), col("sh"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1))
+    assert(rows(0).getSeq[Long](1) !== rows(2).getSeq[Long](1))
+    val jac = df.as("a").crossJoin(df.as("b"))
+      .where(col("a.doc_id") === 1 && col("b.doc_id") === 2)
+      .select(Dedup.jaccard(col("a.sh"), col("b.sh"))).head().getDouble(0)
+    assert(jac === 1.0)
+  }
+
+  test("LSH near-dup pipeline finds planted duplicates, skips unrelated") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " nu"),                         // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "red orange yellow green blue indigo violet pink brown black white gray"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("simhash: identical text equal, near text close, different text far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "zero one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash16(TF.tokens(col("text"))).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) === m(2L))
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("langId picks marker-dominant language deterministically") {
+    import spark.implicits._
+    val out = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der hund und die katze das ist gut", "de"),
+      ("le chat et la souris est ici", "fr"),
+      ("el perro y los gatos es bueno", "es"),
+      ("xyzzy plugh quux", "und"))
+      .toDF("text", "expected")
+      .select(TF.langId(col("text")).as("got"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("quality score is bounded in [0,1] over the fixture") {
+    val q = graft.queries.LlmQueries.queries("q38_text_quality")(spark, sfDir)
+    val stats = q.agg(min(col("quality")), max(col("quality"))).head()
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+  }
+
+  test("llm plans: no UDFs, pruned columnar scan, single narrow stage") {
+    val df = graft.queries.LlmQueries.queries("q37_text_stats")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // pure expression pipeline: no UDF eval, no object deserialization
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF")
+      && !plan.contains("DeserializeToObject"), s"unexpected UDF/objects in:\n$plan")
+    // column pruning reached the scan: only the needed columns are read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned in:\n$plan")
+    // no shuffle anywhere — per-document ops are a narrow map stage
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
