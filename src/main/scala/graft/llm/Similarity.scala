@@ -1,0 +1,104 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  * Two tiers, mirroring how a 100 TB corpus is actually served:
+  *  - `knnBruteForce`: exact cosine top-k. The query set is broadcast, so
+  *    the corpus is scanned once with NO shuffle of the big side; per-query
+  *    ranking shuffles only (query_id, neighbor_id, score) triples.
+  *  - random-hyperplane LSH buckets (`hyperplaneBucket`): each vector maps
+  *    to a small bucket id; candidate search self-joins on the bucket key,
+  *    turning O(n²) into Σ bucket². Plane weights derive from the portable
+  *    md5 hash, so an external engine reproduces the exact same buckets.
+  *
+  * All cosine math is `zip_with`/`aggregate` Column expressions over
+  * double-cast arrays — no UDF, vectors never deserialize to JVM objects.
+  */
+object Similarity {
+
+  /** Dot product of two array columns (double accumulate, index order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each row of `queries` against `corpus`.
+    * Both frames need (`idCol`, `vecCol`); the score is rounded to 6
+    * decimals before ranking so ordering is reproducible across engines,
+    * ties broken by neighbor id.
+    */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Portable 32-bit hash (same value as TextFunctions.portableHash /
+    * the DuckDB SQL formulation), computed driver-side for plane literals.
+    */
+  def portableHashLocal(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1]:
+    * w(p,i) = (H("plane|p|i") % 2001 - 1000) / 1000. The oracle derives the
+    * identical planes in SQL from md5.
+    */
+  def planeWeights(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      (portableHashLocal(s"plane|$plane|$i") % 2001 - 1000) / 1000.0
+    }
+
+  /** Sign-bit bucket id over `planes` random hyperplanes (dims must match
+    * the embedding dimensionality).
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val w = typedlit(planeWeights(p, dims))
+      when(dot(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN: nearest neighbor per vector searching ONLY its hyperplane bucket
+    * (the scale path — bucket-key self-join, no cross join). Vectors alone
+    * in their bucket produce no row.
+    */
+  def annNearestInBucket(emb: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, dims: Int): DataFrame = {
+    val b = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"),
+      hyperplaneBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id"), col("v"))
+    val r = b.select(col("bucket"), col("vec_id").as("nn_id"), col("v").as("nv"))
+    val scored = l.join(r, Seq("bucket"))
+      .where(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("bucket"), col("nn_id"),
+        round(cosine(col("v"), col("nv")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.Similarity
+
+/** Similarity-search queries over the `embeddings` fixture: exact cosine
+  * top-k (broadcast-query brute force) and hyperplane-LSH bucketed ANN.
+  * Oracles recompute cosine relationally in DuckDB (unnest + join on the
+  * element index) and derive identical LSH planes from md5 — value-level
+  * verification of the whole pipeline.
+  */
+object EmbeddingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact cosine top-5 for the first 10 vectors against the whole corpus.
+    "q45_cosine_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnBruteForce(
+        corpus = emb,
+        queries = emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    }),
+
+    // ANN nearest-in-bucket with 8 md5-derived hyperplanes (64 dims).
+    "q46_ann_lsh" -> ((s, dir) =>
+      Similarity.annNearestInBucket(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", planes = 8, dims = 64))
+  )
+
+  private val planeHash =
+    "CAST(concat('0x', substr(md5(concat('plane|', CAST(p AS VARCHAR), '|', " +
+      "CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q45_cosine_knn" ->
+      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, i, x FROM e WHERE vec_id < 10),
+         d AS (SELECT q.qid, e.vec_id AS nid, sum(q.x * e.x) AS dp
+               FROM q JOIN e ON q.i = e.i WHERE e.vec_id <> q.qid GROUP BY 1, 2),
+         s AS (SELECT qid, nid, round(dp / (nq.nrm * ne.nrm), 6) AS score
+               FROM d JOIN n nq ON nq.vec_id = qid JOIN n ne ON ne.vec_id = nid),
+         r AS (SELECT qid AS query_id, nid AS neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk FROM s)
+         SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5""",
+    "q46_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
+             FROM (SELECT unnest(generate_series(0, 7)) AS p),
+                  (SELECT unnest(range(64)) AS i)),
+         dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
+             FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
+         bk AS (SELECT vec_id,
+               sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+             FROM dotp GROUP BY vec_id),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
+         cand AS (SELECT a.vec_id, a.bucket, b.vec_id AS nn_id
+             FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         d AS (SELECT c.vec_id, c.bucket, c.nn_id, sum(ea.x * eb.x) AS dp
+             FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
+                         JOIN e eb ON eb.vec_id = c.nn_id AND eb.i = ea.i
+             GROUP BY 1, 2, 3),
+         s AS (SELECT d.vec_id, d.bucket, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM d JOIN n na ON na.vec_id = d.vec_id
+                    JOIN n nb ON nb.vec_id = d.nn_id),
+         r AS (SELECT vec_id, bucket, nn_id, score,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, nn_id ASC) AS rn FROM s)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(nn_id AS BIGINT) AS nn_id, score
+         FROM r WHERE rn = 1"""
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("cosine: self=1, orthogonal=0, opposite=-1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+                 (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+                 (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0))
+      .toDF("a", "b", "expected")
+    df.collect() // force schema
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("knn returns k neighbors per query, ranked, excluding self") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val knn = Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 4).collect()
+    val byQuery = knn.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      val scores = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "descending")
+    }
+    knn.foreach(r => assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id")))
+  }
+
+  test("hyperplane buckets are deterministic and bounded by 2^planes") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val b1 = emb.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding").cast("array<double>"), 8, 64).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = emb.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding").cast("array<double>"), 8, 64).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+    assert(b1.values.toSet.size > 10, "vectors spread across buckets")
+  }
+
+  test("plane weights are portable-hash-derived and in [-1, 1]") {
+    val w = Similarity.planeWeights(0, 64)
+    assert(w.size === 64)
+    assert(w.forall(x => x >= -1.0 && x <= 1.0))
+    assert(w !== Similarity.planeWeights(1, 64))
+    assert(w === Similarity.planeWeights(0, 64))
+  }
+
+  test("knn plan broadcasts the query side (no corpus shuffle for scoring)") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val df = Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
