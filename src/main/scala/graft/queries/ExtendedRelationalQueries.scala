@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Remaining SURVEY §2.4/§2.5 capability rows: outer joins, range
+  * (non-equi) join, as-of join, cube, HLL approximate distinct.
+  */
+object ExtendedRelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LEFT OUTER: every customer, order stats or zero (null-safe coalesce).
+    "q47_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > lit(200000.0))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+             sum(coalesce(col("o_totalprice"), lit(0.0))).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }),
+
+    // FULL OUTER over disjoint-ish aggregates: null sides survive.
+    "q48_full_outer" -> ((s, dir) => {
+      val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f")).agg(count(lit(1)).as("n_f"))
+      val p = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey").as("ck_p")).agg(count(lit(1)).as("n_p"))
+      f.join(p, f("ck_f") === p("ck_p"), "full_outer")
+        .select(coalesce(col("ck_f"), col("ck_p")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_p"), lit(0L)).as("n_p"))
+    }),
+
+    // Range (non-equi) join against a tiny broadcast bucket table — the
+    // scale-safe shape: BroadcastNestedLoopJoin, fact side never shuffles.
+    "q49_range_join" -> ((s, dir) => {
+      val buckets = s.createDataFrame(Seq(
+        ("small", 0.0, 10.0), ("mid", 10.0, 30.0), ("large", 30.0, 100.0)))
+        .toDF("bucket", "lo", "hi")
+      Tables.lineitem(s, dir)
+        .join(broadcast(buckets),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // As-of join, window formulation: for every event, the most recent
+    // 'signup' timestamp of the same user at-or-before it. One shuffle on
+    // user_id, NO join explosion — this is the 100 TB-safe as-of shape
+    // (a range join would rescan candidate windows per row).
+    "q50_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("asof_signup_us",
+          unix_micros(last(when(col("event_type") === "signup", col("ts")),
+            ignoreNulls = true).over(w)))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_signup_us").isNotNull, lit(1))).as("n_after_signup"),
+             count(lit(1)).as("n_events"),
+             max(col("asof_signup_us")).as("last_signup_us"))
+    }),
+
+    // CUBE: all grouping-set combinations (reference lacks these entirely).
+    "q51_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // HLL approximate distinct (SURVEY §2.4 approx row). HLL sketches are
+    // implementation-specific, so no value oracle — the driver records a
+    // rows-only check; the spec asserts the estimate lands within 5% of
+    // exact. At scale this replaces the expensive exact distinct expansion.
+    "q52_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+             count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q47_outer_join" ->
+      """SELECT c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_big_orders,
+         sum(coalesce(o_totalprice, 0)) AS revenue, CAST(count(*) AS BIGINT) AS n_rows
+         FROM customer LEFT JOIN (
+           SELECT * FROM orders WHERE o_totalprice > 200000) o
+           ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
+    "q48_full_outer" ->
+      """WITH f AS (SELECT o_custkey AS ck_f, CAST(count(*) AS BIGINT) AS n_f
+             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+         p AS (SELECT o_custkey AS ck_p, CAST(count(*) AS BIGINT) AS n_p
+             FROM orders WHERE o_orderstatus = 'P' GROUP BY 1)
+         SELECT coalesce(ck_f, ck_p) AS custkey,
+           coalesce(n_f, 0) AS n_f, coalesce(n_p, 0) AS n_p
+         FROM f FULL OUTER JOIN p ON ck_f = ck_p""",
+    "q49_range_join" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n, sum(l_extendedprice) AS revenue
+         FROM lineitem JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 30.0),
+           ('large', 30.0, 100.0)) b(bucket, lo, hi)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY bucket""",
+    "q50_asof_join" ->
+      """WITH a AS (SELECT user_id,
+           epoch_us(last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS asof_signup_us
+         FROM events)
+         SELECT user_id,
+           CAST(count(CASE WHEN asof_signup_us IS NOT NULL THEN 1 END) AS BIGINT) AS n_after_signup,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(asof_signup_us) AS last_signup_us
+         FROM a GROUP BY user_id""",
+    "q51_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         sum(o_totalprice) AS revenue
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    // q52_approx_distinct: HLL sketch values are engine-specific — no SQL
+    // oracle; driver rows-only check + LlmSpec tolerance assertion.
+  )
+}

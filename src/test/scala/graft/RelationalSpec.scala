@@ -73,6 +73,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(semi + anti === c.count())
   }
 
+  test("approx_count_distinct lands within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.queries.ExtendedRelationalQueries
+      .queries("q52_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("range join broadcasts the bucket table (fact side never shuffles)") {
+    val df = graft.queries.ExtendedRelationalQueries.queries("q49_range_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ in:\n$plan")
+  }
+
   test("WeightedAvg aggregator merge is associative and order-insensitive") {
     val w = new graft.operators.WeightedAvg
     val vals = Seq((10.0, 2.0), (20.0, 3.0), (5.0, 1.0), (40.0, 4.0))
