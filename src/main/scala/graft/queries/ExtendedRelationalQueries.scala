@@ -79,7 +79,7 @@ object ExtendedRelationalQueries {
     "q52_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
              count(lit(1)).as("n"))
     })
   )
