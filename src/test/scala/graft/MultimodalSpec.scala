@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def mediaDf = {
+    val rows = Seq(
+      Row(1L, "image", "fake-jpeg-bytes-1".getBytes, Row(640, 480, null, null, "jpeg")),
+      Row(2L, "image", "fake-jpeg-bytes-2".getBytes, Row(1920, 1080, null, null, "jpeg")),
+      Row(3L, "audio", "fake-wav-bytes".getBytes, Row(null, null, 16000, 2500L, "wav")),
+      Row(4L, "video", "fake-mp4-bytes".getBytes, Row(1280, 720, 44100, 1000L, "mp4")),
+      Row(5L, "image", null, Row(8, 8, null, null, "png")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+  }
+
+  test("media schema round-trips through parquet (binary + struct metadata)") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    mediaDf.write.mode("overwrite").parquet(s"$dir/media")
+    val back = spark.read.parquet(s"$dir/media")
+    // parquet reads are always nullable in Spark; compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      Multimodal.mediaSchema.map(f => (f.name, f.dataType)))
+    assert(back.count() === 5)
+    val img1 = back.where(col("media_id") === 1).head()
+    assert(new String(img1.getAs[Array[Byte]]("payload")) === "fake-jpeg-bytes-1")
+    assert(img1.getAs[Row]("meta").getAs[Int]("width") === 640)
+  }
+
+  test("decode produces fixed-width deterministic features, one decoder per partition") {
+    val f1 = Multimodal.decodeToFeatures(mediaDf, dims = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val f2 = Multimodal.decodeToFeatures(mediaDf, dims = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(f1 === f2, "deterministic")
+    assert(f1.values.forall(_.size === 16), "fixed width")
+    assert(f1(1L) !== f1(2L), "payload-sensitive")
+    assert(f1.keySet === Set(1L, 2L, 3L, 4L, 5L), "null payload handled")
+    assert(f1.values.forall(_.forall(v => v >= -1.0f && v <= 1.0f)))
+  }
+
+  test("metadata-only transform prunes the payload column from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    mediaDf.write.mode("overwrite").parquet(s"$dir/media")
+    val metaOnly = spark.read.parquet(s"$dir/media")
+      .select(col("media_id"), col("meta.format"))
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
+  }
+
+  test("resize arithmetic preserves aspect and never upscales") {
+    val out = mediaDf.where(col("kind") === "image")
+      .select(col("media_id"),
+        Multimodal.resizedDims(col("meta.width"), col("meta.height"), 256).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Row](1)).toMap
+    assert(out(1L).getAs[Int]("width") === 256)  // 640x480 -> 256x192
+    assert(out(1L).getAs[Int]("height") === 192)
+    assert(out(2L).getAs[Int]("width") === 256)  // 1920x1080 -> 256x144
+    assert(out(2L).getAs[Int]("height") === 144)
+    assert(out(5L).getAs[Int]("width") === 8, "small image untouched")
+  }
+
+  test("frame sampling plans one row per step within duration") {
+    val frames = Multimodal.frameSamplePlan(mediaDf, stepMs = 250).collect()
+    assert(frames.map(_.getLong(1)).sorted.toSeq === Seq(0L, 250L, 500L, 750L))
+    assert(frames.forall(_.getLong(0) === 4L))
+  }
+
+  test("byte-aware repartitioning splits by payload size") {
+    val df = Multimodal.repartitionForDecode(mediaDf, targetBytes = 20)
+    assert(df.rdd.getNumPartitions >= 3, "~17-byte payloads / 20-byte target")
+    assert(df.count() === 5)
+  }
+}
