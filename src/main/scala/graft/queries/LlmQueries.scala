@@ -28,6 +28,14 @@ object LlmQueries {
        FROM tk WHERE len(t) >= $n)"""
   private def duckHash(seedExpr: String, valExpr: String) =
     s"CAST(concat('0x', substr(md5(concat($seedExpr, '|', $valExpr)), 1, 8)) AS BIGINT)"
+  // minhash as 8-hex-char string minima, four 32-bit slices per md5 digest
+  // (mirrors Dedup.minhashSignature's hot-path formulation)
+  private val sigCte =
+    """sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7), i ->
+         list_min(list_transform(s, x ->
+           substr(md5(concat(CAST(i // 4 AS VARCHAR), '|', x)),
+                  CAST(i % 4 AS INTEGER) * 8 + 1, 8)))) AS mh
+       FROM sh WHERE len(s) > 0)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document text statistics (token counting, char classes,
@@ -65,14 +73,15 @@ object LlmQueries {
     // MinHash signature values themselves (k=8 over 3-gram shingles):
     // validates the hash pipeline value-for-value.
     "q41_minhash_signature" -> ((s, dir) => {
-      val toks = TF.tokens(col("text"))
       Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.shingles(toks, 3).as("sh"))
+        .select(col("doc_id"), Dedup.shinglesText(col("text"), 3).as("sh"))
         .where(size(col("sh")) > 0)
         .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("mh"))
         .select(col("doc_id"),
-          col("mh").getItem(0).as("m0"), col("mh").getItem(1).as("m1"),
-          col("mh").getItem(2).as("m2"), col("mh").getItem(3).as("m3"))
+          Dedup.minhashValue(col("mh").getItem(0)).as("m0"),
+          Dedup.minhashValue(col("mh").getItem(1)).as("m1"),
+          Dedup.minhashValue(col("mh").getItem(2)).as("m2"),
+          Dedup.minhashValue(col("mh").getItem(3)).as("m3"))
     }),
 
     // Near-duplicate pairs via MinHash-LSH bucket join + exact-Jaccard
@@ -81,21 +90,12 @@ object LlmQueries {
       Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
 
-    // Brute-force n-gram Jaccard within a bounded partition key (source):
-    // the exact-verification operator, joined per group rather than n².
-    "q43_ngram_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          Dedup.shingles(TF.tokens(col("text")), 3).as("sh"))
-        .where(size(col("sh")) > 0)
-      val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, "source")
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
-        .where(col("jac") >= 0.1)
-    }),
+    // Exact pairwise n-gram Jaccard within a partition key (source),
+    // inverted-index formulation: hash joins + group counts, never a
+    // per-pair array intersection, and non-overlapping pairs never exist.
+    "q43_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsWithin(Tables.documents(s, dir), "doc_id", "text",
+        partitionCol = "source", shingleN = 3, threshold = 0.1)),
 
     // 16-bit SimHash per document (frequency-weighted majority per bit).
     "q44_simhash" -> ((s, dir) => {
@@ -149,16 +149,15 @@ object LlmQueries {
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY 1""",
     "q41_minhash_signature" ->
-      s"""WITH $tkCte, ${shingleCte(3)},
-         sig AS (SELECT doc_id, list_transform(generate_series(0, 7), i ->
-             list_min(list_transform(s, x -> ${duckHash("CAST(i AS VARCHAR)", "x")}))) AS mh
-           FROM sh WHERE len(s) > 0)
-         SELECT doc_id, mh[1] AS m0, mh[2] AS m1, mh[3] AS m2, mh[4] AS m3 FROM sig""",
+      s"""WITH $tkCte, ${shingleCte(3)}, $sigCte
+         SELECT doc_id,
+           CAST(concat('0x', mh[1]) AS BIGINT) AS m0,
+           CAST(concat('0x', mh[2]) AS BIGINT) AS m1,
+           CAST(concat('0x', mh[3]) AS BIGINT) AS m2,
+           CAST(concat('0x', mh[4]) AS BIGINT) AS m3
+         FROM sig""",
     "q42_lsh_near_dup" ->
-      s"""WITH $tkCte, ${shingleCte(3)},
-         sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7), i ->
-             list_min(list_transform(s, x -> ${duckHash("CAST(i AS VARCHAR)", "x")}))) AS mh
-           FROM sh WHERE len(s) > 0),
+      s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,
              md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
            FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),

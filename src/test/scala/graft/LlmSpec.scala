@@ -37,6 +37,29 @@ class LlmSpec extends AnyFunSuite {
     assert(one(Dedup.shingles(TF.tokens(lit("a b")), 3)).getSeq[String](0).isEmpty)
   }
 
+  test("native shingles expression equals the HOF formulation on real docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val native = docs.select(col("doc_id"), Dedup.shinglesText(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = docs.select(col("doc_id"),
+        Dedup.shingles(TF.tokens(col("text")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === hof)
+  }
+
+  test("native minhash expression equals the HOF formulation on real docs") {
+    import org.apache.spark.sql.functions.{col, size}
+    val sh = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.shingles(TF.tokens(col("text")), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val native = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = sh.select(col("doc_id"), Dedup.minhashSignatureHof(col("sh"), 8).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === hof)
+  }
+
   test("identical texts have identical minhash; jaccard 1.0; disjoint 0.0") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
