@@ -1,5 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and the streaming map→count slice (reference baseline: ≥1M rows/sec,
+  * stress_test_passed_output.txt:154). One JSON line on stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,10 +25,35 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // streaming slice: exact-count map→count micro-batch pipeline
+    val streamRps = streamingMapCountRps(spark, rows = 5000000L)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_map_count_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Rows/sec through readStream(parquet) → map → foreachBatch count with
+    * an exact-count assertion (the reference's no-loss/no-dup invariant).
+    */
+  def streamingMapCountRps(spark: SparkSession, rows: Long): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+    spark.range(rows).toDF("id").write.mode("overwrite").parquet(s"$dir/in")
+    val counted = new AtomicLong(0)
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .selectExpr("id * 2 AS v")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => counted.addAndGet(b.count()); () }
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(counted.get() == rows, s"exact-count violated: ${counted.get()} != $rows")
+    rows / secs
   }
 }
