@@ -49,6 +49,28 @@ final class DataStream[T](val ds: Dataset[T]) extends Serializable {
       }
     })
 
+  /** Rich filter with lifecycle (IRichFilterOperator.cs:9). */
+  def filterRich(rich: RichFilterFunction[T]): DataStream[T] =
+    new DataStream(ds.mapPartitions { it =>
+      rich.open()
+      val filtered = it.filter(rich.filter)
+      new Iterator[T] {
+        def hasNext: Boolean = { val h = filtered.hasNext; if (!h) rich.close(); h }
+        def next(): T = filtered.next()
+      }
+    }(ds.encoder))
+
+  /** Rich flatMap with lifecycle (IRichFlatMapOperator.cs:10). */
+  def flatMapRich[R: Encoder](rich: RichFlatMapFunction[T, R]): DataStream[R] =
+    new DataStream(ds.mapPartitions { it =>
+      rich.open()
+      val mapped = it.flatMap(t => rich.flatMap(t).iterator)
+      new Iterator[R] {
+        def hasNext: Boolean = { val h = mapped.hasNext; if (!h) rich.close(); h }
+        def next(): R = mapped.next()
+      }
+    })
+
   /** KeyBy (DataStream.cs:28-49): hash-partition by key. The shuffle happens
     * lazily at the first keyed aggregation, on Spark's HashPartitioning.
     */
@@ -56,6 +78,12 @@ final class DataStream[T](val ds: Dataset[T]) extends Serializable {
     new KeyedDataStream(ds.groupByKey(f), ds, f)
 
   def union(other: DataStream[T]): DataStream[T] = new DataStream(ds.union(other.ds))
+
+  /** Per-operator parallelism (TransformationBase.Parallelism): an explicit
+    * round-robin repartition. Usually unnecessary — AQE sizes partitions —
+    * but the reference exposes it, so we do.
+    */
+  def setParallelism(n: Int): DataStream[T] = new DataStream(ds.repartition(n))
 
   /** AddSink (DataStream.cs:198-210): terminal per-record sink. For batch;
     * streaming sinks live in graft.streaming.
@@ -69,6 +97,18 @@ final class DataStream[T](val ds: Dataset[T]) extends Serializable {
 trait RichMapFunction[T, R] extends Serializable {
   def open(): Unit = ()
   def map(value: T): R
+  def close(): Unit = ()
+}
+
+trait RichFilterFunction[T] extends Serializable {
+  def open(): Unit = ()
+  def filter(value: T): Boolean
+  def close(): Unit = ()
+}
+
+trait RichFlatMapFunction[T, R] extends Serializable {
+  def open(): Unit = ()
+  def flatMap(value: T): IterableOnce[R]
   def close(): Unit = ()
 }
 
@@ -121,8 +161,28 @@ final class KeyedDataStream[K, T](
   * the pattern scales with the number of distinct (key, window) panes.
   */
 final class WindowedStream[K, T](
-    ds: Dataset[T], keyFn: T => K, timeMs: T => Long, assigner: WindowAssigner)
+    ds: Dataset[T], keyFn: T => K, timeMs: T => Long, assigner: WindowAssigner,
+    evictorOpt: Option[Evictor[T]] = None, latenessOpt: Option[Time] = None)
     extends Serializable {
+
+  /** Attach an evictor (WindowedStream.Evictor, Transformations.cs:12-23):
+    * trims each pane before the window function sees it.
+    */
+  def evictor(e: Evictor[T]): WindowedStream[K, T] =
+    new WindowedStream(ds, keyFn, timeMs, assigner, Some(e), latenessOpt)
+
+  /** AllowedLateness (WindowedStream.cs:55-63). Batch execution sees all
+    * data, so this is a declaration only; streaming pipelines add it to the
+    * watermark delay (`withWatermark(ts, delay + lateness)`), which is
+    * exactly the reference's late-pane-refire semantics Spark supports.
+    */
+  def allowedLateness(l: Time): WindowedStream[K, T] = {
+    require(assigner.isEventTime, "lateness only applies to event-time windows")
+    new WindowedStream(ds, keyFn, timeMs, assigner, evictorOpt, Some(l))
+  }
+
+  private def applyEvictor(pane: IndexedSeq[T], w: TimeWindow): IndexedSeq[T] =
+    evictorOpt.fold(pane)(e => e.evictBefore(pane, w).toIndexedSeq)
 
   /** Pure assignment arithmetic, shared with the reference semantics. */
   private def windowStarts(ts: Long): Seq[Long] = assigner match {
@@ -167,7 +227,8 @@ final class WindowedStream[K, T](
           var pane = scala.collection.mutable.ArrayBuffer.empty[T]
           var paneEnd = Long.MinValue
           def flush(): Unit = if (pane.nonEmpty) {
-            out ++= f.process(k, TimeWindow(tf(pane.head), paneEnd), pane.iterator)
+            val w = TimeWindow(tf(pane.head), paneEnd)
+            out ++= f.process(k, w, applyEvictor(pane.toIndexedSeq, w).iterator)
             pane = scala.collection.mutable.ArrayBuffer.empty[T]
           }
           sorted.foreach { t =>
@@ -187,7 +248,9 @@ final class WindowedStream[K, T](
               case SlidingEventTimeWindows(size, _) => kw._2 + size.millis
               case _ => Long.MaxValue
             }
-            f.process(kw._1, TimeWindow(kw._2, end), it.map(_._2))
+            val w = TimeWindow(kw._2, end)
+            val pane = it.map(_._2).toIndexedSeq.sortBy(tf)
+            f.process(kw._1, w, applyEvictor(pane, w).iterator)
           })
     }
   }
@@ -211,6 +274,23 @@ final case class TimeWindow(start: Long, end: Long) {
 /** IProcessWindowFunction (IProcessWindowFunction.cs:17-41). */
 trait ProcessWindowFunction[K, T, R] extends Serializable {
   def process(key: K, window: TimeWindow, elements: Iterator[T]): IterableOnce[R]
+}
+
+/** IEvictor (Core.Api/Streaming/Transformations.cs:12-23): trim a pane
+  * before the window function runs. Elements arrive time-sorted.
+  */
+trait Evictor[T] extends Serializable {
+  def evictBefore(elements: Seq[T], window: TimeWindow): Seq[T]
+}
+
+/** Keep only the last `maxCount` elements of each pane (Flink-style
+  * CountEvictor).
+  */
+object CountEvictor {
+  def of[T](maxCount: Int): Evictor[T] = new Evictor[T] {
+    def evictBefore(elements: Seq[T], window: TimeWindow): Seq[T] =
+      elements.takeRight(maxCount)
+  }
 }
 
 /** Entry point mirroring `StreamExecutionEnvironment`

@@ -72,6 +72,17 @@ object ExtendedRelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("revenue"))
     }),
 
+    // Exact percentiles (interpolated, = SQL percentile_cont semantics).
+    // At scale the approx variant (percentile_approx / KLL-style sketch)
+    // replaces this; the exact form sorts within each group.
+    "q53_percentile" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+             expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+             count(lit(1)).as("n"))
+    }),
+
     // HLL approximate distinct (SURVEY §2.4 approx row). HLL sketches are
     // implementation-specific, so no value oracle — the driver records a
     // rows-only check; the spec asserts the estimate lands within 5% of
@@ -120,7 +131,13 @@ object ExtendedRelationalQueries {
     "q51_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
          sum(o_totalprice) AS revenue
-         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q53_percentile" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS median_price,
+         quantile_cont(o_totalprice, 0.9) AS p90_price,
+         CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority"""
     // q52_approx_distinct: HLL sketch values are engine-specific — no SQL
     // oracle; driver rows-only check + LlmSpec tolerance assertion.
   )

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins (SURVEY §2.5 interval-join row).
+  *
+  * Spark bounds stream-stream join state with watermarks plus a time-range
+  * condition: each side keeps only rows younger than the watermark minus the
+  * interval, so state is O(rate × interval) regardless of total volume —
+  * the property that makes the join run forever at scale.
+  */
+object StreamJoins {
+
+  /** Interval join: left ⋈ right on `key` where
+    * right.ts ∈ [left.ts − lowerMs, left.ts + upperMs].
+    * Both inputs MUST carry watermarks (use WatermarkStrategy.assign).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, leftTs: String, rightTs: String,
+                   lowerMs: Long, upperMs: Long): DataFrame = {
+    val cond =
+      left(keyCol) === right(keyCol) &&
+        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upperMs MILLISECONDS")
+    left.join(right, cond).drop(right(keyCol))
+  }
+}
+
+/** Skew mitigation for heavy-hitter join keys (SURVEY §4: "skewed keys →
+  * salting or AQE skew-join"). AQE's skew-join handles sort-merge cases at
+  * runtime; explicit salting is for when one side is broadcast-sized but a
+  * handful of keys dominate the big side's shuffle.
+  */
+object Salting {
+
+  /** Join `big` to `small` on `key`, exploding `small` across `salts`
+    * replicas and salting `big` rows randomly-but-deterministically (hash of
+    * a row-unique column), so each hot key spreads over `salts` reducers.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     saltSourceCol: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(col(saltSourceCol)), lit(salts)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -76,6 +76,56 @@ class DataStreamSpec extends AnyFunSuite {
     assert(out === Set((1L, 0L, 2L), (1L, 10000000L, 1L)))
   }
 
+  test("rich filter/flatMap run lifecycle; setParallelism repartitions") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val opens = spark.sparkContext.longAccumulator("rf-opens")
+    val out = env.fromDataset(spark.range(20).map(_.toInt).repartition(2))
+      .filterRich(new RichFilterFunction[Int] {
+        override def open(): Unit = opens.add(1)
+        override def filter(v: Int): Boolean = v % 2 == 0
+      })
+      .flatMapRich(new RichFlatMapFunction[Int, Int] {
+        override def flatMap(v: Int): IterableOnce[Int] = Seq(v, v)
+      })
+      .setParallelism(5)
+    assert(out.collect().sorted === (0 until 20 by 2).flatMap(v => Seq(v, v)).sorted)
+    // one action ran; filterRich opened once per input partition
+    assert(opens.value === 2)
+    assert(out.ds.rdd.getNumPartitions === 5)
+  }
+
+  test("count evictor trims each pane to the last N elements by time") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val fn = new ProcessWindowFunction[Long, (Long, Long, Double), (Long, Long, Double)] {
+      def process(key: Long, w: TimeWindow, els: Iterator[(Long, Long, Double)]) = {
+        val seq = els.toSeq
+        Seq((key, w.start, seq.map(_._3).sum))
+      }
+    }
+    val data = Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 300L, 4.0), (1L, 3600100L, 8.0))
+    val out = env.fromCollection(data)
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows.of(Time.hours(1)), _._2)
+      .evictor(CountEvictor.of(2))
+      .process(fn)
+      .collect().toSet
+    // window [0,1h): last 2 of (1,2,4) -> 2+4; window [1h,2h): just 8
+    assert(out === Set((1L, 0L, 6.0), (1L, 3600000L, 8.0)))
+  }
+
+  test("allowedLateness declares on event-time windows, rejects global") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val ks = env.fromCollection(Seq((1L, 1L))).keyBy(_._1)
+    ks.window(TumblingEventTimeWindows.of(Time.hours(1)), _._2)
+      .allowedLateness(Time.minutes(5)) // fine
+    assertThrows[IllegalArgumentException] {
+      ks.window(GlobalWindows, _._2).allowedLateness(Time.minutes(5))
+    }
+  }
+
   test("TableEnvironment registers, lists, queries and fetches tables") {
     import spark.implicits._
     val env = TableEnvironment.create(spark)

@@ -7,7 +7,10 @@ import graft.queries.RelationalQueries
 object TestSession {
   lazy val spark: SparkSession = {
     val s = graft.core.GraftSession.builder(master = "local[4]", shufflePartitions = 4)
-      .appName("graft-test").getOrCreate()
+      .appName("graft-test")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -91,6 +94,37 @@ class RelationalSpec extends AnyFunSuite {
     val df = graft.queries.ExtendedRelationalQueries.queries("q49_range_join")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ in:\n$plan")
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.core.Tables.orders(spark, sfDir)
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.core.Tables.lineitem(spark, sfDir)
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket pruning: the JOIN itself must not introduce a shuffle —
+      // both sides arrive pre-partitioned on the bucket key
+      val joinSection = plan.substring(0, plan.indexOf("FileScan"))
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey")
+        && !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join should be co-located, got:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("WeightedAvg aggregator merge is associative and order-insensitive") {

@@ -218,6 +218,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest("a") === 4L && latest("b") === 2L)
   }
 
+  test("stream-stream interval join matches clicks to impressions within bounds") {
+    val impressions = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val wm = WatermarkStrategy.forBoundedOutOfOrderness(graft.windowing.Time.seconds(5))
+    val l = wm.assign(impressions.toDS().toDF("ad_id", "imp_ts"), "imp_ts")
+    val r = wm.assign(clicks.toDS().toDF("click_ad", "click_ts"), "click_ts")
+      .withColumnRenamed("click_ad", "ad_id")
+    val joined = StreamJoins.intervalJoin(l, r,
+      keyCol = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
+      lowerMs = 0, upperMs = 10000)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = joined.selectExpr("ad_id", "unix_millis(imp_ts) AS i", "unix_millis(click_ts) AS c")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        pairs ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))); ()
+      }
+      .start()
+    impressions.addData((1L, ts(10)), (2L, ts(20)))
+    clicks.addData((1L, ts(15)), (1L, ts(25)), (2L, ts(19)))
+    q.processAllAvailable()
+    q.stop()
+    // ad 1: click@15 within [10,20] matches; click@25 outside; ad 2: click@19 < imp@20
+    assert(pairs.toSet === Set((1L, 10000L, 15000L)))
+  }
+
+  test("salted join spreads hot keys and preserves join results") {
+    import org.apache.spark.sql.functions.{col => c}
+    val big = spark.range(0, 10000).selectExpr("CAST(id % 3 AS LONG) AS k", "id AS payload")
+    val small = spark.createDataFrame(Seq((0L, "a"), (1L, "b"), (2L, "c"))).toDF("k", "name")
+    val salted = Salting.saltedEquiJoin(big, small, "k", saltSourceCol = "payload", salts = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum(c("payload"))).head().getLong(0) ===
+      plain.agg(sum(c("payload"))).head().getLong(0))
+  }
+
   test("kafka builders assemble the reference's builder options") {
     val src = KafkaSourceBuilder()
       .bootstrapServers("broker:9092")
