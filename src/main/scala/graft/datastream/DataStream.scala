@@ -211,6 +211,21 @@ final class WindowedStream[K, T](
         .map { case ((k, ws), v) => (k, ws, v) }(outEnc))
   }
 
+  /** WindowedStream.Aggregate (WindowedStream.cs:41-87): the accumulator
+    * contract over panes. Implemented via process — the accumulator runs
+    * once per pane element; merge is exercised by the distributed
+    * pre-aggregation path in KeyedDataStream.aggregate.
+    */
+  def aggregate[ACC, OUT](agg: graft.operators.AggregateFunction[T, ACC, OUT])(
+      implicit outEnc: Encoder[(K, Long, OUT)], kEnc: Encoder[K],
+      kwEnc: Encoder[(K, Long)], pairEnc: Encoder[((K, Long), T)]): DataStream[(K, Long, OUT)] =
+    process(new ProcessWindowFunction[K, T, (K, Long, OUT)] {
+      def process(key: K, w: TimeWindow, elements: Iterator[T]) = {
+        val acc = elements.foldLeft(agg.createAccumulator())(agg.add)
+        Seq((key, w.start, agg.getResult(acc)))
+      }
+    })
+
   /** Full-window function (IProcessWindowFunction.cs:17-41): iterate the
     * pane with key + window metadata. Sessions are merged here.
     */

@@ -126,6 +126,33 @@ class DataStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed aggregate runs the accumulator contract per pane") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val avg = new graft.operators.AggregateFunction[(Long, Long, Double), (Double, Long), Double] {
+      def createAccumulator() = (0.0, 0L)
+      def add(a: (Double, Long), v: (Long, Long, Double)) = (a._1 + v._3, a._2 + 1)
+      def getResult(a: (Double, Long)) = if (a._2 == 0) 0.0 else a._1 / a._2
+      def merge(a: (Double, Long), b: (Double, Long)) = (a._1 + b._1, a._2 + b._2)
+    }
+    val out = env.fromCollection(Seq((1L, 100L, 2.0), (1L, 200L, 4.0), (1L, 3600500L, 9.0)))
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows.of(Time.hours(1)), _._2)
+      .aggregate(avg)
+      .collect().toSet
+    assert(out === Set((1L, 0L, 3.0), (1L, 3600000L, 9.0)))
+  }
+
+  test("native expressions are callable from SQL after registration") {
+    graft.llm.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS sh,
+         minhash_signature(word_shingles('a b c d', 3), 8) AS mh""").head()
+    assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(row.getSeq[String](1).length === 8)
+    assert(row.getSeq[String](1).forall(_.matches("[0-9a-f]{8}")))
+  }
+
   test("TableEnvironment registers, lists, queries and fetches tables") {
     import spark.implicits._
     val env = TableEnvironment.create(spark)
