@@ -101,6 +101,16 @@ object LlmQueries {
     "q44_simhash" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhash16(TF.tokens(col("text"))).as("sh16"))
+    }),
+
+    // Binary payload columns (multimodal plumbing): byte lengths and
+    // digests survive the string→binary→digest path identically.
+    "q54_binary_columns" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("payload_bytes"),
+          md5(col("payload")).as("payload_md5"))
     })
   )
 
@@ -182,6 +192,10 @@ object LlmQueries {
     "q44_simhash" ->
       s"""WITH $tkCte,
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)
-         SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sh16 FROM hh"""
+         SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sh16 FROM hh""",
+    // md5(VARCHAR) hashes the UTF-8 bytes = Spark's md5(CAST(text AS BINARY))
+    "q54_binary_columns" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+         md5(text) AS payload_md5 FROM documents"""
   )
 }

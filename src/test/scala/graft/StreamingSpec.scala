@@ -218,6 +218,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest("a") === 4L && latest("b") === 2L)
   }
 
+  test("transformWithState tumbling window fires panes when the watermark passes") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val grouped = input.toDS().toDF("k", "ts", "v")
+        .withWatermark("ts", "2 seconds")
+        .as[(Long, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+      val windowed = TransformWithStateOps.tumblingProcessWindow(
+        grouped, sizeMs = 10000L)(_._2.getTime) {
+        (k, ws, pane) => (k, ws, pane.map(_._3).sum, pane.size.toLong)
+      }
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+      val q = windowed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double, Long)], _: Long) =>
+          fired ++= b.collect(); ()
+        }
+        .start()
+      input.addData((1L, ts(1), 1.0), (1L, ts(5), 2.0), (2L, ts(3), 5.0))
+      q.processAllAvailable()
+      assert(fired.isEmpty, "watermark has not crossed window end yet")
+      input.addData((1L, ts(30), 9.0)) // watermark -> 28s > 10s: fire [0,10)
+      q.processAllAvailable()
+      q.stop()
+      assert(fired.toSet === Set((1L, 0L, 3.0, 2L), (2L, 0L, 5.0, 1L)),
+        "panes fired exactly once with full contents")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches clicks to impressions within bounds") {
     val impressions = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
