@@ -79,6 +79,26 @@ object Similarity {
       when(dot(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: candidates come from the
+    * hyperplane buckets (same-bucket ⇒ same side of all planes, which
+    * high-cosine pairs almost surely are), then the exact cosine filters at
+    * `threshold`. The n² never materializes.
+    */
+  def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+                              planes: Int, dims: Int,
+                              threshold: Double): DataFrame = {
+    val b = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"),
+      hyperplaneBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** ANN: nearest neighbor per vector searching ONLY its hyperplane bucket
     * (the scale path — bucket-key self-join, no cross join). Vectors alone
     * in their bucket produce no row.

@@ -42,7 +42,7 @@ object TextFunctions {
     */
   def roughSubwordCount(text: Column): Column =
     size(filter(split(text, "(?<=[a-z])(?=[^a-z])|(?<=[^a-z])(?=[a-z])|\\s+"),
-      t => t =!= lit(""))).cast("long")
+      t => trim(t) =!= lit(""))).cast("long")
 
   /** Characters matching a class, e.g. "[a-z]" — the building block for
     * alpha/digit/punct ratios.

@@ -26,7 +26,15 @@ object EmbeddingQueries {
     // ANN nearest-in-bucket with 8 md5-derived hyperplanes (64 dims).
     "q46_ann_lsh" -> ((s, dir) =>
       Similarity.annNearestInBucket(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", planes = 8, dims = 64))
+        idCol = "vec_id", vecCol = "embedding", planes = 8, dims = 64)),
+
+    // Embedding-cosine near-dup pairs, bucket-candidates then exact filter.
+    // (Fixture embeddings are near-random — threshold tuned to be
+    // non-empty; real corpora use ≥0.9.)
+    "q55_embedding_near_dup" -> ((s, dir) =>
+      Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", planes = 8, dims = 64,
+        threshold = 0.3))
   )
 
   private val planeHash =
@@ -74,6 +82,28 @@ object EmbeddingQueries {
                  ORDER BY score DESC, nn_id ASC) AS rn FROM s)
          SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(bucket AS BIGINT) AS bucket,
            CAST(nn_id AS BIGINT) AS nn_id, score
-         FROM r WHERE rn = 1"""
+         FROM r WHERE rn = 1""",
+    "q55_embedding_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
+             FROM (SELECT unnest(generate_series(0, 7)) AS p),
+                  (SELECT unnest(range(64)) AS i)),
+         dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
+             FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
+         bk AS (SELECT vec_id,
+               sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+             FROM dotp GROUP BY vec_id),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
+         cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         d AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dp
+             FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                         JOIN e eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+             GROUP BY 1, 2)
+         SELECT d.id_a, d.id_b, round(d.dp / (na.nrm * nb.nrm), 6) AS cos
+         FROM d JOIN n na ON na.vec_id = d.id_a
+                JOIN n nb ON nb.vec_id = d.id_b
+         WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3"""
   )
 }

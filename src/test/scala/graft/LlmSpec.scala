@@ -15,6 +15,12 @@ class LlmSpec extends AnyFunSuite {
     assert(one(TF.tokenCount(lit(""))).getLong(0) === 0L)
   }
 
+  test("rough subword count splits alpha/digit/punct runs") {
+    assert(one(TF.roughSubwordCount(lit("abc123def"))).getLong(0) === 3L)
+    assert(one(TF.roughSubwordCount(lit("hello world"))).getLong(0) === 2L)
+    assert(one(TF.roughSubwordCount(lit("a-b c"))).getLong(0) === 4L)
+  }
+
   test("fingerprint is whitespace/case insensitive (normalized exact dedup)") {
     val fp1 = one(TF.fingerprint(lit("Hello   World"))).getString(0)
     val fp2 = one(TF.fingerprint(lit("  hello world "))).getString(0)
