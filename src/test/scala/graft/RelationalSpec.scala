@@ -127,6 +127,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-style partitioned writes prune partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    graft.core.Tables.documents(spark, sfDir)
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+    val df = spark.read.parquet(s"$dir/docs").where(col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition pruning in:\n$plan")
+    assert(df.count() > 0)
+    // the data filter never appears as a post-scan Filter: it's pruned away
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang"),
+      "partition column wrongly treated as data filter")
+  }
+
+  test("dynamic partition pruning kicks in for dim-filtered joins") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    graft.core.Tables.lineitem(spark, sfDir)
+      .withColumn("part_mod", (col("l_partkey") % 10).cast("int"))
+      .write.partitionBy("part_mod").mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // DPP needs a selective predicate on the dim side to prune against
+    val dim = spark.range(10).selectExpr("CAST(id AS INT) AS part_mod", "id AS dim_payload")
+      .where(col("dim_payload") < 3)
+    val joined = fact.join(dim, "part_mod").agg(sum(col("l_quantity")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning in:\n$plan")
+    assert(joined.head().getDouble(0) > 0)
+  }
+
   test("WeightedAvg aggregator merge is associative and order-insensitive") {
     val w = new graft.operators.WeightedAvg
     val vals = Seq((10.0, 2.0), (20.0, 3.0), (5.0, 1.0), (40.0, 4.0))
