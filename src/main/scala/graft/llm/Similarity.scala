@@ -27,7 +27,15 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Native one-pass cosine (CosineSimilarityExpr). */
+  def cosine(a: Column, b: Column): Column = CosineSimilarityExpr(a, b)
+
+  /** Column-composed cosine, kept as the cross-check for the native
+    * expression (same accumulation order ⇒ identical IEEE doubles; only
+    * difference: zero-norm inputs give NaN here, null natively).
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Exact top-k neighbors for each row of `queries` against `corpus`.
     * Both frames need (`idCol`, `vecCol`); the score is rounded to 6

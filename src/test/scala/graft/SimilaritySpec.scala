@@ -18,6 +18,18 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("native cosine equals the Column-composed form on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id")).limit(200)
+    val rows = pairs.select(
+      Similarity.cosine(col("a.v"), col("b.v")).as("native"),
+      Similarity.cosineHof(col("a.v"), col("b.v")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("knn returns k neighbors per query, ranked, excluding self") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val knn = Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 3),
