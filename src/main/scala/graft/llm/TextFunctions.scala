@@ -107,4 +107,12 @@ object TextFunctions {
 
   /** Document fingerprint for exact dedup: md5 over normalized text. */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Polynomial rolling-hash fingerprint (Rabin–Karp flavor):
+    * h = fold(chars)(h*31 + code mod 1e9+7). Cheaper than md5 when only a
+    * 63-bit fingerprint is needed; engine-portable (DuckDB list_reduce).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % lit(1000000007L))
 }

@@ -103,6 +103,13 @@ object LlmQueries {
         .select(col("doc_id"), Dedup.simhash16(TF.tokens(col("text"))).as("sh16"))
     }),
 
+    // Rabin–Karp rolling-hash fingerprint per document (the cheap
+    // non-cryptographic dedup key) + collision-group sizes.
+    "q56_rolling_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.rollingFingerprint(col("text")).as("rh"))
+    }),
+
     // Binary payload columns (multimodal plumbing): byte lengths and
     // digests survive the string→binary→digest path identically.
     "q54_binary_columns" -> ((s, dir) => {
@@ -193,6 +200,12 @@ object LlmQueries {
       s"""WITH $tkCte,
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sh16 FROM hh""",
+    "q56_rolling_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
+         FROM documents""",
     // md5(VARCHAR) hashes the UTF-8 bytes = Spark's md5(CAST(text AS BINARY))
     "q54_binary_columns" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -143,6 +143,11 @@ class DataStreamSpec extends AnyFunSuite {
     assert(out === Set((1L, 0L, 3.0), (1L, 3600000L, 9.0)))
   }
 
+  test("scalar UDFs register through spark.udf for the SQL surface (§2.11)") {
+    spark.udf.register("double_it", (x: Long) => x * 2)
+    assert(spark.sql("SELECT double_it(21)").head().getLong(0) === 42L)
+  }
+
   test("native expressions are callable from SQL after registration") {
     graft.llm.GraftFunctions.register(spark)
     val row = spark.sql(

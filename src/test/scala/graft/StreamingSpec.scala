@@ -115,9 +115,13 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     input.addData((ts(120), 9.0))
     q.processAllAvailable()
+    val dropped = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
     q.stop()
     assert(results(0L) === ((3.0, 2L)), "window [0,10) closed with on-time rows only")
     assert(!results.contains(100L) || results(0L)._1 == 3.0)
+    // the dropped-late-rows metric surfaced it (SURVEY §2.7 late-data row)
+    assert(dropped === 1L, s"expected exactly the one late row dropped, got $dropped")
   }
 
   test("count windows fire every N elements per key, remainder held in state") {
