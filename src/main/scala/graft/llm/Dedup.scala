@@ -77,22 +77,62 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
   }
 
-  /** 16-bit SimHash over the token bag (frequency-weighted majority vote
-    * per bit). Near-dup candidates are rows with small Hamming distance.
+  /** SimHash over the token bag (frequency-weighted majority vote per
+    * bit; up to 32 bits from the 32-bit token hash). Near-dup candidates
+    * are rows with small Hamming distance. More bits ⇒ more
+    * discriminative: 16 suits small vocabularies, 32 is the scale
+    * default. Native single-pass expression (SimHashExpr).
     */
-  def simhash16(toks: Column): Column = {
+  def simhash(toks: Column, bits: Int): Column = SimHashExpr(toks, bits)
+
+  /** Column-composed reference form (spec cross-check; re-evaluates the
+    * token-hash transform per bit term — use `simhash` in pipelines).
+    */
+  def simhashHof(toks: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 32)
     val hashes = transform(toks,
       t => conv(substring(md5(concat(lit("0|"), t)), 1, 8), 16, 10).cast("long"))
-    (0 until 16).map { b =>
+    (0 until bits).map { b =>
       val setCnt = size(filter(hashes, h => (shiftright(h, b).bitwiseAND(lit(1L))) === lit(1L)))
       when(setCnt * 2 > size(hashes), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  def hamming16(a: Column, b: Column): Column =
-    (0 until 16).map { i =>
+  def simhash16(toks: Column): Column = simhash(toks, 16)
+
+  def hamming(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
       shiftright(a.bitwiseXOR(b), i).bitwiseAND(lit(1L))
     }.reduce(_ + _)
+
+  def hamming16(a: Column, b: Column): Column = hamming(a, b, 16)
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`
+    * over a 32-bit simhash. Candidate generation uses the pigeonhole
+    * principle: split the hash into 4 bytes — any pair within Hamming
+    * distance 3 must agree on at least one byte — and join on
+    * (byte_index, byte_value) buckets. Σ bucket² work, never n²; the
+    * exact Hamming filter runs on candidates only.
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 byte-bands guarantee recall only for distance <= 3")
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), simhash(tokens(col(textCol)), 32).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("sh"), col("band"),
+        expr("shiftright(sh, band * 8) & 255").as("bandval"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bandval"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        hamming(col("sh_a"), col("sh_b"), 32).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** End-to-end near-duplicate pairs: shingle → minhash → LSH buckets →
     * bucket self-join → exact-Jaccard confirmation ≥ `threshold`.

@@ -27,5 +27,9 @@ object GraftFunctions {
       require(args.length == 2, "minhash_signature(shingles, k)")
       MinHashSignatureExpr(args.head, intArg(args(1), "k"))
     }
+    ColumnBridge.registerFunction(spark, "cosine_similarity") { args =>
+      require(args.length == 2, "cosine_similarity(a, b)")
+      CosineSimilarityExpr(args.head, args(1))
+    }
   }
 }

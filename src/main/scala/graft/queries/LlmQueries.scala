@@ -103,6 +103,11 @@ object LlmQueries {
         .select(col("doc_id"), Dedup.simhash16(TF.tokens(col("text"))).as("sh16"))
     }),
 
+    // SimHash near-dup pairs: pigeonhole nibble-banding for candidates,
+    // exact Hamming filter ≤ 3.
+    "q57_simhash_near_dup" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, dir), "doc_id", "text", 3)),
+
     // Rabin–Karp rolling-hash fingerprint per document (the cheap
     // non-cryptographic dedup key) + collision-group sizes.
     "q56_rolling_fingerprint" -> ((s, dir) => {
@@ -121,9 +126,10 @@ object LlmQueries {
     })
   )
 
-  private val simhashTerms = (0 until 16).map { b =>
+  private def simhashTermsN(bits: Int) = (0 until bits).map { b =>
     s"CASE WHEN 2 * len(list_filter(h, x -> (x >> $b) & 1 = 1)) > len(h) THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+  private val simhashTerms = simhashTermsN(16)
 
   val oracles: Map[String, String] = Map(
     "q37_text_stats" ->
@@ -200,6 +206,18 @@ object LlmQueries {
       s"""WITH $tkCte,
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sh16 FROM hh""",
+    "q57_simhash_near_dup" ->
+      s"""WITH $tkCte,
+         hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk),
+         sh AS (SELECT doc_id, CAST(${simhashTermsN(32)} AS BIGINT) AS sh32 FROM hh),
+         band AS (SELECT doc_id, sh32, band, (sh32 >> (band * 8)) & 255 AS bandval
+             FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) t2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sh32 AS sa, b.sh32 AS sb
+             FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
+               AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
     "q56_rolling_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -3,6 +3,21 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, Row}
 
+/** Ingress validation (SURVEY §2.9 IngressProcessingStage capability):
+  * split a frame into valid rows and a dead-lettered remainder — as a
+  * declarative filter pair, not a buffered pipeline stage.
+  */
+object Ingress {
+  /** Returns the valid rows; invalid rows append to `dlqPath` (if given)
+    * tagged by nothing but their content — the caller owns retention.
+    */
+  def validated(df: DataFrame, condition: org.apache.spark.sql.Column,
+                dlqPath: Option[String] = None): DataFrame = {
+    dlqPath.foreach(p => df.filter(!condition).write.mode("append").parquet(p))
+    df.filter(condition)
+  }
+}
+
 /** Exactly-once sink semantics (SURVEY §2.8).
   *
   * The reference implements exactly-once with barrier-aligned checkpoints +

@@ -98,6 +98,20 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("native simhash equals the HOF formulation on real docs (16 and 32 bit)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    for (bits <- Seq(16, 32)) {
+      val native = docs.select(col("doc_id"),
+          Dedup.simhash(TF.tokens(col("text")), bits).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = docs.select(col("doc_id"),
+          Dedup.simhashHof(TF.tokens(col("text")), bits).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === hof, s"bits=$bits")
+    }
+  }
+
   test("simhash: identical text equal, near text close, different text far") {
     import spark.implicits._
     val df = Seq(

@@ -222,6 +222,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest("a") === 4L && latest("b") === 2L)
   }
 
+  test("streaming windowed aggregation equals the batch result on the same data") {
+    import graft.core.Tables
+    // batch answer (q26 tumbling daily agg shape, keyed smaller for speed)
+    val batch = Tables.events(spark, TestSession.sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(unix_millis(col("window.start")).as("ws"), col("event_type"), col("n"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // same aggregation through the streaming engine over the same file
+    // (file sources watch directories, so stage the fixture into one)
+    val inDir = tmp("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$inDir/events.parquet"))
+    val schema = spark.read.parquet(s"${TestSession.sfDir}/events.parquet").schema
+    val streamed = scala.collection.mutable.Map.empty[(Long, String), (Long, Double)]
+    val raw = spark.readStream.schema(schema).parquet(inDir)
+    val normalized = raw.withColumn("ts",
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000")) else col("ts"))
+    val q = normalized
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(unix_millis(col("window.start")).as("ws"), col("event_type"), col("n"), col("s"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        streamed.clear()
+        b.collect().foreach(r =>
+          streamed((r.getLong(0), r.getString(1))) = (r.getLong(2), r.getDouble(3)))
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(streamed.toMap === batch, "unified batch/stream semantics")
+  }
+
+  test("ingress validation splits valid rows from dead-lettered rows") {
+    import spark.implicits._
+    val dlq = tmp("ingress-dlq")
+    val df = Seq((1L, 10.0), (2L, -5.0), (3L, 7.0)).toDF("id", "v")
+    val valid = Ingress.validated(df, col("v") >= 0, Some(s"$dlq/bad"))
+    assert(valid.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    assert(spark.read.parquet(s"$dlq/bad").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("transformWithState tumbling window fires panes when the watermark passes") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
