@@ -115,6 +115,16 @@ object LlmQueries {
         .select(col("doc_id"), TF.rollingFingerprint(col("text")).as("rh"))
     }),
 
+    // Capstone: full curation pipeline (quality gate → LSH near-dup
+    // removal → per-language corpus stats), all stages previously
+    // verified individually, composed declaratively.
+    "q58_curation_pipeline" -> ((s, dir) => {
+      graft.llm.Curation.curate(Tables.documents(s, dir), stopwords,
+          minQuality = 0.4, jaccardThreshold = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("quality")).as("avg_quality"))
+    }),
+
     // Binary payload columns (multimodal plumbing): byte lengths and
     // digests survive the string→binary→digest path identically.
     "q54_binary_columns" -> ((s, dir) => {
@@ -206,6 +216,38 @@ object LlmQueries {
       s"""WITH $tkCte,
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sh16 FROM hh""",
+    "q58_curation_pipeline" ->
+      s"""WITH $tkCte,
+         m AS (SELECT doc_id, lang, text, t,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t) END AS stop_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END AS mean_tok_len
+           FROM tk),
+         qy AS (SELECT doc_id, lang, t,
+             least(length(text) / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+           FROM m),
+         kept AS (SELECT * FROM qy WHERE quality >= 0.4),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             j -> concat(t[j + 0], ' ', t[j + 1], ' ', t[j + 2]))) AS s
+           FROM kept WHERE len(t) >= 3),
+         $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END AS jac
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         drp AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jac >= 0.5)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, avg(quality) AS avg_quality
+         FROM kept LEFT JOIN drp ON kept.doc_id = drp.doc_id
+         WHERE drp.doc_id IS NULL
+         GROUP BY lang""",
     "q57_simhash_near_dup" ->
       s"""WITH $tkCte,
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk),
