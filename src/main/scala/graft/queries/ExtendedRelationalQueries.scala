@@ -83,6 +83,30 @@ object ExtendedRelationalQueries {
              count(lit(1)).as("n"))
     }),
 
+    // Analytic window functions beyond rank: lag/lead offsets and ntile
+    // bucketing per partition (one shuffle on the partition key).
+    "q59_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+        .where(col("prev_price").isNotNull)
+    }),
+
+    // Regex scalar functions (patterns restricted to the RE2∩Java subset
+    // so the oracle semantics match).
+    "q60_regex_funcs" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "([a-z]+) ([a-z]+)", 1).as("type_first"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled"),
+          col("p_brand").rlike("Brand#[0-9]+").cast("int").cast("long").as("brand_ok"))
+    }),
+
     // HLL approximate distinct (SURVEY §2.4 approx row). HLL sketches are
     // implementation-specific, so no value oracle — the driver records a
     // rows-only check; the spec asserts the estimate lands within 5% of
@@ -132,6 +156,21 @@ object ExtendedRelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
          sum(o_totalprice) AS revenue
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q59_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         o_totalprice - lag(o_totalprice, 1) OVER w AS delta
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         QUALIFY prev_price IS NOT NULL""",
+    "q60_regex_funcs" ->
+      """SELECT p_partkey,
+         regexp_extract(p_type, '([a-z]+) ([a-z]+)', 1) AS type_first,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+         CAST(CAST(regexp_matches(p_brand, 'Brand#[0-9]+') AS INTEGER) AS BIGINT) AS brand_ok
+         FROM part""",
     "q53_percentile" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS median_price,

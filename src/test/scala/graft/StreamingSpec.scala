@@ -259,6 +259,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toMap === batch, "unified batch/stream semantics")
   }
 
+  test("stream-static join enriches a stream against a broadcast dimension") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)](spark)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val enriched = input.toDS().toDF("uid", "v")
+      .join(broadcast(dim), Seq("uid"), "left_outer")
+      .select(col("uid"), col("v"), coalesce(col("tier"), lit("none")).as("tier"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    val q = enriched.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows ++= b.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))); ()
+      }
+      .start()
+    input.addData((1L, 10.0), (3L, 5.0))
+    q.processAllAvailable(); q.stop()
+    assert(rows.toSet === Set((1L, 10.0, "gold"), (3L, 5.0, "none")))
+  }
+
   test("ingress validation splits valid rows from dead-lettered rows") {
     import spark.implicits._
     val dlq = tmp("ingress-dlq")
