@@ -28,6 +28,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // 128 MiB scan splits (explicit): with ~1 GiB executor task memory a
+      // compressed parquet split decompresses well inside the working set;
+      // at 100 TB this yields ~800k input tasks — fine for a 1000-executor
+      // cluster, and AQE coalesces the small tail.
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
       // for; read as long and normalize in Tables.events.
@@ -37,6 +42,9 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native expressions on the SQL surface (word_shingles,
+    // minhash_signature, cosine_similarity)
+    graft.llm.GraftFunctions.register(s)
     s
   }
 }

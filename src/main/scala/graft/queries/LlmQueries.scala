@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.llm.{Dedup, TextFunctions => TF}
 
@@ -123,6 +124,24 @@ object LlmQueries {
           minQuality = 0.4, jaccardThreshold = 0.5)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), avg(col("quality")).as("avg_quality"))
+    }),
+
+    // TF-IDF: inverted-index term scoring (tf per doc-token, df across
+    // docs, ln(N/df) weighting) and the top-scoring term per document.
+    "q61_tfidf" -> ((s, dir) => {
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, dir).agg(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
     }),
 
     // Binary payload columns (multimodal plumbing): byte lengths and
@@ -266,6 +285,20 @@ object LlmQueries {
            list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
          FROM documents""",
+    "q61_tfidf" ->
+      s"""WITH $tkCte,
+         ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+         dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+         scored AS (SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(nd.n / dfr.df), 6) AS tfidf
+           FROM tf JOIN dfr ON tf.tok = dfr.tok, nd),
+         r AS (SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tok ASC) AS rn
+           FROM scored)
+         SELECT doc_id, tok AS top_term, tfidf FROM r WHERE rn = 1""",
     // md5(VARCHAR) hashes the UTF-8 bytes = Spark's md5(CAST(text AS BINARY))
     "q54_binary_columns" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -259,6 +259,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toMap === batch, "unified batch/stream semantics")
   }
 
+  test("file sink is exactly-once by manifest across stop/restart") {
+    import spark.implicits._
+    val dir = tmp("filesink")
+    val input = MemoryStream[Long](spark)
+    def run(): Unit = {
+      val q = input.toDS().toDF("v").writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    input.addData(0L until 100L: _*)
+    run()
+    input.addData(100L until 150L: _*)
+    run() // restart: must append only the new batch, no replay duplicates
+    val got = spark.read.parquet(s"$dir/out").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 150L), "no loss, no duplication via sink manifest")
+  }
+
   test("stream-static join enriches a stream against a broadcast dimension") {
     import spark.implicits._
     val input = MemoryStream[(Long, Double)](spark)
