@@ -82,6 +82,28 @@ final case class KafkaSinkBuilder(options: Map[String, String] = Map.empty) {
       .start()
 }
 
+/** Kafka value decoding (Connectors.Sources.Kafka/Deserializers/
+  * KafkaDeserializers.cs:11-94): the reference's String/Json/Int/Long
+  * deserializers as column transforms over the standard kafka frame shape
+  * (key binary, value binary, topic, partition, offset, timestamp).
+  */
+object KafkaRecords {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.StructType
+
+  def valueAsString(df: DataFrame): DataFrame =
+    df.withColumn("value", col("value").cast("string"))
+  /** Malformed numeric payloads null out (try_cast) rather than failing
+    * the stream under ANSI mode — the deserializer contract.
+    */
+  def valueAsLong(df: DataFrame): DataFrame =
+    df.withColumn("value", expr("try_cast(cast(value AS STRING) AS BIGINT)"))
+  /** JsonPocoSerializer equivalent: value → typed struct column. */
+  def valueFromJson(df: DataFrame, schema: StructType): DataFrame =
+    df.withColumn("value", from_json(col("value").cast("string"), schema))
+}
+
 /** ConsoleSinkFunction (Connectors.Sinks.Console/ConsoleSinkFunction.cs:6-29). */
 object ConsoleSink {
   def start(df: DataFrame, mode: String = "append") =

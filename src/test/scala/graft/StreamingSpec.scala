@@ -383,6 +383,51 @@ class StreamingSpec extends AnyFunSuite {
       plain.agg(sum(c("payload"))).head().getLong(0))
   }
 
+  test("kafka value decoders handle string, long and json payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the kafka frame shape without a broker: key/value as binary
+    val frame = Seq(("k1", """{"a": 7, "b": "x"}"""), ("k2", "42"))
+      .toDF("keyS", "valueS")
+      .select(col("keyS").cast("binary").as("key"),
+        col("valueS").cast("binary").as("value"))
+    assert(KafkaRecords.valueAsString(frame).select("value")
+      .collect().map(_.getString(0)).toSet === Set("""{"a": 7, "b": "x"}""", "42"))
+    val asLong = KafkaRecords.valueAsLong(frame)
+      .select("value").collect().map(r => Option(r.get(0)))
+    assert(asLong.flatten === Seq(42L), "non-numeric payloads null out")
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val js = KafkaRecords.valueFromJson(frame, schema)
+      .select("value.a", "value.b").collect()
+      .collect { case r if !r.isNullAt(0) => (r.getLong(0), r.getString(1)) }
+    assert(js.toSeq === Seq((7L, "x")))
+  }
+
+  test("maxFilesPerTrigger rate-controls ingestion into multiple batches") {
+    val dir = tmp("rate")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def addFlat(tag: String, from: Long, until: Long): Unit = {
+      spark.range(from, until).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/stage")
+      val part = new java.io.File(s"$dir/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$tag.parquet"))
+    }
+    addFlat("a", 0, 10); addFlat("b", 10, 20); addFlat("c", 20, 30)
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = FileSource.stream(spark, "parquet", s"$dir/in",
+        schema = Some(schema), maxFilesPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) => batchSizes += b.count(); () }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batchSizes.toSeq === Seq(10L, 10L, 10L),
+      "one file per micro-batch (GatewayStage-style ingress rate control)")
+  }
+
   test("kafka builders assemble the reference's builder options") {
     val src = KafkaSourceBuilder()
       .bootstrapServers("broker:9092")
