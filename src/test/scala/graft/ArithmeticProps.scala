@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.datastream.WindowedStream
+import graft.operators.AggregateFunction
+
+/** ScalaCheck property suite (SURVEY §5 test plan): window-assignment
+  * arithmetic and aggregate merge laws, checked over randomized inputs.
+  * Pure-function layer — the Spark-side equivalences are covered by the
+  * seeded DataFrame tests in WindowingSpec/LlmSpec.
+  */
+object ArithmeticProps extends Properties("graft.arithmetic") {
+
+  private val tsGen = Gen.choose(0L, 4102444800000L)
+  private val sizeGen = Gen.oneOf(1000L, 60000L, 900000L, 3600000L, 86400000L)
+
+  property("window start covers ts and aligns to offset") = forAll(
+    tsGen, sizeGen, Gen.choose(0L, 899999L)) { (ts, size, off0) =>
+    val off = off0 % size
+    val ws = WindowedStream.startFor(ts, size, off)
+    ws <= ts && ts < ws + size && math.floorMod(ws - off, size) == 0
+  }
+
+  property("window assignment is idempotent per window") = forAll(tsGen, sizeGen) {
+    (ts, size) =>
+      val ws = WindowedStream.startFor(ts, size, 0L)
+      WindowedStream.startFor(ws, size, 0L) == ws &&
+        WindowedStream.startFor(ws + size - 1, size, 0L) == ws
+  }
+
+  property("sliding windows covering ts all contain it") = forAll(
+    tsGen, Gen.oneOf(2, 3, 4, 6)) { (ts, ratio) =>
+    val slide = 600000L
+    val size = slide * ratio
+    val last = WindowedStream.startFor(ts, slide, 0L)
+    val starts = Iterator.iterate(last)(_ - slide).takeWhile(_ > last - size).toSeq
+    starts.size == ratio && starts.forall(s => s <= ts && ts < s + size)
+  }
+
+  private val wavg = new AggregateFunction[(Double, Double), (Double, Double), Double] {
+    def createAccumulator() = (0.0, 0.0)
+    def add(a: (Double, Double), v: (Double, Double)) = (a._1 + v._1 * v._2, a._2 + v._2)
+    def getResult(a: (Double, Double)) = if (a._2 == 0.0) 0.0 else a._1 / a._2
+    def merge(a: (Double, Double), b: (Double, Double)) = (a._1 + b._1, a._2 + b._2)
+  }
+
+  private val valGen = Gen.listOf(Gen.zip(
+    Gen.choose(-1000.0, 1000.0), Gen.choose(0.1, 10.0)))
+
+  property("aggregate merge == sequential add at any split point") = forAll(
+    valGen, Gen.choose(0, 100)) { (vals, cut0) =>
+    val cut = if (vals.isEmpty) 0 else cut0 % (vals.size + 1)
+    val (l, r) = vals.splitAt(cut)
+    val whole = vals.foldLeft(wavg.createAccumulator())(wavg.add)
+    val merged = wavg.merge(
+      l.foldLeft(wavg.createAccumulator())(wavg.add),
+      r.foldLeft(wavg.createAccumulator())(wavg.add))
+    math.abs(wavg.getResult(whole) - wavg.getResult(merged)) < 1e-9
+  }
+
+  property("merge is commutative") = forAll(valGen, valGen) { (xs, ys) =>
+    val ax = xs.foldLeft(wavg.createAccumulator())(wavg.add)
+    val ay = ys.foldLeft(wavg.createAccumulator())(wavg.add)
+    wavg.merge(ax, ay) == wavg.merge(ay, ax)
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double = {
+    val inter = (a intersect b).size
+    val uni = a.size + b.size - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
+  private val setGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.toSet)
+
+  property("jaccard formula is bounded, symmetric, reflexive") = forAll(setGen, setGen) {
+    (a, b) =>
+      val j = jaccard(a, b)
+      j >= 0.0 && j <= 1.0 &&
+        jaccard(a, b) == jaccard(b, a) &&
+        (a.isEmpty || jaccard(a, a) == 1.0)
+  }
+}
