@@ -259,6 +259,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toMap === batch, "unified batch/stream semantics")
   }
 
+  test("streaming dropDuplicates dedups replayed event ids across batches") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val deduped = input.toDS().toDF("event_id", "ts", "v")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicates("event_id")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen ++= b.collect().map(_.getLong(0)); ()
+      }
+      .start()
+    input.addData((1L, ts(10), 1.0), (2L, ts(11), 2.0), (1L, ts(10), 1.0))
+    q.processAllAvailable()
+    // replay of event 1 and 2 in a LATER batch: state suppresses them
+    input.addData((2L, ts(12), 2.0), (3L, ts(13), 3.0), (1L, ts(10), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sorted.toSeq === Seq(1L, 2L, 3L),
+      "each event id delivered exactly once despite replays")
+  }
+
   test("file sink is exactly-once by manifest across stop/restart") {
     import spark.implicits._
     val dir = tmp("filesink")
