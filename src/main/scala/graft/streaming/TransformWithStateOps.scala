@@ -38,11 +38,16 @@ object TransformWithStateOps {
         val registered = scala.collection.mutable.Set.empty[Long]
         rows.foreach { v =>
           val ws = graft.datastream.WindowedStream.startFor(tsMs(v), sizeMs, 0L)
-          buf.appendValue((ws, v))
           val end = ws + sizeMs
-          if (!registered.contains(end) && end > timers.getCurrentWatermarkInMs) {
-            getHandle.registerTimer(end)
-            registered += end
+          // drop elements whose window already fired (end ≤ watermark):
+          // buffering them would leak state forever — no timer will come.
+          // This is the EventTimeTrigger late-drop, applied at ingress.
+          if (end > timers.getCurrentWatermarkInMs) {
+            buf.appendValue((ws, v))
+            if (!registered.contains(end)) {
+              getHandle.registerTimer(end)
+              registered += end
+            }
           }
         }
         Iterator.empty

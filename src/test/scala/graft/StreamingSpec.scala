@@ -357,9 +357,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(fired.isEmpty, "watermark has not crossed window end yet")
       input.addData((1L, ts(30), 9.0)) // watermark -> 28s > 10s: fire [0,10)
       q.processAllAvailable()
+      // an element for the already-fired window [0,10): dropped at ingress
+      // (no timer will ever come for it) — state cannot leak
+      input.addData((1L, ts(2), 100.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(60), 1.0))
+      q.processAllAvailable()
       q.stop()
-      assert(fired.toSet === Set((1L, 0L, 3.0, 2L), (2L, 0L, 5.0, 1L)),
-        "panes fired exactly once with full contents")
+      assert(fired.toSet === Set((1L, 0L, 3.0, 2L), (2L, 0L, 5.0, 1L),
+        (1L, 30000L, 9.0, 1L)),
+        "panes fired exactly once with on-time contents; late element dropped")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
