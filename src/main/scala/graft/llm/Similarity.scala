@@ -37,10 +37,31 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Bounded top-k accumulator: the map-side partials keep at most k
+    * entries, so a knn over an n-row corpus shuffles O(partitions × k)
+    * rows per query instead of n. Ordering: score desc, id asc
+    * (deterministic ties).
+    */
+  final class TopKAggregator(k: Int)(
+      implicit seqEnc: org.apache.spark.sql.Encoder[Seq[(Long, Double)]])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private def keep(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      s.sortBy { case (id, score) => (-score, id) }.take(k)
+    override def zero: Seq[(Long, Double)] = Seq.empty
+    override def reduce(b: Seq[(Long, Double)], a: (Long, Double)) = keep(b :+ a)
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]) = keep(a ++ b)
+    override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = keep(r)
+    override def bufferEncoder = seqEnc
+    override def outputEncoder = seqEnc
+  }
+
   /** Exact top-k neighbors for each row of `queries` against `corpus`.
     * Both frames need (`idCol`, `vecCol`); the score is rounded to 6
     * decimals before ranking so ordering is reproducible across engines,
-    * ties broken by neighbor id.
+    * ties broken by neighbor id. The ranking runs through TopKAggregator:
+    * partial aggregation bounds the shuffle at k rows per (partition,
+    * query) — the corpus itself never shuffles (query side broadcast).
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -52,11 +73,19 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("nvec")), 6).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topk = new TopKAggregator(k).toColumn
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nid, s) => (nid, s) }
+      .agg(topk.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((nid, s), i) =>
+          (qid, nid, s, (i + 1).toLong)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score", "rnk")
   }
 
   /** Portable 32-bit hash (same value as TextFunctions.portableHash /
