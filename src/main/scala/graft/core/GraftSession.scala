@@ -49,6 +49,49 @@ object GraftSession {
   }
 }
 
+/** Exact decimal arithmetic for money columns in oracle-checked aggregates.
+  *
+  * Double `sum()` is summation-order-dependent: Spark's partial/final
+  * aggregate tree and DuckDB's sequential scan add in different orders, so
+  * the last few bits differ and a result landing on a rounding boundary of
+  * the driver's 6-significant-digit compare flips (round-1 q47). Summing in
+  * decimal is exact and order-independent on both engines.
+  *
+  * Casting SOURCE columns (2-dp money/rates) at scale 2 is engine-agreement
+  * safe: divergence would need a value within ~1e-11 of a half-cent
+  * boundary (Spark rounds the shortest decimal repr, DuckDB the binary
+  * value) and the fixtures contain none (scanned at every SF). Never cast a
+  * COMPUTED double to decimal — products have full-precision mantissas
+  * where the two engines' rounding rules genuinely diverge.
+  */
+object Money {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** 2-dp source money column → exact decimal. Precision 14 keeps decimal
+    * multiplication results under both engines' 38-digit cap with matching
+    * result scales (str-compare equality requires identical scale).
+    */
+  def dec(c: Column): Column = c.cast("decimal(14,2)")
+
+  /** 2-dp source rate column (discount/tax, < 10) → exact decimal. */
+  def rate(c: Column): Column = c.cast("decimal(3,2)")
+
+  /** (1 - rate) in decimal: (4,2) on both engines. */
+  def oneMinus(c: Column): Column = lit(1).cast("decimal(3,2)") - rate(c)
+
+  /** (1 + rate) in decimal: (4,2) on both engines. */
+  def onePlus(c: Column): Column = lit(1).cast("decimal(3,2)") + rate(c)
+
+  /** Order-independent mean: exact decimal sum, divided in double so both
+    * engines divide bit-identical operands.
+    */
+  def avgDec(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+
+  /** Same for rate-scaled columns. */
+  def avgRate(c: Column): Column = sum(rate(c)).cast("double") / count(c)
+}
+
 /** Typed accessors for the fixture star schema. Filters/projections applied
   * on top of these reach the parquet scan (predicate pushdown + column
   * pruning are verified in `PlanSpec`).

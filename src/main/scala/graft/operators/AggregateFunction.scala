@@ -60,3 +60,31 @@ object WeightedAvg {
          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
   }
 }
+
+/** Weighted average with an EXACT integer accumulator: measures are 2-dp
+  * money held as cents in a Long, weights are integer-valued. Summation is
+  * then order-independent (no FP drift between Spark's partial/final merge
+  * tree and any other summation order), which is what lets a weighted
+  * average be oracle-checked bit-for-bit. At 100 TB the Long bound holds to
+  * ~9e16 cents·weight — far above any per-group total here; a production
+  * variant would widen to DECIMAL the same way.
+  */
+class WeightedAvgExact extends AggregateFunction[(Double, Double), (Long, Long), Double] {
+  override def createAccumulator(): (Long, Long) = (0L, 0L)
+  override def add(acc: (Long, Long), v: (Double, Double)): (Long, Long) =
+    (acc._1 + math.round(v._1 * 100) * math.round(v._2), acc._2 + math.round(v._2))
+  override def getResult(acc: (Long, Long)): Double =
+    if (acc._2 == 0L) 0.0 else (acc._1.toDouble / 100.0) / acc._2.toDouble
+  override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+}
+
+object WeightedAvgExact {
+  import org.apache.spark.sql.functions.udaf
+  def columnUdaf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    implicit val accEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[Double] = Encoders.scalaDouble
+    udaf(AggregateFunction.toAggregator(new WeightedAvgExact),
+         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+  }
+}

@@ -107,7 +107,7 @@ object DataStreamQueries {
       env.registerTable("g_customer", Tables.customer(s, dir))
       env.sqlQuery(
         """SELECT c_mktsegment, o_orderstatus,
-           count(*) AS n, sum(o_totalprice) AS revenue
+           count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
            FROM g_orders JOIN g_customer ON o_custkey = c_custkey
            WHERE o_totalprice > 50000
            GROUP BY c_mktsegment, o_orderstatus""")
@@ -147,7 +147,7 @@ object DataStreamQueries {
       "SELECT event_type, avg(value) AS avg_value FROM events GROUP BY event_type",
     "q36_sql_tableenv" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
-         sum(o_totalprice) AS revenue
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 50000
          GROUP BY c_mktsegment, o_orderstatus"""

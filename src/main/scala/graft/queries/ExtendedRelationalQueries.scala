@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.core.Money.dec
 
 /** Remaining SURVEY §2.4/§2.5 capability rows: outer joins, range
   * (non-equi) join, as-of join, cube, HLL approximate distinct.
@@ -18,7 +19,11 @@ object ExtendedRelationalQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
         .groupBy(col("c_mktsegment"))
         .agg(count(col("o_orderkey")).as("n_big_orders"),
-             sum(coalesce(col("o_totalprice"), lit(0.0))).as("revenue"),
+             // decimal, not double: double summation order differs between
+             // Spark's partial-agg tree and the oracle's scan → last-bit
+             // drift that can land on the driver's %.6g rounding boundary
+             // (this exact query did, round 1).
+             sum(coalesce(dec(col("o_totalprice")), lit(0).cast("decimal(14,2)"))).as("revenue"),
              count(lit(1)).as("n_rows"))
     }),
 
@@ -44,7 +49,7 @@ object ExtendedRelationalQueries {
         .join(broadcast(buckets),
           col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("revenue"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("revenue"))
     }),
 
     // As-of join, window formulation: for every event, the most recent
@@ -69,7 +74,7 @@ object ExtendedRelationalQueries {
     "q51_cube" -> ((s, dir) => {
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("revenue"))
     }),
 
     // Exact percentiles (interpolated, = SQL percentile_cont semantics).
@@ -122,7 +127,8 @@ object ExtendedRelationalQueries {
   val oracles: Map[String, String] = Map(
     "q47_outer_join" ->
       """SELECT c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_big_orders,
-         sum(coalesce(o_totalprice, 0)) AS revenue, CAST(count(*) AS BIGINT) AS n_rows
+         sum(coalesce(CAST(o_totalprice AS DECIMAL(14,2)), CAST(0 AS DECIMAL(14,2)))) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_rows
          FROM customer LEFT JOIN (
            SELECT * FROM orders WHERE o_totalprice > 200000) o
            ON c_custkey = o_custkey
@@ -136,7 +142,8 @@ object ExtendedRelationalQueries {
            coalesce(n_f, 0) AS n_f, coalesce(n_p, 0) AS n_p
          FROM f FULL OUTER JOIN p ON ck_f = ck_p""",
     "q49_range_join" ->
-      """SELECT bucket, CAST(count(*) AS BIGINT) AS n, sum(l_extendedprice) AS revenue
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS revenue
          FROM lineitem JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 30.0),
            ('large', 30.0, 100.0)) b(bucket, lo, hi)
            ON l_quantity >= lo AND l_quantity < hi
@@ -154,7 +161,7 @@ object ExtendedRelationalQueries {
          FROM a GROUP BY user_id""",
     "q51_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-         sum(o_totalprice) AS revenue
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q59_window_analytics" ->
       """SELECT o_custkey, o_orderkey,

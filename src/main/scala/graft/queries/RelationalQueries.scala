@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.WeightedAvg
+import graft.core.Money.{avgDec, avgRate, dec, oneMinus, onePlus}
 
 /** Batch relational surface (SURVEY §2.2–§2.5, §2.10): projections, filters,
   * every join shape, grouped aggregates, sorts/limits/top-k, set ops, scalar
@@ -27,13 +27,15 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // quantity is integer-valued: double summation is exact (< 2^53)
+          // regardless of order, so it needs no decimal treatment.
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).as("sum_charge"),
           avg(col("l_quantity")).as("avg_qty"),
-          avg(col("l_extendedprice")).as("avg_price"),
-          avg(col("l_discount")).as("avg_disc"),
+          avgDec(col("l_extendedprice")).as("avg_price"),
+          avgRate(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -53,7 +55,7 @@ object RelationalQueries {
       val c = Tables.customer(s, dir)
       o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(sum(col("o_totalprice")).as("total_revenue"),
+        .agg(sum(dec(col("o_totalprice"))).as("total_revenue"),
              count(lit(1)).as("n_orders"))
     }),
 
@@ -68,7 +70,7 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(sum(dec(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
     // Broadcast hash join: part is a dim → no shuffle of lineitem at all.
@@ -77,7 +79,7 @@ object RelationalQueries {
       val p = Tables.part(s, dir)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
     }),
 
     // Left-semi join (EXISTS): customers having at least one 'F' order.
@@ -86,7 +88,7 @@ object RelationalQueries {
       val o = Tables.orders(s, dir).filter(col("o_orderstatus") === lit("F"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
-        .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal")).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), sum(dec(col("c_acctbal"))).as("sum_acctbal"))
     }),
 
     // Left-anti join (NOT EXISTS): customers with no high-value order.
@@ -105,8 +107,8 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("o_totalprice")).as("sum_price"),
-          avg(col("o_totalprice")).as("avg_price"),
+          sum(dec(col("o_totalprice"))).as("sum_price"),
+          avgDec(col("o_totalprice")).as("avg_price"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
     }),
@@ -180,7 +182,7 @@ object RelationalQueries {
         .groupBy(
           year(col("o_orderdate")).cast("long").as("o_year"),
           month(col("o_orderdate")).cast("long").as("o_month"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("revenue"))
     }),
 
     // Scalar math functions.
@@ -201,8 +203,10 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(when(col("l_discount") > lit(0.05), col("l_extendedprice")).otherwise(lit(0.0))).as("high_disc_rev"),
-          sum(when(col("l_discount") <= lit(0.05), col("l_extendedprice")).otherwise(lit(0.0))).as("low_disc_rev"),
+          sum(when(col("l_discount") > lit(0.05), dec(col("l_extendedprice")))
+            .otherwise(lit(0).cast("decimal(14,2)"))).as("high_disc_rev"),
+          sum(when(col("l_discount") <= lit(0.05), dec(col("l_extendedprice")))
+            .otherwise(lit(0).cast("decimal(14,2)"))).as("low_disc_rev"),
           count(when(col("l_quantity") > lit(30.0), lit(1))).as("n_bulk"))
     }),
 
@@ -226,7 +230,7 @@ object RelationalQueries {
     // UDAF on the reference IAggregateOperator contract (zero/add/merge/
     // finish): quantity-weighted average price per return flag.
     "q22_udaf_weighted_avg" -> ((s, dir) => {
-      val wavg = WeightedAvg.columnUdaf
+      val wavg = graft.operators.WeightedAvgExact.columnUdaf
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))
@@ -251,7 +255,7 @@ object RelationalQueries {
     "q25_subquery_avg" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val custAvg = o.groupBy(col("o_custkey").as("ck"))
-        .agg(avg(col("o_totalprice")).as("avg_price"))
+        .agg(avgDec(col("o_totalprice")).as("avg_price"))
       o.join(custAvg, o("o_custkey") === custAvg("ck"))
         .filter(col("o_totalprice") > col("avg_price") * lit(1.5))
         .groupBy(col("o_orderpriority"))
@@ -263,12 +267,15 @@ object RelationalQueries {
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         sum(l_extendedprice) AS sum_base_price,
-         sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS sum_charge,
          avg(l_quantity) AS avg_qty,
-         avg(l_extendedprice) AS avg_price,
-         avg(l_discount) AS avg_disc,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
@@ -277,22 +284,24 @@ object RelationalQueries {
          l_extendedprice * (1 - l_discount) AS net_price
          FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""",
     "q03_join_inner" ->
-      """SELECT c_mktsegment, sum(o_totalprice) AS total_revenue, count(*) AS n_orders
+      """SELECT c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total_revenue,
+         count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q04_join_star" ->
-      """SELECT r_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
     "q05_join_broadcast" ->
-      """SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      """SELECT p_brand, sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
     "q06_semi_join" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
-         count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+         count(*) AS n_customers, sum(CAST(c_acctbal AS DECIMAL(14,2))) AS sum_acctbal
          FROM customer WHERE EXISTS (
            SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          GROUP BY c_nationkey""",
@@ -302,8 +311,10 @@ object RelationalQueries {
            SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
          GROUP BY c_mktsegment""",
     "q08_agg_stats" ->
-      """SELECT o_orderpriority, count(*) AS cnt, sum(o_totalprice) AS sum_price,
-         avg(o_totalprice) AS avg_price, min(o_totalprice) AS min_price,
+      """SELECT o_orderpriority, count(*) AS cnt,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(o_totalprice) AS avg_price,
+         min(o_totalprice) AS min_price,
          max(o_totalprice) AS max_price
          FROM orders GROUP BY o_orderpriority""",
     "q09_distinct" ->
@@ -339,7 +350,7 @@ object RelationalQueries {
     "q17_date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          CAST(month(o_orderdate) AS BIGINT) AS o_month,
-         count(*) AS n, sum(o_totalprice) AS revenue
+         count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
          FROM orders GROUP BY 1, 2""",
     "q18_math_funcs" ->
       """SELECT l_orderkey, round(l_extendedprice, 0) AS price_round,
@@ -349,8 +360,10 @@ object RelationalQueries {
          FROM lineitem WHERE l_linenumber = 1""",
     "q19_case_when" ->
       """SELECT l_returnflag,
-         sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END) AS high_disc_rev,
-         sum(CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0 END) AS low_disc_rev,
+         sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                  ELSE CAST(0 AS DECIMAL(14,2)) END) AS high_disc_rev,
+         sum(CASE WHEN l_discount <= 0.05 THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                  ELSE CAST(0 AS DECIMAL(14,2)) END) AS low_disc_rev,
          count(CASE WHEN l_quantity > 30 THEN 1 END) AS n_bulk
          FROM lineitem GROUP BY l_returnflag""",
     "q20_having" ->
@@ -362,7 +375,9 @@ object RelationalQueries {
          GROUP BY token""",
     "q22_udaf_weighted_avg" ->
       """SELECT l_returnflag,
-         sum(l_extendedprice * l_quantity) / sum(l_quantity) AS w_avg_price
+         (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0)
+           / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS w_avg_price
          FROM lineitem GROUP BY l_returnflag""",
     "q23_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -373,7 +388,8 @@ object RelationalQueries {
     "q25_subquery_avg" ->
       """SELECT o_orderpriority, count(*) AS n_above
          FROM orders o JOIN (
-           SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+           SELECT o_custkey AS ck,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price
            FROM orders GROUP BY o_custkey) ca ON o.o_custkey = ca.ck
          WHERE o.o_totalprice > ca.avg_price * 1.5
          GROUP BY o_orderpriority"""

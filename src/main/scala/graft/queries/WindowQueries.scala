@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Money.dec
 import graft.windowing._
 
 /** Event-time windowing surface (SURVEY §2.6): tumbling / sliding / session /
@@ -31,7 +32,7 @@ object WindowQueries {
       val w = TumblingEventTimeWindows.of(Time.days(1)).groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
         .select(winStart(col("w")).as("w_start"), col("event_type"), col("n"), col("sum_value"))
     }),
 
@@ -41,7 +42,7 @@ object WindowQueries {
       val w = SlidingEventTimeWindows.of(Time.hours(2), Time.hours(1)).groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
         .select(winStart(col("w")).as("w_start"), col("n"), col("sum_value"))
     }),
 
@@ -52,7 +53,7 @@ object WindowQueries {
       val w = EventTimeSessionWindows.withGap(Time.minutes(30)).groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
         .select(
           col("user_id"),
           unix_micros(col("w.start")).as("sess_start_us"),
@@ -67,7 +68,7 @@ object WindowQueries {
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value")).as("sum_value"),
+             sum(dec(col("value"))).as("sum_value"),
              unix_micros(min(col("ts"))).as("first_us"),
              unix_micros(max(col("ts"))).as("last_us"))
     }),
@@ -79,7 +80,7 @@ object WindowQueries {
         .groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
         .select(winStart(col("w")).as("w_start"), col("n"), col("sum_value"))
     })
   )
@@ -87,11 +88,11 @@ object WindowQueries {
   val oracles: Map[String, String] = Map(
     "q26_window_tumbling" ->
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS w_start, event_type,
-         count(*) AS n, sum(value) AS sum_value
+         count(*) AS n, sum(CAST(value AS DECIMAL(14,2))) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q27_window_sliding" ->
       """SELECT CAST((epoch_ms(ts) // 3600000 - k) * 3600000 AS BIGINT) AS w_start,
-         count(*) AS n, sum(value) AS sum_value
+         count(*) AS n, sum(CAST(value AS DECIMAL(14,2))) AS sum_value
          FROM events, (SELECT unnest(generate_series(0, 1)) AS k) ks
          WHERE epoch_ms(ts) >= (epoch_ms(ts) // 3600000 - k) * 3600000
            AND epoch_ms(ts) <  (epoch_ms(ts) // 3600000 - k) * 3600000 + 7200000
@@ -111,15 +112,15 @@ object WindowQueries {
            FROM e)
          SELECT user_id, min(us) AS sess_start_us,
            max(us) + 1800000000 AS sess_end_us,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, sum(CAST(value AS DECIMAL(14,2))) AS sum_value
          FROM s GROUP BY user_id, sess_id""",
     "q29_window_global" ->
-      """SELECT user_id, count(*) AS n, sum(value) AS sum_value,
+      """SELECT user_id, count(*) AS n, sum(CAST(value AS DECIMAL(14,2))) AS sum_value,
          min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
          FROM events GROUP BY user_id""",
     "q30_window_offset" ->
       """SELECT ((epoch_ms(ts) - 900000) // 3600000) * 3600000 + 900000 AS w_start,
-         count(*) AS n, sum(value) AS sum_value
+         count(*) AS n, sum(CAST(value AS DECIMAL(14,2))) AS sum_value
          FROM events GROUP BY 1"""
   )
 }
