@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Each stage is one of the already-verified operators; the composition
   * stays fully declarative, so Catalyst fuses the quality filter into the
-  * scan and the near-dup anti-join is a broadcast of the (small) drop set.
+  * scan. The drop-set anti-join is deliberately NOT hinted: the set is
+  * O(duplicate-fraction × corpus) — unbounded at 100 TB — so a forced
+  * broadcast would OOM the driver. AQE still picks a broadcast join at
+  * runtime whenever the set turns out small.
   */
 object Curation {
 
@@ -26,6 +29,6 @@ object Curation {
     val dupDrop = Dedup.nearDuplicatePairs(kept, "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    kept.join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
+    kept.join(dupDrop, Seq("doc_id"), "left_anti")
   }
 }

@@ -98,6 +98,29 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("curation drop-set anti-join survives with broadcast disabled (unbounded set at scale)") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " nu"), // near-dup of 1 → dropped (higher id)
+      (3L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at 100 TB the drop set is O(dup-fraction × corpus): the plan must not
+    // DEPEND on broadcasting it (AQE may still choose to when it is small)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val curated = graft.llm.Curation.curate(docs, stopwords = Seq("the", "a"),
+        minQuality = 0.0, jaccardThreshold = 0.5)
+      val kept = curated.select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 3L))
+      val plan = curated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"drop-set anti-join must tolerate a non-broadcast plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("native simhash equals the HOF formulation on real docs (16 and 32 bit)") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, sfDir)
