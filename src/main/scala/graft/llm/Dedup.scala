@@ -78,10 +78,10 @@ object Dedup {
   }
 
   /** SimHash over the token bag (frequency-weighted majority vote per
-    * bit; up to 32 bits from the 32-bit token hash). Near-dup candidates
-    * are rows with small Hamming distance. More bits ⇒ more
-    * discriminative: 16 suits small vocabularies, 32 is the scale
-    * default. Native single-pass expression (SimHashExpr).
+    * bit; up to 64 bits). Near-dup candidates are rows with small Hamming
+    * distance. More bits ⇒ more discriminative: 16 suits small
+    * vocabularies, 64 is the scale default — wide enough for 16-bit
+    * pigeonhole bands. Native single-pass expression (SimHashExpr).
     */
   def simhash(toks: Column, bits: Int): Column = SimHashExpr(toks, bits)
 
@@ -108,29 +108,39 @@ object Dedup {
   def hamming16(a: Column, b: Column): Column = hamming(a, b, 16)
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`
-    * over a 32-bit simhash. Candidate generation uses the pigeonhole
-    * principle: split the hash into 4 bytes — any pair within Hamming
-    * distance 3 must agree on at least one byte — and join on
-    * (byte_index, byte_value) buckets. Σ bucket² work, never n²; the
-    * exact Hamming filter runs on candidates only.
+    * over a 64-bit simhash. Candidate generation uses the pigeonhole
+    * principle: split the hash into 4 16-bit bands — any pair within
+    * Hamming distance 3 must agree on at least one band — and join on
+    * (band_index, band_value) buckets. Σ bucket² work, never n²; the
+    * exact Hamming filter (codegen'd popcount on the XOR) runs on
+    * candidates only.
+    *
+    * Scale posture: 16-bit bands give 65,536 buckets per band (4×65,536
+    * total), so bucket population — and with it the quadratic self-join
+    * term — is 256× smaller than the 8-bit banding of a 32-bit hash.
+    * SimHash banding is inherently bounded by hash width; past the point
+    * where n/65,536 per-bucket rows get expensive, recursive band
+    * splitting (re-band within oversized buckets on the remaining bits)
+    * or the MinHash-LSH path (bucket ids are full hashes — unbounded
+    * count) is the next step.
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 byte-bands guarantee recall only for distance <= 3")
+    require(maxHamming <= 3, "4 bands guarantee recall only for distance <= 3")
     val hashed = docs
-      .select(col(idCol).as("doc_id"), simhash(tokens(col(textCol)), 32).as("sh"))
+      .select(col(idCol).as("doc_id"), simhash(tokens(col(textCol)), 64).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("sh"), col("band"),
-        expr("shiftright(sh, band * 8) & 255").as("bandval"))
+        expr("shiftrightunsigned(sh, band * 16) & 65535").as("bandval"))
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bandval"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
     cand.select(col("doc_a"), col("doc_b"),
-        hamming(col("sh_a"), col("sh_b"), 32).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

@@ -13,11 +13,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * md5("0|" + token) as unsigned 32-bit, bit b of the result set iff more
   * than half the tokens have bit b set — but ~`bits`× cheaper: the HOF
   * composition re-evaluates the token-hash transform inside every bit term.
+  *
+  * `bits` up to 64: widths ≤ 32 keep the historical 32-bit token hash
+  * (md5 bytes 0-3); wider hashes take md5 bytes 0-7 big-endian, so bit b
+  * of a 64-bit simhash is NOT bit b of the 32-bit one. 64-bit is the
+  * near-dup banding width: 16-bit pigeonhole bands give 65,536 buckets per
+  * band instead of the 256 an 8-bit band of a 32-bit hash allows.
   */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
-  require(bits >= 1 && bits <= 32)
+  require(bits >= 1 && bits <= 64)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -39,11 +45,19 @@ case class SimHashExpr(child: Expression, bits: Int)
         md.update(prefix)
         md.update(tok.getBytes)
         val dig = md.digest()
-        val h = ((dig(0) & 0xFF).toLong << 24) | ((dig(1) & 0xFF) << 16) |
-          ((dig(2) & 0xFF) << 8) | (dig(3) & 0xFF)
+        val h =
+          if (bits <= 32)
+            ((dig(0) & 0xFF).toLong << 24) | ((dig(1) & 0xFF) << 16) |
+              ((dig(2) & 0xFF) << 8) | (dig(3) & 0xFF)
+          else {
+            var v = 0L
+            var i = 0
+            while (i < 8) { v = (v << 8) | (dig(i) & 0xFF); i += 1 }
+            v
+          }
         var b = 0
         while (b < bits) {
-          if (((h >> b) & 1L) == 1L) counts(b) += 1
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
           b += 1
         }
       }

@@ -104,8 +104,8 @@ object LlmQueries {
         .select(col("doc_id"), Dedup.simhash16(TF.tokens(col("text"))).as("sh16"))
     }),
 
-    // SimHash near-dup pairs: pigeonhole nibble-banding for candidates,
-    // exact Hamming filter ≤ 3.
+    // SimHash near-dup pairs: 64-bit hash, 16-bit pigeonhole bands
+    // (4×65,536 buckets) for candidates, exact Hamming filter ≤ 3.
     "q57_simhash_near_dup" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, dir), "doc_id", "text", 3)),
 
@@ -159,6 +159,14 @@ object LlmQueries {
     s"CASE WHEN 2 * len(list_filter(h, x -> (x >> $b) & 1 = 1)) > len(h) THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
   private val simhashTerms = simhashTermsN(16)
+  // 64-bit variant in DuckDB's UBIGINT domain (BIGINT can't hold bit 63
+  // unsigned); bit values emitted as unsigned decimal literals because
+  // DuckDB's `1 << 63` overflows even for UBIGINT operands.
+  private val simhashTerms64 = (0 until 64).map { b =>
+    s"""CASE WHEN 2 * len(list_filter(h, x -> (x >> $b) & 1 = 1)) > len(h)
+       THEN CAST('${java.lang.Long.toUnsignedString(1L << b)}' AS UBIGINT)
+       ELSE CAST(0 AS UBIGINT) END"""
+  }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q37_text_stats" ->
@@ -269,12 +277,14 @@ object LlmQueries {
          GROUP BY lang""",
     "q57_simhash_near_dup" ->
       s"""WITH $tkCte,
-         hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk),
-         sh AS (SELECT doc_id, CAST(${simhashTermsN(32)} AS BIGINT) AS sh32 FROM hh),
-         band AS (SELECT doc_id, sh32, band, (sh32 >> (band * 8)) & 255 AS bandval
+         hh AS (SELECT doc_id, list_transform(t, x ->
+             CAST(concat('0x', substr(md5(concat('0', '|', x)), 1, 16)) AS UBIGINT)) AS h
+           FROM tk),
+         sh AS (SELECT doc_id, $simhashTerms64 AS sh64 FROM hh),
+         band AS (SELECT doc_id, sh64, band, (sh64 >> (band * 16)) & 65535 AS bandval
              FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) t2),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.sh32 AS sa, b.sh32 AS sb
+               a.sh64 AS sa, b.sh64 AS sb
              FROM band a JOIN band b ON a.band = b.band AND a.bandval = b.bandval
                AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming

@@ -150,6 +150,24 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("simhash near-dup (64-bit, 16-bit bands) recalls planted near-dups, skips unrelated") {
+    import spark.implicits._
+    // fixture chosen by computing the md5-derived 64-bit simhash offline:
+    // appending "extra1" to the 101-token base flips exactly 1 bit
+    // (majority margins absorb the rest), while the unrelated doc is 31
+    // bits away — a deterministic recall/precision probe
+    val base = (0 until 101).map(i => s"w$i")
+    val near = base :+ "extra1"
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, near.mkString(" ")), // Hamming 1 from doc 1
+      (3L, (0 until 60).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("langId picks marker-dominant language deterministically") {
     import spark.implicits._
     val out = Seq(
