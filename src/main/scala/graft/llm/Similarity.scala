@@ -116,6 +116,36 @@ object Similarity {
       when(dot(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Plane count sized to the corpus: 2^planes ≈ n / targetBucketRows, so
+    * per-bucket population — and with it the Σ bucket² self-join term —
+    * stays constant as the corpus grows. This is the knob the fixed
+    * `planes = 8` call sites were missing: 256 buckets is right at 10⁵
+    * rows and quadratic death at 10¹⁰.
+    */
+  def suggestedPlanes(corpusRows: Long, targetBucketRows: Long = 1024): Int =
+    math.max(4, math.ceil(
+      math.log((corpusRows.toDouble / targetBucketRows).max(1.0)) / math.log(2)).toInt)
+
+  /** Banded multi-table LSH buckets — the recall-at-scale shape, exactly
+    * like the MinHash banding: `bands` independent tables of
+    * `planesPerBand` hyperplanes each. A high-cosine pair agrees on all
+    * planes of SOME band with probability 1-(1-p^r)^b (p = 1-θ/π), so
+    * recall is tunable by adding bands while each band's bucket count
+    * (2^planesPerBand per band) keeps the self-join bounded. Plane p of
+    * band t is global plane t*planesPerBand+p — derived from the same
+    * portable md5 weights, so the oracle reproduces identical buckets.
+    * Returns array<struct<band:int, bucket:bigint>>.
+    */
+  def hyperplaneBandBuckets(vec: Column, bands: Int, planesPerBand: Int,
+                            dims: Int): Column =
+    array((0 until bands).map { t =>
+      val bucket = (0 until planesPerBand).map { j =>
+        val w = typedlit(planeWeights(t * planesPerBand + j, dims))
+        when(dot(vec, w) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("band"), bucket.as("bucket"))
+    }: _*)
+
   /** Embedding-cosine near-duplicate pairs: candidates come from the
     * hyperplane buckets (same-bucket ⇒ same side of all planes, which
     * high-cosine pairs almost surely are), then the exact cosine filters at
@@ -136,6 +166,37 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Banded variant of `embeddingNearDuplicates`: candidates are pairs
+    * sharing ANY of the `bands` bucket tables, so recall for high-cosine
+    * pairs approaches 1-(1-p^r)^b instead of the single-table p^planes.
+    * The banded id table is persisted before the self-join (same reason as
+    * the MinHash path: stop the optimizer re-deriving every plane dot on
+    * both sides), vectors are joined back by id only for candidate pairs,
+    * and the exact cosine filter runs on candidates alone.
+    */
+  def embeddingNearDuplicatesBanded(emb: DataFrame, idCol: String,
+                                    vecCol: String, bands: Int,
+                                    planesPerBand: Int, dims: Int,
+                                    threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val banded = v
+      .select(col("vec_id"),
+        explode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** ANN: nearest neighbor per vector searching ONLY its hyperplane bucket
     * (the scale path — bucket-key self-join, no cross join). Vectors alone
     * in their bucket produce no row.
@@ -150,6 +211,37 @@ object Similarity {
     val scored = l.join(r, Seq("bucket"))
       .where(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("bucket"), col("nn_id"),
+        round(cosine(col("v"), col("nv")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Banded ANN: nearest neighbor per vector among candidates sharing ANY
+    * band bucket — multi-table probing for recall, with each band's bucket
+    * count still bounding the self-join. Vectors sharing no band with
+    * anything produce no row (same contract as the single-table form).
+    */
+  def annNearestInBands(emb: DataFrame, idCol: String, vecCol: String,
+                        bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val banded = v
+      .select(col("vec_id"),
+        explode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
+      .distinct()
+    val scored = cand
+      .join(v.select(col("vec_id"), col("v")), "vec_id")
+      .join(v.select(col("vec_id").as("nn_id"), col("v").as("nv")), "nn_id")
+      .select(col("vec_id"), col("nn_id"),
         round(cosine(col("v"), col("nv")), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))

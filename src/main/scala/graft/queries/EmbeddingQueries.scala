@@ -23,18 +23,22 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     }),
 
-    // ANN nearest-in-bucket with 8 md5-derived hyperplanes (64 dims).
+    // Banded ANN: 16 md5-derived hyperplanes as 4 independent 4-plane
+    // tables (64 dims) — multi-table probing for recall; per-band bucket
+    // count still bounds the self-join (plane count scales via
+    // Similarity.suggestedPlanes at real corpus sizes).
     "q46_ann_lsh" -> ((s, dir) =>
-      Similarity.annNearestInBucket(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", planes = 8, dims = 64)),
+      Similarity.annNearestInBands(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 4,
+        dims = 64)),
 
-    // Embedding-cosine near-dup pairs, bucket-candidates then exact filter.
-    // (Fixture embeddings are near-random — threshold tuned to be
-    // non-empty; real corpora use ≥0.9.)
+    // Embedding-cosine near-dup pairs: banded-LSH candidates (any shared
+    // band) then exact cosine filter. (Fixture embeddings are near-random —
+    // threshold tuned to be non-empty; real corpora use ≥0.9.)
     "q55_embedding_near_dup" -> ((s, dir) =>
-      Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", planes = 8, dims = 64,
-        threshold = 0.3))
+      Similarity.embeddingNearDuplicatesBanded(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 4,
+        dims = 64, threshold = 0.3))
   )
 
   private val planeHash =
@@ -59,44 +63,48 @@ object EmbeddingQueries {
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),
          planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 7)) AS p),
+             FROM (SELECT unnest(generate_series(0, 15)) AS p),
                   (SELECT unnest(range(64)) AS i)),
          dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
              FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id,
-               sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
-             FROM dotp GROUP BY vec_id),
+         bk AS (SELECT vec_id, p // 4 AS band,
+               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 4))
+                        ELSE 0 END) AS BIGINT) AS bucket
+             FROM dotp GROUP BY vec_id, p // 4),
+         cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+             FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id),
          n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         cand AS (SELECT a.vec_id, a.bucket, b.vec_id AS nn_id
-             FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-         d AS (SELECT c.vec_id, c.bucket, c.nn_id, sum(ea.x * eb.x) AS dp
+         d AS (SELECT c.vec_id, c.nn_id, sum(ea.x * eb.x) AS dp
              FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
                          JOIN e eb ON eb.vec_id = c.nn_id AND eb.i = ea.i
-             GROUP BY 1, 2, 3),
-         s AS (SELECT d.vec_id, d.bucket, d.nn_id,
+             GROUP BY 1, 2),
+         s AS (SELECT d.vec_id, d.nn_id,
                round(d.dp / (na.nrm * nb.nrm), 6) AS score
              FROM d JOIN n na ON na.vec_id = d.vec_id
                     JOIN n nb ON nb.vec_id = d.nn_id),
-         r AS (SELECT vec_id, bucket, nn_id, score,
+         r AS (SELECT vec_id, nn_id, score,
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY score DESC, nn_id ASC) AS rn FROM s)
-         SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(bucket AS BIGINT) AS bucket,
+         SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(nn_id AS BIGINT) AS nn_id, score
          FROM r WHERE rn = 1""",
     "q55_embedding_near_dup" ->
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),
          planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 7)) AS p),
+             FROM (SELECT unnest(generate_series(0, 15)) AS p),
                   (SELECT unnest(range(64)) AS i)),
          dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
              FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id,
-               sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
-             FROM dotp GROUP BY vec_id),
+         bk AS (SELECT vec_id, p // 4 AS band,
+               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 4))
+                        ELSE 0 END) AS BIGINT) AS bucket
+             FROM dotp GROUP BY vec_id, p // 4),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
          n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          d AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dp
              FROM cand c JOIN e ea ON ea.vec_id = c.id_a
                          JOIN e eb ON eb.vec_id = c.id_b AND eb.i = ea.i

@@ -57,6 +57,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.values.toSet.size > 10, "vectors spread across buckets")
   }
 
+  test("banded LSH recalls high-cosine pairs found by brute force") {
+    import spark.implicits._
+    val dims = 64
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    // 5 clusters × 6 members, small noise → intra-cluster cosine ≈ 0.99
+    val centers = Array.fill(5)(Array.fill(dims)(rnd.nextGaussian()))
+    val vecs = for (c <- 0 until 5; m <- 0 until 6) yield {
+      val v = centers(c).zipWithIndex.map { case (x, _) => x + rnd.nextGaussian() * 0.1 }
+      ((c * 6 + m).toLong, unit(v))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val threshold = 0.9
+    val truth = emb.as("a").crossJoin(emb.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 30, s"fixture should plant many high-cosine pairs, got ${truth.size}")
+    val found = Similarity.embeddingNearDuplicatesBanded(emb, "vec_id", "embedding",
+        bands = 4, planesPerBand = 4, dims = dims, threshold = threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), "exact cosine filter ⇒ no false positives")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.8, s"banded recall $recall below bound (found ${found.size}/${truth.size})")
+  }
+
   test("plane weights are portable-hash-derived and in [-1, 1]") {
     val w = Similarity.planeWeights(0, 64)
     assert(w.size === 64)
