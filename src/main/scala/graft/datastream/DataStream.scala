@@ -79,6 +79,27 @@ final class DataStream[T](val ds: Dataset[T]) extends Serializable {
 
   def union(other: DataStream[T]): DataStream[T] = new DataStream(ds.union(other.ds))
 
+  /** IJoinFunction (IJoinFunction.cs:18-27): typed two-input equi-join —
+    * key extractors select the join key on each side, `f` combines each
+    * matched pair into the output element. Compiles to `Dataset.joinWith`,
+    * so the physical join strategy (broadcast / shuffled hash / sort-merge,
+    * AQE-adjusted) is Catalyst's choice exactly as for the DataFrame
+    * surface; only the pair-combination lambda runs typed.
+    */
+  def join[R, K: Encoder, O: Encoder](other: DataStream[R])(
+      leftKey: T => K, rightKey: R => K)(f: (T, R) => O): DataStream[O] = {
+    implicit val lEnc: Encoder[(K, T)] =
+      Encoders.tuple(implicitly[Encoder[K]], ds.encoder)
+    implicit val rEnc: Encoder[(K, R)] =
+      Encoders.tuple(implicitly[Encoder[K]], other.ds.encoder)
+    val l = ds.map(t => (leftKey(t), t)).as("gl")
+    val r = other.ds.map(x => (rightKey(x), x)).as("gr")
+    val joined = l.joinWith(r,
+      org.apache.spark.sql.functions.col("gl._1") ===
+        org.apache.spark.sql.functions.col("gr._1"), "inner")
+    new DataStream(joined.map { case ((_, t), (_, x)) => f(t, x) })
+  }
+
   /** Per-operator parallelism (TransformationBase.Parallelism): an explicit
     * round-robin repartition. Usually unnecessary — AQE sizes partitions —
     * but the reference exposes it, so we do.

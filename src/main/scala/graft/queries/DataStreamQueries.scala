@@ -15,6 +15,10 @@ import graft.windowing._
 final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                        event_type: String, value: Double, props: String)
 
+/** Typed rows for the two-input join surface (IJoinFunction). */
+final case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String)
+final case class CustomerRow(c_custkey: Long, c_mktsegment: String)
+
 /** Oracle-checked queries exercised THROUGH the typed DataStream / Table
   * APIs (SURVEY §2.2, §2.3, §2.6 typed path, §2.10) rather than the Column
   * DSL — proving the fluent surface produces correct distributed plans.
@@ -100,6 +104,20 @@ object DataStreamQueries {
         .ds.toDF("event_type", "avg_value")
     }),
 
+    // Typed two-input join (IJoinFunction.cs:18-27): key extractors on
+    // each side, a combiner lambda per matched pair. The physical join is
+    // still Catalyst's choice (broadcast here — customer is a dim).
+    "q62_ds_typed_join" -> ((s, dir) => {
+      import s.implicits._
+      val orders = StreamExecutionEnvironment(s).fromDataset(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderstatus").as[OrderRow])
+      val customers = StreamExecutionEnvironment(s).fromDataset(
+        Tables.customer(s, dir).select("c_custkey", "c_mktsegment").as[CustomerRow])
+      orders.join(customers)(_.o_custkey, _.c_custkey) {
+        (o, c) => (o.o_orderkey, c.c_mktsegment, o.o_orderstatus)
+      }.ds.toDF("o_orderkey", "c_mktsegment", "o_orderstatus")
+    }),
+
     // Table API: register fixture tables, run SQL through the environment.
     "q36_sql_tableenv" -> ((s, dir) => {
       val env = TableEnvironment.create(s)
@@ -145,6 +163,9 @@ object DataStreamQueries {
          FROM s GROUP BY user_id, sess_id""",
     "q35_ds_keyed_aggregate" ->
       "SELECT event_type, avg(value) AS avg_value FROM events GROUP BY event_type",
+    "q62_ds_typed_join" ->
+      """SELECT o_orderkey, c_mktsegment, o_orderstatus
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
     "q36_sql_tableenv" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
          sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue

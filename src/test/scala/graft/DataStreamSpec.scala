@@ -22,6 +22,16 @@ class DataStreamSpec extends AnyFunSuite {
     assert(words === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("typed two-input join combines matched pairs (IJoinFunction contract)") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val left = env.fromCollection(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val right = env.fromCollection(Seq((1L, 10), (2L, 20), (4L, 40)))
+    val out = left.join(right)(_._1, _._1) { (l, r) => (l._2, r._2) }
+      .collect().toSet
+    assert(out === Set(("a", 10), ("b", 20))) // inner: unmatched keys drop
+  }
+
   test("rich lifecycle opens once per partition before first element") {
     import spark.implicits._
     val env = StreamExecutionEnvironment(spark)
