@@ -375,6 +375,85 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState tracks per-key distinct-event-type counts across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val input = MemoryStream[(Long, String)](spark)
+      val grouped = input.toDS().groupByKey(_._1)
+      // per-key dictionary event_type -> count; emits (key, #distinct types,
+      // total events) after every slice — the IMapState use case a value
+      // fold can't express without rebuilding the whole map each batch
+      val counted = KeyedStateOps.processWithMapState[Long, (Long, String), String, Long, (Long, Long, Long)](grouped) {
+        (key, rows, state) =>
+          rows.foreach { case (_, et) => state.put(et, state.get(et).getOrElse(0L) + 1L) }
+          val entries = state.entries().toIndexedSeq
+          Iterator.single((key, entries.size.toLong, entries.map(_._2).sum))
+      }
+      val latest = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      val q = counted.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-mapstate"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) =>
+          b.collect().foreach { case (k, d, n) => latest(k) = (d, n) }; ()
+        }
+        .start()
+      input.addData((1L, "view"), (1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      assert(latest(1L) === ((2L, 2L)) && latest(2L) === ((1L, 1L)))
+      input.addData((1L, "view"), (1L, "buy"), (2L, "view")) // state persists across batches
+      q.processAllAvailable()
+      q.stop()
+      assert(latest(1L) === ((3L, 4L)), "distinct {view,click,buy}, 4 events")
+      assert(latest(2L) === ((1L, 2L)), "distinct {view}, 2 events")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("ListState buffers per-key values across batches and supports update/clear") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val input = MemoryStream[(String, Double)](spark)
+      val grouped = input.toDS().groupByKey(_._1)
+      // buffer values per key; when the buffer reaches 3, emit its sum and
+      // reset — IListState's buffer-then-drain pattern
+      val drained = KeyedStateOps.processWithListState[String, (String, Double), Double, (String, Double)](grouped) {
+        (key, rows, buf) =>
+          buf.addAll(rows.map(_._2).toSeq)
+          val all = buf.getValues().toIndexedSeq
+          if (all.size >= 3) { buf.clear(); Iterator.single((key, all.sum)) }
+          else Iterator.empty
+      }
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val q = drained.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-liststate"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Double)], _: Long) =>
+          fired ++= b.collect(); ()
+        }
+        .start()
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      assert(fired.isEmpty, "no key reached 3 buffered values yet")
+      input.addData(("a", 3.0), ("b", 6.0)) // a reaches 3 → drains
+      q.processAllAvailable()
+      q.stop()
+      assert(fired.toSeq === Seq(("a", 6.0)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches clicks to impressions within bounds") {
     val impressions = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
