@@ -67,4 +67,135 @@ object TransformWithStateOps {
 
     grouped.transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Sliding event-time process-window with explicit timers
+    * (KeyedWindowProcessor.cs:81-104 semantics for SlidingEventTimeWindows):
+    * each element buffers ONCE tagged with its event time — not once per
+    * covering window — and a timer is registered at every covering window's
+    * end. On expiry the pane [end-size, end) is assembled by timestamp
+    * range; elements whose LAST covering window has fired are dropped from
+    * state, and late elements whose windows have all fired are dropped at
+    * ingress (no timer would ever clean them).
+    */
+  def slidingProcessWindow[K, V, OUT](
+      grouped: KeyValueGroupedDataset[K, V], sizeMs: Long, slideMs: Long)(
+      tsMs: V => Long)(processPane: (K, Long, Seq[V]) => OUT)(
+      implicit tagEnc: Encoder[(Long, V)], outEnc: Encoder[OUT]): Dataset[OUT] = {
+    require(sizeMs % slideMs == 0, "size must be a multiple of slide")
+
+    val processor = new StatefulProcessor[K, V, OUT] {
+      @transient private var buf: ListState[(Long, V)] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        buf = getHandle.getListState[(Long, V)]("elems", tagEnc, TTLConfig.NONE)
+
+      override def handleInputRows(key: K, rows: Iterator[V],
+                                   timers: TimerValues): Iterator[OUT] = {
+        val wm = timers.getCurrentWatermarkInMs
+        val registered = scala.collection.mutable.Set.empty[Long]
+        rows.foreach { v =>
+          val ts = tsMs(v)
+          // latest window start covering ts, per the epoch-aligned formula
+          val lastStart = graft.datastream.WindowedStream.startFor(ts, slideMs, 0L)
+          if (lastStart + sizeMs > wm) { // at least one window still to fire
+            buf.appendValue((ts, v))
+            var ws = lastStart
+            while (ws > ts - sizeMs) {
+              val end = ws + sizeMs
+              if (end > wm && !registered.contains(end)) {
+                getHandle.registerTimer(end)
+                registered += end
+              }
+              ws -= slideMs
+            }
+          }
+        }
+        Iterator.empty
+      }
+
+      override def handleExpiredTimer(key: K, timers: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[OUT] = {
+        val end = info.getExpiryTimeInMs
+        val ws = end - sizeMs
+        val all = buf.get().toIndexedSeq
+        val pane = all.filter { case (ts, _) => ts >= ws && ts < end }
+        // an element is spent once its last covering window has fired
+        val keep = all.filter { case (ts, _) =>
+          graft.datastream.WindowedStream.startFor(ts, slideMs, 0L) + sizeMs > end
+        }
+        if (keep.isEmpty) buf.clear() else buf.put(keep.toArray)
+        if (pane.isEmpty) Iterator.empty
+        else Iterator.single(processPane(key, ws, pane.map(_._2)))
+      }
+    }
+
+    grouped.transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Session event-time process-window with explicit timers: the gap-merge
+    * lifecycle the reference only stubbed (Trigger.OnMerge,
+    * TimeWindow.Intersects/Cover) made concrete. Elements buffer per key;
+    * every element registers a candidate close timer at ts+gap; on expiry
+    * the buffer is split into sessions (consecutive-timestamp gaps ≥ gap
+    * start a new one) and every session whose end has been passed by the
+    * watermark fires and leaves state. Emits (key, sessStart, sessEnd,
+    * pane).
+    *
+    * Scale bound: one key's OPEN sessions buffer in its ListState — state
+    * is trimmed at every close, but a key that never pauses for `gap`
+    * accumulates; that pathologically-hot-key case is the documented bound
+    * of the typed path (the batch-scale form is session_window(), q28).
+    */
+  def sessionProcessWindow[K, V, OUT](
+      grouped: KeyValueGroupedDataset[K, V], gapMs: Long)(
+      tsMs: V => Long)(processPane: (K, Long, Long, Seq[V]) => OUT)(
+      implicit tagEnc: Encoder[(Long, V)], outEnc: Encoder[OUT]): Dataset[OUT] = {
+
+    val processor = new StatefulProcessor[K, V, OUT] {
+      @transient private var buf: ListState[(Long, V)] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        buf = getHandle.getListState[(Long, V)]("sess", tagEnc, TTLConfig.NONE)
+
+      override def handleInputRows(key: K, rows: Iterator[V],
+                                   timers: TimerValues): Iterator[OUT] = {
+        val wm = timers.getCurrentWatermarkInMs
+        rows.foreach { v =>
+          val ts = tsMs(v)
+          // a session containing ts must close no earlier than ts+gap; if
+          // the watermark already passed that, every session this element
+          // could join has fired — drop at ingress
+          if (ts + gapMs > wm) {
+            buf.appendValue((ts, v))
+            getHandle.registerTimer(ts + gapMs)
+          }
+        }
+        Iterator.empty
+      }
+
+      override def handleExpiredTimer(key: K, timers: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[OUT] = {
+        val wm = math.max(timers.getCurrentWatermarkInMs, info.getExpiryTimeInMs)
+        val all = buf.get().toIndexedSeq.sortBy(_._1)
+        if (all.isEmpty) return Iterator.empty
+        // split into sessions: a gap ≥ gapMs between consecutive elements
+        // starts a new session (same rule as q28's oracle)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[(Long, V)]]
+        var cur = scala.collection.mutable.ArrayBuffer((all.head))
+        all.tail.foreach { e =>
+          if (e._1 - cur.last._1 >= gapMs) { sessions += cur.toIndexedSeq; cur = scala.collection.mutable.ArrayBuffer(e) }
+          else cur += e
+        }
+        sessions += cur.toIndexedSeq
+        val (closed, open) = sessions.partition(s => s.last._1 + gapMs <= wm)
+        val keep = open.flatten
+        if (keep.isEmpty) buf.clear() else buf.put(keep.toArray)
+        closed.iterator.map { s =>
+          processPane(key, s.head._1, s.last._1 + gapMs, s.map(_._2))
+        }
+      }
+    }
+
+    grouped.transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -454,6 +454,91 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sliding windows fire every covering pane via timers") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val grouped = input.toDS().toDF("k", "ts", "v")
+        .withWatermark("ts", "2 seconds")
+        .as[(Long, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+      val windowed = TransformWithStateOps.slidingProcessWindow(
+        grouped, sizeMs = 10000L, slideMs = 5000L)(_._2.getTime) {
+        (k, ws, pane) => (k, ws, pane.map(_._3).sum, pane.size.toLong)
+      }
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+      val q = windowed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-sliding"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double, Long)], _: Long) =>
+          fired ++= b.collect(); ()
+        }
+        .start()
+      input.addData((1L, ts(1), 1.0), (1L, ts(7), 2.0))
+      q.processAllAvailable()
+      // wm advanced to 5s after the batch → end-5s pane [-5,5) fires alone
+      assert(fired.toSet === Set((1L, -5000L, 1.0, 1L)))
+      input.addData((1L, ts(30), 9.0)) // wm → 28s: ends 10s, 15s fire
+      q.processAllAvailable()
+      q.stop()
+      // t=1s covers [-5,5) and [0,10); t=7s covers [0,10) and [5,15)
+      assert(fired.toSet === Set(
+        (1L, -5000L, 1.0, 1L), (1L, 0L, 3.0, 2L), (1L, 5000L, 2.0, 1L)),
+        "every covering sliding pane fired exactly once")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState session windows gap-merge and close via timers") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val grouped = input.toDS().toDF("k", "ts", "v")
+        .withWatermark("ts", "2 seconds")
+        .as[(Long, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+      val sessions = TransformWithStateOps.sessionProcessWindow(
+        grouped, gapMs = 10000L)(_._2.getTime) {
+        (k, start, end, pane) => (k, start, end, pane.map(_._3).sum)
+      }
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val q = sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-session-tws"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)], _: Long) =>
+          fired ++= b.collect(); ()
+        }
+        .start()
+      input.addData((1L, ts(1), 1.0), (1L, ts(5), 2.0), (2L, ts(3), 5.0))
+      q.processAllAvailable()
+      assert(fired.isEmpty, "no session's gap has elapsed in event time yet")
+      input.addData((1L, ts(30), 9.0)) // wm → 28s: closes both early sessions
+      q.processAllAvailable()
+      assert(fired.toSet === Set(
+        (1L, 1000L, 15000L, 3.0),  // t=1,5 merged (gap 4s < 10s), end=5s+gap
+        (2L, 3000L, 13000L, 5.0)),
+        "gap-merged sessions closed once the watermark passed their ends")
+      input.addData((1L, ts(60), 4.0)) // wm → 58s: closes the t=30 session
+      q.processAllAvailable()
+      q.stop()
+      assert(fired.toSet.contains((1L, 30000L, 40000L, 9.0)),
+        "later session closed independently")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches clicks to impressions within bounds") {
     val impressions = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
