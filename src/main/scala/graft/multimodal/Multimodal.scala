@@ -90,13 +90,45 @@ object Multimodal {
       }(enc)
   }
 
-  /** Partition by payload BYTES, not rows: one aggregate pass estimates the
-    * total, then ranges of media_id split it into `targetBytes` chunks.
+  /** Partition by payload BYTES, not rows. Row-balanced partitioning
+    * (`repartitionByRange(media_id)`) lets one 2 GB video sit among
+    * thousands of 10 KB images and skew a decode task arbitrarily; here
+    * every row gets a GLOBAL cumulative byte offset and buckets are
+    * `targetBytes`-wide windows of that offset, so each decode partition
+    * carries ≤ targetBytes + one row's overhang regardless of skew.
+    *
+    * The global offset is the classic distributed prefix sum: per-input-
+    * partition byte totals (one row per partition — the ONLY driver
+    * materialization, O(#partitions) like Spark's own RangePartitioner
+    * sample) are prefix-scanned into partition base offsets, broadcast
+    * back, and added to a per-partition running sum (window partitioned BY
+    * input partition — never a global single-partition sort).
     */
   def repartitionForDecode(df: DataFrame, targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(coalesce(length(col("payload")), lit(0)))).head().getLong(0)
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bytes = coalesce(length(col("payload")), lit(0)).cast("long")
+    val withPid = df.withColumn("__bytes", bytes)
+      .withColumn("__pid", spark_partition_id())
+    val sums = withPid.groupBy(col("__pid")).agg(sum(col("__bytes")).as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (sums.isEmpty) return df
+    val prefixes = sums.scanLeft(0L)(_ + _._2)
+    val total = prefixes.last
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    df.repartitionByRange(parts, col("media_id"))
+    val prefixDf = broadcast(
+      sums.map(_._1).zip(prefixes).toSeq.toDF("__pid", "__base"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withPid.join(prefixDf, "__pid")
+      .withColumn("__start",
+        col("__base") + sum(col("__bytes")).over(w) - col("__bytes"))
+      .withColumn("__bucket", floor(col("__start") / targetBytes))
+      .repartitionByRange(parts, col("__bucket"))
+      .drop("__bytes", "__pid", "__base", "__start", "__bucket")
   }
 
   /** Resize metadata arithmetic (pure Column; the pixel work happens in the

@@ -76,4 +76,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions >= 3, "~17-byte payloads / 20-byte target")
     assert(df.count() === 5)
   }
+
+  test("byte-aware repartitioning bounds partition bytes under heavy skew") {
+    // 200 × 10 KB images + 2 × 1 MB videos: row-balanced ranges would put
+    // a megabyte row in the same partition as hundreds of small ones
+    val small = (0 until 200).map(i =>
+      Row(i.toLong, "image", Array.fill[Byte](10 * 1024)((i % 100).toByte),
+        Row(64, 64, null, null, "jpeg")))
+    val big = Seq(
+      Row(900L, "video", Array.fill[Byte](1024 * 1024)(7.toByte),
+        Row(1280, 720, 44100, 60000L, "mp4")),
+      Row(901L, "video", Array.fill[Byte](1024 * 1024)(9.toByte),
+        Row(1280, 720, 44100, 60000L, "mp4")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(small ++ big, 8), Multimodal.mediaSchema)
+    val target = 512L * 1024
+    val out = Multimodal.repartitionForDecode(df, targetBytes = target)
+    assert(out.count() === 202)
+    val partBytes = out
+      .select(coalesce(length(col("payload")), lit(0)).cast("long").as("b"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(sum("b").as("bytes"))
+      .collect().map(_.getAs[Long]("bytes"))
+    val maxRow = 1024L * 1024
+    assert(partBytes.max <= target + maxRow,
+      s"worst partition ${partBytes.max} exceeds target+maxRow ${target + maxRow}")
+    // and the load is genuinely spread: no partition holds most of the data
+    assert(partBytes.count(_ > 0) >= 4,
+      s"bytes concentrated in too few partitions: ${partBytes.mkString(",")}")
+  }
 }
