@@ -313,19 +313,45 @@ trait ProcessWindowFunction[K, T, R] extends Serializable {
 }
 
 /** IEvictor (Core.Api/Streaming/Transformations.cs:12-23): trim a pane
-  * before the window function runs. Elements arrive time-sorted.
+  * before the window function runs (`evictBefore`) and/or trim what the
+  * window RETAINS after it fires (`evictAfter`). Elements arrive
+  * time-sorted. `evictAfter` is only observable where a pane survives its
+  * firing — the count-trigger path (`StatefulOps.countWindow`), where
+  * fire-every-N + keep-last-M composes Flink's classic sliding-count
+  * window; the once-per-pane batch path fires and discards.
   */
 trait Evictor[T] extends Serializable {
   def evictBefore(elements: Seq[T], window: TimeWindow): Seq[T]
+  def evictAfter(elements: Seq[T], window: TimeWindow): Seq[T] = elements
 }
 
 /** Keep only the last `maxCount` elements of each pane (Flink-style
-  * CountEvictor).
+  * CountEvictor) — in both eviction positions.
   */
 object CountEvictor {
   def of[T](maxCount: Int): Evictor[T] = new Evictor[T] {
     def evictBefore(elements: Seq[T], window: TimeWindow): Seq[T] =
       elements.takeRight(maxCount)
+    override def evictAfter(elements: Seq[T], window: TimeWindow): Seq[T] =
+      elements.takeRight(maxCount)
+  }
+}
+
+/** Keep only elements within `keepMs` of the pane's newest element
+  * (Flink-style TimeEvictor): evicts the stale head of each pane before
+  * the window function runs. Needs the element-time extractor because the
+  * evictor sees bare elements, exactly like the reference's
+  * `IEvictor.EvictBefore(elements, size, window)` sees deserialized
+  * records.
+  */
+object TimeEvictor {
+  def of[T](keepMs: Long, tsMs: T => Long): Evictor[T] = new Evictor[T] {
+    def evictBefore(elements: Seq[T], window: TimeWindow): Seq[T] =
+      if (elements.isEmpty) elements
+      else {
+        val cutoff = elements.map(tsMs).max - keepMs
+        elements.filter(tsMs(_) >= cutoff)
+      }
   }
 }
 

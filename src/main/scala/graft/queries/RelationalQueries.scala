@@ -236,11 +236,16 @@ object RelationalQueries {
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))
     }),
 
-    // JSON scalar function over events.props.
+    // JSON scalar function over events.props. from_json with an explicit
+    // schema, not get_json_object: ONE parse per row feeding both the
+    // projection and the filter (get_json_object re-parses per call site),
+    // and the struct schema lets Catalyst prune unread JSON fields.
     "q23_json_extract" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("event_id"),
-                get_json_object(col("props"), "$.k").cast("long").as("k"))
+                from_json(col("props"),
+                  org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+                  .getField("k").as("k"))
         .filter(col("k") > lit(50L))
     }),
 

@@ -10,11 +10,23 @@ import org.apache.spark.sql.{DataFrame, Row}
 object Ingress {
   /** Returns the valid rows; invalid rows append to `dlqPath` (if given)
     * tagged by nothing but their content — the caller owns retention.
+    *
+    * ONE source pass: the frame is tagged with the predicate and persisted,
+    * the DLQ writes from the materialized copy, and the returned valid
+    * rows read the same copy — the input (a Kafka batch, an expensive
+    * upstream join) is never scanned twice. The cache is dropped when the
+    * returned frame is garbage-collected or explicitly unpersisted; inside
+    * `foreachBatch` the batch lifetime bounds it naturally.
     */
   def validated(df: DataFrame, condition: org.apache.spark.sql.Column,
-                dlqPath: Option[String] = None): DataFrame = {
-    dlqPath.foreach(p => df.filter(!condition).write.mode("append").parquet(p))
-    df.filter(condition)
+                dlqPath: Option[String] = None): DataFrame = dlqPath match {
+    case None => df.filter(condition)
+    case Some(p) =>
+      import org.apache.spark.sql.functions.col
+      val tagged = df.withColumn("__valid", condition)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tagged.filter(!col("__valid")).drop("__valid").write.mode("append").parquet(p)
+      tagged.filter(col("__valid")).drop("__valid")
   }
 }
 

@@ -16,10 +16,18 @@ object StatefulOps {
     * (SURVEY §7.4 "GlobalWindows + custom trigger"). Emits an aggregate for
     * every `size` elements per key; remainder stays in state (a count
     * trigger never fires a partial pane).
+    *
+    * `evictor`: what the pane RETAINS after firing is
+    * `evictor.evictAfter(pane)` — `None` purges (Fire+Purge, the previous
+    * fixed behavior), while e.g. `CountEvictor.of(m)` keeps the last m
+    * elements so consecutive firings overlap: Flink's sliding-count window
+    * (`countWindow(size, slide)` ≡ fire every `size-m` with `m` carried).
     */
-  def countWindow[K, V, OUT](grouped: KeyValueGroupedDataset[K, V], size: Int)(
+  def countWindow[K, V, OUT](grouped: KeyValueGroupedDataset[K, V], size: Int,
+                             evictor: Option[graft.datastream.Evictor[V]] = None)(
       aggregate: (K, Seq[V]) => OUT)(
-      implicit stateEnc: Encoder[Seq[V]], outEnc: Encoder[OUT]): Dataset[OUT] =
+      implicit stateEnc: Encoder[Seq[V]], outEnc: Encoder[OUT]): Dataset[OUT] = {
+    val globalWindow = graft.datastream.TimeWindow(Long.MinValue, Long.MaxValue)
     grouped.flatMapGroupsWithState[Seq[V], OUT](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (key: K, values: Iterator[V], state: GroupState[Seq[V]]) =>
@@ -27,11 +35,15 @@ object StatefulOps {
         val fired = scala.collection.mutable.ArrayBuffer.empty[OUT]
         values.foreach { v =>
           pane :+= v
-          if (pane.size >= size) { fired += aggregate(key, pane); pane = Seq.empty }
+          if (pane.size >= size) {
+            fired += aggregate(key, pane)
+            pane = evictor.fold(Seq.empty[V])(_.evictAfter(pane, globalWindow))
+          }
         }
         state.update(pane)
         fired.iterator
     }
+  }
 
   /** Running per-key value state (IValueState<T> via GetValueState,
     * IRuntimeContext.cs:13-84): fold every element into state, emit the

@@ -125,6 +125,26 @@ class DataStreamSpec extends AnyFunSuite {
     assert(out === Set((1L, 0L, 6.0), (1L, 3600000L, 8.0)))
   }
 
+  test("time evictor drops the stale head of each pane before the window fn") {
+    import spark.implicits._
+    val env = StreamExecutionEnvironment(spark)
+    val fn = new ProcessWindowFunction[Long, (Long, Long, Double), (Long, Long, Double)] {
+      def process(key: Long, w: TimeWindow, els: Iterator[(Long, Long, Double)]) =
+        Seq((key, w.start, els.map(_._3).sum))
+    }
+    // one 1h window; newest element at t=59min → TimeEvictor(10min) keeps
+    // only elements within [49min, 59min]
+    val m = 60000L
+    val data = Seq((1L, 1 * m, 1.0), (1L, 30 * m, 2.0), (1L, 52 * m, 4.0), (1L, 59 * m, 8.0))
+    val out = env.fromCollection(data)
+      .keyBy(_._1)
+      .window(TumblingEventTimeWindows.of(Time.hours(1)), _._2)
+      .evictor(TimeEvictor.of(10 * m, (e: (Long, Long, Double)) => e._2))
+      .process(fn)
+      .collect().toSet
+    assert(out === Set((1L, 0L, 12.0)))
+  }
+
   test("allowedLateness declares on event-time windows, rejects global") {
     import spark.implicits._
     val env = StreamExecutionEnvironment(spark)

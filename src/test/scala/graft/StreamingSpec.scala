@@ -146,6 +146,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(fired.toSet === Set(("a", 6), ("b", 60)))
   }
 
+  test("count window + evictAfter carries the last M elements into the next pane") {
+    val input = MemoryStream[(String, Int)](spark)
+    // fire every 3, retain last 2 after firing: Flink's sliding-count shape
+    val counted = StatefulOps.countWindow(
+      input.toDS().groupByKey(_._1), size = 3,
+      evictor = Some(graft.datastream.CountEvictor.of[(String, Int)](2))) {
+      (k: String, pane: Seq[(String, Int)]) => (k, pane.map(_._2).sum)
+    }
+    val fired = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val q = counted.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-evict-after"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Int)], _: Long) =>
+        fired ++= b.collect(); ()
+      }
+      .start()
+    input.addData(("a", 1), ("a", 2), ("a", 4))
+    q.processAllAvailable()
+    assert(fired.toSeq === Seq(("a", 7)), "first pane fires at 3 elements")
+    input.addData(("a", 8)) // retained (2,4) + 8 → fires again immediately
+    q.processAllAvailable()
+    q.stop()
+    assert(fired.toSeq === Seq(("a", 7), ("a", 14)),
+      "second pane overlaps the first by the 2 retained elements")
+  }
+
   test("mapWithState maintains running per-key state across batches") {
     val input = MemoryStream[(String, Double)](spark)
     val running = StatefulOps.mapWithState(
@@ -446,6 +471,49 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       q.stop()
       assert(fired.toSeq === Seq(("a", 6.0)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("punctuated watermark: only marker records advance the watermark") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.functions.col
+      val input = MemoryStream[(Long, java.sql.Timestamp, Boolean, Double)](spark)
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val withWm = WatermarkStrategy
+        .forPunctuated(col("marker") === true, graft.windowing.Time.milliseconds(1))
+        .assign(input.toDS().toDF("k", "ts", "marker", "v"), "ts")
+      val grouped = withWm.select("k", "ts", "v")
+        .as[(Long, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+      val windowed = TransformWithStateOps.tumblingProcessWindow(
+        grouped, sizeMs = 10000L)(_._2.getTime) {
+        (k, ws, pane) => (k, ws, pane.map(_._3).sum)
+      }
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = windowed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-punct"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+          fired ++= b.collect(); ()
+        }
+        .start()
+      input.addData((1L, ts(5), false, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(30), false, 2.0)) // far past window end, NOT a marker
+      q.processAllAvailable()
+      assert(fired.isEmpty, "ordinary records must not advance the watermark")
+      input.addData((1L, ts(35), true, 0.0)) // marker punctuates → wm = 35s
+      q.processAllAvailable()
+      q.stop()
+      assert(fired.toSet === Set((1L, 0L, 1.0)),
+        "window closed only when the marker record advanced the watermark")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
