@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native banded hyperplane-LSH buckets: ALL `bands × planesPerBand` plane
+  * dot products in ONE pass over the input vector, returning the per-band
+  * sign-pattern bucket ids as `array<bigint>` (index = band).
+  *
+  * Semantically identical to the Column-composed form
+  * (`Similarity.hyperplaneBandBucketsHof`: per plane a
+  * `aggregate(zip_with(vec, weights, *), 0, +) > 0` term) and to the DuckDB
+  * oracle — same md5-derived plane weights, same index-order double
+  * accumulation, so the IEEE result is bit-identical to the HOF form. The
+  * HOF composition allocates a zipped array and runs two lambda passes PER
+  * PLANE (16 planes ⇒ 32 array traversals/row); this walks the vector once
+  * per plane with no allocation, weights resolved to a flat primitive
+  * array at plan time.
+  *
+  * Interpreted eval with CodegenFallback, like the other graft native
+  * expressions: the hand-written inner loop dominates; per-row virtual-call
+  * overhead is noise (see MinHashSignatureExpr).
+  */
+case class HyperplaneBandBucketsExpr(child: Expression, bands: Int,
+                                     planesPerBand: Int, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bands > 0 && planesPerBand > 0 && planesPerBand <= 63)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  // plane-major flat weight matrix, derived once per plan from the same
+  // portable md5 hash the oracle uses (Similarity.planeWeights)
+  @transient private lazy val weights: Array[Double] = {
+    val w = new Array[Double](bands * planesPerBand * dims)
+    var p = 0
+    while (p < bands * planesPerBand) {
+      val pw = Similarity.planeWeights(p, dims)
+      var i = 0
+      while (i < dims) { w(p * dims + i) = pw(i); i += 1 }
+      p += 1
+    }
+    w
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dims)
+    val out = new Array[Long](bands)
+    var band = 0
+    var p = 0
+    while (band < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val base = p * dims
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += arr.getDouble(i) * weights(base + i); i += 1 }
+        if (dot > 0) bucket |= (1L << j)
+        p += 1
+        j += 1
+      }
+      out(band) = bucket
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandBucketsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_band_buckets"
+}
+
+object HyperplaneBandBucketsExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(col: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
+    ColumnBridge.toColumn(
+      HyperplaneBandBucketsExpr(ColumnBridge.toExpression(col), bands, planesPerBand, dims))
+}

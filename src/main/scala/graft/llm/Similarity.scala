@@ -138,12 +138,19 @@ object Similarity {
     */
   def hyperplaneBandBuckets(vec: Column, bands: Int, planesPerBand: Int,
                             dims: Int): Column =
+    HyperplaneBandBucketsExpr(vec, bands, planesPerBand, dims)
+
+  /** Column-composed reference form of the band buckets (spec cross-check
+    * for the native expression; two HOF passes per plane — use
+    * `hyperplaneBandBuckets` in pipelines).
+    */
+  def hyperplaneBandBucketsHof(vec: Column, bands: Int, planesPerBand: Int,
+                               dims: Int): Column =
     array((0 until bands).map { t =>
-      val bucket = (0 until planesPerBand).map { j =>
+      (0 until planesPerBand).map { j =>
         val w = typedlit(planeWeights(t * planesPerBand + j, dims))
         when(dot(vec, w) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-      struct(lit(t).as("band"), bucket.as("bucket"))
     }: _*)
 
   /** Embedding-cosine near-duplicate pairs: candidates come from the
@@ -182,8 +189,8 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val banded = v
       .select(col("vec_id"),
-        explode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
+      .toDF("vec_id", "band", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col("a.vec_id") < col("b.vec_id"))
@@ -231,8 +238,8 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val banded = v
       .select(col("vec_id"),
-        explode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
+      .toDF("vec_id", "band", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col("a.vec_id") =!= col("b.vec_id"))

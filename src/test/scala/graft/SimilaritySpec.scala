@@ -57,6 +57,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.values.toSet.size > 10, "vectors spread across buckets")
   }
 
+  test("native band buckets equal the Column-composed form on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rows = emb.select(
+      Similarity.hyperplaneBandBuckets(col("v"), 4, 4, 64).as("native"),
+      Similarity.hyperplaneBandBucketsHof(col("v"), 4, 4, 64).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("banded LSH recalls high-cosine pairs found by brute force") {
     import spark.implicits._
     val dims = 64
