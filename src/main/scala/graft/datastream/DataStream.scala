@@ -176,8 +176,9 @@ final class KeyedDataStream[K, T](
   * (element, window) — the reference's `AssignWindows`
   * (TumblingEventTimeWindows.cs:56-67) — then groups on (key, windowStart).
   * Tumbling/sliding use the epoch-aligned start formula (TimeWindow.cs:76-89)
-  * directly; sessions gap-merge inside `flatMapGroups` after a per-(key)
-  * in-memory sort (the same per-key-session memory bound Flink's merge has).
+  * directly; sessions gap-merge over a spill-aware secondary sort
+  * (repartition by key + external sortWithinPartitions), so memory holds
+  * one open session rather than a key's history.
   * The grouped aggregate is a standard shuffle + partial/final combine, so
   * the pattern scales with the number of distinct (key, window) panes.
   */
@@ -257,23 +258,41 @@ final class WindowedStream[K, T](
     assigner match {
       case EventTimeSessionWindows(gap) =>
         val g = gap.millis
-        new DataStream(ds.groupByKey(kf).flatMapGroups { (k: K, it: Iterator[T]) =>
-          val sorted = it.toIndexedSeq.sortBy(tf)
-          val out = scala.collection.mutable.ArrayBuffer.empty[R]
-          var pane = scala.collection.mutable.ArrayBuffer.empty[T]
-          var paneEnd = Long.MinValue
-          def flush(): Unit = if (pane.nonEmpty) {
-            val w = TimeWindow(tf(pane.head), paneEnd)
-            out ++= f.process(k, w, applyEvictor(pane.toIndexedSeq, w).iterator)
-            pane = scala.collection.mutable.ArrayBuffer.empty[T]
+        // Spill-aware secondary sort instead of a per-key in-memory sort:
+        // hash-partition by key and EXTERNAL-sort each partition by
+        // (key, ts) — Spark's sorter spills to disk — then stream through
+        // the ordered run splitting sessions at gap boundaries. Memory
+        // holds ONE open session, not a key's whole history, so a
+        // pathologically hot key (10⁸ events) no longer OOMs the task;
+        // the only unbounded pane would be a session that genuinely never
+        // pauses for `gap`, which is the operator's semantic content.
+        implicit val tripleEnc: Encoder[(K, Long, T)] =
+          Encoders.tuple(kEnc, Encoders.scalaLong, ds.encoder)
+        import org.apache.spark.sql.functions.col
+        val sorted = ds.map(t => (kf(t), tf(t), t))
+          .repartition(col("_1"))
+          .sortWithinPartitions(col("_1"), col("_2"))
+        new DataStream(sorted.mapPartitions { rows =>
+          val run = rows.buffered
+          new Iterator[R] {
+            private val out = scala.collection.mutable.Queue.empty[R]
+            private def refill(): Unit =
+              while (out.isEmpty && run.hasNext) {
+                val (k, ts0, t0) = run.next()
+                val pane = scala.collection.mutable.ArrayBuffer((ts0, t0))
+                var paneEnd = ts0 + g
+                while (run.hasNext &&
+                    run.head._1 == k && run.head._2 < paneEnd) {
+                  val (_, ts, t) = run.next()
+                  pane += ((ts, t)); paneEnd = ts + g
+                }
+                val w = TimeWindow(pane.head._1, paneEnd)
+                out ++= f.process(k, w,
+                  applyEvictor(pane.map(_._2).toIndexedSeq, w).iterator).iterator
+              }
+            def hasNext: Boolean = { refill(); out.nonEmpty }
+            def next(): R = { refill(); out.dequeue() }
           }
-          sorted.foreach { t =>
-            val ts = tf(t)
-            if (ts >= paneEnd) flush()
-            pane += t; paneEnd = ts + g
-          }
-          flush()
-          out.iterator
         })
       case _ =>
         new DataStream(ds.flatMap(t => windowStarts(tf(t)).map(ws => ((kf(t), ws), t)))
