@@ -15,6 +15,51 @@ import org.apache.spark.sql.streaming._
   * (`spark.sql.streaming.stateStore.providerClass`), matching the
   * reference's RocksDB state backend (Storage.RocksDB).
   */
+/** TriggerResult (Core.Api/Windowing/TriggerResult.cs:8-27): what a window
+  * does after a trigger consultation — fire the pane, purge it, both, or
+  * nothing.
+  */
+sealed abstract class TriggerResult(val fire: Boolean, val purge: Boolean)
+object TriggerResult {
+  case object Continue extends TriggerResult(false, false)
+  case object Fire extends TriggerResult(true, false)
+  case object Purge extends TriggerResult(false, true)
+  case object FireAndPurge extends TriggerResult(true, true)
+}
+
+/** The reference's public trigger contract (Trigger<TElement,TWindow>,
+  * Core.Api/Windowing/Trigger.cs:25-91) for the explicit-state window
+  * path: `onElement` is consulted per element AFTER it joins its pane,
+  * `onEventTime` when the watermark passes the window end. Arbitrary
+  * Fire|Purge combinations compose early-firing, accumulating, and
+  * discarding windows — the piece SURVEY §7.4 previously mapped only to
+  * built-in output modes.
+  */
+trait WindowTrigger[V] extends Serializable {
+  def onElement(element: V, tsMs: Long, window: graft.datastream.TimeWindow,
+                paneSize: Long): TriggerResult = TriggerResult.Continue
+  def onEventTime(window: graft.datastream.TimeWindow): TriggerResult =
+    TriggerResult.FireAndPurge
+}
+
+object WindowTrigger {
+  /** EventTimeTrigger (DefaultTriggers.cs:7-29): fire+purge at watermark. */
+  def eventTime[V]: WindowTrigger[V] = new WindowTrigger[V] {}
+
+  /** Count trigger: fire every `n` pane elements; `purge` controls whether
+    * the fired pane resets (sliding-count vs accumulating early firing).
+    */
+  def count[V](n: Long, purgeOnFire: Boolean = false): WindowTrigger[V] =
+    new WindowTrigger[V] {
+      override def onElement(element: V, tsMs: Long,
+                             window: graft.datastream.TimeWindow,
+                             paneSize: Long): TriggerResult =
+        if (paneSize > 0 && paneSize % n == 0)
+          (if (purgeOnFire) TriggerResult.FireAndPurge else TriggerResult.Fire)
+        else TriggerResult.Continue
+    }
+}
+
 object TransformWithStateOps {
 
   /** Tumbling event-time process-window over transformWithState: elements
@@ -62,6 +107,81 @@ object TransformWithStateOps {
         if (keep.isEmpty) buf.clear() else buf.put(keep.toArray)
         if (fire.isEmpty) Iterator.empty
         else Iterator.single(processPane(key, ws, fire.map(_._2)))
+      }
+    }
+
+    grouped.transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Tumbling process-window with a USER trigger (Trigger.cs:25-91 made
+    * public): elements buffer per (key, window); after each element the
+    * trigger decides Fire/Purge/both (early firing, discarding), and the
+    * watermark crossing the window end consults `onEventTime` (default
+    * Fire+Purge). Pane counts ride in a MapState keyed by window start so
+    * `onElement` sees the pane size without scanning the buffer.
+    */
+  def triggeredTumblingProcessWindow[K, V, OUT](
+      grouped: KeyValueGroupedDataset[K, V], sizeMs: Long,
+      trigger: WindowTrigger[V])(tsMs: V => Long)(
+      processPane: (K, Long, Seq[V]) => OUT)(
+      implicit tagEnc: Encoder[(Long, V)], longEnc: Encoder[Long],
+      outEnc: Encoder[OUT]): Dataset[OUT] = {
+
+    val processor = new StatefulProcessor[K, V, OUT] {
+      @transient private var buf: ListState[(Long, V)] = _
+      @transient private var counts: MapState[Long, Long] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getListState[(Long, V)]("panes", tagEnc, TTLConfig.NONE)
+        counts = getHandle.getMapState[Long, Long]("counts", longEnc, longEnc, TTLConfig.NONE)
+      }
+
+      private def paneOf(ws: Long): IndexedSeq[(Long, V)] =
+        buf.get().filter(_._1 == ws).toIndexedSeq
+
+      private def dropPane(ws: Long): Unit = {
+        val keep = buf.get().filterNot(_._1 == ws).toArray
+        if (keep.isEmpty) buf.clear() else buf.put(keep)
+        counts.removeKey(ws)
+      }
+
+      override def handleInputRows(key: K, rows: Iterator[V],
+                                   timers: TimerValues): Iterator[OUT] = {
+        val wm = timers.getCurrentWatermarkInMs
+        val registered = scala.collection.mutable.Set.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[OUT]
+        rows.foreach { v =>
+          val ws = graft.datastream.WindowedStream.startFor(tsMs(v), sizeMs, 0L)
+          val end = ws + sizeMs
+          if (end > wm) { // late elements past the fired window drop at ingress
+            buf.appendValue((ws, v))
+            val n = (if (counts.containsKey(ws)) counts.getValue(ws) else 0L) + 1L
+            counts.updateValue(ws, n)
+            if (!registered.contains(end)) {
+              getHandle.registerTimer(end)
+              registered += end
+            }
+            val res = trigger.onElement(v, tsMs(v),
+              graft.datastream.TimeWindow(ws, end), n)
+            if (res.fire) {
+              val pane = paneOf(ws)
+              if (pane.nonEmpty) out += processPane(key, ws, pane.map(_._2))
+            }
+            if (res.purge) dropPane(ws)
+          }
+        }
+        out.iterator
+      }
+
+      override def handleExpiredTimer(key: K, timers: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[OUT] = {
+        val ws = info.getExpiryTimeInMs - sizeMs
+        val res = trigger.onEventTime(graft.datastream.TimeWindow(ws, ws + sizeMs))
+        val pane = if (res.fire) paneOf(ws) else IndexedSeq.empty
+        if (res.purge) dropPane(ws)
+        if (res.fire && pane.nonEmpty)
+          Iterator.single(processPane(key, ws, pane.map(_._2)))
+        else Iterator.empty
       }
     }
 

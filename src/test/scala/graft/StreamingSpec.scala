@@ -479,6 +479,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("user trigger: count fires a window early, event time closes the rest") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val grouped = input.toDS().toDF("k", "ts", "v")
+        .withWatermark("ts", "2 seconds")
+        .as[(Long, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+      val windowed = TransformWithStateOps.triggeredTumblingProcessWindow(
+        grouped, sizeMs = 10000L,
+        trigger = WindowTrigger.count[(Long, java.sql.Timestamp, Double)](3, purgeOnFire = true))(
+        _._2.getTime) {
+        (k, ws, pane) => (k, ws, pane.map(_._3).sum, pane.size.toLong)
+      }
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+      val q = windowed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-trigger"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double, Long)], _: Long) =>
+          fired ++= b.collect(); ()
+        }
+        .start()
+      // window [0,10): exactly 3 elements → count trigger fires+purges early,
+      // long before any watermark movement
+      input.addData((1L, ts(1), 1.0), (1L, ts(3), 2.0), (1L, ts(5), 4.0))
+      q.processAllAvailable()
+      assert(fired.toSet === Set((1L, 0L, 7.0, 3L)), "early count fire, no watermark needed")
+      // window [10,20): only 2 elements → count never fires; the event-time
+      // close (default Fire+Purge) emits them when the watermark passes 20s
+      input.addData((1L, ts(11), 8.0), (1L, ts(13), 16.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(40), 0.5)) // wm → 38s: closes [10,20)
+      q.processAllAvailable()
+      q.stop()
+      assert(fired.toSet === Set((1L, 0L, 7.0, 3L), (1L, 10000L, 24.0, 2L)),
+        "purged early-fired window did NOT re-fire at the watermark; the partial one did")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("punctuated watermark: only marker records advance the watermark") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
