@@ -115,4 +115,49 @@ object TextFunctions {
   def rollingFingerprint(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % lit(1000000007L))
+
+  /** PII patterns, restricted to the RE2∩Java syntax subset (no
+    * backreferences/lookaround) so the DuckDB oracle applies the literal
+    * same regexes. Order matters: emails before bare digit runs.
+    */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhone = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+  val piiLongDigits = "[0-9]{9,16}"
+
+  /** Redact common PII shapes (emails, phone numbers, long digit runs)
+    * from free text — the standard pre-training scrub pass. Pure Column
+    * regexp_replace chain: one codegen'd map stage, no shuffle, applies
+    * identically at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmail, "<EMAIL>"),
+        piiPhone, "<PHONE>"),
+      piiLongDigits, "<ID>")
+
+  /** Count of redactable spans per category (audit/reporting side of the
+    * scrub pass).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(piiEmail), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(piiPhone), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(piiLongDigits), lit(0))).cast("long"))
+
+  /** Deterministic hash-based stratified sampling: keep a row iff
+    * portableHash(idCol) mod 1e6 falls under its stratum's rate. Unlike
+    * `df.sample`, membership is a pure function of the id — reproducible
+    * across runs, engines and cluster layouts, joinable against other
+    * samples, and it pushes down as an ordinary filter (no RNG state, no
+    * per-partition seeds). Rates are per stratum value; absent strata
+    * default to `defaultRate`.
+    */
+  def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Double],
+                     defaultRate: Double = 0.0): Column = {
+    val bucket = pmod(portableHash(id.cast("string"), seed = 7), lit(1000000L))
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === lit(k), lit(r)).otherwise(acc)
+    }
+    bucket < rateCol * lit(1000000L)
+  }
 }

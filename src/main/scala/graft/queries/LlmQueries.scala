@@ -116,6 +116,27 @@ object LlmQueries {
         .select(col("doc_id"), TF.rollingFingerprint(col("text")).as("rh"))
     }),
 
+    // PII scrub pass: redact emails/phones/long digit runs + per-category
+    // audit counts. One codegen'd map stage, no shuffle.
+    "q63_pii_redaction" -> ((s, dir) => {
+      val (ne, np, nd) = TF.piiCounts(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.redactPii(col("text")).as("red_text"),
+          ne.as("n_email"), np.as("n_phone"), nd.as("n_id"))
+    }),
+
+    // Deterministic hash-based stratified sampling (per-language rates):
+    // membership is a pure function of doc_id — reproducible across
+    // engines/runs and pushed down as an ordinary filter, unlike RNG
+    // sampling. The standard corpus-rebalancing op.
+    "q64_stratified_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(TF.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1),
+          defaultRate = 0.0))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Capstone: full curation pipeline (quality gate → LSH near-dup
     // removal → per-language corpus stats), all stages previously
     // verified individually, composed declaratively.
@@ -295,6 +316,23 @@ object LlmQueries {
            list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
          FROM documents""",
+    "q63_pii_redaction" ->
+      s"""SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '${TF.piiEmail}', '<EMAIL>', 'g'),
+           '${TF.piiPhone}', '<PHONE>', 'g'),
+           '${TF.piiLongDigits}', '<ID>', 'g') AS red_text,
+         CAST(len(regexp_extract_all(text, '${TF.piiEmail}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '${TF.piiPhone}')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(text, '${TF.piiLongDigits}')) AS BIGINT) AS n_id
+         FROM documents""",
+    "q64_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (CAST(concat('0x', substr(md5(concat('7', '|',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000) <
+           CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                     WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
+                     ELSE 0.0 END * 1000000""",
     "q61_tfidf" ->
       s"""WITH $tkCte,
          ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),

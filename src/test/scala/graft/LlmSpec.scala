@@ -168,6 +168,38 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("PII redaction masks emails, phones and long digit runs, counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact jane.doe+x@example.org or call 555-123-4567 ref 123456789012"),
+      (2L, "no pii here, just words and the number 42"))
+      .toDF("doc_id", "text")
+    val (ne, np, nd) = graft.llm.TextFunctions.piiCounts(col("text"))
+    val rows = df.select(col("doc_id"),
+        graft.llm.TextFunctions.redactPii(col("text")).as("red"),
+        ne.as("e"), np.as("p"), nd.as("d"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) === "contact <EMAIL> or call <PHONE> ref <ID>")
+    assert((rows(1L).getLong(2), rows(1L).getLong(3), rows(1L).getLong(4)) === ((1L, 1L, 1L)))
+    assert(rows(2L).getString(1) === "no pii here, just words and the number 42")
+    assert((rows(2L).getLong(2), rows(2L).getLong(3), rows(2L).getLong(4)) === ((0L, 0L, 0L)))
+  }
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val keep = graft.llm.TextFunctions.stratifiedKeep(
+      col("doc_id"), col("lang"), Map("en" -> 0.5), defaultRate = 0.0)
+    val kept = df.where(keep).select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en"), "zero-rate stratum fully excluded")
+    val frac = kept.length / 2000.0
+    assert(math.abs(frac - 0.5) < 0.05, s"en keep fraction $frac far from 0.5")
+    // purely id-determined: a second evaluation selects the identical set
+    val again = df.where(keep).select("doc_id").as[Long].collect().toSet
+    assert(again === kept.map(_._1).toSet)
+  }
+
   test("langId picks marker-dominant language deterministically") {
     import spark.implicits._
     val out = Seq(
