@@ -25,7 +25,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { consume(fn(spark, sfDir)) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // operators persist intermediates (LSH signature/band tables); drop
+      // them between queries so one query's cache pressure can't skew the
+      // next measurement or the streaming slice
+      spark.catalog.clearCache()
+      name -> secs
     }
     // streaming slice: exact-count map→count micro-batch pipeline
     val streamRps = streamingMapCountRps(spark, rows = 5000000L)

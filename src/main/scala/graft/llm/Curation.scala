@@ -25,7 +25,10 @@ object Curation {
              jaccardThreshold: Double = 0.5): DataFrame = {
     val quality = docs.withColumn("quality",
       TextFunctions.qualityScore(col("text"), stopwords))
+    // kept feeds both the near-dup pipeline and the final anti-join: one
+    // materialized quality pass instead of two token-level rescans
     val kept = quality.where(col("quality") >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupDrop = Dedup.nearDuplicatePairs(kept, "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -185,8 +185,11 @@ object Similarity {
                                     vecCol: String, bands: Int,
                                     planesPerBand: Int, dims: Int,
                                     threshold: Double): DataFrame = {
+    // consumed three times (band derivation + both candidate-pair sides):
+    // materialize one scan+cast instead of three
     val v = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = v
       .select(col("vec_id"),
         posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
@@ -236,6 +239,7 @@ object Similarity {
                         bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = v
       .select(col("vec_id"),
         posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
