@@ -116,6 +116,24 @@ object TextFunctions {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % lit(1000000007L))
 
+  /** Within-document repetition: the fraction of n-gram OCCURRENCES that
+    * are repeats of an earlier one (0 = all distinct, → 1 = the document
+    * loops) — the standard corpus-quality signal for boilerplate and
+    * generation loops. Pure Column arithmetic over the token array; pair
+    * with `qualityScore` in curation gates.
+    */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val total = greatest(size(t) - lit(n - 1), lit(0))
+    val distinctCnt = size(
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+          j => concat_ws(" ", slice(t, j, lit(n))))))
+        .otherwise(array().cast("array<string>")))
+    when(total === 0, lit(0.0))
+      .otherwise(lit(1.0) - distinctCnt.cast("double") / total.cast("double"))
+  }
+
   /** PII patterns, restricted to the RE2∩Java syntax subset (no
     * backreferences/lookaround) so the DuckDB oracle applies the literal
     * same regexes. Order matters: emails before bare digit runs.

@@ -125,6 +125,15 @@ object LlmQueries {
           ne.as("n_email"), np.as("n_phone"), nd.as("n_id"))
     }),
 
+    // Within-document repetition scores (token- and trigram-level): the
+    // boilerplate/loop-detection quality signal. Narrow map stage.
+    "q65_repetition_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TF.repetitionScore(col("text"), 1).as("rep1"),
+          TF.repetitionScore(col("text"), 3).as("rep3"))
+    }),
+
     // Deterministic hash-based stratified sampling (per-language rates):
     // membership is a pure function of doc_id — reproducible across
     // engines/runs and pushed down as an ordinary filter, unlike RNG
@@ -326,6 +335,17 @@ object LlmQueries {
          CAST(len(regexp_extract_all(text, '${TF.piiPhone}')) AS BIGINT) AS n_phone,
          CAST(len(regexp_extract_all(text, '${TF.piiLongDigits}')) AS BIGINT) AS n_id
          FROM documents""",
+    "q65_repetition_score" ->
+      s"""WITH $tkCte
+         SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS rep1,
+           CASE WHEN len(t) - 2 <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    j -> concat(t[j], ' ', t[j+1], ' ', t[j+2])))) AS DOUBLE)
+                  / (len(t) - 2) END AS rep3
+         FROM tk""",
     "q64_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE (CAST(concat('0x', substr(md5(concat('7', '|',

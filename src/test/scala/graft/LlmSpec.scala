@@ -200,6 +200,23 @@ class LlmSpec extends AnyFunSuite {
     assert(again === kept.map(_._1).toSet)
   }
 
+  test("repetition score: 0 for all-distinct text, high for looped text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),            // all distinct
+      (2L, "spam spam spam spam spam"),   // one token looped
+      (3L, ""))                           // empty
+      .toDF("doc_id", "text")
+    val m = df.select(col("doc_id"),
+        graft.llm.TextFunctions.repetitionScore(col("text"), 1).as("r1"),
+        graft.llm.TextFunctions.repetitionScore(col("text"), 3).as("r3"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L) === ((0.0, 0.0)))
+    assert(m(2L)._1 === 0.8)  // 5 occurrences, 1 distinct
+    assert(m(2L)._2 === 1.0 - 1.0 / 3.0) // 3 trigram occurrences, 1 distinct
+    assert(m(3L) === ((0.0, 0.0)))
+  }
+
   test("langId picks marker-dominant language deterministically") {
     import spark.implicits._
     val out = Seq(
@@ -231,5 +248,20 @@ class LlmSpec extends AnyFunSuite {
       s"scan not pruned in:\n$plan")
     // no shuffle anywhere — per-document ops are a narrow map stage
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("pii redaction and stratified sampling plan as shuffle-free scans") {
+    for (q <- Seq("q63_pii_redaction", "q64_stratified_sample")) {
+      val df = graft.queries.LlmQueries.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q: unexpected shuffle in:\n$plan")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("DeserializeToObject"),
+        s"$q: unexpected UDF/objects in:\n$plan")
+    }
+    // sampling projects only the two needed columns from the scan
+    val plan64 = graft.queries.LlmQueries.queries("q64_stratified_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan64.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"sampling scan not pruned:\n$plan64")
   }
 }
