@@ -167,11 +167,17 @@ object LlmQueries {
       val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"),
           round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("tok").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
+      // top term per doc as a hash aggregate, NOT a ranking window:
+      // min(struct(-tfidf, tok)) picks (max tfidf, ties → min tok) — same
+      // winner as the oracle's row_number ordering — with a map-side
+      // partial combine instead of a full per-doc sort. At 100 TB the
+      // window form re-sorts every (doc, term) pair; this shuffles one
+      // struct per doc.
+      scored.groupBy(col("doc_id"))
+        .agg(min(struct(negate(col("tfidf")).as("neg"), col("tok"))).as("top"))
+        .select(col("doc_id"), col("top.tok").as("top_term"),
+          // + 0.0 folds IEEE -0.0 (a negated zero score) back to 0.0
+          (negate(col("top.neg")) + lit(0.0)).as("tfidf"))
     }),
 
     // Binary payload columns (multimodal plumbing): byte lengths and

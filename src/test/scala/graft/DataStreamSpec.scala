@@ -32,6 +32,15 @@ class DataStreamSpec extends AnyFunSuite {
     assert(out === Set(("a", 10), ("b", 20))) // inner: unmatched keys drop
   }
 
+  test("typed join against a small dimension plans as a broadcast hash join") {
+    val df = graft.queries.DataStreamQueries.queries("q62_ds_typed_join")(
+      spark, sfDir)
+    df.head() // materialize so AQE settles the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"typed join over a dim should broadcast:\n$plan")
+  }
+
   test("rich lifecycle opens once per partition before first element") {
     import spark.implicits._
     val env = StreamExecutionEnvironment(spark)
