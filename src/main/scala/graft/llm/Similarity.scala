@@ -230,6 +230,38 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Banded ANN top-k: the k nearest neighbors per vector among candidates
+    * sharing ANY band bucket. The ranking sorts only each vector's
+    * candidate set (bounded by band-bucket sizes), never the corpus — the
+    * production ANN query shape (nearest-1 is `annNearestInBands`).
+    */
+  def annTopKInBands(emb: DataFrame, idCol: String, vecCol: String,
+                     bands: Int, planesPerBand: Int, dims: Int,
+                     k: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = v
+      .select(col("vec_id"),
+        posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
+      .toDF("vec_id", "band", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
+      .distinct()
+    val scored = cand
+      .join(v.select(col("vec_id"), col("v")), "vec_id")
+      .join(v.select(col("vec_id").as("nn_id"), col("v").as("nv")), "nn_id")
+      .select(col("vec_id"), col("nn_id"),
+        round(cosine(col("v"), col("nv")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Banded ANN: nearest neighbor per vector among candidates sharing ANY
     * band bucket — multi-table probing for recall, with each band's bucket
     * count still bounding the self-join. Vectors sharing no band with

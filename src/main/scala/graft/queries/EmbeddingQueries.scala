@@ -32,6 +32,13 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 4,
         dims = 64)),
 
+    // Banded ANN top-k: the production ANN query — k nearest among banded
+    // candidates, ranking bounded by candidate-set size per vector.
+    "q66_ann_topk" -> ((s, dir) =>
+      Similarity.annTopKInBands(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 4,
+        dims = 64, k = 3)),
+
     // Embedding-cosine near-dup pairs: banded-LSH candidates (any shared
     // band) then exact cosine filter. (Fixture embeddings are near-random —
     // threshold tuned to be non-empty; real corpora use ≥0.9.)
@@ -89,6 +96,36 @@ object EmbeddingQueries {
          SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(nn_id AS BIGINT) AS nn_id, score
          FROM r WHERE rn = 1""",
+    "q66_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
+             FROM (SELECT unnest(generate_series(0, 15)) AS p),
+                  (SELECT unnest(range(64)) AS i)),
+         dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
+             FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
+         bk AS (SELECT vec_id, p // 4 AS band,
+               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 4))
+                        ELSE 0 END) AS BIGINT) AS bucket
+             FROM dotp GROUP BY vec_id, p // 4),
+         cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+             FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
+         d AS (SELECT c.vec_id, c.nn_id, sum(ea.x * eb.x) AS dp
+             FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
+                         JOIN e eb ON eb.vec_id = c.nn_id AND eb.i = ea.i
+             GROUP BY 1, 2),
+         s AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM d JOIN n na ON na.vec_id = d.vec_id
+                    JOIN n nb ON nb.vec_id = d.nn_id),
+         r AS (SELECT vec_id, nn_id, score,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, nn_id ASC) AS BIGINT) AS rnk FROM s)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(nn_id AS BIGINT) AS nn_id, score, rnk
+         FROM r WHERE rnk <= 3""",
     "q55_embedding_near_dup" ->
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),
