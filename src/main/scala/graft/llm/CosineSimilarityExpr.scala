@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -11,12 +11,46 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * separate interpreted `zip_with`/`aggregate` passes (each allocating a
   * boxed intermediate array) for the Column-composed form. Same value
   * (IEEE, same accumulation order); the spec asserts equality.
+  *
+  * Implements `doGenCode` (not CodegenFallback): the exact-scoring stage of
+  * every similarity query stays inside whole-stage codegen — no per-row
+  * virtual eval call, no InternalRow boxing — with the generated loop
+  * mirroring the interpreted one statement-for-statement.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = $a.getDouble($i);
+          double $yv = $b.getDouble($i);
+          $dot += $xv * $yv;
+          $nx += $xv * $xv;
+          $ny += $yv * $yv;
+        }
+        double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        if ($denom == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / $denom;
+        }
+      """
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

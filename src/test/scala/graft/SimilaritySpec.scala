@@ -57,6 +57,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.values.toSet.size > 10, "vectors spread across buckets")
   }
 
+  test("cosine doGenCode compiles under CODEGEN_ONLY (no silent fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // non-foldable children so constant folding can't bypass codegen
+      val r = spark.range(3).filter(col("id") === 2)
+        .select(Similarity.cosine(
+          array(col("id").cast("double"), lit(1.0)),
+          array(lit(1.0), col("id").cast("double"))).as("c"))
+        .head().getDouble(0)
+      assert(math.abs(r - 0.8) < 1e-12) // (2,1)·(1,2)/5 = 0.8
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("native band buckets equal the Column-composed form on real embeddings") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
