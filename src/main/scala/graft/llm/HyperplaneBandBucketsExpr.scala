@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -20,13 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * per plane with no allocation, weights resolved to a flat primitive
   * array at plan time.
   *
-  * Interpreted eval with CodegenFallback, like the other graft native
-  * expressions: the hand-written inner loop dominates; per-row virtual-call
-  * overhead is noise (see MinHashSignatureExpr).
+  * Implements `doGenCode` (the weight matrix rides along as a codegen
+  * reference object), so the band-derivation stage stays inside
+  * whole-stage codegen like the cosine scorer. The md5-based expressions
+  * (shingles/minhash/simhash) stay CodegenFallback deliberately: their
+  * cost is the digest, not dispatch.
   */
 case class HyperplaneBandBucketsExpr(child: Expression, bands: Int,
                                      planesPerBand: Int, dims: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(bands > 0 && planesPerBand > 0 && planesPerBand <= 63)
 
@@ -70,6 +72,39 @@ case class HyperplaneBandBucketsExpr(child: Expression, bands: Int,
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val w = ctx.addReferenceObj("planeWeights", weights, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val band = ctx.freshName("band")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      s"""
+        int $n = java.lang.Math.min($arr.numElements(), $dims);
+        long[] $out = new long[$bands];
+        int $p = 0;
+        for (int $band = 0; $band < $bands; $band++) {
+          long $bucket = 0L;
+          for (int $j = 0; $j < $planesPerBand; $j++) {
+            int $base = $p * $dims;
+            double $dot = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $dot += $arr.getDouble($i) * $w[$base + $i];
+            }
+            if ($dot > 0) $bucket |= (1L << $j);
+            $p++;
+          }
+          $out[$band] = $bucket;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBandBucketsExpr =
     copy(child = newChild)

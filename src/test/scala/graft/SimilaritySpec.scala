@@ -68,6 +68,14 @@ class SimilaritySpec extends AnyFunSuite {
           array(lit(1.0), col("id").cast("double"))).as("c"))
         .head().getDouble(0)
       assert(math.abs(r - 0.8) < 1e-12) // (2,1)·(1,2)/5 = 0.8
+      // band buckets as well: generated loop must equal interpreted eval
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .limit(50)
+      val pair = emb.select(
+        Similarity.hyperplaneBandBuckets(col("v"), 4, 4, 64).as("native"),
+        Similarity.hyperplaneBandBucketsHof(col("v"), 4, 4, 64).as("hof")).collect()
+      pair.foreach(r2 => assert(r2.getSeq[Long](0) === r2.getSeq[Long](1)))
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
