@@ -653,6 +653,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState session/sliding windows match a reference computation on fixture data") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      // the REAL events fixture (1000 rows, 15 users), not toy rows
+      val events = graft.core.Tables.events(spark, TestSession.sfDir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+      val maxTs = events.map(_._2.getTime).max
+      val sentinel = (-1L, new java.sql.Timestamp(maxTs + 86400000L), 0.0)
+
+      def runStreaming[OUT: org.apache.spark.sql.Encoder](
+          name: String)(
+          build: org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, java.sql.Timestamp, Double)] =>
+            org.apache.spark.sql.Dataset[OUT]): Seq[OUT] = {
+        val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+        val grouped = input.toDS().toDF("k", "ts", "v")
+          .withWatermark("ts", "1 second")
+          .as[(Long, java.sql.Timestamp, Double)]
+          .groupByKey(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[OUT]
+        val q = build(grouped).writeStream.outputMode("append")
+          .option("checkpointLocation", tmp(name))
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[OUT], _: Long) =>
+            out ++= b.collect(); ()
+          }.start()
+        input.addData(events: _*)
+        q.processAllAvailable()
+        input.addData(sentinel) // watermark past every window end
+        q.processAllAvailable()
+        q.stop()
+        out.toSeq
+      }
+
+      // --- session windows, 30 min gap ---
+      val gap = 1800000L
+      val gotSessions = runStreaming("ckpt-eq-sess") { grouped =>
+        TransformWithStateOps.sessionProcessWindow(grouped, gap)(_._2.getTime) {
+          (k, start, end, pane) => (k, start, end, pane.size.toLong)
+        }
+      }.filter(_._1 >= 0).toSet
+      val expSessions = events.groupBy(_._1).flatMap { case (k, evs) =>
+        val ts = evs.map(_._2.getTime).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var start = ts.head; var last = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - last >= gap) { sessions += ((start, last + gap, n)); start = t; n = 0L }
+          last = t; n += 1
+        }
+        sessions += ((start, last + gap, n))
+        sessions.map { case (s, e, c) => (k, s, e, c) }
+      }.toSet
+      assert(gotSessions === expSessions,
+        s"session mismatch: extra=${gotSessions -- expSessions} missing=${expSessions -- gotSessions}")
+
+      // --- sliding windows, 2 h size / 1 h slide ---
+      val (size, slide) = (7200000L, 3600000L)
+      val gotSliding = runStreaming("ckpt-eq-slide") { grouped =>
+        TransformWithStateOps.slidingProcessWindow(grouped, size, slide)(_._2.getTime) {
+          (k, ws, pane) => (k, ws, pane.size.toLong)
+        }
+      }.filter(_._1 >= 0).toSet
+      val expSliding = events
+        .flatMap { case (k, t, _) =>
+          val last = graft.datastream.WindowedStream.startFor(t.getTime, slide, 0L)
+          Iterator.iterate(last)(_ - slide).takeWhile(_ > t.getTime - size)
+            .map(ws => (k, ws))
+        }
+        .groupBy(identity).map { case ((k, ws), rows) => (k, ws, rows.size.toLong) }
+        .toSet
+      assert(gotSliding === expSliding,
+        s"sliding mismatch: extra=${gotSliding -- expSliding} missing=${expSliding -- gotSliding}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches clicks to impressions within bounds") {
     val impressions = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
