@@ -23,20 +23,21 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     }),
 
-    // Banded ANN: 16 md5-derived hyperplanes as 4 independent 4-plane
-    // tables (64 dims) — multi-table probing for recall; per-band bucket
-    // count still bounds the self-join (plane count scales via
-    // Similarity.suggestedPlanes at real corpus sizes).
+    // Banded ANN: 32 md5-derived hyperplanes as 4 independent 8-plane
+    // tables (64 dims) — multi-table probing for recall; each band's 256
+    // buckets keep per-bucket population (and with it the candidate
+    // self-join) ~n/256 (plane count scales via Similarity.suggestedPlanes
+    // at real corpus sizes).
     "q46_ann_lsh" -> ((s, dir) =>
       Similarity.annNearestInBands(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 4,
+        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 8,
         dims = 64)),
 
     // Banded ANN top-k: the production ANN query — k nearest among banded
     // candidates, ranking bounded by candidate-set size per vector.
     "q66_ann_topk" -> ((s, dir) =>
       Similarity.annTopKInBands(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 4,
+        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 8,
         dims = 64, k = 3)),
 
     // Embedding-cosine near-dup pairs: banded-LSH candidates (any shared
@@ -44,7 +45,7 @@ object EmbeddingQueries {
     // threshold tuned to be non-empty; real corpora use ≥0.9.)
     "q55_embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDuplicatesBanded(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 4,
+        idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 8,
         dims = 64, threshold = 0.3))
   )
 
@@ -70,14 +71,14 @@ object EmbeddingQueries {
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),
          planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 15)) AS p),
+             FROM (SELECT unnest(generate_series(0, 31)) AS p),
                   (SELECT unnest(range(64)) AS i)),
          dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
              FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id, p // 4 AS band,
-               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 4))
+         bk AS (SELECT vec_id, p // 8 AS band,
+               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
                         ELSE 0 END) AS BIGINT) AS bucket
-             FROM dotp GROUP BY vec_id, p // 4),
+             FROM dotp GROUP BY vec_id, p // 8),
          cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
              FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                AND a.vec_id <> b.vec_id),
@@ -100,14 +101,14 @@ object EmbeddingQueries {
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),
          planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 15)) AS p),
+             FROM (SELECT unnest(generate_series(0, 31)) AS p),
                   (SELECT unnest(range(64)) AS i)),
          dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
              FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id, p // 4 AS band,
-               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 4))
+         bk AS (SELECT vec_id, p // 8 AS band,
+               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
                         ELSE 0 END) AS BIGINT) AS bucket
-             FROM dotp GROUP BY vec_id, p // 4),
+             FROM dotp GROUP BY vec_id, p // 8),
          cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
              FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                AND a.vec_id <> b.vec_id),
@@ -130,14 +131,14 @@ object EmbeddingQueries {
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),
          planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 15)) AS p),
+             FROM (SELECT unnest(generate_series(0, 31)) AS p),
                   (SELECT unnest(range(64)) AS i)),
          dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
              FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id, p // 4 AS band,
-               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 4))
+         bk AS (SELECT vec_id, p // 8 AS band,
+               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
                         ELSE 0 END) AS BIGINT) AS bucket
-             FROM dotp GROUP BY vec_id, p // 4),
+             FROM dotp GROUP BY vec_id, p // 8),
          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                AND a.vec_id < b.vec_id),
