@@ -32,13 +32,17 @@ object DataStreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // keyBy + reduce (IReduceOperator): per-user value totals, computed by
-    // pairwise record combination exactly as the reference reduces.
+    // pairwise record combination exactly as the reference reduces. The
+    // emitted sum is rounded to cents: the true total of 2-dp values IS a
+    // 2-dp decimal, the double drift from reduction order is ~1e-10 —
+    // far below a half-cent — so rounding recovers the exact decimal on
+    // any engine and any reduction tree (the q47 lesson, typed edition).
     "q31_ds_keyby_reduce" -> ((s, dir) => {
       import s.implicits._
       eventStream(s, dir)
         .keyBy(_.user_id)
         .reduce((a, b) => a.copy(value = a.value + b.value))
-        .map { case (k, e) => (k, e.value) }
+        .map { case (k, e) => (k, math.round(e.value * 100) / 100.0) }
         .ds.toDF("user_id", "sum_value")
     }),
 
@@ -66,7 +70,8 @@ object DataStreamQueries {
         .keyBy(_.user_id)
         .window(TumblingEventTimeWindows.of(Time.days(1)), _.ts.getTime)
         .reduce((a, b) => a.copy(value = a.value + b.value))
-        .map { case (uid, wStart, e) => (uid, wStart, e.value) }
+        .map { case (uid, wStart, e) =>
+          (uid, wStart, math.round(e.value * 100) / 100.0) } // cents-exact
         .ds.toDF("user_id", "w_start", "sum_value")
     }),
 
@@ -78,7 +83,7 @@ object DataStreamQueries {
         def process(key: Long, w: TimeWindow, elements: Iterator[Event]) = {
           var n = 0L; var sum = 0.0
           elements.foreach { e => n += 1; sum += e.value }
-          Seq((key, w.start, n, sum))
+          Seq((key, w.start, n, math.round(sum * 100) / 100.0)) // cents-exact
         }
       }
       eventStream(s, dir)
@@ -92,11 +97,16 @@ object DataStreamQueries {
     // zero/add/merge/finish): weighted average of value by event count.
     "q35_ds_keyed_aggregate" -> ((s, dir) => {
       import s.implicits._
-      val avgAgg = new AggregateFunction[Event, (Double, Long), Double] {
-        def createAccumulator() = (0.0, 0L)
-        def add(acc: (Double, Long), e: Event) = (acc._1 + e.value, acc._2 + 1)
-        def getResult(acc: (Double, Long)) = if (acc._2 == 0) 0.0 else acc._1 / acc._2
-        def merge(a: (Double, Long), b: (Double, Long)) = (a._1 + b._1, a._2 + b._2)
+      // cents-Long accumulator: summation is exact and order-independent
+      // (2-dp inputs), so the final division is deterministic on any
+      // partial/merge tree — same zero/add/merge/finish contract
+      val avgAgg = new AggregateFunction[Event, (Long, Long), Double] {
+        def createAccumulator() = (0L, 0L)
+        def add(acc: (Long, Long), e: Event) =
+          (acc._1 + math.round(e.value * 100), acc._2 + 1)
+        def getResult(acc: (Long, Long)) =
+          if (acc._2 == 0) 0.0 else (acc._1.toDouble / 100.0) / acc._2.toDouble
+        def merge(a: (Long, Long), b: (Long, Long)) = (a._1 + b._1, a._2 + b._2)
       }
       eventStream(s, dir)
         .keyBy(_.event_type)
@@ -134,14 +144,15 @@ object DataStreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q31_ds_keyby_reduce" ->
-      "SELECT user_id, sum(value) AS sum_value FROM events GROUP BY user_id",
+      """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id""",
     "q32_ds_flatmap_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
            SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents) t
          WHERE token <> '' GROUP BY token""",
     "q33_ds_window_reduce" ->
       """SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS w_start,
-         sum(value) AS sum_value
+         CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     // Session semantics identical to q28 but through the typed path, at ms
     // precision (the typed extractor uses Timestamp.getTime = epoch ms).
@@ -159,10 +170,13 @@ object DataStreamQueries {
              ROWS UNBOUNDED PRECEDING) AS sess_id
            FROM e)
          SELECT user_id, min(ms) AS sess_start_ms,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY user_id, sess_id""",
     "q35_ds_keyed_aggregate" ->
-      "SELECT event_type, avg(value) AS avg_value FROM events GROUP BY event_type",
+      """SELECT event_type,
+         (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+           / CAST(count(*) AS DOUBLE) AS avg_value
+         FROM events GROUP BY event_type""",
     "q62_ds_typed_join" ->
       """SELECT o_orderkey, c_mktsegment, o_orderstatus
          FROM orders JOIN customer ON o_custkey = c_custkey""",
