@@ -226,4 +226,52 @@ object Dedup {
     docs.withColumn("fp", fingerprint(col(textCol)))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Connected components over an undirected near-duplicate edge list:
+    * resolves PAIRS into CLUSTERS so curation keeps exactly one document
+    * per transitive duplicate group (pairwise drop-the-higher-id keeps two
+    * survivors from {1-9, 5-9}; the cluster view keeps only 1). Iterative
+    * min-label propagation, all DataFrame ops: each round every node takes
+    * the min label among itself and its neighbors; `localCheckpoint`
+    * truncates the growing lineage per round. Rounds = eccentricity of
+    * each cluster's min node — tiny for near-dup clusters (dense blobs);
+    * a pathological million-node chain would want the large-star/
+    * small-star variant (O(log n) rounds), same join pattern.
+    * Returns (node, cluster_id = min node id of the component).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b"): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("nb")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, col("node") === col("nb"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "node")
+        .where(col("n.cluster_id") < col("o.cluster_id")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate CLUSTER assignment: LSH pairs → connected components.
+    * Output (doc_id, cluster_id) for every document in at least one
+    * confirmed pair; curation keeps cluster_id == doc_id (the minimum).
+    */
+  def nearDuplicateClusters(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                            threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      nearDuplicatePairs(docs, idCol, textCol, shingleN, k, bands, threshold))
+      .select(col("node").as("doc_id"), col("cluster_id"))
 }

@@ -91,6 +91,13 @@ object LlmQueries {
       Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
 
+    // Near-dup CLUSTER resolution: LSH pairs → connected components, one
+    // cluster id (the component minimum) per document. The piece between
+    // pair detection and "keep one per duplicate group".
+    "q67_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
+
     // Exact pairwise n-gram Jaccard within a partition key (source),
     // inverted-index formulation: hash joins + group counts, never a
     // per-pair array intersection, and non-overlapping pairs never exist.
@@ -263,6 +270,25 @@ object LlmQueries {
                        / len(list_distinct(list_concat(a.s, b.s))) END AS jac
            FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5""",
+    "q67_dedup_clusters" ->
+      s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
+         )
+         SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node""",
     "q43_ngram_jaccard" ->
       s"""WITH $tkCte, ${shingleCte(3)},
          d AS (SELECT sh.doc_id, tk.source, sh.s FROM sh JOIN tk ON sh.doc_id = tk.doc_id

@@ -150,6 +150,18 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("connected components merge transitive near-dup chains into one cluster") {
+    import spark.implicits._
+    // {1,5,9} connected only through 9, {10,11,12} a chain — pairwise
+    // drop-higher-id would keep both 1 and 5; clusters keep the minimum
+    val pairs = Seq((1L, 9L), (5L, 9L), (10L, 11L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 5L -> 1L, 9L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("simhash near-dup (64-bit, 16-bit bands) recalls planted near-dups, skips unrelated") {
     import spark.implicits._
     // fixture chosen by computing the md5-derived 64-bit simhash offline:
