@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Returns the curated corpus: documents above `minQuality` that are not
-    * the higher-id side of any confirmed near-duplicate pair.
+  /** Returns the curated corpus: documents above `minQuality`, keeping
+    * exactly ONE document (the cluster-minimum id) per transitive
+    * near-duplicate cluster. Cluster resolution matters: dropping the
+    * higher id of each PAIR keeps two survivors from {1↔9, 5↔9} even
+    * though 1 and 5 are transitive duplicates; connected components keep
+    * only 1.
     */
   def curate(docs: DataFrame, stopwords: Seq[String],
              minQuality: Double = 0.4,
@@ -29,9 +33,11 @@ object Curation {
     // materialized quality pass instead of two token-level rescans
     val kept = quality.where(col("quality") >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupDrop = Dedup.nearDuplicatePairs(kept, "doc_id", "text",
-        shingleN = 3, k = 8, bands = 4, threshold = jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val clusters = Dedup.connectedComponents(
+      Dedup.nearDuplicatePairs(kept, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = jaccardThreshold))
+    val dupDrop = clusters.where(col("cluster_id") =!= col("node"))
+      .select(col("node").as("doc_id"))
     kept.join(dupDrop, Seq("doc_id"), "left_anti")
   }
 }

@@ -306,7 +306,7 @@ object LlmQueries {
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS sh16 FROM hh""",
     "q58_curation_pipeline" ->
-      s"""WITH $tkCte,
+      s"""WITH RECURSIVE $tkCte,
          m AS (SELECT doc_id, lang, text, t,
              CASE WHEN len(t) = 0 THEN 0.0
                   ELSE CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t) END AS stop_ratio,
@@ -332,7 +332,16 @@ object LlmQueries {
                   ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.s, b.s))) END AS jac
            FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         drp AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jac >= 0.5)
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= 0.5
+                 UNION ALL SELECT doc_b, doc_a FROM pairs WHERE jac >= 0.5),
+         cnodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM cnodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
+         ),
+         cl AS (SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node),
+         drp AS (SELECT node AS doc_id FROM cl WHERE cluster_id <> node)
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, avg(quality) AS avg_quality
          FROM kept LEFT JOIN drp ON kept.doc_id = drp.doc_id
          WHERE drp.doc_id IS NULL
