@@ -70,6 +70,19 @@ object ExtendedRelationalQueries {
              max(col("asof_signup_us")).as("last_signup_us"))
     }),
 
+    // Batch interval join in equi-join shape (the §2.5 interval row's
+    // batch form): ordered event pairs of the same user within 10 minutes,
+    // joined on (user, time-bucket) — a shuffled equi-join, never a
+    // per-key cross product or a nested-loop range join.
+    "q68_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      graft.streaming.StreamJoins.bucketedIntervalJoin(e, e, "user_id", "ts", 600000L)
+        .where(col("b_ts") > col("a_ts") ||
+          (col("b_ts") === col("a_ts") && col("a_event_id") < col("b_event_id")))
+        .groupBy(col("a_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // CUBE: all grouping-set combinations (reference lacks these entirely).
     "q51_cube" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -159,6 +172,13 @@ object ExtendedRelationalQueries {
            CAST(count(*) AS BIGINT) AS n_events,
            max(asof_signup_us) AS last_signup_us
          FROM a GROUP BY user_id""",
+    "q68_interval_join" ->
+      """SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND b.ts >= a.ts
+           AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 600000
+           AND (b.ts > a.ts OR (b.ts = a.ts AND a.event_id < b.event_id))
+         GROUP BY a.user_id""",
     "q51_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
          sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue

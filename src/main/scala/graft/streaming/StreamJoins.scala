@@ -25,6 +25,35 @@ object StreamJoins {
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upperMs MILLISECONDS")
     left.join(right, cond).drop(right(keyCol))
   }
+
+  /** BATCH interval join in equi-join shape: right.ts ∈ [left.ts,
+    * left.ts + upperMs] on a shared key. A naive (key, range-predicate)
+    * join is an equi-join on key only — one hot key degenerates to a
+    * per-key cross product. Bucketing time into `upperMs`-wide windows
+    * makes (key, bucket) the join key: each left row explodes into the ≤2
+    * buckets its interval can touch, the join is a plain shuffled
+    * hash/sort-merge join, and the exact bound filters after the match.
+    * Candidate volume is O(rows × pairs-per-2-buckets), never per-key n².
+    * Columns: left* prefixed `a_`, right* `b_` for the caller to select.
+    */
+  def bucketedIntervalJoin(left: DataFrame, right: DataFrame,
+                           keyCol: String, tsCol: String,
+                           upperMs: Long): DataFrame = {
+    require(upperMs > 0)
+    val w = upperMs
+    val la = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      .withColumn("__bucket", explode(array_distinct(array(
+        floor(unix_millis(col(s"a_$tsCol")) / w),
+        floor((unix_millis(col(s"a_$tsCol")) + w) / w)))))
+      .withColumn("__key", col(s"a_$keyCol"))
+    val rb = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      .withColumn("__bucket", floor(unix_millis(col(s"b_$tsCol")) / w))
+      .withColumn("__key", col(s"b_$keyCol"))
+    la.join(rb, Seq("__key", "__bucket"))
+      .where(col(s"b_$tsCol") >= col(s"a_$tsCol") &&
+        unix_millis(col(s"b_$tsCol")) - unix_millis(col(s"a_$tsCol")) <= w)
+      .drop("__key", "__bucket")
+  }
 }
 
 /** Skew mitigation for heavy-hitter join keys (SURVEY §4: "skewed keys →

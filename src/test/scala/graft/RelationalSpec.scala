@@ -159,6 +159,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(joined.head().getDouble(0) > 0)
   }
 
+  test("bucketed interval join plans as an equi-join, never a nested loop") {
+    val df = graft.queries.ExtendedRelationalQueries.queries("q68_interval_join")(
+      spark, sfDir)
+    df.head() // settle AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi-join on (key, bucket):\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$plan")
+  }
+
   test("WeightedAvg aggregator merge is associative and order-insensitive") {
     val w = new graft.operators.WeightedAvg
     val vals = Seq((10.0, 2.0), (20.0, 3.0), (5.0, 1.0), (40.0, 4.0))
