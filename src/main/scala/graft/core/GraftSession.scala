@@ -83,6 +83,17 @@ object Money {
   /** (1 + rate) in decimal: (4,2) on both engines. */
   def onePlus(c: Column): Column = lit(1).cast("decimal(3,2)") + rate(c)
 
+  /** Decimal SUM aligned to DuckDB's result type. DuckDB widens
+    * sum(DECIMAL(p,s)) to DECIMAL(38,s); Spark uses min(38, p+10) — e.g.
+    * sum(decimal(14,2)) → decimal(24,2), products → (29,4)/(34,6). The
+    * values are identical but the correctness driver hashes the declared
+    * type too, so cast the aggregate OUTPUT (lossless widening) to (38,s).
+    */
+  def sum38(e: Column, scale: Int): Column = sum(e).cast(s"decimal(38,$scale)")
+
+  /** sum of a 2-dp money source column at DuckDB's output type (38,2). */
+  def sumDec(c: Column): Column = sum38(dec(c), 2)
+
   /** Order-independent mean: exact decimal sum, divided in double so both
     * engines divide bit-identical operands.
     */

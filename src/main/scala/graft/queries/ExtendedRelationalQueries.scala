@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.core.Money.dec
+import graft.core.Money.{dec, sum38, sumDec}
 
 /** Remaining SURVEY §2.4/§2.5 capability rows: outer joins, range
   * (non-equi) join, as-of join, cube, HLL approximate distinct.
@@ -23,7 +23,7 @@ object ExtendedRelationalQueries {
              // Spark's partial-agg tree and the oracle's scan → last-bit
              // drift that can land on the driver's %.6g rounding boundary
              // (this exact query did, round 1).
-             sum(coalesce(dec(col("o_totalprice")), lit(0).cast("decimal(14,2)"))).as("revenue"),
+             sum38(coalesce(dec(col("o_totalprice")), lit(0).cast("decimal(14,2)")), 2).as("revenue"),
              count(lit(1)).as("n_rows"))
     }),
 
@@ -49,7 +49,7 @@ object ExtendedRelationalQueries {
         .join(broadcast(buckets),
           col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("revenue"))
+        .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice")).as("revenue"))
     }),
 
     // As-of join, window formulation: for every event, the most recent
@@ -87,7 +87,7 @@ object ExtendedRelationalQueries {
     "q51_cube" -> ((s, dir) => {
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("revenue"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("revenue"))
     }),
 
     // Exact percentiles (interpolated, = SQL percentile_cont semantics).

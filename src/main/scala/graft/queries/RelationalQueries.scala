@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.core.Money.{avgDec, avgRate, dec, oneMinus, onePlus}
+import graft.core.Money.{avgDec, avgRate, dec, oneMinus, onePlus, sum38, sumDec}
 
 /** Batch relational surface (SURVEY §2.2–§2.5, §2.10): projections, filters,
   * every join shape, grouped aggregates, sorts/limits/top-k, set ops, scalar
@@ -30,9 +30,9 @@ object RelationalQueries {
           // quantity is integer-valued: double summation is exact (< 2^53)
           // regardless of order, so it needs no decimal treatment.
           sum(col("l_quantity")).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).as("sum_charge"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")), 4).as("sum_disc_price"),
+          sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")), 6).as("sum_charge"),
           avg(col("l_quantity")).as("avg_qty"),
           avgDec(col("l_extendedprice")).as("avg_price"),
           avgRate(col("l_discount")).as("avg_disc"),
@@ -55,7 +55,7 @@ object RelationalQueries {
       val c = Tables.customer(s, dir)
       o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(sum(dec(col("o_totalprice"))).as("total_revenue"),
+        .agg(sumDec(col("o_totalprice")).as("total_revenue"),
              count(lit(1)).as("n_orders"))
     }),
 
@@ -70,7 +70,7 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(dec(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(sumDec(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
     // Broadcast hash join: part is a dim → no shuffle of lineitem at all.
@@ -79,7 +79,7 @@ object RelationalQueries {
       val p = Tables.part(s, dir)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+        .agg(sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")), 4).as("revenue"))
     }),
 
     // Left-semi join (EXISTS): customers having at least one 'F' order.
@@ -88,7 +88,7 @@ object RelationalQueries {
       val o = Tables.orders(s, dir).filter(col("o_orderstatus") === lit("F"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
-        .agg(count(lit(1)).as("n_customers"), sum(dec(col("c_acctbal"))).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), sumDec(col("c_acctbal")).as("sum_acctbal"))
     }),
 
     // Left-anti join (NOT EXISTS): customers with no high-value order.
@@ -107,7 +107,7 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(dec(col("o_totalprice"))).as("sum_price"),
+          sumDec(col("o_totalprice")).as("sum_price"),
           avgDec(col("o_totalprice")).as("avg_price"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
@@ -182,7 +182,7 @@ object RelationalQueries {
         .groupBy(
           year(col("o_orderdate")).cast("long").as("o_year"),
           month(col("o_orderdate")).cast("long").as("o_month"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("revenue"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("revenue"))
     }),
 
     // Scalar math functions.
@@ -203,10 +203,10 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(when(col("l_discount") > lit(0.05), dec(col("l_extendedprice")))
-            .otherwise(lit(0).cast("decimal(14,2)"))).as("high_disc_rev"),
-          sum(when(col("l_discount") <= lit(0.05), dec(col("l_extendedprice")))
-            .otherwise(lit(0).cast("decimal(14,2)"))).as("low_disc_rev"),
+          sum38(when(col("l_discount") > lit(0.05), dec(col("l_extendedprice")))
+            .otherwise(lit(0).cast("decimal(14,2)")), 2).as("high_disc_rev"),
+          sum38(when(col("l_discount") <= lit(0.05), dec(col("l_extendedprice")))
+            .otherwise(lit(0).cast("decimal(14,2)")), 2).as("low_disc_rev"),
           count(when(col("l_quantity") > lit(30.0), lit(1))).as("n_bulk"))
     }),
 
