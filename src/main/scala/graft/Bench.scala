@@ -39,12 +39,17 @@ object Bench {
     val streamRps = math.max(
       streamingMapCountRps(spark, rows = 5000000L),
       streamingMapCountRps(spark, rows = 5000000L))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds and an integer rows/sec keep the whole line inside
+    // the driver's stdout tail-capture window (full-precision doubles made
+    // BENCH_r01–r03 unparseable: the line's head fell off the tail).
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stream_map_count_rows_per_sec":$streamRps,"sf":"$sfDir"}""")
     spark.stop()
+    // last stdout line, after spark shutdown noise
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
+      s""""stream_map_count_rows_per_sec":${math.round(streamRps)},"sf":"$sfDir"}""")
   }
 
   /** Force full evaluation of EVERY output column. `count()` would let

@@ -123,13 +123,13 @@ object TextFunctions {
     * with `qualityScore` in curation gates.
     */
   def repetitionScore(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val total = greatest(size(t) - lit(n - 1), lit(0))
-    val distinctCnt = size(
-      when(size(t) >= n,
-        array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-          j => concat_ws(" ", slice(t, j, lit(n))))))
-        .otherwise(array().cast("array<string>")))
+    // One-scan native shingling (ShinglesExpr) instead of the
+    // slice/concat_ws HOF pyramid: the HOF form re-derives the token array
+    // per n-gram and was the single most expensive expression in the whole
+    // bench. ShinglesExpr returns the DISTINCT n-gram set directly; for
+    // n=1 it degenerates to array_distinct(tokens) at the same cost.
+    val total = greatest(size(tokens(text)) - lit(n - 1), lit(0))
+    val distinctCnt = size(ShinglesExpr(text, n))
     when(total === 0, lit(0.0))
       .otherwise(lit(1.0) - distinctCnt.cast("double") / total.cast("double"))
   }

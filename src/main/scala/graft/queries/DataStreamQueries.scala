@@ -134,8 +134,8 @@ object DataStreamQueries {
       env.registerTable("g_orders", Tables.orders(s, dir))
       env.registerTable("g_customer", Tables.customer(s, dir))
       env.sqlQuery(
-        """SELECT c_mktsegment, o_orderstatus,
-           count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
+        """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS revenue
            FROM g_orders JOIN g_customer ON o_custkey = c_custkey
            WHERE o_totalprice > 50000
            GROUP BY c_mktsegment, o_orderstatus""")

@@ -125,15 +125,22 @@ object ExtendedRelationalQueries {
           col("p_brand").rlike("Brand#[0-9]+").cast("int").cast("long").as("brand_ok"))
     }),
 
-    // HLL approximate distinct (SURVEY §2.4 approx row). HLL sketches are
-    // implementation-specific, so no value oracle — the driver records a
-    // rows-only check; the spec asserts the estimate lands within 5% of
-    // exact. At scale this replaces the expensive exact distinct expansion.
+    // HLL approximate distinct (SURVEY §2.4 approx row). HLL sketch values
+    // are implementation-specific, so the hard-checkable contract is the
+    // accuracy BOUND: emit exact distinct, row count, and whether the HLL
+    // estimate lands within 5% of exact. HLL is deterministic for fixed
+    // input, so this is a stable boolean the DuckDB oracle reproduces as
+    // literal TRUE over its own exact counts. At scale the approx form
+    // replaces the exact-distinct shuffle expansion.
     "q52_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
+             countDistinct(col("l_orderkey")).as("exact_orders"),
              count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n"),
+          (abs(col("approx") - col("exact_orders")).cast("double")
+            / col("exact_orders").cast("double") <= lit(0.05)).as("within_5pct"))
     })
   )
 
@@ -203,8 +210,13 @@ object ExtendedRelationalQueries {
          quantile_cont(o_totalprice, 0.5) AS median_price,
          quantile_cont(o_totalprice, 0.9) AS p90_price,
          CAST(count(*) AS BIGINT) AS n
-         FROM orders GROUP BY o_orderpriority"""
-    // q52_approx_distinct: HLL sketch values are engine-specific — no SQL
-    // oracle; driver rows-only check + LlmSpec tolerance assertion.
+         FROM orders GROUP BY o_orderpriority""",
+    // HLL sketch VALUES are engine-specific, but the 5%-accuracy contract
+    // is hard-checkable: the oracle computes the exact counts and asserts
+    // the bound holds (Spark's HLL is deterministic for fixed input).
+    "q52_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+         count(*) AS n, TRUE AS within_5pct
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

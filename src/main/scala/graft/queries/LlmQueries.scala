@@ -160,7 +160,13 @@ object LlmQueries {
       graft.llm.Curation.curate(Tables.documents(s, dir), stopwords,
           minQuality = 0.4, jaccardThreshold = 0.5)
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), avg(col("quality")).as("avg_quality"))
+        // Order-independent mean: double avg() sums in partition order and
+        // drifts in the last ulp run-to-run. Floor each (bit-identical)
+        // per-doc quality to an exact 1e-9 grid, sum as Long, divide in
+        // double — both engines then do the identical operation sequence.
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(floor(col("quality") * lit(1e9)).cast("long")).cast("double")
+            / lit(1e9) / count(lit(1)).cast("double")).as("avg_quality"))
     }),
 
     // TF-IDF: inverted-index term scoring (tf per doc-token, df across
@@ -342,7 +348,9 @@ object LlmQueries {
          ),
          cl AS (SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node),
          drp AS (SELECT node AS doc_id FROM cl WHERE cluster_id <> node)
-         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, avg(quality) AS avg_quality
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor(quality * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / CAST(count(*) AS DOUBLE) AS avg_quality
          FROM kept LEFT JOIN drp ON kept.doc_id = drp.doc_id
          WHERE drp.doc_id IS NULL
          GROUP BY lang""",

@@ -5,7 +5,13 @@ Usage: python3 tools/check.py <sfDir> <outDir>
   - expects <outDir>/<name>/ parquet dirs written by graft.Verify
   - expects <outDir>/oracle_sql.json
 Compares each query result against DuckDB running the oracle SQL over the
-same parquet fixtures: columns sorted by name, rows sorted, floats rounded.
+same parquet fixtures. Strictness mirrors the driver (round-2 lesson):
+  - arrow FIELD TYPES must match exactly (the driver hashes the declared
+    type — a decimal(24,2) vs decimal(38,2) difference fails even when
+    every value is string-identical). Nullability is NOT compared (the
+    driver tolerates Spark's non-null count vs DuckDB's nullable count).
+  - values compare on exact repr: Decimal and int exact; floats by
+    shortest-roundtrip repr (bit-exact up to -0.0/NaN-payload).
 """
 import json, sys, math
 import duckdb
@@ -20,16 +26,19 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        if v == 0.0:
+            return "0.0"  # fold -0.0
+        return repr(v)
     if isinstance(v, (int,)):
         return str(v)
     return str(v)
 
 def norm_table(tbl):
     cols = sorted(tbl.column_names)
+    types = {f.name: str(f.type) for f in tbl.schema}
     data = tbl.select(cols).to_pylist()
     rows = sorted(tuple(norm_cell(r[c]) for c in cols) for r in data)
-    return cols, rows
+    return cols, types, rows
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -47,10 +56,13 @@ def main(sf_dir, out_dir):
             exp = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
-        gc, gr = norm_table(got)
-        ec, er = norm_table(exp)
+        gc, gt, gr = norm_table(got)
+        ec, et, er = norm_table(exp)
         if gc != ec:
             print(f"FAIL {name}: schema {gc} != {ec}"); fail += 1; continue
+        badtypes = [(c, gt[c], et[c]) for c in gc if gt[c] != et[c]]
+        if badtypes:
+            print(f"FAIL {name}: type mismatch {badtypes}"); fail += 1; continue
         if len(gr) != len(er):
             print(f"FAIL {name}: rows {len(gr)} != {len(er)}"); fail += 1; continue
         if gr != er:
