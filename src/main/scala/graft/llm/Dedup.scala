@@ -125,21 +125,22 @@ object Dedup {
     * count) is the next step.
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3,
+                            maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4 bands guarantee recall only for distance <= 3")
     val hashed = docs
       .select(col(idCol).as("doc_id"), simhash(tokens(col(textCol)), 64).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = hashed.select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("sh"), col("band"),
+    val banded = hashed.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("band"), col("sh"))
+      .select(col("doc_id"), col("band"),
         expr("shiftrightunsigned(sh, band * 16) & 65535").as("bandval"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bandval"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-    cand.select(col("doc_a"), col("doc_b"),
+    val cand = LshGuard.guardedCandidates(banded, Seq("band", "bandval"),
+      "doc_id", maxBucket, ordered = true)
+    cand
+      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
@@ -150,7 +151,8 @@ object Dedup {
     */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, k: Int = 8,
-                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                         bands: Int = 4, threshold: Double = 0.5,
+                         maxBucket: Int = 10000): DataFrame = {
     require(k % bands == 0, "signature length must divide into bands")
     val rpb = k / bands
     val sh = docs.select(col(idCol).as("doc_id"),
@@ -171,10 +173,9 @@ object Dedup {
         md5(concat_ws(",", slice(col("mh"), col("band") * rpb + 1, lit(rpb))))
           .as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
+        "doc_id", maxBucket, ordered = true)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     // Exact verification touches ONLY candidate documents: semi-join the
     // shingle sets down to the candidate id set (small by construction),
     // persist that subset, then resolve both pair sides from it.

@@ -184,21 +184,13 @@ object Similarity {
   def embeddingNearDuplicatesBanded(emb: DataFrame, idCol: String,
                                     vecCol: String, bands: Int,
                                     planesPerBand: Int, dims: Int,
-                                    threshold: Double): DataFrame = {
+                                    threshold: Double,
+                                    maxBucket: Int = 10000): DataFrame = {
     // consumed three times (band derivation + both candidate-pair sides):
     // materialize one scan+cast instead of three
-    val v = emb.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = v
-      .select(col("vec_id"),
-        posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
-      .toDF("vec_id", "band", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .where(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val (v, banded) = bandedVectors(emb, idCol, vecCol, bands, planesPerBand, dims)
+    val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
+      "vec_id", maxBucket, ordered = true)
     cand
       .join(v.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
@@ -212,22 +204,16 @@ object Similarity {
     * in their bucket produce no row.
     */
   def annNearestInBucket(emb: DataFrame, idCol: String, vecCol: String,
-                         planes: Int, dims: Int): DataFrame = {
-    val b = emb.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"),
-      hyperplaneBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id"), col("v"))
-    val r = b.select(col("bucket"), col("vec_id").as("nn_id"), col("v").as("nv"))
-    val scored = l.join(r, Seq("bucket"))
-      .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("bucket"), col("nn_id"),
-        round(cosine(col("v"), col("nv")), 6).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
+                         planes: Int, dims: Int,
+                         maxBucket: Int = 10000): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = v.select(col("vec_id"),
+      hyperplaneBucket(col("v"), planes, dims).as("bucket"))
+    val cand = LshGuard.guardedCandidates(banded, Seq("bucket"),
+      "vec_id", maxBucket, ordered = false)
+    topKByQuery(scoreCandidates(cand, v), k = 1, withRank = false)
   }
 
   /** Banded ANN top-k: the k nearest neighbors per vector among candidates
@@ -237,29 +223,11 @@ object Similarity {
     */
   def annTopKInBands(emb: DataFrame, idCol: String, vecCol: String,
                      bands: Int, planesPerBand: Int, dims: Int,
-                     k: Int): DataFrame = {
-    val v = emb.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = v
-      .select(col("vec_id"),
-        posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
-      .toDF("vec_id", "band", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .where(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
-      .distinct()
-    val scored = cand
-      .join(v.select(col("vec_id"), col("v")), "vec_id")
-      .join(v.select(col("vec_id").as("nn_id"), col("v").as("nv")), "nn_id")
-      .select(col("vec_id"), col("nn_id"),
-        round(cosine(col("v"), col("nv")), 6).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+                     k: Int, maxBucket: Int = 10000): DataFrame = {
+    val (v, banded) = bandedVectors(emb, idCol, vecCol, bands, planesPerBand, dims)
+    val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
+      "vec_id", maxBucket, ordered = false)
+    topKByQuery(scoreCandidates(cand, v), k, withRank = true)
   }
 
   /** Banded ANN: nearest neighbor per vector among candidates sharing ANY
@@ -268,7 +236,20 @@ object Similarity {
     * anything produce no row (same contract as the single-table form).
     */
   def annNearestInBands(emb: DataFrame, idCol: String, vecCol: String,
-                        bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+                        bands: Int, planesPerBand: Int, dims: Int,
+                        maxBucket: Int = 10000): DataFrame = {
+    val (v, banded) = bandedVectors(emb, idCol, vecCol, bands, planesPerBand, dims)
+    val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
+      "vec_id", maxBucket, ordered = false)
+    topKByQuery(scoreCandidates(cand, v), k = 1, withRank = false)
+  }
+
+  /** Shared banded-LSH prep: persisted (vec_id, v) and its (vec_id, band,
+    * bucket) membership table (both consumed by multiple downstream ops).
+    */
+  private def bandedVectors(emb: DataFrame, idCol: String, vecCol: String,
+                            bands: Int, planesPerBand: Int,
+                            dims: Int): (DataFrame, DataFrame) = {
     val v = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -277,20 +258,42 @@ object Similarity {
         posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
       .toDF("vec_id", "band", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .where(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
-      .distinct()
-    val scored = cand
+    (v, banded)
+  }
+
+  /** Resolve candidate id pairs (id_a = query, id_b = neighbor) back to
+    * vectors and score them: (vec_id, nn_id, score) with the 6-decimal
+    * rounding that makes ranking reproducible across engines.
+    */
+  private def scoreCandidates(cand: DataFrame, v: DataFrame): DataFrame =
+    cand
+      .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"))
       .join(v.select(col("vec_id"), col("v")), "vec_id")
       .join(v.select(col("vec_id").as("nn_id"), col("v").as("nv")), "nn_id")
       .select(col("vec_id"), col("nn_id"),
         round(cosine(col("v"), col("nv")), 6).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
+
+  /** Rank each query's candidates with the bounded TopKAggregator instead
+    * of a `row_number` window: partial aggregation keeps ≤ k entries per
+    * map partition, so the shuffle carries O(partitions × k) rows per
+    * query — the window form re-sorts the ENTIRE candidate pair set.
+    * Ordering matches the previous window (score desc, nn_id asc).
+    */
+  private def topKByQuery(scored: DataFrame, k: Int,
+                          withRank: Boolean): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val topk = new TopKAggregator(k).toColumn
+    val ranked = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nid, s) => (nid, s) }
+      .agg(topk.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((nid, s), i) =>
+          (qid, nid, s, (i + 1).toLong)
+        }
+      }
+      .toDF("vec_id", "nn_id", "score", "rnk")
+    if (withRank) ranked else ranked.drop("rnk")
   }
 }

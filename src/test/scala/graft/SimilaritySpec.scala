@@ -141,4 +141,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join in:\n$plan")
   }
+
+  test("banded ANN ranking is a bounded aggregate, not a sort window") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val df = Similarity.annTopKInBands(emb, "vec_id", "embedding",
+      bands = 4, planesPerBand = 8, dims = 64, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"top-k must use the bounded TopKAggregator, not row_number:\n$plan")
+  }
+
+  test("hot-bucket guard bounds a planted degenerate bucket, keeps it connected") {
+    import spark.implicits._
+    import graft.llm.LshGuard
+    // one degenerate bucket of 200 members + a handful of small buckets
+    val banded = ((0L until 200L).map(i => (i, 0, "hot")) ++
+      Seq((500L, 0, "c1"), (501L, 0, "c1"), (502L, 0, "c2"), (503L, 0, "c2"), (504L, 0, "c2")))
+      .toDF("doc_id", "band", "bucket")
+    val pairs = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
+      "doc_id", maxBucket = 10, ordered = true)
+      .as[(Long, Long)].collect().toSet
+    // hot bucket: star to min-id rep = 199 edges, NOT 200*199/2 = 19,900
+    val hotPairs = pairs.filter(_._2 < 500L)
+    assert(hotPairs.size === 199, s"star cap expected 199 edges, got ${hotPairs.size}")
+    assert(hotPairs.forall(_._1 === 0L), "every hot edge routes through the min-id rep")
+    // connectivity: rep reaches every member ⇒ one cluster under union-find
+    assert(hotPairs.map(_._2) === (1L until 200L).toSet)
+    // cold buckets unaffected: exhaustive pairs survive
+    assert(pairs.contains((500L, 501L)))
+    assert(pairs.filter(p => p._1 >= 502L && p._2 <= 504L) ===
+      Set((502L, 503L), (502L, 504L), (503L, 504L)))
+    // unordered form emits both directions for per-query candidate lists
+    val both = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
+      "doc_id", maxBucket = 10, ordered = false)
+      .as[(Long, Long)].collect().toSet
+    assert(both.contains((0L, 7L)) && both.contains((7L, 0L)))
+    assert(both.filter(p => p._1 < 500L || p._2 < 500L).size === 398)
+  }
+
+  test("simhash/minhash near-dup results unchanged when the guard never trips") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    import graft.llm.Dedup
+    val unguarded = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      3, 8, 4, 0.5, maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      3, 8, 4, 0.5, maxBucket = 10000)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === unguarded)
+  }
 }
