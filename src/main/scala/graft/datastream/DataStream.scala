@@ -206,31 +206,29 @@ final class WindowedStream[K, T](
   private def applyEvictor(pane: IndexedSeq[T], w: TimeWindow): IndexedSeq[T] =
     evictorOpt.fold(pane)(e => e.evictBefore(pane, w).toIndexedSeq)
 
-  /** Pure assignment arithmetic, shared with the reference semantics. */
-  private def windowStarts(ts: Long): Seq[Long] = assigner match {
-    case TumblingEventTimeWindows(size, offset) =>
-      val off = offset.map(_.millis).getOrElse(0L)
-      Seq(WindowedStream.startFor(ts, size.millis, off))
-    case SlidingEventTimeWindows(size, slide) =>
-      val last = WindowedStream.startFor(ts, slide.millis, 0L)
-      Iterator.iterate(last)(_ - slide.millis)
-        .takeWhile(s => s > last - size.millis).toSeq
-    case GlobalWindows => Seq(Long.MinValue)
-    case _: EventTimeSessionWindows =>
-      throw new IllegalArgumentException("sessions handled in process()")
+  /** Per-element assignment through the OPEN assigner contract
+    * (`WindowAssigner.assignWindows`) — custom user assigners flow through
+    * with no pattern-match here. Sessions are excluded: their point
+    * windows need the gap-merge in `process()`.
+    */
+  private def assignedWindows(ts: Long): Seq[TimeWindow] = {
+    require(!assigner.isInstanceOf[EventTimeSessionWindows],
+      "session windows merge in process(); reduce/aggregate via process")
+    assigner.assignWindows(ts)
   }
 
   def reduce(f: (T, T) => T)(
-      implicit tEnc: Encoder[T], kwEnc: Encoder[(K, Long)],
-      pairEnc: Encoder[((K, Long), T)],
+      implicit tEnc: Encoder[T], kwEnc: Encoder[(K, Long, Long)],
+      pairEnc: Encoder[((K, Long, Long), T)],
       outEnc: Encoder[(K, Long, T)]): DataStream[(K, Long, T)] = {
     val (kf, tf) = (keyFn, timeMs)
-    val assigned = ds.flatMap(t => windowStarts(tf(t)).map(ws => ((kf(t), ws), t)))(pairEnc)
+    val assigned = ds.flatMap(t =>
+      assignedWindows(tf(t)).map(w => ((kf(t), w.start, w.end), t)))(pairEnc)
     new DataStream(
       assigned.groupByKey(_._1)(kwEnc)
         .mapValues(_._2)(tEnc)
         .reduceGroups(f)
-        .map { case ((k, ws), v) => (k, ws, v) }(outEnc))
+        .map { case ((k, ws, _), v) => (k, ws, v) }(outEnc))
   }
 
   /** WindowedStream.Aggregate (WindowedStream.cs:41-87): the accumulator
@@ -240,7 +238,8 @@ final class WindowedStream[K, T](
     */
   def aggregate[ACC, OUT](agg: graft.operators.AggregateFunction[T, ACC, OUT])(
       implicit outEnc: Encoder[(K, Long, OUT)], kEnc: Encoder[K],
-      kwEnc: Encoder[(K, Long)], pairEnc: Encoder[((K, Long), T)]): DataStream[(K, Long, OUT)] =
+      kwEnc: Encoder[(K, Long, Long)],
+      pairEnc: Encoder[((K, Long, Long), T)]): DataStream[(K, Long, OUT)] =
     process(new ProcessWindowFunction[K, T, (K, Long, OUT)] {
       def process(key: K, w: TimeWindow, elements: Iterator[T]) = {
         val acc = elements.foldLeft(agg.createAccumulator())(agg.add)
@@ -252,8 +251,8 @@ final class WindowedStream[K, T](
     * pane with key + window metadata. Sessions are merged here.
     */
   def process[R: Encoder](f: ProcessWindowFunction[K, T, R])(
-      implicit kEnc: Encoder[K], kwEnc: Encoder[(K, Long)],
-      pairEnc: Encoder[((K, Long), T)]): DataStream[R] = {
+      implicit kEnc: Encoder[K], kwEnc: Encoder[(K, Long, Long)],
+      pairEnc: Encoder[((K, Long, Long), T)]): DataStream[R] = {
     val (kf, tf) = (keyFn, timeMs)
     assigner match {
       case EventTimeSessionWindows(gap) =>
@@ -295,15 +294,11 @@ final class WindowedStream[K, T](
           }
         })
       case _ =>
-        new DataStream(ds.flatMap(t => windowStarts(tf(t)).map(ws => ((kf(t), ws), t)))
+        new DataStream(ds.flatMap(t =>
+            assignedWindows(tf(t)).map(w => ((kf(t), w.start, w.end), t)))
           .groupByKey(_._1)
-          .flatMapGroups { (kw: (K, Long), it: Iterator[((K, Long), T)]) =>
-            val end = assigner match {
-              case TumblingEventTimeWindows(size, _) => kw._2 + size.millis
-              case SlidingEventTimeWindows(size, _) => kw._2 + size.millis
-              case _ => Long.MaxValue
-            }
-            val w = TimeWindow(kw._2, end)
+          .flatMapGroups { (kw: (K, Long, Long), it: Iterator[((K, Long, Long), T)]) =>
+            val w = TimeWindow(kw._2, kw._3)
             val pane = it.map(_._2).toIndexedSeq.sortBy(tf)
             f.process(kw._1, w, applyEvictor(pane, w).iterator)
           })
@@ -313,17 +308,8 @@ final class WindowedStream[K, T](
 
 object WindowedStream {
   /** Reference start formula, TimeWindow.cs:76-89. */
-  def startFor(ts: Long, size: Long, offset: Long): Long = {
-    val rem = (ts - offset + size) % size
-    ts - (if (rem < 0) rem + size else rem)
-  }
-}
-
-/** `[start, end)` window metadata handed to process functions
-  * (TimeWindow.cs:10-89). `maxTimestamp = end - 1`.
-  */
-final case class TimeWindow(start: Long, end: Long) {
-  def maxTimestamp: Long = end - 1
+  def startFor(ts: Long, size: Long, offset: Long): Long =
+    TimeWindow.startFor(ts, size, offset)
 }
 
 /** IProcessWindowFunction (IProcessWindowFunction.cs:17-41). */

@@ -27,7 +27,7 @@ object StatefulOps {
                              evictor: Option[graft.datastream.Evictor[V]] = None)(
       aggregate: (K, Seq[V]) => OUT)(
       implicit stateEnc: Encoder[Seq[V]], outEnc: Encoder[OUT]): Dataset[OUT] = {
-    val globalWindow = graft.datastream.TimeWindow(Long.MinValue, Long.MaxValue)
+    val globalWindow = graft.windowing.TimeWindow(Long.MinValue, Long.MaxValue)
     grouped.flatMapGroupsWithState[Seq[V], OUT](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (key: K, values: Iterator[V], state: GroupState[Seq[V]]) =>

@@ -36,9 +36,9 @@ object TriggerResult {
   * built-in output modes.
   */
 trait WindowTrigger[V] extends Serializable {
-  def onElement(element: V, tsMs: Long, window: graft.datastream.TimeWindow,
+  def onElement(element: V, tsMs: Long, window: graft.windowing.TimeWindow,
                 paneSize: Long): TriggerResult = TriggerResult.Continue
-  def onEventTime(window: graft.datastream.TimeWindow): TriggerResult =
+  def onEventTime(window: graft.windowing.TimeWindow): TriggerResult =
     TriggerResult.FireAndPurge
 }
 
@@ -52,7 +52,7 @@ object WindowTrigger {
   def count[V](n: Long, purgeOnFire: Boolean = false): WindowTrigger[V] =
     new WindowTrigger[V] {
       override def onElement(element: V, tsMs: Long,
-                             window: graft.datastream.TimeWindow,
+                             window: graft.windowing.TimeWindow,
                              paneSize: Long): TriggerResult =
         if (paneSize > 0 && paneSize % n == 0)
           (if (purgeOnFire) TriggerResult.FireAndPurge else TriggerResult.Fire)
@@ -162,7 +162,7 @@ object TransformWithStateOps {
               registered += end
             }
             val res = trigger.onElement(v, tsMs(v),
-              graft.datastream.TimeWindow(ws, end), n)
+              graft.windowing.TimeWindow(ws, end), n)
             if (res.fire) {
               val pane = paneOf(ws)
               if (pane.nonEmpty) out += processPane(key, ws, pane.map(_._2))
@@ -176,7 +176,7 @@ object TransformWithStateOps {
       override def handleExpiredTimer(key: K, timers: TimerValues,
                                       info: ExpiredTimerInfo): Iterator[OUT] = {
         val ws = info.getExpiryTimeInMs - sizeMs
-        val res = trigger.onEventTime(graft.datastream.TimeWindow(ws, ws + sizeMs))
+        val res = trigger.onEventTime(graft.windowing.TimeWindow(ws, ws + sizeMs))
         val pane = if (res.fire) paneOf(ws) else IndexedSeq.empty
         if (res.purge) dropPane(ws)
         if (res.fire && pane.nonEmpty)

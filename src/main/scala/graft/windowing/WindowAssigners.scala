@@ -35,9 +35,25 @@ object Time {
   * per-element window lists. Works identically for batch DataFrames and
   * Structured Streaming (where it pairs with `withWatermark`).
   */
-sealed trait WindowAssigner extends Serializable {
-  /** Grouping column over the event-time column; null for global windows. */
+trait WindowAssigner extends Serializable {
+  /** Grouping column over the event-time column; null for global windows.
+    * Built-ins map onto Spark's codegen'd `window`/`session_window`
+    * expressions; custom assigners may return None and rely on the typed
+    * path's `assignWindows`.
+    */
   def groupingColumn(ts: Column): Option[Column]
+
+  /** The open per-element assignment contract (the reference's
+    * `AssignWindows`, WindowAssigner.cs:36-64): every window (start, end)
+    * an element with timestamp `ts` belongs to. User-defined assigners
+    * subclass WindowAssigner and implement only this — the typed
+    * `WindowedStream` path groups on the returned (start, end) pairs
+    * directly, so no DataStream code needs to know the assigner. Session
+    * assigners return the pre-merge point window `[ts, ts+gap)`; merging
+    * is the windowed operator's job, as in the reference.
+    */
+  def assignWindows(ts: Long): Seq[TimeWindow]
+
   def isEventTime: Boolean = true
 }
 
@@ -47,6 +63,10 @@ final case class TumblingEventTimeWindows(size: Time, offset: Option[Time] = Non
     Some(offset.fold(window(ts, size.asInterval)) { o =>
       window(ts, size.asInterval, size.asInterval, o.asInterval)
     })
+  override def assignWindows(ts: Long): Seq[TimeWindow] = {
+    val start = TimeWindow.startFor(ts, size.millis, offset.map(_.millis).getOrElse(0L))
+    Seq(TimeWindow(start, start + size.millis))
+  }
 }
 object TumblingEventTimeWindows {
   def of(size: Time): TumblingEventTimeWindows = TumblingEventTimeWindows(size)
@@ -57,6 +77,12 @@ object TumblingEventTimeWindows {
 final case class SlidingEventTimeWindows(size: Time, slide: Time) extends WindowAssigner {
   override def groupingColumn(ts: Column): Option[Column] =
     Some(window(ts, size.asInterval, slide.asInterval))
+  override def assignWindows(ts: Long): Seq[TimeWindow] = {
+    val last = TimeWindow.startFor(ts, slide.millis, 0L)
+    Iterator.iterate(last)(_ - slide.millis)
+      .takeWhile(s => s > last - size.millis)
+      .map(s => TimeWindow(s, s + size.millis)).toSeq
+  }
 }
 object SlidingEventTimeWindows {
   def of(size: Time, slide: Time): SlidingEventTimeWindows =
@@ -70,6 +96,11 @@ object SlidingEventTimeWindows {
 final case class EventTimeSessionWindows(gap: Time) extends WindowAssigner {
   override def groupingColumn(ts: Column): Option[Column] =
     Some(session_window(ts, gap.asInterval))
+  /** Pre-merge point window, as in the reference: the windowed operator
+    * merges overlapping sessions.
+    */
+  override def assignWindows(ts: Long): Seq[TimeWindow] =
+    Seq(TimeWindow(ts, ts + gap.millis))
 }
 object EventTimeSessionWindows {
   def withGap(gap: Time): EventTimeSessionWindows = EventTimeSessionWindows(gap)
@@ -81,6 +112,22 @@ object EventTimeSessionWindows {
   */
 case object GlobalWindows extends WindowAssigner {
   override def groupingColumn(ts: Column): Option[Column] = None
+  override def assignWindows(ts: Long): Seq[TimeWindow] =
+    Seq(TimeWindow(Long.MinValue, Long.MaxValue))
   override def isEventTime: Boolean = false
   def create(): GlobalWindows.type = this
+}
+
+/** `[start, end)` window metadata (TimeWindow.cs:10-89), shared by
+  * assigners and the typed windowed operators. `maxTimestamp = end - 1`.
+  */
+final case class TimeWindow(start: Long, end: Long) {
+  def maxTimestamp: Long = end - 1
+}
+object TimeWindow {
+  /** Reference epoch-aligned start formula, TimeWindow.cs:76-89. */
+  def startFor(ts: Long, size: Long, offset: Long): Long = {
+    val rem = (ts - offset + size) % size
+    ts - (if (rem < 0) rem + size else rem)
+  }
 }

@@ -80,6 +80,49 @@ class DataStreamSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet === Set(3600000L, 7200000L))
   }
 
+  test("user-defined window assigner flows through reduce and process") {
+    import spark.implicits._
+    // Custom assigner nothing in graft.windowing knows about: "day parts"
+    // — windows snap to fixed 8-hour shifts, plus elements in the last
+    // hour of a shift ALSO belong to the next shift (handover overlap).
+    // Only assignWindows is implemented; no DataStream code pattern-matches
+    // on the type (the reference's open IWindowAssigner contract).
+    object ShiftWindows extends WindowAssigner {
+      private val eight = 8L * 3600000L
+      override def groupingColumn(ts: org.apache.spark.sql.Column) = None
+      override def assignWindows(ts: Long): Seq[TimeWindow] = {
+        val start = TimeWindow.startFor(ts, eight, 0L)
+        val base = TimeWindow(start, start + eight)
+        if (ts >= base.end - 3600000L)
+          Seq(base, TimeWindow(base.end, base.end + eight))
+        else Seq(base)
+      }
+    }
+    val env = StreamExecutionEnvironment(spark)
+    val eight = 8L * 3600000L
+    val data = Seq((1L, 100L, 1.0),            // shift 0 only
+                   (1L, eight - 1800000L, 2.0), // handover: shift 0 AND 1
+                   (1L, eight + 100L, 4.0))     // shift 1 only
+    val reduced = env.fromCollection(data)
+      .keyBy(_._1)
+      .window(ShiftWindows, _._2)
+      .reduce((a, b) => (a._1, a._2, a._3 + b._3))
+      .map { case (k, ws, v) => (k, ws, v._3) }
+      .collect().toSet
+    assert(reduced === Set((1L, 0L, 3.0), (1L, eight, 6.0)))
+    // process sees the custom window's real (start, end), not re-derived
+    val fn = new ProcessWindowFunction[Long, (Long, Long, Double), (Long, Long, Long, Long)] {
+      def process(key: Long, w: TimeWindow, els: Iterator[(Long, Long, Double)]) =
+        Seq((key, w.start, w.end, els.size.toLong))
+    }
+    val processed = env.fromCollection(data)
+      .keyBy(_._1)
+      .window(ShiftWindows, _._2)
+      .process(fn)
+      .collect().toSet
+    assert(processed === Set((1L, 0L, eight, 2L), (1L, eight, 2 * eight, 2L)))
+  }
+
   test("session process function merges panes and exposes window metadata") {
     import spark.implicits._
     val env = StreamExecutionEnvironment(spark)
