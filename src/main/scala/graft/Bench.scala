@@ -24,7 +24,11 @@ object Bench {
     try consume(SparkEntry.entry(spark)) catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => }
+      // failures must be VISIBLE: a swallowed exception records
+      // time-to-failure as if it were a measurement
+      try { consume(fn(spark, sfDir)) } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       // operators persist intermediates (LSH signature/band tables); drop
       // them between queries so one query's cache pressure can't skew the
@@ -60,7 +64,12 @@ object Bench {
     */
   private def consume(df: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).head()
+    // bit_xor, not sum: summing uniform 64-bit hashes overflows Long
+    // almost surely, and under Spark 4's default ANSI mode that ABORTS
+    // the scan partway — the "measurement" becomes time-to-overflow.
+    // XOR folds every value with no overflow semantics at all.
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)")).head()
     ()
   }
 

@@ -133,11 +133,19 @@ object ExtendedRelationalQueries {
     // literal TRUE over its own exact counts. At scale the approx form
     // replaces the exact-distinct shuffle expansion.
     "q52_approx_distinct" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
-             countDistinct(col("l_orderkey")).as("exact_orders"),
+      val l = Tables.lineitem(s, dir)
+      // Approx and exact are SEPARATE aggregates joined on the group key:
+      // fused into one agg, Spark's distinct-aggregate rewrite groups
+      // phase 1 by (l_returnflag, l_orderkey) and allocates the 16K-register
+      // HLL buffer per orderkey — measured 64 s and OOM-prone. Split, the
+      // HLL sees 6 groups and the exact distinct keeps its cheap two-phase
+      // plan: both sides one scan + one narrow shuffle.
+      val approx = l.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+      val exact = l.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
              count(lit(1)).as("n"))
+      exact.join(approx, "l_returnflag")
         .select(col("l_returnflag"), col("exact_orders"), col("n"),
           (abs(col("approx") - col("exact_orders")).cast("double")
             / col("exact_orders").cast("double") <= lit(0.05)).as("within_5pct"))

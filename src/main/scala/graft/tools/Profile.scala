@@ -1,10 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import graft.core.{GraftSession, Tables}
-import graft.llm.Dedup
+import graft.core.GraftSession
 
-/** Scratch profiler for LSH stage timings (not part of the API surface). */
+/** Scratch profiler: time named SparkEntry queries (same consume as Bench)
+  * at SPARK_GRAFT_SF_DIR. Usage: runMain graft.tools.Profile q52 q58
+  * (prefix match on query names; no args = nothing — not part of the API
+  * surface).
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
@@ -13,11 +16,15 @@ object Profile {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = Tables.documents(spark, dir)
-    time("FRESH full nearDuplicatePairs")(
-      Dedup.nearDuplicatePairs(docs, "doc_id", "text", 3, 8, 4, 0.5).count())
-    time("full again (cache hit)")(
-      Dedup.nearDuplicatePairs(docs, "doc_id", "text", 3, 8, 4, 0.5).count())
+    val wanted = graft.SparkEntry.queries.filter {
+      case (name, _) => args.exists(name.startsWith)
+    }
+    wanted.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      time(name)(df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).head())
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
