@@ -51,20 +51,27 @@ object LshGuard {
                         maxBucket: Int, ordered: Boolean): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
     val keys = keyCols.map(col)
-    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") > maxBucket)
-      .select(keyCols.map(col) :+ lit(true).as("is_hot"): _*)
-    val flagged = banded.join(hot, keyCols, "left")
-    val cold = flagged.where(col("is_hot").isNull).drop("is_hot")
-    val hotRows = flagged.where(col("is_hot")).drop("is_hot")
-
-    val coldPairs = {
-      val j = cold.as("a").join(cold.as("b"), keyCols)
+    def selfJoinPairs(t: DataFrame): DataFrame = {
+      val j = t.as("a").join(t.as("b"), keyCols)
       val filtered =
         if (ordered) j.where(col(s"a.$idCol") < col(s"b.$idCol"))
         else j.where(col(s"a.$idCol") =!= col(s"b.$idCol"))
       filtered.select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
     }
+    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+      .select(keyCols.map(col) :+ lit(true).as("is_hot"): _*)
+    // Fast path — the common case. One linear count-aggregation (map-side
+    // partials, tiny output) decides; with no hot bucket the self-join
+    // runs directly against the (persisted) banded table, zero extra
+    // joins. The guard only costs real work when it is actually saving
+    // quadratic work.
+    if (hot.isEmpty) return selfJoinPairs(banded).distinct()
+
+    val flagged = banded.join(hot, keyCols, "left")
+    val cold = flagged.where(col("is_hot").isNull).drop("is_hot")
+    val hotRows = flagged.where(col("is_hot")).drop("is_hot")
+    val coldPairs = selfJoinPairs(cold)
     // Star edges: every member ↔ the bucket's min-id representative.
     // min(id) < id for every non-rep member, so ordered pairs are (rep, x).
     val reps = hotRows.groupBy(keys: _*).agg(min(col(idCol)).as("rep"))
