@@ -88,6 +88,22 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "score", "rnk")
   }
 
+  /** Symmetric int8 quantization scale: max|x| / 127 (0 for zero vectors). */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** Symmetric int8 quantization of a double vector: round(x / scale) via
+    * floor(+0.5) — identical IEEE op sequence on any engine, unlike
+    * round() whose half-way rule differs between implementations. Values
+    * land in [-127, 127]; a zero vector quantizes to zeros. The standard
+    * 4× compression step before ANN indexing at corpus scale (dot products
+    * on int8 + per-vector scale reconstruct cosine to ~1e-2).
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === lit(0.0), lit(0))
+        .otherwise(floor(x / scale + lit(0.5)).cast("int")))
+
   /** Portable 32-bit hash (same value as TextFunctions.portableHash /
     * the DuckDB SQL formulation), computed driver-side for plane literals.
     */

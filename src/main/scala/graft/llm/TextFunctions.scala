@@ -134,6 +134,18 @@ object TextFunctions {
       .otherwise(lit(1.0) - distinctCnt.cast("double") / total.cast("double"))
   }
 
+  /** Bigram OCCURRENCES over the token array (order-preserving, not
+    * distinct — frequency analysis needs multiplicity, unlike shingling
+    * for dedup which wants the set).
+    */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** PII patterns, restricted to the RE2∩Java syntax subset (no
     * backreferences/lookaround) so the DuckDB oracle applies the literal
     * same regexes. Order matters: emails before bare digit runs.

@@ -46,7 +46,18 @@ object EmbeddingQueries {
     "q55_embedding_near_dup" -> ((s, dir) =>
       Similarity.embeddingNearDuplicatesBanded(Tables.embeddings(s, dir),
         idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 8,
-        dims = 64, threshold = 0.3))
+        dims = 64, threshold = 0.3)),
+
+    // Symmetric int8 quantization — the 4x compression step before ANN
+    // indexing at corpus scale. Pure narrow map; floor(x/scale + 0.5)
+    // keeps the rounding rule engine-portable.
+    "q71_embedding_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", Similarity.int8Scale(col("v")))
+        .select(col("vec_id"), col("scale"),
+          Similarity.quantizeInt8(col("v"), col("scale")).as("qvec"))
+    })
   )
 
   private val planeHash =
@@ -150,6 +161,17 @@ object EmbeddingQueries {
          SELECT d.id_a, d.id_b, round(d.dp / (na.nrm * nb.nrm), 6) AS cos
          FROM d JOIN n na ON na.vec_id = d.id_a
                 JOIN n nb ON nb.vec_id = d.id_b
-         WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3"""
+         WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3""",
+    "q71_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e)
+         SELECT vec_id, scale,
+           list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+             ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS qvec
+         FROM s"""
   )
 }

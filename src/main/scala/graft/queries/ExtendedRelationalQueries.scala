@@ -132,6 +132,24 @@ object ExtendedRelationalQueries {
     // input, so this is a stable boolean the DuckDB oracle reproduces as
     // literal TRUE over its own exact counts. At scale the approx form
     // replaces the exact-distinct shuffle expansion.
+    // Approximate percentile (Greenwald-Khanna sketch) with a hard
+    // accuracy-bound oracle, same pattern as q52: the sketch VALUE is
+    // merge-order sensitive, but the 1e-4 rank-accuracy bound makes the
+    // 5%-of-exact boolean stable. At scale the sketch replaces the exact
+    // percentile's full per-group sort.
+    "q70_approx_percentile" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+             expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+             percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+             percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"),
+             count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("exact_p50"), col("exact_p90"), col("n"),
+          (abs(col("a50") - col("exact_p50")) / col("exact_p50") <= lit(0.05)).as("p50_ok"),
+          (abs(col("a90") - col("exact_p90")) / col("exact_p90") <= lit(0.05)).as("p90_ok"))
+    }),
+
     "q52_approx_distinct" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       // Approx and exact are SEPARATE aggregates joined on the group key:
@@ -225,6 +243,13 @@ object ExtendedRelationalQueries {
     "q52_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
          count(*) AS n, TRUE AS within_5pct
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q70_approx_percentile" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS exact_p50,
+         quantile_cont(o_totalprice, 0.9) AS exact_p90,
+         CAST(count(*) AS BIGINT) AS n,
+         TRUE AS p50_ok, TRUE AS p90_ok
+         FROM orders GROUP BY o_orderpriority"""
   )
 }

@@ -153,6 +153,33 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Sequence packing: assign documents to fixed token-budget training
+    // chunks, sharded (lang, doc_id % 8) so each shard packs
+    // independently — the window runs per shard, never a global sort.
+    "q69_pack_chunks" -> ((s, dir) =>
+      graft.llm.Packing.packChunks(Tables.documents(s, dir),
+        "doc_id", "text", "lang", tokenBudget = 512, shards = 8)),
+
+    // Bigram corpus-frequency scoring: per-lang bigram counts joined back
+    // to each document's bigram stream — mean corpus frequency of a doc's
+    // bigrams is a cheap fluency/common-phrase signal (all-integer
+    // arithmetic: engine-portable, no float summation order). At 100 TB
+    // the count table gets a frequency floor (drop hapax bigrams) before
+    // the join; the join itself shuffles on (lang, bigram) — the classic
+    // bounded-key shape.
+    "q72_bigram_score" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TF.bigrams(col("text"))).as("bg"))
+      val bc = bg.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+      bg.join(bc, Seq("lang", "bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+          (col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
+            .as("mean_freq"))
+    }),
+
     // Capstone: full curation pipeline (quality gate → LSH near-dup
     // removal → per-language corpus stats), all stages previously
     // verified individually, composed declaratively.
@@ -218,6 +245,25 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q69_pack_chunks" ->
+      s"""WITH $tkCte,
+         p AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS tok_count,
+             doc_id % 8 AS shard FROM tk)
+         SELECT doc_id, lang, tok_count, shard,
+           CAST(floor((sum(tok_count) OVER (PARTITION BY lang, shard
+             ORDER BY doc_id) - tok_count) / 512.0) AS BIGINT) AS chunk_id
+         FROM p""",
+    "q72_bigram_score" ->
+      s"""WITH $tkCte,
+         bg AS (SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> concat(t[i], ' ', t[i + 1]))) AS bg
+           FROM tk WHERE len(t) >= 2),
+         bc AS (SELECT lang, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(c) AS BIGINT) AS sum_freq,
+           CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
+         FROM bg JOIN bc USING (lang, bg) GROUP BY doc_id""",
     "q37_text_stats" ->
       s"""WITH $tkCte
          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

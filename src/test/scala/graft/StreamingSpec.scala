@@ -307,6 +307,37 @@ class StreamingSpec extends AnyFunSuite {
       "each event id delivered exactly once despite replays")
   }
 
+  test("dropDuplicatesWithinWatermark dedups with BOUNDED state (the 100 TB form)") {
+    // plain dropDuplicates keeps every key forever — unusable on an
+    // unbounded ingest stream. The within-watermark form stores
+    // key -> expiry and evicts as the watermark passes: state is bounded
+    // by the delay window, the scalable streaming-dedup contract.
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val deduped = input.toDS().toDF("event_id", "ts", "v")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-ddww"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen ++= b.collect().map(_.getLong(0)); ()
+      }
+      .start()
+    input.addData((1L, ts(10), 1.0), (2L, ts(11), 2.0), (1L, ts(10), 1.0))
+    q.processAllAvailable()
+    input.addData((1L, ts(12), 1.0), (2L, ts(13), 2.0), (3L, ts(14), 3.0))
+    q.processAllAvailable()
+    val plan = q.lastProgress.sources.nonEmpty // progress sanity
+    q.stop()
+    assert(plan)
+    assert(seen.sorted.toSeq === Seq(1L, 2L, 3L),
+      "each id delivered once; replays within the watermark suppressed")
+    assert(deduped.queryExecution.analyzed.toString
+      .contains("DeduplicateWithinWatermark"),
+      "must use the state-evicting dedup operator, not unbounded dropDuplicates")
+  }
+
   test("file sink is exactly-once by manifest across stop/restart") {
     import spark.implicits._
     val dir = tmp("filesink")

@@ -33,9 +33,15 @@ def norm_cell(v):
         return str(v)
     return str(v)
 
+def norm_type(t):
+    # nested field NAMES are engine incidentals (Spark 'element' vs
+    # DuckDB 'l' for list children) — compare structure only
+    import re
+    return re.sub(r"<[^:<>]+: ", "<", str(t))
+
 def norm_table(tbl):
     cols = sorted(tbl.column_names)
-    types = {f.name: str(f.type) for f in tbl.schema}
+    types = {f.name: norm_type(f.type) for f in tbl.schema}
     data = tbl.select(cols).to_pylist()
     rows = sorted(tuple(norm_cell(r[c]) for c in cols) for r in data)
     return cols, types, rows
