@@ -180,6 +180,18 @@ object LlmQueries {
             .as("mean_freq"))
     }),
 
+    // Benchmark-contamination gate: trigram overlap of every document
+    // against an "eval set" (here: the shingles of docs 0–4, so planted
+    // self-contamination scores 1.0). Broadcast semi-join — the corpus
+    // never shuffles.
+    "q73_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.where(col("doc_id") < 5)
+        .select(explode(Dedup.shinglesText(col("text"), 3)).as("g"))
+      graft.llm.Contamination.contaminationScore(docs, evalSet,
+        "doc_id", "text", n = 3)
+    }),
+
     // Capstone: full curation pipeline (quality gate → LSH near-dup
     // removal → per-language corpus stats), all stages previously
     // verified individually, composed declaratively.
@@ -264,6 +276,17 @@ object LlmQueries {
            CAST(sum(c) AS BIGINT) AS sum_freq,
            CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
          FROM bg JOIN bc USING (lang, bg) GROUP BY doc_id""",
+    "q73_contamination" ->
+      s"""WITH $tkCte, ${shingleCte(3)},
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 5),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         m AS (SELECT doc_id, count(*) AS nm FROM ex
+               WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+         SELECT sh.doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(coalesce(m.nm, 0) AS BIGINT) AS n_matched,
+           CAST(coalesce(m.nm, 0) AS DOUBLE) / CAST(len(s) AS DOUBLE)
+             AS contamination
+         FROM sh LEFT JOIN m ON sh.doc_id = m.doc_id""",
     "q37_text_stats" ->
       s"""WITH $tkCte
          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

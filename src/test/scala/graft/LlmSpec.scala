@@ -276,4 +276,27 @@ class LlmSpec extends AnyFunSuite {
     assert(plan64.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       s"sampling scan not pruned:\n$plan64")
   }
+
+  test("contamination: planted eval docs score 1.0, overlap via broadcast semi-join") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val evalSet = docs.where(col("doc_id") < 5)
+      .select(explode(graft.llm.Dedup.shinglesText(col("text"), 3)).as("g"))
+    val df = graft.llm.Contamination.contaminationScore(docs, evalSet,
+      "doc_id", "text", n = 3)
+    val byId = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the eval docs themselves: every shingle matches
+    (0L until 5L).filter(byId.contains).foreach { id =>
+      assert(byId(id)._3 === 1.0, s"doc $id should self-contaminate fully")
+    }
+    // bounds hold everywhere
+    byId.values.foreach { case (total, m, c) =>
+      assert(m >= 0 && m <= total && c >= 0.0 && c <= 1.0)
+    }
+    // the eval table broadcasts; the corpus side never exchanges for the probe
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"eval n-gram probe should broadcast:\n$plan")
+  }
 }
