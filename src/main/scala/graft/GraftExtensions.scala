@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** `spark.sql.extensions` entry point: every graft native expression
+  * becomes a built-in SQL function at session construction —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Equivalent to calling [[graft.llm.GraftFunctions.register]] on a
+  * running session, but injection registers in the session's function
+  * registry at build time, so SQL-only users (thrift server, notebooks)
+  * never touch Scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.llm.GraftFunctions.builders.foreach { case (name, _, builder) =>
+      // 2-arg ExpressionInfo: (className, functionName)
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.llm", name), builder))
+    }
+}

@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for the native expressions, so `spark.sql`
   * users get them too: `word_shingles(text, 3)`,
-  * `minhash_signature(shingles, 8)`. Equivalent to wiring
-  * `SparkSessionExtensions.injectFunction` at session build.
+  * `minhash_signature(shingles, 8)`. Builders are shared with
+  * [[graft.GraftExtensions]], the `spark.sql.extensions` entry point that
+  * injects the same functions at session build.
   */
 object GraftFunctions {
 
@@ -18,18 +19,35 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    ColumnBridge.registerFunction(spark, "word_shingles") { args =>
+  /** (name, usage, builder) for every SQL-callable native expression. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("word_shingles", "word_shingles(text, n)", args => {
       require(args.length == 2, "word_shingles(text, n)")
       ShinglesExpr(args.head, intArg(args(1), "n"))
-    }
-    ColumnBridge.registerFunction(spark, "minhash_signature") { args =>
+    }),
+    ("minhash_signature", "minhash_signature(shingles, k)", args => {
       require(args.length == 2, "minhash_signature(shingles, k)")
       MinHashSignatureExpr(args.head, intArg(args(1), "k"))
-    }
-    ColumnBridge.registerFunction(spark, "cosine_similarity") { args =>
+    }),
+    ("cosine_similarity", "cosine_similarity(a, b)", args => {
       require(args.length == 2, "cosine_similarity(a, b)")
       CosineSimilarityExpr(args.head, args(1))
+    }),
+    ("simhash", "simhash(tokens, bits)", args => {
+      require(args.length == 2, "simhash(tokens, bits)")
+      SimHashExpr(args.head, intArg(args(1), "bits"))
+    }),
+    ("hyperplane_band_buckets",
+      "hyperplane_band_buckets(vec, bands, planesPerBand, dims)", args => {
+      require(args.length == 4,
+        "hyperplane_band_buckets(vec, bands, planesPerBand, dims)")
+      HyperplaneBandBucketsExpr(args.head, intArg(args(1), "bands"),
+        intArg(args(2), "planesPerBand"), intArg(args(3), "dims"))
+    })
+  )
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      ColumnBridge.registerFunction(spark, name)(builder)
     }
-  }
 }

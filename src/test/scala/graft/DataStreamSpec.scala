@@ -240,6 +240,33 @@ class DataStreamSpec extends AnyFunSuite {
     assert(row.getSeq[String](1).forall(_.matches("[0-9a-f]{8}")))
   }
 
+  test("GraftExtensions injects every native fn at session build (spark.sql.extensions)") {
+    // a FRESH session built with ONLY the extensions applied — SQL-only
+    // users (thrift server, notebooks) get the functions without touching
+    // Scala. Builder.getOrCreate returns the active session if one is
+    // set, so clear and restore around the build (same SparkContext).
+    import org.apache.spark.sql.classic.{SparkSession => CS}
+    val prevDefault = CS.getDefaultSession
+    val prevActive = CS.getActiveSession
+    CS.clearDefaultSession(); CS.clearActiveSession()
+    val s2 =
+      try org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions()(_)).getOrCreate()
+      finally {
+        prevDefault.foreach(CS.setDefaultSession)
+        prevActive.foreach(CS.setActiveSession)
+      }
+    val row = s2.sql(
+      """SELECT word_shingles('a b c d', 2) AS sh,
+         cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+         simhash(array('x', 'y'), 16) AS sh16,
+         size(hyperplane_band_buckets(array(1.0d, 2.0d), 4, 4, 2)) AS nb""").head()
+    assert(row.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(row.getDouble(1) === 1.0)
+    assert(row.getLong(2) >= 0L && row.getLong(2) <= 65535L)
+    assert(row.getInt(3) === 4)
+  }
+
   test("TableEnvironment registers, lists, queries and fetches tables") {
     import spark.implicits._
     val env = TableEnvironment.create(spark)
