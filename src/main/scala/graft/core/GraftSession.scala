@@ -94,6 +94,29 @@ object Money {
   /** sum of a 2-dp money source column at DuckDB's output type (38,2). */
   def sumDec(c: Column): Column = sum38(dec(c), 2)
 
+  /** sum38 on the integer-units fast path: round(x·10^scale) recovers the
+    * EXACT fixed-point value (sources are 2-dp; products of 2-dp decimals
+    * have ≤ scale decimal places, which sit ≥ half-a-unit from any rounding
+    * boundary while the double expression's error is ~1e-9 units — rounding
+    * always lands on the exact value). Long sums vectorize inside
+    * whole-stage codegen where decimal sums do not, and MakeDecimal
+    * re-labels the unscaled total as decimal(38,scale) — value AND declared
+    * type identical to sum38, order-independent like it. Capacity:
+    * ±9.2e18 units per group before Long overflow (ANSI aborts loudly,
+    * never silently wraps) — rescale to sumDec/sum38 past ~1e16 dollars.
+    */
+  def sum38Fast(e: Column, scale: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.MakeDecimal
+    require(scale >= 0 && scale <= 6, "exactness argument holds to scale 6")
+    val units = sum(round(e * lit(math.pow(10, scale))).cast("long"))
+    ColumnBridge.toColumn(
+      MakeDecimal(ColumnBridge.toExpression(units), 38, scale))
+  }
+
+  /** sumDec on the cents fast path (see sum38Fast). */
+  def sumDecFast(c: Column): Column = sum38Fast(c, 2)
+
   /** Order-independent mean: exact decimal sum, divided in double so both
     * engines divide bit-identical operands.
     */

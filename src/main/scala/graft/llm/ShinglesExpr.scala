@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate arrays. First-occurrence order preserved like
   * array_distinct.
   */
-case class ShinglesExpr(child: Expression, n: Int)
+case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1)
@@ -39,7 +39,7 @@ case class ShinglesExpr(child: Expression, n: Int)
       if (i > start) tokens += text.substring(start, i)
     }
     if (tokens.length < n) new GenericArrayData(Array.empty[Any])
-    else {
+    else if (distinct) {
       val seen = new java.util.LinkedHashSet[String](tokens.length * 2)
       val sb = new java.lang.StringBuilder(64)
       var j = 0
@@ -59,6 +59,24 @@ case class ShinglesExpr(child: Expression, n: Int)
       var o = 0
       while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
       new GenericArrayData(out)
+    } else {
+      // occurrence mode (frequency analysis wants multiplicity): every
+      // n-gram in order, one scan, no set
+      val out = new Array[Any](tokens.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j <= tokens.length - n) {
+        sb.setLength(0)
+        var t = 0
+        while (t < n) {
+          if (t > 0) sb.append(' ')
+          sb.append(tokens(j + t))
+          t += 1
+        }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
     }
   }
 
@@ -72,4 +90,8 @@ object ShinglesExpr {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   def apply(col: Column, n: Int): Column =
     ColumnBridge.toColumn(ShinglesExpr(ColumnBridge.toExpression(col), n))
+  /** Occurrence-mode (non-distinct) n-grams, e.g. for frequency scoring. */
+  def occurrences(col: Column, n: Int): Column =
+    ColumnBridge.toColumn(
+      ShinglesExpr(ColumnBridge.toExpression(col), n, distinct = false))
 }

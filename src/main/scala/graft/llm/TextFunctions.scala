@@ -134,17 +134,14 @@ object TextFunctions {
       .otherwise(lit(1.0) - distinctCnt.cast("double") / total.cast("double"))
   }
 
-  /** Bigram OCCURRENCES over the token array (order-preserving, not
-    * distinct — frequency analysis needs multiplicity, unlike shingling
-    * for dedup which wants the set).
+  /** Bigram OCCURRENCES (order-preserving, not distinct — frequency
+    * analysis needs multiplicity, unlike shingling for dedup which wants
+    * the set). Native one-scan path: the HOF formulation
+    * (transform(sequence, i -> element_at(tokens(text), i) ...)) embeds
+    * the full tokenizer in the lambda body and re-runs it PER ELEMENT —
+    * O(tokens²) per document, measured 8 s vs 1 s at sf0.1.
     */
-  def bigrams(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def bigrams(text: Column): Column = ShinglesExpr.occurrences(text, 2)
 
   /** PII patterns, restricted to the RE2∩Java syntax subset (no
     * backreferences/lookaround) so the DuckDB oracle applies the literal

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.core.Money
 import graft.core.Money.{dec, sum38, sumDec}
 
 /** Remaining SURVEY §2.4/§2.5 capability rows: outer joins, range
@@ -87,7 +88,8 @@ object ExtendedRelationalQueries {
     "q51_cube" -> ((s, dir) => {
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n"),
+             Money.sumDecFast(col("o_totalprice")).as("revenue"))
     }),
 
     // Exact percentiles (interpolated, = SQL percentile_cont semantics).
@@ -125,13 +127,6 @@ object ExtendedRelationalQueries {
           col("p_brand").rlike("Brand#[0-9]+").cast("int").cast("long").as("brand_ok"))
     }),
 
-    // HLL approximate distinct (SURVEY §2.4 approx row). HLL sketch values
-    // are implementation-specific, so the hard-checkable contract is the
-    // accuracy BOUND: emit exact distinct, row count, and whether the HLL
-    // estimate lands within 5% of exact. HLL is deterministic for fixed
-    // input, so this is a stable boolean the DuckDB oracle reproduces as
-    // literal TRUE over its own exact counts. At scale the approx form
-    // replaces the exact-distinct shuffle expansion.
     // Approximate percentile (Greenwald-Khanna sketch) with a hard
     // accuracy-bound oracle, same pattern as q52: the sketch VALUE is
     // merge-order sensitive, but the 1e-4 rank-accuracy bound makes the
@@ -150,6 +145,13 @@ object ExtendedRelationalQueries {
           (abs(col("a90") - col("exact_p90")) / col("exact_p90") <= lit(0.05)).as("p90_ok"))
     }),
 
+    // HLL approximate distinct (SURVEY §2.4 approx row). HLL sketch values
+    // are implementation-specific, so the hard-checkable contract is the
+    // accuracy BOUND: emit exact distinct, row count, and whether the HLL
+    // estimate lands within 5% of exact. HLL is deterministic for fixed
+    // input, so this is a stable boolean the DuckDB oracle reproduces as
+    // literal TRUE over its own exact counts. At scale the approx form
+    // replaces the exact-distinct shuffle expansion.
     "q52_approx_distinct" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       // Approx and exact are SEPARATE aggregates joined on the group key:

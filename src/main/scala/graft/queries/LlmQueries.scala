@@ -168,9 +168,13 @@ object LlmQueries {
     // the join; the join itself shuffles on (lang, bigram) — the classic
     // bounded-key shape.
     "q72_bigram_score" -> ((s, dir) => {
+      // MATERIALIZED like the LSH signature tables: consumed twice (count
+      // build + probe) and an unpersisted explode re-derives the bigram
+      // array per output row — the generator re-evaluation trap.
       val bg = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(TF.bigrams(col("text"))).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bc = bg.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
       bg.join(bc, Seq("lang", "bg"))
         .groupBy(col("doc_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.core.Money.{avgDec, avgRate, dec, oneMinus, onePlus, sum38, sumDec}
+import graft.core.Money.{avgDec, avgRate, dec, oneMinus, onePlus, sum38, sum38Fast, sumDec, sumDecFast}
 
 /** Batch relational surface (SURVEY §2.2–§2.5, §2.10): projections, filters,
   * every join shape, grouped aggregates, sorts/limits/top-k, set ops, scalar
@@ -30,9 +30,12 @@ object RelationalQueries {
           // quantity is integer-valued: double summation is exact (< 2^53)
           // regardless of order, so it needs no decimal treatment.
           sum(col("l_quantity")).as("sum_qty"),
-          sumDec(col("l_extendedprice")).as("sum_base_price"),
-          sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")), 4).as("sum_disc_price"),
-          sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")), 6).as("sum_charge"),
+          // integer-units fast path: ≤6-dp exact products recovered by
+          // round(x·10^s), Long sums vectorize where decimal sums don't
+          sumDecFast(col("l_extendedprice")).as("sum_base_price"),
+          sum38Fast(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          sum38Fast(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
           avg(col("l_quantity")).as("avg_qty"),
           avgDec(col("l_extendedprice")).as("avg_price"),
           avgRate(col("l_discount")).as("avg_disc"),
@@ -79,7 +82,7 @@ object RelationalQueries {
       val p = Tables.part(s, dir)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")), 4).as("revenue"))
+        .agg(sum38Fast(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
     }),
 
     // Left-semi join (EXISTS): customers having at least one 'F' order.
@@ -203,10 +206,10 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          sum38(when(col("l_discount") > lit(0.05), dec(col("l_extendedprice")))
-            .otherwise(lit(0).cast("decimal(14,2)")), 2).as("high_disc_rev"),
-          sum38(when(col("l_discount") <= lit(0.05), dec(col("l_extendedprice")))
-            .otherwise(lit(0).cast("decimal(14,2)")), 2).as("low_disc_rev"),
+          sum38Fast(when(col("l_discount") > lit(0.05), col("l_extendedprice"))
+            .otherwise(lit(0.0)), 2).as("high_disc_rev"),
+          sum38Fast(when(col("l_discount") <= lit(0.05), col("l_extendedprice"))
+            .otherwise(lit(0.0)), 2).as("low_disc_rev"),
           count(when(col("l_quantity") > lit(30.0), lit(1))).as("n_bulk"))
     }),
 
