@@ -54,6 +54,23 @@ class LlmSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  test("occurrence-mode shingles equal the sliding-window HOF formulation") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(100)
+    val native = docs.select(col("doc_id"), TF.bigrams(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // reference formulation: every adjacent token pair, multiplicity kept
+    val hof = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(t) >= 2
+           THEN zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                         (a, b) -> concat(a, ' ', b))
+           ELSE array() END""").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === hof)
+  }
+
   test("native minhash expression equals the HOF formulation on real docs") {
     import org.apache.spark.sql.functions.{col, size}
     val sh = graft.core.Tables.documents(spark, sfDir)

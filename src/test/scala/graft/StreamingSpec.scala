@@ -875,4 +875,20 @@ class StreamingSpec extends AnyFunSuite {
       schema = Some(df.schema), maxFilesPerTrigger = Some(1))
     assert(stream.isStreaming)
   }
+
+  test("file source round-trips every bundled format (csv/json/orc/parquet/text)") {
+    val dir = tmp("formats")
+    val src = spark.range(5).selectExpr("id AS n", "concat('v', id) AS s")
+    for (fmt <- Seq("csv", "json", "orc", "parquet")) {
+      src.write.mode("overwrite").format(fmt).save(s"$dir/$fmt")
+      val back = FileSource.batch(spark, fmt, s"$dir/$fmt",
+        // self-describing formats carry their schema; csv/json get it
+        // from the caller (the reference's ITypeSerializer role)
+        schema = if (fmt == "csv" || fmt == "json") Some(src.schema) else None)
+      assert(back.count() === 5, s"format $fmt")
+      assert(back.selectExpr("sum(n)").head().getLong(0) === 10L, s"format $fmt")
+    }
+    src.selectExpr("s").write.mode("overwrite").text(s"$dir/text")
+    assert(FileSource.batch(spark, "text", s"$dir/text").count() === 5)
+  }
 }
