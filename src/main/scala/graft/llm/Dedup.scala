@@ -231,38 +231,63 @@ object Dedup {
   /** Connected components over an undirected near-duplicate edge list:
     * resolves PAIRS into CLUSTERS so curation keeps exactly one document
     * per transitive duplicate group (pairwise drop-the-higher-id keeps two
-    * survivors from {1-9, 5-9}; the cluster view keeps only 1). Iterative
-    * min-label propagation, all DataFrame ops: each round every node takes
-    * the min label among itself and its neighbors; `localCheckpoint`
-    * truncates the growing lineage per round. Rounds = eccentricity of
-    * each cluster's min node — tiny for near-dup clusters (dense blobs);
-    * a pathological million-node chain would want the large-star/
-    * small-star variant (O(log n) rounds), same join pattern.
+    * survivors from {1-9, 5-9}; the cluster view keeps only 1).
+    *
+    * Alternating large-star / small-star (the textbook MapReduce
+    * formulation from "Connected Components in MapReduce and Beyond"):
+    * large-star links every strictly-larger neighbor of u to
+    * m(u) = min(Γ(u) ∪ {u}); small-star links the ≤ neighbors and u
+    * itself to m(u). Alternation converges in O(log n) rounds for ANY
+    * graph shape — a million-node adversarial chain included — where
+    * min-label propagation needs O(diameter) rounds. Each round is two
+    * groupBy-min + join passes over the edge list, `localCheckpoint`
+    * truncates lineage, and the fixpoint test is an edge-set equality.
+    * Converged edges are pure stars centered at each component's min id.
     * Returns (node, cluster_id = min node id of the component).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b"): DataFrame = {
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("cluster_id", col("node"))
+                          bCol: String = "doc_b",
+                          maxRounds: Int = 64): DataFrame = {
+    // canonical undirected edge set: (u = min, v = max), no self-loops
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("u"), col("v")).as("u"),
+                greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.union(df.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) over the symmetrized edge set
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = sym.join(labels, col("src") === col("node"))
-        .groupBy(col("dst").as("nb")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, col("node") === col("nb"), "left")
-        .select(col("node"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+    var done = false
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      // O(log n) convergence is the algorithm's guarantee; blowing the
+      // bound means a bug, not a big graph — fail loudly
+      require(rounds <= maxRounds,
+        s"star alternation did not converge in $maxRounds rounds")
+      // large-star: every strictly-larger neighbor of u links to m(u)
+      val s1 = sym(edges)
+      val ls = canon(s1.join(mins(s1), "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star: every ≤ neighbor of u, and u itself, links to m(u)
+      val s2 = sym(ls)
+      val ss = canon(s2.join(mins(s2), "u")
+        .where(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins(s2).select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "node")
-        .where(col("n.cluster_id") < col("o.cluster_id")).count()
-      labels = next
+      done = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      edges = ss
     }
-    sym.unpersist()
-    labels
+    // converged: pure stars centered at each component's min id
+    edges.select(col("v").as("node"), col("u").as("cluster_id"))
+      .union(edges.select(col("u").as("node"), col("u").as("cluster_id")))
+      .distinct()
   }
 
   /** Near-duplicate CLUSTER assignment: LSH pairs → connected components.

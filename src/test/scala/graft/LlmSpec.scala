@@ -179,6 +179,17 @@ class LlmSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connected components resolve a 256-node adversarial chain in O(log n) rounds") {
+    import spark.implicits._
+    // a pure path graph is the worst case for min-label propagation
+    // (255 rounds); star alternation must land it within ~log2(256)+slack
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 256)
+    assert(got.values.forall(_ === 0L), "one component labeled by min id")
+  }
+
   test("simhash near-dup (64-bit, 16-bit bands) recalls planted near-dups, skips unrelated") {
     import spark.implicits._
     // fixture chosen by computing the md5-derived 64-bit simhash offline:
