@@ -80,4 +80,22 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
         jaccard(a, b) == jaccard(b, a) &&
         (a.isEmpty || jaccard(a, a) == 1.0)
   }
+
+  // TopKAggregator: distributed partial top-k must equal the global top-k
+  // regardless of how rows split across partitions (the property that
+  // makes bounding the ANN ranking shuffle at k rows SAFE)
+  private implicit val topkEnc: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  private val pairsGen =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0.0, 1.0).map(d => math.rint(d * 100) / 100)))
+
+  property("topk partial merge equals global topk for any partition split") =
+    forAll(pairsGen, pairsGen, Gen.choose(1, 8)) { (xs, ys, k) =>
+      val agg = new graft.llm.Similarity.TopKAggregator(k)
+      def fold(s: List[(Long, Double)]) = s.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.finish(agg.merge(fold(xs), fold(ys)))
+      val whole = agg.finish(fold(xs ++ ys))
+      merged == whole && merged.size <= k &&
+        agg.merge(fold(xs), fold(ys)) == agg.merge(fold(ys), fold(xs))
+    }
 }
