@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Space-saving heavy hitters (Metwally et al.'s classic bounded-counter
+  * summary): per group, keep at most `capacity` (item, count) counters;
+  * an unseen item past capacity evicts the minimum counter and inherits
+  * its count + 1. Guarantees: any item with true frequency > N/capacity
+  * is retained, counts overestimate by at most the evicted minimum, and
+  * when `capacity` ≥ the group's distinct-item count the summary is
+  * EXACT. Merge sums counters pairwise then re-trims — associative and
+  * commutative over the trim order for the exact regime; in the approx
+  * regime it keeps the standard space-saving error bound.
+  *
+  * Scale posture: state per group is O(capacity) regardless of stream
+  * length — the vocabulary-mining / top-k-tokens shape that at 100 TB
+  * replaces a full (group, token) count-shuffle with map-side partials
+  * of bounded size. Deterministic: eviction and final ranking both break
+  * ties by (count, item) ordering.
+  */
+final class SpaceSavingAggregator(k: Int, capacity: Int)
+    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+  require(k >= 1 && capacity >= k)
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+    b.get(item) match {
+      case Some(c) => b.updated(item, c + 1)
+      case None if b.size < capacity => b.updated(item, 1L)
+      case None =>
+        val (minItem, minCnt) = b.minBy { case (i, c) => (c, i) }
+        (b - minItem).updated(item, minCnt + 1)
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val summed = b.foldLeft(a) { case (acc, (i, c)) =>
+      acc.updated(i, acc.getOrElse(i, 0L) + c)
+    }
+    if (summed.size <= capacity) summed
+    else summed.toSeq.sortBy { case (i, c) => (-c, i) }.take(capacity).toMap
+  }
+
+  override def finish(r: Map[String, Long]): Seq[(String, Long)] =
+    r.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

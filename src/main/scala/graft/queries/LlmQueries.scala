@@ -196,6 +196,27 @@ object LlmQueries {
         "doc_id", "text", n = 3)
     }),
 
+    // Heavy hitters: top-5 tokens per language through the bounded
+    // space-saving summary (state O(capacity) per group however long the
+    // stream — the vocab-mining shape). capacity ≥ the fixture vocabulary
+    // so the sketch is provably exact here and the oracle is hard.
+    "q74_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .as[(String, String)]
+      val ss = new graft.operators.SpaceSavingAggregator(5, 1024).toColumn
+      toks.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(ss.name("top"))
+        .flatMap { case (lang, top) =>
+          top.iterator.zipWithIndex.map { case ((t, c), i) =>
+            (lang, t, c, (i + 1).toLong)
+          }
+        }
+        .toDF("lang", "token", "cnt", "rnk")
+    }),
+
     // Capstone: full curation pipeline (quality gate → LSH near-dup
     // removal → per-language corpus stats), all stages previously
     // verified individually, composed declaratively.
@@ -291,6 +312,16 @@ object LlmQueries {
            CAST(coalesce(m.nm, 0) AS DOUBLE) / CAST(len(s) AS DOUBLE)
              AS contamination
          FROM sh LEFT JOIN m ON sh.doc_id = m.doc_id""",
+    "q74_heavy_hitters" ->
+      s"""WITH $tkCte,
+         tc AS (SELECT lang, unnest(t) AS token FROM tk),
+         cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+                 FROM tc GROUP BY 1, 2),
+         r AS (SELECT lang, token, cnt,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
+               FROM cnt)
+         SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 5""",
     "q37_text_stats" ->
       s"""WITH $tkCte
          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

@@ -190,6 +190,23 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.forall(_ === 0L), "one component labeled by min id")
   }
 
+  test("space-saving retains true heavy hitters even past capacity") {
+    // 3 counters for 5 distinct items: the two genuinely frequent items
+    // must survive eviction pressure with counts >= their true frequency
+    val agg = new graft.operators.SpaceSavingAggregator(3, 3)
+    val stream = (Seq.fill(50)("hot1") ++ Seq.fill(30)("hot2") ++
+      Seq("r1", "r2", "r3", "r1", "r2")).sorted // adversarial-ish order
+    val summary = stream.foldLeft(agg.zero)(agg.reduce)
+    val top = agg.finish(summary).toMap
+    assert(top.contains("hot1") && top("hot1") >= 50L)
+    assert(top.contains("hot2") && top("hot2") >= 30L)
+    // merge across a split equals the single-pass summary in the top ranks
+    val (l, r) = stream.splitAt(stream.length / 2)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged.map(_._1).take(2).toSet === Set("hot1", "hot2"))
+  }
+
   test("simhash near-dup (64-bit, 16-bit bands) recalls planted near-dups, skips unrelated") {
     import spark.implicits._
     // fixture chosen by computing the md5-derived 64-bit simhash offline:
