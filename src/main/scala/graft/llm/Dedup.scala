@@ -262,6 +262,7 @@ object Dedup {
 
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
+    var edgeCount = edges.count()
     var done = false
     var rounds = 0
     while (!done) {
@@ -281,8 +282,13 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins(s2).select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
-      done = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      // count first: a changed edge count proves non-convergence without
+      // the set-difference shuffle; equal counts + one-direction subset
+      // check proves equality (|ss| = |edges| ∧ ss ⊆ edges ⟹ ss = edges)
+      val ssCount = ss.count()
+      done = ssCount == edgeCount && ss.except(edges).isEmpty
       edges = ss
+      edgeCount = ssCount
     }
     // converged: pure stars centered at each component's min id
     edges.select(col("v").as("node"), col("u").as("cluster_id"))
