@@ -190,6 +190,18 @@ class LlmSpec extends AnyFunSuite {
     assert(got.values.forall(_ === 0L), "one component labeled by min id")
   }
 
+  test("packing shuffles token counts, never document text") {
+    val df = graft.llm.Packing.packChunks(
+      graft.core.Tables.documents(spark, sfDir), "doc_id", "text", "lang", 512, 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // tokenCount must be projected BEFORE the window exchange: the only
+    // thing that shuffles is (doc_id, lang, tok_count, shard)
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0, s"expected a window exchange in:\n$plan")
+    assert(!plan.substring(0, exchangeIdx).contains("text#"),
+      s"document text crossed the shuffle:\n$plan")
+  }
+
   test("space-saving retains true heavy hitters even past capacity") {
     // 3 counters for 5 distinct items: the two genuinely frequent items
     // must survive eviction pressure with counts >= their true frequency
