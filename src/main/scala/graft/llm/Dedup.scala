@@ -247,7 +247,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
-                          maxRounds: Int = 64): DataFrame = {
+                          maxRounds: Int = 64,
+                          smallGraphThreshold: Long = 1000000L): DataFrame = {
     // canonical undirected edge set: (u = min, v = max), no self-loops
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("u"), col("v")).as("u"),
@@ -263,6 +264,34 @@ object Dedup {
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
     var edgeCount = edges.count()
+    // Adaptive strategy, AQE-style: near-dup edge sets are usually a tiny
+    // fraction of the corpus (pairs survive exact verification first). At
+    // or under the threshold — a BOUNDED collect, ≤ ~16 MB of id pairs —
+    // union-find on the driver resolves in milliseconds instead of
+    // O(log n) distributed rounds of multi-shuffle jobs. Past it, the
+    // star alternation below scales to any edge count.
+    val isLongIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (edgeCount <= smallGraphThreshold && isLongIds) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val labels = nodes.iterator.map(n => (n, find(n))).toSeq
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toDF("node", "cluster_id")
+    }
     var done = false
     var rounds = 0
     while (!done) {

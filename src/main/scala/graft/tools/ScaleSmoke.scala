@@ -20,8 +20,11 @@ object ScaleSmoke {
       .reduce(_ union _)
     println(s"[smoke] corpus: ${n * 10} docs (10 x $n)")
     val t0 = System.nanoTime()
+    // smallGraphThreshold = 0: smoke the DISTRIBUTED star path on the
+    // full replicated edge set (the default would collect driver-side)
     val clusters = Dedup.connectedComponents(
-      Dedup.nearDuplicatePairs(big, "doc_id", "text", 3, 8, 4, 0.5))
+      Dedup.nearDuplicatePairs(big, "doc_id", "text", 3, 8, 4, 0.5),
+      smallGraphThreshold = 0L)
     val nClustered = clusters.count()
     val secs = (System.nanoTime() - t0) / 1e9
     // every base doc with >= 3 tokens has 10 exact replicas -> its family

@@ -184,7 +184,10 @@ class LlmSpec extends AnyFunSuite {
     // a pure path graph is the worst case for min-label propagation
     // (255 rounds); star alternation must land it within ~log2(256)+slack
     val chain = (0L until 255L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain, maxRounds = 12)
+    // smallGraphThreshold = 0 pins the DISTRIBUTED star path — the
+    // default would resolve this driver-side
+    val got = Dedup.connectedComponents(chain, maxRounds = 12,
+        smallGraphThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.size === 256)
     assert(got.values.forall(_ === 0L), "one component labeled by min id")
@@ -200,6 +203,19 @@ class LlmSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0, s"expected a window exchange in:\n$plan")
     assert(!plan.substring(0, exchangeIdx).contains("text#"),
       s"document text crossed the shuffle:\n$plan")
+  }
+
+  test("driver union-find and distributed star components agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(500)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val small = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(edges, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(small === dist)
   }
 
   test("space-saving retains true heavy hitters even past capacity") {
