@@ -222,6 +222,39 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT within a partition key: how much of
+    * the smaller document's shingle set appears in the larger's —
+    * |A ∩ B| / min(|A|, |B|). Catches partial copies (a doc quoting most
+    * of another) that symmetric Jaccard misses: a 100-shingle doc fully
+    * inside a 10,000-shingle doc scores containment 1.0 but Jaccard 0.01.
+    * Same inverted-index shape as jaccardPairsWithin — zero-overlap pairs
+    * never materialize, Σ bucket² over (group, shingle) keys.
+    * Emits (doc_a, doc_b, n_common, containment) for pairs ≥ `threshold`,
+    * doc_a < doc_b.
+    */
+  def containmentPairsWithin(docs: DataFrame, idCol: String, textCol: String,
+                             partitionCol: String, shingleN: Int,
+                             threshold: Double): DataFrame = {
+    val d = docs.select(col(partitionCol).as("grp"), col(idCol).as("doc_id"),
+        shinglesText(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.grp") === col("b.grp") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Exact dedup: keep the lowest id per normalized-text fingerprint. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("fp", fingerprint(col(textCol)))

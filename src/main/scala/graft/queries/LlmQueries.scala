@@ -105,6 +105,12 @@ object LlmQueries {
       Dedup.jaccardPairsWithin(Tables.documents(s, dir), "doc_id", "text",
         partitionCol = "source", shingleN = 3, threshold = 0.1)),
 
+    // Asymmetric containment (partial-copy detection): |A∩B| / min(|A|,|B|)
+    // catches a small doc quoted inside a large one that Jaccard misses.
+    "q75_containment" -> ((s, dir) =>
+      Dedup.containmentPairsWithin(Tables.documents(s, dir), "doc_id", "text",
+        partitionCol = "source", shingleN = 3, threshold = 0.2)),
+
     // 16-bit SimHash per document (frequency-weighted majority per bit).
     "q44_simhash" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -411,6 +417,17 @@ object LlmQueries {
          WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
                 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.s, b.s))) END >= 0.1""",
+    "q75_containment" ->
+      s"""WITH $tkCte, ${shingleCte(3)},
+         d AS (SELECT sh.doc_id, tk.source, sh.s FROM sh JOIN tk ON sh.doc_id = tk.doc_id
+               WHERE len(sh.s) > 0)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS containment
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.2""",
     "q44_simhash" ->
       s"""WITH $tkCte,
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)
