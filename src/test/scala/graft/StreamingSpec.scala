@@ -876,6 +876,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.isStreaming)
   }
 
+  test("LLM quality/dedup operators run unchanged on a stream (batch ≡ stream)") {
+    // the same Column expressions drive batch curation and streaming
+    // ingest — the reference's unified-runtime claim, checked by value
+    import graft.llm.{TextFunctions => TF}
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                   (2L, "the quick brown fox jumps over the lazy dog"),
+                   (3L, "completely different text with many unusual words here"),
+                   (4L, "a b"), (5L, ""))
+    val stops = Seq("the", "a", "of", "and")
+    def score(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TF.qualityScore(col("text"), stops).as("q"),
+        TF.fingerprint(col("text")).as("fp"))
+    val batch = {
+      import spark.implicits._
+      score(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    }
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.Set.empty[(Long, Double, String)]
+    val q = score(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-llmstream"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))); ()
+      }
+      .start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === batch, "stream scoring must equal batch scoring")
+    // exact dup (1,2) detectable downstream by identical fingerprints
+    val fps = got.toSeq.filter(t => t._1 <= 2).map(_._3)
+    assert(fps.distinct.size === 1)
+  }
+
   test("file source round-trips every bundled format (csv/json/orc/parquet/text)") {
     val dir = tmp("formats")
     val src = spark.range(5).selectExpr("id AS n", "concat('v', id) AS s")
