@@ -198,9 +198,14 @@ object Dedup {
     * shingles never materialize at all. Shuffle cost is Σ bucket² over
     * (group, shingle) buckets, the classic scalable shape.
     */
-  def jaccardPairsWithin(docs: DataFrame, idCol: String, textCol: String,
-                         partitionCol: String, shingleN: Int,
-                         threshold: Double): DataFrame = {
+  /** Shared inverted-index core: overlapping pairs within a partition key
+    * with intersection and set sizes — (doc_a, doc_b, n_common, sz_a,
+    * sz_b), doc_a < doc_b. Zero-overlap pairs never materialize; shuffle
+    * cost is Σ bucket² over (group, shingle) keys.
+    */
+  private def shingleOverlapPairs(docs: DataFrame, idCol: String,
+                                  textCol: String, partitionCol: String,
+                                  shingleN: Int): DataFrame = {
     val d = docs.select(col(partitionCol).as("grp"), col(idCol).as("doc_id"),
         shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
@@ -208,19 +213,23 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
     val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
+    ex.as("a").join(ex.as("b"),
         col("a.grp") === col("b.grp") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+  }
+
+  def jaccardPairsWithin(docs: DataFrame, idCol: String, textCol: String,
+                         partitionCol: String, shingleN: Int,
+                         threshold: Double): DataFrame =
+    shingleOverlapPairs(docs, idCol, textCol, partitionCol, shingleN)
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common"))).as("jac"))
       .where(col("jac") >= threshold)
-  }
 
   /** Asymmetric shingle CONTAINMENT within a partition key: how much of
     * the smaller document's shingle set appears in the larger's —
@@ -234,26 +243,12 @@ object Dedup {
     */
   def containmentPairsWithin(docs: DataFrame, idCol: String, textCol: String,
                              partitionCol: String, shingleN: Int,
-                             threshold: Double): DataFrame = {
-    val d = docs.select(col(partitionCol).as("grp"), col(idCol).as("doc_id"),
-        shinglesText(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
-    val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.grp") === col("b.grp") && col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+                             threshold: Double): DataFrame =
+    shingleOverlapPairs(docs, idCol, textCol, partitionCol, shingleN)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
       .where(col("containment") >= threshold)
-  }
 
   /** Exact dedup: keep the lowest id per normalized-text fingerprint. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
