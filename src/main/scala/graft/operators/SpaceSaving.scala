@@ -19,6 +19,26 @@ import org.apache.spark.sql.expressions.Aggregator
   * of bounded size. Deterministic: eviction and final ranking both break
   * ties by (count, item) ordering.
   */
+object SpaceSaving {
+  /** One space-saving update against a MUTABLE counter map (the streaming
+    * state form — the batch Aggregator below folds immutably).
+    */
+  def offer(counters: scala.collection.mutable.HashMap[String, Long],
+            item: String, capacity: Int): Unit =
+    counters.get(item) match {
+      case Some(c) => counters.update(item, c + 1)
+      case None if counters.size < capacity => counters.update(item, 1L)
+      case None =>
+        val (minItem, minCnt) = counters.minBy { case (i, c) => (c, i) }
+        counters.remove(minItem)
+        counters.update(item, minCnt + 1)
+    }
+
+  /** Deterministic top-k of a counter map: count desc, item asc. */
+  def topK(counters: collection.Map[String, Long], k: Int): Seq[(String, Long)] =
+    counters.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
+}
+
 final class SpaceSavingAggregator(k: Int, capacity: Int)
     extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
   require(k >= 1 && capacity >= k)

@@ -876,6 +876,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.isStreaming)
   }
 
+  test("streaming heavy hitters track per-key top tokens with bounded state") {
+    import spark.implicits._
+    // MapState (transformWithState) needs the RocksDB provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val input = MemoryStream[(String, String)](spark)
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, String, Long, Long)]]
+    val hh = graft.streaming.StreamingHeavyHitters.topK(
+      input.toDS().groupByKey(_._1), k = 2, capacity = 16)
+    val q = hh.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-hh"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[(String, String, Long, Long)], _: Long) =>
+          batches += b.collect().toSeq
+          ()
+      }
+      .start()
+    input.addData(("en", "the"), ("en", "the"), ("en", "fox"), ("de", "der"))
+    q.processAllAvailable()
+    // counts must carry across batches through state
+    input.addData(("en", "fox"), ("en", "fox"), ("en", "dog"))
+    q.processAllAvailable()
+    q.stop()
+    val last = batches.reverse.find(_.nonEmpty).get
+      .groupBy(_._1).map { case (k, rows) => k -> rows.sortBy(_._4).map(t => (t._2, t._3)) }
+    // en totals: fox=3, the=2, dog=1 -> top-2 (fox,3),(the,2)
+    assert(last("en") === Seq(("fox", 3L), ("the", 2L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("LLM quality/dedup operators run unchanged on a stream (batch ≡ stream)") {
     // the same Column expressions drive batch curation and streaming
     // ingest — the reference's unified-runtime claim, checked by value
