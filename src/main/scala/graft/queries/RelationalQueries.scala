@@ -30,12 +30,13 @@ object RelationalQueries {
           // quantity is integer-valued: double summation is exact (< 2^53)
           // regardless of order, so it needs no decimal treatment.
           sum(col("l_quantity")).as("sum_qty"),
-          // integer-units fast path: ≤6-dp exact products recovered by
-          // round(x·10^s), Long sums vectorize where decimal sums don't
+          // cents fast path for the scale-2 sum only: Long capacity at
+          // scale 2 (9.2e16 dollars/group) clears 100 TB with ~15×
+          // headroom, but scale-4/6 product units overflow around SF
+          // 100-10k — those stay on the decimal(38,s) path
           sumDecFast(col("l_extendedprice")).as("sum_base_price"),
-          sum38Fast(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
-          sum38Fast(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")), 4).as("sum_disc_price"),
+          sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")), 6).as("sum_charge"),
           avg(col("l_quantity")).as("avg_qty"),
           avgDec(col("l_extendedprice")).as("avg_price"),
           avgRate(col("l_discount")).as("avg_disc"),
@@ -82,7 +83,8 @@ object RelationalQueries {
       val p = Tables.part(s, dir)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum38Fast(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        // scale-4 units would overflow Long near SF 10k — decimal path
+        .agg(sum38(dec(col("l_extendedprice")) * oneMinus(col("l_discount")), 4).as("revenue"))
     }),
 
     // Left-semi join (EXISTS): customers having at least one 'F' order.
