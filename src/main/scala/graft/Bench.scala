@@ -62,7 +62,7 @@ object Bench {
     * Hashing all columns into one aggregate makes the operator itself the
     * measured work while still returning a single row to the driver.
     */
-  private def consume(df: DataFrame): Unit = {
+  private[graft] def consume(df: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     // bit_xor, not sum: summing uniform 64-bit hashes overflows Long
     // almost surely, and under Spark 4's default ANSI mode that ABORTS

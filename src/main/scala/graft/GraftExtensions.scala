@@ -18,9 +18,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    graft.llm.GraftFunctions.builders.foreach { case (name, _, builder) =>
-      // 2-arg ExpressionInfo: (className, functionName)
+    graft.llm.GraftFunctions.builders.foreach { case (name, usage, builder) =>
+      // (className, db, functionName, usage, extended) — so
+      // `DESCRIBE FUNCTION word_shingles` shows the call signature
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.llm", name), builder))
+        new ExpressionInfo("graft.llm.GraftFunctions", null, name, usage, ""),
+        builder))
     }
 }

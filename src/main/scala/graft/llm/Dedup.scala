@@ -289,7 +289,18 @@ object Dedup {
       s.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
 
-    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // a node whose ONLY edges are self-loops still belongs in the output —
+    // as its own singleton cluster — even though canon() drops loops from
+    // the edge set; nodes that also touch a real edge get their component
+    // label from that edge, so they are excepted here (one row per node)
+    val realEdges = raw.where(col("u") =!= col("v"))
+    val selfLoopSingletons = raw.where(col("u") === col("v"))
+      .select(col("u").as("node"))
+      .except(realEdges.select(col("u").as("node"))
+        .union(realEdges.select(col("v").as("node"))))
+      .select(col("node"), col("node").as("cluster_id"))
+    var edges = canon(raw)
       .localCheckpoint(true)
     var edgeCount = edges.count()
     // Adaptive strategy, AQE-style: near-dup edge sets are usually a tiny
@@ -319,6 +330,7 @@ object Dedup {
       val spark = pairs.sparkSession
       import spark.implicits._
       return labels.toDF("node", "cluster_id")
+        .union(selfLoopSingletons).distinct()
     }
     var done = false
     var rounds = 0
@@ -350,6 +362,7 @@ object Dedup {
     // converged: pure stars centered at each component's min id
     edges.select(col("v").as("node"), col("u").as("cluster_id"))
       .union(edges.select(col("u").as("node"), col("u").as("cluster_id")))
+      .union(selfLoopSingletons)
       .distinct()
   }
 

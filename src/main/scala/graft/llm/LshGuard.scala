@@ -58,15 +58,19 @@ object LshGuard {
         else j.where(col(s"a.$idCol") =!= col(s"b.$idCol"))
       filtered.select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
     }
+    // persisted: the isEmpty probe below materializes it, and in the hot
+    // branch it feeds THREE downstream subtrees (flag join, hotRows, reps)
+    // that would each re-run the count aggregation over `banded` otherwise
     val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
       .select(keyCols.map(col) :+ lit(true).as("is_hot"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Fast path — the common case. One linear count-aggregation (map-side
     // partials, tiny output) decides; with no hot bucket the self-join
     // runs directly against the (persisted) banded table, zero extra
     // joins. The guard only costs real work when it is actually saving
     // quadratic work.
-    if (hot.isEmpty) return selfJoinPairs(banded).distinct()
+    if (hot.isEmpty) { hot.unpersist(); return selfJoinPairs(banded).distinct() }
 
     val flagged = banded.join(hot, keyCols, "left")
     val cold = flagged.where(col("is_hot").isNull).drop("is_hot")

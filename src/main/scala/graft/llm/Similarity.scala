@@ -294,22 +294,51 @@ object Similarity {
     * map partition, so the shuffle carries O(partitions × k) rows per
     * query — the window form re-sorts the ENTIRE candidate pair set.
     * Ordering matches the previous window (score desc, nn_id asc).
+    *
+    * Null scores (zero-norm vectors — the native cosine's contract) rank
+    * LAST, the same place `desc` ordering puts nulls: they ride through
+    * the typed aggregator as a sentinel below cosine's [-1, 1] range and
+    * come back out as null. Non-integral id columns (the API takes any
+    * atomic idCol) fall back to the window form: the typed aggregator
+    * needs a concrete encoder, and integral ids are the only case where
+    * the bounded-shuffle path pays.
     */
   private def topKByQuery(scored: DataFrame, k: Int,
                           withRank: Boolean): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val topk = new TopKAggregator(k).toColumn
-    val ranked = scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, nid, s) => (nid, s) }
-      .agg(topk.name("top"))
-      .flatMap { case (qid, top) =>
-        top.iterator.zipWithIndex.map { case ((nid, s), i) =>
-          (qid, nid, s, (i + 1).toLong)
+    import org.apache.spark.sql.types._
+    val idTypes = Seq("vec_id", "nn_id").map(scored.schema(_).dataType)
+    val integral = idTypes.forall {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val ranked = if (integral) {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      val topk = new TopKAggregator(k).toColumn
+      val nullScore = -2.0 // below any real cosine: sorts last, restored below
+      scored.select(col("vec_id").cast("long"), col("nn_id").cast("long"),
+          coalesce(col("score"), lit(nullScore)).as("score"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, nid, s) => (nid, s) }
+        .agg(topk.name("top"))
+        .flatMap { case (qid, top) =>
+          top.iterator.zipWithIndex.map { case ((nid, s), i) =>
+            (qid, nid, s, (i + 1).toLong)
+          }
         }
-      }
-      .toDF("vec_id", "nn_id", "score", "rnk")
+        .toDF("vec_id", "nn_id", "score", "rnk")
+        .withColumn("score", when(col("score") === nullScore, lit(null))
+          .otherwise(col("score")))
+        .withColumn("vec_id", col("vec_id").cast(idTypes.head))
+        .withColumn("nn_id", col("nn_id").cast(idTypes(1)))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      scored.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("score").desc, col("nn_id").asc)).cast("long"))
+        .where(col("rnk") <= k)
+    }
     if (withRank) ranked else ranked.drop("rnk")
   }
 }

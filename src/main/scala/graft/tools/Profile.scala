@@ -1,12 +1,12 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
 import graft.core.GraftSession
 
-/** Scratch profiler: time named SparkEntry queries (same consume as Bench)
-  * at SPARK_GRAFT_SF_DIR. Usage: runMain graft.tools.Profile q52 q58
-  * (prefix match on query names; no args = nothing — not part of the API
-  * surface).
+/** Scratch profiler: time named SparkEntry queries through Bench.consume
+  * (the one force-every-column evaluator, so profiler and bench always
+  * measure identical work) at SPARK_GRAFT_SF_DIR.
+  * Usage: runMain graft.tools.Profile q52 q58 (prefix match on query
+  * names; no args = nothing — not part of the API surface).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -21,8 +21,7 @@ object Profile {
     }
     wanted.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, dir)
-      time(name)(df.select(xxhash64(df.columns.map(col): _*).as("h"))
-        .agg(expr("bit_xor(h)")).head())
+      time(name)(graft.Bench.consume(df))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -218,6 +218,21 @@ class LlmSpec extends AnyFunSuite {
     assert(small === dist)
   }
 
+  test("self-loop-only nodes survive as singleton clusters on both component paths") {
+    import spark.implicits._
+    // 7 appears only as a self-pair (a caller not enforcing doc_a < doc_b);
+    // 2 has a self-loop AND a real edge — one row, labeled by its component
+    val pairs = Seq((7L, 7L), (1L, 2L), (2L, 2L)).toDF("doc_a", "doc_b")
+    val want = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    val small = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(small.length === 3, "exactly one row per node")
+    assert(small.toMap === want)
+    val dist = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect()
+    assert(dist.length === 3)
+    assert(dist.toMap === want)
+  }
+
   test("space-saving retains true heavy hitters even past capacity") {
     // 3 counters for 5 distinct items: the two genuinely frequent items
     // must survive eviction pressure with counts >= their true frequency

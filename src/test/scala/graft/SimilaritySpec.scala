@@ -151,6 +151,44 @@ class SimilaritySpec extends AnyFunSuite {
       s"top-k must use the bounded TopKAggregator, not row_number:\n$plan")
   }
 
+  test("zero-norm vectors surface with null score, ranked last, instead of crashing ANN top-k") {
+    import spark.implicits._
+    val dims = 8
+    // two zero vectors: identical input ⇒ same bucket in EVERY band, so
+    // they are guaranteed candidates of each other — and the native
+    // cosine's contract makes their score null
+    val rows = Seq(
+      (1L, Array.fill(dims)(0.0f)),
+      (2L, Array.fill(dims)(0.0f)),
+      (3L, Array.tabulate(dims)(i => if (i == 0) 1.0f else 0.1f)),
+      (4L, Array.tabulate(dims)(i => if (i == 0) 1.0f else 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.annTopKInBands(rows, "vec_id", "embedding",
+        bands = 2, planesPerBand = 4, dims = dims, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+    assert(got.exists { case (q, n, s, _) =>
+      q == 1L && n == 2L && s.isEmpty }, "zero-pair candidate must surface with null score")
+    // within any query mixing real and null scores, nulls rank last
+    got.groupBy(_._1).values.foreach { cands =>
+      val (nulls, reals) = cands.partition(_._3.isEmpty)
+      if (nulls.nonEmpty && reals.nonEmpty)
+        assert(nulls.map(_._4).min > reals.map(_._4).max,
+          s"null scores must rank after real ones: ${cands.toSeq}")
+    }
+  }
+
+  test("ANN entry points accept non-integral id columns (window fallback path)") {
+    import org.apache.spark.sql.types.StringType
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .withColumn("sid", concat(lit("v"), col("vec_id")))
+    val df = Similarity.annTopKInBands(emb, "sid", "embedding",
+      bands = 2, planesPerBand = 4, dims = 64, k = 2)
+    assert(df.schema("vec_id").dataType === StringType)
+    assert(df.count() > 0)
+  }
+
   test("hot-bucket guard bounds a planted degenerate bucket, keeps it connected") {
     import spark.implicits._
     import graft.llm.LshGuard

@@ -34,10 +34,12 @@ def norm_cell(v):
     return str(v)
 
 def norm_type(t):
-    # nested field NAMES are engine incidentals (Spark 'element' vs
-    # DuckDB 'l' for list children) — compare structure only
+    # LIST-child field names are engine incidentals (Spark 'element' vs
+    # DuckDB 'l') — erase only those; struct field names are part of the
+    # contract and must still compare (a bare `<name: ` would also strip
+    # the FIRST struct field's name and mask a real mismatch)
     import re
-    return re.sub(r"<[^:<>]+: ", "<", str(t))
+    return re.sub(r"\b((?:large_|fixed_size_)?list)<[^:<>]+: ", r"\1<", str(t))
 
 def norm_table(tbl):
     cols = sorted(tbl.column_names)
