@@ -111,6 +111,12 @@ object LlmQueries {
       Dedup.containmentPairsWithin(Tables.documents(s, dir), "doc_id", "text",
         partitionCol = "source", shingleN = 3, threshold = 0.2)),
 
+    // Substring-level exact dedup (the suffix-array shape): per doc, the
+    // maximal token spans whose every 5-gram occurs in another document.
+    "q76_substring_dedup" -> ((s, dir) =>
+      graft.llm.SubstringDedup.duplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", k = 5)),
+
     // 16-bit SimHash per document (frequency-weighted majority per bit).
     "q44_simhash" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -428,6 +434,29 @@ object LlmQueries {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.2""",
+    "q76_substring_dedup" ->
+      s"""WITH $tkCte,
+         gr AS (SELECT doc_id,
+             unnest(generate_series(1, len(t) - 4)) AS pos,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4]))) AS gram
+           FROM tk WHERE len(t) >= 5),
+         cd AS (SELECT gram FROM gr GROUP BY gram
+                HAVING min(doc_id) <> max(doc_id)),
+         dp AS (SELECT doc_id, pos FROM gr
+                WHERE gram IN (SELECT gram FROM cd)),
+         sp AS (SELECT doc_id, grp, count(*) AS run FROM
+                  (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                   FROM dp)
+                GROUP BY doc_id, grp),
+         pd AS (SELECT doc_id, sum(run) AS n_dup_grams, count(*) AS n_spans,
+                  max(run) + 4 AS longest_span
+                FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(pd.longest_span, 0) AS BIGINT) AS longest_span
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
     "q44_simhash" ->
       s"""WITH $tkCte,
          hh AS (SELECT doc_id, list_transform(t, x -> ${duckHash("'0'", "x")}) AS h FROM tk)

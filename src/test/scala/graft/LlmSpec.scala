@@ -233,6 +233,24 @@ class LlmSpec extends AnyFunSuite {
     assert(dist.toMap === want)
   }
 
+  test("substring dedup finds maximal cross-doc token spans, ignores within-doc repeats") {
+    import spark.implicits._
+    // docs 1 & 2 share the exact 8-token run s1..s8 (⇒ 4 consecutive
+    // duplicated 5-gram positions, one span of 8 tokens); doc 3 repeats
+    // its OWN 5-gram twice but shares nothing cross-doc; doc 4 is short
+    val docs = Seq(
+      (1L, "a b c s1 s2 s3 s4 s5 s6 s7 s8 x y"),
+      (2L, "p q s1 s2 s3 s4 s5 s6 s7 s8 r"),
+      (3L, "m1 m2 m3 m4 m5 z m1 m2 m3 m4 m5"),
+      (4L, "t u v")).toDF("doc_id", "text")
+    val got = graft.llm.SubstringDedup.duplicatedSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((4L, 1L, 8L)), 2L -> ((4L, 1L, 8L)),
+      3L -> ((0L, 0L, 0L)), 4L -> ((0L, 0L, 0L))))
+  }
+
   test("space-saving retains true heavy hitters even past capacity") {
     // 3 counters for 5 distinct items: the two genuinely frequent items
     // must survive eviction pressure with counts >= their true frequency
