@@ -71,21 +71,10 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
         round(cosine(col("qvec"), col("nvec")), 6).as("score"))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val topk = new TopKAggregator(k).toColumn
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, nid, s) => (nid, s) }
-      .agg(topk.name("top"))
-      .flatMap { case (qid, top) =>
-        top.iterator.zipWithIndex.map { case ((nid, s), i) =>
-          (qid, nid, s, (i + 1).toLong)
-        }
-      }
-      .toDF("query_id", "neighbor_id", "score", "rnk")
+    topKByQuery(scored, k, withRank = true)
+      .withColumnsRenamed(Map("vec_id" -> "query_id", "nn_id" -> "neighbor_id"))
   }
 
   /** Symmetric int8 quantization scale: max|x| / 127 (0 for zero vectors). */
@@ -258,6 +247,49 @@ object Similarity {
     val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
       "vec_id", maxBucket, ordered = false)
     topKByQuery(scoreCandidates(cand, v), k = 1, withRank = false)
+  }
+
+  /** IVF-Flat ANN: coarse-quantizer assignment + probed-list rerank — the
+    * OTHER canonical ANN scale path next to hyperplane-LSH banding. Every
+    * corpus vector scores against a broadcast centroid table (narrow map,
+    * the corpus never shuffles for assignment) and lands in its nearest
+    * centroid's inverted list; each query probes its `nprobe` nearest
+    * lists and reranks exactly within them, so candidate work is
+    * Σ probed-list sizes, never n². Both the probe ranking and the final
+    * ranking run through the bounded TopKAggregator.
+    *
+    * The coarse quantizer here is deterministic — the `centroids`
+    * smallest-id vectors — so results are value-reproducible and
+    * oracle-checkable; at corpus scale that selection step is replaced by
+    * sampled k-means (identical assignment/probe/rerank plumbing, and a
+    * balanced quantizer only changes WHICH vectors land in each list).
+    * Recall behaves like IVF everywhere: a neighbor assigned to a list
+    * the query does not probe is missed — raise `nprobe` for recall.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              centroids: Int, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids, "1 ≤ nprobe ≤ centroids")
+    val v = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TakeOrdered, not a total sort: bounded at `centroids` rows
+    val cents = v.orderBy("vec_id").limit(centroids)
+      .select(col("vec_id").as("nn_id"), col("v").as("cv"))
+    // every vector × every centroid — centroid side broadcast; zero-norm
+    // vectors (null cosine) pin to the sentinel so assignment stays total
+    val scoredC = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nn_id"),
+        coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)).as("score"))
+    // rnk 1 = the vector's own list; rnk ≤ nprobe = the probe set
+    val probeR = topKByQuery(scoredC, nprobe, withRank = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = probeR.where(col("rnk") === 1)
+      .select(col("nn_id").as("cid"), col("vec_id").as("member"))
+    val probes = probeR.select(col("vec_id"), col("nn_id").as("cid"))
+    val cand = probes.join(members, "cid")
+      .where(col("vec_id") =!= col("member"))
+      .select(col("vec_id").as("id_a"), col("member").as("id_b"))
+    topKByQuery(scoreCandidates(cand, v), k, withRank = true)
   }
 
   /** Shared banded-LSH prep: persisted (vec_id, v) and its (vec_id, band,

@@ -40,6 +40,14 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 8,
         dims = 64, k = 3)),
 
+    // IVF-Flat ANN: deterministic coarse quantizer (the 8 smallest-id
+    // vectors), 2-probe, exact rerank inside probed lists — the
+    // k-means-style scale path next to LSH banding (q66).
+    "q77_ivf_ann" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding",
+        centroids = 8, nprobe = 2, k = 3)),
+
     // Embedding-cosine near-dup pairs: banded-LSH candidates (any shared
     // band) then exact cosine filter. (Fixture embeddings are near-random —
     // threshold tuned to be non-empty; real corpora use ≥0.9.)
@@ -135,6 +143,37 @@ object EmbeddingQueries {
          r AS (SELECT vec_id, nn_id, score,
                CAST(row_number() OVER (PARTITION BY vec_id
                  ORDER BY score DESC, nn_id ASC) AS BIGINT) AS rnk FROM s)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(nn_id AS BIGINT) AS nn_id, score, rnk
+         FROM r WHERE rnk <= 3""",
+    "q77_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
+         dc AS (SELECT e.vec_id, ec.vec_id AS cid, sum(e.x * ec.x) AS dp
+             FROM e JOIN e ec ON ec.vec_id < 8 AND ec.i = e.i
+             GROUP BY 1, 2),
+         sc AS (SELECT dc.vec_id, dc.cid,
+               round(dc.dp / (nv.nrm * nc.nrm), 6) AS s
+             FROM dc JOIN n nv ON nv.vec_id = dc.vec_id
+                     JOIN n nc ON nc.vec_id = dc.cid),
+         pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY s DESC, cid ASC) AS r FROM sc),
+         asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
+         cand AS (SELECT pr.vec_id, a.member AS nn_id FROM pr
+               JOIN asn a ON a.cid = pr.cid AND a.member <> pr.vec_id
+               WHERE pr.r <= 2),
+         d AS (SELECT c.vec_id, c.nn_id, sum(ea.x * eb.x) AS dp
+             FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
+                         JOIN e eb ON eb.vec_id = c.nn_id AND eb.i = ea.i
+             GROUP BY 1, 2),
+         s2 AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM d JOIN n na ON na.vec_id = d.vec_id
+                    JOIN n nb ON nb.vec_id = d.nn_id),
+         r AS (SELECT vec_id, nn_id, score,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, nn_id ASC) AS BIGINT) AS rnk FROM s2)
          SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(nn_id AS BIGINT) AS nn_id, score, rnk
          FROM r WHERE rnk <= 3""",
