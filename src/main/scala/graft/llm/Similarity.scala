@@ -272,16 +272,9 @@ object Similarity {
     val v = emb.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // TakeOrdered, not a total sort: bounded at `centroids` rows
-    val cents = v.orderBy("vec_id").limit(centroids)
-      .select(col("vec_id").as("nn_id"), col("v").as("cv"))
-    // every vector × every centroid — centroid side broadcast; zero-norm
-    // vectors (null cosine) pin to the sentinel so assignment stays total
-    val scoredC = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("nn_id"),
-        coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)).as("score"))
     // rnk 1 = the vector's own list; rnk ≤ nprobe = the probe set
-    val probeR = topKByQuery(scoredC, nprobe, withRank = true)
+    val probeR = topKByQuery(centroidScores(v, centroids), nprobe,
+        withRank = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = probeR.where(col("rnk") === 1)
       .select(col("nn_id").as("cid"), col("vec_id").as("member"))
@@ -290,6 +283,52 @@ object Similarity {
       .where(col("vec_id") =!= col("member"))
       .select(col("vec_id").as("id_a"), col("member").as("id_b"))
     topKByQuery(scoreCandidates(cand, v), k, withRank = true)
+  }
+
+  /** SemDeDup-style semantic deduplication: coarse-quantizer clustering
+    * (same deterministic quantizer as [[ivfTopK]]) followed by exact
+    * pairwise cosine INSIDE each cluster only — a vector is dropped when
+    * some smaller-id member of its cluster matches it at ≥ `threshold`
+    * (deterministic min-id representative; the paper keeps a random one).
+    * Candidate work is Σ cluster², never n²; with √n clusters that is
+    * ~n^1.5, and `maxCluster` star-caps a degenerate cluster (identical
+    * boilerplate embeddings) through the same [[LshGuard]] every LSH
+    * self-join here uses. Like IVF recall, cross-cluster duplicates are
+    * out of contract — SemDeDup's trade by construction.
+    *
+    * Returns every vector: (vec_id, cid, kept).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Int, threshold: Double,
+                    maxCluster: Int = 4096): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asn = topKByQuery(centroidScores(v, centroids), k = 1,
+        withRank = false)
+      .select(col("vec_id"), col("nn_id").as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = LshGuard.guardedCandidates(asn, keyCols = Seq("cid"),
+      idCol = "vec_id", maxBucket = maxCluster, ordered = true)
+    val dropped = scoreCandidates(pairs, v)
+      .where(col("score") >= threshold)
+      .select(col("nn_id").as("vec_id")).distinct()
+    asn.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dropped").isNull.as("kept"))
+  }
+
+  /** Deterministic coarse-quantizer scores: every corpus vector against
+    * the `centroids` smallest-id vectors (broadcast — the corpus never
+    * shuffles for assignment). TakeOrdered, not a total sort, bounds the
+    * centroid pick at `centroids` rows. Zero-norm vectors (null cosine)
+    * pin to a sentinel below the cosine range so assignment stays total.
+    */
+  private def centroidScores(v: DataFrame, centroids: Int): DataFrame = {
+    val cents = v.orderBy("vec_id").limit(centroids)
+      .select(col("vec_id").as("nn_id"), col("v").as("cv"))
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nn_id"),
+        coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)).as("score"))
   }
 
   /** Shared banded-LSH prep: persisted (vec_id, v) and its (vec_id, band,

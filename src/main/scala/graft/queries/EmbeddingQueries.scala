@@ -40,13 +40,30 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 8,
         dims = 64, k = 3)),
 
-    // IVF-Flat ANN: deterministic coarse quantizer (the 8 smallest-id
-    // vectors), 2-probe, exact rerank inside probed lists — the
-    // k-means-style scale path next to LSH banding (q66).
-    "q77_ivf_ann" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding",
-        centroids = 8, nprobe = 2, k = 3)),
+    // IVF-Flat ANN: deterministic coarse quantizer (the ceil(sqrt(n))
+    // smallest-id vectors — the textbook IVF list-count rule, so probe
+    // work stays ~nprobe*sqrt(n) per query at any corpus size), 2-probe,
+    // exact rerank inside probed lists — the k-means-style scale path
+    // next to LSH banding (q66). The sizing count() is one cheap job,
+    // exactly the pass an index build would make.
+    "q77_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      Similarity.ivfTopK(emb, idCol = "vec_id", vecCol = "embedding",
+        centroids = nLists, nprobe = 2, k = 3)
+    }),
+
+    // SemDeDup-style semantic dedup: sqrt(n) coarse clusters, exact
+    // pairwise cosine inside each cluster only, drop vectors with a
+    // smaller-id ≥ threshold cluster-mate. (Fixture embeddings are
+    // near-random — threshold tuned to be non-trivial; real corpora
+    // use ≥0.9.)
+    "q78_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      Similarity.semanticDedup(emb, idCol = "vec_id", vecCol = "embedding",
+        centroids = nLists, threshold = 0.25)
+    }),
 
     // Embedding-cosine near-dup pairs: banded-LSH candidates (any shared
     // band) then exact cosine filter. (Fixture embeddings are near-random —
@@ -150,8 +167,11 @@ object EmbeddingQueries {
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),
          n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
+         nl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS lists
+             FROM embeddings),
          dc AS (SELECT e.vec_id, ec.vec_id AS cid, sum(e.x * ec.x) AS dp
-             FROM e JOIN e ec ON ec.vec_id < 8 AND ec.i = e.i
+             FROM e JOIN e ec ON ec.vec_id < (SELECT lists FROM nl)
+                             AND ec.i = e.i
              GROUP BY 1, 2),
          sc AS (SELECT dc.vec_id, dc.cid,
                round(dc.dp / (nv.nrm * nc.nrm), 6) AS s
@@ -177,6 +197,38 @@ object EmbeddingQueries {
          SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(nn_id AS BIGINT) AS nn_id, score, rnk
          FROM r WHERE rnk <= 3""",
+    "q78_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
+         nl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS lists
+             FROM embeddings),
+         dc AS (SELECT e.vec_id, ec.vec_id AS cid, sum(e.x * ec.x) AS dp
+             FROM e JOIN e ec ON ec.vec_id < (SELECT lists FROM nl)
+                             AND ec.i = e.i
+             GROUP BY 1, 2),
+         sc AS (SELECT dc.vec_id, dc.cid,
+               round(dc.dp / (nv.nrm * nc.nrm), 6) AS s
+             FROM dc JOIN n nv ON nv.vec_id = dc.vec_id
+                     JOIN n nc ON nc.vec_id = dc.cid),
+         pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY s DESC, cid ASC) AS r FROM sc),
+         asn AS (SELECT vec_id, cid FROM pr WHERE r = 1),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asn a
+               JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         d AS (SELECT p.id_a, p.id_b, sum(ea.x * eb.x) AS dp
+             FROM p JOIN e ea ON ea.vec_id = p.id_a
+                    JOIN e eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+             GROUP BY 1, 2),
+         s2 AS (SELECT d.id_a, d.id_b,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM d JOIN n na ON na.vec_id = d.id_a
+                    JOIN n nb ON nb.vec_id = d.id_b),
+         dr AS (SELECT DISTINCT id_b FROM s2 WHERE score >= 0.25)
+         SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cid AS BIGINT) AS cid,
+           (dr.id_b IS NULL) AS kept
+         FROM asn a LEFT JOIN dr ON dr.id_b = a.vec_id""",
     "q55_embedding_near_dup" ->
       s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
              FROM embeddings, (SELECT unnest(range(64)) AS i) t),

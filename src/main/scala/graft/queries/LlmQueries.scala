@@ -172,6 +172,30 @@ object LlmQueries {
       graft.llm.Packing.packChunks(Tables.documents(s, dir),
         "doc_id", "text", "lang", tokenBudget = 512, shards = 8)),
 
+    // Mixture balancing: downsample to a target language mixture without
+    // upsampling — T = min(count_l / p_l), per-lang keep rate p_l·T /
+    // count_l, membership by the deterministic portable hash. en binds
+    // (rate 1.0) at the fixture distribution; the rest downsample.
+    "q79_mixture_balance" -> ((s, dir) =>
+      graft.llm.Mixture.balanceToTargets(Tables.documents(s, dir),
+          "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.15, "es" -> 0.15,
+              "de" -> 0.1, "fr" -> 0.1))
+        .select(col("doc_id"), col("lang"))),
+
+    // Overlapping chunking (RAG / context-window prep): 120-token chunks
+    // every 80 tokens; last chunk reaches the tail, empty docs yield one
+    // empty chunk. Narrow generator — no shuffle.
+    "q80_chunk_overlap" -> ((s, dir) =>
+      graft.llm.Packing.chunkWithOverlap(Tables.documents(s, dir),
+        "doc_id", "text", window = 120, stride = 80)),
+
+    // Deterministic epoch shuffle: hash-sharded, hash-ordered training
+    // layout — a pure function of (doc_id, seed), re-seedable per epoch.
+    "q81_epoch_shuffle" -> ((s, dir) =>
+      graft.llm.Packing.epochShuffle(Tables.documents(s, dir),
+        "doc_id", shards = 8, seed = 11)),
+
     // Bigram corpus-frequency scoring: per-lang bigram counts joined back
     // to each document's bigram stream — mean corpus frequency of a doc's
     // bigrams is a cheap fluency/common-phrase signal (all-integer
@@ -294,6 +318,40 @@ object LlmQueries {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q79_mixture_balance" ->
+      s"""WITH c AS (SELECT lang AS stratum, count(*) AS n
+             FROM documents GROUP BY 1),
+         t AS (SELECT * FROM (VALUES ('en', 0.5), ('zh', 0.15),
+             ('es', 0.15), ('de', 0.1), ('fr', 0.1)) v(stratum, p)),
+         r0 AS (SELECT c.stratum, c.n, t.p, c.n / t.p AS ratio
+             FROM c JOIN t USING (stratum)),
+         r AS (SELECT stratum,
+             (p * (SELECT min(ratio) FROM r0)) / n AS rate FROM r0)
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN r ON r.stratum = d.lang
+         WHERE (${duckHash("'7'", "CAST(doc_id AS VARCHAR)")} % 1000000)
+           < rate * 1000000""",
+    "q80_chunk_overlap" ->
+      s"""WITH $tkCte,
+         g AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             1 + CASE WHEN len(t) > 120
+               THEN CAST(floor((len(t) - 120 + 79) / 80.0) AS BIGINT)
+               ELSE 0 END AS nch FROM tk),
+         ex AS (SELECT doc_id, t, n, unnest(range(nch)) AS i FROM g)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           least(120, n - i * 80) AS chunk_tokens,
+           array_to_string(t[(i * 80 + 1):(i * 80 + 120)], ' ')
+             AS chunk_text
+         FROM ex""",
+    "q81_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+             ${duckHash("'11'", "CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+             ${duckHash("'12'", "CAST(doc_id AS VARCHAR)")} AS sort_key
+           FROM documents)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+         FROM h""",
     "q69_pack_chunks" ->
       s"""WITH $tkCte,
          p AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS tok_count,

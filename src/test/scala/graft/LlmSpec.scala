@@ -405,4 +405,70 @@ class LlmSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"),
       s"eval n-gram probe should broadcast:\n$plan")
   }
+
+  test("mixture balance: binding stratum keeps all, others hit hash-exact rates") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, "a")) ++
+               (100L until 150L).map(i => (i, "b"))
+    val df = rows.toDF("doc_id", "lang")
+    // T = min(100/0.5, 50/0.5) = 100 → rate_a = 0.5, rate_b = 1.0
+    val kept = graft.llm.Mixture.balanceToTargets(df, "doc_id", "lang",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String)].collect().toSet
+    val bRows = rows.filter(_._2 == "b").toSet
+    assert(bRows.subsetOf(kept), "binding stratum keeps every row")
+    // stratum a must equal the hash predicate applied at rate 0.5 exactly
+    val expectA = df.where(col("lang") === "a")
+      .where(pmod(TF.portableHash(col("doc_id").cast("string"), 7),
+        lit(1000000L)) < lit(0.5) * 1000000L)
+      .as[(Long, String)].collect().toSet
+    assert(kept -- bRows === expectA)
+    // reruns are identical (pure function of ids)
+    val again = graft.llm.Mixture.balanceToTargets(df, "doc_id", "lang",
+      Map("a" -> 0.5, "b" -> 0.5)).as[(Long, String)].collect().toSet
+    assert(again === kept)
+  }
+
+  test("overlapping chunks cover every token; tail chunk shortens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
+      (2L, "a b c"),                                  // fits one chunk
+      (3L, "")                                        // empty doc
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Packing.chunkWithOverlap(docs, "doc_id", "text",
+        window = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0,3,6,9 → 4 chunks, last has 2 tokens
+    assert(got(1L).map(_._3).toSeq === Seq(4L, 4L, 4L, 2L))
+    assert(got(1L).head._4 === "t1 t2 t3 t4")
+    assert(got(1L)(1)._4 === "t4 t5 t6 t7", "stride 3 overlaps one token")
+    assert(got(1L).last._4 === "t10 t11")
+    // every token of doc 1 appears in some chunk
+    val covered = got(1L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 11).map(i => s"t$i").toSet)
+    assert(got(2L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0L, 3L, "a b c")))
+    assert(got(3L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0L, 0L, "")))
+  }
+
+  test("epoch shuffle: a seeded permutation with contiguous per-shard positions") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val e1 = graft.llm.Packing.epochShuffle(docs, "doc_id", shards = 4, seed = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(e1.length === 200, "permutation: every doc exactly once")
+    assert(e1.map(_._1).toSet === (0L until 200L).toSet)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        "positions contiguous from 1 within each shard")
+    }
+    // same seed reproduces; a different seed reorders
+    val e1b = graft.llm.Packing.epochShuffle(docs, "doc_id", 4, seed = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq === e1b.sortBy(_._1).toSeq)
+    val e2 = graft.llm.Packing.epochShuffle(docs, "doc_id", 4, seed = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq !== e2.sortBy(_._1).toSeq)
+  }
 }

@@ -228,4 +228,40 @@ class SimilaritySpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(guarded === unguarded)
   }
+
+  test("semantic dedup drops the larger id of a planted near-identical pair") {
+    import spark.implicits._
+    // centroids = ids 0,1. Cluster 0: ids 0,2,3 — (2,3) nearly identical
+    // (cos ≈ 0.9999), (0,2)/(0,3) ≈ 0.995 stay under the 0.999 threshold.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.99, 0.10)), (3L, Seq(0.98, 0.12)),
+      (4L, Seq(0.10, 0.90))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        centroids = 2, threshold = 0.999)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(_._1).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L),
+      "every vector appears exactly once")
+    val kept = got.filter(_._3).map(_._1).toSet
+    assert(kept === Set(0L, 1L, 2L, 4L), "only the planted dup (id 3) drops")
+    val cid = got.map(t => t._1 -> t._2).toMap
+    assert(cid(2L) === 0L && cid(3L) === 0L, "dup pair shares cluster 0")
+    assert(cid(4L) === 1L)
+  }
+
+  test("ivf top-k: every neighbor comes from a probed list, ranks contiguous") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      centroids = 8, nprobe = 2, k = 3).collect()
+    assert(got.nonEmpty)
+    val byQuery = got.groupBy(_.getAs[Long]("vec_id"))
+    byQuery.values.foreach { rows =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks === (1L to rnks.length).toSeq, "contiguous ranks from 1")
+      assert(rnks.length <= 3)
+      val scores = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    got.foreach(r => assert(r.getAs[Long]("vec_id") !== r.getAs[Long]("nn_id")))
+  }
 }
