@@ -145,6 +145,26 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** (doc_id, band, bucket) minhash-LSH band membership rows — pure
+    * column expressions over (id, text) with no shuffle, so the SAME
+    * banding drives the batch bucket self-join and streaming bucket
+    * state ([[graft.streaming.StreamingNearDup]]).
+    */
+  def bandMembership(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "signature length must divide into bands")
+    val rpb = k / bands
+    docs.select(col(idCol).as("doc_id"),
+        shinglesText(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("mh"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws(",", slice(col("mh"), col("band") * rpb + 1, lit(rpb))))
+          .as("bucket"))
+  }
+
   /** End-to-end near-duplicate pairs: shingle → minhash → LSH buckets →
     * bucket self-join → exact-Jaccard confirmation ≥ `threshold`.
     * Returns (doc_a, doc_b, jac).
@@ -153,8 +173,6 @@ object Dedup {
                          shingleN: Int = 3, k: Int = 8,
                          bands: Int = 4, threshold: Double = 0.5,
                          maxBucket: Int = 10000): DataFrame = {
-    require(k % bands == 0, "signature length must divide into bands")
-    val rpb = k / bands
     val sh = docs.select(col(idCol).as("doc_id"),
       shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
@@ -165,13 +183,7 @@ object Dedup {
     // pipelines checkpoint signatures for exactly this reason; the table
     // is O(n·bands) narrow rows (ids + 32-char bucket), cheap to hold
     // and spillable at any scale.
-    val banded = sh
-      .select(col("doc_id"), minhashSignature(col("sh"), k).as("mh"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
-      .select(col("doc_id"), col("band"),
-        md5(concat_ws(",", slice(col("mh"), col("band") * rpb + 1, lit(rpb))))
-          .as("bucket"))
+    val banded = bandMembership(docs, idCol, textCol, shingleN, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
         "doc_id", maxBucket, ordered = true)

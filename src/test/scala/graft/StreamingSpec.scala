@@ -914,6 +914,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup pairs a new arrival against earlier batches, state stays capped") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)](spark)
+      val dupText = "the quick brown fox jumps over the lazy dog tonight"
+      val otherText = "completely unrelated words discussing maritime law"
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+      val pairs = graft.streaming.StreamingNearDup.candidatePairs(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 2)
+      val q = pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-snd"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+          batches += b.collect().toSeq
+          ()
+        }
+        .start()
+      input.addData((1L, dupText), (2L, otherText))
+      q.processAllAvailable()
+      assert(batches.flatten.isEmpty, "no shared buckets in batch 1")
+      // doc 3 duplicates doc 1 from the PREVIOUS batch: identical shingle
+      // set → identical signature → all four bands collide
+      input.addData((3L, dupText))
+      q.processAllAvailable()
+      assert(batches.flatten.toSet === Set((1L, 3L)),
+        "cross-batch duplicate surfaces, unrelated docs never pair")
+      // docs 4..6 duplicate doc 1 too, but the bucket roster is capped at
+      // 2 (= {1, 3}): newcomers pair with the min-id representative only
+      // and are not added — state cannot grow past maxBucket
+      batches.clear()
+      input.addData((4L, dupText), (5L, dupText), (6L, dupText))
+      q.processAllAvailable()
+      assert(batches.flatten.toSet === Set((1L, 4L), (1L, 5L), (1L, 6L)),
+        "star-cap: over-full bucket pairs via the representative only")
+      q.stop()
+      // batch agreement: the same corpus through the batch banding yields
+      // the same uncapped pair set
+      val batchCand = graft.llm.LshGuard.guardedCandidates(
+        graft.llm.Dedup.bandMembership(
+          Seq((1L, dupText), (2L, otherText), (3L, dupText)).toDF("doc_id", "text"),
+          "doc_id", "text", 3, 8, 4),
+        Seq("band", "bucket"), "doc_id", maxBucket = 10000, ordered = true)
+        .as[(Long, Long)].collect().toSet
+      assert(batchCand === Set((1L, 3L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("LLM quality/dedup operators run unchanged on a stream (batch ≡ stream)") {
     // the same Column expressions drive batch curation and streaming
     // ingest — the reference's unified-runtime claim, checked by value
