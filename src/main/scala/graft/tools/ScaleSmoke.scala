@@ -38,6 +38,36 @@ object ScaleSmoke {
     println(f"[smoke] pairs->clusters in $secs%.1f s; $nClustered nodes clustered; " +
       s"$fullFamilies full replica families; $bad families split across clusters")
     require(bad == 0, "replica family split across clusters")
+
+    // Embedding path at 10x: replicate embeddings the same way and run
+    // IVF ANN + semantic dedup. Checks: sqrt(n) list sizing holds the
+    // candidate volume near-linear, and semantic dedup drops every
+    // replica of a family except its min-id representative (replicas are
+    // EXACT vector copies -> cosine 1.0 >= any threshold) — provided the
+    // family lands in one cluster; exact copies always tie on centroid
+    // score, so assignment (score desc, cid asc) is identical for them.
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val en = emb.count()
+    val bigEmb = (0 until 10).map(i =>
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ union _)
+    println(s"[smoke] embeddings: ${en * 10} vectors (10 x $en)")
+    val t1 = System.nanoTime()
+    val lists = math.ceil(math.sqrt((en * 10).toDouble)).toInt
+    val ann = graft.llm.Similarity.ivfTopK(bigEmb, "vec_id", "embedding",
+      centroids = lists, nprobe = 2, k = 3)
+    val annRows = ann.count()
+    val sd = graft.llm.Similarity.semanticDedup(bigEmb, "vec_id", "embedding",
+      centroids = lists, threshold = 0.999999)
+    val keptPerFamily = sd.where(col("kept"))
+      .withColumn("family", pmod(col("vec_id"), lit(1000000L)))
+      .groupBy("family").agg(count(lit(1)).as("kept_n"))
+    val multiKept = keptPerFamily.where(col("kept_n") > 1).count()
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    println(f"[smoke] ivf+semdedup in $secs2%.1f s; $annRows ann rows; " +
+      s"$multiKept replica families kept more than one copy")
+    require(multiKept == 0, "exact replica survived semantic dedup")
     spark.stop()
   }
 }

@@ -452,6 +452,32 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0L, 0L, "")))
   }
 
+  test("chunking law holds over random token counts (count, width, coverage)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val W = 16; val S = 11
+    val docs = (0L until 120L).map { id =>
+      val n = rnd.nextInt(80) // includes 0, < W, == W, and multi-chunk
+      (id, (0 until n).map(i => s"d${id}_t$i").mkString(" "))
+    }
+    val byDoc = graft.llm.Packing.chunkWithOverlap(
+        docs.toDF("doc_id", "text"), "doc_id", "text", W, S)
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val n = if (text.isEmpty) 0 else text.split(" ").length
+      val chunks = byDoc(id).sortBy(_._2)
+      val wantChunks = 1 + math.max(0, math.ceil((n - W).toDouble / S).toInt)
+      assert(chunks.length === wantChunks, s"doc $id n=$n")
+      chunks.foreach { case (_, idx, ctok, ctext) =>
+        assert(ctok === math.min(W.toLong, n - idx * S))
+        assert((if (ctext.isEmpty) 0 else ctext.split(" ").length) === ctok)
+      }
+      // every token position is in at least one chunk
+      val covered = chunks.flatMap(_._4.split(" ").filter(_.nonEmpty)).toSet
+      assert(covered === (0 until n).map(i => s"d${id}_t$i").toSet)
+    }
+  }
+
   test("epoch shuffle: a seeded permutation with contiguous per-shard positions") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
