@@ -154,18 +154,23 @@ object ExtendedRelationalQueries {
     // replaces the exact-distinct shuffle expansion.
     "q52_approx_distinct" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
-      // Approx and exact are SEPARATE aggregates joined on the group key:
-      // fused into one agg, Spark's distinct-aggregate rewrite groups
-      // phase 1 by (l_returnflag, l_orderkey) and allocates the 16K-register
-      // HLL buffer per orderkey — measured 64 s and OOM-prone. Split, the
-      // HLL sees 6 groups and the exact distinct keeps its cheap two-phase
-      // plan: both sides one scan + one narrow shuffle.
-      val approx = l.groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
-      val exact = l.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-             count(lit(1)).as("n"))
-      exact.join(approx, "l_returnflag")
+      // One scan for BOTH exact and approx: pre-group to distinct
+      // (l_returnflag, l_orderkey) pairs, then count pairs per flag
+      // (= exact distinct) and run the HLL over the SAME pre-distinct
+      // rows — HLL registers are maxima over hashed elements, so the
+      // sketch over the deduped set is bit-identical to one over the raw
+      // multiset. This dodges the trap of fusing countDistinct +
+      // approx_count_distinct in one agg (Spark's distinct-rewrite then
+      // allocates the 16K-register HLL buffer per (flag, orderkey) pair —
+      // measured 64 s and OOM-prone): here the HLL only ever aggregates
+      // per flag, and the pair-level shuffle carries map-side-combined
+      // counts, not raw rows.
+      l.groupBy(col("l_returnflag"), col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_orders"),
+             sum(col("cnt")).cast("long").as("n"),
+             approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
         .select(col("l_returnflag"), col("exact_orders"), col("n"),
           (abs(col("approx") - col("exact_orders")).cast("double")
             / col("exact_orders").cast("double") <= lit(0.05)).as("within_5pct"))
