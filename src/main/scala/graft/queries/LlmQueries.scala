@@ -196,6 +196,13 @@ object LlmQueries {
       graft.llm.Packing.epochShuffle(Tables.documents(s, dir),
         "doc_id", shards = 8, seed = 11)),
 
+    // Unigram LM surprisal (the CCNet perplexity-filter shape): mean
+    // bits/token under a per-lang corpus LM; integer-microbit summation
+    // keeps the score exact and order-independent across engines.
+    "q82_lm_surprisal" -> ((s, dir) =>
+      graft.llm.LmScore.unigramSurprisal(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
+
     // Bigram corpus-frequency scoring: per-lang bigram counts joined back
     // to each document's bigram stream — mean corpus frequency of a doc's
     // bigrams is a cheap fluency/common-phrase signal (all-integer
@@ -343,6 +350,25 @@ object LlmQueries {
            array_to_string(t[(i * 80 + 1):(i * 80 + 120)], ' ')
              AS chunk_text
          FROM ex""",
+    "q82_lm_surprisal" ->
+      s"""WITH $tkCte,
+         ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM tk),
+         lm AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             FROM ex GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_lang,
+               CAST(count(*) AS BIGINT) AS v_lang
+             FROM lm GROUP BY lang),
+         bits AS (SELECT lm.lang, lm.tok,
+               CAST(round(-log2(CAST(lm.c + 1 AS DOUBLE)
+                 / CAST(tot.n_lang + tot.v_lang AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS microbits
+             FROM lm JOIN tot USING (lang))
+         SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(b.microbits) AS BIGINT) AS total_microbits,
+           round(CAST(sum(b.microbits) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_bits
+         FROM ex JOIN bits b ON b.lang = ex.lang AND b.tok = ex.tok
+         GROUP BY ex.doc_id""",
     "q81_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id,
              ${duckHash("'11'", "CAST(doc_id AS VARCHAR)")} % 8 AS shard,

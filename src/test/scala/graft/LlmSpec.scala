@@ -478,6 +478,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("lm surprisal: rare-token docs score more bits than common-token docs") {
+    import spark.implicits._
+    // "the" dominates the corpus; docs 1-3 are all-"the", doc 4 is all
+    // hapaxes — its tokens carry maximal information under the corpus LM
+    val docs = Seq(
+      (1L, "en", "the the the the"), (2L, "en", "the the the"),
+      (3L, "en", "the the the the the"),
+      (4L, "en", "zyx wvu tsr qpo")).toDF("doc_id", "lang", "text")
+    val got = graft.llm.LmScore.unigramSurprisal(docs, "doc_id", "text", "lang")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // identical token distribution ⇒ identical mean bits regardless of length
+    assert(got(1L)._4 === got(2L)._4)
+    assert(got(2L)._4 === got(3L)._4)
+    assert(got(4L)._4 > got(1L)._4, "hapax doc must out-surprise the common doc")
+    // p(the) = (12+1)/(16+5); mean microbits must match the closed form
+    val want = math.round(-math.log(13.0 / 21.0) / math.log(2.0) * 1e6)
+    assert(got(1L)._3 === want * 4, "exact integer microbit total")
+  }
+
   test("epoch shuffle: a seeded permutation with contiguous per-shard positions") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
