@@ -35,9 +35,14 @@ object LmScore {
     */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
                        langCol: String): DataFrame = {
+    // persisted: the exploded token stream feeds BOTH the LM build and
+    // the scoring join — unpersisted, the optimizer collapses the
+    // projection and re-derives the token array per output row (the
+    // generator re-evaluation trap q72 documents and measures)
     val ex = docs
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = ex.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val totals = lm.groupBy(col("lang"))

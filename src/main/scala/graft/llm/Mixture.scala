@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * Strata without a target weight drop (rate 0); target strata absent
   * from the corpus are ignored (nothing to keep there, and they cannot
   * bind T).
+  *
+  * Uses its own hash seed, distinct from [[TextFunctions.stratifiedKeep]]
+  * (seed 7): composed samplers must make INDEPENDENT keep decisions — on
+  * a stratifiedKeep survivor set the surviving buckets are uniform on the
+  * kept prefix only, and reusing that seed would turn any mixture rate
+  * above the upstream rate into "keep everything".
   */
 object Mixture {
 
@@ -42,7 +48,7 @@ object Mixture {
       .select(col("stratum"),
         ((col("p") * col("t_total")) / col("n")).as("rate"))
     val bucket = pmod(
-      TextFunctions.portableHash(df(idCol).cast("string"), seed = 7),
+      TextFunctions.portableHash(df(idCol).cast("string"), seed = 13),
       lit(1000000L))
     df.join(broadcast(rates), df(stratumCol) === rates("stratum"))
       .where(bucket < col("rate") * lit(1000000L))

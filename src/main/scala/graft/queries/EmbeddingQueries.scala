@@ -169,9 +169,12 @@ object EmbeddingQueries {
          n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
          nl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS lists
              FROM embeddings),
+         cent AS (SELECT vec_id FROM (SELECT vec_id,
+               row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+             WHERE rn <= (SELECT lists FROM nl)),
          dc AS (SELECT e.vec_id, ec.vec_id AS cid, sum(e.x * ec.x) AS dp
-             FROM e JOIN e ec ON ec.vec_id < (SELECT lists FROM nl)
-                             AND ec.i = e.i
+             FROM e JOIN e ec
+               ON ec.vec_id IN (SELECT vec_id FROM cent) AND ec.i = e.i
              GROUP BY 1, 2),
          sc AS (SELECT dc.vec_id, dc.cid,
                round(dc.dp / (nv.nrm * nc.nrm), 6) AS s
@@ -203,9 +206,12 @@ object EmbeddingQueries {
          n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
          nl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS lists
              FROM embeddings),
+         cent AS (SELECT vec_id FROM (SELECT vec_id,
+               row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+             WHERE rn <= (SELECT lists FROM nl)),
          dc AS (SELECT e.vec_id, ec.vec_id AS cid, sum(e.x * ec.x) AS dp
-             FROM e JOIN e ec ON ec.vec_id < (SELECT lists FROM nl)
-                             AND ec.i = e.i
+             FROM e JOIN e ec
+               ON ec.vec_id IN (SELECT vec_id FROM cent) AND ec.i = e.i
              GROUP BY 1, 2),
          sc AS (SELECT dc.vec_id, dc.cid,
                round(dc.dp / (nv.nrm * nc.nrm), 6) AS s

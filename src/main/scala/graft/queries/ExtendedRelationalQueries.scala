@@ -168,7 +168,11 @@ object ExtendedRelationalQueries {
       l.groupBy(col("l_returnflag"), col("l_orderkey"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("exact_orders"),
+        // count(l_orderkey), not count(*): a NULL-key group must not count
+        // as a distinct value (countDistinct / the oracle's DISTINCT and
+        // the HLL all ignore NULLs; count(*) over the pre-grouped rows
+        // would include it)
+        .agg(count(col("l_orderkey")).as("exact_orders"),
              sum(col("cnt")).cast("long").as("n"),
              approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
         .select(col("l_returnflag"), col("exact_orders"), col("n"),

@@ -336,7 +336,7 @@ object LlmQueries {
              (p * (SELECT min(ratio) FROM r0)) / n AS rate FROM r0)
          SELECT d.doc_id, d.lang FROM documents d
          JOIN r ON r.stratum = d.lang
-         WHERE (${duckHash("'7'", "CAST(doc_id AS VARCHAR)")} % 1000000)
+         WHERE (${duckHash("'13'", "CAST(doc_id AS VARCHAR)")} % 1000000)
            < rate * 1000000""",
     "q80_chunk_overlap" ->
       s"""WITH $tkCte,

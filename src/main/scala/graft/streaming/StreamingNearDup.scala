@@ -35,6 +35,17 @@ object StreamingNearDup {
                      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                      maxBucket: Int = 10000): Dataset[(Long, Long)] = {
     require(maxBucket >= 1)
+    // integral ids only: a silent cast("long") would turn e.g. UUID
+    // strings into NULLs and kill the query inside the tuple encoder
+    // mid-stream — fail the contract at construction instead
+    locally {
+      import org.apache.spark.sql.types._
+      docs.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"StreamingNearDup needs an integral id column; $idCol is $other")
+      }
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = Dedup.bandMembership(docs, idCol, textCol, shingleN, k, bands)

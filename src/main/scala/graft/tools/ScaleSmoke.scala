@@ -58,8 +58,14 @@ object ScaleSmoke {
     val ann = graft.llm.Similarity.ivfTopK(bigEmb, "vec_id", "embedding",
       centroids = lists, nprobe = 2, k = 3)
     val annRows = ann.count()
+    // maxCluster sized to the corpus (64x the sqrt(n) expected cluster
+    // size): the smoke asserts every exact replica drops, which only
+    // holds while clusters pair exhaustively — at the DEFAULT cap a big
+    // enough corpus would legitimately star-cap a hot cluster and keep
+    // non-representative replicas (the documented recall trade, not a bug)
     val sd = graft.llm.Similarity.semanticDedup(bigEmb, "vec_id", "embedding",
-      centroids = lists, threshold = 0.999999)
+      centroids = lists, threshold = 0.999999,
+      maxCluster = math.max(4096, 64 * lists))
     val keptPerFamily = sd.where(col("kept"))
       .withColumn("family", pmod(col("vec_id"), lit(1000000L)))
       .groupBy("family").agg(count(lit(1)).as("kept_n"))

@@ -418,8 +418,9 @@ class LlmSpec extends AnyFunSuite {
     val bRows = rows.filter(_._2 == "b").toSet
     assert(bRows.subsetOf(kept), "binding stratum keeps every row")
     // stratum a must equal the hash predicate applied at rate 0.5 exactly
+    // (seed 13: mixture membership is independent of stratifiedKeep's 7)
     val expectA = df.where(col("lang") === "a")
-      .where(pmod(TF.portableHash(col("doc_id").cast("string"), 7),
+      .where(pmod(TF.portableHash(col("doc_id").cast("string"), 13),
         lit(1000000L)) < lit(0.5) * 1000000L)
       .as[(Long, String)].collect().toSet
     assert(kept -- bRows === expectA)
