@@ -33,23 +33,55 @@ object StreamingNearDup {
 
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-                     maxBucket: Int = 10000): Dataset[(Long, Long)] = {
+                     maxBucket: Int = 10000): Dataset[(Long, Long)] =
+    candidatePairsFromBands(
+      Dedup.bandMembership(docs, idCol, textCol, shingleN, k, bands)
+        .withColumn("bucket", col("bucket").cast("string")),
+      idCol, maxBucket)
+
+  /** Streaming near-dup over EMBEDDING streams: the same bounded bucket
+    * rosters, fed by hyperplane band buckets
+    * ([[graft.llm.Similarity.hyperplaneBandBuckets]]) instead of minhash
+    * bands — dedup a vector stream against everything already ingested.
+    */
+  def embeddingCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                              bands: Int, planesPerBand: Int, dims: Int,
+                              maxBucket: Int = 10000): Dataset[(Long, Long)] = {
+    import graft.llm.Similarity
+    val banded = emb
+      .select(col(idCol).as("doc_id"),
+        posexplode(Similarity.hyperplaneBandBuckets(
+          col(vecCol).cast("array<double>"), bands, planesPerBand, dims)))
+      .toDF("doc_id", "band", "bucket")
+      .withColumn("bucket", col("bucket").cast("string"))
+    candidatePairsFromBands(banded, idCol, maxBucket)
+  }
+
+  /** Core of both fronts: (doc_id, band, bucket) membership rows — from
+    * ANY banding that is narrow/streaming-safe — keyed to per-bucket
+    * roster state. `idCol` names the ORIGINAL id column (for the
+    * integral-type check); the membership frame itself must already call
+    * it `doc_id`.
+    */
+  def candidatePairsFromBands(membership: DataFrame, idCol: String,
+                              maxBucket: Int): Dataset[(Long, Long)] = {
     require(maxBucket >= 1)
     // integral ids only: a silent cast("long") would turn e.g. UUID
     // strings into NULLs and kill the query inside the tuple encoder
     // mid-stream — fail the contract at construction instead
     locally {
       import org.apache.spark.sql.types._
-      docs.schema(idCol).dataType match {
+      membership.schema("doc_id").dataType match {
         case LongType | IntegerType | ShortType | ByteType => ()
         case other => throw new IllegalArgumentException(
           s"StreamingNearDup needs an integral id column; $idCol is $other")
       }
     }
-    val spark = docs.sparkSession
+    val spark = membership.sparkSession
     import spark.implicits._
-    val banded = Dedup.bandMembership(docs, idCol, textCol, shingleN, k, bands)
-      .select(col("doc_id").cast("long"), col("band"), col("bucket"))
+    val banded = membership
+      .select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("bucket"))
       .as[(Long, Int, String)]
     val grouped = banded.groupByKey(r => (r._2, r._3))
     KeyedStateOps.processWithMapState[(Int, String), (Long, Int, String),

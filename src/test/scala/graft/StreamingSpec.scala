@@ -968,6 +968,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming embedding near-dup: same roster machinery over hyperplane bands") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Seq[Double])](spark)
+      val a = Seq(1.0, 0.2, -0.3, 0.7)
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+      val pairs = graft.streaming.StreamingNearDup.embeddingCandidatePairs(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        bands = 4, planesPerBand = 8, dims = 4)
+      val q = pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-send"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+          batches += b.collect().toSeq
+          ()
+        }
+        .start()
+      // batch 1: a and its antipode (every plane dot flips sign -> every
+      // band bucket differs -> no pair)
+      input.addData((1L, a), (2L, a.map(-_)))
+      q.processAllAvailable()
+      assert(batches.flatten.isEmpty, "antipodal vectors never share a bucket")
+      // batch 2: an exact copy of `a` collides with doc 1 in all 4 bands
+      input.addData((3L, a))
+      q.processAllAvailable()
+      q.stop()
+      assert(batches.flatten.toSet === Set((1L, 3L)),
+        "cross-batch embedding duplicate surfaces once per-batch-dedup'd")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("LLM quality/dedup operators run unchanged on a stream (batch ≡ stream)") {
     // the same Column expressions drive batch curation and streaming
     // ingest — the reference's unified-runtime claim, checked by value
