@@ -203,6 +203,13 @@ object LlmQueries {
       graft.llm.LmScore.unigramSurprisal(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // Winnowing (MOSS) fingerprint selection: min 4-gram hash per window
+    // of 5 (rightmost tie), the sub-linear sketch for partial-copy
+    // detection — any >= 8-token match shares a fingerprint.
+    "q83_winnowing" -> ((s, dir) =>
+      graft.llm.Winnowing.fingerprints(Tables.documents(s, dir),
+        "doc_id", "text", k = 4, w = 5)),
+
     // Bigram corpus-frequency scoring: per-lang bigram counts joined back
     // to each document's bigram stream — mean corpus frequency of a doc's
     // bigrams is a cheap fluency/common-phrase signal (all-integer
@@ -350,6 +357,26 @@ object LlmQueries {
            array_to_string(t[(i * 80 + 1):(i * 80 + 120)], ' ')
              AS chunk_text
          FROM ex""",
+    "q83_winnowing" ->
+      s"""WITH $tkCte,
+         g0 AS (SELECT doc_id, t, len(t) - 3 AS L FROM tk
+             WHERE len(t) >= 4),
+         g AS (SELECT doc_id, L, jj - 1 AS pos,
+             ${duckHash("'17'",
+               "concat(t[jj], ' ', t[jj+1], ' ', t[jj+2], ' ', t[jj+3])")} AS h
+           FROM (SELECT doc_id, L, t,
+               unnest(generate_series(1, L)) AS jj FROM g0)),
+         wn AS (SELECT doc_id, pos, h,
+             unnest(generate_series(greatest(0, pos - 4),
+               least(pos, greatest(L - 5, 0)))) AS wi
+           FROM g),
+         sel AS (SELECT doc_id, wi, h, pos,
+             row_number() OVER (PARTITION BY doc_id, wi
+               ORDER BY h ASC, pos DESC) AS rn
+           FROM wn)
+         SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(h AS BIGINT) AS fp
+         FROM sel WHERE rn = 1""",
     "q82_lm_surprisal" ->
       s"""WITH $tkCte,
          ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM tk),

@@ -479,6 +479,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: >= w+k-1 token matches share a fingerprint; density is sketch-sized") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 = w+k-1
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten"),
+      (2L, s"uno dos tres cuatro $shared cinco seis siete ocho nueve"),
+      (3L, "totally disjoint vocabulary here with many many more words than needed")
+    ).toDF("doc_id", "text")
+    val fp = graft.llm.Winnowing.fingerprints(docs, "doc_id", "text", k = 4, w = 5)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the MOSS guarantee: the shared 8-token run forces a shared VALUE
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared substring must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint docs share nothing")
+    // sketch, not the full gram set: doc 3 has 12 tokens -> 9 grams, 5 windows
+    assert(fp.count(_._1 == 3L) < 9, "winnowed set smaller than gram count")
+    // pair surface agrees
+    val pairs = graft.llm.Winnowing.candidatePairs(docs, "doc_id", "text", 4, 5)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
+
   test("lm surprisal: rare-token docs score more bits than common-token docs") {
     import spark.implicits._
     // "the" dominates the corpus; docs 1-3 are all-"the", doc 4 is all
