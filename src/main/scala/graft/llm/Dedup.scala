@@ -151,12 +151,22 @@ object Dedup {
     * state ([[graft.streaming.StreamingNearDup]]).
     */
   def bandMembership(docs: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int, k: Int, bands: Int): DataFrame = {
+                     shingleN: Int, k: Int, bands: Int): DataFrame =
+    bandsFromShingles(
+      docs.select(col(idCol).as("doc_id"),
+          shinglesText(col(textCol), shingleN).as("sh"))
+        .where(size(col("sh")) > 0),
+      k, bands)
+
+  /** Bands from an existing (doc_id, sh) shingle frame — lets callers that
+    * also need the shingle sets (exact-Jaccard confirmation) shingle the
+    * corpus ONCE instead of once per consumer.
+    */
+  private def bandsFromShingles(sh: DataFrame, k: Int,
+                                bands: Int): DataFrame = {
     require(k % bands == 0, "signature length must divide into bands")
     val rpb = k / bands
-    docs.select(col(idCol).as("doc_id"),
-        shinglesText(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
+    sh
       .select(col("doc_id"), minhashSignature(col("sh"), k).as("mh"))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
@@ -173,9 +183,13 @@ object Dedup {
                          shingleN: Int = 3, k: Int = 8,
                          bands: Int = 4, threshold: Double = 0.5,
                          maxBucket: Int = 10000): DataFrame = {
+    // shingled ONCE, persisted: feeds the banding below AND the
+    // exact-Jaccard confirmation join — the shingle pass is the measured
+    // hot path (native ShinglesExpr), not worth running twice
     val sh = docs.select(col(idCol).as("doc_id"),
       shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The banded signature table is MATERIALIZED (persist) before the
     // self-join: otherwise each join side re-derives every signature —
     // and the optimizer collapses the projection pipeline into a shape
@@ -183,7 +197,7 @@ object Dedup {
     // pipelines checkpoint signatures for exactly this reason; the table
     // is O(n·bands) narrow rows (ids + 32-char bucket), cheap to hold
     // and spillable at any scale.
-    val banded = bandMembership(docs, idCol, textCol, shingleN, k, bands)
+    val banded = bandsFromShingles(sh, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
         "doc_id", maxBucket, ordered = true)

@@ -60,7 +60,11 @@ object LshGuard {
     }
     // persisted: the isEmpty probe below materializes it, and in the hot
     // branch it feeds THREE downstream subtrees (flag join, hotRows, reps)
-    // that would each re-run the count aggregation over `banded` otherwise
+    // that would each re-run the count aggregation over `banded` otherwise.
+    // In the hot branch the cache intentionally outlives this call (the
+    // returned plan still references it lazily; there is no post-action
+    // unpersist hook) — long-lived sessions reclaim it via clearCache(),
+    // and it is bounded by the hot-bucket LIST (keys only), not the data
     val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
       .select(keyCols.map(col) :+ lit(true).as("is_hot"): _*)

@@ -115,11 +115,15 @@ object Similarity {
   /** Sign-bit bucket id over `planes` random hyperplanes (dims must match
     * the embedding dimensionality).
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column =
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column = {
+    // same guard as the native HyperplaneBandBucketsExpr: 1L << p wraps
+    // at 64 and would silently merge plane p's sign bit into plane p-64's
+    require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
     (0 until planes).map { p =>
       val w = typedlit(planeWeights(p, dims))
       when(dot(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Plane count sized to the corpus: 2^planes ≈ n / targetBucketRows, so
     * per-bucket population — and with it the Σ bucket² self-join term —
@@ -150,13 +154,16 @@ object Similarity {
     * `hyperplaneBandBuckets` in pipelines).
     */
   def hyperplaneBandBucketsHof(vec: Column, bands: Int, planesPerBand: Int,
-                               dims: Int): Column =
+                               dims: Int): Column = {
+    require(planesPerBand >= 1 && planesPerBand <= 63,
+      s"planesPerBand must be in [1, 63]: $planesPerBand")
     array((0 until bands).map { t =>
       (0 until planesPerBand).map { j =>
         val w = typedlit(planeWeights(t * planesPerBand + j, dims))
         when(dot(vec, w) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
+  }
 
   /** Embedding-cosine near-duplicate pairs: candidates come from the
     * hyperplane buckets (same-bucket ⇒ same side of all planes, which
@@ -214,8 +221,12 @@ object Similarity {
     val v = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted like the banded paths: the guard's count aggregation and
+    // both self-join sides would otherwise each recompute the planes×dims
+    // dot products over the corpus
     val banded = v.select(col("vec_id"),
       hyperplaneBucket(col("v"), planes, dims).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = LshGuard.guardedCandidates(banded, Seq("bucket"),
       "vec_id", maxBucket, ordered = false)
     topKByQuery(scoreCandidates(cand, v), k = 1, withRank = false)

@@ -64,9 +64,16 @@ object Winnowing {
       .select(col("doc_id"), col("fp"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guardedCandidates DEDUPES pairs (one row per pair, not per shared
+    // fingerprint), so the match-score numerator is recovered by
+    // resolving both sides' sketches for exactly the surviving pairs —
+    // work bounded by Σ per-candidate-pair sketch sizes
     LshGuard.guardedCandidates(fp, keyCols = Seq("fp"), idCol = "doc_id",
         maxBucket = maxBucket, ordered = true)
-      .groupBy(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("doc_b", "fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
   }
 }

@@ -88,32 +88,37 @@ object ExactlyOnce {
       dlqPath: Option[String] = None): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       if (!ledger.isCommitted(batchId)) {
-        // a replayed batch re-reads the same offsets; persist once so retries
-        // don't recompute upstream
-        var attempt = 0
-        var done = false
-        var lastErr: Throwable = null
-        while (!done && attempt < retry.maxAttempts) {
-          attempt += 1
-          try {
-            sink.begin(batchId)
-            sink.write(batch, batchId)
-            sink.commit(batchId)
-            ledger.recordCommit(batchId)
-            done = true
-          } catch {
-            case e: Throwable =>
-              lastErr = e
-              sink.abort(batchId, e)
-              if (attempt < retry.maxAttempts) Thread.sleep(retry.backoffMs * attempt)
+        // persist before the first attempt: retries (and the DLQ write)
+        // must see the SAME rows, not a recompute of the upstream plan —
+        // a nondeterministic upstream recomputed per attempt could push
+        // different row sets under one batchId, breaking idempotence
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var attempt = 0
+          var done = false
+          var lastErr: Throwable = null
+          while (!done && attempt < retry.maxAttempts) {
+            attempt += 1
+            try {
+              sink.begin(batchId)
+              sink.write(batch, batchId)
+              sink.commit(batchId)
+              ledger.recordCommit(batchId)
+              done = true
+            } catch {
+              case e: Throwable =>
+                lastErr = e
+                sink.abort(batchId, e)
+                if (attempt < retry.maxAttempts) Thread.sleep(retry.backoffMs * attempt)
+            }
           }
-        }
-        if (!done) dlqPath match {
-          case Some(p) =>
-            batch.write.mode("append").parquet(s"$p/batch-$batchId")
-            ledger.recordCommit(batchId)
-          case None => throw lastErr
-        }
+          if (!done) dlqPath match {
+            case Some(p) =>
+              batch.write.mode("append").parquet(s"$p/batch-$batchId")
+              ledger.recordCommit(batchId)
+            case None => throw lastErr
+          }
+        } finally batch.unpersist()
       }
   }
 }

@@ -49,7 +49,10 @@ object WindowTrigger {
   /** Count trigger: fire every `n` pane elements; `purge` controls whether
     * the fired pane resets (sliding-count vs accumulating early firing).
     */
-  def count[V](n: Long, purgeOnFire: Boolean = false): WindowTrigger[V] =
+  def count[V](n: Long, purgeOnFire: Boolean = false): WindowTrigger[V] = {
+    // reject at build time: n = 0 would throw ArithmeticException per
+    // element mid-stream, n < 0 would silently never fire
+    require(n >= 1, s"count trigger needs n >= 1, got $n")
     new WindowTrigger[V] {
       override def onElement(element: V, tsMs: Long,
                              window: graft.windowing.TimeWindow,
@@ -58,6 +61,7 @@ object WindowTrigger {
           (if (purgeOnFire) TriggerResult.FireAndPurge else TriggerResult.Fire)
         else TriggerResult.Continue
     }
+  }
 }
 
 object TransformWithStateOps {
@@ -178,7 +182,12 @@ object TransformWithStateOps {
         val ws = info.getExpiryTimeInMs - sizeMs
         val res = trigger.onEventTime(graft.windowing.TimeWindow(ws, ws + sizeMs))
         val pane = if (res.fire) paneOf(ws) else IndexedSeq.empty
-        if (res.purge) dropPane(ws)
+        // the timer IS the window's cleanup time: ingress drops anything
+        // with end <= watermark from here on, so the pane can never grow
+        // again — state drops regardless of the trigger's purge flag
+        // (Flink clears window state at cleanup time the same way; purge
+        // only matters for EARLY fires out of onElement)
+        dropPane(ws)
         if (res.fire && pane.nonEmpty)
           Iterator.single(processPane(key, ws, pane.map(_._2)))
         else Iterator.empty
@@ -282,9 +291,11 @@ object TransformWithStateOps {
         val wm = timers.getCurrentWatermarkInMs
         rows.foreach { v =>
           val ts = tsMs(v)
-          // a session containing ts must close no earlier than ts+gap; if
-          // the watermark already passed that, every session this element
-          // could join has fired — drop at ingress
+          // element-lateness rule (Flink's isElementLate for sessions):
+          // drop iff the element's OWN window [ts, ts+gap) ends at or
+          // before the watermark. An element that would merge backwards
+          // into a still-open later session is dropped too — matching
+          // Flink, which judges lateness on the pre-merge window
           if (ts + gapMs > wm) {
             buf.appendValue((ts, v))
             getHandle.registerTimer(ts + gapMs)

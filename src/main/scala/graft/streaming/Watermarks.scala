@@ -39,6 +39,15 @@ object WatermarkStrategy {
     * event time − delay. Ordinary records buffer but never close windows —
     * the source explicitly signals completeness, e.g. end-of-epoch control
     * records in a CDC feed.
+    *
+    * LIMITATION: the watermark lives on the synthetic `__punct_ts` column
+    * (markers only), so downstream operators that must find event-time
+    * metadata on their own column — an append-mode windowed aggregation
+    * over `tsCol`, `dropDuplicatesWithinWatermark(tsCol)` — should window
+    * on `__punct_ts`-aware columns or use a Bounded strategy; plain
+    * transformWithState/mapGroupsWithState consumers (which read the
+    * GLOBAL watermark from timers) work as-is, which is what the spec
+    * exercises.
     */
   def forPunctuated(isMarker: org.apache.spark.sql.Column,
                     delay: Time): WatermarkStrategy = Punctuated(isMarker, delay)

@@ -496,10 +496,12 @@ class LlmSpec extends AnyFunSuite {
       "disjoint docs share nothing")
     // sketch, not the full gram set: doc 3 has 12 tokens -> 9 grams, 5 windows
     assert(fp.count(_._1 == 3L) < 9, "winnowed set smaller than gram count")
-    // pair surface agrees
+    // pair surface agrees AND carries the true shared-value count
     val pairs = graft.llm.Winnowing.candidatePairs(docs, "doc_id", "text", 4, 5)
       .as[(Long, Long, Long)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === (byDoc(1L) & byDoc(2L)).size.toLong,
+      "shared_fps = number of shared fingerprint values, not 1-per-pair")
   }
 
   test("lm surprisal: rare-token docs score more bits than common-token docs") {
