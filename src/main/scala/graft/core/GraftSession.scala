@@ -157,10 +157,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Register every fixture table as a temp view for the SQL surface. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
-    }
+  /** Register every fixture table as a temp view for the SQL surface —
+    * through the typed accessors, so the SQL views carry the same schemas
+    * (notably events.ts normalized to TimestampType, not the raw nanos
+    * BIGINT the legacy parquet flag exposes).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    region(spark, dir).createOrReplaceTempView("region")
+    nation(spark, dir).createOrReplaceTempView("nation")
+    customer(spark, dir).createOrReplaceTempView("customer")
+    supplier(spark, dir).createOrReplaceTempView("supplier")
+    part(spark, dir).createOrReplaceTempView("part")
+    orders(spark, dir).createOrReplaceTempView("orders")
+    lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    events(spark, dir).createOrReplaceTempView("events")
+    documents(spark, dir).createOrReplaceTempView("documents")
+    embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
 }

@@ -22,6 +22,28 @@ import graft.windowing._
   * (`graft.queries.*`) should stay `Column`-based so pushdown and pruning
   * survive. This API is for the reference's typed-program style.
   */
+/** Executor-side open/close guarantees for rich-lifecycle operators:
+  * close runs EXACTLY once — at iterator exhaustion for the normal path,
+  * or at task completion when a downstream limit/take stops consuming
+  * early (otherwise a close() releasing a real resource — connection,
+  * native codec handle — would leak per partition, and repeated
+  * post-exhaustion hasNext calls would double-close).
+  */
+private[graft] object RichLifecycle {
+  def wrap[A](open: => Unit, close: => Unit)(mk: => Iterator[A]): Iterator[A] = {
+    open
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; close }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    val inner = mk
+    new Iterator[A] {
+      def hasNext: Boolean = { val h = inner.hasNext; if (!h) closeOnce(); h }
+      def next(): A = inner.next()
+    }
+  }
+}
+
 final class DataStream[T](val ds: Dataset[T]) extends Serializable {
 
   /** IMapOperator (IMapOperator.cs:9-17). */
@@ -42,33 +64,20 @@ final class DataStream[T](val ds: Dataset[T]) extends Serializable {
     */
   def mapRich[R: Encoder](rich: RichMapFunction[T, R]): DataStream[R] =
     new DataStream(ds.mapPartitions { it =>
-      rich.open()
-      new Iterator[R] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) rich.close(); h }
-        def next(): R = rich.map(it.next())
-      }
+      RichLifecycle.wrap(rich.open(), rich.close())(it.map(rich.map))
     })
 
   /** Rich filter with lifecycle (IRichFilterOperator.cs:9). */
   def filterRich(rich: RichFilterFunction[T]): DataStream[T] =
     new DataStream(ds.mapPartitions { it =>
-      rich.open()
-      val filtered = it.filter(rich.filter)
-      new Iterator[T] {
-        def hasNext: Boolean = { val h = filtered.hasNext; if (!h) rich.close(); h }
-        def next(): T = filtered.next()
-      }
+      RichLifecycle.wrap(rich.open(), rich.close())(it.filter(rich.filter))
     }(ds.encoder))
 
   /** Rich flatMap with lifecycle (IRichFlatMapOperator.cs:10). */
   def flatMapRich[R: Encoder](rich: RichFlatMapFunction[T, R]): DataStream[R] =
     new DataStream(ds.mapPartitions { it =>
-      rich.open()
-      val mapped = it.flatMap(t => rich.flatMap(t).iterator)
-      new Iterator[R] {
-        def hasNext: Boolean = { val h = mapped.hasNext; if (!h) rich.close(); h }
-        def next(): R = mapped.next()
-      }
+      RichLifecycle.wrap(rich.open(), rich.close())(
+        it.flatMap(t => rich.flatMap(t).iterator))
     })
 
   /** KeyBy (DataStream.cs:28-49): hash-partition by key. The shuffle happens
@@ -211,16 +220,22 @@ final class WindowedStream[K, T](
     * with no pattern-match here. Sessions are excluded: their point
     * windows need the gap-merge in `process()`.
     */
-  private def assignedWindows(ts: Long): Seq[TimeWindow] = {
+  private def assignedWindows(ts: Long): Seq[TimeWindow] =
+    assigner.assignWindows(ts)
+
+  /** Driver-side, once — NOT per element inside the executor lambda,
+    * where a rejected session assigner would surface as a full round of
+    * task retries instead of an immediate build-time error.
+    */
+  private def requireNonMerging(): Unit =
     require(!assigner.isInstanceOf[EventTimeSessionWindows],
       "session windows merge in process(); reduce/aggregate via process")
-    assigner.assignWindows(ts)
-  }
 
   def reduce(f: (T, T) => T)(
       implicit tEnc: Encoder[T], kwEnc: Encoder[(K, Long, Long)],
       pairEnc: Encoder[((K, Long, Long), T)],
       outEnc: Encoder[(K, Long, T)]): DataStream[(K, Long, T)] = {
+    requireNonMerging()
     val (kf, tf) = (keyFn, timeMs)
     val assigned = ds.flatMap(t =>
       assignedWindows(tf(t)).map(w => ((kf(t), w.start, w.end), t)))(pairEnc)

@@ -78,15 +78,14 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.select(col("media_id"), col("kind"), col("payload"))
       .mapPartitions { it =>
-        val d = decoder(); d.open()
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = it.hasNext; if (!h) d.close(); h }
-          def next(): Row = {
-            val r = it.next()
-            val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
-            Row(r.getLong(0), r.getString(1), d.decodeFeatures(payload, dims).toSeq)
-          }
-        }
+        val d = decoder()
+        // close-exactly-once incl. early-terminated consumers: a native
+        // codec handle must not leak or double-free
+        graft.datastream.RichLifecycle.wrap(d.open(), d.close())(it.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          Row(r.getLong(0), r.getString(1), d.decodeFeatures(payload, dims).toSeq)
+        })
       }(enc)
   }
 
@@ -109,8 +108,16 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val bytes = coalesce(length(col("payload")), lit(0)).cast("long")
+    // persisted BEFORE the two consumers: spark_partition_id() must
+    // resolve identically in the sums job and the final plan — an
+    // unpersisted lineage re-evaluated across jobs (nondeterministic
+    // upstream, AQE re-coalesce, files appearing between scans) could
+    // yield pids absent from the prefix table and silently drop rows in
+    // the inner join below; the cache also avoids scanning every payload
+    // twice
     val withPid = df.withColumn("__bytes", bytes)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = withPid.groupBy(col("__pid")).agg(sum(col("__bytes")).as("b"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (sums.isEmpty) return df
@@ -146,7 +153,11 @@ object Multimodal {
     * for the planning pass.
     */
   def frameSamplePlan(df: DataFrame, stepMs: Long): DataFrame =
-    df.where(col("kind") === "video")
+    // duration_ms > 0 guard: corrupt/placeholder metadata (0 or negative
+    // duration) must yield zero frames for that row, not an
+    // IllegalArgumentException from sequence(0, -1, +step) that fails the
+    // whole job
+    df.where(col("kind") === "video" && col("meta.duration_ms") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(stepMs)))
           .as("frame_ts_ms"))

@@ -39,6 +39,39 @@ object SpaceSaving {
     counters.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
 }
 
+/** Indexed mutable summary for hot update paths: a TreeSet over
+  * (count, item) tracks the eviction minimum, so each update is
+  * O(log capacity) — the bare `offer`'s minBy scan is O(capacity) PER
+  * EVICTION, and at capacity every unseen item evicts, which on an
+  * unseen-heavy token stream multiplies the whole hot path by the
+  * capacity. Identical algorithm and (count, item) tie-breaks, so
+  * results are bit-identical to the scan form.
+  */
+final class SpaceSavingSummary(capacity: Int) {
+  require(capacity >= 1)
+  private val m = scala.collection.mutable.HashMap.empty[String, Long]
+  private val idx = scala.collection.mutable.TreeSet.empty[(Long, String)]
+
+  def offer(item: String): Unit = m.get(item) match {
+    case Some(c) =>
+      idx.remove((c, item)); m.update(item, c + 1); idx.add((c + 1, item))
+    case None if m.size < capacity =>
+      m.update(item, 1L); idx.add((1L, item))
+    case None =>
+      val min @ (minCnt, minItem) = idx.head
+      idx.remove(min); m.remove(minItem)
+      m.update(item, minCnt + 1); idx.add((minCnt + 1, item))
+  }
+
+  /** Seed from persisted state (streaming MapState restore). */
+  def load(entries: Iterator[(String, Long)]): Unit =
+    entries.foreach { case (i, c) => m.update(i, c); idx.add((c, i)) }
+
+  def entries: Iterator[(String, Long)] = m.iterator
+  def size: Int = m.size
+  def topK(k: Int): Seq[(String, Long)] = SpaceSaving.topK(m, k)
+}
+
 final class SpaceSavingAggregator(k: Int, capacity: Int)
     extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
   require(k >= 1 && capacity >= k)

@@ -25,13 +25,16 @@ object StreamingHeavyHitters {
       outEnc: Encoder[(K, String, Long, Long)]): Dataset[(K, String, Long, Long)] =
     KeyedStateOps.processWithMapState[K, (K, String), String, Long,
         (K, String, Long, Long)](grouped) { (key, rows, ms) =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      ms.entries().foreach { case (i, c) => counters.update(i, c) }
-      rows.foreach { case (_, item) => SpaceSaving.offer(counters, item, capacity) }
+      // indexed summary: O(log capacity) per token — the minBy-scan form
+      // costs O(capacity) per eviction, and at capacity every unseen
+      // token evicts
+      val summary = new graft.operators.SpaceSavingSummary(capacity)
+      summary.load(ms.entries())
+      rows.foreach { case (_, item) => summary.offer(item) }
       // rewrite the (<= capacity) counters; evicted entries must not linger
       ms.clear()
-      ms.putAll(counters)
-      SpaceSaving.topK(counters, k).iterator.zipWithIndex.map {
+      ms.putAll(summary.entries.toSeq)
+      summary.topK(k).iterator.zipWithIndex.map {
         case ((item, cnt), i) => (key, item, cnt, (i + 1).toLong)
       }
     }

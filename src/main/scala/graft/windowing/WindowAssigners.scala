@@ -79,8 +79,12 @@ final case class SlidingEventTimeWindows(size: Time, slide: Time) extends Window
     Some(window(ts, size.asInterval, slide.asInterval))
   override def assignWindows(ts: Long): Seq[TimeWindow] = {
     val last = TimeWindow.startFor(ts, slide.millis, 0L)
+    // bound on ts, not last: a window [s, s+size) contains ts iff
+    // s > ts − size (Flink's loop bound). `s > last − size` would also
+    // emit windows that END at or before ts whenever size is not an
+    // integer multiple of slide
     Iterator.iterate(last)(_ - slide.millis)
-      .takeWhile(s => s > last - size.millis)
+      .takeWhile(s => s > ts - size.millis)
       .map(s => TimeWindow(s, s + size.millis)).toSeq
   }
 }

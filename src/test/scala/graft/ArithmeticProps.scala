@@ -29,13 +29,20 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
         WindowedStream.startFor(ws + size - 1, size, 0L) == ws
   }
 
-  property("sliding windows covering ts all contain it") = forAll(
-    tsGen, Gen.oneOf(2, 3, 4, 6)) { (ts, ratio) =>
-    val slide = 600000L
-    val size = slide * ratio
-    val last = WindowedStream.startFor(ts, slide, 0L)
-    val starts = Iterator.iterate(last)(_ - slide).takeWhile(_ > last - size).toSeq
-    starts.size == ratio && starts.forall(s => s <= ts && ts < s + size)
+  property("sliding assignment = exactly the aligned windows containing ts") = forAll(
+    tsGen, Gen.choose(1L, 20L), Gen.choose(1L, 20L)) { (ts, a, b) =>
+    // arbitrary size/slide ratios, including non-divisible and slide > size
+    // (the latter leaves gap timestamps in NO window, like Flink)
+    val slide = a * 60000L
+    val size = b * 60000L
+    val got = graft.windowing.SlidingEventTimeWindows(
+      graft.windowing.Time.milliseconds(size),
+      graft.windowing.Time.milliseconds(slide)).assignWindows(ts)
+    val contain = got.forall(w => w.start <= ts && ts < w.end)
+    // count of slide-aligned starts s in (ts-size, ts]:
+    // floor(ts/slide) - floor((ts-size)/slide)
+    val expected = math.floorDiv(ts, slide) - math.floorDiv(ts - size, slide)
+    contain && got.size == expected && got.map(_.start).distinct.size == got.size
   }
 
   private val wavg = new AggregateFunction[(Double, Double), (Double, Double), Double] {
@@ -97,5 +104,18 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
       val whole = agg.finish(fold(xs ++ ys))
       merged == whole && merged.size <= k &&
         agg.merge(fold(xs), fold(ys)) == agg.merge(fold(ys), fold(xs))
+    }
+
+  // the O(log c) indexed summary must be bit-identical to the minBy-scan
+  // form on any stream (same algorithm, same (count, item) tie-breaks)
+  property("indexed space-saving summary equals the scan form on any stream") =
+    forAll(Gen.listOf(Gen.choose(0, 25).map(i => s"t$i")), Gen.choose(1, 8)) {
+      (items, capacity) =>
+        val scan = scala.collection.mutable.HashMap.empty[String, Long]
+        items.foreach(graft.operators.SpaceSaving.offer(scan, _, capacity))
+        val indexed = new graft.operators.SpaceSavingSummary(capacity)
+        items.foreach(indexed.offer)
+        indexed.entries.toMap == scan.toMap &&
+          indexed.topK(capacity) == graft.operators.SpaceSaving.topK(scan, capacity)
     }
 }
