@@ -80,6 +80,30 @@ class DataStreamSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet === Set(3600000L, 7200000L))
   }
 
+  test("typed sliding path equals the Column window() on a non-divisible size/slide") {
+    import spark.implicits._
+    // size 10s / slide 4s: size is NOT a multiple of slide — the case
+    // where a wrong assignment bound emits windows that end at or before
+    // the element. Ground truth is Spark's own window() expression.
+    val data = Seq.tabulate(40)(i => (1L, i * 1731L + 500L, 1L))
+    val env = StreamExecutionEnvironment(spark)
+    val typed = env.fromCollection(data)
+      .keyBy(_._1)
+      .window(SlidingEventTimeWindows.of(
+        Time.milliseconds(10000), Time.milliseconds(4000)), _._2)
+      .reduce((a, b) => (a._1, a._2, a._3 + b._3))
+      .collect()
+      .map(r => r._2 -> r._3._3).toMap
+    val column = data.toDF("k", "ts", "one")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.timestamp_millis($"ts"),
+        "10 seconds", "4 seconds"))
+      .count()
+      .select($"window.start".cast("long") * 1000, $"count")
+      .as[(Long, Long)].collect().toMap
+    assert(typed === column)
+  }
+
   test("user-defined window assigner flows through reduce and process") {
     import spark.implicits._
     // Custom assigner nothing in graft.windowing knows about: "day parts"
