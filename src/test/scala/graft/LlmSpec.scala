@@ -524,6 +524,30 @@ class LlmSpec extends AnyFunSuite {
     assert(got(1L)._3 === want * 4, "exact integer microbit total")
   }
 
+  test("new pipeline ops keep their scale plan shapes (no stray shuffles)") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    // chunking is a pure narrow generator — zero exchanges
+    val chunkPlan = graft.llm.Packing.chunkWithOverlap(docs, "doc_id", "text",
+      120, 80).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking must stay narrow:\n$chunkPlan")
+    // epoch shuffle: exactly one exchange — the per-shard window
+    val shufPlan = graft.llm.Packing.epochShuffle(docs, "doc_id", 8, 1)
+      .queryExecution.executedPlan.toString
+    assert(shufPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"epoch shuffle = one hash exchange:\n$shufPlan")
+    // mixture balancing: the rate table reaches the corpus via broadcast —
+    // the corpus itself never shuffles (document text must not cross an
+    // Exchange)
+    val mixPlan = graft.llm.Mixture.balanceToTargets(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5)).queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"mixture rate join should broadcast:\n$mixPlan")
+    assert(!mixPlan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("text#")),
+      s"document text crossed a shuffle:\n$mixPlan")
+  }
+
   test("epoch shuffle: a seeded permutation with contiguous per-shard positions") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
