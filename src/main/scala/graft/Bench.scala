@@ -22,19 +22,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/JIT + scan warmup so the first timed query isn't penalized
     try consume(SparkEntry.entry(spark)) catch { case _: Throwable => }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // failures must be VISIBLE: a swallowed exception records
-      // time-to-failure as if it were a measurement
-      try { consume(fn(spark, sfDir)) } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
-      }
+      // failures must be VISIBLE in the parsed line itself, not only on
+      // stderr: a swallowed exception would otherwise record
+      // time-to-failure as a fast success and a regression reads as a
+      // speedup — failed queries report -1 and land in "failed"
+      val ok =
+        try { consume(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       // operators persist intermediates (LSH signature/band tables); drop
       // them between queries so one query's cache pressure can't skew the
       // next measurement or the streaming slice
       spark.catalog.clearCache()
-      name -> secs
+      if (!ok) failed += name
+      name -> (if (ok) secs else -1.0)
     }
     // streaming slice: exact-count map→count micro-batch pipeline.
     // Best of two trials: after 60+ batch queries the first trial absorbs
@@ -49,10 +55,12 @@ object Bench {
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
     // last stdout line, after spark shutdown noise
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,""" +
       s""""stream_map_count_rows_per_sec":${math.round(streamRps)},"sf":"$sfDir"}""")
   }
 
@@ -77,21 +85,30 @@ object Bench {
     * an exact-count assertion (the reference's no-loss/no-dup invariant).
     */
   def streamingMapCountRps(spark: SparkSession, rows: Long): Double = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
-    spark.range(rows).toDF("id").write.mode("overwrite").parquet(s"$dir/in")
-    val counted = new AtomicLong(0)
-    val schema = spark.read.parquet(s"$dir/in").schema
-    val t0 = System.nanoTime()
-    val q = spark.readStream.schema(schema).parquet(s"$dir/in")
-      .selectExpr("id * 2 AS v")
-      .writeStream
-      .option("checkpointLocation", s"$dir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) => counted.addAndGet(b.count()); () }
-      .start()
-    q.awaitTermination()
-    val secs = (System.nanoTime() - t0) / 1e9
-    require(counted.get() == rows, s"exact-count violated: ${counted.get()} != $rows")
-    rows / secs
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+    try {
+      spark.range(rows).toDF("id").write.mode("overwrite").parquet(s"$dir/in")
+      val counted = new AtomicLong(0)
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema).parquet(s"$dir/in")
+        .selectExpr("id * 2 AS v")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) => counted.addAndGet(b.count()); () }
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(counted.get() == rows, s"exact-count violated: ${counted.get()} != $rows")
+      rows / secs
+    } finally {
+      // a leaked 5M-row input + checkpoint per trial fills /tmp across
+      // driver rounds on the same machine
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }

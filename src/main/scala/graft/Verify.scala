@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist LSH/signature intermediates and never unpersist;
+      // without this, ~15 queries' caches accumulate across all 83 dumps
+      // and a large-SF verify spills executor storage to /tmp until the
+      // round's correctness gate crawls (Bench clears for the same reason)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -85,6 +85,13 @@ object EmbeddingQueries {
     })
   )
 
+  // Oracle fragility note (accepted): the LSH bucket oracles decide each
+  // sign bit as `dp > 0` on a DuckDB hash-join sum whose accumulation
+  // order is unpinned, while Spark's dot() sums in index order — a plane
+  // dot within ~1e-13 of zero could bucket differently per engine. For
+  // 64-dim O(1)-valued embeddings P(|dp| < 1e-13) ~ 1e-13 per (vector,
+  // plane); at fixture scale the expected failure rate is ~1e-8. Pinning
+  // would need ordered list_sum reductions in every hyperplane CTE.
   private val planeHash =
     "CAST(concat('0x', substr(md5(concat('plane|', CAST(p AS VARCHAR), '|', " +
       "CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"

@@ -657,9 +657,8 @@ object LlmQueries {
                   / (len(t) - 2) END AS rep3
          FROM tk""",
     "q64_stratified_sample" ->
-      """SELECT doc_id, lang FROM documents
-         WHERE (CAST(concat('0x', substr(md5(concat('7', '|',
-                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000) <
+      s"""SELECT doc_id, lang FROM documents
+         WHERE (${duckHash("'7'", "CAST(doc_id AS VARCHAR)")} % 1000000) <
            CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                      WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
                      ELSE 0.0 END * 1000000""",

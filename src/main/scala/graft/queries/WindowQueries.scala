@@ -64,7 +64,9 @@ object WindowQueries {
     // Global window = keyed aggregate without a time bucket
     // (GlobalWindows.cs:10-64; batch equivalent of complete-mode agg).
     "q29_window_global" -> ((s, dir) => {
-      assert(GlobalWindows.create().groupingColumn(col("ts")).isEmpty)
+      // require, not assert: assert elides under the JVM default
+      // (-da) and the contract check would silently never run
+      require(GlobalWindows.create().groupingColumn(col("ts")).isEmpty)
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),

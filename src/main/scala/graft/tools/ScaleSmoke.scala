@@ -15,6 +15,9 @@ object ScaleSmoke {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = Tables.documents(spark, dir).select("doc_id", "text")
     val n = base.count()
+    // the replica-family arithmetic shifts ids by 1e6 and recovers the
+    // family as id % 1e6 — silently wrong past a million base rows
+    require(n < 1000000L, s"id-shift family math needs < 1e6 docs, got $n")
     val big = (0 until 10).map(i =>
       base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
       .reduce(_ union _)
@@ -48,6 +51,7 @@ object ScaleSmoke {
     // score, so assignment (score desc, cid asc) is identical for them.
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val en = emb.count()
+    require(en < 1000000L, s"id-shift family math needs < 1e6 vectors, got $en")
     val bigEmb = (0 until 10).map(i =>
       emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
         col("embedding")))
