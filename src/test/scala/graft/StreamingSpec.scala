@@ -1041,6 +1041,28 @@ class StreamingSpec extends AnyFunSuite {
     // exact dup (1,2) detectable downstream by identical fingerprints
     val fps = got.toSeq.filter(t => t._1 <= 2).map(_._3)
     assert(fps.distinct.size === 1)
+    // overlapping chunking is a pure generator — the same call runs on
+    // the stream and chunks identically (RAG ingest on arrival)
+    def chunk(df: DataFrame): DataFrame =
+      graft.llm.Packing.chunkWithOverlap(df, "doc_id", "text", 4, 3)
+    val chunkBatch = {
+      import spark.implicits._
+      chunk(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    }
+    val input2 = MemoryStream[(Long, String)](spark)
+    val gotChunks = scala.collection.mutable.Set.empty[(Long, Long, String)]
+    val q2 = chunk(input2.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-chunkstream"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        gotChunks ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))); ()
+      }
+      .start()
+    input2.addData(docs: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(gotChunks.toSet === chunkBatch, "stream chunking must equal batch")
   }
 
   test("file source round-trips every bundled format (csv/json/orc/parquet/text)") {
