@@ -504,6 +504,29 @@ class LlmSpec extends AnyFunSuite {
       "shared_fps = number of shared fingerprint values, not 1-per-pair")
   }
 
+  test("winnowing guarantee holds over randomized planted matches (w+k-1 law)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val k = 4; val w = 5; val need = w + k - 1 // 8 tokens
+    // 60 doc pairs: each shares a random >= 8-token run at random offsets,
+    // surrounded by pair-unique filler so only the planted run collides
+    val docs = (0 until 60).flatMap { p =>
+      val run = (0 until need + rnd.nextInt(5)).map(i => s"s${p}_$i").mkString(" ")
+      def filler(tag: String) =
+        (0 until rnd.nextInt(12)).map(i => s"f${p}${tag}_$i").mkString(" ")
+      Seq((p * 2L, s"${filler("a")} $run ${filler("b")}".trim),
+          (p * 2L + 1L, s"${filler("c")} $run ${filler("d")}".trim))
+    }
+    val fp = graft.llm.Winnowing.fingerprints(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    (0 until 60).foreach { p =>
+      assert((fp(p * 2L) & fp(p * 2L + 1L)).nonEmpty,
+        s"pair $p: a >= ${need}-token shared run must share a fingerprint")
+    }
+  }
+
   test("lm surprisal: rare-token docs score more bits than common-token docs") {
     import spark.implicits._
     // "the" dominates the corpus; docs 1-3 are all-"the", doc 4 is all
