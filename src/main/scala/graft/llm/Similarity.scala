@@ -371,6 +371,48 @@ object Similarity {
       .select(col("vec_id"), col("nn_id"),
         round(cosine(col("v"), col("nv")), 6).as("score"))
 
+  /** Per-label embedding outliers: the k vectors farthest (squared
+    * Euclidean distance) from their label's centroid — the standard
+    * mislabeled-example / contamination screen over an embedded corpus.
+    *
+    * Exactness: components quantize to integers (floor(x·2^bits + 0.5)),
+    * and the distance to the centroid Σq/n is computed as the integer
+    * Σ(q·n − Σq)² = n²·Σ(q − mean)² — no floating-point accumulation
+    * anywhere, so the result is a pure function of the input bytes and an
+    * external engine reproduces it exactly. Bound: the scaled distance
+    * must stay under 2^53 (double-exact for ranking) — dims·(2^bits·
+    * maxAbs·n)² < 2^53; at larger corpora drop `scaleBits` or switch the
+    * two sums to decimal(38,0) (same plan shape).
+    *
+    * Scale shape: one narrow posexplode, one (label, pos) aggregate whose
+    * result is tiny (labels × dims rows → AQE broadcasts it back), one
+    * (label, id) aggregate, and the bounded TopKAggregator ranking — the
+    * corpus never joins itself and nothing is driver-collected.
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, k: Int,
+                        scaleBits: Int = 14): DataFrame = {
+    val scale = math.pow(2.0, scaleBits)
+    val pos = emb.select(col(labelCol).cast("long").as("label"),
+        col(idCol).cast("long").as("vid"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("q",
+        floor(col("v").cast("double") * lit(scale) + lit(0.5)).cast("long"))
+    val cent = pos.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("cnt"))
+    val scored = pos.join(cent, Seq("label", "pos"))
+      .select(col("label"), col("vid"),
+        (col("q") * col("cnt") - col("sum_q")).as("dev"))
+      .groupBy(col("label"), col("vid"))
+      .agg(sum(col("dev") * col("dev")).as("dist2"))
+    val labelType = emb.schema(labelCol).dataType
+    topKByQuery(scored.select(col("label").as("vec_id"), col("vid").as("nn_id"),
+        col("dist2").cast("double").as("score")), k, withRank = true)
+      .select(col("vec_id").cast(labelType).as("label"),
+        col("nn_id").as("vec_id"),
+        col("score").cast("long").as("dist2"), col("rnk"))
+  }
+
   /** Rank each query's candidates with the bounded TopKAggregator instead
     * of a `row_number` window: partial aggregation keeps ≤ k entries per
     * map partition, so the shuffle carries O(partitions × k) rows per

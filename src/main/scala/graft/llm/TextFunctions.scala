@@ -171,6 +171,57 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(piiPhone), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(piiLongDigits), lit(0))).cast("long"))
 
+  /** Fraction of tokens containing at least one alphabetic character —
+    * the Gopher "80 % of words must contain an alphabetic character" rule's
+    * left-hand side (Rae et al. 2021, appendix A quality heuristics).
+    */
+  def alphaWordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.rlike("[a-z]")))
+        .cast("double") / size(toks))
+  }
+
+  /** Fraction of tokens that are pure symbol runs (no alphanumerics) —
+    * the symbol-to-word side of the Gopher rule family.
+    */
+  def symbolWordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => !t.rlike("[a-z0-9]")))
+        .cast("double") / size(toks))
+  }
+
+  /** Gopher-style quality rule bundle (the published repetition-free
+    * subset): per-document rule values plus the conjunction verdict.
+    * Every term is integer-count arithmetic or a single double division —
+    * engine-exact, so the oracle reproduces the booleans bit-for-bit.
+    * One codegen'd map stage; applies unchanged at any corpus size.
+    *
+    * Returns (word_count, mean_word_len, alpha_ratio, symbol_ratio,
+    * stop_hits, passes).
+    */
+  def gopherRules(text: Column, stopwords: Seq[String],
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaRatio: Double = 0.8, maxSymbolRatio: Double = 0.1,
+                  minStopHits: Int = 2): (Column, Column, Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val wc = size(toks).cast("long")
+    val meanLen = when(wc === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / wc)
+    val alphaR = alphaWordRatio(text)
+    val symR = symbolWordRatio(text)
+    val stops = array(stopwords.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stops, t))).cast("long")
+    val passes = wc.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      alphaR > lit(minAlphaRatio) && symR < lit(maxSymbolRatio) &&
+      stopHits >= lit(minStopHits.toLong)
+    (wc, meanLen, alphaR, symR, stopHits, passes)
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff
     * portableHash(idCol) mod 1e6 falls under its stratum's rate. Unlike
     * `df.sample`, membership is a pure function of the id — reproducible
@@ -186,5 +237,19 @@ object TextFunctions {
       when(stratum === lit(k), lit(r)).otherwise(acc)
     }
     bucket < rateCol * lit(1000000L)
+  }
+
+  /** Deterministic train/val/test assignment: a pure function of the id
+    * (hash bucket in [0,100)), so the split is reproducible across runs
+    * and engines, survives re-partitioning, and new rows never move
+    * existing rows between splits — the property RNG-based splitters
+    * lack. Evaluates as a plain projection (no shuffle, no state).
+    */
+  def splitAssign(id: Column, trainPct: Int = 90, valPct: Int = 5,
+                  seed: Int = 21): Column = {
+    val bucket = pmod(portableHash(id.cast("string"), seed), lit(100L))
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
   }
 }

@@ -82,7 +82,16 @@ object EmbeddingQueries {
         .withColumn("scale", Similarity.int8Scale(col("v")))
         .select(col("vec_id"), col("scale"),
           Similarity.quantizeInt8(col("v"), col("scale")).as("qvec"))
-    })
+    }),
+
+    // Per-label centroid outliers: the 5 vectors farthest from their
+    // label's centroid — the embedded-corpus mislabel/contamination
+    // screen. All-integer distance arithmetic (14-bit quantization), so
+    // the oracle reproduces dist2 exactly; ranking through the bounded
+    // TopKAggregator, not a sort window.
+    "q86_emb_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5))
   )
 
   // Oracle fragility note (accepted): the LSH bucket oracles decide each
@@ -276,6 +285,22 @@ object EmbeddingQueries {
          SELECT vec_id, scale,
            list_transform(v, x -> CASE WHEN scale = 0 THEN 0
              ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS qvec
-         FROM s"""
+         FROM s""",
+    "q86_emb_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, i,
+             CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 16384.0 + 0.5)
+               AS BIGINT) AS q
+           FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         c AS (SELECT label, i, sum(q) AS sum_q, count(*) AS cnt
+             FROM e GROUP BY 1, 2),
+         d AS (SELECT e.label, e.vec_id,
+               sum((e.q * c.cnt - c.sum_q) * (e.q * c.cnt - c.sum_q)) AS dist2
+             FROM e JOIN c ON e.label = c.label AND e.i = c.i
+             GROUP BY 1, 2),
+         r AS (SELECT label, vec_id, CAST(dist2 AS BIGINT) AS dist2,
+               CAST(row_number() OVER (PARTITION BY label
+                 ORDER BY dist2 DESC, vec_id ASC) AS BIGINT) AS rnk
+             FROM d)
+         SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 5"""
   )
 }

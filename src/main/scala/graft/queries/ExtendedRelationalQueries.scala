@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Money
-import graft.core.Money.{dec, sum38, sumDec}
+import graft.core.Money.{dec, sum38, sumDec, sumDecFast}
 
 /** Remaining SURVEY §2.4/§2.5 capability rows: outer joins, range
   * (non-equi) join, as-of join, cube, HLL approximate distinct.
@@ -50,7 +50,7 @@ object ExtendedRelationalQueries {
         .join(broadcast(buckets),
           col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice")).as("revenue"))
+        .agg(count(lit(1)).as("n"), sumDecFast(col("l_extendedprice")).as("revenue"))
     }),
 
     // As-of join, window formulation: for every event, the most recent

@@ -210,6 +210,25 @@ object LlmQueries {
       graft.llm.Winnowing.fingerprints(Tables.documents(s, dir),
         "doc_id", "text", k = 4, w = 5)),
 
+    // Gopher-style quality rule bundle: per-document rule values + the
+    // conjunction verdict (published heuristic thresholds; fixture docs
+    // split on the 50-word floor). Pure map stage — no shuffle at any SF.
+    "q84_gopher" -> ((s, dir) => {
+      val (wc, meanLen, alphaR, symR, stopHits, passes) =
+        TF.gopherRules(col("text"), stopwords)
+      Tables.documents(s, dir).select(col("doc_id"),
+        wc.as("word_count"), meanLen.as("mean_word_len"),
+        alphaR.as("alpha_ratio"), symR.as("symbol_ratio"),
+        stopHits.as("stop_hits"), passes.as("passes"))
+    }),
+
+    // Deterministic train/val/test split: membership is a pure hash of
+    // doc_id (90/5/5), so the split survives re-partitioning, reruns and
+    // engine changes — row-identical oracle, not a statistical check.
+    "q85_split" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TF.splitAssign(col("doc_id")).as("split"))),
+
     // Bigram corpus-frequency scoring: per-lang bigram counts joined back
     // to each document's bigram stream — mean corpus frequency of a doc's
     // bigrams is a cheap fluency/common-phrase signal (all-integer
@@ -377,6 +396,39 @@ object LlmQueries {
          SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
            CAST(h AS BIGINT) AS fp
          FROM sel WHERE rn = 1""",
+    "q84_gopher" ->
+      s"""WITH $tkCte,
+         v AS (SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS word_count,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+                    AS DOUBLE) / len(t) END AS mean_word_len,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t,
+                    x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t)
+                  END AS alpha_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t,
+                    x -> NOT regexp_matches(x, '[a-z0-9]'))) AS DOUBLE) / len(t)
+                  END AS symbol_ratio,
+             CAST(len(list_filter(t, x -> list_contains($stopListSql, x)))
+               AS BIGINT) AS stop_hits
+           FROM tk)
+         SELECT doc_id, word_count, mean_word_len, alpha_ratio,
+           symbol_ratio, stop_hits,
+           (word_count BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND alpha_ratio > 0.8 AND symbol_ratio < 0.1
+             AND stop_hits >= 2) AS passes
+         FROM v""",
+    "q85_split" ->
+      s"""SELECT doc_id, lang,
+         CASE WHEN ${duckHash("'21'", "CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train'
+              WHEN ${duckHash("'21'", "CAST(doc_id AS VARCHAR)")} % 100 < 95
+                THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""",
     "q82_lm_surprisal" ->
       s"""WITH $tkCte,
          ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM tk),

@@ -59,7 +59,7 @@ object RelationalQueries {
       val c = Tables.customer(s, dir)
       o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(sumDec(col("o_totalprice")).as("total_revenue"),
+        .agg(sumDecFast(col("o_totalprice")).as("total_revenue"),
              count(lit(1)).as("n_orders"))
     }),
 
@@ -74,7 +74,7 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sumDec(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(sumDecFast(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
     // Broadcast hash join: part is a dim → no shuffle of lineitem at all.
@@ -93,7 +93,7 @@ object RelationalQueries {
       val o = Tables.orders(s, dir).filter(col("o_orderstatus") === lit("F"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
-        .agg(count(lit(1)).as("n_customers"), sumDec(col("c_acctbal")).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), sumDecFast(col("c_acctbal")).as("sum_acctbal"))
     }),
 
     // Left-anti join (NOT EXISTS): customers with no high-value order.
@@ -112,7 +112,7 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("cnt"),
-          sumDec(col("o_totalprice")).as("sum_price"),
+          sumDecFast(col("o_totalprice")).as("sum_price"),
           avgDec(col("o_totalprice")).as("avg_price"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
@@ -187,7 +187,7 @@ object RelationalQueries {
         .groupBy(
           year(col("o_orderdate")).cast("long").as("o_year"),
           month(col("o_orderdate")).cast("long").as("o_month"))
-        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n"), sumDecFast(col("o_totalprice")).as("revenue"))
     }),
 
     // Scalar math functions.

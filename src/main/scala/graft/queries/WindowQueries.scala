@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.core.Money.{dec, sum38, sumDec}
+import graft.core.Money.{dec, sum38, sumDec, sumDecFast}
 import graft.windowing._
 
 /** Event-time windowing surface (SURVEY §2.6): tumbling / sliding / session /
@@ -32,7 +32,7 @@ object WindowQueries {
       val w = TumblingEventTimeWindows.of(Time.days(1)).groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumDecFast(col("value")).as("sum_value"))
         .select(winStart(col("w")).as("w_start"), col("event_type"), col("n"), col("sum_value"))
     }),
 
@@ -42,7 +42,7 @@ object WindowQueries {
       val w = SlidingEventTimeWindows.of(Time.hours(2), Time.hours(1)).groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"))
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumDecFast(col("value")).as("sum_value"))
         .select(winStart(col("w")).as("w_start"), col("n"), col("sum_value"))
     }),
 
@@ -53,7 +53,7 @@ object WindowQueries {
       val w = EventTimeSessionWindows.withGap(Time.minutes(30)).groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumDecFast(col("value")).as("sum_value"))
         .select(
           col("user_id"),
           unix_micros(col("w.start")).as("sess_start_us"),
@@ -70,7 +70,7 @@ object WindowQueries {
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-             sumDec(col("value")).as("sum_value"),
+             sumDecFast(col("value")).as("sum_value"),
              unix_micros(min(col("ts"))).as("first_us"),
              unix_micros(max(col("ts"))).as("last_us"))
     }),
@@ -82,7 +82,7 @@ object WindowQueries {
         .groupingColumn(col("ts")).get
       events(s, dir)
         .groupBy(w.as("w"))
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumDecFast(col("value")).as("sum_value"))
         .select(winStart(col("w")).as("w_start"), col("n"), col("sum_value"))
     })
   )

@@ -590,4 +590,45 @@ class LlmSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(e1.sortBy(_._1).toSeq !== e2.sortBy(_._1).toSeq)
   }
+
+  test("gopher rules gate on word count, alpha ratio, stopwords and mean length") {
+    import spark.implicits._
+    val stops = Seq("the", "a")
+    val docs = Seq(
+      (1L, ("the fox " * 30).trim),   // 60 words, all alpha, stops -> pass
+      (2L, "the quick fox"),          // under the 50-word floor -> fail
+      (3L, ("123 456 " * 30).trim),   // alpha ratio 0, no stops -> fail
+      (4L, ("zz yy " * 30).trim)      // no stopword hits -> fail
+    ).toDF("doc_id", "t")
+    val (wc, meanLen, alphaR, symR, stopHits, passes) =
+      TF.gopherRules(col("t"), stops)
+    val got = docs.select(col("doc_id"), wc.as("wc"), meanLen.as("ml"),
+        alphaR.as("ar"), symR.as("sr"), stopHits.as("sh"), passes.as("p"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(6), "healthy doc passes")
+    assert(got(1L).getLong(1) === 60L)
+    assert(got(1L).getDouble(2) === 3.0)   // "the"/"fox" both length 3
+    assert(got(1L).getDouble(3) === 1.0)
+    assert(got(1L).getDouble(4) === 0.0)
+    assert(!got(2L).getBoolean(6), "word-count floor")
+    assert(!got(3L).getBoolean(6), "alpha-ratio floor")
+    assert(got(3L).getDouble(3) === 0.0)
+    assert(!got(4L).getBoolean(6), "stopword floor")
+    assert(got(4L).getLong(5) === 0L)
+  }
+
+  test("split assignment is a deterministic 3-way partition of ids") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val a = ids.select(col("id"), TF.splitAssign(col("id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = ids.select(col("id"), TF.splitAssign(col("id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b, "pure function of the id")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") + counts("test"),
+      "train takes the bulk at 90/5/5")
+    assert(counts.values.sum === 1000)
+  }
 }

@@ -264,4 +264,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
     got.foreach(r => assert(r.getAs[Long]("vec_id") !== r.getAs[Long]("nn_id")))
   }
+
+  test("embedding outliers: planted far vector ranks first with exact integer dist2") {
+    import spark.implicits._
+    // label 0: nine zero vectors + one unit vector along dim 0.
+    // q(1.0f) = 16384 at 14 bits; n = 10, sum_q = (16384, 0, 0, 0).
+    // planted dev = 16384*10 - 16384 = 147456 -> dist2 = 147456^2;
+    // each zero vector dev = -16384 -> dist2 = 16384^2.
+    val vecs = (0 until 9).map(i => (i.toLong, Seq(0f, 0f, 0f, 0f), 0)) :+
+      (9L, Seq(1f, 0f, 0f, 0f), 0)
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
+      "label", k = 3).collect()
+    assert(got.length === 3)
+    val first = got.find(_.getAs[Long]("rnk") == 1L).get
+    assert(first.getAs[Long]("vec_id") === 9L)
+    assert(first.getAs[Long]("dist2") === 147456L * 147456L)
+    // remaining ranks tie on dist2 -> vec_id ascending breaks the tie
+    val rest = got.filter(_.getAs[Long]("rnk") > 1L)
+      .sortBy(_.getAs[Long]("rnk")).map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("dist2"))).toSeq
+    assert(rest === Seq((0L, 16384L * 16384L), (1L, 16384L * 16384L)))
+  }
+
+  test("embedding outliers: labels rank independently and k bounds each group") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val got = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
+      "label", k = 4).collect()
+    val byLabel = got.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.nonEmpty)
+    byLabel.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+      assert(rows.length <= 4)
+      val d = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("dist2"))
+      assert(d.zip(d.tail).forall { case (a, b) => a >= b }, "descending dist2")
+    }
+  }
 }
