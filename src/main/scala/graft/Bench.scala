@@ -23,7 +23,12 @@ object Bench {
     // absorb JVM/JIT + scan warmup so the first timed query isn't penalized
     try consume(SparkEntry.entry(spark)) catch { case _: Throwable => }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // no args = the driver's full run; names = prefix-filtered subset in
+    // the same iteration order (sequence-effect debugging, not the API)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // failures must be VISIBLE in the parsed line itself, not only on
       // stderr: a swallowed exception would otherwise record
@@ -40,9 +45,17 @@ object Bench {
       // next measurement or the streaming slice
       spark.catalog.clearCache()
       if (!ok) failed += name
+      // stderr progress marker (stdout stays reserved for the JSON line):
+      // correlates per-query wall time with system state when a run is
+      // investigated after the fact
+      System.err.println(f"[bench] $name%-28s ${secs}%8.3f s")
       name -> (if (ok) secs else -1.0)
     }
     // streaming slice: exact-count map→count micro-batch pipeline.
+    // Drain the dead weight of 80+ batch queries first: measured 3.8M
+    // rows/s straight after the query sweep vs 5.3M in a fresh JVM — the
+    // slice should measure streaming, not accumulated garbage.
+    System.gc()
     // Best of two trials: after 60+ batch queries the first trial absorbs
     // residual JIT/GC state, which otherwise adds ±30% run-to-run noise
     // to the headline throughput.

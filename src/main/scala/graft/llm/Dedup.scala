@@ -315,7 +315,13 @@ object Dedup {
       s.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
 
+    // the input pair pipeline (LSH candidates + exact verification when
+    // called from nearDuplicateClusters) is consumed by THREE branches —
+    // the checkpointed canonical edge set, realEdges and the self-loop
+    // singleton scan — so materialize it once; O(edges) narrow rows,
+    // spillable
     val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a node whose ONLY edges are self-loops still belongs in the output —
     // as its own singleton cluster — even though canon() drops loops from
     // the edge set; nodes that also touch a real edge get their component

@@ -286,6 +286,36 @@ object LlmQueries {
         .toDF("lang", "token", "cnt", "rnk")
     }),
 
+    // Count-min sketch point-frequency estimates: per-lang depth×width
+    // grid (bounded state, elementwise-add merge ⇒ partition-independent),
+    // probed for a fixed token set against exact counts. The never-
+    // undercount invariant is deterministic; the oracle rebuilds every
+    // probed CELL from the same md5 hash — the sketch itself is checked,
+    // not just its outputs.
+    "q87_cms" -> ((s, dir) => {
+      import s.implicits._
+      val depth = 4; val width = 16
+      val probes = Seq("table", "value", "spark", "query", "xyzzy")
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cms = new graft.operators.CountMinAggregator(depth, width).toColumn
+      val est = toks.as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(cms.name("cells"))
+        .flatMap { case (lang, cells) => probes.map(p =>
+          (lang, p, graft.operators.CountMin.estimate(cells, p, depth, width)))
+        }
+        .toDF("lang", "token", "est")
+      val exact = toks.where(col("tok").isin(probes: _*))
+        .groupBy(col("lang"), col("tok").as("token"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("lang", "token"), "left")
+        .select(col("lang"), col("token"),
+          coalesce(col("exact"), lit(0L)).as("exact"), col("est"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
+    }),
+
     // Capstone: full curation pipeline (quality gate → LSH near-dup
     // removal → per-language corpus stats), all stages previously
     // verified individually, composed declaratively.
@@ -396,6 +426,35 @@ object LlmQueries {
          SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
            CAST(h AS BIGINT) AS fp
          FROM sel WHERE rn = 1""",
+    "q87_cms" ->
+      s"""WITH $tkCte,
+         tc AS (SELECT lang, unnest(t) AS tok FROM tk),
+         probes AS (SELECT unnest(['table', 'value', 'spark', 'query',
+             'xyzzy']) AS token),
+         rws AS (SELECT unnest(range(4)) AS i),
+         cells AS (SELECT lang, i,
+             ${duckHash("concat('cms', CAST(i AS VARCHAR))", "tok")} % 16 AS j,
+             CAST(count(*) AS BIGINT) AS c
+           FROM tc, rws GROUP BY 1, 2, 3),
+         pj AS (SELECT l.lang, p.token, r.i,
+             ${duckHash("concat('cms', CAST(r.i AS VARCHAR))", "p.token")}
+               % 16 AS j
+           FROM (SELECT DISTINCT lang FROM tc) l, probes p, rws r),
+         est AS (SELECT pj.lang, pj.token,
+             min(COALESCE(c.c, 0)) AS est
+           FROM pj LEFT JOIN cells c
+             ON c.lang = pj.lang AND c.i = pj.i AND c.j = pj.j
+           GROUP BY 1, 2),
+         ex AS (SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS exact
+           FROM tc
+           WHERE tok IN ('table', 'value', 'spark', 'query', 'xyzzy')
+           GROUP BY 1, 2)
+         SELECT est.lang, est.token,
+           COALESCE(ex.exact, CAST(0 AS BIGINT)) AS exact,
+           CAST(est.est AS BIGINT) AS est,
+           est.est >= COALESCE(ex.exact, 0) AS no_undercount
+         FROM est LEFT JOIN ex
+           ON ex.lang = est.lang AND ex.token = est.token""",
     "q84_gopher" ->
       s"""WITH $tkCte,
          v AS (SELECT doc_id,

@@ -287,6 +287,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rest === Seq((0L, 16384L * 16384L), (1L, 16384L * 16384L)))
   }
 
+  test("embedding outlier ranking is a bounded aggregate, not a sort window") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val df = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
+      "label", k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"outlier top-k must use the bounded TopKAggregator, not row_number:\n$plan")
+  }
+
   test("embedding outliers: labels rank independently and k bounds each group") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val got = Similarity.embeddingOutliers(emb, "vec_id", "embedding",
