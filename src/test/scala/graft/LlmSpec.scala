@@ -591,6 +591,38 @@ class LlmSpec extends AnyFunSuite {
     assert(e1.sortBy(_._1).toSeq !== e2.sortBy(_._1).toSeq)
   }
 
+  test("count-min sketch: partition-independent cells, row-sum conservation, no undercount") {
+    import spark.implicits._
+    import graft.operators.{CountMin, CountMinAggregator}
+    val depth = 4; val width = 8
+    val items = Seq.fill(100)("alpha") ++ Seq.fill(37)("beta") ++
+      (1 to 50).map(i => s"tail$i")
+    val n = items.length.toLong
+    def build(parts: Int): Array[Long] = {
+      val agg = new CountMinAggregator(depth, width).toColumn
+      items.toDF("tok").repartition(parts).as[String]
+        .groupByKey(_ => 0).mapValues(identity)
+        .agg(agg.name("cells")).collect().head._2
+    }
+    val one = build(1)
+    // merge of per-partition partials is elementwise addition — the grid
+    // is bit-identical under ANY partitioning (unlike space-saving's
+    // approx regime)
+    assert(one.toSeq === build(8).toSeq)
+    // every row of the grid conserves the total occurrence count
+    (0 until depth).foreach { i =>
+      assert(one.slice(i * width, (i + 1) * width).sum === n)
+    }
+    // point estimates never undercount; heavy items stay separable from
+    // the tail noise floor (overcount is bounded by colliding mass)
+    assert(CountMin.estimate(one, "alpha", depth, width) >= 100L)
+    assert(CountMin.estimate(one, "beta", depth, width) >= 37L)
+    (1 to 50).foreach { i =>
+      assert(CountMin.estimate(one, s"tail$i", depth, width) >= 1L)
+    }
+    assert(CountMin.estimate(one, "never-seen", depth, width) >= 0L)
+  }
+
   test("gopher rules gate on word count, alpha ratio, stopwords and mean length") {
     import spark.implicits._
     val stops = Seq("the", "a")

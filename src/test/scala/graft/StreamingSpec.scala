@@ -914,6 +914,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming count-min accumulates across batches and equals the batch sketch") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, String)](spark)
+      val probes = Seq("the", "fox", "dog", "absent")
+      val depth = 4; val width = 8
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(String, String, Long)]]
+      val est = graft.streaming.StreamingCountMin.estimates(
+        input.toDS().groupByKey(_._1), probes, depth, width)
+      val q = est.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-cms"))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[(String, String, Long)], _: Long) =>
+            batches += b.collect().toSeq
+            ()
+        }
+        .start()
+      val b1 = Seq(("en", "the"), ("en", "the"), ("en", "fox"), ("de", "der"))
+      val b2 = Seq(("en", "fox"), ("en", "fox"), ("en", "dog"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // cell merge is addition, so the cross-batch streaming state must be
+      // bit-identical to the batch aggregator over the union of both slices
+      val last = batches.reverse.find(_.nonEmpty).get
+        .filter(_._1 == "en").map(t => (t._2, t._3)).toMap
+      val enItems = (b1 ++ b2).filter(_._1 == "en").map(_._2)
+      val agg = new graft.operators.CountMinAggregator(depth, width)
+      val cells = enItems.foldLeft(agg.zero)(agg.reduce)
+      probes.foreach { p =>
+        assert(last(p) ===
+          graft.operators.CountMin.estimate(cells, p, depth, width),
+          s"probe $p diverges from the batch sketch")
+      }
+      // never-undercount against the true counts
+      assert(last("the") >= 2L && last("fox") >= 3L && last("dog") >= 1L)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming near-dup pairs a new arrival against earlier batches, state stays capped") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
