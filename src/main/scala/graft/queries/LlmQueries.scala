@@ -316,6 +316,46 @@ object LlmQueries {
           (col("est") >= coalesce(col("exact"), lit(0L))).as("no_undercount"))
     }),
 
+    // Bloom filter membership: per-lang 256-bit filter over the token
+    // vocabulary (bitwise-OR merge ⇒ partition- AND duplication-
+    // independent), probed for the fixed token set against exact
+    // membership. The oracle rebuilds every WORD of the bit array in
+    // DuckDB — the filter itself is value-checked — and the no-false-
+    // negative invariant is asserted per probe.
+    "q88_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val kH = 4; val mBits = 256
+      val probes = Seq("table", "value", "spark", "query", "xyzzy")
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bloom = new graft.operators.BloomAggregator(kH, mBits).toColumn
+      val filt = toks.as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(bloom.name("w")).toDF("lang", "w")
+      val pr = filt.select(col("lang"), col("w"),
+        explode(array(probes.map(lit): _*)).as("token"))
+      // mirror of Bloom.bitPos as Column arithmetic (same md5 prefix)
+      def bloomPos(i: Int) = pmod(
+        conv(substring(md5(concat(lit(s"bloom$i|"), col("token"))), 1, 8),
+          16, 10).cast("long"), lit(mBits.toLong))
+      val inFilter = (0 until kH).map { i =>
+        val p = bloomPos(i)
+        call_function("shiftleft", lit(1L), (p % 64).cast("int"))
+          .bitwiseAND(element_at(col("w"), (p / 64).cast("int") + 1)) =!= lit(0L)
+      }.reduce(_ && _)
+      val present = toks.where(col("tok").isin(probes: _*))
+        .select(col("lang"), col("tok").as("token")).distinct()
+        .withColumn("present", lit(true))
+      pr.join(present, Seq("lang", "token"), "left")
+        .select(col("lang"), col("token"),
+          coalesce(col("present"), lit(false)).as("present"),
+          inFilter.as("in_filter"),
+          (!coalesce(col("present"), lit(false)) || inFilter).as("no_false_neg"),
+          element_at(col("w"), 1).as("w0"), element_at(col("w"), 2).as("w1"),
+          element_at(col("w"), 3).as("w2"), element_at(col("w"), 4).as("w3"))
+    }),
+
     // Capstone: full curation pipeline (quality gate → LSH near-dup
     // removal → per-language corpus stats), all stages previously
     // verified individually, composed declaratively.
@@ -426,6 +466,55 @@ object LlmQueries {
          SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
            CAST(h AS BIGINT) AS fp
          FROM sel WHERE rn = 1""",
+    "q88_bloom" ->
+      s"""WITH $tkCte,
+         tc AS (SELECT lang, unnest(t) AS tok FROM tk),
+         langs AS (SELECT DISTINCT lang FROM tc),
+         toksd AS (SELECT DISTINCT lang, tok FROM tc),
+         probes AS (SELECT unnest(['table', 'value', 'spark', 'query',
+             'xyzzy']) AS token),
+         hs AS (SELECT unnest(range(4)) AS i),
+         bits AS (SELECT DISTINCT lang,
+             ${duckHash("concat('bloom', CAST(i AS VARCHAR))", "tok")}
+               % 256 AS pos
+           FROM toksd, hs),
+         words AS (SELECT lang, pos // 64 AS wi,
+             bit_or(CASE WHEN pos % 64 = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE 1::BIGINT << CAST(pos % 64 AS INTEGER) END) AS w
+           FROM bits GROUP BY 1, 2),
+         wfull AS (SELECT g.lang, g.wi, COALESCE(words.w, 0) AS w
+           FROM (SELECT l.lang, r.wi FROM langs l
+                 CROSS JOIN (SELECT unnest(range(4)) AS wi) r) g
+           LEFT JOIN words ON words.lang = g.lang AND words.wi = g.wi),
+         wp AS (SELECT lang,
+             max(CASE WHEN wi = 0 THEN w END) AS w0,
+             max(CASE WHEN wi = 1 THEN w END) AS w1,
+             max(CASE WHEN wi = 2 THEN w END) AS w2,
+             max(CASE WHEN wi = 3 THEN w END) AS w3
+           FROM wfull GROUP BY lang),
+         pb AS (SELECT l.lang, p.token, h.i,
+             ${duckHash("concat('bloom', CAST(h.i AS VARCHAR))", "p.token")}
+               % 256 AS pos
+           FROM langs l, probes p, hs h),
+         hit AS (SELECT pb.lang, pb.token,
+             bool_and((wf.w & CASE WHEN pb.pos % 64 = 63
+                 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE 1::BIGINT << CAST(pb.pos % 64 AS INTEGER) END) <> 0)
+               AS in_filter
+           FROM pb JOIN wfull wf
+             ON wf.lang = pb.lang AND wf.wi = pb.pos // 64
+           GROUP BY 1, 2),
+         pres AS (SELECT lang, tok AS token, TRUE AS present FROM toksd
+           WHERE tok IN ('table', 'value', 'spark', 'query', 'xyzzy'))
+         SELECT hit.lang, hit.token,
+           COALESCE(pres.present, FALSE) AS present, hit.in_filter,
+           (NOT COALESCE(pres.present, FALSE) OR hit.in_filter)
+             AS no_false_neg,
+           wp.w0, wp.w1, wp.w2, wp.w3
+         FROM hit
+         LEFT JOIN pres ON pres.lang = hit.lang AND pres.token = hit.token
+         JOIN wp ON wp.lang = hit.lang""",
     "q87_cms" ->
       s"""WITH $tkCte,
          tc AS (SELECT lang, unnest(t) AS tok FROM tk),

@@ -623,6 +623,30 @@ class LlmSpec extends AnyFunSuite {
     assert(CountMin.estimate(one, "never-seen", depth, width) >= 0L)
   }
 
+  test("bloom filter: no false negatives; OR-merge partition- and duplication-independent") {
+    import spark.implicits._
+    import graft.operators.{Bloom, BloomAggregator}
+    val k = 4; val m = 256
+    val items = (1 to 60).map(i => s"item$i")
+    def build(parts: Int, data: Seq[String]): Array[Long] = {
+      val agg = new BloomAggregator(k, m).toColumn
+      data.toDF("tok").repartition(parts).as[String]
+        .groupByKey(_ => 0).mapValues(identity)
+        .agg(agg.name("w")).collect().head._2
+    }
+    val one = build(1, items)
+    assert(one.toSeq === build(8, items).toSeq, "partition-independent")
+    // OR is idempotent: replaying the input must not change the filter
+    // (the property counting sketches lack)
+    assert(one.toSeq === build(8, items ++ items).toSeq, "duplication-independent")
+    items.foreach(i =>
+      assert(Bloom.contains(one, i, k, m), s"false negative for $i"))
+    // absent items mostly rejected — fp rate at 60 items in 256 bits with
+    // k=4 is ~10%, so 200 probes stay far under half
+    val fp = (1 to 200).count(i => Bloom.contains(one, s"absent$i", k, m))
+    assert(fp < 100, s"false-positive count implausibly high: $fp/200")
+  }
+
   test("gopher rules gate on word count, alpha ratio, stopwords and mean length") {
     import spark.implicits._
     val stops = Seq("the", "a")
