@@ -7,9 +7,11 @@ import graft.llm.Similarity
 
 /** Similarity-search queries over the `embeddings` fixture: exact cosine
   * top-k (broadcast-query brute force) and hyperplane-LSH bucketed ANN.
-  * Oracles recompute cosine relationally in DuckDB (unnest + join on the
-  * element index) and derive identical LSH planes from md5 — value-level
-  * verification of the whole pipeline.
+  * Oracles recompute every cosine/plane dot in DuckDB as an ORDERED
+  * list_reduce index fold (bit-identical to Column `dot()`'s aggregate
+  * fold) and derive identical LSH planes from md5 — value-level
+  * verification of the whole pipeline with no unordered float summation
+  * anywhere.
   */
 object EmbeddingQueries {
 
@@ -94,25 +96,70 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5))
   )
 
-  // Oracle fragility note (accepted): the LSH bucket oracles decide each
-  // sign bit as `dp > 0` on a DuckDB hash-join sum whose accumulation
-  // order is unpinned, while Spark's dot() sums in index order — a plane
-  // dot within ~1e-13 of zero could bucket differently per engine. For
-  // 64-dim O(1)-valued embeddings P(|dp| < 1e-13) ~ 1e-13 per (vector,
-  // plane); at fixture scale the expected failure rate is ~1e-8. Pinning
-  // would need ordered list_sum reductions in every hyperplane CTE.
   private val planeHash =
     "CAST(concat('0x', substr(md5(concat('plane|', CAST(p AS VARCHAR), '|', " +
       "CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)"
 
+  // PINNED accumulation: every dot product and norm below is an ORDERED
+  // index fold (DuckDB list_reduce) — ((v1·w1 + v2·w2) + v3·w3) + … —
+  // exactly the fold Column `dot()` / the native cosine performs, so the
+  // oracles agree with Spark bit-for-bit BY CONSTRUCTION. The previous
+  // unnest + hash-join + sum() form summed in an unpinned order: a plane
+  // dot within ~1e-13 of zero could bucket differently per engine
+  // (~1e-8 expected failure rate at fixture scale), and a score at a
+  // round-to-6-decimals boundary could flip the last digit. No unordered
+  // float summation remains in any embedding oracle.
+  private val evCte =
+    """ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)"""
+  private val nvCte =
+    """n AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+           FROM ev)"""
+  private val planesCte =
+    s"""planes AS (SELECT p, list_transform(range(64),
+               i -> ($planeHash % 2001 - 1000) / 1000.0) AS w
+             FROM (SELECT unnest(generate_series(0, 31)) AS p))"""
+  private val dotpCte =
+    """dotp AS (SELECT ev.vec_id, pl.p,
+             list_reduce(list_transform(range(64), i -> ev.v[i+1] * pl.w[i+1]),
+               (a, b) -> a + b) AS dp
+           FROM ev, planes pl)"""
+  private val bkCte =
+    """bk AS (SELECT vec_id, p // 8 AS band,
+               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
+                        ELSE 0 END) AS BIGINT) AS bucket
+             FROM dotp GROUP BY vec_id, p // 8)"""
+  private def pairDotCte(table: String, ida: String, idb: String) =
+    s"""d AS (SELECT c.$ida AS $ida, c.$idb AS $idb,
+             list_reduce(list_transform(range(64), i -> ea.v[i+1] * eb.v[i+1]),
+               (a, b) -> a + b) AS dp
+           FROM $table c JOIN ev ea ON ea.vec_id = c.$ida
+                          JOIN ev eb ON eb.vec_id = c.$idb)"""
+  // shared coarse-quantizer assignment (IVF + SemDeDup oracles)
+  private val ivfCommon =
+    s"""$evCte, $nvCte,
+ nl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS lists FROM embeddings),
+ cent AS (SELECT vec_id FROM (SELECT vec_id,
+       row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+     WHERE rn <= (SELECT lists FROM nl)),
+ cc AS (SELECT ev.vec_id, ec.vec_id AS cid,
+     list_reduce(list_transform(range(64), i -> ev.v[i+1] * ecv.v[i+1]),
+       (a, b) -> a + b) AS dp
+   FROM ev, cent ec JOIN ev ecv ON ecv.vec_id = ec.vec_id),
+ sc AS (SELECT cc.vec_id, cc.cid,
+       round(cc.dp / (nv2.nrm * nc.nrm), 6) AS s
+     FROM cc JOIN n nv2 ON nv2.vec_id = cc.vec_id
+             JOIN n nc ON nc.vec_id = cc.cid),
+ pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          ORDER BY s DESC, cid ASC) AS r FROM sc)"""
+
   val oracles: Map[String, String] = Map(
     "q45_cosine_knn" ->
-      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
-         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         q AS (SELECT vec_id AS qid, i, x FROM e WHERE vec_id < 10),
-         d AS (SELECT q.qid, e.vec_id AS nid, sum(q.x * e.x) AS dp
-               FROM q JOIN e ON q.i = e.i WHERE e.vec_id <> q.qid GROUP BY 1, 2),
+      s"""WITH $evCte, $nvCte,
+         cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM ev a JOIN ev b
+                  ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         ${pairDotCte("cand", "qid", "nid")},
          s AS (SELECT qid, nid, round(dp / (nq.nrm * ne.nrm), 6) AS score
                FROM d JOIN n nq ON nq.vec_id = qid JOIN n ne ON ne.vec_id = nid),
          r AS (SELECT qid AS query_id, nid AS neighbor_id, score,
@@ -120,25 +167,11 @@ object EmbeddingQueries {
                  ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk FROM s)
          SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5""",
     "q46_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
-         planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 31)) AS p),
-                  (SELECT unnest(range(64)) AS i)),
-         dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
-             FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id, p // 8 AS band,
-               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
-                        ELSE 0 END) AS BIGINT) AS bucket
-             FROM dotp GROUP BY vec_id, p // 8),
+      s"""WITH $evCte, $nvCte, $planesCte, $dotpCte, $bkCte,
          cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
              FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                AND a.vec_id <> b.vec_id),
-         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         d AS (SELECT c.vec_id, c.nn_id, sum(ea.x * eb.x) AS dp
-             FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
-                         JOIN e eb ON eb.vec_id = c.nn_id AND eb.i = ea.i
-             GROUP BY 1, 2),
+         ${pairDotCte("cand", "vec_id", "nn_id")},
          s AS (SELECT d.vec_id, d.nn_id,
                round(d.dp / (na.nrm * nb.nrm), 6) AS score
              FROM d JOIN n na ON na.vec_id = d.vec_id
@@ -150,25 +183,11 @@ object EmbeddingQueries {
            CAST(nn_id AS BIGINT) AS nn_id, score
          FROM r WHERE rn = 1""",
     "q66_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
-         planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 31)) AS p),
-                  (SELECT unnest(range(64)) AS i)),
-         dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
-             FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id, p // 8 AS band,
-               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
-                        ELSE 0 END) AS BIGINT) AS bucket
-             FROM dotp GROUP BY vec_id, p // 8),
+      s"""WITH $evCte, $nvCte, $planesCte, $dotpCte, $bkCte,
          cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
              FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                AND a.vec_id <> b.vec_id),
-         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         d AS (SELECT c.vec_id, c.nn_id, sum(ea.x * eb.x) AS dp
-             FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
-                         JOIN e eb ON eb.vec_id = c.nn_id AND eb.i = ea.i
-             GROUP BY 1, 2),
+         ${pairDotCte("cand", "vec_id", "nn_id")},
          s AS (SELECT d.vec_id, d.nn_id,
                round(d.dp / (na.nrm * nb.nrm), 6) AS score
              FROM d JOIN n na ON na.vec_id = d.vec_id
@@ -180,32 +199,12 @@ object EmbeddingQueries {
            CAST(nn_id AS BIGINT) AS nn_id, score, rnk
          FROM r WHERE rnk <= 3""",
     "q77_ivf_ann" ->
-      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
-         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         nl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS lists
-             FROM embeddings),
-         cent AS (SELECT vec_id FROM (SELECT vec_id,
-               row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
-             WHERE rn <= (SELECT lists FROM nl)),
-         dc AS (SELECT e.vec_id, ec.vec_id AS cid, sum(e.x * ec.x) AS dp
-             FROM e JOIN e ec
-               ON ec.vec_id IN (SELECT vec_id FROM cent) AND ec.i = e.i
-             GROUP BY 1, 2),
-         sc AS (SELECT dc.vec_id, dc.cid,
-               round(dc.dp / (nv.nrm * nc.nrm), 6) AS s
-             FROM dc JOIN n nv ON nv.vec_id = dc.vec_id
-                     JOIN n nc ON nc.vec_id = dc.cid),
-         pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                  ORDER BY s DESC, cid ASC) AS r FROM sc),
+      s"""WITH $ivfCommon,
          asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
          cand AS (SELECT pr.vec_id, a.member AS nn_id FROM pr
                JOIN asn a ON a.cid = pr.cid AND a.member <> pr.vec_id
                WHERE pr.r <= 2),
-         d AS (SELECT c.vec_id, c.nn_id, sum(ea.x * eb.x) AS dp
-             FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
-                         JOIN e eb ON eb.vec_id = c.nn_id AND eb.i = ea.i
-             GROUP BY 1, 2),
+         ${pairDotCte("cand", "vec_id", "nn_id")},
          s2 AS (SELECT d.vec_id, d.nn_id,
                round(d.dp / (na.nrm * nb.nrm), 6) AS score
              FROM d JOIN n na ON na.vec_id = d.vec_id
@@ -217,31 +216,11 @@ object EmbeddingQueries {
            CAST(nn_id AS BIGINT) AS nn_id, score, rnk
          FROM r WHERE rnk <= 3""",
     "q78_semantic_dedup" ->
-      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
-         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         nl AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS lists
-             FROM embeddings),
-         cent AS (SELECT vec_id FROM (SELECT vec_id,
-               row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
-             WHERE rn <= (SELECT lists FROM nl)),
-         dc AS (SELECT e.vec_id, ec.vec_id AS cid, sum(e.x * ec.x) AS dp
-             FROM e JOIN e ec
-               ON ec.vec_id IN (SELECT vec_id FROM cent) AND ec.i = e.i
-             GROUP BY 1, 2),
-         sc AS (SELECT dc.vec_id, dc.cid,
-               round(dc.dp / (nv.nrm * nc.nrm), 6) AS s
-             FROM dc JOIN n nv ON nv.vec_id = dc.vec_id
-                     JOIN n nc ON nc.vec_id = dc.cid),
-         pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                  ORDER BY s DESC, cid ASC) AS r FROM sc),
+      s"""WITH $ivfCommon,
          asn AS (SELECT vec_id, cid FROM pr WHERE r = 1),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asn a
+         p2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asn a
                JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-         d AS (SELECT p.id_a, p.id_b, sum(ea.x * eb.x) AS dp
-             FROM p JOIN e ea ON ea.vec_id = p.id_a
-                    JOIN e eb ON eb.vec_id = p.id_b AND eb.i = ea.i
-             GROUP BY 1, 2),
+         ${pairDotCte("p2", "id_a", "id_b")},
          s2 AS (SELECT d.id_a, d.id_b,
                round(d.dp / (na.nrm * nb.nrm), 6) AS score
              FROM d JOIN n na ON na.vec_id = d.id_a
@@ -252,25 +231,11 @@ object EmbeddingQueries {
            (dr.id_b IS NULL) AS kept
          FROM asn a LEFT JOIN dr ON dr.id_b = a.vec_id""",
     "q55_embedding_near_dup" ->
-      s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
-             FROM embeddings, (SELECT unnest(range(64)) AS i) t),
-         planes AS (SELECT p, i, ($planeHash % 2001 - 1000) / 1000.0 AS w
-             FROM (SELECT unnest(generate_series(0, 31)) AS p),
-                  (SELECT unnest(range(64)) AS i)),
-         dotp AS (SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS dp
-             FROM e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
-         bk AS (SELECT vec_id, p // 8 AS band,
-               CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
-                        ELSE 0 END) AS BIGINT) AS bucket
-             FROM dotp GROUP BY vec_id, p // 8),
+      s"""WITH $evCte, $nvCte, $planesCte, $dotpCte, $bkCte,
          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                AND a.vec_id < b.vec_id),
-         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id),
-         d AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dp
-             FROM cand c JOIN e ea ON ea.vec_id = c.id_a
-                         JOIN e eb ON eb.vec_id = c.id_b AND eb.i = ea.i
-             GROUP BY 1, 2)
+         ${pairDotCte("cand", "id_a", "id_b")}
          SELECT d.id_a, d.id_b, round(d.dp / (na.nrm * nb.nrm), 6) AS cos
          FROM d JOIN n na ON na.vec_id = d.id_a
                 JOIN n nb ON nb.vec_id = d.id_b
