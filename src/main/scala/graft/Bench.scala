@@ -51,27 +51,10 @@ object Bench {
       System.err.println(f"[bench] p$pass $name%-28s ${secs}%8.3f s")
       name -> (if (ok) secs else -1.0)
     }
-    // Two full sweeps, per-query MINIMUM. The harness host exhibits
-    // bursty multi-second CPU-steal windows (observed: a 0.5 s narrow-map
-    // query billed 68 s, a 2.7 s intersect billed 41 s, same code fast on
-    // re-run); one sweep gambles every query on not being hit, while the
-    // min of two decorrelated passes bills each operator its actual cost
-    // unless a stall lands on the SAME query twice. Same estimator the
-    // streaming slice already uses, for the same reason.
-    val first = sweep(1)
-    val second = sweep(2)
-    val results = first.map { case (name, v1) =>
-      val v2 = second(name)
-      name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
-    }
-    // streaming slice: exact-count map→count micro-batch pipeline.
-    // Drain the dead weight of 80+ batch queries first: measured 3.8M
-    // rows/s straight after the query sweep vs 5.3M in a fresh JVM — the
-    // slice should measure streaming, not accumulated garbage.
-    System.gc()
-    // Best of two trials: after 60+ batch queries the first trial absorbs
-    // residual JIT/GC state, which otherwise adds ±30% run-to-run noise
-    // to the headline throughput.
+    // streaming slice BEFORE the query sweeps: a fresh JVM measures
+    // streaming, not the heap churn of 80+ batch queries (measured 3.8M
+    // rows/s after the sweep vs 5.3M fresh). Best of two trials: the
+    // first absorbs residual JIT state (±30% run-to-run otherwise).
     val streamRps = math.max(
       streamingMapCountRps(spark, rows = 5000000L),
       streamingMapCountRps(spark, rows = 5000000L))
@@ -79,15 +62,36 @@ object Bench {
     // the driver's stdout tail-capture window (full-precision doubles made
     // BENCH_r01–r03 unparseable: the line's head fell off the tail).
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def emit(results: Map[String, Double]): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // stdout carries ONLY these JSON lines (Spark logs go to stderr);
+      // the driver reads the LAST one
+      println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,""" +
+        s""""stream_map_count_rows_per_sec":${math.round(streamRps)},"sf":"$sfDir"}""")
+    }
+    // Two full sweeps, per-query MINIMUM. The harness host exhibits
+    // bursty multi-second CPU-steal windows (observed: a 0.5 s narrow-map
+    // query billed 68 s, a 2.7 s intersect billed 41 s, same code fast on
+    // re-run); one sweep gambles every query on not being hit, while the
+    // min of two decorrelated passes bills each operator its actual cost
+    // unless a stall lands on the SAME query twice. Same estimator the
+    // streaming slice already uses, for the same reason. The sweep-1 line
+    // is emitted immediately as stall insurance: if the run is cut short
+    // mid-sweep-2, a complete parseable line already exists.
+    val first = sweep(1)
+    emit(first)
+    val second = sweep(2)
+    val results = first.map { case (name, v1) =>
+      val v2 = second(name)
+      name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
+    }
     spark.stop()
-    // last stdout line, after spark shutdown noise
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,""" +
-      s""""stream_map_count_rows_per_sec":${math.round(streamRps)},"sf":"$sfDir"}""")
+    // final line, after spark shutdown noise
+    emit(results)
   }
 
   /** Force full evaluation of EVERY output column. `count()` would let
