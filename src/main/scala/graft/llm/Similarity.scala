@@ -94,13 +94,23 @@ object Similarity {
         .otherwise(floor(x / scale + lit(0.5)).cast("int")))
 
   /** Portable 32-bit hash (same value as TextFunctions.portableHash /
-    * the DuckDB SQL formulation), computed driver-side for plane literals.
+    * the DuckDB SQL formulation): the first 8 md5 hex chars = the first 4
+    * digest bytes as an unsigned big-endian int. Reads the bytes directly
+    * with a thread-local digest — this sits on the per-token hot path of
+    * the count-min / bloom aggregators, where a fresh
+    * MessageDigest.getInstance + hex format/parse per call measured ~5×
+    * the hash itself.
     */
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   def portableHashLocal(s: String): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
   /** Deterministic pseudo-random hyperplane weights in [-1, 1]:
