@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Money.{dec, sumDecFast}
+
+/** Round-4 analytic widening: pivot/unpivot reshaping, blocked fuzzy
+  * matching, arg-extrema, the remaining analytic window functions,
+  * cross join, histogram bucketing, exact-sum correlation/stddev, and
+  * nested array aggregation. Every query carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - pivot uses an EXPLICIT value list → one shuffle aggregate, no extra
+  *    distinct-discovery pass over the fact table;
+  *  - fuzzy matching is BLOCKED on (brand, size) — the classic entity-
+  *    resolution bound that turns an O(n²) all-pairs scan into
+  *    sum-of-block² with dim-bounded blocks;
+  *  - the stats query reduces to six exact decimal sums (one pass,
+  *    map-side partials); the float math happens once per group on the
+  *    driver-visible aggregate, so results are order-independent and
+  *    bit-stable at any parallelism.
+  */
+object AnalyticQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PIVOT with explicit values: long→wide reshaping in one hash agg.
+    // Missing (source, lang) cells become 0 (na.fill) to match the
+    // FILTER-count oracle.
+    "q89_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, langs)
+    }),
+
+    // UNPIVOT (wide→long melt): each metric column becomes a row. The
+    // generator is narrow — no shuffle at all; output is 3× the filtered
+    // row count regardless of table width.
+    "q97_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > lit(49.0))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+    }),
+
+    // Blocked fuzzy duplicate detection: edit-distance pairs inside
+    // (brand, size) blocks. The equi-join on the block key bounds the
+    // candidate set (max block ≈ handful of parts per brand×size at any
+    // SF — sum-of-block², never corpus²); levenshtein runs only inside
+    // blocks. This is the same blocking discipline the LSH dedup family
+    // uses, on a string-similarity metric.
+    "q90_fuzzy_dedup" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      val a = p.select(col("p_partkey").as("k_a"), col("p_name").as("name_a"),
+        col("p_brand").as("brand"), col("p_size").as("size"))
+      val b = p.select(col("p_partkey").as("k_b"), col("p_name").as("name_b"),
+        col("p_brand").as("brand_b"), col("p_size").as("size_b"))
+      a.join(b, col("brand") === col("brand_b") && col("size") === col("size_b") &&
+          col("k_a") < col("k_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= lit(6))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+             min(levenshtein(col("name_a"), col("name_b"))).cast("long").as("min_lev"))
+    }),
+
+    // Arg-extrema: the value carried by the max/min key, one hash agg —
+    // no join-back, no sort window. Keyed by the UNIQUE o_orderkey so the
+    // answer is deterministic.
+    "q91_argmax" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("earliest_price"),
+          max(col("o_orderkey")).as("latest_key"))
+    }),
+
+    // The remaining analytic window functions (percent_rank, cume_dist,
+    // first/last/nth_value) over a deterministic unique ordering.
+    // first/last/nth use the explicit full-partition frame — both engines
+    // default nth_value/last_value to the RUNNING frame, which is almost
+    // never what "last value of the partition" means.
+    "q92_window_suite" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_totalprice") > lit(400000.0))
+      val run = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      val full = run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      base.select(
+        col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(run).as("pct_rank"),
+        cume_dist().over(run).as("cume"),
+        first(col("o_orderkey")).over(full).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        lag(col("o_orderkey"), 1, -1L).over(run).as("prev_key"))
+    }),
+
+    // CROSS JOIN (the one §2.5 shape with no key): dims only — at scale a
+    // deliberate cartesian is only ever dim×dim (125 rows here), and Spark
+    // picks BroadcastNestedLoopJoin with the small side broadcast.
+    "q93_cross_join" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      r.crossJoin(n)
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") * lit(100L) + col("n_nationkey")).cast("long").as("pair_id"))
+    }),
+
+    // Equi-width histogram: bucket = clamped floor(x/w). Pure narrow map +
+    // one agg on a ~20-key space — the profile pass a curation pipeline
+    // runs before choosing filter thresholds. floor on the same IEEE
+    // double is bit-identical on both engines.
+    "q94_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / lit(50000.0)), lit(19.0))
+          .cast("long").as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sumDecFast(col("o_totalprice")).as("total"))
+    }),
+
+    // Correlation + sample stddev from six EXACT decimal sums (one pass).
+    // The float division/sqrt happens once per group on already-exact
+    // operands → order-independent, unlike corr()/stddev() whose running
+    // double accumulation differs by partition tree on every engine.
+    "q95_stats_exact" -> ((s, dir) => {
+      val q = dec(col("l_quantity"))
+      val p = dec(col("l_extendedprice"))
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(p).as("sy"),
+          sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+      val nD = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      g.select(
+        col("l_returnflag"), col("n"),
+        ((nD * sxy - sx * sy) /
+          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))).as("corr_qty_price"),
+        sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
+    }),
+
+    // Nested array aggregation: per-language sorted distinct source list +
+    // scalar list probes. collect_set is unordered by construction —
+    // array_sort makes the value deterministic (same discipline as every
+    // list-valued oracle in this repo).
+    "q96_array_funcs" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          // The otherwise-less `when` marks elements nullable to match the
+          // oracle's declared list<string>: collect_set bakes
+          // array<string not null>, a bare cast is elided as a no-op, and
+          // when(isNotNull(x), x) constant-folds because x is provably
+          // non-null — length(x) >= 0 is the cheapest predicate Catalyst
+          // can't fold away. Values are untouched.
+          transform(array_sort(collect_set(col("source"))),
+            x => when(length(x) >= 0, x)).as("sources"),
+          countDistinct(col("source")).as("n_sources"),
+          bool_or(col("source") === lit("src14")).as("has_src14"),
+          min(col("source")).as("first_source"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q89_pivot" ->
+      """SELECT source,
+         count(*) FILTER (WHERE lang = 'de') AS de,
+         count(*) FILTER (WHERE lang = 'en') AS en,
+         count(*) FILTER (WHERE lang = 'es') AS es,
+         count(*) FILTER (WHERE lang = 'fr') AS fr,
+         count(*) FILTER (WHERE lang = 'zh') AS zh
+         FROM documents GROUP BY source""",
+    "q97_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           'l_quantity' AS metric, l_quantity AS val
+         FROM lineitem WHERE l_quantity > 49
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount
+         FROM lineitem WHERE l_quantity > 49
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax
+         FROM lineitem WHERE l_quantity > 49""",
+    "q90_fuzzy_dedup" ->
+      """SELECT a.p_brand AS brand, count(*) AS n_pairs,
+         CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_lev
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 6
+         GROUP BY a.p_brand""",
+    "q91_argmax" ->
+      """SELECT o_orderpriority,
+         arg_max(o_totalprice, o_orderkey) AS latest_price,
+         arg_min(o_totalprice, o_orderkey) AS earliest_price,
+         max(o_orderkey) AS latest_key
+         FROM orders GROUP BY o_orderpriority""",
+    "q92_window_suite" ->
+      """SELECT o_orderpriority, o_orderkey,
+         percent_rank() OVER run AS pct_rank,
+         cume_dist() OVER run AS cume,
+         first_value(o_orderkey) OVER wfull AS first_key,
+         last_value(o_orderkey) OVER wfull AS last_key,
+         nth_value(o_orderkey, 2) OVER wfull AS second_key,
+         lag(o_orderkey, 1, -1) OVER run AS prev_key
+         FROM orders WHERE o_totalprice > 400000
+         WINDOW run AS (PARTITION BY o_orderpriority ORDER BY o_orderkey),
+                wfull AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q93_cross_join" ->
+      """SELECT r_name, n_name,
+         CAST(r_regionkey * 100 + n_nationkey AS BIGINT) AS pair_id
+         FROM region CROSS JOIN nation""",
+    "q94_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 19) AS BIGINT) AS bucket,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+         FROM orders GROUP BY 1""",
+    "q95_stats_exact" ->
+      """SELECT l_returnflag, n,
+         (n_d * sxy - sx * sy)
+           / (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy)) AS corr_qty_price,
+         sqrt((n_d * syy - sy * sy) / (n_d * (n_d - 1.0))) AS stddev_price
+         FROM (
+           SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS n_d,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))
+                    * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))
+                    * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)""",
+    "q96_array_funcs" ->
+      """SELECT lang,
+         list(DISTINCT source ORDER BY source) AS sources,
+         count(DISTINCT source) AS n_sources,
+         bool_or(source = 'src14') AS has_src14,
+         min(source) AS first_source
+         FROM documents GROUP BY lang"""
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.AnalyticQueries
+
+/** Specs for the round-4 analytic widening (q89–q97): semantics the
+  * DuckDB oracle can't see (plan shapes, reshaping inverses) plus value
+  * sanity at sf0.001.
+  */
+class AnalyticSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("every analytic query runs and has an oracle") {
+    AnalyticQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+      assert(AnalyticQueries.oracles.contains(name), s"$name lacks an oracle")
+    }
+  }
+
+  test("pivot with explicit values adds no discovery pass and stays partial-agg'd") {
+    val df = AnalyticQueries.queries("q89_pivot")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two keyed exchanges, both fed by map-side partial aggregates over
+    // the (source, lang) cardinality — nothing row-scale crosses the wire
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"pivot with explicit values must not add discovery passes:\n$plan")
+    assert(plan.contains("partial_count") && plan.contains("partial_pivotfirst"),
+      s"pivot exchanges must carry partial aggregates:\n$plan")
+    // every cell non-null after fill, row sums equal the doc count
+    val rows = df.collect()
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val total = rows.map(r => langs.map(l => r.getAs[Long](l)).sum).sum
+    val docs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(total === docs, "pivot cells must partition the corpus")
+  }
+
+  test("unpivot is pivot's inverse on the metric axis") {
+    val long = AnalyticQueries.queries("q97_unpivot")(spark, sfDir)
+    val n = graft.core.Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 49.0).count()
+    assert(long.count() === 3 * n, "3 metric rows per source row")
+    assert(long.select("metric").distinct().count() === 3)
+    // melting is lossless: re-widening recovers the quantity column
+    val wide = long.groupBy("l_orderkey", "l_linenumber")
+      .pivot("metric", Seq("l_quantity")).agg(first(col("val")))
+    assert(wide.filter(col("l_quantity") <= 49.0).count() === 0)
+  }
+
+  test("fuzzy dedup join is blocked: equi-join on (brand,size), not a cartesian") {
+    val df = AnalyticQueries.queries("q90_fuzzy_dedup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"blocking key must make this an equi-join:\n$plan")
+    // self-distance is 0 but k_a<k_b excludes it; pairs are symmetric-free
+    // (at sf0.001 the blocks may hold no qualifying pair — sum is null then)
+    val pairs = df.agg(coalesce(sum("n_pairs"), lit(0L))).head.getLong(0)
+    assert(pairs >= 0)
+  }
+
+  test("argmax picks the value at the max key, deterministically") {
+    val rows = AnalyticQueries.queries("q91_argmax")(spark, sfDir).collect()
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    rows.foreach { r =>
+      val pri = r.getAs[String]("o_orderpriority")
+      val expect = orders.filter(col("o_orderpriority") === pri)
+        .orderBy(col("o_orderkey").desc).select("o_totalprice").head.getDouble(0)
+      assert(r.getAs[Double]("latest_price") === expect, s"argmax mismatch for $pri")
+    }
+  }
+
+  test("window suite: percent_rank/cume_dist bounds, full-frame first/last") {
+    val rows = AnalyticQueries.queries("q92_window_suite")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pct_rank"); val cd = r.getAs[Double]("cume")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      assert(r.getAs[Long]("first_key") <= r.getAs[Long]("last_key"))
+    }
+    // last_key must be the PARTITION max (full frame), not the running max
+    val byPri = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    byPri.foreach { case (_, rs) =>
+      val maxKey = rs.map(_.getAs[Long]("o_orderkey")).max
+      assert(rs.forall(_.getAs[Long]("last_key") == maxKey))
+    }
+  }
+
+  test("histogram buckets partition the table; stats formula matches Spark's corr") {
+    val h = AnalyticQueries.queries("q94_histogram")(spark, sfDir)
+    assert(h.agg(sum("n")).head.getLong(0) ===
+      graft.core.Tables.orders(spark, sfDir).count())
+    // exact-sum corr agrees with Spark's streaming corr to float tolerance
+    val exact = AnalyticQueries.queries("q95_stats_exact")(spark, sfDir)
+      .select("l_returnflag", "corr_qty_price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val spark_ = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(corr("l_quantity", "l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - spark_(k)) < 1e-9, s"corr disagrees for $k: $v vs ${spark_(k)}")
+    }
+  }
+}
