@@ -150,6 +150,24 @@ object AnalyticQueries {
         sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
     }),
 
+    // Z-order layout profile: Morton-interleave two bucketed dimensions,
+    // then show each z-range's bounding box — the min/max footer stats a
+    // range-partitioned-by-zvalue parquet write would give every file,
+    // i.e. the file-skipping story for predicates on EITHER column (see
+    // operators.ZOrder; the spec quantifies bbox tightness vs row order).
+    "q99_zorder" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val x = (col("o_custkey") % lit(1024L)).as("x")
+      val y = ZOrder.bucket(col("o_totalprice"), lo = 0.0, width = 1000.0).as("y")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), x, y)
+        .withColumn("zval", ZOrder.zvalue(col("x"), col("y")))
+        .groupBy(shiftright(col("zval"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    }),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -242,6 +260,15 @@ object AnalyticQueries {
              CAST(sum(CAST(l_quantity AS DECIMAL(14,2))
                     * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
            FROM lineitem GROUP BY l_returnflag)""",
+    "q99_zorder" -> {
+      val xSql = "o_custkey % 1024"
+      val ySql = "CAST(least(greatest(floor((o_totalprice - 0.0) / 1000.0), 0.0), 1023.0) AS BIGINT)"
+      s"""SELECT ${graft.operators.ZOrder.zvalueSql(xSql, ySql)} >> 12 AS zbucket,
+         count(*) AS n,
+         min($xSql) AS min_x, max($xSql) AS max_x,
+         min($ySql) AS min_y, max($ySql) AS max_y
+         FROM orders GROUP BY 1"""
+    },
     "q96_array_funcs" ->
       """SELECT lang,
          list(DISTINCT source ORDER BY source) AS sources,

@@ -222,6 +222,13 @@ object LlmQueries {
         stopHits.as("stop_hits"), passes.as("passes"))
     }),
 
+    // BM25 retrieval scoring against a fixed query — the targeted-search
+    // half of corpus curation (see Bm25 for the micro-quantized
+    // determinism + broadcast-stats scale shape).
+    "q98_bm25" -> ((s, dir) =>
+      graft.llm.Bm25.score(Tables.documents(s, dir), "doc_id", "text",
+        queryTerms = Seq("join", "hash", "window"))),
+
     // Deterministic train/val/test split: membership is a pure hash of
     // doc_id (90/5/5), so the split survives re-partitioning, reruns and
     // engine changes — row-identical oracle, not a statistical check.
@@ -544,6 +551,8 @@ object LlmQueries {
            est.est >= COALESCE(ex.exact, 0) AS no_undercount
          FROM est LEFT JOIN ex
            ON ex.lang = est.lang AND ex.token = est.token""",
+    "q98_bm25" ->
+      graft.llm.Bm25.oracleSql(Seq("join", "hash", "window")),
     "q84_gopher" ->
       s"""WITH $tkCte,
          v AS (SELECT doc_id,
