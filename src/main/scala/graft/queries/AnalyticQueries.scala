@@ -168,6 +168,15 @@ object AnalyticQueries {
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
     }),
 
+    // Contiguous global row ids WITHOUT a single-partition window — the
+    // distributed zipWithIndex (range shuffle + per-partition prefix
+    // sums; see operators.Ids). The id is a pure function of the unique
+    // order key, so the oracle is a plain global row_number.
+    "q100_row_ids" -> ((s, dir) =>
+      graft.operators.Ids.contiguousRowIds(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        orderCol = "o_orderkey")),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -269,6 +278,10 @@ object AnalyticQueries {
          min($ySql) AS min_y, max($ySql) AS max_y
          FROM orders GROUP BY 1"""
     },
+    "q100_row_ids" ->
+      """SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (ORDER BY o_orderkey) AS rid
+         FROM orders""",
     "q96_array_funcs" ->
       """SELECT lang,
          list(DISTINCT source ORDER BY source) AS sources,

@@ -85,6 +85,26 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("row ids are contiguous and never use a single-partition sort window") {
+    val df = AnalyticQueries.queries("q100_row_ids")(spark, sfDir)
+    // the 100 TB killer this operator exists to avoid: a global window
+    // serializes the table into ONE partition. zipWithIndex keeps the
+    // range layout — at sf0.001 AQE (correctly) coalesces the tiny
+    // exchange, so pin it off to observe the partitioning itself.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(
+      AnalyticQueries.queries("q100_row_ids")(spark, sfDir).rdd.getNumPartitions > 1,
+      "global row numbering must not serialize the table")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val n = df.count()
+    val stats = df.agg(min("rid"), max("rid"), countDistinct("rid")).head
+    assert(stats.getLong(0) === 1L && stats.getLong(1) === n &&
+      stats.getLong(2) === n, "ids must be exactly 1..N")
+    // id order matches key order
+    val rows = df.orderBy("rid").select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sorted), "rid order must follow the key order")
+  }
+
   test("histogram buckets partition the table; stats formula matches Spark's corr") {
     val h = AnalyticQueries.queries("q94_histogram")(spark, sfDir)
     assert(h.agg(sum("n")).head.getLong(0) ===
