@@ -38,22 +38,26 @@ object Bm25 {
     require(queryTerms.nonEmpty, "empty query")
     val spark = docs.sparkSession
 
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // ONE tokenize pass over the corpus: per doc, its length and only its
+    // query-term occurrences (a ≤|occurrences of Q| array). Persisted
+    // because three consumers need it (corpus stats, df counts, scoring) —
+    // the corpus text and full token stream never materialize twice. The
+    // cached table is (id, long, tiny array).
+    val qlit = array(queryTerms.map(lit): _*)
+    val slim = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        filter(col("t"), x => array_contains(qlit, x)).as("qt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // corpus stats: one row. sum/count of exact longs; avgdl division
     // happens later in double on exact operands (deterministic IEEE).
-    val stats = toks.agg(count(lit(1)).cast("long").as("n_docs"),
+    val stats = slim.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("sum_dl"))
 
-    // tf per (doc, query term): filter to Q INSIDE the explode projection,
-    // so the aggregate's input is |occurrences of Q| rows, not the corpus
-    // token stream.
-    val qlit = array(queryTerms.map(lit): _*)
-    val tf = toks
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("t"), x => array_contains(qlit, x))).as("term"))
+    // tf per (doc, query term) over the pre-filtered occurrence arrays
+    val tf = slim
+      .select(col("doc_id"), col("dl"), explode(col("qt")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
