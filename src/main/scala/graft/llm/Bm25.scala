@@ -38,28 +38,27 @@ object Bm25 {
     require(queryTerms.nonEmpty, "empty query")
     val spark = docs.sparkSession
 
-    // ONE tokenize pass over the corpus: per doc, its length and only its
-    // query-term occurrences (a ≤|occurrences of Q| array). Persisted
-    // because three consumers need it (corpus stats, df counts, scoring) —
-    // the corpus text and full token stream never materialize twice. The
-    // cached table is (id, long, tiny array).
-    val qlit = array(queryTerms.map(lit): _*)
-    val slim = docs.select(col(idCol).as("doc_id"),
+    val toks = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-        filter(col("t"), x => array_contains(qlit, x)).as("qt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
 
+    // Two streaming scans of the corpus, NOTHING corpus-sized cached: at
+    // 100 TB two map-side-partial passes beat persisting a per-doc row.
     // corpus stats: one row. sum/count of exact longs; avgdl division
     // happens later in double on exact operands (deterministic IEEE).
-    val stats = slim.agg(count(lit(1)).cast("long").as("n_docs"),
+    val stats = toks.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("sum_dl"))
 
-    // tf per (doc, query term) over the pre-filtered occurrence arrays
-    val tf = slim
-      .select(col("doc_id"), col("dl"), explode(col("qt")).as("term"))
+    // tf per (doc, query term): explode + an In predicate (whole-stage
+    // codegen end to end — filter(array, λ) evaluates interpreted per
+    // element). Persisted: consumed twice (df counts + scoring) and it is
+    // the |matching docs|·|Q|-bounded table, not the corpus token stream.
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // df per query term (+ explicit zero rows so idf exists for unmatched
     // terms — keeps the |Q|-row broadcast total even when a term is absent)
