@@ -177,6 +177,47 @@ object AnalyticQueries {
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
         orderCol = "o_orderkey")),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize) +
+    // grouping() flags to tell a NULL group key from a real NULL — one
+    // expand + one hash agg, same single-shuffle shape as rollup.
+    "q101_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sumDecFast(col("o_totalprice")).as("revenue"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))),
+
+    // Time-series resample + forward fill (gap-fill): hourly grid per
+    // user spanning their observed range, carrying the last observed
+    // value across empty hours. Every stage is keyed by user (or
+    // user×hour): the grid explosion is bounded by per-user span — at
+    // 100 TB clamp spans (or bucket coarser) before the sequence — and
+    // the fill is one ordered window per user, never a global sort.
+    // In-hour representative = value at the max event_id (unique key ⇒
+    // deterministic on both engines).
+    "q102_gapfill" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id") % lit(25L) === lit(0L))
+        .select(col("user_id"), col("event_id"), col("value"),
+          date_trunc("hour", col("ts")).as("h"))
+      val obs = e.groupBy(col("user_id"), col("h"))
+        .agg(max_by(col("value"), col("event_id")).as("v"),
+             count(lit(1)).as("n_obs"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left_outer")
+        .select(col("user_id"), unix_seconds(col("h")).as("hour_s"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    }),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -282,6 +323,26 @@ object AnalyticQueries {
       """SELECT o_orderkey, o_orderpriority,
          row_number() OVER (ORDER BY o_orderkey) AS rid
          FROM orders""",
+    "q101_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue,
+         CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "q102_gapfill" ->
+      """WITH e AS (SELECT user_id, event_id, value, date_trunc('hour', ts) AS h
+           FROM events WHERE user_id % 25 = 0),
+         obs AS (SELECT user_id, h, arg_max(value, event_id) AS v,
+             CAST(count(*) AS BIGINT) AS n_obs FROM e GROUP BY 1, 2),
+         span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM obs GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM span)
+         SELECT g.user_id, CAST(epoch(g.h) AS BIGINT) AS hour_s,
+           last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           coalesce(o.n_obs, 0) AS n_obs
+         FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h""",
     "q96_array_funcs" ->
       """SELECT lang,
          list(DISTINCT source ORDER BY source) AS sources,

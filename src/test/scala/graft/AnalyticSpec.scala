@@ -105,6 +105,39 @@ class AnalyticSpec extends AnyFunSuite {
     assert(rows.sameElements(rows.sorted), "rid order must follow the key order")
   }
 
+  test("grouping sets: each set's rows re-aggregate the same table; flags disambiguate") {
+    val rows = AnalyticQueries.queries("q101_grouping_sets")(spark, sfDir).collect()
+    val total = graft.core.Tables.orders(spark, sfDir).count()
+    // the () set is one row counting everything; each single-column set
+    // partitions the table
+    val grand = rows.filter(r => r.getAs[Long]("g_status") == 1 && r.getAs[Long]("g_priority") == 1)
+    assert(grand.length === 1 && grand.head.getAs[Long]("n") === total)
+    val bySet = rows.filterNot(grand.contains).groupBy(r =>
+      (r.getAs[Long]("g_status"), r.getAs[Long]("g_priority")))
+    assert(bySet.keySet === Set((0L, 1L), (1L, 0L)))
+    bySet.values.foreach(rs => assert(rs.map(_.getAs[Long]("n")).sum === total))
+  }
+
+  test("gap-fill: grid is dense per user, filled value carries across empty hours") {
+    val rows = AnalyticQueries.queries("q102_gapfill")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val hours = rs.map(_.getAs[Long]("hour_s")).sorted
+      // dense hourly grid: consecutive steps of exactly 3600 s
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L },
+        "grid must have no gaps")
+      // forward fill: never null after the first (observed) hour
+      assert(rs.forall(r => !r.isNullAt(r.fieldIndex("filled"))))
+      // empty hours exist in the fixture and carry the previous value
+      val byHour = rs.sortBy(_.getAs[Long]("hour_s"))
+      val gapCarries = byHour.zip(byHour.tail).filter(_._2.getAs[Long]("n_obs") == 0L)
+      gapCarries.foreach { case (prev, cur) =>
+        assert(cur.getAs[Double]("filled") === prev.getAs[Double]("filled"),
+          "an unobserved hour must carry the previous filled value")
+      }
+    }
+  }
+
   test("histogram buckets partition the table; stats formula matches Spark's corr") {
     val h = AnalyticQueries.queries("q94_histogram")(spark, sfDir)
     assert(h.agg(sum("n")).head.getLong(0) ===
