@@ -218,6 +218,65 @@ object AnalyticQueries {
           coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     }),
 
+    // Ordered-sequence funnel (signup → click → purchase, each step
+    // within 12 h of the previous): ONE shuffle on user_id, then a
+    // per-user sorted fold — no joins, no window sorts. The oracle is the
+    // equivalent 3-stage CTE chain; the fold computes the same
+    // "min qualifying timestamp per step" because events are folded in
+    // (ts, type) order and each step slot is written once. At 100 TB the
+    // pre-groupBy filter keeps only funnel event types in the shuffle,
+    // and per-user event lists are the only state — bounded by user
+    // activity, never corpus size.
+    "q103_funnel" -> ((s, dir) => {
+      val gapUs = lit(12L * 3600L * 1000000L)
+      val nullT = lit(null).cast("long")
+      val folded = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("t"), col("event_type").as("e")))).as("seq"))
+        .select(aggregate(
+          col("seq"),
+          struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3")),
+          (acc, x) => {
+            val (t1, t2, t3) = (acc.getField("t1"), acc.getField("t2"), acc.getField("t3"))
+            val (t, e) = (x.getField("t"), x.getField("e"))
+            val setT1 = t1.isNull && e === lit("signup")
+            val setT2 = t1.isNotNull && t2.isNull && e === lit("click") &&
+              t > t1 && t - t1 <= gapUs
+            val setT3 = t2.isNotNull && t3.isNull && e === lit("purchase") &&
+              t > t2 && t - t2 <= gapUs
+            struct(
+              when(setT1, t).otherwise(t1).as("t1"),
+              when(setT2, t).otherwise(t2).as("t2"),
+              when(setT3, t).otherwise(t3).as("t3"))
+          }).as("f"))
+      folded.agg(
+        count(col("f.t1")).as("step1_users"),
+        count(col("f.t2")).as("step2_users"),
+        count(col("f.t3")).as("step3_users"),
+        coalesce(sum(col("f.t3") - col("f.t1")), lit(0L)).cast("long")
+          .as("total_convert_us"))
+    }),
+
+    // Cohort retention triangle: cohort = ISO week of first activity;
+    // one row per (cohort, week offset) counting distinct active users.
+    // Both aggregations and the join share the user_id key — at scale the
+    // first-event agg and the distinct-activity agg co-partition, and
+    // only the final (cohort, week_k) rollup reshuffles (tiny: weeks²).
+    "q104_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val firstEv = e.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+      val activity = e.distinct()
+      activity.join(firstEv, Seq("user_id"))
+        .groupBy(
+          unix_seconds(col("cohort")).as("cohort_s"),
+          ((unix_seconds(col("w")) - unix_seconds(col("cohort"))) / lit(604800L))
+            .cast("long").as("week_k"))
+        .agg(count(lit(1)).as("active_users"))
+    }),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -343,6 +402,29 @@ object AnalyticQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
            coalesce(o.n_obs, 0) AS n_obs
          FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h""",
+    "q103_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND epoch_us(e.ts) - epoch_us(s1.t1) <= 43200000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND epoch_us(e.ts) - epoch_us(s2.t2) <= 43200000000 GROUP BY 1)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS step1_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS step2_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS step3_users,
+           (SELECT CAST(coalesce(sum(epoch_us(s3.t3) - epoch_us(s1.t1)), 0) AS BIGINT)
+              FROM s3 JOIN s1 USING (user_id)) AS total_convert_us""",
+    "q104_retention" ->
+      """WITH first_ev AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY 1),
+         activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+         SELECT CAST(epoch(f.cohort) AS BIGINT) AS cohort_s,
+           CAST((epoch(a.w) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_k,
+           CAST(count(*) AS BIGINT) AS active_users
+         FROM activity a JOIN first_ev f USING (user_id)
+         GROUP BY 1, 2""",
     "q96_array_funcs" ->
       """SELECT lang,
          list(DISTINCT source ORDER BY source) AS sources,

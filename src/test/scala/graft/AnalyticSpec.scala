@@ -138,6 +138,49 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: fold form equals the 3-stage join-chain form; steps monotone") {
+    val row = AnalyticQueries.queries("q103_funnel")(spark, sfDir).head()
+    val (s1, s2, s3) = (row.getAs[Long]("step1_users"),
+      row.getAs[Long]("step2_users"), row.getAs[Long]("step3_users"))
+    assert(s1 >= s2 && s2 >= s3, "funnel steps must be non-increasing")
+    assert(s1 > 0, "fixture has signups")
+    // independent computation via the oracle's join-chain shape
+    val gap = 12L * 3600L * 1000000L
+    val e = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val c1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val c2 = e.filter(col("event_type") === "click").join(c1, "user_id")
+      .filter(col("t") > col("t1") && col("t") - col("t1") <= gap)
+      .groupBy("user_id").agg(min(col("t")).as("t2"))
+    val c3 = e.filter(col("event_type") === "purchase").join(c2, "user_id")
+      .filter(col("t") > col("t2") && col("t") - col("t2") <= gap)
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    assert((c1.count(), c2.count(), c3.count()) === ((s1, s2, s3)),
+      "sorted fold must equal the join-chain funnel")
+    val expectedUs = c3.join(c1, "user_id")
+      .agg(coalesce(sum(col("t3") - col("t1")), lit(0L))).head().getLong(0)
+    assert(row.getAs[Long]("total_convert_us") === expectedUs)
+  }
+
+  test("retention: week-0 equals cohort size; no negative offsets; never exceeds cohort") {
+    val rows = AnalyticQueries.queries("q104_retention")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("week_k") >= 0L))
+    val users = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_s"))
+    // every user appears in exactly one cohort's week-0 row
+    val week0Total = byCohort.values
+      .map(_.find(_.getAs[Long]("week_k") == 0L).map(_.getAs[Long]("active_users")).getOrElse(0L))
+      .sum
+    assert(week0Total === users, "week-0 rows must partition all users into cohorts")
+    byCohort.values.foreach { rs =>
+      val size = rs.find(_.getAs[Long]("week_k") == 0L).get.getAs[Long]("active_users")
+      assert(rs.forall(_.getAs[Long]("active_users") <= size),
+        "retention can never exceed cohort size")
+    }
+  }
+
   test("histogram buckets partition the table; stats formula matches Spark's corr") {
     val h = AnalyticQueries.queries("q94_histogram")(spark, sfDir)
     assert(h.agg(sum("n")).head.getLong(0) ===
