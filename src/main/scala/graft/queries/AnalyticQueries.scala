@@ -277,6 +277,22 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("active_users"))
     }),
 
+    // Triangle census of the part co-occurrence graph (parts sharing an
+    // order). Edge build: lineitem self-joins on its own key (lines per
+    // order is dim-bounded, so pairs-per-order is too) then dedups.
+    // Counting runs through Triangles.summary — degree-ordered
+    // orientation bounds the wedge join at Σ outdeg² ≤ O(m^1.5) under
+    // ANY degree skew; the naive Σ deg² shape melts on the first
+    // celebrity node at 100 TB.
+    "q105_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Triangles.summary(edges)
+    }),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -425,6 +441,20 @@ object AnalyticQueries {
            CAST(count(*) AS BIGINT) AS active_users
          FROM activity a JOIN first_ev f USING (user_id)
          GROUP BY 1, 2""",
+    "q105_triangles" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+           GROUP BY 1)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs p1
+              JOIN pairs p2 ON p2.u = p1.v
+              JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v) AS n_triangles""",
     "q96_array_funcs" ->
       """SELECT lang,
          list(DISTINCT source ORDER BY source) AS sources,

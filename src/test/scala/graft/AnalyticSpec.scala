@@ -181,6 +181,29 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles: planted K4, and orientation bounds the hub's wedge fan-out") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus pendant edge 4-5 (0 new)
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L))
+      .toDF("u", "v")
+    val s = graft.operators.Triangles.summary(k4).head()
+    assert((s.getAs[Long]("n_nodes"), s.getAs[Long]("n_edges"),
+      s.getAs[Long]("n_triangles")) === ((5L, 7L, 4L)))
+    // wedges: deg 3,3,3,4,1 → 3+3+3+6+0 = 15
+    assert(s.getAs[Long]("n_wedges") === 15L)
+
+    // star: hub 0 with 40 leaves, plus one leaf-leaf edge → 1 triangle.
+    // Unoriented, the hub fans out C(40,2)=780 wedges; oriented, the hub
+    // ranks HIGHEST (max degree) so every edge points leaf→hub and the
+    // hub emits zero wedges — out-degrees stay ≤ 2 everywhere.
+    val star = ((1L to 40L).map(l => (0L, l)) :+ (1L, 2L)).toDF("u", "v")
+    val ss = graft.operators.Triangles.summary(star).head()
+    assert(ss.getAs[Long]("n_triangles") === 1L)
+    val maxOut = graft.operators.Triangles.orientedOutDegrees(star)
+      .agg(max($"out_d")).head().getLong(0)
+    assert(maxOut <= 2L, s"orientation must defuse the hub (max out-degree $maxOut)")
+  }
+
   test("histogram buckets partition the table; stats formula matches Spark's corr") {
     val h = AnalyticQueries.queries("q94_histogram")(spark, sfDir)
     assert(h.agg(sum("n")).head.getLong(0) ===
