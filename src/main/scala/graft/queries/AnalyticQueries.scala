@@ -293,6 +293,22 @@ object AnalyticQueries {
       graft.operators.Triangles.summary(edges)
     }),
 
+    // Integer-quantized PageRank (3 damped rounds) on the symmetrized
+    // part co-occurrence graph. Micro-unit arithmetic makes the iterative
+    // computation bit-exact at any parallelism (see operators/PageRank);
+    // per round: one co-keyed hash join + one aggregation shuffle, rank
+    // state is per-node, the edge⋈outdeg table is built once.
+    "q106_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 3)
+    }),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -455,6 +471,28 @@ object AnalyticQueries {
            (SELECT CAST(count(*) AS BIGINT) FROM pairs p1
               JOIN pairs p2 ON p2.u = p1.v
               JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v) AS n_triangles""",
+    "q106_pagerank" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         edges AS (SELECT u AS src, v AS dst FROM pairs
+                   UNION ALL SELECT v AS src, u AS dst FROM pairs),
+         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
+         p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM outdeg),
+         p1 AS (SELECT e.dst AS node,
+                  CAST(150000 + sum((p.pr * 17) // (20 * o.od)) AS BIGINT) AS pr
+                FROM edges e JOIN p0 p ON e.src = p.node
+                JOIN outdeg o ON e.src = o.src GROUP BY 1),
+         p2 AS (SELECT e.dst AS node,
+                  CAST(150000 + sum((p.pr * 17) // (20 * o.od)) AS BIGINT) AS pr
+                FROM edges e JOIN p1 p ON e.src = p.node
+                JOIN outdeg o ON e.src = o.src GROUP BY 1),
+         p3 AS (SELECT e.dst AS node,
+                  CAST(150000 + sum((p.pr * 17) // (20 * o.od)) AS BIGINT) AS pr
+                FROM edges e JOIN p2 p ON e.src = p.node
+                JOIN outdeg o ON e.src = o.src GROUP BY 1)
+         SELECT node, pr FROM p3""",
     "q96_array_funcs" ->
       """SELECT lang,
          list(DISTINCT source ORDER BY source) AS sources,

@@ -204,6 +204,41 @@ class AnalyticSpec extends AnyFunSuite {
     assert(maxOut <= 2L, s"orientation must defuse the hub (max out-degree $maxOut)")
   }
 
+  test("pagerank: cycle fixed point, hand-computed star ranks, partition-invariant") {
+    import spark.implicits._
+    // directed 3-cycle: od=1 everywhere → p1 = 150000 + (1e6*17) div 20
+    // = 1000000 exactly; unit ranks are a fixed point of the quantized map
+    val cycle = Seq((1L,2L),(2L,3L),(3L,1L)).toDF("src","dst")
+    val cr = graft.operators.PageRank.ranks(cycle, iters = 3).collect()
+    assert(cr.length === 3 && cr.forall(_.getAs[Long]("pr") === 1000000L))
+
+    // symmetrized star 0–{1,2,3}: hand-quantized rounds
+    // p1: hub = 150000 + 3*850000 = 2700000
+    //     leaf = 150000 + 17000000 div 60 = 433333
+    // p2: hub = 150000 + 3*(433333*17 div 20) = 150000 + 3*368333 = 1254999
+    //     leaf = 150000 + (2700000*17) div (20*3) = 915000
+    val star = Seq((0L,1L),(0L,2L),(0L,3L),(1L,0L),(2L,0L),(3L,0L)).toDF("src","dst")
+    val sr = graft.operators.PageRank.ranks(star, iters = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(sr(0L) === 1254999L)
+    assert(Seq(1L,2L,3L).forall(sr(_) === 915000L))
+
+    // quantized arithmetic ⇒ bit-identical under any partitioning
+    val g = AnalyticQueries.queries("q106_pagerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      .filter(col("u") < col("v")).select(col("u"), col("v")).distinct()
+    val shuffled = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(7)
+    val g2 = graft.operators.PageRank.ranks(shuffled, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(g.sameElements(g2), "ranks must not depend on partition layout")
+  }
+
   test("histogram buckets partition the table; stats formula matches Spark's corr") {
     val h = AnalyticQueries.queries("q94_histogram")(spark, sfDir)
     assert(h.agg(sum("n")).head.getLong(0) ===
