@@ -34,10 +34,15 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int = 3, unit: Long = 1000000L): DataFrame = {
     require(iters >= 1, "at least one iteration")
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // the ONLY thing that touches the caller's (possibly expensive) edge
+    // DAG: everything else — initial ranks included — derives from this
+    // persisted table, so the edge build executes exactly once, not once
+    // per consumer
     val eo = edges.join(outdeg, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val teleport = lit(unit * 3 / 20)
-    val p0 = outdeg.select(col("src").as("node"), lit(unit).as("pr"))
+    val p0 = eo.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(unit).as("pr"))
     (1 to iters).foldLeft(p0) { (p, _) =>
       eo.join(p.select(col("node").as("src"), col("pr")), Seq("src"))
         .groupBy(col("dst"))

@@ -37,12 +37,18 @@ object Triangles {
     * coefficient denominator Σ d(d−1)/2), n_triangles. All BIGINT-exact.
     */
   def summary(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
+    // the edge list is consumed by the degree count (twice via union),
+    // the orientation join, and the closing-edge probe — persist the
+    // input once so an expensive upstream edge build (a support-filtered
+    // self-join, an LSH candidate generator) executes once, not per
+    // consumer
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
 
     // attach both endpoint degrees, orient by the (degree, id) total order
-    val withDeg = edges
+    val withDeg = e
       .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))

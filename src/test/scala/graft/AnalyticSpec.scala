@@ -230,7 +230,9 @@ class AnalyticSpec extends AnyFunSuite {
       .select(col("l_orderkey"), col("l_partkey"))
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
-      .filter(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2).select(col("u"), col("v"))
     val shuffled = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
       .repartition(7)

@@ -914,6 +914,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel state machine equals the batch funnel on fixture events") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 48 h steps (q103 uses 12 h): the sf0.001 slice is too sparse for
+      // 12 h funnels (0 completions) but yields 4 at 48 h
+      val gap = 48L * 3600L * 1000000L
+      // batch answer: the q103 join-chain at sf0.001
+      val e = graft.core.Tables.events(spark, TestSession.sfDir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val c1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val c2 = e.filter(col("event_type") === "click").join(c1, "user_id")
+        .filter(col("t") > col("t1") && col("t") - col("t1") <= gap)
+        .groupBy("user_id").agg(min(col("t")).as("t2"))
+      val c3 = e.filter(col("event_type") === "purchase").join(c2, "user_id")
+        .filter(col("t") > col("t2") && col("t") - col("t2") <= gap)
+        .groupBy("user_id").agg(min(col("t")).as("t3"))
+      val batchConv = c3.join(c1, "user_id")
+        .select(col("user_id"), col("t1"), col("t3")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batchConv.nonEmpty, "fixture must contain completed funnels")
+
+      // stream the same events in three TIME-ORDERED slices (per-user
+      // order across batches is the kappa contract the machine assumes)
+      val all = e.select(col("user_id"), col("t"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(r => (r._2, r._3))
+      val input = MemoryStream[(Long, Long, String)](spark)
+      val conv = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      val q = graft.streaming.StreamingFunnel
+        .conversions(input.toDS().groupByKey(_._1), gap)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-funnel"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) =>
+          conv ++= b.collect(); ()
+        }
+        .start()
+      all.grouped((all.length / 3).max(1)).foreach { slice =>
+        input.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      assert(conv.toSet === batchConv,
+        "stream conversions must equal the batch join-chain funnel")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming count-min accumulates across batches and equals the batch sketch") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
