@@ -62,8 +62,16 @@ object Bench {
     // the driver's stdout tail-capture window (full-precision doubles made
     // BENCH_r01–r03 unparseable: the line's head fell off the tail).
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // short keys ("q58", the brief's own {"q1":sec} contract shape): the
+    // driver's stdout tail capture is 2000 chars and 106 full query names
+    // at 3 decimals are ~2.9 KB — the line's head falls off and the driver
+    // records parsed:null (happened r1–r3). qNN prefixes fit at ~1.6 KB;
+    // full names stay on the stderr progress lines.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
     def emit(results: Map[String, Double]): Unit = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      val qs = results.toSeq.sortBy { case (k, _) =>
+        shortKey(k).drop(1).toInt
+      }.map { case (k, v) => "\"" + shortKey(k) + "\":" + s3(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
