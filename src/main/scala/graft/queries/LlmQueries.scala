@@ -14,11 +14,11 @@ import graft.llm.{Dedup, TextFunctions => TF}
   */
 object LlmQueries {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  private val stopListSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[queries] val stopListSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   // shared DuckDB fragments (tk = token list per doc)
-  private val tkCte =
+  private[queries] val tkCte =
     """tk AS (SELECT doc_id, lang, source, text,
         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
         FROM documents)"""

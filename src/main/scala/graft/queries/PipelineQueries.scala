@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Money.{dec, sumDec}
+import graft.llm.{TextFunctions => TF}
+
+/** Round-4 pipeline widening: event sessionization (row labeling, not
+  * windowed aggregation), bloom-prefiltered joins, salted two-stage
+  * aggregation, per-key z-score anomaly flagging, vocabulary/OOV
+  * coverage, and stopword stripping. Every query carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - sessionization is ONE shuffle on user_id + an in-partition sort —
+  *    the canonical sessionize shape; no self-join, no global sort;
+  *  - the bloom join builds a KB-sized filter from the selective dim side
+  *    and prunes fact rows BEFORE the join shuffle — the semi-join
+  *    pushdown pattern (runtime row-group skipping) with correctness
+  *    independent of the false-positive rate because the exact join runs
+  *    after the prune;
+  *  - salted aggregation splits each hot group across 16 sub-groups for
+  *    the wide partial, then combines 16 rows per group — the standard
+  *    two-stage defense when ONE grouping key carries a skewed share of
+  *    the input (partial aggregation alone doesn't help when a single
+  *    reducer partition owns the hot key's final combine);
+  *  - anomaly stats reduce to exact decimal sums (order-independent at
+  *    any parallelism, the q95 discipline) and rejoin co-keyed on
+  *    user_id — both sides shuffle once on the same key;
+  *  - the vocabulary is a bounded top-N (partial top-N per partition
+  *    feeding TakeOrdered — never a global sort) and is broadcast back,
+  *    so the corpus-side token stream never shuffles for the probe.
+  */
+object PipelineQueries {
+
+  private val sessionGapUs = 30L * 60 * 1000 * 1000 // 30 min in µs
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sessionize: label every event with its per-user session ordinal
+    // (new session when the gap to the previous event exceeds 30 min).
+    // Unlike q28 (session-window AGGREGATES) this returns the labeled
+    // rows themselves — the form a training-data pipeline joins back to.
+    // Ordering is pinned by (ts, event_id) so ties are deterministic.
+    "q107_sessionize" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(ord)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("newb",
+          when(prev.isNull
+            .or(unix_micros(col("ts")) - unix_micros(prev) > sessionGapUs), lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("session_idx",
+          sum(col("newb")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("session_idx"))
+    }),
+
+    // Bloom-prefiltered join: build an m-bit filter over the selective
+    // dim side's keys (one row holding 256 longs), broadcast it, and
+    // drop definitely-absent fact rows BEFORE the join. The trailing
+    // exact join removes false positives, so the result is identical to
+    // the plain join (the oracle) at ANY false-positive rate — the
+    // filter only moves work, never changes answers. No driver-side
+    // collect: the sketch rides a broadcast of its one-row DataFrame.
+    "q108_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val kH = 3; val mBits = 1 << 14
+      val bld = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === lit("BUILDING"))
+        .select(col("c_custkey"))
+      val sketch = bld.select(col("c_custkey").cast("string").as("v")).as[String]
+        .select(new graft.operators.BloomAggregator(kH, mBits).toColumn.name("w"))
+        .toDF("w")
+      // Bloom.bitPos as Column arithmetic (same md5-derived portable hash)
+      def bloomPos(i: Int) = pmod(
+        conv(substring(md5(concat(lit(s"bloom$i|"), col("o_custkey").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(mBits.toLong))
+      val maybe = (0 until kH).map { i =>
+        val p = bloomPos(i)
+        call_function("shiftleft", lit(1L), (p % 64).cast("int"))
+          .bitwiseAND(element_at(col("w"), (p / 64).cast("int") + 1)) =!= lit(0L)
+      }.reduce(_ && _)
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(sketch))
+        .where(maybe)
+        .join(broadcast(bld), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("revenue"))
+    }),
+
+    // Salted two-stage aggregation: each group splits across 16 salts for
+    // the wide partial (so a hot l_partkey spreads over 16 reducers),
+    // then 16 partial rows per group combine in a cheap second agg.
+    // Decimal sums are associative, so the result is bit-identical to
+    // the direct groupBy the oracle runs.
+    "q109_salted_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(16L)))
+        .groupBy(col("l_partkey"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("l_extendedprice"))).as("ps"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("decimal(38,2)").as("revenue"))
+    }),
+
+    // Per-user z-score anomaly flags: mean/sample-stddev from exact
+    // decimal sums (order-independent partials — the q95 discipline),
+    // float math once per user on exact operands, events rejoined
+    // co-keyed on user_id. Guards (n ≥ 2, sd > 0) keep the division
+    // total; |z| > 2.5 flags the outliers.
+    "q110_anomaly_zscore" -> ((s, dir) => {
+      val v = dec(col("value"))
+      val stats = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("svv"))
+      val nD = col("n").cast("double")
+      val svD = col("sv").cast("double"); val svvD = col("svv").cast("double")
+      val byUser = stats.select(
+        col("user_id"), col("n"),
+        (svD / nD).as("mean"),
+        sqrt((nD * svvD - svD * svD) / (nD * (nD - lit(1.0)))).as("sd"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .join(byUser, Seq("user_id"))
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .filter(col("n") >= 2 && col("sd") > 0 && abs(col("z")) > lit(2.5))
+        .select(col("user_id"), col("event_id"), col("value"), col("z"))
+    }),
+
+    // Vocabulary coverage / OOV rate: top-30 corpus tokens by frequency
+    // (ties broken by token — deterministic), broadcast back over the
+    // exploded token stream, per-doc out-of-vocabulary fraction. The
+    // tokenizer-coverage estimate run before committing to a vocab.
+    "q111_vocab_oov" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc)
+        .limit(30)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+    }),
+
+    // Stopword stripping: rebuild each document without stopword tokens
+    // plus a removed-count — a pure narrow map over the pruned text
+    // column (the cleaning transform upstream of tokenization).
+    "q112_stopword_strip" -> ((s, dir) => {
+      val t = TF.tokens(col("text"))
+      val kept = filter(t, x => !x.isin(LlmQueries.stopwords: _*))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_join(kept, " ").as("cleaned"),
+        (size(t) - size(kept)).cast("long").as("n_removed"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q107_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS newb
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+           CAST(sum(newb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         FROM e""",
+    "q108_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1""",
+    "q109_salted_agg" ->
+      """SELECT l_partkey, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS revenue
+         FROM lineitem GROUP BY 1""",
+    "q110_anomaly_zscore" ->
+      """WITH st AS (
+           SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value AS DECIMAL(14,2))
+                    * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS svv
+           FROM events GROUP BY 1),
+         byu AS (
+           SELECT user_id, n, sv / n AS mean,
+             sqrt((n * svv - sv * sv) / (n * (n - 1.0))) AS sd
+           FROM st)
+         SELECT e.user_id, e.event_id, e.value,
+           (e.value - byu.mean) / byu.sd AS z
+         FROM events e JOIN byu USING (user_id)
+         WHERE byu.n >= 2 AND byu.sd > 0
+           AND abs((e.value - byu.mean) / byu.sd) > 2.5""",
+    "q111_vocab_oov" -> {
+      val tokCte = LlmQueries.tkCte
+      s"""WITH $tokCte,
+         tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         vc AS (SELECT tok FROM (
+             SELECT tok, count(*) AS c FROM tok GROUP BY 1
+             ORDER BY c DESC, tok LIMIT 30))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tok IN (SELECT tok FROM vc) THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN tok IN (SELECT tok FROM vc) THEN 0 ELSE 1 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM tok GROUP BY doc_id"""
+    },
+    "q112_stopword_strip" -> {
+      val tokCte = LlmQueries.tkCte
+      val keep = s"list_filter(t, x -> NOT list_contains(${LlmQueries.stopListSql}, x))"
+      s"""WITH $tokCte
+         SELECT doc_id, array_to_string($keep, ' ') AS cleaned,
+           CAST(len(t) - len($keep) AS BIGINT) AS n_removed
+         FROM tk"""
+    })
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.PipelineQueries
+
+/** Specs for the pipeline widening (q107–q112): semantics the DuckDB
+  * oracle can't see — sessionization gap laws on crafted timelines,
+  * the bloom prune's no-false-negative guarantee and its actual row
+  * reduction, salted-agg ≡ direct-agg equivalence, and cleaning-
+  * transform invariants.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("every pipeline query runs and has an oracle") {
+    PipelineQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+      assert(PipelineQueries.oracles.contains(name), s"$name lacks an oracle")
+    }
+  }
+
+  test("sessionize splits exactly at gaps > 30 min and never within") {
+    import spark.implicits._
+    // user 1: events at 0, 10 min, 45 min (gap 35 → new session), 50 min
+    // user 2: single event
+    val us = 1000L * 1000
+    val rows = Seq(
+      (1L, 101L, 0L), (1L, 102L, 600L * us), (1L, 103L, 2700L * us),
+      (1L, 104L, 3000L * us), (2L, 201L, 0L))
+      .toDF("user_id", "event_id", "ts_us")
+      .select(col("user_id"), col("event_id"), timestamp_micros(col("ts_us")).as("ts"))
+    // run the same shape as q107 on the crafted frame
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(ord)
+    val out = rows
+      .withColumn("newb", when(prev.isNull
+        .or(unix_micros(col("ts")) - unix_micros(prev) > 1800L * us), lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("newb")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("session_idx")).as[(Long, Long)].collect().toMap
+    assert(out(101L) == 1 && out(102L) == 1, "10-min gap must not split")
+    assert(out(103L) == 2, "35-min gap must split")
+    assert(out(104L) == 2, "5-min gap must not split")
+    assert(out(201L) == 1, "each user starts at session 1")
+  }
+
+  test("bloom prune has no false negatives and actually prunes rows") {
+    import spark.implicits._
+    val kH = 3; val mBits = 1 << 14
+    val members = (1L to 300L).map(_.toString)
+    val words = spark.createDataset(members)
+      .select(new graft.operators.BloomAggregator(kH, mBits).toColumn).head()
+    // every member probes true (the filter's hard guarantee)…
+    members.foreach { m =>
+      assert(graft.operators.Bloom.contains(words, m, kH, mBits), s"false negative: $m")
+    }
+    // …and the probe side sees real pruning: most of 10k non-members drop
+    val nonMembers = (10000L to 20000L).map(_.toString)
+    val kept = nonMembers.count(graft.operators.Bloom.contains(words, _, kH, mBits))
+    assert(kept < nonMembers.size / 10,
+      s"bloom with ${members.size} keys in $mBits bits must prune >90% ($kept survived)")
+    // end-to-end: the query's final exact join makes FPs invisible
+    val q = PipelineQueries.queries("q108_bloom_join")(spark, sfDir)
+    val direct = graft.core.Tables.orders(spark, sfDir)
+      .join(graft.core.Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val got = q.select(col("o_orderpriority"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, "bloom-prefiltered join must equal the plain join")
+  }
+
+  test("salted aggregation equals the direct groupBy bit-for-bit") {
+    val direct = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.core.Money.dec(col("l_extendedprice"))).cast("decimal(38,2)").as("revenue"))
+    val salted = PipelineQueries.queries("q109_salted_agg")(spark, sfDir)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+      "salting must not change any group's result")
+  }
+
+  test("stopword strip removes exactly the stopwords and keeps order") {
+    val out = PipelineQueries.queries("q112_stopword_strip")(spark, sfDir)
+      .select(col("cleaned")).collect().map(_.getString(0))
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    out.foreach { c =>
+      val toks = c.split("\\s+").filter(_.nonEmpty)
+      assert(toks.forall(t => !stop.contains(t)), s"stopword survived in: $c")
+    }
+    // and at least one fixture doc actually had something removed
+    val removed = PipelineQueries.queries("q112_stopword_strip")(spark, sfDir)
+      .agg(sum(col("n_removed"))).head().getLong(0)
+    assert(removed > 0, "fixture corpus contains stopwords; none were removed")
+  }
+
+  test("vocab OOV rates are consistent fractions and vocab is bounded") {
+    val df = PipelineQueries.queries("q111_vocab_oov")(spark, sfDir)
+    val bad = df.filter(
+      col("oov_rate") < 0 || col("oov_rate") > 1 ||
+        col("n_oov") > col("n_tokens")).count()
+    assert(bad == 0, "oov must be a fraction of tokens")
+    // top-30 vocab over this corpus covers most tokens (zipf head)
+    val mean = df.agg(avg(col("oov_rate"))).head().getDouble(0)
+    assert(mean < 0.5, s"top-30 vocab should cover most of the corpus (mean OOV $mean)")
+  }
+}
