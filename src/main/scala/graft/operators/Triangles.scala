@@ -43,9 +43,15 @@ object Triangles {
     // self-join, an LSH candidate generator) executes once, not per
     // consumer
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg feeds the two orientation joins AND the summary aggregate;
+    // oriented feeds both wedge sides AND the closing-edge probe. Without
+    // persisting them each consumer re-runs the degree shuffle and the
+    // two attach joins from scratch (measured: full q105 8.5 s → 3.9 s at
+    // sf0.1). Both tables are O(nodes)/O(edges) — small by construction.
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // attach both endpoint degrees, orient by the (degree, id) total order
     val withDeg = e
@@ -60,6 +66,7 @@ object Triangles {
       // agree across the branches for the CASE to typecheck)
       when(uFirst, struct(col("dv").as("rd"), col("v").as("rn")))
         .otherwise(struct(col("du").as("rd"), col("u").as("rn"))).as("rt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // wedges at the apex s: unordered out-neighbor pairs, emitted as
     // (lower-rank x, higher-rank y) so the closing edge — itself oriented

@@ -313,7 +313,12 @@ object AnalyticQueries {
     // per round: one co-keyed hash join + one aggregation shuffle, rank
     // state is per-node, the edge⋈outdeg table is built once.
     "q106_pagerank" -> ((s, dir) => {
+      // persist the support-filtered edge build: the symmetrizing union
+      // consumes `pairs` twice, and without the persist each branch runs
+      // the lineitem self-join + count from scratch (measured: 7.6 s →
+      // ~3 s at sf0.1)
       val pairs = frequentCoEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
       graft.operators.PageRank.ranks(edges, iters = 3)
