@@ -156,6 +156,56 @@ object PipelineQueries {
         col("doc_id"),
         array_join(kept, " ").as("cleaned"),
         (size(t) - size(kept)).cast("long").as("n_removed"))
+    }),
+
+    // Skew-salted JOIN (q109's companion for the join side): replicate
+    // the dim side across 8 salts and spread each hot fact key over
+    // matching salted partitions — the standard remedy when ONE join key
+    // owns a skewed share of the fact table and a single SMJ partition
+    // stalls the stage. Salting only re-routes rows; the join output —
+    // and the aggregate over it — is identical to the plain join the
+    // oracle runs.
+    "q113_salted_join" -> ((s, dir) => {
+      val salts = 8
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("salt", pmod(xxhash64(col("l_extendedprice")), lit(salts.toLong)))
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // Deterministic weighted priority sampling: priority
+    // H(doc_id) mod p / weight — long docs (weight = n_chars) get small
+    // priorities and are kept preferentially; the k lowest priorities
+    // win. A pure function of the row (reproducible across runs,
+    // engines, partitionings — the q64 discipline, weighted), selected
+    // via bounded top-k (TakeOrdered), never a global sort.
+    "q114_weighted_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (pmod(TF.portableHash(col("doc_id").cast("string"), 9), lit(1000003L))
+            .cast("double") / col("n_chars").cast("double")).as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100)
+    }),
+
+    // Per-group min-max normalization (feature scaling): exact integer
+    // extremes per language, one narrow map for the scale — grouped
+    // stats rejoined co-keyed, the q110 shape with a different formula.
+    "q115_minmax_normalize" -> ((s, dir) => {
+      val ext = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      Tables.documents(s, dir)
+        .join(ext, Seq("lang"))
+        .filter(col("hi") > col("lo"))
+        .select(col("doc_id"), col("lang"),
+          ((col("n_chars") - col("lo")).cast("double")
+            / (col("hi") - col("lo")).cast("double")).as("scaled"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -218,5 +268,24 @@ object PipelineQueries {
          SELECT doc_id, array_to_string($keep, ' ') AS cleaned,
            CAST(len(t) - len($keep) AS BIGINT) AS n_removed
          FROM tk"""
-    })
+    },
+    "q113_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q114_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+         CAST(CAST(concat('0x', substr(md5(concat('9|', CAST(doc_id AS VARCHAR))), 1, 8))
+           AS BIGINT) % 1000003 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+         FROM documents
+         ORDER BY priority, doc_id LIMIT 100""",
+    "q115_minmax_normalize" ->
+      """WITH ext AS (
+           SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
+           FROM documents GROUP BY 1)
+         SELECT doc_id, d.lang,
+           CAST(n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) AS scaled
+         FROM documents d JOIN ext USING (lang)
+         WHERE hi > lo""")
 }

@@ -78,6 +78,34 @@ object ScaleSmoke {
     println(f"[smoke] ivf+semdedup in $secs2%.1f s; $annRows ann rows; " +
       s"$multiKept replica families kept more than one copy")
     require(multiKept == 0, "exact replica survived semantic dedup")
+
+    // Graph path at 10x: replicate the part co-occurrence graph as 10
+    // DISJOINT copies (node ids shifted). Disjoint copies multiply every
+    // count by exactly 10 — a hard invariant for the whole oriented-wedge
+    // pipeline — and the degree distribution is unchanged per copy, so a
+    // super-linear blowup here would expose a broken orientation bound.
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val basePairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseSummary = graft.operators.Triangles.summary(basePairs).head()
+    val bigEdges = (0 until 10).map(i =>
+      basePairs.select((col("u") + lit(i * 1000000L)).as("u"),
+        (col("v") + lit(i * 1000000L)).as("v")))
+      .reduce(_ union _)
+    val t2 = System.nanoTime()
+    val bigSummary = graft.operators.Triangles.summary(bigEdges).head()
+    val secs3 = (System.nanoTime() - t2) / 1e9
+    println(f"[smoke] triangles 10x in $secs3%.1f s; " +
+      s"base=$baseSummary big=$bigSummary")
+    Seq("n_nodes", "n_edges", "n_wedges", "n_triangles").foreach { c =>
+      val b = baseSummary.getAs[Long](c); val g = bigSummary.getAs[Long](c)
+      require(g == 10 * b, s"$c: expected ${10 * b} at 10x, got $g")
+    }
     spark.stop()
   }
 }

@@ -98,6 +98,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(removed > 0, "fixture corpus contains stopwords; none were removed")
   }
 
+  test("salted join equals the plain join bit-for-bit") {
+    val direct = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(graft.core.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Money.sumDec(col("l_extendedprice")).as("revenue"))
+    val salted = PipelineQueries.queries("q113_salted_join")(spark, sfDir)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+      "salting must not change the join result")
+  }
+
+  test("weighted sample is deterministic and weight-biased") {
+    val a = PipelineQueries.queries("q114_weighted_sample")(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val b = PipelineQueries.queries("q114_weighted_sample")(spark, sfDir)
+      .repartition(7) // different partitioning must not change the sample
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must be a pure function of the rows")
+    // longer docs are preferred: the sampled mean length beats the corpus mean
+    val corpusMean = graft.core.Tables.documents(spark, sfDir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = PipelineQueries.queries("q114_weighted_sample")(spark, sfDir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighting by n_chars must bias toward long docs ($sampleMean vs $corpusMean)")
+  }
+
+  test("minmax normalization lands every value in [0,1] with both extremes") {
+    val df = PipelineQueries.queries("q115_minmax_normalize")(spark, sfDir)
+    assert(df.filter(col("scaled") < 0 || col("scaled") > 1).count() == 0)
+    val perLang = df.groupBy(col("lang"))
+      .agg(min(col("scaled")).as("lo"), max(col("scaled")).as("hi")).collect()
+    perLang.foreach { r =>
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0,
+        s"each group must span [0,1]: $r")
+    }
+  }
+
   test("vocab OOV rates are consistent fractions and vocab is bounded") {
     val df = PipelineQueries.queries("q111_vocab_oov")(spark, sfDir)
     val bad = df.filter(
