@@ -1185,4 +1185,90 @@ class StreamingSpec extends AnyFunSuite {
     src.selectExpr("s").write.mode("overwrite").text(s"$dir/text")
     assert(FileSource.batch(spark, "text", s"$dir/text").count() === 5)
   }
+
+  test("streaming sessionize labels events across batches and matches batch semantics") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gap = 1800000L // 30 min, the q107 gap
+
+      // --- toy cross-batch case: the session must NOT emit until the
+      // watermark passes its gap, then emit with a stable ordinal ---
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val input = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+      val grouped = input.toDS().toDF("k", "id", "ts")
+        .withWatermark("ts", "1 second")
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3.getTime))
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q = StreamingSessionize.labeled(grouped, gap)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-sessionize"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) =>
+          fired ++= b.collect(); ()
+        }.start()
+      input.addData((1L, 11L, t(0)), (1L, 12L, t(600)))
+      q.processAllAvailable()
+      assert(fired.isEmpty, "session still open: nothing may emit")
+      input.addData((1L, 13L, t(3600))) // wm -> 3599s > 600s + gap
+      q.processAllAvailable()
+      assert(fired.toSet === Set((1L, 11L, 1L), (1L, 12L, 1L)),
+        "first session closes with ordinal 1 once the watermark passes its gap")
+      input.addData((1L, 14L, t(90000))) // far future: closes the 3600s session
+      q.processAllAvailable()
+      q.stop()
+      assert(fired.toSet.contains((1L, 13L, 2L)),
+        "second session gets the next ordinal")
+
+      // --- fixture replay in two batches vs the batch q107 semantics ---
+      val events = graft.core.Tables.events(spark, TestSession.sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        .sortBy(_._3.getTime)
+      val (b1, b2) = events.splitAt(events.size / 2)
+      val maxTs = events.map(_._3.getTime).max
+      val sentinel = (-1L, -1L, new java.sql.Timestamp(maxTs + 86400000L))
+      val input2 = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+      val grouped2 = input2.toDS().toDF("k", "id", "ts")
+        .withWatermark("ts", "1 second")
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3.getTime))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q2 = StreamingSessionize.labeled(grouped2, gap)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-sessionize-fix"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input2.addData(b1: _*)
+      q2.processAllAvailable()
+      input2.addData(b2: _*)
+      q2.processAllAvailable()
+      input2.addData(sentinel)
+      q2.processAllAvailable()
+      q2.stop()
+      val got = out.filter(_._1 >= 0).map(r => (r._2, r._3)).toMap
+      val exp = events.groupBy(_._1).flatMap { case (_, evs) =>
+        val sorted = evs.map(e => (e._3.getTime, e._2)).sorted
+        var idx = 1L; var last = sorted.head._1
+        sorted.map { case (ts, id) =>
+          if (ts - last > gap) idx += 1
+          last = ts
+          id -> idx
+        }
+      }
+      assert(got.size === exp.size, s"label count ${got.size} != ${exp.size}")
+      assert(got === exp, {
+        val bad = exp.collect { case (id, i) if got.get(id) != Some(i) =>
+          s"$id: got ${got.get(id)} exp $i" }.take(5)
+        s"label mismatches: ${bad.mkString("; ")}"
+      })
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
