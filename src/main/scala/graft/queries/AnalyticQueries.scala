@@ -324,6 +324,42 @@ object AnalyticQueries {
       graft.operators.PageRank.ranks(edges, iters = 3)
     }),
 
+    // Generic top-k per group through the bounded TopKAggregator: partial
+    // aggregation keeps AT MOST k rows per (partition, group) before the
+    // shuffle — a ranking window would sort and shuffle EVERY row of
+    // every group to rank it. The same operator the ANN family uses,
+    // exposed as plain relational top-N-per-key.
+    "q116_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val topk = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new graft.llm.Similarity.TopKAggregator(3).toColumn.name("top"))
+        .toDF("o_orderpriority", "top")
+      topk.select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("pos0", "t")))
+        .select(col("o_orderpriority"),
+          (col("pos0") + lit(1)).cast("long").as("pos"),
+          col("t._1").as("o_orderkey"),
+          col("t._2").as("o_totalprice"))
+    }),
+
+    // Ratio-to-report: each (month, priority)'s share of the month's
+    // revenue. The denominator is an EXACT decimal window sum — summing
+    // doubles over a window is partition-order-dependent and diverges
+    // between engines; decimal totals are exact, and the single double
+    // division per row happens on identical operands.
+    "q117_ratio_to_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("month"))
+      Tables.orders(s, dir)
+        .groupBy(unix_millis(date_trunc("month", col("o_orderdate"))).as("month"),
+          col("o_orderpriority"))
+        .agg(sumDecFast(col("o_totalprice")).as("rev"))
+        .withColumn("share",
+          col("rev").cast("double") / sum(col("rev")).over(w).cast("double"))
+    }),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -395,6 +431,24 @@ object AnalyticQueries {
       """SELECT r_name, n_name,
          CAST(r_regionkey * 100 + n_nationkey AS BIGINT) AS pair_id
          FROM region CROSS JOIN nation""",
+    "q116_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS pos, o_orderkey, o_totalprice
+         FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3""",
+    "q117_ratio_to_report" ->
+      """WITH m AS (
+           SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month,
+             o_orderpriority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS rev
+           FROM orders GROUP BY 1, 2)
+         SELECT month, o_orderpriority, rev,
+           CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY month) AS DOUBLE) AS share
+         FROM m""",
     "q94_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 19) AS BIGINT) AS bucket,
          count(*) AS n,

@@ -256,4 +256,32 @@ class AnalyticSpec extends AnyFunSuite {
       assert(math.abs(v - spark_(k)) < 1e-9, s"corr disagrees for $k: $v vs ${spark_(k)}")
     }
   }
+
+  test("top-k per group is a bounded aggregate, not a ranking window") {
+    val df = AnalyticQueries.queries("q116_topk_per_group")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"top-k must not rank through a window sort:\n$plan")
+    assert(plan.contains("partial_topkaggregator") ||
+      plan.toLowerCase.contains("partial_"),
+      s"aggregator must run map-side partials:\n$plan")
+    // values agree with the window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 3)
+      .select("o_orderpriority", "pos", "o_orderkey", "o_totalprice")
+    assert(df.exceptAll(ref).isEmpty && ref.exceptAll(df).isEmpty,
+      "bounded top-k must equal the ranking-window result")
+  }
+
+  test("ratio-to-report shares sum to 1 per month") {
+    val df = AnalyticQueries.queries("q117_ratio_to_report")(spark, sfDir)
+    df.groupBy(col("month")).agg(sum(col("share")).as("s")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, s"shares must sum to 1: $r")
+    }
+  }
 }
