@@ -360,6 +360,23 @@ object AnalyticQueries {
           col("rev").cast("double") / sum(col("rev")).over(w).cast("double"))
     }),
 
+    // Trailing 7-day revenue per priority over a RANGE frame: the frame
+    // is bounded by the ORDER value (event-time days), not row counts,
+    // so gaps in the series shorten the window instead of reaching back
+    // arbitrarily far. The rolling sum is decimal-exact — a double
+    // running sum would drift differently per engine and partition order.
+    // One shuffle (the daily rollup); the window re-sorts only within
+    // each priority's day series.
+    "q118_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day_ms"))
+        .rangeBetween(-6L * 86400000L, 0L)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          unix_millis(date_trunc("day", col("o_orderdate"))).as("day_ms"))
+        .agg(sumDecFast(col("o_totalprice")).as("rev"))
+        .withColumn("rev7", sum(col("rev")).over(w).cast("decimal(38,2)"))
+    }),
+
     // Nested array aggregation: per-language sorted distinct source list +
     // scalar list probes. collect_set is unordered by construction —
     // array_sort makes the value deterministic (same discipline as every
@@ -449,6 +466,17 @@ object AnalyticQueries {
            CAST(rev AS DOUBLE)
              / CAST(sum(rev) OVER (PARTITION BY month) AS DOUBLE) AS share
          FROM m""",
+    "q118_moving_window" ->
+      """WITH d AS (
+           SELECT o_orderpriority,
+             epoch_ms(date_trunc('day', o_orderdate)) AS day_ms,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS rev
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, day_ms, rev,
+           CAST(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY day_ms
+             RANGE BETWEEN 518400000 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(38,2)) AS rev7
+         FROM d""",
     "q94_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 50000.0), 19) AS BIGINT) AS bucket,
          count(*) AS n,

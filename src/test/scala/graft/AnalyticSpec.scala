@@ -284,4 +284,21 @@ class AnalyticSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, s"shares must sum to 1: $r")
     }
   }
+
+  test("moving window sums exactly the trailing 7 days, gaps included") {
+    val df = AnalyticQueries.queries("q118_moving_window")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getDecimal(3)))
+    val byKey = df.groupBy(_._1)
+    byKey.foreach { case (_, rows) =>
+      val daily = rows.map(r => r._2 -> r._3).toMap
+      rows.foreach { case (_, day, _, rev7) =>
+        val expected = daily.filter { case (d, _) =>
+          d >= day - 6L * 86400000L && d <= day }.values
+          .map(BigDecimal(_)).sum
+        assert(BigDecimal(rev7) == expected,
+          s"trailing sum wrong at $day: $rev7 vs $expected")
+      }
+    }
+  }
 }
