@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.core.Money.{dec, sumDec}
+import graft.core.Money.{dec, sumDec, sumDecFast}
 import graft.llm.{TextFunctions => TF}
 
 /** Round-4 pipeline widening: event sessionization (row labeling, not
@@ -193,6 +193,55 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // NULL semantics under grouping: SQL groups NULLs together, count(*)
+    // counts them, count(col) skips them — the exact semantics a cleaning
+    // pipeline relies on when a quality gate NULLs out bad values instead
+    // of dropping rows.
+    "q119_null_semantics" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("st",
+          when(col("o_orderstatus") === lit("F"), lit(null)).otherwise(col("o_orderstatus")))
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_nonnull"),
+          sumDec(col("o_totalprice")).as("revenue"))
+    }),
+
+    // Equi-depth (quantile) binning: exact interpolated quartile
+    // boundaries (one aggregate row), broadcast back over the fact scan,
+    // each order binned by comparison — the feature-bucketing transform.
+    // The corpus never sorts globally; only the 3-number boundary row
+    // crosses the broadcast.
+    "q120_quantile_bins" -> ((s, dir) => {
+      val bounds = Tables.orders(s, dir)
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"))
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(bounds))
+        .select(col("o_totalprice"),
+          when(col("o_totalprice") <= element_at(col("qs"), 1), lit(1L))
+            .when(col("o_totalprice") <= element_at(col("qs"), 2), lit(2L))
+            .when(col("o_totalprice") <= element_at(col("qs"), 3), lit(3L))
+            .otherwise(lit(4L)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    }),
+
+    // Week-over-week growth per priority: weekly decimal rollup, lag
+    // one week-row back, growth in double from exact operands. First
+    // weeks (no predecessor) drop — growth is undefined, not zero.
+    "q121_wow_growth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("week_ms"))
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          unix_millis(date_trunc("week", col("o_orderdate"))).as("week_ms"))
+        .agg(sumDecFast(col("o_totalprice")).as("rev"))
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_orderpriority"), col("week_ms"), col("rev"),
+          ((col("rev").cast("double") - col("prev").cast("double"))
+            / col("prev").cast("double")).as("growth"))
+    }),
+
     // Per-group min-max normalization (feature scaling): exact integer
     // extremes per language, one narrow map for the scale — grouped
     // stats rejoined co-keyed, the q110 shape with a different formula.
@@ -280,6 +329,37 @@ object PipelineQueries {
            AS BIGINT) % 1000003 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
          FROM documents
          ORDER BY priority, doc_id LIMIT 100""",
+    "q119_null_semantics" ->
+      """WITH t AS (
+           SELECT CASE WHEN o_orderstatus = 'F' THEN NULL
+                       ELSE o_orderstatus END AS st, o_totalprice
+           FROM orders)
+         SELECT st, count(*) AS n_rows, count(st) AS n_nonnull,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS revenue
+         FROM t GROUP BY st""",
+    "q120_quantile_bins" ->
+      """WITH b AS (
+           SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs
+           FROM orders)
+         SELECT CAST(CASE WHEN o_totalprice <= qs[1] THEN 1
+                          WHEN o_totalprice <= qs[2] THEN 2
+                          WHEN o_totalprice <= qs[3] THEN 3
+                          ELSE 4 END AS BIGINT) AS bin,
+           count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM orders, b GROUP BY 1""",
+    "q121_wow_growth" ->
+      """WITH wk AS (
+           SELECT o_orderpriority,
+             epoch_ms(date_trunc('week', o_orderdate)) AS week_ms,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS rev
+           FROM orders GROUP BY 1, 2),
+         lg AS (
+           SELECT o_orderpriority, week_ms, rev,
+             lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY week_ms) AS prev
+           FROM wk)
+         SELECT o_orderpriority, week_ms, rev,
+           (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE) AS growth
+         FROM lg WHERE prev IS NOT NULL""",
     "q115_minmax_normalize" ->
       """WITH ext AS (
            SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi

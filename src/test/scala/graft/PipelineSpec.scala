@@ -149,4 +149,15 @@ class PipelineSpec extends AnyFunSuite {
     val mean = df.agg(avg(col("oov_rate"))).head().getDouble(0)
     assert(mean < 0.5, s"top-30 vocab should cover most of the corpus (mean OOV $mean)")
   }
+
+  test("quantile bins are equi-depth within interpolation tolerance") {
+    val df = PipelineQueries.queries("q120_quantile_bins")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df.keySet === Set(1L, 2L, 3L, 4L), "exactly four bins")
+    val total = df.values.sum.toDouble
+    df.foreach { case (bin, n) =>
+      val frac = n / total
+      assert(frac > 0.2 && frac < 0.3, s"bin $bin holds $frac of rows, not ~25%")
+    }
+  }
 }

@@ -1271,4 +1271,60 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming z-score prefix flags match a reference fold on fixture data") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val events = graft.core.Tables.events(spark, TestSession.sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect().toSeq
+      .sortBy(e => (e._3.getTime, e._2))
+    val (b1, b2) = events.splitAt(events.size / 2)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Long)](spark)
+    val grouped = input.toDS().toDF("k", "id", "ts", "v")
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3.getTime, r._4))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamingZScore.flags(grouped, threshold = 2.0)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-zscore"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+        out ++= b.collect(); ()
+      }.start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // reference fold: same (ts, id) order, same integer moments
+    val exp = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    events.groupBy(_._1).foreach { case (k, evs) =>
+      var n = 0L; var s = 0L; var ss = 0L
+      evs.sortBy(e => (e._3.getTime, e._2)).foreach { case (_, id, _, v) =>
+        if (n >= 2) {
+          val nD = n.toDouble
+          val variance = (nD * ss.toDouble - s.toDouble * s.toDouble) / (nD * (nD - 1.0))
+          if (variance > 0) {
+            val z = (v.toDouble - s.toDouble / nD) / math.sqrt(variance)
+            if (math.abs(z) > 2.0) exp((k, id)) = z
+          }
+        }
+        n += 1; s += v; ss += v * v
+      }
+    }
+    val got = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === exp.keySet,
+      s"flag sets differ: extra=${got.keySet -- exp.keySet} missing=${exp.keySet -- got.keySet}")
+    got.foreach { case (k, z) => assert(z === exp(k), s"z differs at $k") }
+    assert(got.nonEmpty, "fixture should contain some prefix anomalies")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
