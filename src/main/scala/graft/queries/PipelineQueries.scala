@@ -242,6 +242,49 @@ object PipelineQueries {
             / col("prev").cast("double")).as("growth"))
     }),
 
+    // Event-type transition matrix (first-order Markov counts): each
+    // user's event sequence contributes (type → next type) edges. ONE
+    // shuffle on user_id for the lead window, then a small aggregate
+    // over the type×type cells — sequence analytics without a self-join.
+    "q122_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Token-pair PMI over the top-30 vocabulary: restricting pairs to a
+    // bounded vocab caps the per-doc pair fan-out at |V|² regardless of
+    // document length — the discipline that keeps co-occurrence mining
+    // feasible at corpus scale (unbounded token-pair explosion is the
+    // n-gram analogue of the unguarded LSH bucket). Document frequencies
+    // are integers; the single ln per surviving pair runs on identical
+    // double operands in both engines (the q61 idf discipline).
+    "q123_token_pmi" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc).limit(30)
+      val inVocab = toks.join(broadcast(vocab), Seq("tok"))
+      val nDocs = Tables.documents(s, dir).count() // one scalar, scan-count only
+      val pairs = inVocab.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+        .join(inVocab.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b")),
+          Seq("doc_id"))
+        .filter(col("tok_a") < col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"))
+        .agg(count(lit(1)).as("df_ab"))
+        .filter(col("df_ab") >= 5)
+      pairs.select(col("tok_a"), col("tok_b"), col("df_ab"),
+        // round 6: ln differs between engines in the last ulp (libm vs
+        // Math.log are not correctly-rounded); the q61 idf discipline
+        round(log((col("df_ab") * lit(nDocs)).cast("double")
+          / (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+    }),
+
     // Per-group min-max normalization (feature scaling): exact integer
     // extremes per language, one narrow map for the scale — grouped
     // stats rejoined co-keyed, the q110 shape with a different formula.
@@ -360,6 +403,34 @@ object PipelineQueries {
          SELECT o_orderpriority, week_ms, rev,
            (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE) AS growth
          FROM lg WHERE prev IS NOT NULL""",
+    "q122_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE to_type IS NOT NULL
+         GROUP BY 1, 2""",
+    "q123_token_pmi" -> {
+      val tokCte = LlmQueries.tkCte
+      s"""WITH $tokCte,
+         tke AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM tk),
+         vocab AS (SELECT tok, df FROM (
+             SELECT tok, count(*) AS df FROM tke GROUP BY 1
+             ORDER BY df DESC, tok LIMIT 30)),
+         iv AS (SELECT doc_id, tok, df FROM tke JOIN vocab USING (tok)),
+         pairs AS (
+           SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+             count(*) AS df_ab
+           FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY 1, 2, 3, 4
+           HAVING count(*) >= 5),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tok_a, tok_b, df_ab,
+           round(ln(CAST(df_ab * n_docs AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+         FROM pairs, n"""
+    },
     "q115_minmax_normalize" ->
       """WITH ext AS (
            SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
