@@ -285,6 +285,31 @@ object PipelineQueries {
           / (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
     }),
 
+    // Column profiling: non-null count, exact distinct count, min, max
+    // for every numeric measure in ONE scan. The multi-count-distinct
+    // plans through Catalyst's expand (4x internal rows for 4 distinct
+    // aggregates) — the standard single-pass profiling trade against
+    // scanning the table once per column. Output: one row per column.
+    "q124_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_d"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))
+      }
+      val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(cols.map { c =>
+          struct(lit(c).as("column_name"),
+            col(s"${c}_n").as("n"),
+            col(s"${c}_d").as("n_distinct"),
+            col(s"${c}_min").as("min_v"),
+            col(s"${c}_max").as("max_v"))
+        }: _*)).as("p"))
+        .select(col("p.column_name"), col("p.n"), col("p.n_distinct"),
+          col("p.min_v"), col("p.max_v"))
+    }),
+
     // Per-group min-max normalization (feature scaling): exact integer
     // extremes per language, one narrow map for the scale — grouped
     // stats rejoined co-keyed, the q110 shape with a different formula.
@@ -430,6 +455,14 @@ object PipelineQueries {
          SELECT tok_a, tok_b, df_ab,
            round(ln(CAST(df_ab * n_docs AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
          FROM pairs, n"""
+    },
+    "q124_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, count($c) AS n,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           min($c) AS min_v, max($c) AS max_v FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString(" UNION ALL ")
     },
     "q115_minmax_normalize" ->
       """WITH ext AS (
