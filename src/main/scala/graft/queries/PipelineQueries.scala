@@ -310,6 +310,41 @@ object PipelineQueries {
           col("p.min_v"), col("p.max_v"))
     }),
 
+    // Quota sampling: exactly k docs per language, chosen by the
+    // portable hash (reproducible anywhere), selected through the
+    // bounded TopKAggregator — at most k rows per (partition, group)
+    // reach the shuffle, where the row_number formulation the oracle
+    // uses would sort-shuffle every row of every group.
+    "q125_quota_sample" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          TF.portableHash(col("doc_id").cast("string"), 11).as("h"))
+      val topk = scored.as[(String, Long, Long)]
+        .groupByKey(_._1)
+        // TopKAggregator keeps MAX score with ties to min id; negate the
+        // hash to keep the SMALLEST hashes (< 2^32, exact in double)
+        .mapValues(r => (r._2, -r._3.toDouble))
+        .agg(new graft.llm.Similarity.TopKAggregator(20).toColumn.name("top"))
+        .toDF("lang", "top")
+      topk.select(col("lang"), explode(col("top")).as("t"))
+        .select(col("lang"), col("t._1").as("doc_id"))
+    }),
+
+    // Null-safe join (<=> / IS NOT DISTINCT FROM): NULL keys match each
+    // other where a plain equi-join silently drops them — the semantics
+    // that decide whether "unknown" buckets pair up or vanish in a
+    // reconciliation join.
+    "q126_nullsafe_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(nullif(col("c_nationkey"), lit(3)).as("ck"))
+      val n = Tables.nation(s, dir)
+        .select(nullif(col("n_nationkey"), lit(3)).as("nk"), col("n_name"))
+      c.join(n, col("ck") <=> col("nk"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_matched"))
+    }),
+
     // Per-group min-max normalization (feature scaling): exact integer
     // extremes per language, one narrow map for the scale — grouped
     // stats rejoined co-keyed, the q110 shape with a different formula.
@@ -464,6 +499,23 @@ object PipelineQueries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString(" UNION ALL ")
     },
+    "q125_quota_sample" ->
+      """WITH h AS (
+           SELECT lang, doc_id,
+             CAST(concat('0x', substr(md5(concat('11|', CAST(doc_id AS VARCHAR))), 1, 8))
+               AS BIGINT) AS hv
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+           FROM h)
+         SELECT lang, doc_id FROM r WHERE rn <= 20""",
+    "q126_nullsafe_join" ->
+      """SELECT n_name, count(*) AS n_matched
+         FROM (SELECT nullif(c_nationkey, 3) AS ck FROM customer) c
+         JOIN (SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation) n
+           ON c.ck IS NOT DISTINCT FROM n.nk
+         GROUP BY 1""",
     "q115_minmax_normalize" ->
       """WITH ext AS (
            SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
