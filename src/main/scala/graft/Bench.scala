@@ -58,28 +58,35 @@ object Bench {
     val streamRps = math.max(
       streamingMapCountRps(spark, rows = 5000000L),
       streamingMapCountRps(spark, rows = 5000000L))
-    // 3-decimal seconds and an integer rows/sec keep the whole line inside
+    // 2-decimal seconds and an integer rows/sec keep the whole line inside
     // the driver's stdout tail-capture window (full-precision doubles made
     // BENCH_r01–r03 unparseable: the line's head fell off the tail).
-    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // 10 ms granularity is below the harness host's own noise floor.
+    def s2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // short keys ("q58", the brief's own {"q1":sec} contract shape): the
-    // driver's stdout tail capture is 2000 chars and 106 full query names
+    // driver's stdout tail capture is 2000 chars and 106+ full query names
     // at 3 decimals are ~2.9 KB — the line's head falls off and the driver
-    // records parsed:null (happened r1–r3). qNN prefixes fit at ~1.6 KB;
-    // full names stay on the stderr progress lines.
+    // records parsed:null (happened r1–r3). qNN prefixes + 2-decimal
+    // seconds fit ~126 queries at ~1.8 KB; full names and 3-decimal times
+    // stay on the stderr progress lines.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     def emit(results: Map[String, Double]): Unit = {
       val qs = results.toSeq.sortBy { case (k, _) =>
         shortKey(k).drop(1).toInt
-      }.map { case (k, v) => "\"" + shortKey(k) + "\":" + s3(v) }
+      }.map { case (k, v) => "\"" + shortKey(k) + "\":" + s2(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       // stdout carries ONLY these JSON lines (Spark logs go to stderr);
       // the driver reads the LAST one
-      println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
+      val line = s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,""" +
-        s""""stream_map_count_rows_per_sec":${math.round(streamRps)},"sf":"$sfDir"}""")
+        s""""stream_map_count_rows_per_sec":${math.round(streamRps)},""" +
+        s""""sf":"${new java.io.File(sfDir).getName}"}"""
+      if (line.length > 1900)
+        System.err.println(s"[bench] WARNING: summary line ${line.length} chars — " +
+          "approaching the driver's 2000-char tail capture; shorten before adding queries")
+      println(line)
     }
     // Multiple full sweeps, per-query MINIMUM. The harness host exhibits
     // bursty CPU-steal windows lasting MINUTES (observed: a 0.5 s

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Space-saving heavy hitters (Metwally et al.'s classic bounded-counter
@@ -98,8 +98,14 @@ final class SpaceSavingAggregator(k: Int, capacity: Int)
   override def finish(r: Map[String, Long]): Seq[(String, Long)] =
     r.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
 
+  // Native Tungsten map encoder, NOT Encoders.kryo: Kryo's FieldSerializer
+  // needs reflective access to java.nio internals (HeapByteBuffer), which
+  // Java 17 blocks unless the JVM was launched with --add-opens — the
+  // aggregator would then fail or not depending on launcher flags. The
+  // expression encoder is also codegen-friendly and shuffles as a compact
+  // UnsafeMapData instead of a Kryo blob.
   override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
