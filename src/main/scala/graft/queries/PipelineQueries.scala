@@ -345,6 +345,72 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_matched"))
     }),
 
+    // Snapshot reconciliation (data-diff): classify every key across two
+    // table snapshots as added / removed / changed / same and count which
+    // columns drifted — the validation op that gates every incremental
+    // pipeline load. ONE full-outer shuffle join on the key (both sides
+    // partition once on o_orderkey), classification is a narrow map over
+    // the joined row; no collect, no second pass. The two snapshots are
+    // deterministic arithmetic slices of the same fixture so the oracle
+    // reconstructs them bit-for-bit.
+    "q127_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val snapA = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("ka"),
+          col("o_totalprice").as("price_a"), col("o_orderstatus").as("st_a"))
+      val snapB = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("kb"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0d))
+            .otherwise(col("o_totalprice")).as("price_b"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("st_b"))
+      snapA.join(snapB, col("ka") === col("kb"), "full_outer")
+        .select(
+          when(col("kb").isNull, lit("removed"))
+            .when(col("ka").isNull, lit("added"))
+            .when(col("price_a") =!= col("price_b")
+              || col("st_a") =!= col("st_b"), lit("changed"))
+            .otherwise(lit("same")).as("diff_class"),
+          when(col("ka").isNotNull && col("kb").isNotNull
+            && col("price_a") =!= col("price_b"), 1L).otherwise(0L).as("pc"),
+          when(col("ka").isNotNull && col("kb").isNotNull
+            && col("st_a") =!= col("st_b"), 1L).otherwise(0L).as("sc"))
+        .groupBy(col("diff_class"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pc")).as("n_price_changed"),
+          sum(col("sc")).as("n_status_changed"))
+    }),
+
+    // CDC last-writer-wins compaction: fold a changelog down to the
+    // latest surviving row per key, honoring delete tombstones — the
+    // merge/upsert shape every incremental table format (Delta/Hudi/
+    // Iceberg-style) runs at scale. ONE hash aggregation on the key:
+    // max_by carries the whole candidate row keyed by a monotone
+    // (day, orderkey) sequence, so there is no ranking window and no
+    // per-key sort — partial aggregation reduces each map partition to
+    // one candidate per key before the shuffle. Tombstoned keys (latest
+    // op = D) are dropped AFTER the fold, exactly the semantics of a
+    // compacting merge.
+    "q128_cdc_compact" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ (unix_millis rejects it); the date
+      // cast + datediff day number equals DuckDB's epoch_ms // 86400000
+      // for the fixture's post-1970 dates under the UTC session.
+      val dayNum = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val seq = (dayNum * lit(10000000000L) + col("o_orderkey")).as("seq")
+      val ch = Tables.orders(s, dir).select(
+        col("o_custkey").as("cust"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_orderkey"), col("o_totalprice"), dayNum.as("day"), seq)
+      ch.groupBy(col("cust"))
+        .agg(max_by(
+          struct(col("op"), col("o_orderkey"), col("o_totalprice"), col("day")),
+          col("seq")).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("cust"), col("last.o_orderkey").as("last_key"),
+          col("last.o_totalprice").as("last_price"), col("last.day").as("last_day"))
+    }),
+
     // Per-group min-max normalization (feature scaling): exact integer
     // extremes per language, one narrow map for the scale — grouped
     // stats rejoined co-keyed, the q110 shape with a different formula.
@@ -516,6 +582,48 @@ object PipelineQueries {
          JOIN (SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation) n
            ON c.ck IS NOT DISTINCT FROM n.nk
          GROUP BY 1""",
+    "q127_snapshot_diff" ->
+      """WITH a AS (
+           SELECT o_orderkey AS ka, o_totalprice AS price_a,
+             o_orderstatus AS st_a
+           FROM orders WHERE o_orderkey % 10 <> 0),
+         b AS (
+           SELECT o_orderkey AS kb,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price_b,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS st_b
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         j AS (
+           SELECT CASE WHEN kb IS NULL THEN 'removed'
+                       WHEN ka IS NULL THEN 'added'
+                       WHEN price_a <> price_b OR st_a <> st_b THEN 'changed'
+                       ELSE 'same' END AS diff_class,
+             CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                   AND price_a <> price_b THEN 1 ELSE 0 END AS pc,
+             CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                   AND st_a <> st_b THEN 1 ELSE 0 END AS sc
+           FROM a FULL OUTER JOIN b ON ka = kb)
+         SELECT diff_class, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pc) AS BIGINT) AS n_price_changed,
+           CAST(sum(sc) AS BIGINT) AS n_status_changed
+         FROM j GROUP BY 1""",
+    "q128_cdc_compact" ->
+      """WITH ch AS (
+           SELECT o_custkey AS cust,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderkey, o_totalprice,
+             epoch_ms(o_orderdate) // 86400000 AS day,
+             (epoch_ms(o_orderdate) // 86400000) * 10000000000
+               + o_orderkey AS seq
+           FROM orders),
+         r AS (
+           SELECT cust, op, o_orderkey, o_totalprice, day,
+             row_number() OVER (PARTITION BY cust ORDER BY seq DESC) AS rn
+           FROM ch)
+         SELECT cust, o_orderkey AS last_key, o_totalprice AS last_price,
+           CAST(day AS BIGINT) AS last_day
+         FROM r WHERE rn = 1 AND op <> 'D'""",
     "q115_minmax_normalize" ->
       """WITH ext AS (
            SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi

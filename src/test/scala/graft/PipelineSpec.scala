@@ -150,6 +150,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean < 0.5, s"top-30 vocab should cover most of the corpus (mean OOV $mean)")
   }
 
+  test("snapshot diff classes partition the key space and counts reconcile") {
+    val df = PipelineQueries.queries("q127_snapshot_diff")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(df.keySet === Set("added", "removed", "changed", "same"))
+    // column-drift counters only ever count rows classified as changed
+    val (nChanged, pc, sc) = df("changed")
+    assert(pc <= nChanged && sc <= nChanged && pc + sc >= nChanged,
+      "every changed row drifted in at least one tracked column")
+    df.filterKeys(k => k == "added" || k == "removed").values.foreach {
+      case (_, p, s) => assert(p == 0 && s == 0,
+        "one-sided rows carry no column drift")
+    }
+    // the classes reconcile with the snapshot definitions: keys in A are
+    // those not ≡0 mod 10, in B not ≡0 mod 7 — |A∩B| = same+changed etc.
+    val o = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val inA = o.filter(_ % 10 != 0).toSet
+    val inB = o.filter(_ % 7 != 0).toSet
+    assert(df("removed")._1 == (inA -- inB).size)
+    assert(df("added")._1 == (inB -- inA).size)
+    assert(nChanged + df("same")._1 == (inA & inB).size)
+  }
+
+  test("cdc compaction drops tombstoned keys and keeps the latest row") {
+    import spark.implicits._
+    val df = PipelineQueries.queries("q128_cdc_compact")(spark, sfDir)
+    // winner rows must never carry a tombstone key (op D ⇔ key % 13 == 0)
+    assert(df.filter(col("last_key") % 13 === 0).count() == 0,
+      "a tombstone won the fold but survived the filter")
+    // per surviving customer the winner is the max-(day, orderkey) row of
+    // the changelog — recompute independently via a typed fold
+    val expect = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date"))
+      .as[(Long, Long, java.sql.Date)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(r => (r._3.getTime, r._2))).toMap
+    val got = df.select(col("cust"), col("last_key"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (cust, key) =>
+      assert(expect(cust)._2 == key, s"cust $cust kept $key, latest is ${expect(cust)._2}")
+    }
+    // and every customer whose latest op is U appears
+    val survivors = expect.count { case (_, (_, k, _)) => k % 13 != 0 }
+    assert(got.size == survivors)
+  }
+
   test("quantile bins are equi-depth within interpolation tolerance") {
     val df = PipelineQueries.queries("q120_quantile_bins")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
