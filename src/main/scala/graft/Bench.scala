@@ -18,6 +18,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, must precede session creation: the default codegen
+      // class cache holds 100 entries while a full sweep generates several
+      // hundred whole-stage units across 128 queries — every sweep then
+      // recompiles every query (Janino bills ~0.5-1.5 s on multi-stage
+      // plans; q61 measured 3.44 s inside the suite vs 1.76 s standalone).
+      // Sized so one whole sweep's codegen stays resident across sweeps.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/JIT + scan warmup so the first timed query isn't penalized

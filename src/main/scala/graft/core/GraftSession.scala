@@ -37,6 +37,12 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
       // for; read as long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf (set before session creation): the default 100-entry
+      // codegen class cache thrashes under a 128-query suite — several
+      // hundred whole-stage units per pass force Janino recompilation of
+      // every plan on every pass (measured: q61 3.44 s inside the full
+      // sweep vs 1.76 s standalone). One suite's units stay resident.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {
