@@ -1272,6 +1272,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CDC compaction converges to the batch q128 table") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the q128 changelog: (cust, seq, op, (orderkey, price, day))
+      val dayNum = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val rows = graft.core.Tables.orders(spark, TestSession.sfDir)
+        .select(col("o_custkey"),
+          (dayNum * lit(10000000000L) + col("o_orderkey")).as("seq"),
+          when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_orderkey"), col("o_totalprice"), dayNum.as("day"))
+        .as[(Long, Long, String, Long, Double, Long)].collect().toSeq
+      // replay in ARRIVAL order ≠ sequence order (shuffled deterministically):
+      // last-writer-wins must depend on seq alone, not arrival
+      val shuffled = rows.sortBy(r => java.lang.Long.reverse(r._2 * 0x9E3779B97F4A7C15L))
+      val (b1, b2) = shuffled.splitAt(shuffled.size / 2)
+      val input = MemoryStream[(Long, Long, String, Long, Double, Long)](spark)
+      val grouped = input.toDS().toDF("cust", "seq", "op", "key", "price", "day")
+        .as[(Long, Long, String, Long, Double, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3, (r._4, r._5, r._6)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, (Long, Double, Long))]
+      val q = StreamingCompact.latest(grouped)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-compact"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, String, (Long, Double, Long))], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // the LAST emission per key, tombstones filtered, is the live view —
+      // must equal the batch q128 result exactly
+      val lastEmit = out.zipWithIndex
+        .groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1).toMap
+      val live = lastEmit.collect { case (cust, (_, _, op, (k, p, d))) if op != "D" =>
+        cust -> (k, p, d)
+      }
+      val batch = graft.queries.PipelineQueries.queries("q128_cdc_compact")(
+        spark, TestSession.sfDir)
+        .as[(Long, Long, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(live === batch,
+        s"live view diverges: extra=${live.keySet -- batch.keySet} missing=${batch.keySet -- live.keySet}")
+      // winner updates are monotone in seq per key — stale arrivals absorbed
+      out.groupBy(_._1).values.foreach { emits =>
+        val seqs = emits.map(_._2)
+        assert(seqs == seqs.sorted, "winner emissions must be seq-monotone")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming z-score prefix flags match a reference fold on fixture data") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
