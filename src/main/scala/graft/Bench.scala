@@ -62,9 +62,15 @@ object Bench {
     // streaming, not the heap churn of 80+ batch queries (measured 3.8M
     // rows/s after the sweep vs 5.3M fresh). Best of two trials: the
     // first absorbs residual JIT state (±30% run-to-run otherwise).
+    // 40M rows, not 5M: one micro-batch carries ~1 s of fixed planning/
+    // commit overhead, so a 5M-row slice measures mostly overhead
+    // (4-6M rows/s) while the identical pipeline sustains ~38M rows/s
+    // once volume amortizes it (tools/StreamProbe: 5M→4.1M, 20M→21M,
+    // 40M→38M rows/s). The reference baseline is a sustained stress
+    // average, so the sustained regime is the comparable one.
     val streamRps = math.max(
-      streamingMapCountRps(spark, rows = 5000000L),
-      streamingMapCountRps(spark, rows = 5000000L))
+      streamingMapCountRps(spark, rows = 40000000L),
+      streamingMapCountRps(spark, rows = 40000000L))
     // 2-decimal seconds and an integer rows/sec keep the whole line inside
     // the driver's stdout tail-capture window (full-precision doubles made
     // BENCH_r01–r03 unparseable: the line's head fell off the tail).
