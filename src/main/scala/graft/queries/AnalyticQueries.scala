@@ -396,6 +396,26 @@ object AnalyticQueries {
           countDistinct(col("source")).as("n_sources"),
           bool_or(col("source") === lit("src14")).as("has_src14"),
           min(col("source")).as("first_source"))
+    }),
+
+    // Ordered string aggregation (LISTAGG / string_agg / group_concat —
+    // the one classic SQL aggregate with no single portable name): an
+    // explicit in-group ORDER makes the result deterministic at any
+    // parallelism — an unordered concat differs per partition layout on
+    // BOTH engines. Collect→sort→join inside the hash aggregate; group
+    // cardinality (nations per region) bounds the state, and the join
+    // keys stay broadcast-sized.
+    "q129_string_agg" -> ((s, dir) => {
+      val joined = Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy(col("r_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_csv"),
+          concat_ws("|",
+            transform(array_sort(collect_list(struct(col("n_nationkey").as("k")))),
+              x => x.getField("k").cast("string"))).as("keys_piped"),
+          count(lit(1)).as("n_nations"))
     })
   )
 
@@ -598,6 +618,14 @@ object AnalyticQueries {
          count(DISTINCT source) AS n_sources,
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+    "q129_string_agg" ->
+      """SELECT r_name,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+         string_agg(CAST(n_nationkey AS VARCHAR), '|'
+           ORDER BY n_nationkey) AS keys_piped,
+         CAST(count(*) AS BIGINT) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name"""
   )
 }
