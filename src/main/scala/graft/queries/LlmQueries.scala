@@ -14,7 +14,7 @@ import graft.llm.{Dedup, TextFunctions => TF}
   */
 object LlmQueries {
 
-  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private[queries] val stopListSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   // shared DuckDB fragments (tk = token list per doc)
@@ -97,6 +97,31 @@ object LlmQueries {
     "q67_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
+
+    // Keep-BEST curation policy: per near-duplicate cluster keep the
+    // highest-quality member (not the min-id) — the policy a real corpus
+    // build wants, since duplicates routinely differ in boilerplate and
+    // truncation. Winner selection is a hash aggregate over
+    // min(struct(-quality_grid, doc_id)) — the q61 discipline: exact
+    // integer grid (doubles tie bit-identically on both engines),
+    // deterministic min-id tiebreak, no ranking window, and max_by is
+    // deliberately avoided (its tie choice is arrival-order-dependent).
+    "q130_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cl = Dedup.nearDuplicateClusters(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+      val q = docs.select(col("doc_id"),
+        TF.qualityScore(col("text"), stopwords).as("quality"))
+      cl.join(q, Seq("doc_id"))
+        .select(col("cluster_id").as("cid"), col("doc_id"),
+          floor(col("quality") * lit(1e9)).cast("long").as("qg"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(negate(col("qg")).as("nq"), col("doc_id").as("d"))).as("best"),
+          max(col("qg")).as("best_q_grid"))
+        .select(col("cid"), col("best.d").as("kept_doc"),
+          col("n_members"), col("best_q_grid"))
+    }),
 
     // Exact pairwise n-gram Jaccard within a partition key (source),
     // inverted-index formulation: hash joins + group counts, never a
@@ -731,6 +756,47 @@ object LlmQueries {
            SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
          )
          SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node""",
+    "q130_keep_best" ->
+      s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+         cnodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM cnodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
+         ),
+         cl AS (SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node),
+         m AS (SELECT doc_id, text, t,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t) END AS stop_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END AS mean_tok_len
+           FROM tk),
+         qy AS (SELECT doc_id,
+             least(length(text) / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+           FROM m),
+         j AS (SELECT cl.cluster_id AS cid, cl.node,
+             CAST(floor(qy.quality * 1000000000.0) AS BIGINT) AS qg
+           FROM cl JOIN qy ON cl.node = qy.doc_id),
+         r AS (SELECT cid, node, qg,
+             row_number() OVER (PARTITION BY cid ORDER BY qg DESC, node ASC) AS rn,
+             count(*) OVER (PARTITION BY cid) AS nm,
+             max(qg) OVER (PARTITION BY cid) AS bq
+           FROM j)
+         SELECT cid, node AS kept_doc, CAST(nm AS BIGINT) AS n_members,
+           CAST(bq AS BIGINT) AS best_q_grid
+         FROM r WHERE rn = 1""",
     "q43_ngram_jaccard" ->
       s"""WITH $tkCte, ${shingleCte(3)},
          d AS (SELECT sh.doc_id, tk.source, sh.s FROM sh JOIN tk ON sh.doc_id = tk.doc_id

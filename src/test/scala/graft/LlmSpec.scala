@@ -673,6 +673,33 @@ class LlmSpec extends AnyFunSuite {
     assert(got(4L).getLong(5) === 0L)
   }
 
+  test("keep-best curation keeps the max-quality cluster member, not the min id") {
+    import spark.implicits._
+    val got = graft.queries.LlmQueries.queries("q130_keep_best")(spark, TestSession.sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    // recompute each cluster's membership + quality independently
+    val cl = graft.llm.Dedup.nearDuplicateClusters(
+      graft.core.Tables.documents(spark, TestSession.sfDir), "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val q = graft.core.Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id"),
+        floor(graft.llm.TextFunctions.qualityScore(col("text"),
+          graft.queries.LlmQueries.stopwords) * lit(1e9)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.map(_._1).toSet === cl.keySet, "one output row per cluster")
+    got.foreach { case (cid, kept, nMembers, bestQ) =>
+      val members = cl(cid)
+      assert(members.contains(kept), s"kept doc $kept not in cluster $cid")
+      assert(nMembers == members.size)
+      assert(bestQ == members.map(q).max, s"best_q_grid wrong for $cid")
+      val want = members.filter(m => q(m) == bestQ).min // max quality, min-id tie
+      assert(kept == want, s"cluster $cid kept $kept, expected $want")
+    }
+    assert(got.exists { case (cid, kept, _, _) => kept != cid },
+      "fixture must exercise the policy difference vs min-id keep")
+  }
+
   test("split assignment is a deterministic 3-way partition of ids") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")

@@ -173,6 +173,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(nChanged + df("same")._1 == (inA & inB).size)
   }
 
+  test("cdc compaction plans as one hash aggregate, no ranking window") {
+    val plan = PipelineQueries.queries("q128_cdc_compact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "LWW fold must not plan a ranking window")
+    assert(plan.contains("Aggregate"), "expected the max_by hash aggregate")
+  }
+
   test("cdc compaction drops tombstoned keys and keeps the latest row") {
     import spark.implicits._
     val df = PipelineQueries.queries("q128_cdc_compact")(spark, sfDir)
