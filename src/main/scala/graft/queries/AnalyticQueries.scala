@@ -165,6 +165,35 @@ object AnalyticQueries {
         sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
     }),
 
+    // Group-wise OLS regression (trend fitting): slope/intercept/R² of
+    // order value (cents) against order day, per priority — the q95
+    // exact-sums discipline extended to regression. Five sums in exact
+    // decimal (integer operands; at 100 TB a Long Σx·y overflows and ANSI
+    // aborts the scan — decimal cannot), then the closed-form estimates
+    // in double with an IDENTICAL operation sequence on both engines, so
+    // results are bit-equal and partition-layout-independent. One hash
+    // aggregate; nothing sorts, nothing iterates.
+    "q131_regression" -> ((s, dir) => {
+      val x = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("decimal(9,0)")
+      val y = round(col("o_totalprice") * lit(100)).cast("decimal(12,0)")
+      val g = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+      val nD = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+      val syy = col("syy").cast("double")
+      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+      g.select(col("o_orderpriority"), col("n"),
+        slope.as("slope_cents_per_day"),
+        ((sy - slope * sx) / nD).as("intercept_cents"),
+        ((nD * sxy - sx * sy) * (nD * sxy - sx * sy)
+          / ((nD * sxx - sx * sx) * (nD * syy - sy * sy))).as("r2"))
+    }),
+
     // Z-order layout profile: Morton-interleave two bucketed dimensions,
     // then show each z-range's bounding box — the min/max footer stats a
     // range-partitioned-by-zvalue parquet write would give every file,
@@ -619,6 +648,29 @@ object AnalyticQueries {
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
          FROM documents GROUP BY lang""",
+    "q131_regression" ->
+      """WITH b AS (
+           SELECT o_orderpriority,
+             CAST(epoch_ms(o_orderdate) // 86400000 AS DECIMAL(9,0)) AS x,
+             CAST(round(o_totalprice * 100) AS DECIMAL(12,0)) AS y
+           FROM orders),
+         g AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(count(*) AS DOUBLE) AS n_d
+           FROM b GROUP BY 1),
+         sl AS (
+           SELECT *, (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) AS slope
+           FROM g)
+         SELECT o_orderpriority, n,
+           slope AS slope_cents_per_day,
+           (sy - slope * sx) / n_d AS intercept_cents,
+           (n_d * sxy - sx * sy) * (n_d * sxy - sx * sy)
+             / ((n_d * sxx - sx * sx) * (n_d * syy - sy * sy)) AS r2
+         FROM sl""",
     "q129_string_agg" ->
       """SELECT r_name,
          string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
