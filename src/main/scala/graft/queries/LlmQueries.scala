@@ -98,6 +98,27 @@ object LlmQueries {
       Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
 
+    // Cross-source duplication matrix: which sources near-duplicate each
+    // other, and how much — the inter-dump forensics a corpus build runs
+    // before deciding which snapshots to keep (e.g. consecutive crawl
+    // dumps overlap heavily; a high off-diagonal cell means one source is
+    // largely redundant given another). Rides the existing LSH pair
+    // machinery (Σ bucket², hot-bucket guarded); the per-pair source
+    // labels join against an id→source dim that broadcasts, and the
+    // unordered (least, greatest) pair key folds A→B with B→A.
+    "q132_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+    }),
+
     // Keep-BEST curation policy: per near-duplicate cluster keep the
     // highest-quality member (not the min-id) — the policy a real corpus
     // build wants, since duplicates routinely differ in boilerplate and
@@ -737,6 +758,23 @@ object LlmQueries {
                        / len(list_distinct(list_concat(a.s, b.s))) END AS jac
            FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5""",
+    "q132_source_overlap" ->
+      s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5)
+         SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+         FROM pairs
+         JOIN documents da ON pairs.doc_a = da.doc_id
+         JOIN documents db ON pairs.doc_b = db.doc_id
+         GROUP BY 1, 2""",
     "q67_dedup_clusters" ->
       s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,
