@@ -700,6 +700,63 @@ class LlmSpec extends AnyFunSuite {
       "fixture must exercise the policy difference vs min-id keep")
   }
 
+  test("training pipeline capstone: survivorship, invariants, determinism") {
+    import spark.implicits._
+    import graft.llm.TrainingDataPipeline
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+    val evalNgrams = docs.where(col("doc_id") < 5)
+      .select(explode(graft.llm.Dedup.shinglesText(col("text"), 3)).as("g"))
+    val cfg = TrainingDataPipeline.Config(
+      mixtureTargets = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.25))
+    val r = TrainingDataPipeline.run(docs, evalNgrams, graft.queries.LlmQueries.stopwords, cfg)
+
+    // survivorship is monotone non-increasing through the drop stages
+    val m = r.manifest.as[(String, Long)].collect().sortBy(_._1)
+    val byStage = m.toMap
+    assert(byStage("0_input") >= byStage("1_quality_gate"))
+    assert(byStage("1_quality_gate") >= byStage("2_near_dup"))
+    assert(byStage("2_near_dup") >= byStage("3_decontaminated"))
+    assert(byStage("3_decontaminated") >= byStage("4_mixture"))
+    assert(byStage("4_mixture") > 0, "pipeline must not drop everything")
+    // every drop stage fires on this fixture (the capstone exercises all)
+    assert(byStage("1_quality_gate") < byStage("0_input"))
+    assert(byStage("2_near_dup") < byStage("1_quality_gate"))
+    assert(byStage("3_decontaminated") < byStage("2_near_dup"))
+
+    // no detectable near-dup pair survives: the banding is a pure
+    // function of each doc, so any surviving pair would have collided
+    // before dedup too and shared a cluster — of which one doc remains
+    val survivorPairs = graft.llm.Dedup.nearDuplicatePairs(
+      r.corpus, "doc_id", "text", 3, 8, 4, cfg.jaccardThreshold)
+    assert(survivorPairs.count() == 0, "near-dup pair survived dedup")
+
+    // no surviving doc exceeds the contamination ceiling
+    val dirty = graft.llm.Contamination.contaminationScore(
+      r.corpus, evalNgrams, "doc_id", "text", cfg.contamN)
+      .where(col("contamination") > cfg.contaminationMax).count()
+    assert(dirty == 0, "contaminated doc survived")
+
+    // every train doc packs exactly once; chunk ids are dense from 0
+    val trainIds = r.corpus.where(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val packedIds = r.packed.select("doc_id").as[Long].collect()
+    assert(packedIds.length == trainIds.size && packedIds.toSet == trainIds)
+    r.packed.groupBy(col("lang"), col("shard"))
+      .agg(min(col("chunk_id")).as("lo"), countDistinct(col("chunk_id")).as("nd"),
+        max(col("chunk_id")).as("hi"))
+      .collect().foreach { row =>
+        assert(row.getLong(2) == 0L, "chunks start at 0")
+        assert(row.getLong(3) == row.getLong(4) + 1, "chunk ids are dense")
+      }
+
+    // determinism: a rerun reproduces the exact survivor set
+    val r2 = TrainingDataPipeline.run(docs, evalNgrams,
+      graft.queries.LlmQueries.stopwords, cfg)
+    val ids1 = r.corpus.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = r2.corpus.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "pipeline must be a pure function of its inputs")
+  }
+
   test("split assignment is a deterministic 3-way partition of ids") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")
