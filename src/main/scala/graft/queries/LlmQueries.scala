@@ -98,6 +98,31 @@ object LlmQueries {
       Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
 
+    // Per-document token entropy: H = ln n − (Σ c·ln c)/n over exact
+    // integer token counts — the vocabulary-diversity quality feature
+    // (low entropy ⇒ repetitive/templated text; complements q65's
+    // repetition and q82's cross-corpus surprisal, which measure
+    // different things). Both ln calls run on identical integer operands
+    // in both engines; round-6 collapses the last-ulp libm divergence
+    // (q61 discipline). One (doc, token) count shuffle + one per-doc agg.
+    "q133_token_entropy" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      // Σ c·ln c quantized per TERM to an exact 1e-9 Long grid before the
+      // sum (each term is computed on identical integer operands in both
+      // engines, so the floored grid values agree bit-for-bit; a raw
+      // double sum would be partition-order-dependent — q58 discipline)
+      cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+            * lit(1e9)).cast("long")).as("clnc_grid"))
+        .select(col("doc_id"), col("n"),
+          round(log(col("n").cast("double"))
+            - (col("clnc_grid").cast("double") / lit(1e9))
+              / col("n").cast("double"), 6).as("entropy"))
+    }),
+
     // Cross-source duplication matrix: which sources near-duplicate each
     // other, and how much — the inter-dump forensics a corpus build runs
     // before deciding which snapshots to keep (e.g. consecutive crawl
@@ -758,6 +783,19 @@ object LlmQueries {
                        / len(list_distinct(list_concat(a.s, b.s))) END AS jac
            FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5""",
+    "q133_token_entropy" ->
+      s"""WITH $tkCte,
+         ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+         g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS clnc_grid
+           FROM cnt GROUP BY 1)
+         SELECT doc_id, n,
+           round(ln(CAST(n AS DOUBLE))
+             - (CAST(clnc_grid AS DOUBLE) / 1000000000.0)
+               / CAST(n AS DOUBLE), 6) AS entropy
+         FROM g""",
     "q132_source_overlap" ->
       s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,
