@@ -165,6 +165,32 @@ object AnalyticQueries {
         sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
     }),
 
+    // Rolling distinct actives (DAU / 7-day WAU): daily distincts do NOT
+    // sum into a window (the same user counts once per window), so the
+    // scalable shape explodes each distinct (user, day) into the ≤7
+    // window-END days it serves, then distinct-counts per window — a
+    // bounded ×7 fan-out of the already-deduped user-day table, never a
+    // per-window rescan and never a distinct-within-window sort. Joining
+    // against the observed-day dau table clamps the trailing partial
+    // windows away.
+    "q134_rolling_dau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        // integer `div`, not `/`: Column `/` is double division, which
+        // can misplace a µs boundary at 1e18 operands (Tables.events
+        // lesson)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6L))).as("wday"))
+        .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("day") === col("wday"))
+        .select(col("day"), col("dau"), col("wau"))
+    }),
+
     // Group-wise OLS regression (trend fitting): slope/intercept/R² of
     // order value (cents) against order day, per priority — the q95
     // exact-sums discipline extended to regression. Five sums in exact
@@ -648,6 +674,19 @@ object AnalyticQueries {
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
          FROM documents GROUP BY lang""",
+    "q134_rolling_dau" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         wau AS (SELECT w.wday, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+                 FROM ud u
+                 JOIN LATERAL (SELECT u.day + x AS wday
+                   FROM (SELECT unnest(generate_series(0, 6)) AS x)) w ON true
+                 GROUP BY 1)
+         SELECT d.day, d.dau, w.wau
+         FROM dau d JOIN wau w ON d.day = w.wday""",
     "q131_regression" ->
       """WITH b AS (
            SELECT o_orderpriority,
