@@ -191,6 +191,37 @@ object AnalyticQueries {
         .select(col("day"), col("dau"), col("wau"))
     }),
 
+    // Rolling distinct via MERGEABLE sketches — the 100 TB face of q134:
+    // at scale you keep one HLL sketch per day and UNION sketches across
+    // the window (constant work per window) instead of re-deduping the
+    // raw user-day stream per window. Sketch estimates are
+    // engine-specific, so the oracle-checked output is the q52 contract:
+    // the exact count plus a within-5% boolean computed in-query (HLL on
+    // fixed input is deterministic, lgK=12 ⇒ ~1.6% standard error).
+    "q135_rolling_hll" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val daily = ud.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daily
+        .select(explode(sequence(col("day"), col("day") + lit(6L))).as("wday"),
+          col("sk"))
+        .groupBy(col("wday"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6L))).as("wday"))
+        .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau_exact"))
+      exact.join(est, Seq("wday"))
+        .join(ud.select(col("day").as("wday")).distinct(), Seq("wday"), "left_semi")
+        .select(col("wday").as("day"), col("wau_exact"),
+          (abs(col("est") - col("wau_exact")).cast("double")
+            / col("wau_exact").cast("double") <= lit(0.05)).as("within_5pct"))
+    }),
+
     // Group-wise OLS regression (trend fitting): slope/intercept/R² of
     // order value (cents) against order day, per priority — the q95
     // exact-sums discipline extended to regression. Five sums in exact
@@ -674,6 +705,17 @@ object AnalyticQueries {
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
          FROM documents GROUP BY lang""",
+    "q135_rolling_hll" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         wau AS (SELECT w.wday, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau_exact
+                 FROM ud u
+                 JOIN LATERAL (SELECT u.day + x AS wday
+                   FROM (SELECT unnest(generate_series(0, 6)) AS x)) w ON true
+                 GROUP BY 1)
+         SELECT wday AS day, wau_exact, TRUE AS within_5pct
+         FROM wau WHERE wday IN (SELECT day FROM ud)""",
     "q134_rolling_dau" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
