@@ -1272,6 +1272,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming DAU equals the batch q134 dau column on replay") {
+    val events = graft.core.Tables.events(spark, TestSession.sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+      .sortBy(e => (e._2.getTime, e._1))
+    val (b1, b2) = events.splitAt(events.size / 2)
+    // sentinel far past the data closes every real day's window
+    val sentinel = (-1L,
+      new java.sql.Timestamp(events.map(_._2.getTime).max + 10L * 86400000L))
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingActives.dau(input.toDS().toDF("user_id", "ts"))
+      .as[(Long, Long)]
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-dau"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        out ++= b.collect(); ()
+      }.start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    input.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    // batch reference: distinct (user, day) then count per day
+    val exp = events.map { case (u, t) => (u, t.getTime / 86400000L) }
+      .distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = out.filter(_._1 >= 0)
+      .map { case (dayMs, n) => (dayMs / 86400000L, n) }
+      .filterNot { case (d, _) => d == sentinel._2.getTime / 86400000L }.toMap
+    assert(got === exp,
+      s"streaming dau diverges: missing=${exp.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- exp.keySet} " +
+        s"diff=${exp.collect { case (d, n) if got.get(d).exists(_ != n) => d }}")
+    // append mode must emit each day exactly once
+    val days = out.map(_._1)
+    assert(days.distinct.size == days.size, "a day emitted twice")
+  }
+
   test("streaming CDC compaction converges to the batch q128 table") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
