@@ -571,6 +571,30 @@ class LlmSpec extends AnyFunSuite {
       s"document text crossed a shuffle:\n$mixPlan")
   }
 
+  test("closing analytics keep their scale plan shapes") {
+    import graft.queries.AnalyticQueries
+    // regression: one exchange (the priority hash agg), nothing else
+    val regPlan = AnalyticQueries.queries("q131_regression")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(regPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"regression = one exchange:\n$regPlan")
+    assert(!regPlan.contains("Window"), "regression must not plan a window")
+    // rolling distinct: window-explode shape — no ranking window, no
+    // cartesian, no nested-loop join
+    Seq("q134_rolling_dau", "q135_rolling_hll").foreach { n =>
+      val p = AnalyticQueries.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$n must not plan a ranking window")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must not plan an unbounded join")
+    }
+    // entropy: exactly the (doc, tok) + (doc) aggregation pair
+    val entPlan = graft.queries.LlmQueries.queries("q133_token_entropy")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(entPlan.linesIterator.count(_.contains("Exchange")) == 2,
+      s"entropy = two exchanges:\n$entPlan")
+  }
+
   test("epoch shuffle: a seeded permutation with contiguous per-shard positions") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
