@@ -165,6 +165,46 @@ object AnalyticQueries {
         sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
     }),
 
+    // Market-basket association rules (support / confidence / lift over
+    // brand pairs co-occurring in an order): the frequent-itemset family,
+    // k=2. The basket self-join co-partitions on the basket key, and the
+    // pair fan-out is bounded by distinct-brands-per-basket² (≤ 55 pairs
+    // here, Σ basket² generally — the same boundedness argument as the
+    // LSH bucket joins; an unbounded-cardinality item column would need
+    // a frequency pre-filter first). All inputs to the ratio math are
+    // exact integer counts; each metric is ONE double division (or one
+    // product each side) on identical operands — no rounding needed.
+    "q136_assoc_rules" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBaskets = baskets.select(col("ok")).distinct().count()
+      val cnt = baskets.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+      val pairs = baskets.select(col("ok"), col("brand").as("brand_a"))
+        .join(baskets.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(cnt.select(col("brand").as("brand_a"), col("n").as("n_a"))),
+          Seq("brand_a"))
+        .join(broadcast(cnt.select(col("brand").as("brand_b"), col("n").as("n_b"))),
+          Seq("brand_b"))
+        .filter(col("n_ab") >= 20)
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") / lit(nBaskets.toDouble)).as("support"),
+          (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_a_b"),
+          (col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_b_a"),
+          ((col("n_ab").cast("double") * lit(nBaskets.toDouble))
+            / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+    }),
+
     // Rolling distinct actives (DAU / 7-day WAU): daily distincts do NOT
     // sum into a window (the same user counts once per window), so the
     // scalable shape explodes each distinct (user, day) into the ≤7
@@ -705,6 +745,28 @@ object AnalyticQueries {
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
          FROM documents GROUP BY lang""",
+    "q136_assoc_rules" ->
+      """WITH baskets AS (
+           SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_baskets FROM baskets),
+         cnt AS (SELECT brand, CAST(count(*) AS BIGINT) AS n
+                 FROM baskets GROUP BY 1),
+         pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM baskets a JOIN baskets b
+             ON a.ok = b.ok AND a.brand < b.brand
+           GROUP BY 1, 2)
+         SELECT brand_a, brand_b, n_ab, ca.n AS n_a, cb.n AS n_b,
+           CAST(n_ab AS DOUBLE) / nb.n_baskets AS support,
+           CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE) AS conf_a_b,
+           CAST(n_ab AS DOUBLE) / CAST(cb.n AS DOUBLE) AS conf_b_a,
+           (CAST(n_ab AS DOUBLE) * nb.n_baskets)
+             / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)) AS lift
+         FROM pairs
+         JOIN cnt ca ON pairs.brand_a = ca.brand
+         JOIN cnt cb ON pairs.brand_b = cb.brand, nb
+         WHERE n_ab >= 20""",
     "q135_rolling_hll" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
