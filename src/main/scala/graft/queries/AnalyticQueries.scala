@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.core.Money.{dec, sumDecFast}
+import graft.core.Money.{dec, sumDec, sumDecFast}
 
 /** Round-4 analytic widening: pivot/unpivot reshaping, blocked fuzzy
   * matching, arg-extrema, the remaining analytic window functions,
@@ -163,6 +163,45 @@ object AnalyticQueries {
         ((nD * sxy - sx * sy) /
           (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))).as("corr_qty_price"),
         sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
+    }),
+
+    // RFM segmentation (recency / frequency / monetary quartile codes per
+    // customer): one customer rollup shuffle, then the three quartile
+    // boundary rows broadcast back over it (q120's binning pattern three
+    // times over) — the corpus never sorts globally. Recency is measured
+    // in days against the corpus max date (deterministic, not wall-clock);
+    // monetary sums in exact decimal; boundary comparisons are ≤ against
+    // exact interpolated percentiles.
+    "q137_rfm" -> ((s, dir) => {
+      val day = expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(day).cast("long").as("last_day"),
+          count(lit(1)).as("f"),
+          sumDec(col("o_totalprice")).as("m"))
+      val maxDay = cust.agg(max(col("last_day")).as("corpus_max"))
+      val rfm = cust.crossJoin(broadcast(maxDay))
+        .select(col("o_custkey"), col("f"), col("m"),
+          (col("corpus_max") - col("last_day")).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bounds = rfm.agg(
+        expr("percentile(r, array(0.25, 0.5, 0.75))").as("rq"),
+        expr("percentile(f, array(0.25, 0.5, 0.75))").as("fq"),
+        expr("percentile(CAST(m AS DOUBLE), array(0.25, 0.5, 0.75))").as("mq"))
+      def bin(v: org.apache.spark.sql.Column, qs: String) =
+        when(v <= element_at(col(qs), 1), lit(1L))
+          .when(v <= element_at(col(qs), 2), lit(2L))
+          .when(v <= element_at(col(qs), 3), lit(3L))
+          .otherwise(lit(4L))
+      rfm.crossJoin(broadcast(bounds))
+        .select(
+          bin(col("r").cast("double"), "rq").as("r_bin"),
+          bin(col("f").cast("double"), "fq").as("f_bin"),
+          bin(col("m").cast("double"), "mq").as("m_bin"),
+          col("m"))
+        .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m")).cast("decimal(38,2)").as("segment_revenue"))
     }),
 
     // Market-basket association rules (support / confidence / lift over
@@ -745,6 +784,40 @@ object AnalyticQueries {
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
          FROM documents GROUP BY lang""",
+    "q137_rfm" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+             max(epoch_ms(o_orderdate) // 86400000) AS last_day,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS m
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(last_day) AS corpus_max FROM cust),
+         rfm AS (SELECT o_custkey, f, m, corpus_max - last_day AS r
+                 FROM cust, mx),
+         b AS (SELECT
+             quantile_cont(CAST(r AS DOUBLE), [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(CAST(f AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(CAST(m AS DOUBLE), [0.25, 0.5, 0.75]) AS mq
+           FROM rfm),
+         coded AS (SELECT
+             CAST(CASE WHEN CAST(r AS DOUBLE) <= rq[1] THEN 1
+                       WHEN CAST(r AS DOUBLE) <= rq[2] THEN 2
+                       WHEN CAST(r AS DOUBLE) <= rq[3] THEN 3
+                       ELSE 4 END AS BIGINT) AS r_bin,
+             CAST(CASE WHEN CAST(f AS DOUBLE) <= fq[1] THEN 1
+                       WHEN CAST(f AS DOUBLE) <= fq[2] THEN 2
+                       WHEN CAST(f AS DOUBLE) <= fq[3] THEN 3
+                       ELSE 4 END AS BIGINT) AS f_bin,
+             CAST(CASE WHEN CAST(m AS DOUBLE) <= mq[1] THEN 1
+                       WHEN CAST(m AS DOUBLE) <= mq[2] THEN 2
+                       WHEN CAST(m AS DOUBLE) <= mq[3] THEN 3
+                       ELSE 4 END AS BIGINT) AS m_bin,
+             m
+           FROM rfm, b)
+         SELECT r_bin, f_bin, m_bin,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m) AS DECIMAL(38,2)) AS segment_revenue
+         FROM coded GROUP BY 1, 2, 3""",
     "q136_assoc_rules" ->
       """WITH baskets AS (
            SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
