@@ -165,6 +165,52 @@ object AnalyticQueries {
         sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
     }),
 
+    // Pareto / ABC analysis: classify customers by cumulative share of
+    // globally revenue-ranked revenue (A ≤ 80%, B ≤ 95%, C rest). The
+    // naive form is a single-partition window over the whole ranked
+    // table — the one shape that cannot scale. Here: equi-depth revenue
+    // buckets from broadcast percentile boundaries (bucket = count of
+    // boundaries above the value, so buckets partition descending-rev
+    // ranges and ties never span buckets), per-bucket totals prefix-sum
+    // on the TINY bucket table, then a per-BUCKET window cumsum plus the
+    // broadcast bucket offset — the distributed prefix-sum pattern
+    // (multimodal's byte-partitioner, applied to ranking). The decimal
+    // cumulative is exact, so the decomposition is bit-equal to the
+    // oracle's single global window.
+    "q138_pareto" -> ((s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sumDec(col("o_totalprice")).as("rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = (1 until 20).map(i => i / 20.0).mkString(", ")
+      val bounds = cust.agg(
+        expr(s"percentile(CAST(rev AS DOUBLE), array($qs))").as("qs"),
+        sum(col("rev")).cast("decimal(38,2)").as("total"))
+      val withB = cust.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("size(filter(qs, q -> q > CAST(rev AS DOUBLE)))").cast("long"))
+      val bPrefix = withB.groupBy(col("bucket"))
+        .agg(sum(col("rev")).cast("decimal(38,2)").as("btot"))
+        .withColumn("offset", coalesce(
+          sum(col("btot")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+          .cast("decimal(38,2)"))
+        .select(col("bucket"), col("offset"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("rev").desc, col("o_custkey"))
+      withB.join(broadcast(bPrefix), Seq("bucket"))
+        .withColumn("cum",
+          (col("offset") + sum(col("rev")).over(w)).cast("decimal(38,2)"))
+        .select(
+          when(col("cum").cast("double") / col("total").cast("double") <= 0.8, "A")
+            .when(col("cum").cast("double") / col("total").cast("double") <= 0.95, "B")
+            .otherwise("C").as("pareto_class"),
+          col("rev"))
+        .groupBy(col("pareto_class"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast("decimal(38,2)").as("class_revenue"))
+    }),
+
     // RFM segmentation (recency / frequency / monetary quartile codes per
     // customer): one customer rollup shuffle, then the three quartile
     // boundary rows broadcast back over it (q120's binning pattern three
@@ -784,6 +830,25 @@ object AnalyticQueries {
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
          FROM documents GROUP BY lang""",
+    "q138_pareto" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS rev
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(rev) AS DECIMAL(38,2)) AS total FROM cust),
+         r AS (SELECT rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,2)) AS cum
+           FROM cust),
+         coded AS (SELECT
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS pareto_class, rev
+           FROM r, tot)
+         SELECT pareto_class, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS DECIMAL(38,2)) AS class_revenue
+         FROM coded GROUP BY 1""",
     "q137_rfm" ->
       """WITH cust AS (
            SELECT o_custkey,
