@@ -89,11 +89,18 @@ object Bench {
       }.map { case (k, v) => "\"" + shortKey(k) + "\":" + s2(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // failed list in qNN short keys, omitted when empty: r04's line blew
+      // the 2000-char tail window on 11 FULL failed names and the driver
+      // recorded parsed:null — the one round where the failed list most
+      // needed to be readable
+      val failedJson =
+        if (failed.isEmpty) ""
+        else failed.distinct.map("\"" + shortKey(_) + "\"")
+          .mkString(""""failed":[""", ",", "],")
       // stdout carries ONLY these JSON lines (Spark logs go to stderr);
       // the driver reads the LAST one
       val line = s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,""" +
+        failedJson +
         s""""stream_map_count_rows_per_sec":${math.round(streamRps)},""" +
         s""""sf":"${new java.io.File(sfDir).getName}"}"""
       if (line.length > 1900)

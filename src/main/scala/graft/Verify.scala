@@ -22,8 +22,28 @@ object Verify {
     val selected =
       if (prefixes.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    // Output-boundary type alignment: the driver compares at the PANDAS
+    // level — the DuckDB oracle arrives via fetchdf(), which converts every
+    // DECIMAL column to float64, while a Spark decimal parquet column
+    // to_pandas()-es as object Decimal. Identical digits, different pandas
+    // dtype, failed hash (burned rounds 2-4: 16 value-exact queries red).
+    // So: money math stays exact-decimal INSIDE queries (order-independent
+    // across partitions), and the declared output re-joins the double
+    // domain here — both engines then round the same exact decimal to the
+    // same nearest double, bit-for-bit.
+    def alignOutputTypes(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.DecimalType
+      val casts = df.schema.fields.map { f =>
+        f.dataType match {
+          case _: DecimalType => col(f.name).cast("double").as(f.name)
+          case _              => col(f.name)
+        }
+      }
+      df.select(casts.toIndexedSeq: _*)
+    }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try alignOutputTypes(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -157,6 +157,12 @@ object Tables {
         // integer `div`, not `/`: double division loses precision on
         // 19-digit nano longs (off-by-1µs at the truncation boundary).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ;
+        // with the session timezone pinned to UTC this cast maps the wall
+        // time to the identical instant, restoring the TimestampType the
+        // event-time operators (unix_micros, window()) are built on.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -596,14 +596,12 @@ object AnalyticQueries {
       Tables.documents(s, dir)
         .groupBy(col("lang"))
         .agg(
-          // The otherwise-less `when` marks elements nullable to match the
-          // oracle's declared list<string>: collect_set bakes
-          // array<string not null>, a bare cast is elided as a no-op, and
-          // when(isNotNull(x), x) constant-folds because x is provably
-          // non-null — length(x) >= 0 is the cheapest predicate Catalyst
-          // can't fold away. Values are untouched.
-          transform(array_sort(collect_set(col("source"))),
-            x => when(length(x) >= 0, x)).as("sources"),
+          // Serialized to a CSV string at the oracle surface: the driver's
+          // pandas compare sort_values-es every cell and a raw list column
+          // is unhashable there (r04: q96 scored as an error). The sorted
+          // in-group order keeps it deterministic at any parallelism.
+          concat_ws(",", array_sort(collect_set(col("source"))))
+            .as("sources"),
           countDistinct(col("source")).as("n_sources"),
           bool_or(col("source") === lit("src14")).as("has_src14"),
           min(col("source")).as("first_source"))
@@ -825,7 +823,7 @@ object AnalyticQueries {
          SELECT node, pr FROM p3""",
     "q96_array_funcs" ->
       """SELECT lang,
-         list(DISTINCT source ORDER BY source) AS sources,
+         array_to_string(list(DISTINCT source ORDER BY source), ',') AS sources,
          count(DISTINCT source) AS n_sources,
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source

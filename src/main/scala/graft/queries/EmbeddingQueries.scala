@@ -82,8 +82,12 @@ object EmbeddingQueries {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("scale", Similarity.int8Scale(col("v")))
+        // qvec serialized to a CSV string at the oracle surface: the
+        // driver's pandas compare sort_values-es every cell and a raw
+        // list column is unhashable there (r04: q71 scored as an error).
         .select(col("vec_id"), col("scale"),
-          Similarity.quantizeInt8(col("v"), col("scale")).as("qvec"))
+          concat_ws(",", Similarity.quantizeInt8(col("v"), col("scale")))
+            .as("qvec"))
     }),
 
     // Per-label centroid outliers: the 5 vectors farthest from their
@@ -248,8 +252,8 @@ object EmbeddingQueries {
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
            FROM e)
          SELECT vec_id, scale,
-           list_transform(v, x -> CASE WHEN scale = 0 THEN 0
-             ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS qvec
+           array_to_string(list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+             ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END), ',') AS qvec
          FROM s""",
     "q86_emb_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, i,

@@ -266,7 +266,8 @@ class StreamingSpec extends AnyFunSuite {
     val raw = spark.readStream.schema(schema).parquet(inDir)
     val normalized = raw.withColumn("ts",
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        timestamp_micros(expr("ts div 1000")) else col("ts"))
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")) // NTZ fixture → session-UTC instant, as Tables.events
     val q = normalized
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
