@@ -97,7 +97,14 @@ object EmbeddingQueries {
     // TopKAggregator, not a sort window.
     "q86_emb_outliers" -> ((s, dir) =>
       Similarity.embeddingOutliers(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5))
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)),
+
+    // Distributed Lloyd k-means (k=4, 2 assignment passes) in bit-exact
+    // integer arithmetic: assignment is a zero-shuffle broadcast-centroid
+    // map, recompute one k-row hash agg per pass (operators/KMeans.scala).
+    "q139_kmeans" -> ((s, dir) =>
+      graft.operators.KMeans.summary(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", k = 4, iters = 2))
   )
 
   private val planeHash =
@@ -270,6 +277,7 @@ object EmbeddingQueries {
                CAST(row_number() OVER (PARTITION BY label
                  ORDER BY dist2 DESC, vec_id ASC) AS BIGINT) AS rnk
              FROM d)
-         SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 5"""
+         SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 5""",
+    "q139_kmeans" -> graft.operators.KMeans.oracleSql(k = 4, iters = 2, dims = 64)
   )
 }

@@ -310,4 +310,36 @@ class SimilaritySpec extends AnyFunSuite {
       assert(d.zip(d.tail).forall { case (a, b) => a >= b }, "descending dist2")
     }
   }
+
+  test("kmeans: partition-layout-independent, partitions the corpus, inertia shrinks") {
+    import graft.operators.KMeans
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val s2 = KMeans.summary(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getAs[Long]("cid"),
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("inertia")))).toMap
+    // every vector lands in exactly one cluster
+    assert(s2.values.map(_._1).sum === n)
+    assert(s2.nonEmpty && s2.size <= 4)
+    // integer arithmetic ⇒ bit-identical result under any partitioning
+    val repart = KMeans.summary(emb.repartition(17), "vec_id", "embedding",
+      k = 4, iters = 2)
+      .collect().map(r => (r.getAs[Long]("cid"),
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("inertia")))).toMap
+    assert(repart === s2, "layout-independent clustering")
+    // Lloyd monotonicity: total inertia after a recompute+reassign pass
+    // never exceeds the seed-assignment inertia
+    val s1 = KMeans.summary(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .collect().map(_.getAs[Long]("inertia")).sum
+    assert(s2.values.map(_._2).sum <= s1, "inertia non-increasing across passes")
+  }
+
+  test("kmeans assignment plan: broadcast-literal argmin, no join or window") {
+    import graft.operators.KMeans
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val df = KMeans.assign(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no sort window in assignment:\n$plan")
+    assert(!plan.contains("Join"), s"centroids fold into the row expression, not a join:\n$plan")
+  }
 }
