@@ -276,6 +276,78 @@ object Dedup {
           least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
       .where(col("containment") >= threshold)
 
+  /** Prefix-filtered all-pairs similarity join (the AllPairs/PPJoin
+    * family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the scale rung
+    * ABOVE the full inverted index of [[jaccardPairsWithin]]. Instead of
+    * indexing every shingle of every document (shuffle Σ bucket² over ALL
+    * tokens), each document indexes only its PREFIX under a global
+    * rarest-first token order: sorted by ascending document frequency,
+    * the first `|x| − ⌈t·|x|⌉ + 1` tokens. The prefix-filter theorem
+    * guarantees any pair with Jaccard ≥ t shares at least one prefix
+    * token, so candidates shrink to Σ bucket² over RARE tokens only —
+    * the frequent-token buckets that dominate the full index's cost
+    * (stopword shingles, boilerplate) never enter the self-join. A
+    * length filter (`t·|a| ≤ |b|`) prunes the survivors further before
+    * the exact verification join. Output identical to
+    * [[jaccardPairsWithin]]: (doc_a, doc_b, jac), doc_a < doc_b,
+    * jac ≥ threshold — the spec asserts set-equality of the two paths.
+    *
+    * Scale posture: two extra narrow aggregations (token df, per-doc
+    * sort) buy a candidate set bounded by rare-token co-occurrence;
+    * per-doc state is its own shingle array (docs are KB-scale), and no
+    * stage holds more than (group, token) bucket rows.
+    */
+  def prefixJaccardPairsWithin(docs: DataFrame, idCol: String,
+                               textCol: String, partitionCol: String,
+                               shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val d = docs.select(col(partitionCol).as("grp"), col(idCol).as("doc_id"),
+        shinglesText(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      // consumed three times: df counts, prefix build, exact verify
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
+    // document frequency per (group, token): the order key. Rarest-first
+    // prefixes make candidate buckets as small as possible; ties break on
+    // the token string so the total order is deterministic on any engine.
+    val df = ex.groupBy(col("grp"), col("s")).agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted (df asc, token asc); prefix keeps the first
+    // sz − ceil(t·sz) + 1 — sort_array on struct(df, s) gives exactly
+    // that order without any window or per-group ranking pass
+    val ordered = ex.join(df, Seq("grp", "s"))
+      .groupBy(col("grp"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ts"))
+      .select(col("grp"), col("doc_id"),
+        transform(col("ts"), t => t.getField("s")).as("toks"),
+        size(col("ts")).as("sz"))
+    val pref = ordered.select(col("grp"), col("doc_id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz")) + lit(1)).cast("int")))
+        .as("s"))
+    // candidates: prefix-token co-occurrence + the length filter
+    // (|b| ≥ t·|a| is necessary for jac ≥ t when |a| ≤ |b|)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.grp") === col("b.grp") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.grp").as("grp"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the candidate set only
+    val full = d.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    cand
+      .join(full.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(full.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (col("sz_a") + col("sz_b") -
+            size(array_intersect(col("sh_a"), col("sh_b"))))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** Exact dedup: keep the lowest id per normalized-text fingerprint. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("fp", fingerprint(col(textCol)))

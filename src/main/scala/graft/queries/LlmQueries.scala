@@ -176,6 +176,15 @@ object LlmQueries {
       Dedup.jaccardPairsWithin(Tables.documents(s, dir), "doc_id", "text",
         partitionCol = "source", shingleN = 3, threshold = 0.1)),
 
+    // Prefix-filtered all-pairs join (AllPairs/PPJoin): same result set as
+    // q43 but candidates come from rare-token PREFIXES under a global
+    // df-ascending order instead of the full inverted index — the scale
+    // rung for corpora whose frequent-shingle buckets dominate Σ bucket².
+    // Shares q43's brute-force oracle verbatim (same semantics).
+    "q140_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairsWithin(Tables.documents(s, dir), "doc_id",
+        "text", partitionCol = "source", shingleN = 3, threshold = 0.1)),
+
     // Asymmetric containment (partial-copy detection): |A∩B| / min(|A|,|B|)
     // catches a small doc quoted inside a large one that Jaccard misses.
     "q75_containment" -> ((s, dir) =>
@@ -874,6 +883,18 @@ object LlmQueries {
            CAST(bq AS BIGINT) AS best_q_grid
          FROM r WHERE rn = 1""",
     "q43_ngram_jaccard" ->
+      s"""WITH $tkCte, ${shingleCte(3)},
+         d AS (SELECT sh.doc_id, tk.source, sh.s FROM sh JOIN tk ON sh.doc_id = tk.doc_id
+               WHERE len(sh.s) > 0)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) END AS jac
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) END >= 0.1""",
+    "q140_prefix_jaccard" ->
       s"""WITH $tkCte, ${shingleCte(3)},
          d AS (SELECT sh.doc_id, tk.source, sh.s FROM sh JOIN tk ON sh.doc_id = tk.doc_id
                WHERE len(sh.s) > 0)

@@ -795,4 +795,19 @@ class LlmSpec extends AnyFunSuite {
       "train takes the bulk at 90/5/5")
     assert(counts.values.sum === 1000)
   }
+
+  test("prefix-filtered all-pairs join equals the full inverted index") {
+    import graft.llm.Dedup
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jac") * 1e9))
+    val full = Dedup.jaccardPairsWithin(docs, "doc_id", "text",
+      "source", shingleN = 3, threshold = 0.1).collect().map(key).toSet
+    val pref = Dedup.prefixJaccardPairsWithin(docs, "doc_id", "text",
+      "source", shingleN = 3, threshold = 0.1).collect().map(key).toSet
+    assert(pref === full,
+      "prefix-filter theorem: no qualifying pair may be lost, none added")
+    assert(full.nonEmpty, "fixture must actually contain near-dup pairs")
+  }
 }
