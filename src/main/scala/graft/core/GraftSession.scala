@@ -142,8 +142,27 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/customer.parquet")
   def supplier(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/supplier.parquet")
   def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(s"$dir/part.parquet")
-  def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/orders.parquet")
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normTs(spark.read.parquet(s"$dir/orders.parquet"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normTs(spark.read.parquet(s"$dir/lineitem.parquet"), "l_shipdate")
+
+  /** Fixture-type insurance: a date/timestamp column that arrives as a
+    * raw nanos long (the nanosAsLong legacy read of TIMESTAMP(NANOS)
+    * fixtures) normalizes to TIMESTAMP_NTZ so date expressions keep
+    * resolving; µs/NTZ fixtures pass through untouched. The fixtures
+    * have switched physical timestamp types between rounds — accessors,
+    * not queries, absorb that.
+    */
+  private def normTs(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c,
+          timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
   /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a nanos long
     * (spark.sql.legacy.parquet.nanosAsLong). Normalize to µs TimestampType
     * here — the reference's event times are epoch-ms longs (TimeWindow.cs),
