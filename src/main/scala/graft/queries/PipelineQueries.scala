@@ -411,6 +411,28 @@ object PipelineQueries {
           col("last.o_totalprice").as("last_price"), col("last.day").as("last_day"))
     }),
 
+    // MERGE INTO (conditional upsert-apply): one full-outer pass applies
+    // a keyed delta (updates, inserts, delete tombstones) to a base
+    // snapshot — the nightly-apply half of the incremental-table
+    // lifecycle where q128's compaction is the intra-batch half. The
+    // audit classes (kept/updated/inserted/deleted) come from the SAME
+    // pass that produced the rows (operators/MergeInto.scala). Base and
+    // delta derive deterministically from orders by key residue.
+    "q141_merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val m = pmod(col("o_orderkey"), lit(7))
+      val base = o.filter(m =!= 3)
+      val delta = o.filter(m.isin(3, 5, 6))
+        .withColumn("_op",
+          when(m === 3, lit("I")).when(m === 5, lit("U")).otherwise(lit("D")))
+        .withColumn("o_totalprice",
+          when(col("_op") === "U", col("o_totalprice") + lit(100.0))
+            .otherwise(col("o_totalprice")))
+      graft.operators.MergeInto(base, delta, Seq("o_orderkey"), "_op")
+        .groupBy(col("_class"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("revenue"))
+    }),
+
     // Per-group min-max normalization (feature scaling): exact integer
     // extremes per language, one narrow map for the scale — grouped
     // stats rejoined co-keyed, the q110 shape with a different formula.
@@ -631,5 +653,27 @@ object PipelineQueries {
          SELECT doc_id, d.lang,
            CAST(n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) AS scaled
          FROM documents d JOIN ext USING (lang)
-         WHERE hi > lo""")
+         WHERE hi > lo""",
+    "q141_merge_upsert" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 3),
+         delta AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN 'I'
+                  WHEN o_orderkey % 7 = 5 THEN 'U' ELSE 'D' END AS op,
+             CASE WHEN o_orderkey % 7 = 5 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS price
+           FROM orders WHERE o_orderkey % 7 IN (3, 5, 6)),
+         j AS (SELECT b.o_orderkey AS bk, d.op,
+               b.o_totalprice AS bp, d.price AS dp
+           FROM base b FULL JOIN delta d ON b.o_orderkey = d.o_orderkey),
+         c AS (SELECT
+             CASE WHEN op = 'D' THEN
+                    CASE WHEN bk IS NOT NULL THEN 'deleted' ELSE 'noop' END
+                  WHEN op IS NOT NULL AND bk IS NOT NULL THEN 'updated'
+                  WHEN op IS NOT NULL THEN 'inserted'
+                  ELSE 'kept' END AS _class,
+             CASE WHEN op IS NOT NULL AND op <> 'D' THEN dp ELSE bp END AS price
+           FROM j)
+         SELECT _class, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(price AS DECIMAL(14,2))) AS revenue
+         FROM c WHERE _class <> 'noop' GROUP BY 1""")
 }

@@ -202,6 +202,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == survivors)
   }
 
+  test("merge-into applies update/insert/delete classes and drops noop deletes") {
+    import spark.implicits._
+    import graft.operators.MergeInto
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val delta = Seq((2L, "b2", 25.0, "U"), (4L, "d", 40.0, "I"),
+                    (3L, "c", 30.0, "D"), (9L, "x", 99.0, "D"))
+      .toDF("k", "s", "v", "op")
+    val out = MergeInto(base, delta, Seq("k"), "op")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    assert(out === Map(
+      1L -> ("a", 10.0, "kept"),
+      2L -> ("b2", 25.0, "updated"), // delta row wins wholesale
+      3L -> ("c", 30.0, "deleted"),  // base values surface for audit
+      4L -> ("d", 40.0, "inserted")),
+      "delete of a missing key (9) must vanish, not insert or error")
+    val applied = MergeInto.applied(base, delta, Seq("k"), "op")
+      .collect().map(_.getLong(0)).toSet
+    assert(applied === Set(1L, 2L, 4L), "writer view excludes tombstones")
+  }
+
   test("quantile bins are equi-depth within interpolation tolerance") {
     val df = PipelineQueries.queries("q120_quantile_bins")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
