@@ -167,6 +167,31 @@ object AnalyticQueries {
 
     // Pareto / ABC analysis: classify customers by cumulative share of
     // globally revenue-ranked revenue (A ≤ 80%, B ≤ 95%, C rest). The
+    // SCD2 dimension build: fold a per-key attribute changelog into
+    // type-2 version rows — change detection via a null-safe lag compare
+    // (consecutive no-change events collapse), then valid_from/valid_to
+    // ranges and version ordinals over the SURVIVING rows. Both windows
+    // partition by the dimension key (never global), so the build is one
+    // key shuffle + in-partition sorts at any scale; the output is the
+    // dimension the as-of (q50) and range (q49) joins consume.
+    // valid_to stays NTZ (both engines surface naive µs timestamps; the
+    // open current version is NULL/NaT on both).
+    "q142_scd2_build" -> ((s, dir) => {
+      val byKey = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"))
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(byKey))
+        .filter(!(col("prev") <=> col("o_orderpriority"))) // IS DISTINCT FROM
+      changes
+        .withColumn("version", row_number().over(byKey).cast("long"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey))
+        .select(col("o_custkey"), col("version"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("valid_from"), col("valid_to"))
+    }),
+
     // naive form is a single-partition window over the whole ranked
     // table — the one shape that cannot scale. Here: equi-depth revenue
     // buckets from broadcast percentile boundaries (bucket = count of
@@ -828,6 +853,21 @@ object AnalyticQueries {
          bool_or(source = 'src14') AS has_src14,
          min(source) AS first_source
          FROM documents GROUP BY lang""",
+    "q142_scd2_build" ->
+      """WITH ch AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         surv AS (SELECT * FROM ch
+           WHERE prev IS DISTINCT FROM o_orderpriority)
+         SELECT o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to
+         FROM surv
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "q138_pareto" ->
       """WITH cust AS (
            SELECT o_custkey,

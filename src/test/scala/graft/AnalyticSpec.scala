@@ -301,4 +301,25 @@ class AnalyticSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scd2 build: dense versions, one open range, chained validity, real changes") {
+    val rows = graft.queries.AnalyticQueries.queries("q142_scd2_build")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("version"),
+        r.getAs[String]("priority"), r.getAs[java.time.LocalDateTime]("valid_from"),
+        r.getAs[java.time.LocalDateTime]("valid_to")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to vs.length).toSeq,
+        s"cust $cust versions not dense")
+      assert(sorted.count(_._5 == null) === 1, s"cust $cust open ranges != 1")
+      assert(sorted.last._5 == null, s"cust $cust open range must be latest")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"cust $cust validity not chained")
+          assert(a._3 != b._3, s"cust $cust consecutive versions must differ")
+        case _ =>
+      }
+    }
+  }
 }
