@@ -224,6 +224,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(applied === Set(1L, 2L, 4L), "writer view excludes tombstones")
   }
 
+  test("merge-into laws: re-apply is idempotent, empty delta is identity") {
+    import spark.implicits._
+    import graft.operators.MergeInto
+    val m = pmod(col("o_orderkey"), lit(7))
+    val orders = graft.core.Tables.orders(spark, sfDir).limit(2000)
+    val base = orders.filter(m =!= 3)
+    val delta = orders.filter(m.isin(3, 5, 6))
+      .withColumn("_op",
+        when(m === 3, lit("I")).when(m === 5, lit("U")).otherwise(lit("D")))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+        .collect().toMap
+    val once = MergeInto.applied(base, delta, Seq("o_orderkey"), "_op")
+    val twice = MergeInto.applied(once, delta, Seq("o_orderkey"), "_op")
+    assert(snap(twice) === snap(once), "MERGE apply must be idempotent")
+    val identity = MergeInto.applied(base, delta.limit(0), Seq("o_orderkey"), "_op")
+    assert(snap(identity) === snap(base), "empty delta must be identity")
+  }
+
   test("quantile bins are equi-depth within interpolation tolerance") {
     val df = PipelineQueries.queries("q120_quantile_bins")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

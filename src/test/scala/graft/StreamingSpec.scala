@@ -1373,6 +1373,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD2 closes exactly the batch q142 version history") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the q142 changelog: (cust, seq, priority) with q128's monotone
+      // (day, orderkey) sequence standing in for (o_orderdate, o_orderkey)
+      val dayNum = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val rows = graft.core.Tables.orders(spark, TestSession.sfDir)
+        .select(col("o_custkey"),
+          (dayNum * lit(10000000000L) + col("o_orderkey")).as("seq"),
+          col("o_orderpriority"))
+        .as[(Long, Long, String)].collect().toSeq
+      // expected closed versions: per-key seq-ordered collapse fold
+      val expected = rows.groupBy(_._1).flatMap { case (cust, rs) =>
+        val collapsed = rs.sortBy(_._2).foldLeft(List.empty[(Long, String)]) {
+          case (acc, (_, seq, attr)) =>
+            if (acc.headOption.exists(_._2 == attr)) acc else (seq, attr) :: acc
+        }.reverse
+        collapsed.sliding(2).collect { case List((from, a), (to, _)) =>
+          (cust, a, from, to)
+        }.zipWithIndex.map { case ((c, a, f, t), i) => (c, i + 1L, a, f, t) }
+      }.toSet
+      // replay in seq-ordered batches (the watermark-ordered contract),
+      // split mid-stream so versions close across batch boundaries
+      val ordered = rows.sortBy(_._2)
+      val (b1, b2) = ordered.splitAt(ordered.size / 2)
+      val input = MemoryStream[(Long, Long, String)](spark)
+      val grouped = input.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Long)]
+      val q = StreamingScd2.versions(grouped)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-scd2"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, String, Long, Long)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(out.toSet === expected,
+        s"closed-version divergence: extra=${(out.toSet -- expected).take(3)} " +
+          s"missing=${(expected -- out.toSet).take(3)}")
+      assert(out.size === out.toSet.size, "exactly-once closure emission")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming z-score prefix flags match a reference fold on fixture data") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
