@@ -411,6 +411,38 @@ object PipelineQueries {
           col("last.o_totalprice").as("last_price"), col("last.day").as("last_day"))
     }),
 
+    // PSI drift detector (population stability index): distribution shift
+    // of a feature between a reference and a current corpus slice — the
+    // train/serve-skew monitor a production pipeline runs per feature.
+    // All binning is integer math on exact cents over broadcast global
+    // extremes (both engines bin identically); each bin's PSI term
+    // (p−q)·ln(p/q) with +1 Laplace smoothing is computed on identical
+    // integer operands and floored to the 1e-9 grid (q133 discipline), so
+    // the output is partition-order-independent bit-for-bit. Scale: two
+    // tiny broadcast aggregates + one (slice, bin) hash agg over the scan.
+    "q143_psi_drift" -> ((s, dir) => {
+      val cut = lit("1995-01-01").cast("timestamp_ntz")
+      val rows = Tables.lineitem(s, dir).select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        (col("l_shipdate") >= cut).as("cur"))
+      val ext = rows.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val binned = rows.crossJoin(broadcast(ext))
+        .select(col("cur"), least(lit(9L),
+          expr("(cents - lo) * 10 div (hi - lo + 1)")).as("bin"))
+      val counts = binned.groupBy(col("bin"))
+        .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("n_ref"),
+             sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
+      val totals = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          (floor(
+            ((col("n_ref") + 1).cast("double") / (col("tr") + 10).cast("double")
+              - (col("n_cur") + 1).cast("double") / (col("tc") + 10).cast("double"))
+            * log(((col("n_ref") + 1).cast("double") * (col("tc") + 10).cast("double"))
+              / ((col("n_cur") + 1).cast("double") * (col("tr") + 10).cast("double")))
+            * lit(1e9)).cast("long").cast("double") / lit(1e9)).as("term"))
+    }),
+
     // MERGE INTO (conditional upsert-apply): one full-outer pass applies
     // a keyed delta (updates, inserts, delete tombstones) to a base
     // snapshot — the nightly-apply half of the incremental-table
@@ -654,6 +686,28 @@ object PipelineQueries {
            CAST(n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) AS scaled
          FROM documents d JOIN ext USING (lang)
          WHERE hi > lo""",
+    "q143_psi_drift" ->
+      """WITH rows_ AS (SELECT
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             l_shipdate >= TIMESTAMP '1995-01-01' AS cur
+           FROM lineitem),
+         ext AS (SELECT min(cents) AS lo, max(cents) AS hi FROM rows_),
+         binned AS (SELECT cur,
+             least(9, (cents - lo) * 10 // (hi - lo + 1)) AS bin
+           FROM rows_, ext),
+         counts AS (SELECT bin,
+             CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM binned GROUP BY 1),
+         totals AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+         SELECT bin, n_ref, n_cur,
+           CAST(CAST(floor(
+             (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+               - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+             * ln((CAST(n_ref + 1 AS DOUBLE) * CAST(tc + 10 AS DOUBLE))
+               / (CAST(n_cur + 1 AS DOUBLE) * CAST(tr + 10 AS DOUBLE)))
+             * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS term
+         FROM counts, totals""",
     "q141_merge_upsert" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 3),
          delta AS (SELECT o_orderkey,

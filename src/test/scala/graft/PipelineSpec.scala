@@ -202,6 +202,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == survivors)
   }
 
+  test("psi drift terms are non-negative and cover all ten bins") {
+    val rows = PipelineQueries.queries("q143_psi_drift")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSet === (0L to 9L).toSet,
+      "equi-width binning over global extremes must populate every bin")
+    rows.foreach { r =>
+      // (p−q)·ln(p/q) has matching signs in both factors, so every
+      // term is ≥ 0 up to one 1e-9 grid step of floor rounding
+      assert(r.getAs[Double]("term") >= -1e-9, s"negative PSI term: $r")
+      assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") > 0)
+    }
+  }
+
   test("merge-into applies update/insert/delete classes and drops noop deletes") {
     import spark.implicits._
     import graft.operators.MergeInto
