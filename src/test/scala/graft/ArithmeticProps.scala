@@ -118,4 +118,33 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
         indexed.entries.toMap == scan.toMap &&
           indexed.topK(capacity) == graft.operators.SpaceSaving.topK(scan, capacity)
     }
+
+  // The KMeans/PSI oracles compute round-half-up(s/n) as
+  // CAST(floor((2s+n)/(2.0n)) AS BIGINT); the Spark side uses integer
+  // Math.floorDiv. The claim that double division never crosses an
+  // integer boundary holds while |2s+n| < 2^53 — the whole fixture/scale
+  // regime (sums of 2^15-quantized coords over ≤2^26 rows).
+  property("oracle double-floor division equals integer floorDiv") = forAll(
+    Gen.choose(-(1L << 40), 1L << 40), Gen.choose(1L, 1L << 20)) { (s, n) =>
+    val viaDouble = math.floor((2.0 * s + n) / (2.0 * n)).toLong
+    viaDouble == Math.floorDiv(2 * s + n, 2 * n)
+  }
+
+  // Prefix-filter theorem (AllPairs/PPJoin), the q140 correctness claim:
+  // under ANY total token order, if |A∩B|/|A∪B| ≥ t then the prefixes of
+  // length |x| − ⌈t·|x|⌉ + 1 share at least one token. Checked against
+  // randomized sets and thresholds — fixture-independent.
+  private val tokenSetGen =
+    Gen.nonEmptyListOf(Gen.choose(0, 40)).map(_.toSet)
+  property("prefix filter never loses a qualifying pair") = forAll(
+    tokenSetGen, tokenSetGen, Gen.choose(0.05, 0.95)) { (a, b, t) =>
+    val inter = (a & b).size.toDouble
+    val jac = inter / (a | b).size
+    val order = (a | b).toSeq.sorted // any consistent total order
+    def prefix(x: Set[Int]): Set[Int] = {
+      val p = x.size - math.ceil(t * x.size).toInt + 1
+      order.filter(x).take(p).toSet
+    }
+    jac < t || (prefix(a) & prefix(b)).nonEmpty
+  }
 }
