@@ -181,6 +181,12 @@ object LlmQueries {
     // df-ascending order instead of the full inverted index — the scale
     // rung for corpora whose frequent-shingle buckets dominate Σ bucket².
     // Shares q43's brute-force oracle verbatim (same semantics).
+    // Crossover note: at fixture scale the full index is CHEAPER (q43
+    // 0.7 s vs 1.5 s at sf0.1) because the df-count and per-doc ordering
+    // passes cost more than the candidate reduction saves on benign
+    // bucket distributions; the prefix path's advantage is asymptotic in
+    // bucket skew (boilerplate/stopword shingles at corpus scale), which
+    // is why BOTH rungs ship.
     "q140_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairsWithin(Tables.documents(s, dir), "doc_id",
         "text", partitionCol = "source", shingleN = 3, threshold = 0.1)),
