@@ -389,16 +389,27 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
           sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
-      val nD = col("n").cast("double")
-      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
-      val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
-      val syy = col("syy").cast("double")
-      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+      // Every a·b − c·d term is computed EXACTLY (decimal(38,0) here,
+      // HUGEINT in the oracle) and only then cast to double: a double
+      // `n·sxy − sx·sy` is fair game for compiler FMA contraction, which
+      // made DuckDB's r2 differ from codegen'd Java by 3 ulps at sf0.1
+      // (sf0.01 happened to round the same way). After the exact step the
+      // float domain sees only single multiplies and divides — no fusable
+      // multiply-add shape remains on either engine. Capacity: the widest
+      // term (num·sx ≈ 9e32 at sf0.1) sits well under both engines'
+      // 128-bit/38-digit integer ceilings through SF ~10.
+      val nDec = col("n").cast("decimal(38,0)")
+      val num = nDec * col("sxy") - col("sx") * col("sy")
+      val d1 = nDec * col("sxx") - col("sx") * col("sx")
+      val d2 = nDec * col("syy") - col("sy") * col("sy")
+      val iceptNum = col("sy") * d1 - num * col("sx")
+      val iceptDen = nDec * d1
+      val numD = num.cast("double")
+      val d1D = d1.cast("double"); val d2D = d2.cast("double")
       g.select(col("o_orderpriority"), col("n"),
-        slope.as("slope_cents_per_day"),
-        ((sy - slope * sx) / nD).as("intercept_cents"),
-        ((nD * sxy - sx * sy) * (nD * sxy - sx * sy)
-          / ((nD * sxx - sx * sx) * (nD * syy - sy * sy))).as("r2"))
+        (numD / d1D).as("slope_cents_per_day"),
+        (iceptNum.cast("double") / iceptDen.cast("double")).as("intercept_cents"),
+        ((numD * numD) / (d1D * d2D)).as("r2"))
     }),
 
     // Z-order layout profile: Morton-interleave two bucketed dimensions,
@@ -975,21 +986,27 @@ object AnalyticQueries {
            FROM orders),
          g AS (
            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(x * x) AS DOUBLE) AS sxx,
-             CAST(sum(x * y) AS DOUBLE) AS sxy,
-             CAST(sum(y * y) AS DOUBLE) AS syy,
-             CAST(count(*) AS DOUBLE) AS n_d
+             CAST(count(*) AS HUGEINT) AS nh,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
            FROM b GROUP BY 1),
-         sl AS (
-           SELECT *, (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) AS slope
-           FROM g)
+         t AS (
+           SELECT o_orderpriority, n,
+             nh * sxy - sx * sy AS num,
+             nh * sxx - sx * sx AS d1,
+             nh * syy - sy * sy AS d2
+           FROM g),
+         u AS (
+           SELECT t.*, g.sy * d1 - num * g.sx AS icept_num, nh * d1 AS icept_den
+           FROM t JOIN g USING (o_orderpriority))
          SELECT o_orderpriority, n,
-           slope AS slope_cents_per_day,
-           (sy - slope * sx) / n_d AS intercept_cents,
-           (n_d * sxy - sx * sy) * (n_d * sxy - sx * sy)
-             / ((n_d * sxx - sx * sx) * (n_d * syy - sy * sy)) AS r2
-         FROM sl""",
+           CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) AS slope_cents_per_day,
+           CAST(icept_num AS DOUBLE) / CAST(icept_den AS DOUBLE) AS intercept_cents,
+           (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r2
+         FROM u""",
     "q129_string_agg" ->
       """SELECT r_name,
          string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
