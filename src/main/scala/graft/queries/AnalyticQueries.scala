@@ -146,23 +146,37 @@ object AnalyticQueries {
     // operands → order-independent, unlike corr()/stddev() whose running
     // double accumulation differs by partition tree on every engine.
     "q95_stats_exact" -> ((s, dir) => {
-      val q = dec(col("l_quantity"))
-      val p = dec(col("l_extendedprice"))
+      // Integer-cent units (correlation is scale-invariant, stddev
+      // rescales by the exact constant at the end) so every moment sum
+      // and every n·Σ − Σ·Σ term is an exact integer — decimal(38,0)
+      // here, HUGEINT in the oracle. Doubles enter only through a
+      // correctly-rounded cast of those exact integers and then see only
+      // single mul/div/sqrt ops: no compiler-FMA shapes (the q131
+      // lesson) and no >2^53 cast whose rounding the engines disagree on
+      // (DuckDB's int128→double truncates where Java rounds to nearest;
+      // the oracle routes casts through VARCHAR, which strtod rounds
+      // correctly).
+      val qc = round(col("l_quantity") * 100).cast("decimal(19,0)")
+      val pc = round(col("l_extendedprice") * 100).cast("decimal(19,0)")
       val g = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(q).as("sx"), sum(p).as("sy"),
-          sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+          sum(qc).as("sx"), sum(pc).as("sy"),
+          sum(qc * qc).as("sxx"), sum(pc * pc).as("syy"),
+          sum(qc * pc).as("sxy"))
+      val nDec = col("n").cast("decimal(38,0)")
+      val num = nDec * col("sxy") - col("sx") * col("sy")
+      val d1 = nDec * col("sxx") - col("sx") * col("sx")
+      val d2 = nDec * col("syy") - col("sy") * col("sy")
       val nD = col("n").cast("double")
-      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
-      val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
-      val sxy = col("sxy").cast("double")
       g.select(
         col("l_returnflag"), col("n"),
-        ((nD * sxy - sx * sy) /
-          (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))).as("corr_qty_price"),
-        sqrt((nD * syy - sy * sy) / (nD * (nD - lit(1.0)))).as("stddev_price"))
+        (num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+          .as("corr_qty_price"),
+        (sqrt(d2.cast("double") / (nD * (nD - lit(1.0)))) / lit(100.0))
+          .as("stddev_price"))
     }),
 
     // Pareto / ABC analysis: classify customers by cumulative share of
@@ -748,21 +762,30 @@ object AnalyticQueries {
          sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total
          FROM orders GROUP BY 1""",
     "q95_stats_exact" ->
-      """SELECT l_returnflag, n,
-         (n_d * sxy - sx * sy)
-           / (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy)) AS corr_qty_price,
-         sqrt((n_d * syy - sy * sy) / (n_d * (n_d - 1.0))) AS stddev_price
-         FROM (
-           SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS n_d,
-             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))
-                    * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
-                    * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))
-                    * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
-           FROM lineitem GROUP BY l_returnflag)""",
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS HUGEINT) AS nh,
+             CAST(sum(qc) AS HUGEINT) AS sx, CAST(sum(pc) AS HUGEINT) AS sy,
+             CAST(sum(qc * qc) AS HUGEINT) AS sxx,
+             CAST(sum(pc * pc) AS HUGEINT) AS syy,
+             CAST(sum(qc * pc) AS HUGEINT) AS sxy
+           FROM b GROUP BY 1),
+         t AS (
+           SELECT l_returnflag, n,
+             CAST(CAST(nh * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(nh * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(nh * syy - sy * sy AS VARCHAR) AS DOUBLE) AS d2,
+             CAST(n AS DOUBLE) AS n_d
+           FROM g)
+         SELECT l_returnflag, n,
+           num / (sqrt(d1) * sqrt(d2)) AS corr_qty_price,
+           sqrt(d2 / (n_d * (n_d - 1.0))) / 100.0 AS stddev_price
+         FROM t""",
     "q99_zorder" -> {
       val xSql = "o_custkey % 1024"
       val ySql = "CAST(least(greatest(floor((o_totalprice - 0.0) / 1000.0), 0.0), 1023.0) AS BIGINT)"
@@ -1002,10 +1025,13 @@ object AnalyticQueries {
            SELECT t.*, g.sy * d1 - num * g.sx AS icept_num, nh * d1 AS icept_den
            FROM t JOIN g USING (o_orderpriority))
          SELECT o_orderpriority, n,
-           CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) AS slope_cents_per_day,
-           CAST(icept_num AS DOUBLE) / CAST(icept_den AS DOUBLE) AS intercept_cents,
-           (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
-             / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r2
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(d1 AS VARCHAR) AS DOUBLE) AS slope_cents_per_day,
+           CAST(CAST(icept_num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(icept_den AS VARCHAR) AS DOUBLE) AS intercept_cents,
+           (CAST(CAST(num AS VARCHAR) AS DOUBLE) * CAST(CAST(num AS VARCHAR) AS DOUBLE))
+             / (CAST(CAST(d1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(d2 AS VARCHAR) AS DOUBLE)) AS r2
          FROM u""",
     "q129_string_agg" ->
       """SELECT r_name,
