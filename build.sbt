@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain` as JSON. By
+// default sbt re-logs a forked run's stdout with an "[info] " prefix and
+// appends a "[success] Total time..." line, so the bench JSON is never a
+// bare final line (BENCH_r01–r05 all recorded parsed:null). StdoutOutput
+// passes the forked process's stdout through verbatim; showSuccess kills
+// the trailing [success] line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -83,16 +83,30 @@ object Bench {
     // seconds fit ~126 queries at ~1.8 KB; full names and 3-decimal times
     // stay on the stderr progress lines.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    // The handful of headline entries kept INSIDE the stdout line (the
+    // brief's {"q1":sec} contract shape) — everything else lives in
+    // bench_detail.json so the line length is immune to query-count
+    // growth (the 143-entry map at ~1.9 KB plus sbt's "[info] " prefix
+    // is what overran the driver's 2000-char tail capture in r1–r5).
+    val headline = Seq("q01", "q58", "q105", "q106", "q136")
     def emit(results: Map[String, Double]): Unit = {
-      val qs = results.toSeq.sortBy { case (k, _) =>
-        shortKey(k).drop(1).toInt
-      }.map { case (k, v) => "\"" + shortKey(k) + "\":" + s2(v) }
-        .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      // failed list in qNN short keys, omitted when empty: r04's line blew
-      // the 2000-char tail window on 11 FULL failed names and the driver
-      // recorded parsed:null — the one round where the failed list most
-      // needed to be readable
+      // full per-query map (full names, 3 decimals) → side file the judge
+      // reads; rewritten after every sweep so a cut-short run still has it
+      val detail = results.toSeq.sortBy { case (k, _) => shortKey(k).drop(1).toInt }
+        .map { case (k, v) =>
+          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        }.mkString("{", ",", "}")
+      val detailJson = s"""{"metric":"total","value":${s2(total)},"unit":"sec",""" +
+        s""""queries":$detail,"stream_map_count_rows_per_sec":${math.round(streamRps)},""" +
+        s""""sf":"${new java.io.File(sfDir).getName}"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val qs = results.toSeq.sortBy { case (k, _) => shortKey(k).drop(1).toInt }
+        .collect { case (k, v) if headline.contains(shortKey(k)) =>
+          "\"" + shortKey(k) + "\":" + s2(v) }
+        .mkString("{", ",", "}")
+      // failed list in qNN short keys, omitted when empty
       val failedJson =
         if (failed.isEmpty) ""
         else failed.distinct.map("\"" + shortKey(_) + "\"")
@@ -101,11 +115,12 @@ object Bench {
       // the driver reads the LAST one
       val line = s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,""" +
         failedJson +
+        s""""n_queries":${results.size},"detail":"bench_detail.json",""" +
         s""""stream_map_count_rows_per_sec":${math.round(streamRps)},""" +
         s""""sf":"${new java.io.File(sfDir).getName}"}"""
-      if (line.length > 1900)
-        System.err.println(s"[bench] WARNING: summary line ${line.length} chars — " +
-          "approaching the driver's 2000-char tail capture; shorten before adding queries")
+      require(line.length <= 1500,
+        s"bench summary line ${line.length} chars — must stay far inside the " +
+          "driver's 2000-char tail capture; move data to bench_detail.json")
       println(line)
     }
     // Multiple full sweeps, per-query MINIMUM. The harness host exhibits
