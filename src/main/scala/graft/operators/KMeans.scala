@@ -134,7 +134,8 @@ object KMeans {
        FROM embeddings),
      dim AS (SELECT unnest(range($dims)) AS i),
      c0 AS (SELECT q.vec_id AS cid, dim.i, q.qv[dim.i + 1] AS c
-            FROM q, dim WHERE q.vec_id < $k)"""
+            FROM q, dim
+            WHERE q.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT $k))"""
     val passes = (1 to iters).map { p =>
       val cin = s"c${p - 1}"
       val dist =

@@ -44,11 +44,18 @@ object MergeInto {
         :+ lit(1).as("_b_present"): _*) // all-null value rows still count
     val d = delta.select(
       keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_d_$c"))
-        :+ col(opCol).as("_op"): _*)
+        ++ Seq(col(opCol).as("_op"), lit(1).as("_d_present")): _*)
     val joined = b.join(d, keyCols, "full_outer")
     val inBase = col("_b_present").isNotNull
-    val inDelta = col("_op").isNotNull
-    val cls = when(inDelta && col("_op") === "D",
+    val inDelta = col("_d_present").isNotNull
+    // a delta row with a null op is a contract violation — fail loudly at
+    // evaluation instead of silently classifying it as 'kept' (matched
+    // keys would ignore the delta; unmatched keys would emit an all-null
+    // 'kept' row)
+    val cls = when(inDelta && col("_op").isNull,
+        raise_error(concat(lit(s"MergeInto: null $opCol in delta for key "),
+          concat_ws(",", keyCols.map(c => col(c).cast("string")): _*))))
+      .when(inDelta && col("_op") === "D",
         when(inBase, lit("deleted")).otherwise(lit("noop")))
       .when(inDelta && inBase, lit("updated"))
       .when(inDelta, lit("inserted"))

@@ -307,7 +307,11 @@ object AnalyticQueries {
         .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nBaskets = baskets.select(col("ok")).distinct().count()
+      // basket total as a broadcast 1-row aggregate (the q143/q138
+      // pattern), not a separate count() action — the whole query bills
+      // ONE job over the persisted baskets
+      val nBaskets = broadcast(
+        baskets.agg(count_distinct(col("ok")).as("n_baskets")))
       val cnt = baskets.groupBy(col("brand")).agg(count(lit(1)).as("n"))
       val pairs = baskets.select(col("ok"), col("brand").as("brand_a"))
         .join(baskets.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
@@ -320,12 +324,14 @@ object AnalyticQueries {
         .join(broadcast(cnt.select(col("brand").as("brand_b"), col("n").as("n_b"))),
           Seq("brand_b"))
         .filter(col("n_ab") >= 20)
+        .crossJoin(nBaskets)
         .select(col("brand_a"), col("brand_b"), col("n_ab"),
           col("n_a"), col("n_b"),
-          (col("n_ab").cast("double") / lit(nBaskets.toDouble)).as("support"),
+          (col("n_ab").cast("double") / col("n_baskets").cast("double"))
+            .as("support"),
           (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_a_b"),
           (col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_b_a"),
-          ((col("n_ab").cast("double") * lit(nBaskets.toDouble))
+          ((col("n_ab").cast("double") * col("n_baskets").cast("double"))
             / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
     }),
 
@@ -409,15 +415,19 @@ object AnalyticQueries {
       // made DuckDB's r2 differ from codegen'd Java by 3 ulps at sf0.1
       // (sf0.01 happened to round the same way). After the exact step the
       // float domain sees only single multiplies and divides — no fusable
-      // multiply-add shape remains on either engine. Capacity: the widest
-      // term (num·sx ≈ 9e32 at sf0.1) sits well under both engines'
-      // 128-bit/38-digit integer ceilings through SF ~10.
+      // multiply-add shape remains on either engine. Capacity: the
+      // intercept uses the reduced form (sy·sxx − sx·sxy)/d1 — identical
+      // as a rational to (sy·d1 − num·sx)/(n·d1), but its widest term
+      // grows as SF² (~3e25 at sf0.1) instead of SF³ (~9e32, which would
+      // cross decimal(38,0)'s ~1e38 ceiling near SF 5); every term now
+      // clears both engines' 128-bit/38-digit integer ceilings by many
+      // orders of magnitude at any plausible SF.
       val nDec = col("n").cast("decimal(38,0)")
       val num = nDec * col("sxy") - col("sx") * col("sy")
       val d1 = nDec * col("sxx") - col("sx") * col("sx")
       val d2 = nDec * col("syy") - col("sy") * col("sy")
-      val iceptNum = col("sy") * d1 - num * col("sx")
-      val iceptDen = nDec * d1
+      val iceptNum = col("sy") * col("sxx") - col("sx") * col("sxy")
+      val iceptDen = d1
       val numD = num.cast("double")
       val d1D = d1.cast("double"); val d2D = d2.cast("double")
       g.select(col("o_orderpriority"), col("n"),
@@ -1022,7 +1032,8 @@ object AnalyticQueries {
              nh * syy - sy * sy AS d2
            FROM g),
          u AS (
-           SELECT t.*, g.sy * d1 - num * g.sx AS icept_num, nh * d1 AS icept_den
+           SELECT t.*, g.sy * g.sxx - g.sx * g.sxy AS icept_num,
+             d1 AS icept_den
            FROM t JOIN g USING (o_orderpriority))
          SELECT o_orderpriority, n,
            CAST(CAST(num AS VARCHAR) AS DOUBLE)

@@ -236,6 +236,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(applied === Set(1L, 2L, 4L), "writer view excludes tombstones")
   }
 
+  test("merge-into rejects a null-op delta row loudly") {
+    import spark.implicits._
+    import graft.operators.MergeInto
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val delta = Seq((1L, "a2", null: String), (5L, "e", null: String))
+      .toDF("k", "s", "op")
+    // a null op is a contract violation: it must raise, not silently
+    // classify as 'kept' (which would drop the update and emit an
+    // all-null row for the unmatched key)
+    val e = intercept[Exception] {
+      MergeInto(base, delta, Seq("k"), "op").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("MergeInto: null op")),
+      s"expected the contract-violation message, got: $e")
+  }
+
   test("merge-into laws: re-apply is idempotent, empty delta is identity") {
     import spark.implicits._
     import graft.operators.MergeInto
