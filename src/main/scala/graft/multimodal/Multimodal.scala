@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * and feature extraction run per-partition so codec initialization is
   * amortized (the rich open/close lifecycle).
   *
-  * The decode step itself is a STUB (`DeterministicFakeDecoder`) — this
-  * container has no image/audio libraries — but everything Spark-side is
-  * real and tested: the schema contract, the per-partition batch shape, the
-  * payload-size-aware repartitioning, and the pure-Column operators
-  * (resize arithmetic, frame sampling).
+  * Image decode is REAL: `ImageIoDecoder` runs the JDK's bundled
+  * `javax.imageio` codecs (PNG/JPEG/GIF/BMP, headless-safe, zero added
+  * dependencies) and is oracle-verified end-to-end (q144 decodes
+  * deterministic synthetic PNGs and DuckDB recomputes the pixel fill
+  * arithmetically). Audio/video decode remains a stub
+  * (`DeterministicFakeDecoder`) — no ffmpeg in this container — but the
+  * Spark-side contract it plugs into is the same one the real image codec
+  * exercises: schema, per-partition lifecycle, byte-aware partitioning,
+  * and the pure-Column operators (resize arithmetic, frame sampling).
   *
   * Scale notes: payloads dominate row size, so partition sizing must follow
   * BYTES not row counts (`repartitionForDecode`); metadata-only transforms
@@ -64,6 +68,127 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL image decoder over the JDK's bundled `javax.imageio` codecs
+    * (PNG/JPEG/GIF/BMP — no external dependency, works headless). Features
+    * are the `dims`-bin normalized intensity histogram of the decoded
+    * pixels: a genuine decode → feature-extract path, deterministic for a
+    * lossless codec. An undecodable payload yields all-zero features (a
+    * histogram can never be all-zero for a decoded image, so the zero
+    * vector doubles as the "corrupt input" marker downstream gates drop).
+    */
+  final class ImageIoDecoder extends MediaDecoder {
+    override def decodeFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
+      val out = new Array[Float](dims)
+      decodeStats(payload) match {
+        case None => out
+        case Some(st) =>
+          // rebin the 256-wide histogram into dims buckets and normalize
+          var v = 0
+          val n = (st.width.toLong * st.height).toFloat
+          while (v < 256) {
+            out(v * dims / 256) += st.histogram(v) / n
+            v += 1
+          }
+          out
+      }
+    }
+
+    /** Decode and summarize one payload: dimensions, band count and the
+      * exact band-0 intensity histogram/sum. `None` for undecodable bytes.
+      */
+    def decodeStats(payload: Array[Byte]): Option[ImageStats] = {
+      if (payload == null || payload.isEmpty) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Int](256)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y) & 0xFF // blue band; gray images have r=g=b
+            hist(v) += 1
+            sum += v
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImageStats(w, h, img.getRaster.getNumBands, sum, hist))
+      }
+    }
+  }
+
+  final case class ImageStats(width: Int, height: Int, bands: Int,
+                              pxSum: Long, histogram: Array[Int])
+
+  /** Deterministic synthetic PNG for tests and the oracle-gated decode
+    * query: a (8 + id mod 9) × (8 + id mod 7) gray image whose pixel at
+    * (x, y) is ((31·id + 7·x + 13·y) mod 256) in every band. PNG is
+    * lossless, so decoding recovers exactly these values — the DuckDB
+    * oracle recomputes the same fill arithmetically and the comparison
+    * proves the codec path end-to-end.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((31 * id + 7 * x + 13 * y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode image payloads to dimension/band/intensity stats, one codec
+    * per partition (the same lifecycle as `decodeToFeatures` — ImageIO
+    * reader instances are not thread-safe across rows is a myth, but the
+    * per-partition shape is what a libjpeg-turbo binding needs, so the
+    * real codec goes through it too). Undecodable rows surface with
+    * decoded=false and null stats rather than failing the job: at 100 TB
+    * some payloads WILL be truncated, and a pipeline must quarantine
+    * them, not die.
+    *
+    * Input needs (media_id, payload); output is one row per input row:
+    * (media_id, decoded, width, height, channels, px_sum).
+    */
+  def decodeImageStats(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("channels", LongType, nullable = true),
+      StructField("px_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        val d = new ImageIoDecoder
+        graft.datastream.RichLifecycle.wrap(d.open(), d.close())(it.map { r =>
+          // positional access: upstream mapPartitions rows carry no schema
+          val payload = r.get(1).asInstanceOf[Array[Byte]]
+          d.decodeStats(payload) match {
+            case Some(st) => Row(r.getLong(0), true, st.width.toLong,
+              st.height.toLong, st.bands.toLong, st.pxSum)
+            case None => Row(r.getLong(0), false, null, null, null, null)
+          }
+        })
+      }(enc)
   }
 
   /** Decode payloads into feature vectors, one decoder per partition.

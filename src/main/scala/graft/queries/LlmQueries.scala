@@ -497,6 +497,41 @@ object LlmQueries {
         .select(col("doc_id"),
           length(col("payload")).cast("long").as("payload_bytes"),
           md5(col("payload")).as("payload_md5"))
+    }),
+
+    // REAL image decode through javax.imageio: every 10th document gets a
+    // deterministic synthetic PNG (gray fill (31·id + 7x + 13y) mod 256,
+    // dims 8+id%9 × 8+id%7 — see Multimodal.syntheticPng), which the
+    // per-partition ImageIoDecoder then decodes back to dimensions, band
+    // count and the exact pixel-intensity sum. PNG is lossless, so the
+    // oracle can recompute the identical stats ARITHMETICALLY over an
+    // unnested pixel grid — a hash match proves the encode→decode codec
+    // path, not just plumbing. Scale shape: encode+decode are one narrow
+    // mapPartitions pass each (no shuffle until the final row emit);
+    // payload bytes never leave the partition that synthesized them.
+    "q144_image_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = true)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withPng = ids.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, Multimodal.syntheticPng(id))
+        }
+      }(enc)
+      Multimodal.decodeImageStats(withPng)
+        .where(col("decoded")) // all synthetic PNGs must decode
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("channels"), col("px_sum"),
+          (col("px_sum").cast("double")
+            / (col("width") * col("height")).cast("double")).as("px_mean"))
     })
   )
 
@@ -1057,6 +1092,23 @@ object LlmQueries {
     // md5(VARCHAR) hashes the UTF-8 bytes = Spark's md5(CAST(text AS BINARY))
     "q54_binary_columns" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-         md5(text) AS payload_md5 FROM documents"""
+         md5(text) AS payload_md5 FROM documents""",
+    // arithmetic twin of the Spark side's PNG encode→decode round trip:
+    // the fill formula evaluated over an unnested x,y grid (w ≤ 16,
+    // h ≤ 14, so the constant 16×14 grid cross join filtered per-doc is
+    // exact and tiny)
+    "q144_image_decode" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents WHERE doc_id % 10 = 0),
+         xs AS (SELECT unnest(range(16)) AS x),
+         ys AS (SELECT unnest(range(14)) AS y),
+         px AS (SELECT d.doc_id, d.w, d.h,
+             (31 * d.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS v
+           FROM d, xs, ys WHERE xs.x < d.w AND ys.y < d.h)
+         SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(v) AS DOUBLE) / (w * h) AS px_mean
+         FROM px GROUP BY doc_id, w, h"""
   )
 }

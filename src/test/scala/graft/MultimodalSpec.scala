@@ -44,6 +44,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.forall(_.forall(v => v >= -1.0f && v <= 1.0f)))
   }
 
+  test("ImageIO decoder round-trips synthetic PNGs bit-exactly") {
+    val d = new Multimodal.ImageIoDecoder
+    for (id <- Seq(0L, 1L, 17L, 123456L)) {
+      val st = d.decodeStats(Multimodal.syntheticPng(id)).get
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      assert((st.width, st.height, st.bands) === ((w, h, 3)))
+      // the decoded pixel sum must equal the fill formula's sum — PNG is
+      // lossless, so any difference means the codec path corrupted data
+      val want = (for (x <- 0 until w; y <- 0 until h)
+        yield (31 * id + 7 * x + 13 * y) % 256).sum
+      assert(st.pxSum === want, s"pixel sum drift for id=$id")
+      assert(st.histogram.sum === w * h)
+    }
+  }
+
+  test("ImageIO decoder reads real JPEG bytes (lossy: dims survive)") {
+    val img = new java.awt.image.BufferedImage(
+      33, 21, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 33; y <- 0 until 21)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 12) << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JPEG writer present")
+    val st = (new Multimodal.ImageIoDecoder).decodeStats(bos.toByteArray).get
+    assert((st.width, st.height, st.bands) === ((33, 21, 3)))
+    assert(st.pxSum > 0)
+  }
+
+  test("undecodable payloads quarantine as decoded=false, never fail the job") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, "not an image at all".getBytes),
+      (3L, null: Array[Byte]),
+      (4L, Multimodal.syntheticPng(1L).take(10)), // truncated header
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeImageStats(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("ImageIO histogram features are a normalized distribution") {
+    val d = new Multimodal.ImageIoDecoder
+    d.open()
+    val f = d.decodeFeatures(Multimodal.syntheticPng(5L), dims = 16)
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-5, s"histogram mass ${f.sum}")
+    assert((new Multimodal.ImageIoDecoder).decodeFeatures(Array[Byte](1, 2), 16)
+      .forall(_ == 0.0f), "undecodable -> zero vector marker")
+  }
+
   test("metadata-only transform prunes the payload column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     mediaDf.write.mode("overwrite").parquet(s"$dir/media")
