@@ -1482,4 +1482,76 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("reliability e2e: 1M rows, injected faults + forced restart, exact count") {
+    // Analog of the reference's standard reliability run
+    // (FlinkDotnetStandardReliabilityTest.cs:745,748-756,999-1000: 10M
+    // msgs, ~5% fault injection, no-loss/exactly-once/retry invariants) at
+    // bench-appropriate local scale: 1M rows in 20 micro-batches, a
+    // deterministic transient fault on every 3rd batch (absorbed by sink
+    // retry), one batch that exhausts ALL attempts and kills the query
+    // (at-least-once replay territory), then a restart from the same
+    // checkpoint. Exactly-once must survive the whole ride: counter == N,
+    // committed batches never re-enter the sink, retry count > 0.
+    val dir = tmp("reliab")
+    val n = 1000000L
+    spark.range(n).repartition(20).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val counted = new AtomicLong(0)
+    val transients = new AtomicLong(0)
+    val hardFailed = new AtomicLong(0)
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, AtomicLong]()
+    @volatile var killRun = true
+    val ledger = new ExactlyOnce.BatchLedger(s"$dir/ledger")
+    val sink = new ExactlyOnce.TransactionalBatchSink {
+      def write(batch: DataFrame, batchId: Long): Unit = {
+        val att = attempts
+          .computeIfAbsent(batchId, _ => new AtomicLong(0)).incrementAndGet()
+        if (batchId % 3 == 2 && att == 1) { // ~5% of attempts, deterministic
+          transients.incrementAndGet()
+          sys.error(s"injected transient fault, batch $batchId")
+        }
+        if (batchId == 7 && killRun) { // survives every retry → query dies
+          hardFailed.incrementAndGet()
+          sys.error(s"injected hard fault, batch $batchId attempt $att")
+        }
+        counted.addAndGet(batch.count())
+      }
+    }
+    val fn = ExactlyOnce.foreachBatchIdempotent(sink, ledger,
+      ExactlyOnce.RetryPolicy(maxAttempts = 3, backoffMs = 1))
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(fn)
+        .start()
+      q.awaitTermination()
+    }
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    assert(died.getCause.getMessage.contains("injected hard fault"),
+      s"query must die on the exhausted-retries batch, died on: $died")
+    assert(hardFailed.get() === 3, "hard batch burned every retry attempt")
+    val committedBeforeRestart = attempts.keySet().size - 1 // all but batch 7
+    killRun = false
+    run() // restart from the same checkpoint: batch 7 replays with its id
+    assert(counted.get() === n,
+      "exact-count invariant across faults and restart (no loss, no dup)")
+    assert(transients.get() > 0, "fault injection exercised the retry path")
+    assert((0 until 20).forall(b => ledger.isCommitted(b.toLong)),
+      "every micro-batch committed exactly once in the ledger")
+    // committed batches never re-entered the sink after restart: their
+    // attempt counters are exactly (1 + the injected transient, if any)
+    attempts.forEach { (batchId, att) =>
+      val expected = (if (batchId % 3 == 2) 2 else 1) +
+        (if (batchId == 7) 3 else 0)
+      assert(att.get() === expected,
+        s"batch $batchId entered the sink ${att.get()} times, expected $expected")
+    }
+    assert(committedBeforeRestart >= 7, "the kill happened mid-run, not at the end")
+  }
 }
