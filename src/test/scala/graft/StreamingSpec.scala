@@ -1483,6 +1483,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream as-of join matches each left to the latest right within lookback") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val lIn = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+      def side(s: MemoryStream[(Long, java.sql.Timestamp, String)], isLeft: Boolean) =
+        s.toDS().toDF("k", "ts", "p")
+          .withWatermark("ts", "2 seconds") // per side, BEFORE the union:
+          .withColumn("isLeft", lit(isLeft)) // query wm = min of the two
+      val grouped = side(lIn, isLeft = true).unionByName(side(rIn, isLeft = false))
+        .select(col("k"), unix_millis(col("ts")).as("tsMs"), col("isLeft"), col("p"))
+        .as[(Long, Long, Boolean, String)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, t._4))
+      val joined = StreamingAsOf.asOfJoin(grouped, lookbackMs = 5000L)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String, Long, String)]
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-asof"))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[(Long, Long, String, Long, String)],
+           _: Long) => out ++= b.collect(); ()
+        }
+        .start()
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      lIn.addData((1L, ts(1000), "t10"), (1L, ts(3500), "t35"))
+      rIn.addData((1L, ts(1000), "q1"), (1L, ts(3000), "q3"))
+      q.processAllAvailable()
+      rIn.addData((1L, ts(9000), "q9")); lIn.addData((1L, ts(9500), "t95"))
+      q.processAllAvailable()
+      rIn.addData((1L, ts(25000), "q25"))
+      lIn.addData((1L, ts(20000), "t200"), (1L, ts(25000), "t250"))
+      q.processAllAvailable()
+      // tlate arrives already behind the watermark (23s): resolves
+      // immediately; its rts ≤ 8000 candidates are long evicted → no-match
+      lIn.addData((1L, ts(8000), "tlate"), (1L, ts(50000), "t500"))
+      rIn.addData((1L, ts(50000), "q50"))
+      q.processAllAvailable()
+      lIn.addData((1L, ts(60000), "tend")); rIn.addData((1L, ts(60000), "qend"))
+      q.processAllAvailable()
+      q.stop()
+      assert(out.toSet === Set(
+        (1L, 1000L, "t10", 1000L, "q1"),    // rts == lts matches (≤, not <)
+        (1L, 3500L, "t35", 3000L, "q3"),    // latest of q1/q3, not all in range
+        (1L, 9500L, "t95", 9000L, "q9"),
+        (1L, 20000L, "t200", -1L, null),    // only stale rights: explicit no-match
+        (1L, 8000L, "tlate", -1L, null),    // late left resolved, not dropped
+        (1L, 25000L, "t250", 25000L, "q25"),
+        (1L, 50000L, "t500", 50000L, "q50")),
+        // tend (60s) stays pending: its timer needs wm > 60s, never reached
+        s"as-of matches diverged: $out")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("reliability e2e: 1M rows, injected faults + forced restart, exact count") {
     // Analog of the reference's standard reliability run
     // (FlinkDotnetStandardReliabilityTest.cs:745,748-756,999-1000: 10M
