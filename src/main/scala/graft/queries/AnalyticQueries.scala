@@ -39,6 +39,27 @@ object AnalyticQueries {
       .select(col("u"), col("v"))
   }
 
+  /** q142's SCD2 dimension build, shared with the q145 PIT join: type-2
+    * version rows per customer from the order-priority changelog (change
+    * detection via null-safe lag compare; both windows partition by the
+    * dimension key, never global).
+    */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(byKey))
+      .filter(!(col("prev") <=> col("o_orderpriority"))) // IS DISTINCT FROM
+    changes
+      .withColumn("version", row_number().over(byKey).cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PIVOT with explicit values: long→wide reshaping in one hash agg.
     // Missing (source, lang) cells become 0 (na.fill) to match the
@@ -190,20 +211,24 @@ object AnalyticQueries {
     // dimension the as-of (q50) and range (q49) joins consume.
     // valid_to stays NTZ (both engines surface naive µs timestamps; the
     // open current version is NULL/NaT on both).
-    "q142_scd2_build" -> ((s, dir) => {
-      val byKey = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val changes = Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-          col("o_orderpriority"))
-        .withColumn("prev", lag(col("o_orderpriority"), 1).over(byKey))
-        .filter(!(col("prev") <=> col("o_orderpriority"))) // IS DISTINCT FROM
-      changes
-        .withColumn("version", row_number().over(byKey).cast("long"))
-        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey))
-        .select(col("o_custkey"), col("version"),
-          col("o_orderpriority").as("priority"),
-          col("o_orderdate").as("valid_from"), col("valid_to"))
+    "q142_scd2_build" -> ((s, dir) => scd2Dim(s, dir)),
+
+    // Point-in-time (PIT) join: every order enriched with the dimension
+    // version that was valid AT its date — the consumer side of q142's
+    // SCD2 build, and the batch twin of a temporal-table lookup. Scale
+    // shape: an equi-join on the dimension KEY plus a per-key interval
+    // filter; fan-out per fact row is the key's version count (bounded by
+    // its change history), never a time-bucket explosion — the version
+    // intervals partition the timeline, so exactly one survives per fact.
+    "q145_pit_join" -> ((s, dir) => {
+      val dim = scd2Dim(s, dir)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(dim, Seq("o_custkey"))
+        .where(col("o_orderdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+        .select(col("o_orderkey"), col("o_custkey"), col("version"),
+          col("priority").as("priority_at_order"))
     }),
 
     // naive form is a single-partition window over the whole ranked
@@ -912,6 +937,26 @@ object AnalyticQueries {
            lead(o_orderdate) OVER w AS valid_to
          FROM surv
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q145_pit_join" ->
+      """WITH ch AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         surv AS (SELECT * FROM ch
+           WHERE prev IS DISTINCT FROM o_orderpriority),
+         dim AS (SELECT o_custkey,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             o_orderpriority AS priority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w AS valid_to
+           FROM surv
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         SELECT f.o_orderkey, f.o_custkey, d.version,
+           d.priority AS priority_at_order
+         FROM orders f JOIN dim d ON f.o_custkey = d.o_custkey
+           AND f.o_orderdate >= d.valid_from
+           AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)""",
     "q138_pareto" ->
       """WITH cust AS (
            SELECT o_custkey,

@@ -509,6 +509,40 @@ object LlmQueries {
     // path, not just plumbing. Scale shape: encode+decode are one narrow
     // mapPartitions pass each (no shuffle until the final row emit);
     // payload bytes never leave the partition that synthesized them.
+    // SymSpell-style string-similarity join: candidate pairs are names
+    // whose 1-token-DELETION neighborhoods intersect (covers word-level
+    // insert/delete distance ≤ 1 and same-position substitution), scored
+    // with exact character Levenshtein. The deletion-neighborhood join is
+    // the scale face of edit-distance matching: each distinct name emits
+    // t+1 keys (t = tokens), the join is a plain equi-join on the variant
+    // key, and candidate volume is Σ bucket² over variant buckets — the
+    // same boundedness argument as the LSH band joins (add the LshGuard
+    // star-cap if a variant goes degenerate-hot). Names dedupe to their
+    // distinct table FIRST (64 names / 2000 parts here), so the quadratic
+    // term never sees row counts, only vocabulary.
+    "q146_symspell_join" -> ((s, dir) => {
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      val toks = names.withColumn("toks", split(col("p_name"), " "))
+      val variants = toks.select(col("p_name"), col("n"),
+        explode(array_distinct(concat(
+          array(col("p_name")),
+          transform(sequence(lit(0), size(col("toks")) - 1), i =>
+            array_join(concat(
+              slice(col("toks"), lit(1), i),
+              slice(col("toks"), i + lit(2), size(col("toks")))), " ")))))
+          .as("variant"))
+      variants.as("a")
+        .join(variants.as("b"),
+          col("a.variant") === col("b.variant") &&
+            col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .distinct()
+        .withColumn("lev",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+    }),
+
     "q144_image_decode" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val ids = Tables.documents(s, dir)
@@ -1097,6 +1131,27 @@ object LlmQueries {
     // the fill formula evaluated over an unnested x,y grid (w ≤ 16,
     // h ≤ 14, so the constant 16×14 grid cross join filtered per-doc is
     // exact and tiny)
+    // deletion-neighborhood twin: DuckDB 1-based inclusive list slices
+    // toks[:i-1] || toks[i+1:] delete token i; UNION folds the self key in
+    "q146_symspell_join" ->
+      """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
+           FROM part GROUP BY 1),
+         t AS (SELECT p_name, n, string_split(p_name, ' ') AS toks FROM names),
+         v AS (
+           SELECT p_name, n, p_name AS variant FROM t
+           UNION
+           SELECT p_name, n,
+             array_to_string(toks[:g.i-1] || toks[g.i+1:], ' ') AS variant
+           FROM t, (SELECT unnest(range(1, 11)) AS i) g
+           WHERE g.i <= len(toks)),
+         pairs AS (
+           SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+             a.n AS n_a, b.n AS n_b
+           FROM v a JOIN v b
+             ON a.variant = b.variant AND a.p_name < b.p_name)
+         SELECT name_a, name_b, n_a, n_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+         FROM pairs""",
     "q144_image_decode" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
            FROM documents WHERE doc_id % 10 = 0),
