@@ -220,6 +220,79 @@ object AnalyticQueries {
     // filter; fan-out per fact row is the key's version count (bounded by
     // its change history), never a time-bucket explosion — the version
     // intervals partition the timeline, so exactly one survives per fact.
+    // Iterative frontier BFS (multi-hop reachability): min co-purchase
+    // distance from the smallest part over the order–part bipartite
+    // graph, 3 rounds. The missing iterative shape next to PageRank
+    // (fixed-point scoring) and connected components (label collapse):
+    // per round, the frontier expands through TWO co-keyed equi-joins
+    // (part→order, order→part), dedups, and anti-joins the reached set —
+    // every shuffle is keyed, the driver holds only the loop counter and
+    // one seed scalar, and state per round is the reached table (≤ |V|).
+    // The oracle is DuckDB's WITH RECURSIVE walk with min-hop fold.
+    "q147_bfs_reach" -> ((s, dir) => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().persist(lvl)
+      val seed = edges.agg(min(col("p"))).head().getLong(0)
+      var reached = Seq((seed, 0L)).toDF("p", "hops").persist(lvl)
+      var frontier = reached.select(col("p"))
+      for (h <- 1 to 3) {
+        val next = frontier.join(edges, "p").select(col("o")).distinct()
+          .join(edges, "o").select(col("p")).distinct()
+          .join(reached, Seq("p"), "left_anti")
+          .withColumn("hops", lit(h.toLong))
+          .persist(lvl)
+        reached = reached.union(next).persist(lvl)
+        frontier = next.select(col("p"))
+      }
+      reached.select(col("p").as("p_partkey"), col("hops"))
+    }),
+
+    // Skyline (Pareto frontier, minimize price AND size): the dominance
+    // operator q138's 80/20 ranking is not. 2D lets the classic two-phase
+    // skyline collapse further: one hash agg reduces the corpus to the
+    // per-size min price (≤ |size domain| rows — any same-size pricier
+    // point is dominated), then a single bounded task keeps the strictly
+    // descending price frontier in size order. The corpus is touched by
+    // exactly one keyed aggregate; nothing global ever sees raw rows.
+    "q148_skyline" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("price"))
+        .select(col("p_size").cast("long").as("size"), col("price"))
+        .coalesce(1).sortWithinPartitions("size")
+        .as[(Long, Double)]
+        .mapPartitions { it =>
+          var best = Double.MaxValue
+          it.flatMap { case (sz, pr) =>
+            if (pr < best) { best = pr; Iterator.single((sz, pr)) }
+            else Iterator.empty
+          }
+        }.toDF("size", "price")
+    }),
+
+    // Exact distinct via chunked bitmaps — the dense-ID alternative to
+    // HLL (q52 approximate) and plain count_distinct (q10 re-shuffles
+    // raw ids): ids fold into 64-bit words keyed by (group, id div 64),
+    // so the first aggregate is map-side combinable down to 8 bytes per
+    // 64 ids and the second just sums popcounts. Mergeable like a
+    // roaring bitmap index; both aggs are hash aggs, nothing sorts.
+    "q149_bitmap_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("user_id div 64").as("chunk"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))")
+            .as("bit"))
+        .groupBy(col("event_type"), col("chunk"))
+        .agg(expr("bit_or(bit)").as("bitmap"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(bitmap)")).cast("long").as("n_users"),
+          count(lit(1)).as("n_chunks"))
+    }),
+
     "q145_pit_join" -> ((s, dir) => {
       val dim = scd2Dim(s, dir)
       Tables.orders(s, dir)
@@ -937,6 +1010,31 @@ object AnalyticQueries {
            lead(o_orderdate) OVER w AS valid_to
          FROM surv
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q147_bfs_reach" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         walk(p, hops) AS (
+           SELECT (SELECT min(p) FROM e) AS p, CAST(0 AS BIGINT) AS hops
+           UNION
+           SELECT e2.p, walk.hops + 1
+           FROM walk
+           JOIN e e1 ON e1.p = walk.p
+           JOIN e e2 ON e2.o = e1.o
+           WHERE walk.hops < 3)
+         SELECT p AS p_partkey, CAST(min(hops) AS BIGINT) AS hops
+         FROM walk GROUP BY p""",
+    "q148_skyline" ->
+      """WITH m AS (SELECT p_size AS size, min(p_retailprice) AS price
+           FROM part GROUP BY 1)
+         SELECT CAST(size AS BIGINT) AS size, price
+         FROM m a
+         WHERE NOT EXISTS (SELECT 1 FROM m b
+           WHERE b.size < a.size AND b.price <= a.price)""",
+    "q149_bitmap_distinct" ->
+      """SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_chunks
+         FROM events GROUP BY event_type""",
     "q145_pit_join" ->
       """WITH ch AS (
            SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
