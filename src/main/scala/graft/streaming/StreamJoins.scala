@@ -15,15 +15,23 @@ object StreamJoins {
   /** Interval join: left ⋈ right on `key` where
     * right.ts ∈ [left.ts − lowerMs, left.ts + upperMs].
     * Both inputs MUST carry watermarks (use WatermarkStrategy.assign).
+    *
+    * `joinType` extends the matrix to the outer faces ("leftOuter",
+    * "rightOuter", "fullOuter"): an unmatched row emits with nulls once
+    * the watermark proves no in-range partner can still arrive — i.e.
+    * when its join state expires, which is exactly the time-range bound.
+    * Spark requires the range condition on BOTH outer sides' event-time
+    * columns for that proof; this condition form satisfies it.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    keyCol: String, leftTs: String, rightTs: String,
-                   lowerMs: Long, upperMs: Long): DataFrame = {
+                   lowerMs: Long, upperMs: Long,
+                   joinType: String = "inner"): DataFrame = {
     val cond =
       left(keyCol) === right(keyCol) &&
         right(rightTs) >= left(leftTs) - expr(s"INTERVAL $lowerMs MILLISECONDS") &&
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $upperMs MILLISECONDS")
-    left.join(right, cond).drop(right(keyCol))
+    left.join(right, cond, joinType).drop(right(keyCol))
   }
 
   /** BATCH interval join in equi-join shape: right.ts ∈ [left.ts,

@@ -794,6 +794,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((1L, 10000L, 15000L)))
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched lefts after expiry") {
+    val impressions = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val wm = WatermarkStrategy.forBoundedOutOfOrderness(graft.windowing.Time.seconds(5))
+    val l = wm.assign(impressions.toDS().toDF("ad_id", "imp_ts"), "imp_ts")
+    val r = wm.assign(clicks.toDS().toDF("click_ad", "click_ts"), "click_ts")
+      .withColumnRenamed("click_ad", "ad_id")
+    val joined = StreamJoins.intervalJoin(l, r,
+      keyCol = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
+      lowerMs = 0, upperMs = 10000, joinType = "leftOuter")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Any)]
+    val q = joined
+      .selectExpr("ad_id", "unix_millis(imp_ts) AS i", "unix_millis(click_ts) AS c")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-louter"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))); ()
+      }
+      .start()
+    impressions.addData((1L, ts(10)), (2L, ts(20)))
+    clicks.addData((1L, ts(15)))
+    q.processAllAvailable()
+    // the matched pair may emit now; imp 2 must NOT emit a null row yet —
+    // a click at up to ts(30) could still match it
+    assert(!rows.exists(t => t._1 == 2L),
+      s"unmatched left emitted before its window provably closed: $rows")
+    // watermark far past imp@20's upper bound (20+10s) + delay: state for
+    // imp 2 expires with no partner -> null-padded row appears
+    impressions.addData((9L, ts(100))); clicks.addData((9L, ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.toSet === Set[(Long, Long, Any)](
+      (1L, 10000L, 15000L), (2L, 20000L, null)),
+      "exactly one match and one expiry-emitted unmatched left")
+  }
+
   test("salted join spreads hot keys and preserves join results") {
     import org.apache.spark.sql.functions.{col => c}
     val big = spark.range(0, 10000).selectExpr("CAST(id % 3 AS LONG) AS k", "id AS payload")
