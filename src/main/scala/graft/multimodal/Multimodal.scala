@@ -191,6 +191,94 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL audio decode over the JDK's bundled `javax.sound.sampled` WAV
+    * codec (RIFF/PCM — zero dependencies, headless-safe): format header
+    * (sample rate, channels, bit depth) plus exact 16-bit-sample
+    * amplitude sum. The audio twin of [[ImageIoDecoder]]; undecodable
+    * payloads return None for the same quarantine contract.
+    */
+  final class WavDecoder extends Serializable {
+    def decodeStats(payload: Array[Byte]): Option[AudioStats] = {
+      if (payload == null || payload.isEmpty) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16) return None // 16-bit PCM contract
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0L
+          var n = 0L
+          while (bb.remaining() >= 2) { sum += bb.getShort; n += 1 }
+          Some(AudioStats(math.round(f.getSampleRate).toInt, f.getChannels,
+            n, sum))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+  }
+
+  final case class AudioStats(sampleRate: Int, channels: Int,
+                              nSamples: Long, ampSum: Long)
+
+  /** Deterministic synthetic mono 16-bit PCM WAV: (64 + id mod 97)
+    * samples at (8000 + 100·(id mod 5)) Hz, sample i =
+    * ((31·id + 7·i) mod 4096) − 2048. PCM is lossless, so the decoder
+    * recovers exactly these values and the DuckDB oracle recomputes the
+    * amplitude sum arithmetically — the q144 pattern for audio.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 97).toInt
+    val rate = (8000 + 100 * (id % 5)).toFloat
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((31 * id + 7 * i) % 4096) - 2048).toShort)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode WAV payloads to format/amplitude stats, one decoder per
+    * partition; undecodable rows quarantine as decoded=false (see
+    * [[decodeImageStats]] — same contract, audio face).
+    * Input needs (media_id, payload); output one row per input row.
+    */
+  def decodeAudioStats(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("channels", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("amp_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        val d = new WavDecoder
+        it.map { r =>
+          val payload = r.get(1).asInstanceOf[Array[Byte]]
+          d.decodeStats(payload) match {
+            case Some(st) => Row(r.getLong(0), true, st.sampleRate.toLong,
+              st.channels.toLong, st.nSamples, st.ampSum)
+            case None => Row(r.getLong(0), false, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Decode payloads into feature vectors, one decoder per partition.
     * Output: (media_id, kind, features array<float>).
     */

@@ -543,6 +543,39 @@ object LlmQueries {
           levenshtein(col("name_a"), col("name_b")).cast("long"))
     }),
 
+    // REAL audio decode through javax.sound.sampled — the audio twin of
+    // q144: every 10th document gets a deterministic synthetic mono
+    // 16-bit PCM WAV (sample i = (31·id + 7·i) mod 4096 − 2048, length
+    // 64 + id%97, rate 8000 + 100·(id%5)), decoded back to format header
+    // + exact amplitude sum. PCM is lossless → the DuckDB oracle
+    // recomputes the identical stats arithmetically; a hash match
+    // certifies the RIFF/PCM codec path. Same narrow two-mapPartitions
+    // shape as q144; payloads never leave their partition.
+    "q150_audio_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = true)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val withWav = ids.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id, Multimodal.syntheticWav(id))
+        }
+      }(enc)
+      Multimodal.decodeAudioStats(withWav)
+        .where(col("decoded")) // all synthetic WAVs must decode
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("amp_sum"),
+          (col("amp_sum").cast("double") / col("n_samples").cast("double"))
+            .as("amp_mean"))
+    }),
+
     "q144_image_decode" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val ids = Tables.documents(s, dir)
@@ -1152,6 +1185,20 @@ object LlmQueries {
          SELECT name_a, name_b, n_a, n_b,
            CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
          FROM pairs""",
+    // arithmetic twin of the WAV encode→decode round trip (q144 pattern)
+    "q150_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n,
+             8000 + 100 * (doc_id % 5) AS rate
+           FROM documents WHERE doc_id % 10 = 0),
+         idx AS (SELECT unnest(range(160)) AS i),
+         smp AS (SELECT d.doc_id, d.n, d.rate,
+             ((31 * d.doc_id + 7 * idx.i) % 4096) - 2048 AS v
+           FROM d, idx WHERE idx.i < d.n)
+         SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS amp_sum,
+           CAST(sum(v) AS DOUBLE) / n AS amp_mean
+         FROM smp GROUP BY doc_id, n, rate""",
     "q144_image_decode" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
            FROM documents WHERE doc_id % 10 = 0),

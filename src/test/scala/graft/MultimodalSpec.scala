@@ -94,6 +94,34 @@ class MultimodalSpec extends AnyFunSuite {
       .forall(_ == 0.0f), "undecodable -> zero vector marker")
   }
 
+  test("WAV decoder round-trips synthetic PCM bit-exactly") {
+    val d = new Multimodal.WavDecoder
+    for (id <- Seq(0L, 3L, 42L, 98765L)) {
+      val st = d.decodeStats(Multimodal.syntheticWav(id)).get
+      val n = (64 + id % 97).toInt
+      assert(st.sampleRate === (8000 + 100 * (id % 5)).toInt)
+      assert(st.channels === 1)
+      assert(st.nSamples === n.toLong)
+      val want = (0 until n).map(i => ((31 * id + 7 * i) % 4096) - 2048).sum
+      assert(st.ampSum === want, s"amplitude sum drift for id=$id")
+    }
+  }
+
+  test("WAV decoder quarantines garbage and non-PCM payloads") {
+    val d = new Multimodal.WavDecoder
+    assert(d.decodeStats("definitely not RIFF".getBytes) === None)
+    assert(d.decodeStats(null) === None)
+    assert(d.decodeStats(Multimodal.syntheticWav(7L).take(20)) === None)
+    // an image payload is not audio — wrong-codec bytes must not decode
+    assert(d.decodeStats(Multimodal.syntheticPng(7L)) === None)
+    import spark.implicits._
+    val df = Seq((1L, Multimodal.syntheticWav(1L)), (2L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioStats(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> false))
+  }
+
   test("metadata-only transform prunes the payload column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     mediaDf.write.mode("overwrite").parquet(s"$dir/media")
