@@ -128,6 +128,36 @@ object Multimodal {
   final case class ImageStats(width: Int, height: Int, bands: Int,
                               pxSum: Long, histogram: Array[Int])
 
+  /** REAL pixel resize (decode → scale → re-encode PNG): longest edge to
+    * `maxEdge`, aspect preserved, never upscaled — the executable twin of
+    * the [[resizedDims]] metadata arithmetic (the spec asserts the
+    * decoded output dims equal exactly what resizedDims planned).
+    * Bilinear interpolation via Graphics2D; None for undecodable input
+    * (same quarantine contract as the stats paths).
+    */
+  def resizeImage(payload: Array[Byte], maxEdge: Int): Option[Array[Byte]] = {
+    require(maxEdge > 0)
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val scale = math.min(1.0, maxEdge.toDouble / math.max(img.getWidth, img.getHeight))
+    val (w, h) = (math.round(img.getWidth * scale).toInt.max(1),
+      math.round(img.getHeight * scale).toInt.max(1))
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    Some(bos.toByteArray)
+  }
+
   /** Deterministic synthetic PNG for tests and the oracle-gated decode
     * query: a (8 + id mod 9) × (8 + id mod 7) gray image whose pixel at
     * (x, y) is ((31·id + 7·x + 13·y) mod 256) in every band. PNG is

@@ -131,6 +131,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
   }
 
+  test("real pixel resize produces the dims the resize arithmetic planned") {
+    val d = new Multimodal.ImageIoDecoder
+    // a 40×28 synthetic source (id chosen for distinct w/h)... build one
+    // directly for exact control of the aspect
+    val src = new java.awt.image.BufferedImage(
+      40, 28, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 40; y <- 0 until 28)
+      src.setRGB(x, y, ((x * 6) << 16) | ((y * 9) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val resized = Multimodal.resizeImage(bos.toByteArray, maxEdge = 10).get
+    val st = d.decodeStats(resized).get
+    // resizedDims plans round(40·10/40)=10 × round(28·0.25)=7
+    assert((st.width, st.height) === ((10, 7)))
+    // never upscale: a small image passes through at original dims
+    val same = Multimodal.resizeImage(Multimodal.syntheticPng(4L), maxEdge = 256).get
+    val st2 = d.decodeStats(same).get
+    assert((st2.width, st2.height) === ((12, 12))) // 8+4%9=12, 8+4%7=12
+    assert(Multimodal.resizeImage("garbage".getBytes, 10) === None)
+  }
+
   test("resize arithmetic preserves aspect and never upscales") {
     val out = mediaDf.where(col("kind") === "image")
       .select(col("media_id"),
