@@ -77,6 +77,40 @@ object RelationalQueries {
         .agg(sumDecFast(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
+    // TPC-H Q5 analog ("local supplier volume"): the 6-way star join the
+    // optimizer showcase queries are built around — lineitem⋈orders is
+    // the ONE fact-fact shuffle (co-keyed on orderkey); customer,
+    // supplier, nation and region are dims that broadcast, and the
+    // c_nationkey = s_nationkey equality rides the supplier broadcast as
+    // a post-join filter. Date filter pushes to the orders scan; revenue
+    // sums in exact decimal (Money.sum38 — order-independent at any
+    // parallelism).
+    "q151_local_supplier" -> ((s, dir) => {
+      val nations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("rev"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum38(col("rev"), 4).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     // Broadcast hash join: part is a dim → no shuffle of lineitem at all.
     "q05_join_broadcast" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -304,6 +338,19 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    "q151_local_supplier" ->
+      """SELECT n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1998-01-01'
+         GROUP BY n_name""",
     "q05_join_broadcast" ->
       """SELECT p_brand, sum(CAST(l_extendedprice AS DECIMAL(14,2))
            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
