@@ -322,4 +322,49 @@ class AnalyticSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("skyline output is exactly the non-dominated set (brute force)") {
+    val pts = graft.core.Tables.part(spark, sfDir)
+      .select(col("p_size").cast("long"), col("p_retailprice"))
+      .distinct().collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val dominated = (a: (Long, Double)) => pts.exists(b =>
+      b != a && b._1 <= a._1 && b._2 <= a._2 && (b._1 < a._1 || b._2 < a._2))
+    val expect = pts.filterNot(dominated).toSet
+    val got = AnalyticQueries.queries("q148_skyline")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === expect,
+      s"skyline diverged: extra=${got -- expect} missing=${expect -- got}")
+  }
+
+  test("bitmap distinct equals exact count_distinct per group") {
+    val exact = graft.core.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = AnalyticQueries.queries("q149_bitmap_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(got === exact, "chunked-bitmap popcounts must be EXACT, not approximate")
+  }
+
+  test("BFS hop counts match a driver-side reference BFS") {
+    val edges = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = edges.groupBy(_._1).map { case (o, es) => o -> es.map(_._2).toSet }
+    val byPart = edges.groupBy(_._2).map { case (p, es) => p -> es.map(_._1).toSet }
+    val seed = edges.map(_._2).min
+    var hops = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(byPart.getOrElse(_, Set.empty))
+        .flatMap(byOrder.getOrElse(_, Set.empty)) -- hops.keySet
+      hops ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = AnalyticQueries.queries("q147_bfs_reach")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === hops,
+      s"min-hop sets diverged: extra=${got.keySet -- hops.keySet} " +
+        s"missing=${hops.keySet -- got.keySet}")
+  }
 }

@@ -810,4 +810,28 @@ class LlmSpec extends AnyFunSuite {
       "prefix-filter theorem: no qualifying pair may be lost, none added")
     assert(full.nonEmpty, "fixture must actually contain near-dup pairs")
   }
+
+  test("symspell join equals brute-force deletion-neighborhood intersection") {
+    // independent reference: materialize each distinct name's
+    // {self + 1-token deletions} set and intersect all pairs directly —
+    // a different code path from the variant equi-join
+    val names = graft.core.Tables.part(spark, TestSession.sfDir)
+      .select(org.apache.spark.sql.functions.col("p_name"))
+      .distinct().collect().map(_.getString(0))
+    def hood(s: String): Set[String] = {
+      val t = s.split(" ").toVector
+      Set(s) ++ t.indices.map(i => (t.take(i) ++ t.drop(i + 1)).mkString(" "))
+    }
+    val hoods = names.map(n => n -> hood(n)).toMap
+    val expect = (for {
+      a <- names; b <- names
+      if a < b && (hoods(a) & hoods(b)).nonEmpty
+    } yield (a, b)).toSet
+    val got = graft.queries.LlmQueries.queries("q146_symspell_join")(
+      spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expect,
+      s"candidate pairs diverged: extra=${got -- expect} missing=${expect -- got}")
+    assert(expect.nonEmpty, "fixture vocabulary must contain near names")
+  }
 }
