@@ -293,53 +293,6 @@ object AnalyticQueries {
           count(lit(1)).as("n_chunks"))
     }),
 
-    // PIVOT (wide cross-tab): revenue matrix priority × status. The pivot
-    // VALUES are declared literally, so this is one hash aggregate with
-    // conditional sums — no extra job to discover columns, no shuffle
-    // beyond the groupBy. (q97 is the inverse UNPIVOT.) Money sums stay
-    // exact-decimal; Verify casts to double at the dump boundary.
-    "q152_pivot" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .groupBy(col("o_orderpriority"))
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(dec(col("o_totalprice"))))
-        .select(col("o_orderpriority"),
-          col("F").cast("decimal(38,2)").as("rev_f"),
-          col("O").cast("decimal(38,2)").as("rev_o"),
-          col("P").cast("decimal(38,2)").as("rev_p"))
-    }),
-
-    // Time-series gap fill + LOCF: each user's daily close, with missing
-    // days inside the user's [first, last] activity span materialized via
-    // sequence/explode and filled by last-observation-carried-forward.
-    // Scale shape: the daily close is one hash agg (max(struct) picks the
-    // last event per day — no per-day sort window); the day spine is a
-    // per-key bounded explode (span days, not corpus rows); LOCF is a
-    // window partitioned BY USER — never global. The standard
-    // market-data/feature-store densification operator.
-    "q153_gap_fill" -> ((s, dir) => {
-      // integer `div`, not `/`: Column./ is double division and drifts on
-      // 16-digit micros
-      val day = expr("unix_micros(ts) div 86400000000")
-      val daily = Tables.events(s, dir)
-        .select(col("user_id"), day.as("day"),
-          struct(unix_micros(col("ts")).as("us"), col("event_id"),
-            col("value")).as("ev"))
-        .groupBy(col("user_id"), col("day"))
-        .agg(max(col("ev")).as("last_ev"))
-        .select(col("user_id"), col("day"), col("last_ev.value").as("close"))
-      val spine = daily.groupBy(col("user_id"))
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(col("user_id"),
-          explode(sequence(col("d0"), col("d1"))).as("day"))
-      val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(daily, Seq("user_id", "day"), "left")
-        .select(col("user_id"), col("day"),
-          last(col("close"), ignoreNulls = true).over(locf).as("close"),
-          when(col("close").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"))
-    }),
-
     "q145_pit_join" -> ((s, dir) => {
       val dim = scd2Dim(s, dir)
       Tables.orders(s, dir)
@@ -1082,38 +1035,6 @@ object AnalyticQueries {
          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_chunks
          FROM events GROUP BY event_type""",
-    "q152_pivot" ->
-      """SELECT o_orderpriority,
-         CAST(sum(CASE WHEN o_orderstatus = 'F'
-           THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(38,2)) AS rev_f,
-         CAST(sum(CASE WHEN o_orderstatus = 'O'
-           THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(38,2)) AS rev_o,
-         CAST(sum(CASE WHEN o_orderstatus = 'P'
-           THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(38,2)) AS rev_p
-         FROM orders GROUP BY o_orderpriority""",
-    // daily close = last event per (user, day) by (us, event_id) — the
-    // same winner as Spark's max(struct); LOCF via IGNORE NULLS window
-    "q153_gap_fill" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
-             epoch_us(ts) // 86400000000 AS day FROM events),
-         daily AS (
-           SELECT user_id, day, value AS close FROM (
-             SELECT user_id, day, value,
-               row_number() OVER (PARTITION BY user_id, day
-                 ORDER BY us DESC, event_id DESC) AS rn
-             FROM e) WHERE rn = 1),
-         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
-           FROM daily GROUP BY 1),
-         spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
-           FROM span),
-         j AS (SELECT s.user_id, s.day, d.close
-           FROM spine s LEFT JOIN daily d USING (user_id, day))
-         SELECT user_id, day,
-           last_value(close IGNORE NULLS) OVER (PARTITION BY user_id
-             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS close,
-           CAST(CASE WHEN close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
-         FROM j""",
     "q145_pit_join" ->
       """WITH ch AS (
            SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
