@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Money.dec
+
+/** Round-6 widening: the operational-analytics shapes still missing after
+  * the 151-query gate — the two classic TPC-H decision-support patterns
+  * the suite lacked (aggregate-filtered fact re-join, chained
+  * EXISTS/NOT-EXISTS on one fact table), temporal interval-overlap
+  * aggregation, product growth accounting, grid-bucketed spatial radius
+  * join, a categorical independence test, and ordered exponential
+  * smoothing. Every query carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - q152/q153 touch the fact table with keyed shuffles only; dims ride
+  *    broadcasts;
+  *  - q154's fan-out is bounded by interval SPAN (session-minutes), never
+  *    corpus rows — the sweep-line (+1/−1 prefix-sum) form is the fallback
+  *    when intervals are long relative to the bin;
+  *  - q156 replicates only the SMALL side ×9 (neighbor cells); each big-
+  *    side row probes exactly one cell — the standard spatial bucketing
+  *    that turns an O(n·m) distance scan into per-cell joins;
+  *  - q157 reduces the corpus to |priority|×|status| cells in one hash
+  *    aggregate; all float math happens per cell AFTER exact integer
+  *    counting, so results are order-independent;
+  *  - q158's per-key fold is bit-deterministic: both engines fold the
+  *    same (ts, event_id)-sorted list left-to-right with the same IEEE
+  *    ops, so doubles match exactly at any parallelism.
+  */
+object OperationalQueries {
+
+  private val dayUs = 86400000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q18 shape (large-volume orders): aggregate the fact table,
+    // filter ON the aggregate, then join the survivors back to the fact's
+    // parents. The scale story is the order of operations — the groupBy
+    // reduces 100 TB of lineitem to one row per order BEFORE any join, the
+    // HAVING prunes that to the rare heavy tail, and only then do orders
+    // and the customer dim (broadcast) attach. Quantity sums stay exact
+    // decimal; the output re-enters the double domain on both engines.
+    "q152_big_orders" -> ((s, dir) => {
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .filter(col("qty") > lit(200))
+      Tables.orders(s, dir)
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("qty").cast("double").as("qty"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the chained
+    // EXISTS / NOT-EXISTS correlated pattern on a single fact table —
+    // a supplier is "lone-late" on an order iff its line shipped >150
+    // days after the order date, ANOTHER supplier participated, and NO
+    // other supplier was late. Both correlations compile to keyed
+    // semi/anti self-joins on l_orderkey (no correlated per-row subquery
+    // execution); the participation and late sets are deduped once and
+    // reused, and the supplier dim broadcasts onto the final counts.
+    "q153_lone_late_supplier" -> ((s, dir) => {
+      val part = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val late = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 150 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val hasOther = late.alias("lt").join(part.alias("p"),
+        col("lt.l_orderkey") === col("p.l_orderkey") &&
+          col("lt.l_suppkey") =!= col("p.l_suppkey"), "left_semi")
+      val lone = hasOther.alias("lt").join(late.alias("o2"),
+        col("lt.l_orderkey") === col("o2.l_orderkey") &&
+          col("lt.l_suppkey") =!= col("o2.l_suppkey"), "left_anti")
+      lone.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+    }),
+
+    // Temporal interval-overlap aggregation: how many sessions (and
+    // distinct users) were concurrently active in each minute. Sessions
+    // come from the q107 gap rule (30 min); each session then lands on
+    // the minutes it SPANS via a bounded sequence/explode — fan-out is
+    // session-minutes, a property of the data (span/bin ratio), not of
+    // corpus size — and one hash aggregate per minute counts overlap.
+    // For long intervals over fine bins the sweep-line form (+1/−1 at
+    // the endpoints + q138's distributed prefix sum) replaces the
+    // explode; at session/minute granularity the explode is smaller.
+    "q154_interval_overlap" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000 * 1000
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("newb",
+          when(lag(col("us"), 1).over(ord).isNull
+            .or(col("us") - lag(col("us"), 1).over(ord) > gapUs), lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("sid", sum(col("newb")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s0"), max(col("us")).as("s1"))
+      sess
+        .select(col("user_id"),
+          explode(sequence(expr("s0 div 60000000"), expr("s1 div 60000000")))
+            .as("minute"))
+        .groupBy(col("minute"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Growth accounting (the standard DAU bridge): every active
+    // (user, day) classifies as new (first day ever), retained (also
+    // active the previous day), or resurrected (returning after a gap);
+    // a user churns on the day AFTER their last consecutive active day.
+    // One distinct shuffle builds user-days, lag/lead windows partition
+    // BY USER (never global), and the day-level bridge is a tiny
+    // aggregate. The identity new+retained+resurrected = DAU holds row
+    // by row; churned rows may land one day past the corpus (a user's
+    // final churn), which both engines emit identically.
+    "q155_growth_accounting" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        // integer `div`, not Column./ (double division drifts on 16-digit µs)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val cls = ud
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("nxt", lead(col("day"), 1).over(w))
+      val states = cls.groupBy(col("day")).agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+      val churn = cls
+        .filter(col("nxt").isNull || col("nxt") > col("day") + 1)
+        .select((col("day") + 1).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+      states.join(churn, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    }),
+
+    // Grid-bucketed spatial radius join: customers and suppliers land on
+    // a 10,000² integer plane (deterministic LCG projection of their
+    // keys — exact on both engines, no libm), suppliers replicate to
+    // their 3×3 neighbor cells (small side only, ×9), and each customer
+    // probes exactly ONE cell — the bucketing that turns an O(n·m)
+    // distance scan into per-cell equi-joins. Distances stay squared
+    // integers (no sqrt, no float): the R=1000 radius check and the
+    // nearest-supplier min are exact. The oracle is the direct
+    // distance-filtered cross form — the grid must not change answers.
+    "q156_grid_radius_join" -> ((s, dir) => {
+      val r = 1000L
+      val cust = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 48271L % 10000L).as("x"),
+        (col("c_custkey") * 69621L % 10000L).as("y"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"),
+        ((col("s_suppkey") * 48271L + 7L) % 10000L).as("sx"),
+        ((col("s_suppkey") * 69621L + 11L) % 10000L).as("sy"))
+      val suppCells = supp
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          (expr(s"sx div $r") + col("dx")).as("cx"),
+          (expr(s"sy div $r") + col("dy")).as("cy"))
+        .filter(col("cx") >= 0 && col("cx") < 10 && col("cy") >= 0 && col("cy") < 10)
+      val d2 = (col("x") - col("sx")) * (col("x") - col("sx")) +
+        (col("y") - col("sy")) * (col("y") - col("sy"))
+      cust
+        .withColumn("cx", expr(s"x div $r"))
+        .withColumn("cy", expr(s"y div $r"))
+        .join(broadcast(suppCells), Seq("cx", "cy"))
+        .filter(d2 <= lit(r * r))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_near"), min(d2).as("min_d2"))
+    }),
+
+    // Chi-square test of independence (priority × status): ONE hash
+    // aggregate reduces the corpus to the contingency cells; row totals,
+    // column totals, and the grand total are aggregates OF THE CELLS
+    // (never a second corpus pass) and broadcast back. Expected counts
+    // and contributions are per-cell doubles computed from exact integer
+    // products with the identical expression on both engines — no
+    // cross-cell float sum, so no order sensitivity. (The statistic is
+    // the sum of `contrib`; consumers fold the 15 cells however they
+    // like — the per-cell form is what the driver can hash.)
+    "q157_chi_square" -> ((s, dir) => {
+      val obs = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_obs"))
+      val rowT = obs.groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_obs")).as("rt"))
+      val colT = obs.groupBy(col("o_orderstatus"))
+        .agg(sum(col("n_obs")).as("ct"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+      obs
+        .join(broadcast(rowT), Seq("o_orderpriority"))
+        .join(broadcast(colT), Seq("o_orderstatus"))
+        .crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("n_obs"),
+          e.as("expected"),
+          ((col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e)
+            .as("contrib"))
+    }),
+
+    // Exponential smoothing (EWMA, α=0.2) of each user's value series —
+    // the ordered-fold operator: both engines sort the user's events by
+    // (ts, event_id), seed with the first value, and fold
+    // acc ← 0.2·x + 0.8·acc left-to-right. Because the op sequence is
+    // identical IEEE double math in identical order, the result is
+    // bit-exact at any parallelism — the fold happens inside one
+    // codegen'd higher-order expression per user, after one keyed
+    // shuffle. State per key is the user's own series (the same bound
+    // as sequence packing), never a global sort.
+    "q158_ewma" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+            .as("ev"))
+        .groupBy(col("user_id"))
+        .agg(collect_list(col("ev")).as("evs"))
+        .select(col("user_id"),
+          size(col("evs")).cast("long").as("n_events"),
+          expr("""aggregate(
+              slice(transform(sort_array(evs), e -> e.value), 2, size(evs) - 1),
+              element_at(transform(sort_array(evs), e -> e.value), 1),
+              (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)""")
+            .as("ewma"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q152_big_orders" ->
+      """WITH q AS (
+           SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(14,2))) AS qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS DECIMAL(14,2))) > 200)
+         SELECT c_name, o_custkey, o_orderkey, o_totalprice,
+           CAST(qty AS DOUBLE) AS qty
+         FROM orders JOIN q ON o_orderkey = q.l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    "q153_lone_late_supplier" ->
+      """WITH part AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate > o.o_orderdate + INTERVAL 150 DAY),
+         lone AS (SELECT lt.l_orderkey, lt.l_suppkey FROM late lt
+           WHERE EXISTS (SELECT 1 FROM part p
+             WHERE p.l_orderkey = lt.l_orderkey AND p.l_suppkey <> lt.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM late o2
+             WHERE o2.l_orderkey = lt.l_orderkey AND o2.l_suppkey <> lt.l_suppkey))
+         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM lone JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name""",
+    "q154_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         m AS (SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS nb
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sx AS (SELECT user_id, us,
+             sum(nb) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+           FROM m),
+         sess AS (SELECT user_id, sid, min(us) AS s0, max(us) AS s1
+           FROM sx GROUP BY 1, 2),
+         mins AS (SELECT user_id,
+             unnest(generate_series(s0 // 60000000, s1 // 60000000)) AS minute
+           FROM sess)
+         SELECT minute, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM mins GROUP BY minute""",
+    "q155_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         cls AS (SELECT user_id, day,
+             lag(day) OVER w AS prev, lead(day) OVER w AS nxt
+           FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         states AS (SELECT day,
+             CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+           FROM cls GROUP BY day),
+         churn AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+           FROM cls WHERE nxt IS NULL OR nxt > day + 1 GROUP BY day + 1)
+         SELECT COALESCE(s.day, c.day) AS day,
+           COALESCE(n_new, 0) AS n_new,
+           COALESCE(n_retained, 0) AS n_retained,
+           COALESCE(n_resurrected, 0) AS n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+         FROM states s FULL OUTER JOIN churn c ON s.day = c.day""",
+    "q156_grid_radius_join" ->
+      """WITH c AS (SELECT c_custkey,
+             c_custkey * 48271 % 10000 AS x, c_custkey * 69621 % 10000 AS y
+           FROM customer),
+         s AS (SELECT s_suppkey,
+             (s_suppkey * 48271 + 7) % 10000 AS sx,
+             (s_suppkey * 69621 + 11) % 10000 AS sy
+           FROM supplier)
+         SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_near,
+           CAST(min((x-sx)*(x-sx) + (y-sy)*(y-sy)) AS BIGINT) AS min_d2
+         FROM c, s
+         WHERE (x-sx)*(x-sx) + (y-sy)*(y-sy) <= 1000000
+         GROUP BY c_custkey""",
+    "q157_chi_square" ->
+      """WITH obs AS (SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_obs
+           FROM orders GROUP BY 1, 2),
+         rt AS (SELECT o_orderpriority, sum(n_obs) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT o_orderstatus, sum(n_obs) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT sum(n_obs) AS n FROM obs)
+         SELECT o_orderpriority, o_orderstatus, n_obs,
+           CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           (CAST(n_obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+         FROM obs JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus),
+           tot""",
+    "q158_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+           FROM events),
+         srt AS (SELECT user_id,
+             list(value ORDER BY us, event_id) AS vals
+           FROM e GROUP BY user_id)
+         SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals,
+             (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)
+             AS ewma
+         FROM srt"""
+  )
+}
