@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.OperationalQueries
+
+/** Independent-reference specs for the operational-analytics widening
+  * (q152–q158): each operator is re-derived on the driver from collected
+  * sf0.001 fixtures by a DIFFERENT code path (plain Scala collections,
+  * BigDecimal, explicit folds) and must agree exactly with the
+  * distributed implementation — a second proof beside the DuckDB oracle.
+  */
+class OperationalSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("every operational query runs and has an oracle") {
+    OperationalQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+      assert(OperationalQueries.oracles.contains(name), s"$name lacks an oracle")
+    }
+  }
+
+  private def collectedEvents(): Array[(Long, Long, Long, Double)] =
+    graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("q152 big orders match a BigDecimal driver-side aggregation") {
+    val qty = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val expect = qty.filter(_._2 > 200).keySet
+    val got = OperationalQueries.queries("q152_big_orders")(spark, sfDir)
+      .select(col("o_orderkey"), col("qty")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expect,
+      s"order sets diverged: extra=${got.keySet -- expect} missing=${expect -- got.keySet}")
+    got.foreach { case (k, q) =>
+      assert(q === qty(k).toDouble, s"order $k qty $q != ${qty(k)}") }
+  }
+
+  test("q153 lone-late suppliers match explicit driver-side set algebra") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+    val odate = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate")).collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    val part = li.map(l => (l._1, l._2)).toSet
+    val late = li.filter(l => l._3.isAfter(odate(l._1).plusDays(150)))
+      .map(l => (l._1, l._2)).toSet
+    val lone = late.filter { case (o, s) =>
+      part.exists(p => p._1 == o && p._2 != s) &&
+        !late.exists(p => p._1 == o && p._2 != s)
+    }
+    val expect = lone.groupBy(_._2).map { case (s, os) => s -> os.size.toLong }
+    val names = graft.core.Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val got = OperationalQueries.queries("q153_lone_late_supplier")(spark, sfDir)
+      .collect().map(r => names(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got === expect, "lone-late waits must match the set-algebra reference")
+  }
+
+  test("q154 per-minute overlap matches a driver-side session fold") {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sessions = collectedEvents()
+      .groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var s0, s1 = -1L
+        sorted.foreach { e =>
+          if (s0 < 0 || e._2 - s1 > gapUs) {
+            if (s0 >= 0) bounds += ((s0, s1)); s0 = e._2
+          }
+          s1 = e._2
+        }
+        if (s0 >= 0) bounds += ((s0, s1))
+        bounds.map { case (a, b) => (u, a / 60000000L, b / 60000000L) }
+      }
+    val expect = sessions.flatMap { case (u, m0, m1) => (m0 to m1).map(m => (m, u)) }
+      .groupBy(_._1)
+      .map { case (m, us) => m -> (us.size.toLong, us.map(_._2).distinct.size.toLong) }
+    val got = OperationalQueries.queries("q154_interval_overlap")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect, "per-minute concurrency must match the fold reference")
+  }
+
+  test("q155 growth accounting: bridge identity and driver reference agree") {
+    val ud = collectedEvents().map(e => (e._1, e._2 / 86400000000L)).distinct
+    val byUser = ud.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).sorted }
+    var newC, retC, resC, churnC = Map.empty[Long, Long].withDefaultValue(0L)
+    byUser.values.foreach { days =>
+      days.zipWithIndex.foreach { case (d, i) =>
+        if (i == 0) newC += d -> (newC(d) + 1)
+        else if (days(i - 1) == d - 1) retC += d -> (retC(d) + 1)
+        else resC += d -> (resC(d) + 1)
+        val isLast = i == days.length - 1
+        if (isLast || days(i + 1) > d + 1) churnC += (d + 1) -> (churnC(d + 1) + 1)
+      }
+    }
+    val got = OperationalQueries.queries("q155_growth_accounting")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val allDays = (newC.keySet ++ retC.keySet ++ resC.keySet ++ churnC.keySet)
+    assert(got.keySet === allDays)
+    allDays.foreach { d =>
+      assert(got(d) === ((newC(d), retC(d), resC(d), churnC(d))), s"day $d diverged")
+    }
+    // the bridge identity: DAU(d) = new + retained + resurrected
+    val dau = ud.groupBy(_._2).map { case (d, us) => d -> us.size.toLong }
+    dau.foreach { case (d, n) =>
+      val (nw, rt, rs, _) = got(d)
+      assert(nw + rt + rs === n, s"day $d bridge identity broken")
+    }
+    // every user is born exactly once and churns exactly once
+    assert(newC.values.sum === byUser.size.toLong)
+    assert(churnC.values.sum === byUser.size.toLong +
+      byUser.values.map(ds => ds.sliding(2).count {
+        case Array(a, b) => b > a + 1; case _ => false }).sum)
+  }
+
+  test("q156 grid radius join equals the brute-force distance scan") {
+    val cust = graft.core.Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .map(k => (k, k * 48271 % 10000, k * 69621 % 10000))
+    val supp = graft.core.Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey")).collect().map(_.getLong(0))
+      .map(k => (k, (k * 48271 + 7) % 10000, (k * 69621 + 11) % 10000))
+    val expect = cust.flatMap { case (c, x, y) =>
+      val d2s = supp.map { case (_, sx, sy) =>
+        (x - sx) * (x - sx) + (y - sy) * (y - sy) }.filter(_ <= 1000000L)
+      if (d2s.isEmpty) None else Some(c -> (d2s.length.toLong, d2s.min))
+    }.toMap
+    val got = OperationalQueries.queries("q156_grid_radius_join")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect,
+      "grid bucketing must not change the radius-join answer")
+  }
+
+  test("q157 chi-square cells: exact counts, marginal identities, driver math") {
+    val rows = OperationalQueries.queries("q157_chi_square")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val n = rows.map(_._3).sum
+    // expected counts reconstruct from the cells' own marginals, bit-exact
+    val rt = rows.groupBy(_._1).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val ct = rows.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
+    rows.foreach { case (p, st, o, e, c) =>
+      val eRef = (rt(p) * ct(st)).toDouble / n.toDouble
+      assert(e === eRef, s"cell ($p,$st) expected")
+      val cRef = (o.toDouble - eRef) * (o.toDouble - eRef) / eRef
+      assert(c === cRef, s"cell ($p,$st) contribution")
+    }
+    // marginal identity: expected counts sum to n (within float tolerance)
+    assert(math.abs(rows.map(_._4).sum - n.toDouble) < 1e-6)
+    assert(n === graft.core.Tables.orders(spark, sfDir).count())
+  }
+
+  test("q158 EWMA is bit-exact vs a driver-side left fold") {
+    val expect = collectedEvents()
+      .groupBy(_._1).map { case (u, evs) =>
+        val vals = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        u -> vals.tail.foldLeft(vals.head)((acc, x) => 0.2 * x + 0.8 * acc)
+      }
+    val got = OperationalQueries.queries("q158_ewma")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (u, v) =>
+      assert(got(u) === v, s"user $u EWMA must be BIT-exact (same fold order)")
+    }
+  }
+}
