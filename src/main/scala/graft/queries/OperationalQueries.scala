@@ -65,13 +65,21 @@ object OperationalQueries {
     // execution); the participation and late sets are deduped once and
     // reused, and the supplier dim broadcasts onto the final counts.
     "q153_lone_late_supplier" -> ((s, dir) => {
-      val part = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val late = Tables.lineitem(s, dir)
+      // ONE pass over lineitem: the same shuffled aggregate yields both
+      // the participation set and its late subset (bool_or folds a
+      // supplier's lines), instead of scanning + deduping the fact twice.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 150 DAYS"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 150 DAYS"),
+          lit(1L)).otherwise(lit(0L))).as("is_late"))
+        .persist(lvl)
+      val part = pairs.select(col("l_orderkey"), col("l_suppkey"))
+      val late = pairs.filter(col("is_late") === 1L)
+        .select(col("l_orderkey"), col("l_suppkey"))
       val hasOther = late.alias("lt").join(part.alias("p"),
         col("lt.l_orderkey") === col("p.l_orderkey") &&
           col("lt.l_suppkey") =!= col("p.l_suppkey"), "left_semi")
