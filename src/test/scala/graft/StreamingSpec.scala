@@ -1652,4 +1652,51 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(committedBeforeRestart >= 7, "the kill happened mid-run, not at the end")
   }
+
+  test("streaming EWMA final values are bit-exact vs the batch q158 fold") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.events(spark, TestSession.sfDir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .sortBy(e => (e._3, e._2)) // global event-time order, as a log replay
+      val (b1, b2) = events.splitAt(events.size / 2)
+      val input = MemoryStream[(Long, Long, Long, Double)](spark)
+      val grouped = input.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3, r._4))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = StreamingEwma.smoothed(grouped, alpha = 0.2, beta = 0.8)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-ewma"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // replay the tail of batch 1 inside batch 2: the frontier must drop it
+      input.addData(b1.takeRight(10) ++ b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // one emission per event, none for the replayed duplicates
+      assert(out.size === events.size, "exactly one emission per in-order event")
+      // the LAST emission per key equals the batch operator bit-for-bit
+      val lastByKey = events.groupBy(_._1).map { case (k, evs) =>
+        k -> evs.sortBy(e => (e._3, e._2)).last._2 }
+      val finals = out.filter { case (k, id, _) => lastByKey(k) == id }
+        .map(r => r._1 -> r._3).toMap
+      val batch = graft.queries.OperationalQueries.queries("q158_ewma")(
+        spark, TestSession.sfDir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(finals.keySet === batch.keySet)
+      batch.foreach { case (k, v) =>
+        assert(finals(k) === v, s"user $k: stream/batch EWMA diverged") }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
