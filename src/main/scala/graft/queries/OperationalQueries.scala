@@ -232,6 +232,52 @@ object OperationalQueries {
     // codegen'd higher-order expression per user, after one keyed
     // shuffle. State per key is the user's own series (the same bound
     // as sequence packing), never a global sort.
+    // Two-sided CUSUM changepoint monitor per user series: fold
+    // pos ← max(0, pos + x − 60) (alarm + reset when > 200) and
+    // neg ← min(0, neg + x − 40) (alarm + reset when < −200) in
+    // (ts, event_id) order. The per-SERIES temporal complement of q143's
+    // corpus-level PSI drift: PSI says the distribution moved between
+    // slices, CUSUM says WHEN a single series drifted. Same execution
+    // shape as q158 — one keyed shuffle, then the whole fold runs inside
+    // one higher-order expression per user with identical IEEE ops on
+    // both engines (the DuckDB twin prepends the zero accumulator since
+    // list_reduce seeds from the first element), so doubles and alarm
+    // counts are bit-exact at any parallelism.
+    "q159_cusum" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+            .as("ev"))
+        .groupBy(col("user_id"))
+        .agg(collect_list(col("ev")).as("evs"))
+        .select(col("user_id"),
+          size(col("evs")).cast("long").as("n_events"),
+          expr("""aggregate(
+              transform(sort_array(evs), e -> e.value),
+              named_struct('pos', CAST(0 AS DOUBLE), 'neg', CAST(0 AS DOUBLE),
+                'up', CAST(0 AS BIGINT), 'down', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'pos', CASE WHEN greatest(CAST(0 AS DOUBLE),
+                    acc.pos + x - CAST(60 AS DOUBLE)) > CAST(200 AS DOUBLE)
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE greatest(CAST(0 AS DOUBLE),
+                    acc.pos + x - CAST(60 AS DOUBLE)) END,
+                'neg', CASE WHEN least(CAST(0 AS DOUBLE),
+                    acc.neg + x - CAST(40 AS DOUBLE)) < CAST(-200 AS DOUBLE)
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE least(CAST(0 AS DOUBLE),
+                    acc.neg + x - CAST(40 AS DOUBLE)) END,
+                'up', acc.up + CASE WHEN greatest(CAST(0 AS DOUBLE),
+                    acc.pos + x - CAST(60 AS DOUBLE)) > CAST(200 AS DOUBLE)
+                  THEN 1 ELSE 0 END,
+                'down', acc.down + CASE WHEN least(CAST(0 AS DOUBLE),
+                    acc.neg + x - CAST(40 AS DOUBLE)) < CAST(-200 AS DOUBLE)
+                  THEN 1 ELSE 0 END))""").as("st"))
+        .select(col("user_id"), col("n_events"),
+          col("st.up").as("up_alarms"), col("st.down").as("down_alarms"),
+          col("st.pos").as("final_pos"), col("st.neg").as("final_neg"))
+    }),
+
     "q158_ewma" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("user_id"),
@@ -337,16 +383,62 @@ object OperationalQueries {
              / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
          FROM obs JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus),
            tot""",
-    "q158_ewma" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+    // The oracle walks the fold as a RECURSIVE CTE (one step per event
+    // rank) rather than a list_reduce lambda: DuckDB 1.0's vectorized
+    // lambda execution returns DIFFERENT results for a group depending
+    // on which other rows share its vector (user 62 folded alone vs in
+    // the full table diverged) — the recursive join has plain scalar
+    // semantics and matches an imperative reference fold on every user.
+    "q159_cusum" ->
+      """WITH RECURSIVE e AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
            FROM events),
-         srt AS (SELECT user_id,
-             list(value ORDER BY us, event_id) AS vals
-           FROM e GROUP BY user_id)
-         SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
-           list_reduce(vals,
-             (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)
-             AS ewma
-         FROM srt"""
+         counts AS (SELECT user_id, max(rn) AS n FROM e GROUP BY 1),
+         walk AS (
+           SELECT user_id, 0 AS rn, CAST(0 AS DOUBLE) AS pos,
+             CAST(0 AS DOUBLE) AS neg,
+             CAST(0 AS BIGINT) AS up, CAST(0 AS BIGINT) AS down
+           FROM counts
+           UNION ALL
+           SELECT w.user_id, w.rn + 1,
+             CASE WHEN greatest(CAST(0 AS DOUBLE),
+                 w.pos + e.value - CAST(60 AS DOUBLE)) > CAST(200 AS DOUBLE)
+               THEN CAST(0 AS DOUBLE)
+               ELSE greatest(CAST(0 AS DOUBLE),
+                 w.pos + e.value - CAST(60 AS DOUBLE)) END,
+             CASE WHEN least(CAST(0 AS DOUBLE),
+                 w.neg + e.value - CAST(40 AS DOUBLE)) < CAST(-200 AS DOUBLE)
+               THEN CAST(0 AS DOUBLE)
+               ELSE least(CAST(0 AS DOUBLE),
+                 w.neg + e.value - CAST(40 AS DOUBLE)) END,
+             w.up + CASE WHEN greatest(CAST(0 AS DOUBLE),
+                 w.pos + e.value - CAST(60 AS DOUBLE)) > CAST(200 AS DOUBLE)
+               THEN 1 ELSE 0 END,
+             w.down + CASE WHEN least(CAST(0 AS DOUBLE),
+                 w.neg + e.value - CAST(40 AS DOUBLE)) < CAST(-200 AS DOUBLE)
+               THEN 1 ELSE 0 END
+           FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events,
+           up AS up_alarms, down AS down_alarms,
+           pos AS final_pos, neg AS final_neg
+         FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.n""",
+    // Recursive-CTE walk for the same reason as q159: DuckDB 1.0's
+    // vectorized list_reduce can cross groups' state between vector
+    // lanes; the recursive join is scalar-per-step and immune.
+    "q158_ewma" ->
+      """WITH RECURSIVE e AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         counts AS (SELECT user_id, max(rn) AS n FROM e GROUP BY 1),
+         walk AS (
+           SELECT user_id, 1 AS rn, value AS ewma FROM e WHERE rn = 1
+           UNION ALL
+           SELECT w.user_id, w.rn + 1,
+             CAST(0.2 AS DOUBLE) * e.value + CAST(0.8 AS DOUBLE) * w.ewma
+           FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events, ewma
+         FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.n"""
   )
 }

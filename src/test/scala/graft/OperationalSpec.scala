@@ -162,6 +162,27 @@ class OperationalSpec extends AnyFunSuite {
     assert(n === graft.core.Tables.orders(spark, sfDir).count())
   }
 
+  test("q159 CUSUM alarms and residuals are bit-exact vs a driver fold") {
+    val expect = collectedEvents()
+      .groupBy(_._1).map { case (u, evs) =>
+        var pos = 0.0; var neg = 0.0; var up = 0L; var down = 0L
+        evs.sortBy(e => (e._2, e._3)).map(_._4).foreach { v =>
+          val p2 = math.max(0.0, pos + v - 60.0)
+          val n2 = math.min(0.0, neg + v - 40.0)
+          if (p2 > 200.0) { up += 1; pos = 0.0 } else pos = p2
+          if (n2 < -200.0) { down += 1; neg = 0.0 } else neg = n2
+        }
+        u -> ((up, down, pos, neg))
+      }
+    val got = OperationalQueries.queries("q159_cusum")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    assert(got === expect, "CUSUM fold must match the imperative reference")
+    assert(got.values.exists(v => v._1 > 0 || v._2 > 0),
+      "fixture should trip some alarms")
+  }
+
   test("q158 EWMA is bit-exact vs a driver-side left fold") {
     val expect = collectedEvents()
       .groupBy(_._1).map { case (u, evs) =>
