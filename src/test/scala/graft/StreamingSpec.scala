@@ -1699,4 +1699,60 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming CUSUM alarm set bit-agrees with the batch q159 fold") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.events(spark, TestSession.sfDir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .sortBy(e => (e._3, e._2))
+      val (b1, b2) = events.splitAt(events.size / 2)
+      val input = MemoryStream[(Long, Long, Long, Double)](spark)
+      val grouped = input.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3, r._4))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Double)]
+      val q = StreamingCusum.alarms(grouped, kUp = 60.0, kDown = 40.0, h = 200.0)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-cusum"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, String, Double)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b1.takeRight(5) ++ b2: _*) // replayed rows must not re-alarm
+      q.processAllAvailable()
+      q.stop()
+      // reference: the q159 fold, alarm IDs and excursions recorded
+      val exp = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Double)]
+      events.groupBy(_._1).foreach { case (k, evs) =>
+        var pos = 0.0; var neg = 0.0
+        evs.sortBy(e => (e._3, e._2)).foreach { case (_, id, _, v) =>
+          val p2 = math.max(0.0, pos + v - 60.0)
+          val n2 = math.min(0.0, neg + v - 40.0)
+          if (p2 > 200.0) { exp += ((k, id, "up", p2)); pos = 0.0 } else pos = p2
+          if (n2 < -200.0) { exp += ((k, id, "down", n2)); neg = 0.0 } else neg = n2
+        }
+      }
+      assert(out.toSet === exp.toSet,
+        s"alarm sets diverged: extra=${(out.toSet -- exp.toSet).take(3)} " +
+          s"missing=${(exp.toSet -- out.toSet).take(3)}")
+      assert(out.size === out.toSet.size, "replay must not duplicate alarms")
+      assert(out.nonEmpty, "fixture should trip alarms")
+      // alarm counts agree with the batch query per user
+      val batch = graft.queries.OperationalQueries.queries("q159_cusum")(
+        spark, TestSession.sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2) + r.getLong(3))).toMap
+      val mine = out.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      batch.filter(_._2 > 0).foreach { case (k, n) =>
+        assert(mine.getOrElse(k, 0L) === n, s"user $k alarm count") }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
