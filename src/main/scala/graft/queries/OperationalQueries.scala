@@ -232,6 +232,47 @@ object OperationalQueries {
     // codegen'd higher-order expression per user, after one keyed
     // shuffle. State per key is the user's own series (the same bound
     // as sequence packing), never a global sort.
+    // Multi-touch attribution (first-touch / last-touch): every purchase
+    // attributes its revenue to the first and the last touch channel
+    // (view/click/signup) in the user's trailing 24 h; purchases with no
+    // touch in the window attribute to 'direct'. Execution shape: ONE
+    // per-user range window computes both extremes — min/max of a
+    // conditional (us, event_id, channel) struct over RANGE [−24h, −1] —
+    // so there is no purchases×touches self-join and no fan-out at all;
+    // the channel rollup is a tiny two-sided aggregate. The oracle is
+    // deliberately the OTHER formulation (interval join + row_number
+    // extremes) so two independent plans must agree. Revenue sums stay
+    // exact decimal until the output boundary.
+    "q160_attribution" -> ((s, dir) => {
+      val lookbackUs = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-lookbackUs, -1)
+      val touch = when(col("event_type").isin("view", "click", "signup"),
+        struct(col("us"), col("event_id"), col("event_type")))
+      val attributed = ev
+        .withColumn("ft", min(touch).over(w))
+        .withColumn("lt", max(touch).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("value"),
+          coalesce(col("ft.event_type"), lit("direct")).as("first_ch"),
+          coalesce(col("lt.event_type"), lit("direct")).as("last_ch"))
+      val byFirst = attributed.groupBy(col("first_ch").as("channel"))
+        .agg(count(lit(1)).as("n_first"), sum(dec(col("value"))).as("rf"))
+      val byLast = attributed.groupBy(col("last_ch").as("channel"))
+        .agg(count(lit(1)).as("n_last"), sum(dec(col("value"))).as("rl"))
+      byFirst.join(byLast, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("rf"), lit(0).cast("decimal(24,2)")).cast("double")
+            .as("rev_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("rl"), lit(0).cast("decimal(24,2)")).cast("double")
+            .as("rev_last"))
+    }),
+
     // Two-sided CUSUM changepoint monitor per user series: fold
     // pos ← max(0, pos + x − 60) (alarm + reset when > 200) and
     // neg ← min(0, neg + x − 40) (alarm + reset when < −200) in
@@ -383,6 +424,36 @@ object OperationalQueries {
              / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
          FROM obs JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus),
            tot""",
+    "q160_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             value FROM events),
+         p AS (SELECT user_id, us, event_id AS pid, value FROM e
+           WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, us AS tus, event_id AS tid, event_type AS ch
+           FROM e WHERE event_type IN ('view', 'click', 'signup')),
+         j AS (SELECT p.user_id, p.pid, p.value, t.ch, t.tus, t.tid
+           FROM p LEFT JOIN t ON p.user_id = t.user_id
+             AND t.tus BETWEEN p.us - 86400000000 AND p.us - 1),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, pid
+               ORDER BY tus NULLS LAST, tid) AS rf,
+             row_number() OVER (PARTITION BY user_id, pid
+               ORDER BY tus DESC NULLS LAST, tid DESC) AS rl
+           FROM j),
+         fx AS (SELECT COALESCE(ch, 'direct') AS channel, value FROM r
+           WHERE rf = 1),
+         lx AS (SELECT COALESCE(ch, 'direct') AS channel, value FROM r
+           WHERE rl = 1),
+         fa AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_first,
+             sum(CAST(value AS DECIMAL(14,2))) AS rf FROM fx GROUP BY 1),
+         la AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_last,
+             sum(CAST(value AS DECIMAL(14,2))) AS rl FROM lx GROUP BY 1)
+         SELECT COALESCE(fa.channel, la.channel) AS channel,
+           COALESCE(n_first, 0) AS n_first,
+           CAST(COALESCE(rf, 0) AS DOUBLE) AS rev_first,
+           COALESCE(n_last, 0) AS n_last,
+           CAST(COALESCE(rl, 0) AS DOUBLE) AS rev_last
+         FROM fa FULL OUTER JOIN la ON fa.channel = la.channel""",
     // The oracle walks the fold as a RECURSIVE CTE (one step per event
     // rank) rather than a list_reduce lambda: DuckDB 1.0's vectorized
     // lambda execution returns DIFFERENT results for a group depending

@@ -162,6 +162,49 @@ class OperationalSpec extends AnyFunSuite {
     assert(n === graft.core.Tables.orders(spark, sfDir).count())
   }
 
+  test("q160 attribution matches a brute-force lookback scan; totals conserve") {
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val touches = Set("view", "click", "signup")
+    val byUser = evs.groupBy(_._1)
+    var nFirst = Map.empty[String, Long].withDefaultValue(0L)
+    var nLast = Map.empty[String, Long].withDefaultValue(0L)
+    var revFirst = Map.empty[String, BigDecimal].withDefaultValue(BigDecimal(0))
+    var revLast = Map.empty[String, BigDecimal].withDefaultValue(BigDecimal(0))
+    var purchases = 0L
+    byUser.values.foreach { us =>
+      us.filter(_._4 == "purchase").foreach { case (_, pus, _, _, v) =>
+        purchases += 1
+        val win = us.filter(e => touches(e._4) &&
+          e._2 >= pus - 86400000000L && e._2 <= pus - 1).sortBy(e => (e._2, e._3))
+        val f = if (win.isEmpty) "direct" else win.head._4
+        val l = if (win.isEmpty) "direct" else win.last._4
+        val d = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        nFirst += f -> (nFirst(f) + 1); revFirst += f -> (revFirst(f) + d)
+        nLast += l -> (nLast(l) + 1); revLast += l -> (revLast(l) + d)
+      }
+    }
+    val got = graft.queries.OperationalQueries.queries("q160_attribution")(
+      spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val channels = nFirst.keySet ++ nLast.keySet
+    assert(got.keySet === channels)
+    channels.foreach { ch =>
+      val (nf, rf, nl, rl) = got(ch)
+      assert(nf === nFirst(ch) && nl === nLast(ch), s"$ch counts")
+      assert(rf === revFirst(ch).toDouble && rl === revLast(ch).toDouble,
+        s"$ch revenue")
+    }
+    // conservation: every purchase attributed exactly once on each side
+    assert(got.values.map(_._1).sum === purchases)
+    assert(got.values.map(_._3).sum === purchases)
+  }
+
   test("q159 CUSUM alarms and residuals are bit-exact vs a driver fold") {
     val expect = collectedEvents()
       .groupBy(_._1).map { case (u, evs) =>
