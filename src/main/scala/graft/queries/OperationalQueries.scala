@@ -232,6 +232,54 @@ object OperationalQueries {
     // codegen'd higher-order expression per user, after one keyed
     // shuffle. State per key is the user's own series (the same bound
     // as sequence packing), never a global sort.
+    // OHLC bars (open/high/low/close candles) per user-hour: the
+    // standard time-series bar aggregation, reduced to ONE hash
+    // aggregate — open and close are min/max of the (us, event_id,
+    // value) struct (no per-bar sort window, no row_number pass), high/
+    // low/n ride the same shuffle. The oracle is the row_number-extreme
+    // formulation, so the struct-extreme trick is verified against the
+    // classical plan. At 100 TB the bar table is |keys|×|hours| rows —
+    // the aggregate is map-side combinable all the way down.
+    "q161_ohlc_bars" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hour"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"),
+            col("value")).as("ev"),
+          col("value"))
+        .groupBy(col("user_id"), col("hour"))
+        .agg(min(col("ev")).as("o"), max(col("ev")).as("c"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("hour"), col("o.value").as("open"),
+          col("high"), col("low"), col("c.value").as("close"),
+          col("n_events"))
+    }),
+
+    // Time-weighted average (TWAP): each user's value is a step function
+    // that holds between events; the average weights every value by the
+    // µs it was live (the last observation carries no weight). The
+    // weighted sum stays EXACT — decimal cents × integer µs — so the
+    // single double division at the end is bit-identical on both
+    // engines regardless of partitioning or fold order. One per-user
+    // window for the lead timestamp, one hash aggregate; no global sort.
+    "q162_twap" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val stepped = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .withColumn("dt",
+          coalesce(lead(col("us"), 1).over(ord) - col("us"), lit(0L)))
+      stepped.groupBy(col("user_id"))
+        .agg(sum(dec(col("value")) * col("dt")).cast("decimal(38,2)").as("sv"),
+          sum(col("dt")).as("active_us"))
+        .select(col("user_id"),
+          when(col("active_us") === 0L, lit(null).cast("double"))
+            .otherwise(col("sv").cast("double") / col("active_us").cast("double"))
+            .as("twap"),
+          col("active_us"))
+    }),
+
     // Multi-touch attribution (first-touch / last-touch): every purchase
     // attributes its revenue to the first and the last touch channel
     // (view/click/signup) in the user's trailing 24 h; purchases with no
@@ -424,6 +472,41 @@ object OperationalQueries {
              / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
          FROM obs JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus),
            tot""",
+    "q161_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+             epoch_us(ts) // 3600000000 AS hour FROM events),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, hour
+               ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, hour
+               ORDER BY us DESC, event_id DESC) AS rn_d
+           FROM e),
+         o AS (SELECT user_id, hour, value AS open FROM r WHERE rn_a = 1),
+         c AS (SELECT user_id, hour, value AS close FROM r WHERE rn_d = 1),
+         hl AS (SELECT user_id, hour, max(value) AS high, min(value) AS low,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM e GROUP BY 1, 2)
+         SELECT user_id, hour, open, high, low, close, n_events
+         FROM hl JOIN o USING (user_id, hour) JOIN c USING (user_id, hour)""",
+    "q162_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+           FROM events),
+         st AS (SELECT user_id, value,
+             COALESCE(lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) - us, 0) AS dt
+           FROM e),
+         agg AS (SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * dt) AS DECIMAL(38,2)) AS sv,
+             CAST(sum(dt) AS BIGINT) AS active_us
+           FROM st GROUP BY user_id)
+         SELECT user_id,
+           CASE WHEN active_us = 0 THEN NULL
+             -- VARCHAR-routed cast: DuckDB's int128->double is not
+             -- correctly rounded (the q95/q131 lesson); strtod is
+             ELSE CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+               / CAST(active_us AS DOUBLE) END AS twap,
+           active_us
+         FROM agg""",
     "q160_attribution" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
              value FROM events),

@@ -162,6 +162,42 @@ class OperationalSpec extends AnyFunSuite {
     assert(n === graft.core.Tables.orders(spark, sfDir).count())
   }
 
+  test("q161 OHLC struct-extreme bars match row-walked candles") {
+    val expect = collectedEvents()
+      .groupBy(e => (e._1, e._2 / 3600000000L)).map { case ((u, h), evs) =>
+        val walked = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        (u, h) -> ((walked.head, walked.max, walked.min, walked.last,
+          walked.size.toLong))
+      }
+    val got = OperationalQueries.queries("q161_ohlc_bars")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got === expect, "candles must match the ordered walk")
+  }
+
+  test("q162 TWAP equals an exact-rational reference and ignores fold order") {
+    val expect = collectedEvents()
+      .groupBy(_._1).map { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        var sv = BigDecimal(0); var st = 0L
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            val dt = b._2 - a._2
+            sv += BigDecimal(a._4).setScale(2, BigDecimal.RoundingMode.HALF_UP) * dt
+            st += dt
+          case _ =>
+        }
+        u -> (if (st == 0) None else Some(sv.toDouble / st.toDouble), st)
+      }
+    val got = OperationalQueries.queries("q162_twap")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))).toMap
+    assert(got === expect,
+      "time-weighted average must be exact decimal x micros until one division")
+  }
+
   test("q160 attribution matches a brute-force lookback scan; totals conserve") {
     val evs = graft.core.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
