@@ -437,6 +437,19 @@ object Similarity {
     * needs a concrete encoder, and integral ids are the only case where
     * the bounded-shuffle path pays.
     */
+  /** Global (single-list) top-k ranking WITHOUT a window: routes through
+    * TopKAggregator under one constant query key, so the map-side
+    * partials bound every shuffle at k rows per partition and nothing
+    * ever sorts the full list — the ranking primitive q163's RRF fusion
+    * composes. Ties break by id ascending, like every other ranking here.
+    */
+  def topKGlobal(scored: DataFrame, idCol: String, scoreCol: String,
+                 k: Int): DataFrame =
+    topKByQuery(scored.select(lit(0L).as("vec_id"),
+        col(idCol).cast("long").as("nn_id"),
+        col(scoreCol).cast("double").as("score")), k, withRank = true)
+      .select(col("nn_id").as(idCol), col("score"), col("rnk"))
+
   private def topKByQuery(scored: DataFrame, k: Int,
                           withRank: Boolean): DataFrame = {
     import org.apache.spark.sql.types._

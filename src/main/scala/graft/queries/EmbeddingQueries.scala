@@ -104,7 +104,36 @@ object EmbeddingQueries {
     // map, recompute one k-row hash agg per pass (operators/KMeans.scala).
     "q139_kmeans" -> ((s, dir) =>
       graft.operators.KMeans.summary(Tables.embeddings(s, dir),
-        idCol = "vec_id", vecCol = "embedding", k = 4, iters = 2))
+        idCol = "vec_id", vecCol = "embedding", k = 4, iters = 2)),
+
+    // Hybrid retrieval with reciprocal-rank fusion: the lexical list
+    // (BM25 vs fixed terms, exact integer micro scores) and the semantic
+    // list (cosine vs query vector 0, 6-decimal rounded) each keep their
+    // top-50 through the bounded TopKAggregator — NO ranking window
+    // anywhere, shuffles bounded at k rows per partition — then fuse
+    // with RRF(d) = Σ_lists 1/(60 + rank_d). Exactly two fixed-order
+    // double terms per doc, so the fused score is bit-stable. The
+    // standard hybrid-search merge every retrieval stack runs; absent
+    // docs carry rank 0 and contribute nothing.
+    "q163_rrf_fusion" -> ((s, dir) => {
+      val lex = Similarity.topKGlobal(
+        graft.llm.Bm25.score(Tables.documents(s, dir), "doc_id", "text",
+          queryTerms = Seq("join", "hash", "window"))
+          .select(col("doc_id"), col("score_micro")),
+        idCol = "doc_id", scoreCol = "score_micro", k = 50)
+        .select(col("doc_id"), col("rnk").as("lrank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.knnBruteForce(emb, emb.where(col("vec_id") === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("srank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lrank"), lit(0L)).as("lex_rank"),
+          coalesce(col("srank"), lit(0L)).as("sem_rank"),
+          (coalesce(lit(1.0) / (lit(60L) + col("lrank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60L) + col("srank")), lit(0.0)))
+            .as("rrf"))
+    })
   )
 
   private val planeHash =
@@ -166,6 +195,31 @@ object EmbeddingQueries {
           ORDER BY s DESC, cid ASC) AS r FROM sc)"""
 
   val oracles: Map[String, String] = Map(
+    "q163_rrf_fusion" ->
+      s"""WITH $evCte, $nvCte,
+         lexall AS (SELECT doc_id, score_micro FROM
+           (${graft.llm.Bm25.oracleSql(Seq("join", "hash", "window"))})),
+         lex AS (SELECT doc_id, lrank FROM (
+             SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lrank
+             FROM lexall)
+           WHERE lrank <= 50),
+         cand AS (SELECT 0 AS qid, vec_id AS nid FROM ev WHERE vec_id <> 0),
+         ${pairDotCte("cand", "qid", "nid")},
+         sc AS (SELECT nid, round(dp / (nq.nrm * ne.nrm), 6) AS score
+             FROM d JOIN n nq ON nq.vec_id = qid JOIN n ne ON ne.vec_id = nid),
+         sem AS (SELECT doc_id, srank FROM (
+             SELECT nid AS doc_id, CAST(row_number() OVER (
+               ORDER BY score DESC, nid ASC) AS BIGINT) AS srank
+             FROM sc)
+           WHERE srank <= 50)
+         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(lrank, 0) AS lex_rank,
+           COALESCE(srank, 0) AS sem_rank,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + lrank), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + srank), CAST(0 AS DOUBLE))
+             AS rrf
+         FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id""",
     "q45_cosine_knn" ->
       s"""WITH $evCte, $nvCte,
          cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM ev a JOIN ev b

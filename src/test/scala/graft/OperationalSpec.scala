@@ -262,6 +262,45 @@ class OperationalSpec extends AnyFunSuite {
       "fixture should trip some alarms")
   }
 
+  test("q163 RRF fusion matches sort-ranked lists fused on the driver") {
+    // lexical ranks: the (oracle-verified) BM25 scores, sort-ranked here
+    // instead of through TopKAggregator — the aggregator's bounded
+    // ranking must agree with the plain sort
+    val lex = graft.llm.Bm25.score(
+      graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+      Seq("join", "hash", "window"))
+      .select(col("doc_id"), col("score_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // semantic ranks: driver-side cosine vs vec 0, same ordered fold +
+    // 6-decimal HALF_UP rounding as the Column implementation
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q0 = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val sem = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val c = dot(q0, v) / (math.sqrt(dot(q0, q0)) * math.sqrt(dot(v, v)))
+      id -> BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expect = (lex.keySet ++ sem.keySet).map { id =>
+      val lr = lex.getOrElse(id, 0L); val sr = sem.getOrElse(id, 0L)
+      id -> ((lr, sr,
+        (if (lr > 0) 1.0 / (60L + lr) else 0.0)
+          + (if (sr > 0) 1.0 / (60L + sr) else 0.0)))
+    }.toMap
+    val got = graft.queries.EmbeddingQueries.queries("q163_rrf_fusion")(
+      spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === expect, "bounded-aggregator ranks + fusion must match sort ranks")
+    assert(got.nonEmpty && got.values.exists(v => v._1 > 0 && v._2 > 0),
+      "some docs should appear in both lists")
+  }
+
   test("q158 EWMA is bit-exact vs a driver-side left fold") {
     val expect = collectedEvents()
       .groupBy(_._1).map { case (u, evs) =>
