@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.QualityQueries
+
+/** Independent-reference specs for the data-platform widening (q164–q168):
+  * each operator is re-derived on the driver from collected sf0.001
+  * fixtures by a DIFFERENT code path (plain Scala collections, BigDecimal
+  * folds, a hand-rolled DP levenshtein, an explicit interpolated
+  * percentile) and must agree exactly with the distributed implementation
+  * — a second proof beside the DuckDB oracle.
+  */
+class QualitySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("every quality query runs and has an oracle") {
+    QualityQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+      assert(QualityQueries.oracles.contains(name), s"$name lacks an oracle")
+    }
+  }
+
+  private def lineitems(): Array[(Long, Int, Double, Double, Double, java.time.LocalDateTime)] =
+    graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getAs[java.time.LocalDateTime](5)))
+
+  test("q164 constraint metrics match a plain-Scala single pass") {
+    val li = lineitems()
+    val n = li.length.toLong
+    val nPk = li.map(r => (r._1, r._2)).distinct.length.toLong
+    val nDiscOk = li.count(r => r._5 >= 0.0 && r._5 <= 0.1).toLong
+    val sumPrice = li.map(r => BigDecimal(r._4).setScale(2)).sum
+    val expected = Map(
+      "size_ge_1000" -> (n.toDouble, if (n >= 1000) 1 else 0),
+      "completeness_l_quantity" -> (1.0, 1),
+      "uniqueness_order_line" -> (nPk.toDouble / n, if (nPk == n) 1 else 0),
+      "compliance_discount_0_to_0.1" ->
+        (nDiscOk.toDouble / n, if (nDiscOk == n) 1 else 0),
+      "min_quantity_ge_1" -> (li.map(_._3).min, 1),
+      "max_quantity_le_50" -> (li.map(_._3).max, 1),
+      "mean_price_in_range" -> (sumPrice.toDouble / n, 1))
+    val got = QualityQueries.queries("q164_dq_suite")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (m, p)) =>
+      assert(got(k)._1 === m, s"$k metric"); assert(got(k)._2 === p, s"$k passed")
+    }
+  }
+
+  test("q165 maintained view equals a driver-side signed recompute") {
+    val cutoff = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"),
+        col("l_quantity"), col("l_shipdate")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.getAs[java.time.LocalDateTime](4).isBefore(cutoff)) 1
+        else if (r.getInt(2) % 7 == 0) -1 else 1,
+        BigDecimal(r.getDouble(3)).setScale(2)))
+    val expect = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.map(v => v._3 * v._2).sum, vs.map(_._2.toLong).sum)
+    }
+    val got = QualityQueries.queries("q165_incremental_view")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, (q, c)) =>
+      assert(got(k)._1 === q.toDouble, s"$k qty")
+      assert(got(k)._2 === c, s"$k count")
+    }
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q166 links match a brute-force all-pairs scan with DP levenshtein") {
+    val cs = graft.core.Tables.customer(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getString(4)))
+    val expect = (for {
+      a <- cs; b <- cs
+      if a._3 == b._3 && a._5 == b._5 && a._1 < b._1
+      l = lev(a._2, b._2)
+      score = (if (l <= 2) 2 else 0) +
+        (if (math.abs(math.round(a._4 * 100) - math.round(b._4 * 100)) < 50000L) 1
+         else 0)
+      if score >= 2
+    } yield ((a._1, b._1), (l, score))).toMap
+    val got = QualityQueries.queries("q166_record_linkage")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got === expect,
+      s"extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet}")
+  }
+
+  /** Spark's exact `percentile`: rank = p·(n−1) over the sorted values,
+    * linear interpolation between the straddling elements.
+    */
+  private def pct(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    val rank = p * (s.length - 1)
+    val lo = rank.toInt
+    if (lo + 1 >= s.length) s.last
+    else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+  }
+
+  test("q167 robust outliers match driver-side median/MAD") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val med = ev.groupBy(_._2).map { case (t, vs) => t -> pct(vs.map(_._3).toSeq, 0.5) }
+    val mad = ev.groupBy(_._2).map { case (t, vs) =>
+      t -> pct(vs.map(v => math.abs(v._3 - med(t))).toSeq, 0.5)
+    }
+    val expect = ev.flatMap { case (id, t, v) =>
+      val z = 0.6745 * (v - med(t)) / mad(t)
+      if (math.abs(z) > 3.5) Some(id -> z) else None
+    }.toMap
+    val got = QualityQueries.queries("q167_mad_outliers")(spark, sfDir)
+      .select(col("event_id"), col("robust_z")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expect.keySet,
+      s"extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet}")
+    expect.foreach { case (id, z) => assert(got(id) === z, s"event $id z") }
+  }
+
+  test("q168 recommendations match a driver-side co-occurrence fold") {
+    val bi = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = bi.groupBy(_._1).map { case (_, vs) => vs.map(_._2) }
+    val cnt = collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.foreach { parts =>
+      for (a <- parts; b <- parts if a != b)
+        cnt((a, b)) = cnt.getOrElse((a, b), 0L) + 1L
+    }
+    val expect = cnt.toSeq.groupBy(_._1._1).flatMap { case (item, pairs) =>
+      pairs.sortBy { case ((_, rec), c) => (-c, rec) }.take(3).zipWithIndex
+        .map { case (((_, rec), c), i) => (item, rec) -> (c, (i + 1).toLong) }
+    }
+    val got = QualityQueries.queries("q168_cooccur_recs")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect,
+      s"extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet}")
+  }
+}
