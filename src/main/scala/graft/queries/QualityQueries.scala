@@ -180,6 +180,134 @@ object QualityQueries {
           }
         }
         .toDF("item", "rec", "cnt", "rnk")
+    }),
+
+    // Audience overlap matrix: qualify users into per-event-type segments
+    // (≥ 15 events of the type), then count common members and Jaccard for
+    // every segment pair. One hash aggregate qualifies segments; the
+    // user-keyed self-join fans out by (segments per user)² ≤ |types|² —
+    // never corpus²; per-segment sizes ride a broadcast. The float op is
+    // one integer division per output pair.
+    "q169_audience_overlap" -> ((s, dir) => {
+      val seg = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 15)
+        .select(col("user_id"), col("event_type"))
+      val sizes = seg.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+      val pairs = seg.select(col("user_id"), col("event_type").as("type_a"))
+        .join(seg.select(col("user_id"), col("event_type").as("type_b")),
+          "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_a", "sz" -> "sz_a"))), "type_a")
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_b", "sz" -> "sz_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
+    }),
+
+    // Decile lift (gains table) without a global sort: score = customer
+    // lifetime spend from exact cents; the 9 interpolated decile
+    // boundaries come from one percentile aggregate and ride a broadcast,
+    // and each customer's decile is a comparison count against that
+    // 9-element array — the distributed substitute for ntile() OVER
+    // (ORDER BY score), which would funnel 100 TB through one partition.
+    // Per-decile averages divide exact sums once per decile.
+    "q170_decile_lift" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("sp"))
+        .select(col("sp"), col("sp").cast("double").as("score"))
+      val bounds = spend.agg(expr(
+        """percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))""")
+        .as("bs"))
+      val overall = spend.agg(
+        sum(col("sp")).cast("double").as("tot"), count(lit(1)).as("ncust"))
+      spend.crossJoin(broadcast(bounds))
+        .select(col("sp"),
+          (size(filter(col("bs"), b => b < col("score"))) + 1).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("sp")).cast("double").as("dec_tot"))
+        .crossJoin(broadcast(overall))
+        .select(col("decile"), col("n_cust"),
+          (col("dec_tot") / col("n_cust")).as("avg_spend"),
+          ((col("dec_tot") / col("n_cust")) / (col("tot") / col("ncust")))
+            .as("lift"))
+    }),
+
+    // Welch's t-test between every pair of event-type segments on `value`:
+    // the A/B-significance twin of q157's chi-square. Counts and first two
+    // moments accumulate as EXACT integer cents (the q95/q110 discipline —
+    // order-independent partials at any parallelism); the t statistic and
+    // Welch–Satterthwaite df are a fixed per-pair float expression over
+    // those exact scalars, written operation-for-operation identically in
+    // the oracle. Stats are a 5-row aggregate; the pairing is dim-only.
+    "q171_welch_ttest" -> ((s, dir) => {
+      val v = round(col("value") * 100).cast("decimal(19,0)")
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("svv"))
+      val nD = col("n").cast("double")
+      val stats = g.select(col("event_type"), col("n"),
+        (col("sv").cast("double") / nD).as("m"),
+        ((nD * col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double")) /
+          (nD * (nD - lit(1.0)))).as("s2"))
+      val a = stats.columns.foldLeft(stats)((d, n) => d.withColumnRenamed(n, "a_" + n))
+      val b = stats.columns.foldLeft(stats)((d, n) => d.withColumnRenamed(n, "b_" + n))
+      val sea = col("a_s2") / col("a_n").cast("double")
+      val seb = col("b_s2") / col("b_n").cast("double")
+      a.join(b, col("a_event_type") < col("b_event_type"))
+        .select(col("a_event_type").as("type_a"),
+          col("b_event_type").as("type_b"),
+          ((col("a_m") - col("b_m")) / sqrt(sea + seb)).as("t_stat"),
+          ((sea + seb) * (sea + seb) /
+            (sea * sea / (col("a_n").cast("double") - lit(1.0)) +
+             seb * seb / (col("b_n").cast("double") - lit(1.0)))).as("df"))
+    }),
+
+    // Holt linear-trend smoothing (double exponential): the level+trend
+    // extension of q158's EWMA — per-user state folds left over the
+    // (ts, event_id)-ordered values with l' = α·x + (1−α)(l+t),
+    // t' = β(l'−l) + (1−β)t, seeded l = v₂, t = v₂ − v₁. Same
+    // bit-determinism argument as q158: one fixed IEEE op sequence per
+    // user regardless of parallelism; the oracle walks the identical
+    // recurrence with a recursive CTE (scalar-per-step, immune to
+    // DuckDB's vectorized-lambda state crossover). Output includes the
+    // one-step-ahead forecast l + t.
+    "q172_holt_trend" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+            .as("ev"))
+        .groupBy(col("user_id"))
+        .agg(collect_list(col("ev")).as("evs"))
+        .filter(size(col("evs")) >= 2)
+        .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+          expr("""aggregate(
+              slice(transform(sort_array(evs), e -> e.value), 3, size(evs) - 2),
+              named_struct(
+                'l', element_at(transform(sort_array(evs), e -> e.value), 2),
+                't', element_at(transform(sort_array(evs), e -> e.value), 2)
+                   - element_at(transform(sort_array(evs), e -> e.value), 1)),
+              (acc, x) -> named_struct(
+                'l', CAST(0.3 AS DOUBLE) * x
+                   + CAST(0.7 AS DOUBLE) * (acc.l + acc.t),
+                't', CAST(0.1 AS DOUBLE)
+                       * ((CAST(0.3 AS DOUBLE) * x
+                           + CAST(0.7 AS DOUBLE) * (acc.l + acc.t)) - acc.l)
+                   + CAST(0.9 AS DOUBLE) * acc.t),
+              acc -> named_struct('level', acc.l, 'trend', acc.t,
+                                  'forecast', acc.l + acc.t))""").as("h"))
+        .select(col("user_id"), col("n_events"),
+          col("h.level").as("level"), col("h.trend").as("trend"),
+          col("h.forecast").as("forecast"))
     })
   )
 
@@ -255,6 +383,89 @@ object QualityQueries {
                AS rnk
            FROM co)
          SELECT item, rec, CAST(cnt AS BIGINT) AS cnt,
-           CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3"""
+           CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3""",
+    "q169_audience_overlap" ->
+      """WITH seg AS (SELECT user_id, event_type FROM events
+           GROUP BY 1, 2 HAVING count(*) >= 15),
+         sizes AS (SELECT event_type, count(*) AS sz FROM seg GROUP BY 1),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_common
+           FROM seg a JOIN seg b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.event_type = type_a
+         JOIN sizes sb ON sb.event_type = type_b""",
+    "q170_decile_lift" ->
+      """WITH spend AS (SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sp,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+               AS DOUBLE) AS score
+           FROM orders GROUP BY 1),
+         bounds AS (SELECT quantile_cont(score,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM spend),
+         overall AS (SELECT CAST(CAST(sum(sp) AS VARCHAR) AS DOUBLE) AS tot,
+             count(*) AS ncust FROM spend),
+         dx AS (SELECT sp,
+             len(list_filter(bs, b -> b < score)) + 1 AS decile
+           FROM spend, bounds),
+         agg AS (SELECT decile, count(*) AS n_cust,
+             CAST(CAST(sum(sp) AS VARCHAR) AS DOUBLE) AS dec_tot
+           FROM dx GROUP BY 1)
+         SELECT CAST(decile AS INT) AS decile, CAST(n_cust AS BIGINT)
+             AS n_cust,
+           dec_tot / n_cust AS avg_spend,
+           (dec_tot / n_cust) / (tot / ncust) AS lift
+         FROM agg, overall""",
+    "q171_welch_ttest" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+             sum(CAST(round(value * 100) AS DECIMAL(19,0))) AS sv,
+             sum(CAST(round(value * 100) AS DECIMAL(19,0))
+               * CAST(round(value * 100) AS DECIMAL(19,0))) AS svv
+           FROM events GROUP BY 1),
+         stats AS (SELECT event_type, n,
+             CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(n AS DOUBLE) * CAST(CAST(svv AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(sv AS VARCHAR) AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2
+           FROM g)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           (a.m - b.m) / sqrt(a.s2 / CAST(a.n AS DOUBLE)
+                            + b.s2 / CAST(b.n AS DOUBLE)) AS t_stat,
+           (a.s2 / CAST(a.n AS DOUBLE) + b.s2 / CAST(b.n AS DOUBLE))
+             * (a.s2 / CAST(a.n AS DOUBLE) + b.s2 / CAST(b.n AS DOUBLE))
+           / ((a.s2 / CAST(a.n AS DOUBLE)) * (a.s2 / CAST(a.n AS DOUBLE))
+                / (CAST(a.n AS DOUBLE) - 1.0)
+              + (b.s2 / CAST(b.n AS DOUBLE)) * (b.s2 / CAST(b.n AS DOUBLE))
+                / (CAST(b.n AS DOUBLE) - 1.0)) AS df
+         FROM stats a JOIN stats b ON a.event_type < b.event_type""",
+    "q172_holt_trend" ->
+      """WITH RECURSIVE e AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         counts AS (SELECT user_id, max(rn) AS n FROM e GROUP BY 1
+           HAVING max(rn) >= 2),
+         seed AS (SELECT e2.user_id, 2 AS rn, e2.value AS l,
+             e2.value - e1.value AS t
+           FROM e e1 JOIN e e2
+             ON e1.user_id = e2.user_id AND e1.rn = 1 AND e2.rn = 2),
+         walk AS (
+           SELECT user_id, rn, l, t FROM seed
+           UNION ALL
+           SELECT w.user_id, w.rn + 1,
+             CAST(0.3 AS DOUBLE) * e.value
+               + CAST(0.7 AS DOUBLE) * (w.l + w.t),
+             CAST(0.1 AS DOUBLE)
+                 * ((CAST(0.3 AS DOUBLE) * e.value
+                     + CAST(0.7 AS DOUBLE) * (w.l + w.t)) - w.l)
+               + CAST(0.9 AS DOUBLE) * w.t
+           FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events,
+           w.l AS level, w.t AS trend, w.l + w.t AS forecast
+         FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.n"""
   )
 }

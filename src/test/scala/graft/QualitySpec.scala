@@ -157,4 +157,105 @@ class QualitySpec extends AnyFunSuite {
     assert(got === expect,
       s"extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet}")
   }
+
+  private def eventsTyped(): Array[(Long, String, Double, Long)] =
+    graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+
+  test("q169 overlap matches driver-side set intersection") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val seg = ev.groupBy(identity).filter(_._2.length >= 15).keys
+      .toSeq.groupBy(_._2).map { case (t, ks) => t -> ks.map(_._1).toSet }
+    val types = seg.keys.toSeq.sorted
+    val expect = (for {
+      a <- types; b <- types if a < b
+      common = (seg(a) & seg(b)).size if common > 0
+    } yield (a, b) ->
+      (common.toLong,
+        common.toDouble / (seg(a).size + seg(b).size - common))).toMap
+    val got = QualityQueries.queries("q169_audience_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === expect)
+  }
+
+  test("q170 deciles match driver-side boundary assignment") {
+    val spend = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val scores = spend.values.map(_.toDouble).toSeq
+    val bs = (1 to 9).map(i => pct(scores, i / 10.0))
+    val byDecile = spend.values.groupBy(v => bs.count(_ < v.toDouble) + 1)
+    val tot = spend.values.sum.toDouble
+    val ncust = spend.size
+    val got = QualityQueries.queries("q170_decile_lift")(spark, sfDir)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === byDecile.keySet)
+    byDecile.foreach { case (d, vs) =>
+      val avg = vs.sum.toDouble / vs.size
+      assert(got(d)._1 === vs.size.toLong, s"decile $d count")
+      assert(got(d)._2 === avg, s"decile $d avg")
+      assert(got(d)._3 === avg / (tot / ncust), s"decile $d lift")
+    }
+  }
+
+  test("q171 Welch t/df match a driver-side exact-moment computation") {
+    val ev = eventsTyped()
+    val stats = ev.groupBy(_._2).map { case (t, vs) =>
+      val cents = vs.map(v => BigInt(math.round(v._3 * 100)))
+      val n = vs.length.toLong
+      val sv = cents.sum; val svv = cents.map(c => c * c).sum
+      val nD = n.toDouble
+      t -> (n, sv.toDouble / nD,
+        (nD * svv.toDouble - sv.toDouble * sv.toDouble) / (nD * (nD - 1.0)))
+    }
+    val types = stats.keys.toSeq.sorted
+    val expect = (for { a <- types; b <- types if a < b } yield {
+      val (na, ma, s2a) = stats(a); val (nb, mb, s2b) = stats(b)
+      val sea = s2a / na.toDouble; val seb = s2b / nb.toDouble
+      (a, b) -> ((ma - mb) / math.sqrt(sea + seb),
+        (sea + seb) * (sea + seb) /
+          (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)))
+    }).toMap
+    val got = QualityQueries.queries("q171_welch_ttest")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, (t, df)) =>
+      assert(got(k)._1 === t, s"$k t"); assert(got(k)._2 === df, s"$k df") }
+  }
+
+  test("q172 Holt state matches an explicit driver-side recurrence") {
+    val ev = eventsTyped()
+    val expect = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).collect { case (u, vs) if vs.length >= 2 =>
+        val ordered = vs.sortBy(v => (v._2, v._3)).map(_._4)
+        var l = ordered(1); var t = ordered(1) - ordered(0)
+        ordered.drop(2).foreach { x =>
+          val l2 = 0.3 * x + 0.7 * (l + t)
+          t = 0.1 * (l2 - l) + 0.9 * t; l = l2
+        }
+        u -> (vs.length.toLong, l, t, l + t)
+      }
+    val got = QualityQueries.queries("q172_holt_trend")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (u, e) => assert(got(u) === e, s"user $u") }
+    assert(ev.nonEmpty)
+  }
 }
