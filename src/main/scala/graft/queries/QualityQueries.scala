@@ -308,6 +308,49 @@ object QualityQueries {
         .select(col("user_id"), col("n_events"),
           col("h.level").as("level"), col("h.trend").as("trend"),
           col("h.forecast").as("forecast"))
+    }),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE): a data-driven monthly
+    // calendar spine — anchor and bound derive from the fact table, the
+    // recursion steps one month at a time, and a left join gap-fills
+    // zero-order months. The recursion depth is |months| (tens), never
+    // data-sized; the fact table is touched by exactly one hash
+    // aggregate. Complements q102's sequence()-based gap fill with the
+    // full SQL-standard iterative form.
+    "q173_recursive_spine" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q173_orders")
+      s.sql("""WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM q173_orders),
+          months(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi),
+          rev AS (
+            SELECT date_trunc('month', o_orderdate) AS mm,
+              sum(CAST(o_totalprice AS DECIMAL(14,2))) AS r, count(*) AS n
+            FROM q173_orders GROUP BY 1)
+          SELECT CAST(months.m AS TIMESTAMP_NTZ) AS month,
+            CAST(coalesce(r, 0) AS DOUBLE) AS revenue,
+            CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+          FROM months LEFT JOIN rev ON rev.mm = months.m""")
+    }),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
+    // customer through the SQL-standard lateral form (the DataFrame twin
+    // is q116's top-k per group). Catalyst rewrites the correlation into
+    // a per-key ranked join — no cartesian (PlanSpec's census asserts
+    // that globally); ties break on o_orderkey so the pick is
+    // deterministic on both engines.
+    "q174_lateral_topn" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q174_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q174_orders")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM q174_customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM q174_orders o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
     })
   )
 
@@ -466,6 +509,29 @@ object QualityQueries {
            FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
          SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events,
            w.l AS level, w.t AS trend, w.l + w.t AS forecast
-         FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.n"""
+         FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.n""",
+    "q173_recursive_spine" ->
+      """WITH RECURSIVE bounds AS (
+           SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                  date_trunc('month', max(o_orderdate)) AS hi
+           FROM orders),
+         months(m) AS (
+           SELECT lo FROM bounds
+           UNION ALL
+           SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi),
+         rev AS (
+           SELECT date_trunc('month', o_orderdate) AS mm,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS r, count(*) AS n
+           FROM orders GROUP BY 1)
+         SELECT months.m AS month,
+           CAST(CAST(coalesce(r, 0) AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+         FROM months LEFT JOIN rev ON rev.mm = months.m""",
+    "q174_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"""
   )
 }

@@ -258,4 +258,42 @@ class QualitySpec extends AnyFunSuite {
     expect.foreach { case (u, e) => assert(got(u) === e, s"user $u") }
     assert(ev.nonEmpty)
   }
+
+  test("q173 recursive spine covers every month between bounds, gap-filled") {
+    val months = QualityQueries.queries("q173_recursive_spine")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1),
+        r.getLong(2)))
+      .sortBy(_._1.toString)
+    // spine property: consecutive months, no gaps, data-driven bounds
+    months.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1.plusMonths(1) === b._1, s"gap after ${a._1}")
+    case _ => ()
+    }
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).withDayOfMonth(1)
+        .toLocalDate.atStartOfDay, BigDecimal(r.getDouble(1)).setScale(2)))
+    val byMonth = orders.groupBy(_._1)
+      .map { case (m, vs) => m -> (vs.map(_._2).sum, vs.length.toLong) }
+    assert(months.head._1 === byMonth.keys.min(Ordering.by((_: java.time.LocalDateTime).toString)))
+    assert(months.last._1 === byMonth.keys.max(Ordering.by((_: java.time.LocalDateTime).toString)))
+    months.foreach { case (m, rev, n) =>
+      val (er, en) = byMonth.getOrElse(m, (BigDecimal(0), 0L))
+      assert(rev === er.toDouble, s"$m revenue"); assert(n === en, s"$m count")
+    }
+  }
+
+  test("q174 lateral top-2 matches a driver-side per-customer sort") {
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = orders.groupBy(_._1).iterator.flatMap { case (c, os) =>
+      os.sortBy(o => (-o._3, o._2)).take(2).map(o => (c, o._2, o._3))
+    }.toSet
+    val got = QualityQueries.queries("q174_lateral_topn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect,
+      s"extra=${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
+  }
 }
