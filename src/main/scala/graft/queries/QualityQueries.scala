@@ -351,6 +351,48 @@ object QualityQueries {
           LATERAL (SELECT o_orderkey, o_totalprice FROM q174_orders o
                    WHERE o.o_custkey = c.c_custkey
                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    }),
+
+    // Entity resolution end-to-end (the golden-record capstone over
+    // q166's linkage): block → score → link → cluster → survivorship.
+    // Links are q166's blocked levenshtein+balance matches; clusters come
+    // from the adaptive connected-components operator (driver union-find
+    // under 16 MB of edges, large-star/small-star beyond); unlinked
+    // customers stay singleton clusters via one left join. Survivorship
+    // picks the min-id member as representative (its attributes arrive by
+    // one co-keyed join) and folds balances as exact cents. Everything is
+    // keyed joins + hash aggs; cluster count ≤ |customers|.
+    "q175_entity_resolution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val a = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "a_" + n))
+      val b = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "b_" + n))
+      val links = a.join(b,
+          col("a_c_nationkey") === col("b_c_nationkey") &&
+          col("a_c_mktsegment") === col("b_c_mktsegment") &&
+          col("a_c_custkey") < col("b_c_custkey"))
+        .filter(levenshtein(col("a_c_name"), col("b_c_name")) <= 2 &&
+          abs(col("a_cents") - col("b_cents")) < 50000L)
+        .select(col("a_c_custkey").as("id_a"), col("b_c_custkey").as("id_b"))
+      val cc = graft.llm.Dedup.connectedComponents(links, "id_a", "id_b")
+        .withColumnsRenamed(Map("node" -> "c_custkey"))
+      val members = c.join(cc, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("cents"),
+          coalesce(col("cluster_id"), col("c_custkey")).as("cluster_id"))
+      val golden = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("cents")).as("total_cents"),
+          max(col("cents")).as("max_cents"))
+      golden
+        .join(c.select(col("c_custkey").as("cluster_id"),
+          col("c_name").as("rep_name"), col("c_mktsegment").as("rep_segment")),
+          Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_members"),
+          col("rep_name"), col("rep_segment"),
+          (col("total_cents").cast("double") / 100.0).as("total_bal"),
+          (col("max_cents").cast("double") / 100.0).as("max_bal"))
     })
   )
 
@@ -532,6 +574,33 @@ object QualityQueries {
          FROM customer c,
          LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                   WHERE o.o_custkey = c.c_custkey
-                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"""
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""",
+    "q175_entity_resolution" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_nationkey,
+             c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         links AS (SELECT a.c_custkey AS u, b.c_custkey AS v
+           FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+            AND a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+            AND levenshtein(a.c_name, b.c_name) <= 2
+            AND abs(a.cents - b.cents) < 50000),
+         sym AS (SELECT u, v FROM links UNION SELECT v, u FROM links),
+         reach(node, r) AS (
+           SELECT u, v FROM sym
+           UNION
+           SELECT reach.node, s.v FROM reach JOIN sym s ON s.u = reach.r),
+         lbl AS (SELECT node, least(node, min(r)) AS cluster_id
+           FROM reach GROUP BY node),
+         members AS (SELECT ch.c_custkey, ch.cents,
+             coalesce(l.cluster_id, ch.c_custkey) AS cluster_id
+           FROM c ch LEFT JOIN lbl l ON l.node = ch.c_custkey),
+         golden AS (SELECT cluster_id, count(*) AS n_members,
+             sum(cents) AS tc, max(cents) AS mc
+           FROM members GROUP BY 1)
+         SELECT g.cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           r.c_name AS rep_name, r.c_mktsegment AS rep_segment,
+           CAST(tc AS DOUBLE) / 100.0 AS total_bal,
+           CAST(mc AS DOUBLE) / 100.0 AS max_bal
+         FROM golden g JOIN c r ON r.c_custkey = g.cluster_id"""
   )
 }

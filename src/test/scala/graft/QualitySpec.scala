@@ -296,4 +296,34 @@ class QualitySpec extends AnyFunSuite {
     assert(got === expect,
       s"extra=${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
   }
+
+  test("q175 golden records match a driver-side union-find survivorship") {
+    val cs = graft.core.Tables.customer(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        math.round(r.getDouble(3) * 100), r.getString(4)))
+    val parent = collection.mutable.Map(cs.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      a <- cs; b <- cs
+      if a._3 == b._3 && a._5 == b._5 && a._1 < b._1
+      if lev(a._2, b._2) <= 2 && math.abs(a._4 - b._4) < 50000L
+    } {
+      val (ra, rb) = (find(a._1), find(b._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCluster = cs.groupBy(c => find(c._1))
+    val names = cs.map(c => c._1 -> (c._2, c._5)).toMap
+    val expect = byCluster.map { case (cid, ms) =>
+      cid -> (ms.length.toLong, names(cid)._1, names(cid)._2,
+        ms.map(_._4).sum.toDouble / 100.0, ms.map(_._4).max.toDouble / 100.0)
+    }
+    val got = QualityQueries.queries("q175_entity_resolution")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === expect.keySet,
+      s"extra=${(got.keySet -- expect.keySet).take(5)} missing=${(expect.keySet -- got.keySet).take(5)}")
+    expect.foreach { case (cid, e) => assert(got(cid) === e, s"cluster $cid") }
+  }
 }
