@@ -393,6 +393,104 @@ object QualityQueries {
           col("rep_name"), col("rep_segment"),
           (col("total_cents").cast("double") / 100.0).as("total_bal"),
           (col("max_cents").cast("double") / 100.0).as("max_bal"))
+    }),
+
+    // Sequential pattern mining: top-20 event-type trigrams across user
+    // journeys (the 3-gram extension of q122's bigram transitions). The
+    // lead windows partition by user — in-partition sorts only, never a
+    // global ordering of the corpus; the final top-20 is a TakeOrdered
+    // (k-bounded) over the |types|³-bounded trigram counts, ties broken
+    // lexicographically so the cut is deterministic.
+    "q176_trigram_patterns" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("trigram"))
+        .groupBy(col("trigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("trigram").asc)
+        .limit(20)
+    }),
+
+    // Weighted median (lower): per return flag, the price at which half
+    // the total QUANTITY mass sits at-or-below — the weighted twin of
+    // q53's unweighted percentile. Cumulative weights run in a window
+    // partitioned by the group key (in-partition sort only); the
+    // half-mass test is exact integer arithmetic (2·cumw ≥ totw — no
+    // float halving), so the picked row is unambiguous on both engines.
+    "q177_weighted_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity")).cast("long").as("qw"))
+      val tot = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("qw")).as("totw"))
+      li.withColumn("cumw", sum(col("qw")).over(w))
+        .join(broadcast(tot), Seq("l_returnflag"))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")).as("w_median"),
+          max(col("totw")).as("total_w"))
+    }),
+
+    // Key-skew diagnostics (the report you run BEFORE choosing q113's
+    // salting): per join-key distribution — key count, top-key share,
+    // p99/p50 key-size ratio, and an exact Gini coefficient. Global size
+    // ranks come from the q138 distributed prefix-sum (percentile-bucket
+    // the key-size table, offsets through a ≤21-row window, ranks inside
+    // bucket partitions) — the corpus and the key table never sort
+    // globally. Gini folds rank·size as exact integers; one float
+    // division per output row.
+    "q178_skew_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def report(dimName: String, keyCol: String): DataFrame = {
+        val sizes = Tables.lineitem(s, dir)
+          .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("sz"))
+        val qs = (1 until 20).map(i => i / 20.0).mkString(", ")
+        val bounds = sizes.agg(
+          expr(s"percentile(CAST(sz AS DOUBLE), array($qs))").as("bqs"),
+          expr("percentile(CAST(sz AS DOUBLE), 0.5)").as("p50"),
+          expr("percentile(CAST(sz AS DOUBLE), 0.99)").as("p99"),
+          sum(col("sz")).as("stot"), max(col("sz")).as("smax"),
+          count(lit(1)).as("n"))
+        val withB = sizes.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            expr("size(filter(bqs, q -> q < CAST(sz AS DOUBLE)))").cast("long"))
+        val bPrefix = withB.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("offset", coalesce(
+            sum(col("bn")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+          .select(col("bucket"), col("offset"))
+        val wRank = Window.partitionBy(col("bucket"))
+          .orderBy(col("sz"), col("k"))
+        withB.join(broadcast(bPrefix), Seq("bucket"))
+          .withColumn("rnk", col("offset") + row_number().over(wRank))
+          .agg(
+            first(col("n")).as("n_keys"),
+            first(col("stot")).as("total_rows"),
+            (first(col("smax")).cast("double") / first(col("stot")))
+              .as("top_share"),
+            (first(col("p99")) / first(col("p50"))).as("p99_p50"),
+            ((lit(2.0) * sum(col("rnk") * col("sz")).cast("double") -
+              (first(col("n")) + lit(1)).cast("double") *
+                first(col("stot")).cast("double")) /
+              (first(col("n")).cast("double") *
+                first(col("stot")).cast("double"))).as("gini"))
+          .select(lit(dimName).as("dim"), col("n_keys"), col("total_rows"),
+            col("top_share"), col("p99_p50"), col("gini"))
+      }
+      report("l_partkey", "l_partkey").union(report("l_suppkey", "l_suppkey"))
     })
   )
 
@@ -601,6 +699,60 @@ object QualityQueries {
            r.c_name AS rep_name, r.c_mktsegment AS rep_segment,
            CAST(tc AS DOUBLE) / 100.0 AS total_bal,
            CAST(mc AS DOUBLE) / 100.0 AS max_bal
-         FROM golden g JOIN c r ON r.c_custkey = g.cluster_id"""
+         FROM golden g JOIN c r ON r.c_custkey = g.cluster_id""",
+    "q176_trigram_patterns" ->
+      """WITH s AS (SELECT event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 20""",
+    "q177_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice, l_orderkey,
+             l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qw
+           FROM lineitem),
+         tot AS (SELECT l_returnflag, sum(qw) AS totw FROM li GROUP BY 1),
+         cum AS (SELECT l_returnflag, l_extendedprice,
+             sum(qw) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+           FROM li)
+         SELECT c.l_returnflag, min(l_extendedprice) AS w_median,
+           CAST(max(totw) AS BIGINT) AS total_w
+         FROM cum c JOIN tot ON c.l_returnflag = tot.l_returnflag
+         WHERE cumw * 2 >= totw GROUP BY 1""",
+    "q178_skew_report" ->
+      """WITH sizes_p AS (SELECT l_partkey AS k, count(*) AS sz
+           FROM lineitem GROUP BY 1),
+         sizes_s AS (SELECT l_suppkey AS k, count(*) AS sz
+           FROM lineitem GROUP BY 1),
+         rep_p AS (
+           SELECT 'l_partkey' AS dim, CAST(st.n AS BIGINT) AS n_keys,
+             CAST(st.stot AS BIGINT) AS total_rows,
+             CAST(st.smax AS DOUBLE) / st.stot AS top_share,
+             st.p99 / st.p50 AS p99_p50,
+             (2.0 * t.trs - (st.n + 1) * st.stot) / (st.n * st.stot) AS gini
+           FROM (SELECT count(*) AS n, sum(sz) AS stot, max(sz) AS smax,
+               quantile_cont(CAST(sz AS DOUBLE), 0.5) AS p50,
+               quantile_cont(CAST(sz AS DOUBLE), 0.99) AS p99 FROM sizes_p) st,
+             (SELECT sum(rnk * sz) AS trs FROM
+               (SELECT sz, row_number() OVER (ORDER BY sz, k) AS rnk
+                FROM sizes_p)) t),
+         rep_s AS (
+           SELECT 'l_suppkey' AS dim, CAST(st.n AS BIGINT) AS n_keys,
+             CAST(st.stot AS BIGINT) AS total_rows,
+             CAST(st.smax AS DOUBLE) / st.stot AS top_share,
+             st.p99 / st.p50 AS p99_p50,
+             (2.0 * t.trs - (st.n + 1) * st.stot) / (st.n * st.stot) AS gini
+           FROM (SELECT count(*) AS n, sum(sz) AS stot, max(sz) AS smax,
+               quantile_cont(CAST(sz AS DOUBLE), 0.5) AS p50,
+               quantile_cont(CAST(sz AS DOUBLE), 0.99) AS p99 FROM sizes_s) st,
+             (SELECT sum(rnk * sz) AS trs FROM
+               (SELECT sz, row_number() OVER (ORDER BY sz, k) AS rnk
+                FROM sizes_s)) t)
+         SELECT * FROM rep_p UNION ALL SELECT * FROM rep_s"""
   )
 }

@@ -31,7 +31,9 @@ class PlanSpec extends AnyFunSuite {
   private val globalWindowWhitelist: Map[String, Int] = Map(
     // prefix-sum over the 20-row bucket-total table (the distributed
     // prefix-sum pattern: the global window never sees the corpus)
-    "q138_pareto" -> 1)
+    "q138_pareto" -> 1,
+    // same pattern, once per analyzed dimension (≤21-row bucket tables)
+    "q178_skew_report" -> 2)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)

@@ -106,14 +106,16 @@ class QualitySpec extends AnyFunSuite {
   }
 
   /** Spark's exact `percentile`: rank = p·(n−1) over the sorted values,
-    * linear interpolation between the straddling elements.
+    * interpolated as lo·(1−d) + hi·d — the same float expression Spark's
+    * Percentile.getPercentile evaluates (the algebraically equal
+    * lo + d·(hi−lo) differs in the last ulp for some inputs).
     */
   private def pct(vs: Seq[Double], p: Double): Double = {
     val s = vs.sorted
     val rank = p * (s.length - 1)
     val lo = rank.toInt
     if (lo + 1 >= s.length) s.last
-    else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    else s(lo) * (1.0 - (rank - lo)) + s(lo + 1) * (rank - lo)
   }
 
   test("q167 robust outliers match driver-side median/MAD") {
@@ -325,5 +327,73 @@ class QualitySpec extends AnyFunSuite {
     assert(got.keySet === expect.keySet,
       s"extra=${(got.keySet -- expect.keySet).take(5)} missing=${(expect.keySet -- got.keySet).take(5)}")
     expect.foreach { case (cid, e) => assert(got(cid) === e, s"cluster $cid") }
+  }
+
+  test("q176 trigram top-20 matches a driver-side journey walk") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).foreach { case (_, vs) =>
+      val seq = vs.sortBy(v => (v._2, v._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).foreach { t =>
+        val k = t.mkString(">"); counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val got = QualityQueries.queries("q176_trigram_patterns")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect)
+  }
+
+  test("q177 weighted median matches a driver-side cumulative scan") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3),
+        math.round(r.getDouble(4))))
+    val expect = li.groupBy(_._1).map { case (rf, vs) =>
+      val sorted = vs.sortBy(v => (v._2, v._3, v._4))
+      val totw = sorted.map(_._5).sum
+      var cum = 0L
+      val med = sorted.find { v => cum += v._5; cum * 2 >= totw }.get._2
+      rf -> (med, totw)
+    }
+    val got = QualityQueries.queries("q177_weighted_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("q178 skew stats match driver-side exact rank arithmetic") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def ref(keys: Array[Long]): (Long, Long, Double, Double, Double) = {
+      val sizes = keys.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      val n = sizes.size.toLong
+      val stot = sizes.values.sum
+      val smax = sizes.values.max
+      val szD = sizes.values.map(_.toDouble).toSeq
+      val ranked = sizes.toSeq.sortBy { case (k, sz) => (sz, k) }
+      val trs = ranked.zipWithIndex.map { case ((_, sz), i) => (i + 1) * sz }.sum
+      val gini = (2.0 * trs - (n + 1).toDouble * stot.toDouble) /
+        (n.toDouble * stot.toDouble)
+      (n, stot, smax.toDouble / stot, pct(szD, 0.99) / pct(szD, 0.5), gini)
+    }
+    val expect = Map("l_partkey" -> ref(li.map(_._1)),
+      "l_suppkey" -> ref(li.map(_._2)))
+    val got = QualityQueries.queries("q178_skew_report")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (d, e) =>
+      assert(got(d)._1 === e._1, s"$d n"); assert(got(d)._2 === e._2, s"$d tot")
+      assert(got(d)._3 === e._3, s"$d top_share")
+      assert(got(d)._4 === e._4, s"$d p99_p50")
+      assert(math.abs(got(d)._5 - e._5) < 1e-12, s"$d gini")
+    }
   }
 }
