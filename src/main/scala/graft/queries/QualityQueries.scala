@@ -491,6 +491,70 @@ object QualityQueries {
             col("top_share"), col("p99_p50"), col("gini"))
       }
       report("l_partkey", "l_partkey").union(report("l_suppkey", "l_suppkey"))
+    }),
+
+    // Classical seasonal decomposition (additive, STL-lite): daily order
+    // revenue splits into a centered 7-day moving-average trend, a
+    // day-of-week seasonal mean of the detrended series, and the
+    // residual. The corpus collapses to one row per DAY in the first
+    // hash aggregate; every window after that runs over the bounded
+    // daily table (≤ few thousand rows — the q138 bounded-aggregate
+    // argument), partitioned where possible (seasonal means by dow).
+    // Revenue is exact cents; the trend mean divides an exact 7-day sum.
+    "q179_seasonal_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+          .cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      // detrended value as an exact integer numerator: detr = cents − s7/7
+      // = (7·cents − s7)/7 — so the seasonal MEAN is an exact-integer sum
+      // divided once in double (order-independent at any parallelism; a
+      // plain avg() of double residuals would be partition-order float
+      // summation, the thing the q95 discipline forbids).
+      val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val wDow = Window.partitionBy(col("dow"))
+      daily
+        .withColumn("n7", count(lit(1)).over(wTrend))
+        .withColumn("s7", sum(col("cents")).over(wTrend))
+        .filter(col("n7") === 7) // full centered weeks only
+        .withColumn("num", lit(7) * col("cents") - col("s7"))
+        .withColumn("dow", pmod(col("day") + 4, lit(7))) // 1970-01-01 = Thu
+        .withColumn("detr", col("num").cast("double") / 700.0)
+        .withColumn("seasonal",
+          sum(col("num")).over(wDow).cast("double") /
+            (lit(700.0) * count(lit(1)).over(wDow)))
+        .select(col("day"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("s7").cast("double") / 700.0).as("trend"),
+          col("seasonal"),
+          (col("detr") - col("seasonal")).as("residual"))
+    }),
+
+    // Join-cardinality profiler (the optimizer-statistics operator you
+    // run before sizing a shuffle): for each candidate key, the EXACT
+    // output cardinality of the lineitem self-join on that key computed
+    // WITHOUT executing it — Σₖ cnt(k)² over the per-key count table —
+    // plus distinct keys and max fan-out. One hash aggregate per dim;
+    // cost is |keys|, not the join's output (which for suppkey here is
+    // ~n²/|supp| rows — the profiler tells you that, and whether q113's
+    // salting is warranted, BEFORE you pay for it). Σ cnt² accumulates
+    // in decimal(38,0): exact at any corpus size where the join itself
+    // is even conceivable.
+    "q180_join_cardinality" -> ((s, dir) => {
+      def profile(dimName: String, keyCol: String): DataFrame =
+        Tables.lineitem(s, dir)
+          .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast("decimal(19,0)") * col("c")
+              .cast("decimal(19,0)")).cast("decimal(38,0)").cast("double")
+              .as("self_join_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_fanout"))
+          .select(lit(dimName).as("dim"), col("self_join_rows"),
+            col("n_keys"), col("max_fanout"))
+      profile("l_partkey", "l_partkey")
+        .union(profile("l_suppkey", "l_suppkey"))
+        .union(profile("l_orderkey", "l_orderkey"))
     })
   )
 
@@ -753,6 +817,46 @@ object QualityQueries {
              (SELECT sum(rnk * sz) AS trs FROM
                (SELECT sz, row_number() OVER (ORDER BY sz, k) AS rnk
                 FROM sizes_s)) t)
-         SELECT * FROM rep_p UNION ALL SELECT * FROM rep_s"""
+         SELECT * FROM rep_p UNION ALL SELECT * FROM rep_s""",
+    "q179_seasonal_decompose" ->
+      """WITH daily AS (SELECT
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         t AS (SELECT day, cents,
+             count(*) OVER w7 AS n7, sum(cents) OVER w7 AS s7
+           FROM daily
+           WINDOW w7 AS (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         f AS (SELECT day, cents, s7, 7 * cents - s7 AS num,
+             (day + 4) % 7 AS dow
+           FROM t WHERE n7 = 7),
+         g AS (SELECT *, CAST(num AS DOUBLE) / 700.0 AS detr,
+             CAST(sum(num) OVER (PARTITION BY dow) AS DOUBLE)
+               / (700.0 * count(*) OVER (PARTITION BY dow)) AS seasonal
+           FROM f)
+         SELECT CAST(day AS BIGINT) AS day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(s7 AS DOUBLE) / 700.0 AS trend,
+           seasonal, detr - seasonal AS residual
+         FROM g""",
+    "q180_join_cardinality" ->
+      """WITH p AS (SELECT l_partkey AS k, count(*) AS c
+           FROM lineitem GROUP BY 1),
+         s AS (SELECT l_suppkey AS k, count(*) AS c
+           FROM lineitem GROUP BY 1),
+         o AS (SELECT l_orderkey AS k, count(*) AS c
+           FROM lineitem GROUP BY 1)
+         SELECT 'l_partkey' AS dim,
+           CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE) AS self_join_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_fanout FROM p
+         UNION ALL SELECT 'l_suppkey',
+           CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE),
+           CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM s
+         UNION ALL SELECT 'l_orderkey',
+           CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE),
+           CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM o"""
   )
 }

@@ -33,7 +33,10 @@ class PlanSpec extends AnyFunSuite {
     // prefix-sum pattern: the global window never sees the corpus)
     "q138_pareto" -> 1,
     // same pattern, once per analyzed dimension (≤21-row bucket tables)
-    "q178_skew_report" -> 2)
+    "q178_skew_report" -> 2,
+    // centered 7-day trend over the bounded DAILY aggregate (≤ a few
+    // thousand rows — the corpus collapsed in the first hash agg)
+    "q179_seasonal_decompose" -> 1)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)

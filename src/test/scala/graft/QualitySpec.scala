@@ -396,4 +396,55 @@ class QualitySpec extends AnyFunSuite {
       assert(math.abs(got(d)._5 - e._5) < 1e-12, s"$d gini")
     }
   }
+
+  test("q179 decomposition matches a driver-side STL-lite recomputation") {
+    val daily = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate.toEpochDay,
+        math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (d, vs) => (d, vs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val idx = daily.map(_._1).zipWithIndex.toMap
+    val full = daily.zipWithIndex.collect {
+      case ((d, c), i) if i >= 3 && i + 3 < daily.length =>
+        val s7 = (i - 3 to i + 3).map(daily(_)._2).sum
+        (d, c, s7, 7 * c - s7, ((d + 4) % 7).toInt)
+    }
+    val seasonal = full.groupBy(_._5).map { case (dow, vs) =>
+      dow -> vs.map(_._4).sum.toDouble / (700.0 * vs.length)
+    }
+    val expect = full.map { case (d, c, s7, num, dow) =>
+      val detr = num.toDouble / 700.0
+      d -> (c.toDouble / 100.0, s7.toDouble / 700.0, seasonal(dow),
+        detr - seasonal(dow))
+    }.toMap
+    val got = QualityQueries.queries("q179_seasonal_decompose")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (d, e) => assert(got(d) === e, s"day $d") }
+    assert(idx.nonEmpty)
+  }
+
+  test("q180 profiler predicts the exact executed self-join cardinality") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ref(keys: Array[Long]): (Double, Long, Long) = {
+      val c = keys.groupBy(identity).map { case (_, v) => v.length.toLong }
+      (c.map(x => x * x).sum.toDouble, c.size.toLong, c.max)
+    }
+    val expect = Map("l_partkey" -> ref(li.map(_._1)),
+      "l_suppkey" -> ref(li.map(_._2)), "l_orderkey" -> ref(li.map(_._3)))
+    val got = QualityQueries.queries("q180_join_cardinality")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect)
+    // the profiler's promise: its number IS the executed join's count
+    val partJoin = li.map(_._1).groupBy(identity)
+      .map { case (_, v) => v.length.toLong * v.length }.sum
+    assert(got("l_partkey")._1 === partJoin.toDouble)
+  }
 }
