@@ -555,6 +555,98 @@ object QualityQueries {
       profile("l_partkey", "l_partkey")
         .union(profile("l_suppkey", "l_suppkey"))
         .union(profile("l_orderkey", "l_orderkey"))
+    }),
+
+    // Cohort LTV curves: users cohorted by first-seen week, purchase
+    // revenue folded by cohort-week × age-week, cumulative LTV along age
+    // inside each cohort partition (never a global window), cohort sizes
+    // broadcast back. Revenue accumulates as exact cents; the running
+    // sum crosses into double once per output row. The revenue twin of
+    // q104's retention-rate triangle.
+    "q181_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+            .cast("long").as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(floor(min(col("day")) / 7).as("cohort_week"),
+          min(col("day")).as("c_day"))
+      val sizes = cohort.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          floor((col("day") - col("c_day")) / 7).as("age_week"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("age_week"), col("cohort_users"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("cum_cents").cast("double") / 100.0).as("cum_revenue"))
+    }),
+
+    // Forecast backtest (seasonal-naive baseline): forecast(day) =
+    // actual(day − 7), scored with the aggregate error metrics that stay
+    // EXACT under distribution — MAE, WAPE and bias are ratios of exact
+    // integer-cent sums (a per-row MAPE mean would be partition-order
+    // float summation). The day−7 alignment is a self-join on the
+    // bounded daily table, not a lag window — no global ordering
+    // anywhere.
+    "q182_forecast_backtest" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+          .cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val f = daily.select(col("day"), col("cents"))
+        .join(daily.select((col("day") + 7).as("day"),
+          col("cents").as("fc")), Seq("day"))
+      f.agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cents") - col("fc"))).as("sae"),
+          sum(col("cents") - col("fc")).as("se"),
+          sum(col("cents")).as("sa"))
+        .select(col("n_days"),
+          (col("sae").cast("double") / 100.0 / col("n_days")).as("mae"),
+          (col("sae").cast("double") / col("sa")).as("wape"),
+          (col("se").cast("double") / col("sa")).as("bias"))
+    }),
+
+    // Referential-integrity audit: orphan counts for every foreign-key
+    // edge of the star schema in one result — each edge is a left-anti
+    // join of child keys against the parent, dims ride broadcasts, the
+    // two fact-fact edges stay co-keyed. The relational completion of
+    // q164's single-table constraint suite (Deequ's isContainedIn /
+    // hasReferentialIntegrity checks).
+    "q183_referential_integrity" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String,
+               broadcastParent: Boolean): DataFrame = {
+        val p = parent.select(col(parentKey).as(childKey))
+        val pp = if (broadcastParent) broadcast(p) else p
+        child.select(col(childKey))
+          .join(pp, Seq(childKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(broadcast(
+            child.agg(count(lit(1)).as("n_child"))))
+          .select(lit(name).as("fk_edge"), col("n_orphans"), col("n_child"))
+      }
+      val li = Tables.lineitem(s, dir)
+      edge("lineitem->orders", li.select(col("l_orderkey")), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", broadcastParent = false)
+        .union(edge("lineitem->part", li.select(col("l_partkey")), "l_partkey",
+          Tables.part(s, dir), "p_partkey", broadcastParent = true))
+        .union(edge("lineitem->supplier", li.select(col("l_suppkey")),
+          "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
+          broadcastParent = true))
+        .union(edge("orders->customer",
+          Tables.orders(s, dir).select(col("o_custkey")), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", broadcastParent = true))
+        .union(edge("customer->nation",
+          Tables.customer(s, dir).select(col("c_nationkey")), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey", broadcastParent = true))
     })
   )
 
@@ -857,6 +949,71 @@ object QualityQueries {
            CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM s
          UNION ALL SELECT 'l_orderkey',
            CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE),
-           CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM o"""
+           CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM o""",
+    "q181_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         cohort AS (SELECT user_id, min(day) // 7 AS cohort_week,
+             min(day) AS c_day FROM ev GROUP BY 1),
+         sizes AS (SELECT cohort_week, count(*) AS cohort_users
+           FROM cohort GROUP BY 1),
+         rev AS (SELECT c.cohort_week, (e.day - c.c_day) // 7 AS age_week,
+             sum(CAST(round(e.value * 100) AS BIGINT)) AS cents
+           FROM ev e JOIN cohort c USING (user_id)
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+         cum AS (SELECT cohort_week, age_week, cents,
+             sum(cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+           FROM rev)
+         SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(age_week AS BIGINT) AS age_week,
+           CAST(cohort_users AS BIGINT) AS cohort_users,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue
+         FROM cum JOIN sizes USING (cohort_week)""",
+    "q182_forecast_backtest" ->
+      """WITH daily AS (SELECT
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         f AS (SELECT a.day, a.cents, b.cents AS fc
+           FROM daily a JOIN daily b ON b.day = a.day - 7),
+         g AS (SELECT count(*) AS n_days, sum(abs(cents - fc)) AS sae,
+             sum(cents - fc) AS se, sum(cents) AS sa FROM f)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(CAST(sae AS VARCHAR) AS DOUBLE) / 100.0 / n_days AS mae,
+           CAST(CAST(sae AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS wape,
+           CAST(CAST(se AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS bias
+         FROM g""",
+    "q183_referential_integrity" ->
+      """SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child
+         UNION ALL SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+             AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+         UNION ALL SELECT 'lineitem->supplier',
+           CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+             AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+         UNION ALL SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+         UNION ALL SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+             AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)"""
   )
 }

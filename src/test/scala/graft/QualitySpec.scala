@@ -447,4 +447,71 @@ class QualitySpec extends AnyFunSuite {
       .map { case (_, v) => v.length.toLong * v.length }.sum
     assert(got("l_partkey")._1 === partJoin.toDouble)
   }
+
+  test("q181 LTV curve matches a driver-side cohort fold") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").cast("long")
+          .as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, vs) =>
+      val cd = vs.map(_._4).min; u -> (cd / 7, cd)
+    }
+    val sizes = cohort.values.groupBy(_._1).map { case (w, m) => w -> m.size }
+    val rev = ev.filter(_._2 == "purchase")
+      .groupBy(e => (cohort(e._1)._1, (e._4 - cohort(e._1)._2) / 7))
+      .map { case (k, vs) => k -> vs.map(e => math.round(e._3 * 100)).sum }
+    val expect = rev.groupBy(_._1._1).flatMap { case (cw, entries) =>
+      var cum = 0L
+      entries.toSeq.sortBy(_._1._2).map { case ((_, aw), cents) =>
+        cum += cents
+        (cw, aw) -> (sizes(cw).toLong, cents.toDouble / 100.0,
+          cum.toDouble / 100.0)
+      }
+    }
+    val got = QualityQueries.queries("q181_cohort_ltv")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === expect)
+  }
+
+  test("q182 backtest metrics match an explicit day-aligned scan") {
+    val daily = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate.toEpochDay,
+        math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sum }
+    val aligned = daily.toSeq.flatMap { case (d, c) =>
+      daily.get(d - 7).map(fc => (c, fc)) }
+    val n = aligned.length
+    val sae = aligned.map { case (c, fc) => math.abs(c - fc) }.sum
+    val se = aligned.map { case (c, fc) => c - fc }.sum
+    val sa = aligned.map(_._1).sum
+    val row = QualityQueries.queries("q182_forecast_backtest")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getDouble(1) === sae.toDouble / 100.0 / n)
+    assert(row.getDouble(2) === sae.toDouble / sa.toDouble)
+    assert(row.getDouble(3) === se.toDouble / sa.toDouble)
+  }
+
+  test("q183 reports zero orphans on the fixture and counts children") {
+    val got = QualityQueries.queries("q183_referential_integrity")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet === Set("lineitem->orders", "lineitem->part",
+      "lineitem->supplier", "orders->customer", "customer->nation"))
+    val nLi = graft.core.Tables.lineitem(spark, sfDir).count()
+    assert(got("lineitem->orders") === ((0L, nLi)))
+    // a synthetic orphan IS detected: drop half the parent set and re-run
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val halfParents = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 0)
+    val orphans = li.select(col("l_orderkey"))
+      .join(halfParents.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti").count()
+    assert(orphans > 0, "synthetic orphan probe should find violations")
+  }
 }
