@@ -319,14 +319,20 @@ object QualityQueries {
     // full SQL-standard iterative form.
     "q173_recursive_spine" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("q173_orders")
-      s.sql("""WITH RECURSIVE bounds AS (
-            SELECT date_trunc('month', min(o_orderdate)) AS lo,
-                   date_trunc('month', max(o_orderdate)) AS hi
-            FROM q173_orders),
-          months(m) AS (
-            SELECT lo FROM bounds
+      // Anchor/bound collect as TWO SCALARS first: inside the recursion
+      // they would be re-joined (and the orders aggregate re-planned) at
+      // EVERY step — ~80 iterations × a corpus aggregate. As literals the
+      // recursion is pure month arithmetic; the corpus is scanned once,
+      // by the rev aggregate.
+      val Array(lo, hi) = s.sql(
+        """SELECT CAST(date_trunc('month', min(o_orderdate)) AS STRING),
+                  CAST(date_trunc('month', max(o_orderdate)) AS STRING)
+           FROM q173_orders""").head().toSeq.map(_.toString).toArray
+      s.sql(s"""WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '$lo' AS m
             UNION ALL
-            SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi),
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '$hi'),
           rev AS (
             SELECT date_trunc('month', o_orderdate) AS mm,
               sum(CAST(o_totalprice AS DECIMAL(14,2))) AS r, count(*) AS n
@@ -373,8 +379,9 @@ object QualityQueries {
           col("a_c_nationkey") === col("b_c_nationkey") &&
           col("a_c_mktsegment") === col("b_c_mktsegment") &&
           col("a_c_custkey") < col("b_c_custkey"))
-        .filter(levenshtein(col("a_c_name"), col("b_c_name")) <= 2 &&
-          abs(col("a_cents") - col("b_cents")) < 50000L)
+        // integer band FIRST: ~10× fewer pairs reach the O(|s|²) DP
+        .filter(abs(col("a_cents") - col("b_cents")) < 50000L &&
+          levenshtein(col("a_c_name"), col("b_c_name")) <= 2)
         .select(col("a_c_custkey").as("id_a"), col("b_c_custkey").as("id_b"))
       val cc = graft.llm.Dedup.connectedComponents(links, "id_a", "id_b")
         .withColumnsRenamed(Map("node" -> "c_custkey"))
