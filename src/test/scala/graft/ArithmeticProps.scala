@@ -147,4 +147,53 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
     }
     jac < t || (prefix(a) & prefix(b)).nonEmpty
   }
+
+  // q178's Gini: the rank form (2·Σi·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) over the
+  // ascending-sorted sizes equals the textbook mean-absolute-difference
+  // definition Σᵢⱼ|xᵢ−xⱼ|/(2n²·mean) — exactly, when both fold the same
+  // integers (the distributed rank assignment only has to reproduce the
+  // sort order; the arithmetic is settled here).
+  property("Gini rank form equals the mean-absolute-difference form") = forAll(
+    Gen.nonEmptyListOf(Gen.choose(1L, 10000L))) { xs =>
+    val n = xs.length.toLong
+    val s = xs.sum
+    val sorted = xs.sorted
+    val trs = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val rankForm = (2.0 * trs - (n + 1).toDouble * s.toDouble) /
+      (n.toDouble * s.toDouble)
+    val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+    val madForm = mad.toDouble / (2.0 * n * n * (s.toDouble / n))
+    math.abs(rankForm - madForm) < 1e-9
+  }
+
+  // q177's pick: the first row (in (value, tiebreak) order) whose doubled
+  // cumulative weight reaches the total IS the minimizer of the weighted
+  // absolute deviation Σwᵢ|xᵢ−m| — the defining property of a weighted
+  // median, checked against brute force over the observed values.
+  property("2·cumw ≥ totw pick minimizes weighted absolute deviation") = forAll(
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 9L)))) { xs =>
+    val sorted = xs.sortBy(_._1)
+    val totw = sorted.map(_._2).sum
+    var cum = 0L
+    val pick = sorted.find { case (_, w) => cum += w; cum * 2 >= totw }.get._1
+    def cost(m: Long): Long = xs.map { case (x, w) => w * math.abs(x - m) }.sum
+    val best = xs.map(_._1).distinct.map(cost).min
+    cost(pick) == best
+  }
+
+  // q182's WAPE/bias exactness claim: ratios of exact integer sums are
+  // invariant under any partitioning of the rows (the float division
+  // happens once, on identical operands).
+  property("WAPE of integer series is partition-invariant") = forAll(
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 100000L), Gen.choose(0L, 100000L))),
+    Gen.choose(1, 7)) { (rows, parts) =>
+    def wape(groups: Seq[Seq[(Long, Long)]]): Double = {
+      val sae = groups.map(_.map { case (a, f) => math.abs(a - f) }.sum).sum
+      val sa = groups.map(_.map(_._1).sum).sum
+      if (sa == 0) -1.0 else sae.toDouble / sa.toDouble
+    }
+    val shuffled = rows.zipWithIndex.groupBy(_._2 % parts).values
+      .map(_.map(_._1)).toSeq
+    wape(Seq(rows)) == wape(shuffled)
+  }
 }

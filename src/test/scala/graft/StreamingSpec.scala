@@ -1755,4 +1755,56 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming Holt final (level, trend) bit-agree with the batch q172 fold") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.events(spark, TestSession.sfDir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .sortBy(e => (e._3, e._2)) // global event-time order, as a log replay
+      val (b1, b2) = events.splitAt(events.size / 2)
+      val input = MemoryStream[(Long, Long, Long, Double)](spark)
+      val grouped = input.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3, r._4))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+      val q = StreamingHolt.smoothed(grouped,
+          alpha = 0.3, beta = 0.7, gamma = 0.1, delta = 0.9)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-holt"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Double, Double)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // replay a slice of batch 1 inside batch 2: the frontier must drop it
+      input.addData(b1.takeRight(10) ++ b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // one emission per in-order event from each key's SECOND event on
+      val perKey = events.groupBy(_._1)
+      val expectEmissions = perKey.valuesIterator.map(v => math.max(0, v.size - 1)).sum
+      assert(out.size === expectEmissions,
+        "one emission per event past the two-point seed, none for replays")
+      val lastByKey = perKey.map { case (k, evs) =>
+        k -> evs.sortBy(e => (e._3, e._2)).last._2 }
+      val finals = out.filter { case (k, id, _, _) => lastByKey(k) == id }
+        .map(r => r._1 -> ((r._3, r._4, r._3 + r._4))).toMap
+      val batch = graft.queries.QualityQueries.queries("q172_holt_trend")(
+        spark, TestSession.sfDir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(finals.keySet === batch.keySet)
+      batch.foreach { case (k, v) =>
+        assert(finals(k) === v, s"user $k: stream/batch Holt diverged") }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
