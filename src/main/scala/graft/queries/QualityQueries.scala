@@ -109,16 +109,34 @@ object QualityQueries {
     // band evaluated in exact integer cents (no double-boundary flips).
     // Pairs scoring ≥ 2 are links. Candidates are bounded by Σ block².
     "q166_record_linkage" -> ((s, dir) => {
+      // Bag-distance prefilter (the q-gram count filter of the
+      // similarity-join literature): per-name digit counts packed 6
+      // bits each into one long at scan time; a candidate pair whose
+      // count-vector L1 exceeds 4 cannot have lev ≤ 2 (each edit moves
+      // the full-alphabet bag by ≤ 2, and projecting to digits only
+      // shrinks the L1) — so the O(|s|²) DP runs on survivors only.
+      // Provably lossless: the oracle runs the unfiltered form.
+      val pack = (0 to 9).map { d =>
+        // cast BEFORE the shift: an Int shifted by ≥32 wraps
+        shiftleft((length(col("c_name")) -
+          length(expr(s"replace(c_name, '$d', '')"))).cast("long"), 6 * d)
+      }.reduce(_ + _)
       val c = Tables.customer(s, dir).select(
         col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"),
-        round(col("c_acctbal") * 100).cast("long").as("cents"))
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        pack.as("dpack"))
       val a = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "a_" + n))
       val b = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "b_" + n))
+      val bagL1 = (0 to 9).map { d =>
+        abs(shiftright(col("a_dpack"), 6 * d).bitwiseAND(lit(63L)) -
+            shiftright(col("b_dpack"), 6 * d).bitwiseAND(lit(63L)))
+      }.reduce(_ + _)
       a.join(b,
           col("a_c_nationkey") === col("b_c_nationkey") &&
           col("a_c_mktsegment") === col("b_c_mktsegment") &&
           col("a_c_custkey") < col("b_c_custkey"))
+        .filter(bagL1 <= 4)
         .withColumn("lev", levenshtein(col("a_c_name"), col("b_c_name")))
         .withColumn("score",
           when(col("lev") <= 2, lit(2)).otherwise(lit(0)) +

@@ -196,4 +196,25 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
       .map(_.map(_._1)).toSeq
     wape(Seq(rows)) == wape(shuffled)
   }
+
+  // q166's prefilter: each edit moves the full-alphabet character bag by
+  // at most 2 in L1, and projecting the bag onto any sub-alphabet only
+  // shrinks the distance — so lev(a,b) ≤ k implies digit-bag L1 ≤ 2k.
+  // Checked over random digit-heavy strings against a reference DP.
+  property("digit-bag L1 never exceeds twice the edit distance") = forAll(
+    Gen.listOfN(12, Gen.oneOf(('0' to '9') ++ Seq('a', 'b'))).map(_.mkString),
+    Gen.listOfN(12, Gen.oneOf(('0' to '9') ++ Seq('a', 'b'))).map(_.mkString)) {
+    (a, b) =>
+      def lev(x: String, y: String): Int = {
+        val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        d(x.length)(y.length)
+      }
+      val bag = ('0' to '9').map(c =>
+        math.abs(a.count(_ == c) - b.count(_ == c))).sum
+      bag <= 2 * lev(a, b)
+  }
 }
