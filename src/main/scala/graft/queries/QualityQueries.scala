@@ -672,6 +672,57 @@ object QualityQueries {
         .union(edge("customer->nation",
           Tables.customer(s, dir).select(col("c_nationkey")), "c_nationkey",
           Tables.nation(s, dir), "n_nationkey", broadcastParent = true))
+    }),
+
+    // Telemetry debounce (burst-first dedup within tolerance): keep an
+    // event iff it STARTS a burst — its gap from the previous event of
+    // the same (user, type) exceeds 6 h (or it is the key's first). The
+    // batch form of sensor/heartbeat dedup: one lag window partitioned
+    // by the dedup key (in-partition sort only), rows never leave their
+    // key's partition. Burst (adjacent-gap) semantics, not greedy
+    // measured-from-last-kept — the greedy form is a per-key ordered
+    // fold (q158's shape) and lives in streaming near-dup.
+    "q184_debounce" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNull || col("gap") > 21600000000L)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), min(col("event_id")).as("first_id"))
+    }),
+
+    // Benford first-digit test (fraud-detection screening): the leading
+    // significant digit comes from the STRING of exact integer cents —
+    // never a float log10, whose last-ulp behavior at powers of ten is
+    // library-specific. Expected shares are the nine Benford constants
+    // as shared double literals (identical parse on both engines); one
+    // hash aggregate over the corpus, float math once per digit row. No
+    // float total is emitted — a 9-term float sum has no canonical
+    // order; the per-digit contributions are the deterministic output.
+    "q185_benford" -> ((s, dir) => {
+      import s.implicits._
+      val probs = Seq(
+        1 -> 0.30102999566398119, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514).toDF("digit", "p")
+      val obs = Tables.orders(s, dir)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      obs.join(broadcast(probs), Seq("digit"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          (col("n").cast("double") * col("p")).as("expected"),
+          ((col("n_obs").cast("double") - col("n").cast("double") * col("p")) *
+           (col("n_obs").cast("double") - col("n").cast("double") * col("p")) /
+           (col("n").cast("double") * col("p"))).as("contrib"))
     })
   )
 
@@ -1039,6 +1090,39 @@ object QualityQueries {
            CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
              (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
              AS BIGINT),
-           CAST((SELECT count(*) FROM customer) AS BIGINT)"""
+           CAST((SELECT count(*) FROM customer) AS BIGINT)""",
+    "q184_debounce" ->
+      """WITH g AS (SELECT user_id, event_type, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events)
+         SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(event_id) AS BIGINT) AS first_id
+         FROM g WHERE gap IS NULL OR gap > 21600000000
+         GROUP BY 1, 2""",
+    "q185_benford" ->
+      """WITH probs(digit, p) AS (VALUES
+           -- e0 notation: DuckDB parses exponent literals straight to
+           -- DOUBLE via strtod (correctly rounded); a bare decimal
+           -- literal lands in DECIMAL(18,17) and its cast to double
+           -- rounds DIFFERENTLY in the last ulp
+           (1, 0.30102999566398119e0), (2, 0.17609125905568124e0),
+           (3, 0.12493873660829993e0), (4, 0.09691001300805642e0),
+           (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+           (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+           (9, 0.04575749056067514e0)),
+         obs AS (SELECT CAST(substring(
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             1, 1) AS INT) AS digit, count(*) AS n_obs
+           FROM orders GROUP BY 1),
+         tot AS (SELECT sum(n_obs) AS n FROM obs)
+         SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n AS DOUBLE) * p AS expected,
+           (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) *
+           (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) /
+           (CAST(n AS DOUBLE) * p) AS contrib
+         FROM obs JOIN probs USING (digit), tot"""
   )
 }

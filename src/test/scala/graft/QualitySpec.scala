@@ -514,4 +514,52 @@ class QualitySpec extends AnyFunSuite {
         Seq("l_orderkey"), "left_anti").count()
     assert(orphans > 0, "synthetic orphan probe should find violations")
   }
+
+  test("q184 debounce keeps exactly the burst-starting events") {
+    val ev = eventsTyped()
+    val byUserType = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+    val expect = byUserType.map { case (k, vs) =>
+      val ordered = vs.map(_._2).sortBy(v => (v._2, v._1))
+      val kept = ordered.head +: ordered.sliding(2).collect {
+        case Array(a, b) if b._2 - a._2 > 21600000000L => b
+      }.toSeq
+      k -> (kept.length.toLong, kept.map(_._1).min)
+    }
+    val got = QualityQueries.queries("q184_debounce")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect)
+    assert(ev.nonEmpty)
+  }
+
+  test("q185 Benford digits come from exact cents, not float log10") {
+    val cents = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+    val obs = cents.map(_.toString.head.asDigit).groupBy(identity)
+      .map { case (d, v) => d -> v.length.toLong }
+    val n = obs.values.sum
+    val probs = Map(1 -> 0.30102999566398119, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val got = QualityQueries.queries("q185_benford")(spark, sfDir)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === obs.keySet)
+    obs.foreach { case (d, o) =>
+      val exp = n.toDouble * probs(d)
+      val contrib = (o.toDouble - exp) * (o.toDouble - exp) / exp
+      assert(got(d)._1 === o, s"digit $d count")
+      assert(got(d)._2 === exp, s"digit $d expected")
+      assert(got(d)._3 === contrib, s"digit $d contrib")
+    }
+  }
 }
