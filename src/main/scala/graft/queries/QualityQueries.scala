@@ -723,6 +723,44 @@ object QualityQueries {
           ((col("n_obs").cast("double") - col("n").cast("double") * col("p")) *
            (col("n_obs").cast("double") - col("n").cast("double") * col("p")) /
            (col("n").cast("double") * col("p"))).as("contrib"))
+    }),
+
+    // Partition-pruning statistics (the diagnostic that quantifies what
+    // q99's Z-order layout buys): assign rows to 64 simulated files
+    // under two layouts — ingest order (orderkey ranges) vs
+    // date-clustered (ship-day ranges) — collect per-file min/max
+    // zone maps in one hash aggregate each, and count the files a
+    // one-week ship-date predicate can skip. At 100 TB this query IS
+    // the cheap pre-flight that decides whether re-clustering pays:
+    // zone maps are |files| rows, the corpus is touched by two
+    // aggregates, the skip test is pure arithmetic on the maps.
+    "q186_pruning_stats" -> ((s, dir) => {
+      val day = expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+        .cast("long")
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), day.as("day"))
+      val bounds = li.agg(min(col("day")).as("dLo"), max(col("day")).as("dHi"),
+        min(col("l_orderkey")).as("oLo"), max(col("l_orderkey")).as("oHi"))
+      // predicate: the 8th week of the corpus's date range
+      def stats(layout: String, fileCol: org.apache.spark.sql.Column) =
+        li.crossJoin(broadcast(bounds))
+          .select(fileCol.as("file"), col("day"), col("dLo"))
+          .groupBy(col("file"))
+          .agg(min(col("day")).as("mn"), max(col("day")).as("mx"),
+            first(col("dLo")).as("dLo"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mx") < col("dLo") + 49 ||
+                     col("mn") > col("dLo") + 55, 1L).otherwise(0L))
+              .as("n_skippable"))
+          .select(lit(layout).as("layout"), col("n_files"), col("n_skippable"),
+            (col("n_skippable").cast("double") / col("n_files")).as("skip_frac"))
+      val natural = stats("ingest_order",
+        floor((col("l_orderkey") - col("oLo")) * 64 /
+          (col("oHi") - col("oLo") + 1)).cast("long"))
+      val clustered = stats("date_clustered",
+        floor((col("day") - col("dLo")) * 64 /
+          (col("dHi") - col("dLo") + 1)).cast("long"))
+      natural.union(clustered)
     })
   )
 
@@ -1123,6 +1161,30 @@ object QualityQueries {
            (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) *
            (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) /
            (CAST(n AS DOUBLE) * p) AS contrib
-         FROM obs JOIN probs USING (digit), tot"""
+         FROM obs JOIN probs USING (digit), tot""",
+    "q186_pruning_stats" ->
+      """WITH li AS (SELECT l_orderkey,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS day
+           FROM lineitem),
+         b AS (SELECT min(day) AS dlo, max(day) AS dhi,
+             min(l_orderkey) AS olo, max(l_orderkey) AS ohi FROM li),
+         natz AS (SELECT (l_orderkey - olo) * 64 // (ohi - olo + 1) AS f,
+             min(day) AS mn, max(day) AS mx, min(dlo) AS dlo
+           FROM li, b GROUP BY 1),
+         natr AS (SELECT 'ingest_order' AS layout, count(*) AS n_files,
+             sum(CASE WHEN mx < dlo + 49 OR mn > dlo + 55 THEN 1 ELSE 0 END)
+               AS n_skippable FROM natz),
+         cluz AS (SELECT (day - dlo) * 64 // (dhi - dlo + 1) AS f,
+             min(day) AS mn, max(day) AS mx, min(dlo) AS dlo
+           FROM li, b GROUP BY 1),
+         clur AS (SELECT 'date_clustered' AS layout, count(*) AS n_files,
+             sum(CASE WHEN mx < dlo + 49 OR mn > dlo + 55 THEN 1 ELSE 0 END)
+               AS n_skippable FROM cluz),
+         u AS (SELECT * FROM natr UNION ALL SELECT * FROM clur)
+         SELECT layout, CAST(n_files AS BIGINT) AS n_files,
+           CAST(n_skippable AS BIGINT) AS n_skippable,
+           CAST(n_skippable AS DOUBLE) / n_files AS skip_frac
+         FROM u"""
   )
 }

@@ -562,4 +562,30 @@ class QualitySpec extends AnyFunSuite {
       assert(got(d)._3 === contrib, s"digit $d contrib")
     }
   }
+
+  test("q186 zone maps match a driver-side layout simulation") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+          .cast("long").as("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dLo = li.map(_._2).min; val dHi = li.map(_._2).max
+    val oLo = li.map(_._1).min; val oHi = li.map(_._1).max
+    def skip(assign: ((Long, Long)) => Long): (Long, Long) = {
+      val zones = li.groupBy(assign).map { case (_, vs) =>
+        (vs.map(_._2).min, vs.map(_._2).max) }
+      (zones.size.toLong,
+        zones.count { case (mn, mx) => mx < dLo + 49 || mn > dLo + 55 }.toLong)
+    }
+    val nat = skip { case (o, _) => (o - oLo) * 64 / (oHi - oLo + 1) }
+    val clu = skip { case (_, d) => (d - dLo) * 64 / (dHi - dLo + 1) }
+    val got = QualityQueries.queries("q186_pruning_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("ingest_order") === nat)
+    assert(got("date_clustered") === clu)
+    // the operator's reason to exist: clustering must dominate ingest order
+    assert(clu._2 > nat._2,
+      "date-clustered layout should skip strictly more files")
+  }
 }
