@@ -572,8 +572,10 @@ class QualitySpec extends AnyFunSuite {
     val dLo = li.map(_._2).min; val dHi = li.map(_._2).max
     val oLo = li.map(_._1).min; val oHi = li.map(_._1).max
     def skip(assign: ((Long, Long)) => Long): (Long, Long) = {
-      val zones = li.groupBy(assign).map { case (_, vs) =>
-        (vs.map(_._2).min, vs.map(_._2).max) }
+      // keep as Seq: mapping a Map to (mn, mx) pairs would re-key on mn
+      // and collapse files sharing a min day
+      val zones = li.groupBy(assign).valuesIterator.map(vs =>
+        (vs.map(_._2).min, vs.map(_._2).max)).toSeq
       (zones.size.toLong,
         zones.count { case (mn, mx) => mx < dLo + 49 || mn > dLo + 55 }.toLong)
     }
