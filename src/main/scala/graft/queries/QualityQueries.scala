@@ -681,7 +681,8 @@ object QualityQueries {
     // by the dedup key (in-partition sort only), rows never leave their
     // key's partition. Burst (adjacent-gap) semantics, not greedy
     // measured-from-last-kept — the greedy form is a per-key ordered
-    // fold (q158's shape) and lives in streaming near-dup.
+    // fold and lives in `streaming/StreamingDebounce` (spec-proven
+    // against a driver-side last-kept reference).
     "q184_debounce" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"), col("event_type"))

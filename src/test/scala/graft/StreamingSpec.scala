@@ -1807,4 +1807,55 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming greedy debounce matches a driver-side last-kept fold") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tol = 21600000000L // 6 h, the q184 tolerance
+      val events = graft.core.Tables.events(spark, TestSession.sfDir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+        .sortBy(e => (e._4, e._3))
+      val (b1, b2) = events.splitAt(events.size / 2)
+      val input = MemoryStream[(Long, String, Long, Long)](spark)
+      val grouped = input.toDS().groupByKey(r => (r._1, r._2))
+        .mapValues(r => (r._3, r._4))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      val q = StreamingDebounce.kept(grouped, tol)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-debounce"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, String, Long, Long)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b1.takeRight(10) ++ b2: _*) // replay slice must be dropped
+      q.processAllAvailable()
+      q.stop()
+      // greedy reference: keep iff > tol after the last KEPT of the key
+      val expect = events.groupBy(e => (e._1, e._2)).flatMap { case (k, evs) =>
+        var lastKept = Long.MinValue
+        evs.sortBy(e => (e._4, e._3)).flatMap { e =>
+          if (lastKept == Long.MinValue || e._4 - lastKept > tol) {
+            lastKept = e._4; Some((k._1, k._2, e._3, e._4))
+          } else None
+        }
+      }.toSet
+      assert(out.toSet === expect)
+      // greedy ≠ burst-head: greedy keeps AT LEAST the burst heads
+      val burstHeads = graft.queries.QualityQueries.queries("q184_debounce")(
+        spark, TestSession.sfDir)
+        .agg(org.apache.spark.sql.functions.sum(col("n_kept"))).head().getLong(0)
+      assert(out.size >= burstHeads,
+        "greedy debounce keeps at least one event per adjacent-gap burst")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
