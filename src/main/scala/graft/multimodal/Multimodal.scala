@@ -391,6 +391,134 @@ object Multimodal {
            round(height * clamped).cast("int").as("height"))
   }
 
+  /** 64-bit perceptual hash (pHash): decode → 32×32 area-averaged
+    * grayscale → 2D DCT-II → the 8×8 low-frequency block → bit i set iff
+    * coefficient i exceeds the median of the 63 non-DC coefficients.
+    * Robust to re-encoding and small pixel perturbations (the property
+    * the spec exercises); every float op runs through `StrictMath`, so
+    * the hash is bit-identical across JVMs and JIT intrinsics — a cluster
+    * of heterogeneous executors computes the same hash for the same
+    * bytes, which the banded self-join below requires.
+    */
+  def pHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val n = 32
+    val gray = Array.ofDim[Double](n, n)
+    val w = img.getWidth; val h = img.getHeight
+    var gy = 0
+    while (gy < n) {
+      var gx = 0
+      while (gx < n) {
+        // area-average the source block [x0,x1)×[y0,y1) (≥1 px each way)
+        val x0 = gx * w / n; val x1 = math.max(x0 + 1, (gx + 1) * w / n)
+        val y0 = gy * h / n; val y1 = math.max(y0 + 1, (gy + 1) * h / n)
+        var s = 0L; var cnt = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        gray(gy)(gx) = if (cnt == 0) 0.0 else s.toDouble / (3.0 * cnt)
+        gx += 1
+      }
+      gy += 1
+    }
+    // 2D DCT-II, low-frequency 8×8 block only (O(8·8·32·32) — constant)
+    val coef = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            acc += gray(y)(x) *
+              StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n)) *
+              StrictMath.cos((2 * y + 1) * v * StrictMath.PI / (2.0 * n))
+            x += 1
+          }
+          y += 1
+        }
+        coef(v)(u) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val flat = (for (y <- 0 until 8; x <- 0 until 8 if !(x == 0 && y == 0))
+      yield coef(y)(x)).toArray
+    val median = flat.sorted.apply(flat.length / 2)
+    var bits = 0L
+    var i = 0
+    while (i < flat.length) {
+      if (flat(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    Some(bits)
+  }
+
+  /** Per-partition pHash over (media_id, payload) rows — the decoder
+    * lifecycle of [[decodeImageStats]]; undecodable rows quarantine with
+    * decoded=false.
+    */
+  def pHashes(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("phash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          pHash64(r.get(1).asInstanceOf[Array[Byte]]) match {
+            case Some(p) => Row(r.getLong(0), true, p)
+            case None    => Row(r.getLong(0), false, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-duplicate pairs: hamming(pHash) ≤ maxHamming, found
+    * by the pigeonhole band join (maxHamming + 1 bands of the 64-bit
+    * hash — two hashes within the budget MUST agree on at least one
+    * whole band), so candidates are bucket-joins, never a corpus². The
+    * image twin of the SimHash text path (`llm/Dedup.simHashNearDup`).
+    */
+  def pHashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "band width needs ≤ 15")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val banded = hashes.filter(col("decoded"))
+      .select(col("media_id"), col("phash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.withColumnsRenamed(
+      Map("media_id" -> "id_a", "phash" -> "ph_a"))
+    val b = banded.withColumnsRenamed(
+      Map("media_id" -> "id_b", "phash" -> "ph_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ph_a ^ ph_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Frame-sample timestamps for video rows: every `stepMs` within
     * [0, duration_ms) — a pure `sequence` + `explode`, no decoder needed
     * for the planning pass.

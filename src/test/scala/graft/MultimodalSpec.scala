@@ -204,4 +204,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(partBytes.count(_ > 0) >= 4,
       s"bytes concentrated in too few partitions: ${partBytes.mkString(",")}")
   }
+
+  /** Deterministic 64×64 noise PNG: unlike the affine-gradient
+    * `syntheticPng` (whose cross DCT coefficients are ~0, so pHash sign
+    * bits there are numerically degenerate ties), hash-noise pixels give
+    * every low-frequency coefficient a healthy magnitude — the spectrum
+    * shape pHash assumes of natural images.
+    */
+  private def noisePng(id: Long): Array[Byte] = {
+    val n = 64
+    val img = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until n; x <- 0 until n) {
+      val v = (((x * 73856093L) ^ (y * 19349663L) ^ (id * 83492791L) ^
+        ((x * y + id) * 2654435761L)) >>> 17).toInt & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def perturbedPng(id: Long): Array[Byte] = {
+    // one pixel nudged by +1 in every band — perceptually identical
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(noisePng(id)))
+    val v = ((img.getRGB(1, 1) & 0xFF) + 1) & 0xFF
+    img.setRGB(1, 1, (v << 16) | (v << 8) | v)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("pHash is invariant under lossless re-encode and stable under a pixel nudge") {
+    val base = noisePng(42L)
+    val ph = Multimodal.pHash64(base).get
+    // decode → re-encode PNG → identical pixels → identical hash
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.pHash64(bos.toByteArray).get === ph)
+    // a one-pixel nudge moves few low-frequency signs
+    val ph2 = Multimodal.pHash64(perturbedPng(42L)).get
+    assert(java.lang.Long.bitCount(ph ^ ph2) <= 3,
+      s"pixel nudge flipped ${java.lang.Long.bitCount(ph ^ ph2)} bits")
+    // undecodable payloads quarantine
+    assert(Multimodal.pHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.pHash64(null).isEmpty)
+  }
+
+  test("banded pHash near-dup join finds exactly the planted perturbed pairs") {
+    import spark.implicits._
+    val ids = (0L until 20L)
+    val rows = ids.map(i => (i, noisePng(i))) ++
+      ids.map(i => (i + 100L, perturbedPng(i)))
+    val df = rows.toDF("media_id", "payload")
+    val hashes = Multimodal.pHashes(df)
+    val maxHamming = 3
+    val pairs = Multimodal.pHashNearDupPairs(hashes, maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // reference: brute-force hamming over all hash pairs
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expect = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= maxHamming
+    } yield (a, b, d)).toSet
+    assert(pairs.toSet === expect,
+      "band join must equal the brute-force hamming scan")
+    // every planted (i, i+100) twin is within budget
+    ids.foreach { i =>
+      assert(expect.exists(p => p._1 == i && p._2 == i + 100L),
+        s"planted near-dup $i <-> ${i + 100} not found")
+    }
+  }
 }
