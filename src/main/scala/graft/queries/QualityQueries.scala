@@ -762,6 +762,62 @@ object QualityQueries {
         floor((col("day") - col("dLo")) * 64 /
           (col("dHi") - col("dLo") + 1)).cast("long"))
       natural.union(clustered)
+    }),
+
+    // Funnel time-to-convert: the latency distribution q103's conversion
+    // counts don't show — per-user first-qualifying-step timestamps from
+    // the same keyed min-aggregate chain (each step joins the previous
+    // step's survivors, co-keyed on user), then interpolated percentiles
+    // over the exact integer microsecond latencies. One row out; every
+    // join input is a per-user aggregate, so step joins shrink as the
+    // funnel narrows.
+    "q187_funnel_latency" -> ((s, dir) => {
+      val gap = 43200000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("us") > col("t1") && col("us") - col("t1") <= gap)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("us") > col("t2") && col("us") - col("t2") <= gap)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      s3.join(s2, Seq("user_id")).join(s1, Seq("user_id"))
+        .select((col("t3") - col("t1")).as("total_us"),
+          (col("t2") - col("t1")).as("step1_us"),
+          (col("t3") - col("t2")).as("step2_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(total_us, 0.5)").as("p50_total_us"),
+          expr("percentile(total_us, 0.9)").as("p90_total_us"),
+          expr("percentile(step1_us, 0.5)").as("p50_step1_us"),
+          expr("percentile(step2_us, 0.5)").as("p50_step2_us"))
+    }),
+
+    // New-vs-returning revenue split per month: each order classified
+    // against its customer's first-ever order day (one per-customer
+    // aggregate, co-keyed join back — never a window over the fact
+    // table), revenue folded as exact cents per month × class. The
+    // standard e-commerce health readout.
+    "q188_new_vs_returning" -> ((s, dir) => {
+      val day = expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+        .cast("long")
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), day.as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val firstDay = o.groupBy(col("o_custkey"))
+        .agg(min(col("day")).as("first_day"))
+      o.join(firstDay, Seq("o_custkey"))
+        .select(floor(col("day") / 30).as("month_bucket"),
+          when(col("day") === col("first_day"), "new").otherwise("returning")
+            .as("cust_class"),
+          col("cents"))
+        .groupBy(col("month_bucket"), col("cust_class"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cents")).cast("double") / 100.0).as("revenue"))
     })
   )
 
@@ -1186,6 +1242,42 @@ object QualityQueries {
          SELECT layout, CAST(n_files AS BIGINT) AS n_files,
            CAST(n_skippable AS BIGINT) AS n_skippable,
            CAST(n_skippable AS DOUBLE) / n_files AS skip_frac
-         FROM u"""
+         FROM u""",
+    "q187_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.us > s1.t1
+             AND e.us - s1.t1 <= 43200000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             AND e.us - s2.t2 <= 43200000000 GROUP BY 1),
+         lat AS (SELECT t3 - t1 AS total_us, t2 - t1 AS step1_us,
+             t3 - t2 AS step2_us
+           FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(total_us, 0.5) AS p50_total_us,
+           quantile_cont(total_us, 0.9) AS p90_total_us,
+           quantile_cont(step1_us, 0.5) AS p50_step1_us,
+           quantile_cont(step2_us, 0.5) AS p50_step2_us
+         FROM lat""",
+    "q188_new_vs_returning" ->
+      """WITH o AS (SELECT o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         fd AS (SELECT o_custkey, min(day) AS first_day FROM o GROUP BY 1)
+         SELECT CAST(o.day // 30 AS BIGINT) AS month_bucket,
+           CASE WHEN o.day = fd.first_day THEN 'new' ELSE 'returning' END
+             AS cust_class,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(o.cents) AS VARCHAR) AS DOUBLE) / 100.0 AS revenue
+         FROM o JOIN fd USING (o_custkey)
+         GROUP BY 1, 2"""
   )
 }

@@ -590,4 +590,57 @@ class QualitySpec extends AnyFunSuite {
     assert(clu._2 > nat._2,
       "date-clustered layout should skip strictly more files")
   }
+
+  test("q187 funnel latencies match a driver-side step walk") {
+    val gap = 43200000000L
+    val ev = eventsTyped()
+    val byUser = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val lats = byUser.valuesIterator.flatMap { vs =>
+      val t1s = vs.filter(_._2 == "signup").map(_._3)
+      if (t1s.isEmpty) None else {
+        val t1 = t1s.min
+        val t2s = vs.filter(v => v._2 == "click" && v._3 > t1 && v._3 - t1 <= gap).map(_._3)
+        if (t2s.isEmpty) None else {
+          val t2 = t2s.min
+          val t3s = vs.filter(v => v._2 == "purchase" && v._3 > t2 && v._3 - t2 <= gap).map(_._3)
+          if (t3s.isEmpty) None
+          else { val t3 = t3s.min; Some((t3 - t1, t2 - t1, t3 - t2)) }
+        }
+      }
+    }.toSeq
+    val row = QualityQueries.queries("q187_funnel_latency")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) === lats.length.toLong)
+    if (lats.isEmpty) {
+      (1 to 4).foreach(i => assert(row.isNullAt(i), s"col $i should be NULL"))
+    } else {
+      assert(row.getDouble(1) === pct(lats.map(_._1.toDouble), 0.5))
+      assert(row.getDouble(2) === pct(lats.map(_._1.toDouble), 0.9))
+      assert(row.getDouble(3) === pct(lats.map(_._2.toDouble), 0.5))
+      assert(row.getDouble(4) === pct(lats.map(_._3.toDouble), 0.5))
+    }
+    assert(ev.nonEmpty)
+  }
+
+  test("q188 split matches a driver-side first-order classification") {
+    val o = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate.toEpochDay,
+        math.round(r.getDouble(2) * 100)))
+    val firstDay = o.groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).min }
+    val expect = o.groupBy(v => (v._2 / 30,
+        if (v._2 == firstDay(v._1)) "new" else "returning"))
+      .map { case (k, vs) =>
+        k -> (vs.length.toLong, vs.map(_._3).sum.toDouble / 100.0) }
+    val got = QualityQueries.queries("q188_new_vs_returning")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expect)
+  }
 }
