@@ -217,4 +217,21 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
         math.abs(a.count(_ == c) - b.count(_ == c))).sum
       bag <= 2 * lev(a, b)
   }
+
+  // pHashNearDupPairs' recall argument: flipping ≤ k of 64 bits cannot
+  // touch all k+1 disjoint bands, so two hashes within hamming budget k
+  // always share at least one whole band — the candidate join misses
+  // nothing the exact hamming filter would keep.
+  property("hamming ≤ k implies a shared band among k+1 bands") = forAll(
+    Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(0, 3),
+    Gen.listOf(Gen.choose(0, 63))) { (h, k, flips) =>
+    val bands = k + 1
+    val width = 64 / bands
+    val h2 = flips.take(k).foldLeft(h)((acc, b) => acc ^ (1L << b))
+    val shares = (0 until bands).exists { b =>
+      ((h >>> (b * width)) & ((1L << width) - 1)) ==
+        ((h2 >>> (b * width)) & ((1L << width) - 1))
+    }
+    java.lang.Long.bitCount(h ^ h2) > k || shares
+  }
 }
