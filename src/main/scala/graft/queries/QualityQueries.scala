@@ -818,6 +818,27 @@ object QualityQueries {
         .groupBy(col("month_bucket"), col("cust_class"))
         .agg(count(lit(1)).as("n_orders"),
           (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+    }),
+
+    // Group-aware (leakage-safe) train/val/test split: folds assigned by
+    // the GROUP key (user), not the row, so correlated rows can never
+    // straddle a split — the ML-hygiene twin of q85's per-document
+    // split. The leakage metric is COMPUTED into the output (users in
+    // >1 split — structurally zero) rather than asserted in a test: the
+    // oracle hash re-proves it on every run. Same portable md5 hash as
+    // q85, so folds are engine- and parallelism-independent.
+    "q189_grouped_split" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("split", graft.llm.TextFunctions.splitAssign(col("user_id")))
+      val leaky = ev.select(col("user_id"), col("split")).distinct()
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaky_users"))
+      ev.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(leaky))
     })
   )
 
@@ -1278,6 +1299,23 @@ object QualityQueries {
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(CAST(sum(o.cents) AS VARCHAR) AS DOUBLE) / 100.0 AS revenue
          FROM o JOIN fd USING (o_custkey)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q189_grouped_split" ->
+      """WITH ev AS (SELECT user_id, event_id,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                 CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+               THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                 CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95
+               THEN 'val'
+             ELSE 'test' END AS split
+           FROM events),
+         leaky AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS leaky_users
+           FROM (SELECT user_id, count(DISTINCT split) AS ns
+                 FROM ev GROUP BY 1))
+         SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, leaky_users
+         FROM ev, leaky GROUP BY 1, leaky_users"""
   )
 }

@@ -643,4 +643,18 @@ class QualitySpec extends AnyFunSuite {
       .toMap
     assert(got === expect)
   }
+
+  test("q189 group split has zero leakage and partitions every event") {
+    val rows = QualityQueries.queries("q189_grouped_split")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet.subsetOf(Set("train", "val", "test")))
+    rows.values.foreach { case (_, _, leaky) => assert(leaky === 0L) }
+    val nEv = graft.core.Tables.events(spark, sfDir).count()
+    assert(rows.values.map(_._1).sum === nEv, "splits partition the events")
+    val nUsers = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.values.map(_._2).sum === nUsers, "splits partition the users")
+  }
 }
