@@ -839,6 +839,67 @@ object QualityQueries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .crossJoin(broadcast(leaky))
+    }),
+
+    // Sample-ratio-mismatch (SRM) check — the experimentation-platform
+    // health test run before trusting any A/B readout: USER-level
+    // assignment counts from q189's hash split vs the designed 90/5/5
+    // allocation, scored with per-cell chi-square contributions (the
+    // q157/q185 discipline: exact integer counts, fixed float expression
+    // per cell, no canonical-order float total emitted). One per-user
+    // distinct, one 3-row aggregate.
+    "q190_srm_check" -> ((s, dir) => {
+      import s.implicits._
+      val designed = Seq(("train", 0.90), ("val", 0.05), ("test", 0.05))
+        .toDF("split", "p")
+      val users = Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("split", graft.llm.TextFunctions.splitAssign(col("user_id")))
+      val obs = users.groupBy(col("split")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      obs.join(broadcast(designed), Seq("split"))
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("n_obs"),
+          (col("n").cast("double") * col("p")).as("expected"),
+          ((col("n_obs").cast("double") - col("n").cast("double") * col("p")) *
+           (col("n_obs").cast("double") - col("n").cast("double") * col("p")) /
+           (col("n").cast("double") * col("p"))).as("contrib"))
+    }),
+
+    // Bottom-k quantile sketch: per-group medians from a DETERMINISTIC
+    // 256-row sample — rows with the smallest content-hash priorities,
+    // kept by the mergeable BottomKAggregator (k rows of state per
+    // partial, the sketch shape that survives any partitioning). Unlike
+    // a random reservoir the sample is reproducible, so the oracle
+    // re-derives the identical sketch (rank-by-hash + LIMIT) — and the
+    // rank-error claim is asserted IN the output: the sample median must
+    // land inside the exact p35–p65 corridor (k = 256 → ~6 % rank sd).
+    "q191_bottomk_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val kN = 256
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"),
+          graft.llm.TextFunctions.portableHash(
+            col("event_id").cast("string"), 7).as("prio"))
+        .as[(String, Long, Double, Long)]
+      val bk = new graft.operators.BottomKAggregator(kN).toColumn
+      val sampled = ev.groupByKey(_._1)
+        .mapValues { case (_, id, v, prio) => (prio, id, v) }
+        .agg(bk.name("sample"))
+        .flatMap { case (t, sample) => sample.map(x => (t, x._3)) }
+        .toDF("event_type", "v")
+      val est = sampled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sample"),
+          expr("percentile(v, 0.5)").as("est_p50"))
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(value, 0.35)").as("lo"),
+          expr("percentile(value, 0.65)").as("hi"))
+      est.join(broadcast(exact), Seq("event_type"))
+        .select(col("event_type"), col("n_sample"), col("est_p50"),
+          col("exact_p50"),
+          (col("est_p50") >= col("lo") && col("est_p50") <= col("hi"))
+            .cast("int").as("within_bound"))
     })
   )
 
@@ -1316,6 +1377,47 @@ object QualityQueries {
                  FROM ev GROUP BY 1))
          SELECT split, CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, leaky_users
-         FROM ev, leaky GROUP BY 1, leaky_users"""
+         FROM ev, leaky GROUP BY 1, leaky_users""",
+    "q190_srm_check" ->
+      """WITH designed(split, p) AS (VALUES
+           ('train', 0.90e0), ('val', 0.05e0), ('test', 0.05e0)),
+         u AS (SELECT DISTINCT user_id FROM events),
+         ev AS (SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                 CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+               THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                 CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95
+               THEN 'val'
+             ELSE 'test' END AS split
+           FROM u),
+         obs AS (SELECT split, count(*) AS n_obs FROM ev GROUP BY 1),
+         tot AS (SELECT sum(n_obs) AS n FROM obs)
+         SELECT split, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n AS DOUBLE) * p AS expected,
+           (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) *
+           (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) /
+           (CAST(n AS DOUBLE) * p) AS contrib
+         FROM obs JOIN designed USING (split), tot""",
+    "q191_bottomk_quantile" ->
+      """WITH pr AS (SELECT event_type, event_id, value,
+             CAST(concat('0x', substr(md5(concat('7', '|',
+               CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) AS prio
+           FROM events),
+         sam AS (SELECT event_type, value FROM
+           (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY prio, event_id) AS rn
+            FROM pr) WHERE rn <= 256),
+         est AS (SELECT event_type, count(*) AS n_sample,
+             quantile_cont(value, 0.5) AS est_p50 FROM sam GROUP BY 1),
+         ex AS (SELECT event_type, quantile_cont(value, 0.5) AS exact_p50,
+             quantile_cont(value, 0.35) AS lo,
+             quantile_cont(value, 0.65) AS hi
+           FROM events GROUP BY 1)
+         SELECT e.event_type, CAST(n_sample AS BIGINT) AS n_sample,
+           est_p50, exact_p50,
+           CAST(est_p50 >= lo AND est_p50 <= hi AS INT) AS within_bound
+         FROM est e JOIN ex USING (event_type)"""
   )
 }

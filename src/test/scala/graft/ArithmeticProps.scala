@@ -234,4 +234,15 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
     }
     java.lang.Long.bitCount(h ^ h2) > k || shares
   }
+
+  // BottomKAggregator's partial-aggregation soundness: the bottom-k of a
+  // union is recoverable from per-part bottom-k's alone — k rows of
+  // state per partial is enough at any partitioning.
+  property("bottom-k of union equals bottom-k of merged bottom-k's") = forAll(
+    Gen.listOf(Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 100000L))),
+    Gen.listOf(Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 100000L))),
+    Gen.choose(1, 16)) { (a, b, k) =>
+    def keep(s: List[(Long, Long)]) = s.sortBy(identity).take(k)
+    keep(a ++ b) == keep(keep(a) ++ keep(b))
+  }
 }

@@ -657,4 +657,51 @@ class QualitySpec extends AnyFunSuite {
       .select(col("user_id")).distinct().count()
     assert(rows.values.map(_._2).sum === nUsers, "splits partition the users")
   }
+
+  test("q190 SRM cells match driver-side exact counts") {
+    val users = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("split", graft.llm.TextFunctions.splitAssign(col("user_id")))
+      .collect().map(r => r.getString(1))
+    val obs = users.groupBy(identity).map { case (s, v) => s -> v.length.toLong }
+    val n = users.length
+    val probs = Map("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)
+    val got = QualityQueries.queries("q190_srm_check")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === obs.keySet)
+    obs.foreach { case (s, o) =>
+      val exp = n.toDouble * probs(s)
+      assert(got(s)._1 === o, s"$s count")
+      assert(got(s)._2 === exp, s"$s expected")
+      assert(got(s)._3 === (o.toDouble - exp) * (o.toDouble - exp) / exp, s"$s contrib")
+    }
+  }
+
+  test("q191 sketch sample is the deterministic hash bottom-256 per group") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        graft.llm.TextFunctions.portableHash(col("event_id").cast("string"), 7)
+          .as("prio"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).map { case (t, vs) =>
+      val sample = vs.sortBy(v => (v._4, v._2)).take(256).map(_._3)
+      t -> (sample.length.toLong, pct(sample.toSeq, 0.5))
+    }
+    val exact = ev.groupBy(_._1).map { case (t, vs) =>
+      t -> (pct(vs.map(_._3).toSeq, 0.35), pct(vs.map(_._3).toSeq, 0.65)) }
+    val got = QualityQueries.queries("q191_bottomk_quantile")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getInt(4)))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (t, (nS, est)) =>
+      assert(got(t)._1 === nS, s"$t sample size")
+      assert(got(t)._2 === est, s"$t estimate")
+      val (lo, hi) = exact(t)
+      assert((got(t)._3 == 1) === (est >= lo && est <= hi), s"$t bound flag")
+    }
+  }
 }
