@@ -1858,4 +1858,51 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming bottom-k quantile final estimates bit-agree with batch q191") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.events(spark, TestSession.sfDir)
+        .select(col("event_type"),
+          graft.llm.TextFunctions.portableHash(col("event_id").cast("string"), 7)
+            .as("prio"),
+          col("event_id"), col("value"))
+        .as[(String, Long, Long, Double)].collect().toSeq
+      val (b1, b2) = events.splitAt(events.size / 2)
+      val input = MemoryStream[(String, Long, Long, Double)](spark)
+      val grouped = input.toDS().groupByKey(_._1)
+        .mapValues(r => (r._2, r._3, r._4))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      val q = StreamingQuantile.p50(grouped, k = 256)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-bkq"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long, Double)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b1.take(50) ++ b2: _*) // replays are set-idempotent
+      q.processAllAvailable()
+      q.stop()
+      // last emission per key vs the batch sketch query
+      val finals = out.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, es) => k -> es.maxBy(_._2)._1 }
+      val batch = graft.queries.QualityQueries.queries("q191_bottomk_quantile")(
+        spark, TestSession.sfDir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(finals.keySet === batch.keySet)
+      batch.foreach { case (k, (n, est)) =>
+        assert(finals(k)._2 === n, s"$k sample size")
+        assert(finals(k)._3 === est, s"$k estimate diverged from batch sketch")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
