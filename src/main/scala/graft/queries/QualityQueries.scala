@@ -900,6 +900,41 @@ object QualityQueries {
           col("exact_p50"),
           (col("est_p50") >= col("lo") && col("est_p50") <= col("hi"))
             .cast("int").as("within_bound"))
+    }),
+
+    // Rolling (windowed) median — a percentile window aggregate, which
+    // Spark lacks natively: trailing 7-row median of daily revenue per
+    // priority, synthesized as sort-and-interpolate over the frame's
+    // collect_list. The frame holds ≤ 7 exact-cent values and the
+    // interpolation rank over ≤ 7 rows is always k or k.5, so BOTH
+    // textbook interpolation forms are exact and identical — the
+    // hand-rolled expression cannot diverge from DuckDB's windowed
+    // quantile_cont in any last ulp. Windows partition by priority; the
+    // corpus collapses to |priority|×|days| rows first.
+    "q192_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+            .cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", collect_list(col("cents").cast("double")).over(w))
+        .select(col("o_orderpriority"), col("day"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          expr("""
+            (CASE WHEN size(arr) = 1 THEN element_at(array_sort(arr), 1)
+             ELSE element_at(array_sort(arr),
+                    CAST(floor(0.5 * (size(arr) - 1)) AS INT) + 1)
+                  * (1.0 - (0.5 * (size(arr) - 1)
+                            - floor(0.5 * (size(arr) - 1))))
+                + element_at(array_sort(arr),
+                    CAST(floor(0.5 * (size(arr) - 1)) AS INT) + 2)
+                  * (0.5 * (size(arr) - 1)
+                     - floor(0.5 * (size(arr) - 1)))
+             END) / 100.0""").as("med7"))
     })
   )
 
@@ -1418,6 +1453,18 @@ object QualityQueries {
          SELECT e.event_type, CAST(n_sample AS BIGINT) AS n_sample,
            est_p50, exact_p50,
            CAST(est_p50 >= lo AND est_p50 <= hi AS INT) AS within_bound
-         FROM est e JOIN ex USING (event_type)"""
+         FROM est e JOIN ex USING (event_type)""",
+    "q192_rolling_median" ->
+      """WITH daily AS (SELECT o_orderpriority,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, CAST(day AS BIGINT) AS day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           quantile_cont(CAST(cents AS DOUBLE), 0.5) OVER (
+             PARTITION BY o_orderpriority ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS med7
+         FROM daily"""
   )
 }

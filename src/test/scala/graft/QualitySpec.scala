@@ -704,4 +704,28 @@ class QualitySpec extends AnyFunSuite {
       assert((got(t)._3 == 1) === (est >= lo && est <= hi), s"$t bound flag")
     }
   }
+
+  test("q192 rolling median matches a driver-side trailing-frame walk") {
+    val daily = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map(r => ((r.getString(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate.toEpochDay),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val expect = daily.groupBy(_._1._1).flatMap { case (prio, m) =>
+      val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
+      days.indices.map { i =>
+        val frame = days.slice(math.max(0, i - 6), i + 1).map(_._2.toDouble)
+        (prio, days(i)._1) ->
+          (days(i)._2.toDouble / 100.0, pct(frame, 0.5) / 100.0)
+      }
+    }
+    val got = QualityQueries.queries("q192_rolling_median")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, e) => assert(got(k) === e, s"$k") }
+  }
 }
