@@ -21,10 +21,14 @@ import graft.core.Money.dec
   *    recompute, but the merge step touches |delta| + |groups| rows only —
   *    at 100 TB the base aggregate is a stored table and the delta is the
   *    day's changelog, so maintenance cost is independent of base size.
-  *  - q166 bounds candidate pairs by Σ block² via the (nation, segment)
-  *    blocking key — the standard record-linkage trick that turns O(n²)
-  *    comparisons into per-block joins; scoring is codegen'd levenshtein
-  *    plus an exact integer-cents balance band.
+  *  - q166 generates candidates via `operators.Linkage.candidatePairs`:
+  *    the (nation, segment) block predicates PLUS a ≤2-deletion name
+  *    band, complete for the lev ≤ 2 link rule. Blocking on the fixed
+  *    125-value nation×segment key alone would make candidates O(n²) in
+  *    corpus size; the deletion band bounds them by Σ variant-bucket² —
+  *    a data property, verified corpus-linear by LinkageScaleSpec.
+  *    Scoring is codegen'd levenshtein plus an exact integer-cents
+  *    balance band.
   *  - q167 is two keyed aggregates plus two broadcast joins of per-group
   *    stats (|groups| rows); the corpus never shuffles.
   *  - q168's pair explosion is bounded by Σ basket² (baskets are order
@@ -103,11 +107,17 @@ object QualityQueries {
             .as("n_rows"))
     }),
 
-    // Blocked record linkage (Fellegi–Sunter shape): candidate pairs from
-    // a (nation, segment) blocking join, scored on two fields — edit
-    // distance of names (≤2 → strong agreement) and an account-balance
-    // band evaluated in exact integer cents (no double-boundary flips).
-    // Pairs scoring ≥ 2 are links. Candidates are bounded by Σ block².
+    // Blocked record linkage (Fellegi–Sunter shape): candidate pairs
+    // share the (nation, segment) block predicates AND a ≤2-deletion
+    // name variant (`Linkage.candidatePairs` — complete for lev ≤ 2, so
+    // nothing the score filter would keep is lost), then score on two
+    // fields — edit distance of names (≤2 → strong agreement) and an
+    // account-balance band evaluated in exact integer cents (no
+    // double-boundary flips). Pairs scoring ≥ 2 are links. The deletion
+    // band bounds candidates by Σ variant-bucket² — a data property
+    // (how near-identical names actually are), NOT the fixed 125-block
+    // cardinality of nation×segment, so candidate volume grows linearly
+    // with the corpus (LinkageScaleSpec doubles the table and checks).
     "q166_record_linkage" -> ((s, dir) => {
       // Bag-distance prefilter (the q-gram count filter of the
       // similarity-join literature): per-name digit counts packed 6
@@ -126,16 +136,20 @@ object QualityQueries {
         col("c_mktsegment"),
         round(col("c_acctbal") * 100).cast("long").as("cents"),
         pack.as("dpack"))
-      val a = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "a_" + n))
-      val b = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "b_" + n))
+      val cand = graft.operators.Linkage.candidatePairs(
+        c, idCol = "c_custkey", nameCol = "c_name",
+        blockCols = Seq("c_nationkey", "c_mktsegment"))
+      val attrs = c.select(col("c_custkey"), col("c_name"), col("cents"),
+        col("dpack"))
+      val a = attrs.columns.foldLeft(attrs)((d, n) => d.withColumnRenamed(n, "a_" + n))
+      val b = attrs.columns.foldLeft(attrs)((d, n) => d.withColumnRenamed(n, "b_" + n))
       val bagL1 = (0 to 9).map { d =>
         abs(shiftright(col("a_dpack"), 6 * d).bitwiseAND(lit(63L)) -
             shiftright(col("b_dpack"), 6 * d).bitwiseAND(lit(63L)))
       }.reduce(_ + _)
-      a.join(b,
-          col("a_c_nationkey") === col("b_c_nationkey") &&
-          col("a_c_mktsegment") === col("b_c_mktsegment") &&
-          col("a_c_custkey") < col("b_c_custkey"))
+      cand
+        .join(a, col("id_a") === col("a_c_custkey"))
+        .join(b, col("id_b") === col("b_c_custkey"))
         .filter(bagL1 <= 4)
         .withColumn("lev", levenshtein(col("a_c_name"), col("b_c_name")))
         .withColumn("score",
@@ -143,8 +157,7 @@ object QualityQueries {
           when(abs(col("a_cents") - col("b_cents")) < 50000L, lit(1))
             .otherwise(lit(0)))
         .filter(col("score") >= 2)
-        .select(col("a_c_custkey").as("id_a"), col("b_c_custkey").as("id_b"),
-          col("lev"), col("score"))
+        .select(col("id_a"), col("id_b"), col("lev"), col("score"))
     }),
 
     // Robust outliers via median/MAD (modified z-score, Iglewicz–Hoaglin
@@ -391,16 +404,21 @@ object QualityQueries {
         col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"),
         round(col("c_acctbal") * 100).cast("long").as("cents"))
-      val a = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "a_" + n))
-      val b = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "b_" + n))
-      val links = a.join(b,
-          col("a_c_nationkey") === col("b_c_nationkey") &&
-          col("a_c_mktsegment") === col("b_c_mktsegment") &&
-          col("a_c_custkey") < col("b_c_custkey"))
+      // q166's deletion-band candidates (complete for the lev ≤ 2 link
+      // rule, corpus-linear candidate volume), then the exact link filter
+      val cand = graft.operators.Linkage.candidatePairs(
+        c, idCol = "c_custkey", nameCol = "c_name",
+        blockCols = Seq("c_nationkey", "c_mktsegment"))
+      val attrs = c.select(col("c_custkey"), col("c_name"), col("cents"))
+      val a = attrs.columns.foldLeft(attrs)((d, n) => d.withColumnRenamed(n, "a_" + n))
+      val b = attrs.columns.foldLeft(attrs)((d, n) => d.withColumnRenamed(n, "b_" + n))
+      val links = cand
+        .join(a, col("id_a") === col("a_c_custkey"))
+        .join(b, col("id_b") === col("b_c_custkey"))
         // integer band FIRST: ~10× fewer pairs reach the O(|s|²) DP
         .filter(abs(col("a_cents") - col("b_cents")) < 50000L &&
           levenshtein(col("a_c_name"), col("b_c_name")) <= 2)
-        .select(col("a_c_custkey").as("id_a"), col("b_c_custkey").as("id_b"))
+        .select(col("id_a"), col("id_b"))
       val cc = graft.llm.Dedup.connectedComponents(links, "id_a", "id_b")
         .withColumnsRenamed(Map("node" -> "c_custkey"))
       val members = c.join(cc, Seq("c_custkey"), "left")
@@ -935,6 +953,35 @@ object QualityQueries {
                   * (0.5 * (size(arr) - 1)
                      - floor(0.5 * (size(arr) - 1)))
              END) / 100.0""").as("med7"))
+    }),
+
+    // Sorted-neighborhood linkage — the ER literature's standard
+    // bounded-candidate alternative to blocking (q166's contrast):
+    // order the corpus by the name key, slide a w=10 window, score every
+    // in-window pair with q166's Fellegi–Sunter rule. Candidates are
+    // exactly (w−1)·n − w(w−1)/2, linear BY CONSTRUCTION (the closed
+    // form LinkageScaleSpec asserts); the global rank is the distributed
+    // zipWithIndex (`operators.Ids`, range shuffle + partition prefix
+    // sums), never a single-partition ranking window, and in-window
+    // pairing is an equi-join on adjacent rank buckets.
+    "q193_sorted_neighborhood" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val cand = graft.operators.Linkage.sortedNeighborhoodPairs(
+        c, idCol = "c_custkey", sortCol = "c_name", w = 10)
+      val a = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "a_" + n))
+      val b = c.columns.foldLeft(c)((d, n) => d.withColumnRenamed(n, "b_" + n))
+      cand
+        .join(a, col("id_a") === col("a_c_custkey"))
+        .join(b, col("id_b") === col("b_c_custkey"))
+        .withColumn("lev", levenshtein(col("a_c_name"), col("b_c_name")))
+        .withColumn("score",
+          when(col("lev") <= 2, lit(2)).otherwise(lit(0)) +
+          when(abs(col("a_cents") - col("b_cents")) < 50000L, lit(1))
+            .otherwise(lit(0)))
+        .filter(col("score") >= 2)
+        .select(col("id_a"), col("id_b"), col("lev"), col("score"))
     })
   )
 
@@ -1465,6 +1512,19 @@ object QualityQueries {
            quantile_cont(CAST(cents AS DOUBLE), 0.5) OVER (
              PARTITION BY o_orderpriority ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS med7
-         FROM daily"""
+         FROM daily""",
+    "q193_sorted_neighborhood" ->
+      """WITH c AS (SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY c_name) AS rn
+           FROM customer),
+         p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS lev,
+             (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 2 ELSE 0 END
+              + CASE WHEN abs(a.cents - b.cents) < 50000 THEN 1 ELSE 0 END)
+               AS score
+           FROM c a JOIN c b ON b.rn - a.rn BETWEEN 1 AND 9)
+         SELECT id_a, id_b, CAST(lev AS INT) AS lev, CAST(score AS INT)
+           AS score FROM p WHERE score >= 2"""
   )
 }
