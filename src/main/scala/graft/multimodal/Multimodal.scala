@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * `javax.imageio` codecs (PNG/JPEG/GIF/BMP, headless-safe, zero added
   * dependencies) and is oracle-verified end-to-end (q144 decodes
   * deterministic synthetic PNGs and DuckDB recomputes the pixel fill
-  * arithmetically). Audio/video decode remains a stub
-  * (`DeterministicFakeDecoder`) — no ffmpeg in this container — but the
-  * Spark-side contract it plugs into is the same one the real image codec
-  * exercises: schema, per-partition lifecycle, byte-aware partitioning,
-  * and the pure-Column operators (resize arithmetic, frame sampling).
+  * arithmetically). Audio decode is REAL too: `WavDecoder` runs
+  * `javax.sound.sampled` over RIFF/PCM WAV and is oracle-verified the
+  * same way (q150, lossless synthetic PCM). Only VIDEO decode remains a
+  * stub (`DeterministicFakeDecoder`) — no ffmpeg/JCodec in this
+  * container — but the Spark-side contract it plugs into is the same one
+  * both real codecs exercise: schema, per-partition lifecycle,
+  * byte-aware partitioning, and the pure-Column operators (resize
+  * arithmetic, frame sampling).
   *
   * Scale notes: payloads dominate row size, so partition sizing must follow
   * BYTES not row counts (`repartitionForDecode`); metadata-only transforms
@@ -102,7 +105,11 @@ object Multimodal {
       if (payload == null || payload.isEmpty) return None
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: ImageIO plugins throw runtime
+        // exceptions (CMMException, IllegalArgumentException, AIOOBE) on
+        // malformed payloads, and the quarantine contract is "undecodable
+        // rows yield None, the job never fails"
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val w = img.getWidth
@@ -140,7 +147,7 @@ object Multimodal {
     if (payload == null || payload.isEmpty) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null } // see decodeStats
     if (img == null) return None
     val scale = math.min(1.0, maxEdge.toDouble / math.max(img.getWidth, img.getHeight))
     val (w, h) = (math.round(img.getWidth * scale).toInt.max(1),
@@ -247,8 +254,10 @@ object Multimodal {
             n, sum))
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // NonFatal: same quarantine contract as the image paths — any
+        // decode failure (unsupported format, truncated RIFF, plugin
+        // runtime exception) yields None, never a failed job
+        case scala.util.control.NonFatal(_) => None
       }
     }
   }
@@ -404,7 +413,7 @@ object Multimodal {
     if (payload == null || payload.isEmpty) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null } // see decodeStats
     if (img == null) return None
     val n = 32
     val gray = Array.ofDim[Double](n, n)

@@ -68,6 +68,10 @@ object OperationalQueries {
       // ONE pass over lineitem: the same shuffled aggregate yields both
       // the participation set and its late subset (bool_or folds a
       // supplier's lines), instead of scanning + deduping the fact twice.
+      // The persist is never unpersisted here (the returned frame is
+      // lazy, so there is no in-query point where it is safe) — harness
+      // loops rely on the Verify/Bench per-query clearCache, the same
+      // contract as the LSH operators (Verify.scala:51).
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val pairs = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
@@ -329,8 +333,9 @@ object OperationalQueries {
     // slices, CUSUM says WHEN a single series drifted. Same execution
     // shape as q158 — one keyed shuffle, then the whole fold runs inside
     // one higher-order expression per user with identical IEEE ops on
-    // both engines (the DuckDB twin prepends the zero accumulator since
-    // list_reduce seeds from the first element), so doubles and alarm
+    // both engines (the DuckDB twin folds the same recurrence in a
+    // recursive CTE — see the oracle-side comment on why it avoids
+    // DuckDB's vectorized-lambda state crossover), so doubles and alarm
     // counts are bit-exact at any parallelism.
     "q159_cusum" -> ((s, dir) => {
       Tables.events(s, dir)

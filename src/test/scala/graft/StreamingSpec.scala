@@ -1905,4 +1905,62 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming rolling median bit-agrees with batch q192 across batch " +
+      "splits and replays") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the operator's input contract: the per-(priority, day) exact-cent
+      // daily aggregate stream, in day order (batch q192's first stage)
+      val daily = graft.core.Tables.orders(spark, TestSession.sfDir)
+        .groupBy(col("o_orderpriority"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+            .cast("long").as("day"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
+            .cast("long")).as("cents"))
+        .as[(String, Long, Long)].collect().toSeq.sortBy(r => (r._2, r._1))
+      val batchRef = graft.queries.QualityQueries.queries("q192_rolling_median")(
+        spark, TestSession.sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      // two different batch splits must yield identical emissions
+      val splits = Seq(Seq(daily), {
+        val (a, b) = daily.splitAt(daily.size / 3)
+        val (b1, b2) = b.splitAt(b.size / 2)
+        Seq(a, b1, b1.takeRight(7) ++ b2) // tail replay opens batch 3
+      })
+      val results = splits.zipWithIndex.map { case (batches, i) =>
+        val input = MemoryStream[(String, Long, Long)](spark)
+        val grouped = input.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+        val q = StreamingRollingMedian.med7(grouped, lookback = 7)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", tmp(s"ckpt-rmed$i"))
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long, Double)], _: Long) =>
+            out ++= b.collect(); ()
+          }.start()
+        batches.foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+        q.stop()
+        // the frontier drops replays: exactly ONE emission per (key, day)
+        assert(out.size === batchRef.size,
+          "replayed days must be dropped at the pane frontier")
+        out.map { case (k, d, m) => (k, d) -> m }.toMap
+      }
+      // every emission equals the batch med7 (cents → currency, same op)
+      results.foreach { byDay =>
+        assert(byDay.keySet === batchRef.keySet, "one emission per (key, day)")
+        byDay.foreach { case (kd, medCents) =>
+          assert(medCents / 100.0 === batchRef(kd),
+            s"$kd: stream med7 diverged from batch q192")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
