@@ -75,6 +75,37 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", bands = 4, planesPerBand = 8,
         dims = 64, threshold = 0.3)),
 
+    // ANN quality evaluation — recall@5 of the banded-LSH index against
+    // exact brute force for the q45 query set. THE acceptance metric any
+    // production ANN deployment is gated on; composing the two existing
+    // retrieval paths keeps the eval exactly as scalable as they are
+    // (broadcast-query brute force over the probe set only + banded
+    // candidates), and the comparison itself is id-set joins and one
+    // division per query.
+    "q199_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bf = Similarity.knnBruteForce(
+          emb, emb.where(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.annTopKInBands(emb,
+          idCol = "vec_id", vecCol = "embedding", bands = 4,
+          planesPerBand = 8, dims = 64, k = 5)
+        .where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("nn_id").as("neighbor_id"))
+      val annCnt = ann.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_ann"))
+      bf.join(ann.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_bf"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .join(annCnt, Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("n_bf"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_bf")).as("recall"))
+    }),
+
     // Symmetric int8 quantization — the 4x compression step before ANN
     // indexing at corpus scale. Pure narrow map; floor(x/scale + 0.5)
     // keeps the rounding rule engine-portable.
@@ -220,6 +251,51 @@ object EmbeddingQueries {
              + COALESCE(CAST(1 AS DOUBLE) / (60 + srank), CAST(0 AS DOUBLE))
              AS rrf
          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id""",
+    "q199_ann_recall" ->
+      s"""WITH $evCte, $nvCte, $planesCte, $dotpCte, $bkCte,
+         candb AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM ev a
+           JOIN ev b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         db AS (SELECT c.qid, c.nid,
+             list_reduce(list_transform(range(64), i -> ea.v[i+1] * eb.v[i+1]),
+               (a, b) -> a + b) AS dp
+           FROM candb c JOIN ev ea ON ea.vec_id = c.qid
+                         JOIN ev eb ON eb.vec_id = c.nid),
+         sb AS (SELECT qid, nid, round(dp / (nq.nrm * ne.nrm), 6) AS score
+           FROM db JOIN n nq ON nq.vec_id = qid
+                   JOIN n ne ON ne.vec_id = nid),
+         rb AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) AS rnk FROM sb),
+         bf AS (SELECT qid AS query_id, nid AS neighbor_id FROM rb
+           WHERE rnk <= 5),
+         canda AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+             FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id),
+         da AS (SELECT c.vec_id, c.nn_id,
+             list_reduce(list_transform(range(64), i -> ea.v[i+1] * eb.v[i+1]),
+               (a, b) -> a + b) AS dp
+           FROM canda c JOIN ev ea ON ea.vec_id = c.vec_id
+                         JOIN ev eb ON eb.vec_id = c.nn_id),
+         sa AS (SELECT da.vec_id, da.nn_id,
+             round(da.dp / (na.nrm * nb.nrm), 6) AS score
+           FROM da JOIN n na ON na.vec_id = da.vec_id
+                   JOIN n nb ON nb.vec_id = da.nn_id),
+         ra AS (SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, nn_id ASC) AS rnk FROM sa),
+         ann AS (SELECT vec_id AS query_id, nn_id AS neighbor_id FROM ra
+           WHERE rnk <= 5 AND vec_id < 10),
+         ac AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1),
+         fl AS (SELECT b.query_id, count(*) AS n_bf,
+             sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hit
+           FROM bf b LEFT JOIN ann a ON a.query_id = b.query_id
+             AND a.neighbor_id = b.neighbor_id
+           GROUP BY 1)
+         SELECT CAST(f.query_id AS BIGINT) AS query_id,
+           CAST(n_bf AS BIGINT) AS n_bf,
+           CAST(COALESCE(n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / n_bf AS recall
+         FROM fl f LEFT JOIN ac ON ac.query_id = f.query_id""",
     "q45_cosine_knn" ->
       s"""WITH $evCte, $nvCte,
          cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM ev a JOIN ev b

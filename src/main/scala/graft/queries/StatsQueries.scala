@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.TextFunctions
+
+/** Round-7 widening: corpus-evaluation statistics a training-data team
+  * runs before shipping a dataset — per-group quota sampling, vocabulary
+  * coverage / OOV screening, inter-labeler agreement (Cohen's κ), and
+  * the two classical nonparametric two-sample tests (Mann–Whitney U,
+  * Kolmogorov–Smirnov). Every query carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - q194 ranks inside the bounded TopKAggregator (k rows per partial
+  *    aggregate, never a per-group sort window); priorities are content
+  *    hashes, so the sample is deterministic and corpus-layout-free.
+  *  - q195's vocabulary is a TakeOrdered k-cut (bounded), broadcast back
+  *    over the token stream; the corpus tokenizes in one narrow pass.
+  *  - q196/q197/q198 collapse the corpus with ONE hash aggregate onto a
+  *    label-pair / value-domain table (9 cells; ≤50 quantity values),
+  *    and every window/fold after that runs on the bounded aggregate —
+  *    the q138 pattern. Test statistics are assembled from exact integer
+  *    counts; floats appear once per output value with the identical op
+  *    order on both engines.
+  */
+object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-source quota sampling (cap-k per group by deterministic
+    // content-hash priority): the dedup-adjacent curation op that keeps
+    // any one source from dominating a training mix. Priorities are
+    // portableHash(doc_id), so the kept set is a pure function of the
+    // data; ranking runs through the bounded TopKAggregator — k rows per
+    // partial aggregate, never a per-group sort window. (The hash is
+    // < 2^32, so its negation is exact in the aggregator's double score.)
+    "q194_quota_sample" -> ((s, dir) => {
+      import s.implicits._
+      val k = 50
+      val prio = TextFunctions.portableHash(col("doc_id").cast("string"), 11)
+      val topk = new graft.llm.Similarity.TopKAggregator(k).toColumn
+      graft.core.Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), prio.as("prio"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, p) => (id, -p.toDouble) }
+        .agg(topk.name("top"))
+        .flatMap { case (source, top) =>
+          top.iterator.zipWithIndex.map { case ((id, negP), i) =>
+            (source, id, (-negP).toLong, (i + 1).toLong)
+          }
+        }
+        .toDF("source", "doc_id", "prio", "rnk")
+    }),
+
+    // Vocabulary coverage / OOV-rate screen: the top-500 corpus
+    // vocabulary (count desc, token asc — a deterministic TakeOrdered
+    // k-cut, no ranking window), broadcast over the token stream, then
+    // one per-document aggregate. The tokenizer-budget question every
+    // corpus card answers: how much of each document a fixed vocabulary
+    // covers.
+    "q195_vocab_coverage" -> ((s, dir) => {
+      val toks = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(500)
+        .select(col("tok"), lit(1L).as("iv"))
+      toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          coalesce(sum(col("iv")), lit(0L)).as("n_iv"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - col("n_iv")).as("n_oov"),
+          ((col("n_tokens") - col("n_iv")).cast("double") / col("n_tokens"))
+            .as("oov_rate"))
+    }),
+
+    // Cohen's kappa between two categorical labelings of orders (status
+    // vs a price-derived pseudo-label over the same {F,O,P} space) — the
+    // inter-annotator agreement statistic of labeling pipelines. ONE
+    // corpus scan builds the 9-cell confusion matrix (persisted — tiny —
+    // so margins/diagonal/total all read the cells, not the corpus;
+    // released by the harness clearCache contract, see q153); po/pe/κ
+    // are assembled from exact integer counts with float ops in the
+    // identical order on both engines.
+    "q196_cohen_kappa" -> ((s, dir) => {
+      val cm = graft.core.Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("ra"),
+          when(col("o_totalprice") < 75000.0, "F")
+            .when(col("o_totalprice") < 150000.0, "O")
+            .otherwise("P").as("rb"))
+        .groupBy(col("ra"), col("rb"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = cm.agg(sum(col("c")).as("n"),
+        sum(when(col("ra") === col("rb"), col("c")).otherwise(0L)).as("diag"))
+      val pe = cm.groupBy(col("ra")).agg(sum(col("c")).as("rm"))
+        .join(cm.groupBy(col("rb")).agg(sum(col("c")).as("cmr")),
+          col("ra") === col("rb"))
+        .agg(sum(col("rm") * col("cmr")).as("pe_num"))
+      val po = col("diag").cast("double") / col("n")
+      val peD = col("pe_num").cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))
+      tot.crossJoin(pe)
+        .select(col("n").cast("long").as("n"),
+          po.as("po"), peD.as("pe"),
+          ((po - peD) / (lit(1.0) - peD)).as("kappa"))
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) between returned (R) and
+    // accepted (A) lineitems over quantity — the heavy-ties stress case
+    // (50 discrete values). The corpus collapses to per-value group
+    // counts in one hash aggregate; tie-averaged rank sums come from a
+    // window over that ≤50-row value-domain table (PlanSpec-whitelisted
+    // with that bound) in DOUBLED integer units (2·avgrank = 2·prevcum +
+    // t + 1), so W, U and the tie correction are exact integers; the
+    // z-score's float ops run once, identically on both engines.
+    "q197_mannwhitney" -> ((s, dir) => {
+      val byV = graft.core.Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .groupBy(col("l_quantity").cast("long").as("v"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("na"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranked = byV
+        .withColumn("t", col("nr") + col("na"))
+        .withColumn("prevcum", coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("avg2", lit(2L) * col("prevcum") + col("t") + lit(1L))
+      val agg = ranked.agg(
+        sum(col("nr")).as("n_r"), sum(col("na")).as("n_a"),
+        sum(col("nr") * col("avg2")).as("w2r"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val nR = col("n_r").cast("double")
+      val nA = col("n_a").cast("double")
+      val nT = nR + nA
+      val u2 = col("w2r") - col("n_r") * (col("n_r") + lit(1L)) // 2·U_R
+      val varU = (nR * nA / lit(12.0)) *
+        ((nT + lit(1.0)) - col("ties").cast("double") / (nT * (nT - lit(1.0))))
+      agg.select(col("n_r"), col("n_a"), u2.as("u2_r"),
+        (((u2.cast("double") - nR * nA) / lit(2.0)) / sqrt(varU)).as("z"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov over the same R-vs-A quantity
+    // split: D = sup |F_R − F_A| evaluated at every present value of
+    // either sample. Same one-aggregate collapse onto the ≤50-row value
+    // domain; the two CDFs are inclusive cumulative counts from one
+    // whitelisted window; each |ΔF| is two divisions and a subtraction
+    // on exact counts (identical op order both engines) and D is their
+    // order-independent max. The α=0.05 threshold uses the standard
+    // c(α)=1.358 large-sample constant.
+    "q198_ks_test" -> ((s, dir) => {
+      val byV = graft.core.Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .groupBy(col("l_quantity").cast("long").as("v"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("na"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = byV
+        .withColumn("cr", sum(col("nr")).over(w))
+        .withColumn("ca", sum(col("na")).over(w))
+      val tot = cum.agg(sum(col("nr")).as("n_r"), sum(col("na")).as("n_a"))
+      val d = cum.crossJoin(broadcast(tot))
+        .select(col("n_r"), col("n_a"),
+          abs(col("cr").cast("double") / col("n_r") -
+            col("ca").cast("double") / col("n_a")).as("delta"))
+        .groupBy(col("n_r"), col("n_a"))
+        .agg(max(col("delta")).as("d_stat"))
+      val nR = col("n_r").cast("double")
+      val nA = col("n_a").cast("double")
+      val crit = lit(1.358) * sqrt((nR + nA) / (nR * nA))
+      d.select(col("n_r"), col("n_a"), col("d_stat"), crit.as("crit_05"),
+        (col("d_stat") > crit).cast("int").as("reject_05"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q194_quota_sample" ->
+      """WITH p AS (SELECT source, doc_id,
+             CAST(concat('0x', substr(md5(concat('11', '|',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS prio
+           FROM documents),
+         r AS (SELECT source, doc_id, prio,
+             row_number() OVER (PARTITION BY source
+               ORDER BY prio, doc_id) AS rnk FROM p)
+         SELECT source, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 50""",
+    "q195_vocab_coverage" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         vc AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tok
+             GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 500)),
+         f AS (SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_iv
+           FROM tok t LEFT JOIN vc v ON v.tok = t.tok GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - n_iv AS BIGINT) AS n_oov,
+           CAST(n_tokens - n_iv AS DOUBLE) / n_tokens AS oov_rate
+         FROM f""",
+    "q196_cohen_kappa" ->
+      """WITH lab AS (SELECT o_orderstatus AS ra,
+             CASE WHEN o_totalprice < 75000.0 THEN 'F'
+                  WHEN o_totalprice < 150000.0 THEN 'O'
+                  ELSE 'P' END AS rb
+           FROM orders),
+         cm AS (SELECT ra, rb, count(*) AS c FROM lab GROUP BY 1, 2),
+         rm AS (SELECT ra AS k, sum(c) AS rmv FROM cm GROUP BY 1),
+         cl AS (SELECT rb AS k, sum(c) AS clv FROM cm GROUP BY 1),
+         pe AS (SELECT sum(rmv * clv) AS pe_num FROM rm JOIN cl USING (k)),
+         tt AS (SELECT sum(c) AS n,
+             sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS diag FROM cm)
+         SELECT CAST(n AS BIGINT) AS n,
+           CAST(diag AS DOUBLE) / n AS po,
+           CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             AS pe,
+           (CAST(diag AS DOUBLE) / n
+             - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0
+             - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             AS kappa
+         FROM tt, pe""",
+    "q197_mannwhitney" ->
+      """WITH byv AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na
+           FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+         rk AS (SELECT v, nr, na, nr + na AS t,
+             COALESCE(sum(nr + na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prevcum
+           FROM byv),
+         ag AS (SELECT sum(nr) AS n_r, sum(na) AS n_a,
+             sum(nr * (2 * prevcum + t + 1)) AS w2r,
+             sum(t * t * t - t) AS ties
+           FROM rk)
+         SELECT CAST(n_r AS BIGINT) AS n_r, CAST(n_a AS BIGINT) AS n_a,
+           CAST(w2r - n_r * (n_r + 1) AS BIGINT) AS u2_r,
+           ((CAST(w2r - n_r * (n_r + 1) AS DOUBLE)
+             - CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE)) / 2.0)
+           / sqrt((CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE) / 12.0)
+             * ((CAST(n_r AS DOUBLE) + CAST(n_a AS DOUBLE) + 1.0)
+               - CAST(ties AS DOUBLE)
+                 / ((CAST(n_r AS DOUBLE) + CAST(n_a AS DOUBLE))
+                   * (CAST(n_r AS DOUBLE) + CAST(n_a AS DOUBLE) - 1.0))))
+             AS z
+         FROM ag""",
+    "q198_ks_test" ->
+      """WITH byv AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na
+           FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+         cum AS (SELECT v, nr, na,
+             sum(nr) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             sum(na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+           FROM byv),
+         tot AS (SELECT sum(nr) AS n_r, sum(na) AS n_a FROM byv),
+         d AS (SELECT t.n_r, t.n_a,
+             max(abs(CAST(c.cr AS DOUBLE) / t.n_r
+               - CAST(c.ca AS DOUBLE) / t.n_a)) AS d_stat
+           FROM cum c, tot t GROUP BY 1, 2)
+         SELECT CAST(n_r AS BIGINT) AS n_r, CAST(n_a AS BIGINT) AS n_a,
+           d_stat,
+           1.358 * sqrt((CAST(n_r AS DOUBLE) + CAST(n_a AS DOUBLE))
+             / (CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE))) AS crit_05,
+           CAST(d_stat > 1.358 * sqrt((CAST(n_r AS DOUBLE)
+             + CAST(n_a AS DOUBLE))
+             / (CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE))) AS INT)
+             AS reject_05
+         FROM d"""
+  )
+}

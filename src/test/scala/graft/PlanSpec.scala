@@ -36,7 +36,11 @@ class PlanSpec extends AnyFunSuite {
     "q178_skew_report" -> 2,
     // centered 7-day trend over the bounded DAILY aggregate (≤ a few
     // thousand rows — the corpus collapsed in the first hash agg)
-    "q179_seasonal_decompose" -> 1)
+    "q179_seasonal_decompose" -> 1,
+    // rank/CDF prefix sums over the ≤50-row quantity-domain aggregate
+    // (l_quantity ∈ 1..50; the corpus collapsed in the first hash agg)
+    "q197_mannwhitney" -> 1,
+    "q198_ks_test" -> 1)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)
