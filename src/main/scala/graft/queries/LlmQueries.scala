@@ -98,6 +98,28 @@ object LlmQueries {
       Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
 
+    // Per-source duplication-rate report — the corpus-card rollup ON TOP
+    // of near-dup clustering (q67): every document left-joins its
+    // cluster (unclustered docs are their own trivial cluster), a
+    // source's duplicates are its non-canonical members (cluster_id ≠
+    // doc_id), dup_rate = duplicates / docs. One keyed join + one hash
+    // aggregate beyond the banded clustering it reuses, so the rollup
+    // inherits the LSH family's Σ bucket² bound.
+    "q200_dedup_rate_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cl = Dedup.nearDuplicateClusters(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+      docs.select(col("doc_id"), col("source"))
+        .join(cl, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id").isNotNull &&
+              col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"))
+    }),
+
     // Per-document token entropy: H = ln n − (Σ c·ln c)/n over exact
     // integer token counts — the vocabulary-diversity quality feature
     // (low entropy ⇒ repetitive/templated text; complements q65's
@@ -930,6 +952,34 @@ object LlmQueries {
          JOIN documents da ON pairs.doc_a = da.doc_id
          JOIN documents db ON pairs.doc_b = db.doc_id
          GROUP BY 1, 2""",
+    "q200_dedup_rate_by_source" ->
+      s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
+         ),
+         cl AS (SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cl.cluster_id IS NOT NULL
+                          AND cl.cluster_id <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN cl.cluster_id IS NOT NULL
+                          AND cl.cluster_id <> d.doc_id
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+         FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+         GROUP BY 1""",
     "q67_dedup_clusters" ->
       s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,

@@ -175,6 +175,90 @@ object StatsQueries {
       val crit = lit(1.358) * sqrt((nR + nA) / (nR * nA))
       d.select(col("n_r"), col("n_a"), col("d_stat"), crit.as("crit_05"),
         (col("d_stat") > crit).cast("int").as("reject_05"))
+    }),
+
+    // Per-document n-gram novelty — the memorization/contamination
+    // screen that asks how much of each document is text the corpus has
+    // already seen: a 3-gram shingle is NOVEL iff this doc_id is its
+    // corpus-wide first occurrence (min doc_id). One shingle explode
+    // (the native ShinglesExpr scan), one hash aggregate for
+    // first-occurrence attribution, one keyed join back — all bounded by
+    // shingle volume, the same budget the MinHash family already pays.
+    "q202_ngram_novelty" -> ((s, dir) => {
+      val sh = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.llm.Dedup.shinglesText(col("text"), 3)).as("sh"))
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+      sh.join(first, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+    }),
+
+    // Exact-quota stratified split: per (lang, source) stratum, the
+    // ceil(0.8·n) lowest content-hash priorities go to train — unlike
+    // q85's hash-threshold split (proportions only in expectation), the
+    // quota is EXACT per stratum, the property leakage-audited evals
+    // need. Ranking windows partition by stratum (in-partition sorts
+    // only); stratum sizes ride a partitioned count window.
+    "q203_stratified_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val prio = TextFunctions.portableHash(col("doc_id").cast("string"), 17)
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("prio"), col("doc_id"))
+      val sized = Window.partitionBy(col("lang"), col("source"))
+      graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), prio.as("prio"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nstr", count(lit(1)).over(sized))
+        .withColumn("is_train",
+          col("rn") <= ceil(col("nstr") * lit(0.8)))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_train").cast("long")).as("n_train"))
+        .select(col("lang"), col("source"), col("n"), col("n_train"),
+          (col("n") - col("n_train")).as("n_val"),
+          (col("n_train").cast("double") / col("n")).as("train_frac"))
+    }),
+
+    // Daily-revenue autocorrelation (lags 1 and 7) — the seasonality
+    // screen behind q179's decomposition: is there actually weekly
+    // structure to decompose? The corpus collapses to the bounded daily
+    // exact-cent series; row-lag pairs come from ONE whitelisted window
+    // over that table; all five moment sums accumulate in exact
+    // decimal(38,0) (order-independent), and Pearson r over each lag's
+    // pairs is assembled from those exact integers in one identical
+    // float expression per output row.
+    "q205_revenue_acf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.core.Tables.orders(s, dir)
+        .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+          .cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("day"))
+      val pairs = daily
+        .withColumn("x1", lag(col("cents"), 1).over(w))
+        .withColumn("x7", lag(col("cents"), 7).over(w))
+        .select(expr("stack(2, CAST(1 AS BIGINT), cents, x1, " +
+          "CAST(7 AS BIGINT), cents, x7) AS (lag_k, y, x)"))
+        .filter(col("x").isNotNull)
+      def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      val ag = pairs.groupBy(col("lag_k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(d19(col("x"))).cast("decimal(38,0)").as("sx"),
+          sum(d19(col("y"))).cast("decimal(38,0)").as("sy"),
+          sum(d19(col("x")) * d19(col("y"))).cast("decimal(38,0)").as("sxy"),
+          sum(d19(col("x")) * d19(col("x"))).cast("decimal(38,0)").as("sxx"),
+          sum(d19(col("y")) * d19(col("y"))).cast("decimal(38,0)").as("syy"))
+      val nD = col("n_pairs").cast("double")
+      def dd(n: String) = col(n).cast("double")
+      ag.select(col("lag_k"), col("n_pairs"),
+        ((nD * dd("sxy") - dd("sx") * dd("sy")) /
+          sqrt((nD * dd("sxx") - dd("sx") * dd("sx")) *
+            (nD * dd("syy") - dd("sy") * dd("sy")))).as("acf"))
     })
   )
 
@@ -275,6 +359,72 @@ object StatsQueries {
              + CAST(n_a AS DOUBLE))
              / (CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE))) AS INT)
              AS reject_05
-         FROM d"""
+         FROM d""",
+    "q202_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             j -> concat(t[j], ' ', t[j + 1], ' ', t[j + 2]))) AS s
+           FROM tk WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         fo AS (SELECT sh, min(doc_id) AS first_id FROM ex GROUP BY 1),
+         ag AS (SELECT e.doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+           FROM ex e JOIN fo f ON f.sh = e.sh GROUP BY 1)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+         FROM ag""",
+    "q203_stratified_split" ->
+      """WITH p AS (SELECT doc_id, lang, source,
+             CAST(concat('0x', substr(md5(concat('17', '|',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS prio
+           FROM documents),
+         r AS (SELECT lang, source,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY prio, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS nstr
+           FROM p),
+         ag AS (SELECT lang, source, count(*) AS n,
+             sum(CASE WHEN rn <= ceil(nstr * 0.8) THEN 1 ELSE 0 END)
+               AS n_train
+           FROM r GROUP BY 1, 2)
+         SELECT lang, source, CAST(n AS BIGINT) AS n,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n - n_train AS BIGINT) AS n_val,
+           CAST(n_train AS DOUBLE) / n AS train_frac
+         FROM ag""",
+    "q205_revenue_acf" ->
+      """WITH daily AS (SELECT
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         lg AS (SELECT cents,
+             lag(cents, 1) OVER (ORDER BY day) AS x1,
+             lag(cents, 7) OVER (ORDER BY day) AS x7
+           FROM daily),
+         pairs AS (SELECT CAST(1 AS BIGINT) AS lag_k, cents AS y, x1 AS x
+             FROM lg WHERE x1 IS NOT NULL
+           UNION ALL SELECT CAST(7 AS BIGINT), cents, x7
+             FROM lg WHERE x7 IS NOT NULL),
+         ag AS (SELECT lag_k, count(*) AS n_pairs,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+           FROM pairs GROUP BY 1)
+         SELECT lag_k, CAST(n_pairs AS BIGINT) AS n_pairs,
+           (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+         FROM ag"""
   )
 }

@@ -40,7 +40,9 @@ class PlanSpec extends AnyFunSuite {
     // rank/CDF prefix sums over the ≤50-row quantity-domain aggregate
     // (l_quantity ∈ 1..50; the corpus collapsed in the first hash agg)
     "q197_mannwhitney" -> 1,
-    "q198_ks_test" -> 1)
+    "q198_ks_test" -> 1,
+    // row-lag pairs over the bounded DAILY aggregate (q179's family)
+    "q205_revenue_acf" -> 1)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)
