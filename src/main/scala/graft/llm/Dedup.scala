@@ -162,8 +162,8 @@ object Dedup {
     * also need the shingle sets (exact-Jaccard confirmation) shingle the
     * corpus ONCE instead of once per consumer.
     */
-  private def bandsFromShingles(sh: DataFrame, k: Int,
-                                bands: Int): DataFrame = {
+  private[graft] def bandsFromShingles(sh: DataFrame, k: Int,
+                                       bands: Int): DataFrame = {
     require(k % bands == 0, "signature length must divide into bands")
     val rpb = k / bands
     sh

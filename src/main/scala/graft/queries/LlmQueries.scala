@@ -98,6 +98,48 @@ object LlmQueries {
       Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
 
+    // Sketch calibration — MinHash-estimated vs exact Jaccard over the
+    // banded candidate pairs: for each possible signature-agreement
+    // count (0..8 of 8 slots), how many candidate pairs land there and
+    // what their exact Jaccard averages. THE operational check before
+    // trusting an LSH threshold at a new corpus (est ≈ k·J by the
+    // MinHash unbiasedness argument; a drift flags shingle pathology).
+    // Same shingle-once/persist-signatures shape as q41; per-pair exact
+    // Jaccard is quantized to the 1e-9 grid (q133 discipline) before the
+    // mean's sum, so the group means are partition-order-free.
+    "q204_sketch_calibration" -> ((s, dir) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.shinglesText(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+        .persist(lvl)
+      val sig = sh.select(col("doc_id"),
+        Dedup.minhashSignature(col("sh"), 8).as("mh")).persist(lvl)
+      val cand = graft.llm.LshGuard.guardedCandidates(
+        Dedup.bandsFromShingles(sh, 8, 4), Seq("band", "bucket"),
+        "doc_id", maxBucket = 10000, ordered = true)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val withSig = cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(filter(zip_with(col("mh_a"), col("mh_b"),
+            (x, y) => x === y), v => v)).cast("long").as("est8"))
+      val withJac = withSig
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("est8"),
+          floor(Dedup.jaccard(col("sh_a"), col("sh_b")) * lit(1e9))
+            .cast("long").as("jg"))
+      withJac.groupBy(col("est8"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("jg")).as("sjg"))
+        .select(col("est8"),
+          (col("est8").cast("double") / lit(8.0)).as("est_jaccard"),
+          col("n_pairs"),
+          (col("sjg").cast("double") / lit(1e9) /
+            col("n_pairs").cast("double")).as("mean_exact_jaccard"))
+    }),
+
     // Per-source duplication-rate report — the corpus-card rollup ON TOP
     // of near-dup clustering (q67): every document left-joins its
     // cluster (unclustered docs are their own trivial cluster), a
@@ -952,6 +994,29 @@ object LlmQueries {
          JOIN documents da ON pairs.doc_a = da.doc_id
          JOIN documents db ON pairs.doc_b = db.doc_id
          GROUP BY 1, 2""",
+    "q204_sketch_calibration" ->
+      s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         est AS (SELECT p.doc_a, p.doc_b,
+             len(list_filter(range(8), i -> sa.mh[i+1] = sb.mh[i+1])) AS est8,
+             CAST(floor((CASE
+                 WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.s, sb.s))) END)
+               * 1e9) AS BIGINT) AS jg
+           FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+                        JOIN sig sb ON sb.doc_id = p.doc_b)
+         SELECT CAST(est8 AS BIGINT) AS est8,
+           CAST(est8 AS DOUBLE) / 8.0 AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jg) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+             AS mean_exact_jaccard
+         FROM est GROUP BY est8""",
     "q200_dedup_rate_by_source" ->
       s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,

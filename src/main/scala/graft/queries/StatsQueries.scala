@@ -214,8 +214,13 @@ object StatsQueries {
         .select(col("doc_id"), col("lang"), col("source"), prio.as("prio"))
         .withColumn("rn", row_number().over(w))
         .withColumn("nstr", count(lit(1)).over(sized))
+        // quota in EXACT integer arithmetic: ceil(0.8·n) = (8n+9) div 10.
+        // (A double 0.8·n sits a hair ABOVE the exact product for n
+        // divisible by 5 — 0.8 is not a binary fraction — while DuckDB's
+        // DECIMAL 0.8 is exact, so a float ceil would disagree right at
+        // the quota boundary.)
         .withColumn("is_train",
-          col("rn") <= ceil(col("nstr") * lit(0.8)))
+          col("rn") <= expr("(nstr * 8 + 9) DIV 10"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("is_train").cast("long")).as("n_train"))
@@ -259,6 +264,83 @@ object StatsQueries {
         ((nD * dd("sxy") - dd("sx") * dd("sy")) /
           sqrt((nD * dd("sxx") - dd("sx") * dd("sx")) *
             (nD * dd("syy") - dd("sy") * dd("sy")))).as("acf"))
+    }),
+
+    // Zipf-law fit over the top-100 token frequencies: OLS slope of
+    // ln(freq) on ln(rank) — the corpus-naturalness screen (natural text
+    // sits near −1; templated/synthetic corpora don't). The vocabulary
+    // is a TakeOrdered k-cut; the rank window runs over that 100-row
+    // table (whitelisted, bound stated); every log TERM is quantized to
+    // the 1e-9 grid on identical integer operands before summation (the
+    // q133 discipline), so the moment sums are exact longs and the
+    // slope/intercept assembly is one identical float expression.
+    "q201_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = graft.core.Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(100)
+      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val x = log(col("rank").cast("double"))
+      val y = log(col("cnt").cast("double"))
+      val g = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e9)).cast("long")
+      val ag = top.withColumn("rank", row_number().over(w))
+        .select(g(x).as("xg"), g(y).as("yg"), g(x * y).as("xyg"),
+          g(x * x).as("xxg"))
+        .agg(count(lit(1)).as("n"), sum(col("xg")).as("sx"),
+          sum(col("yg")).as("sy"), sum(col("xyg")).as("sxy"),
+          sum(col("xxg")).as("sxx"))
+      val nD = col("n").cast("double")
+      def de(n: String) = col(n).cast("double") / lit(1e9)
+      val slope = (nD * de("sxy") - de("sx") * de("sy")) /
+        (nD * de("sxx") - de("sx") * de("sx"))
+      ag.select(col("n"), slope.as("slope"),
+        ((de("sy") - slope * de("sx")) / nD).as("intercept"))
+    }),
+
+    // Per-type burstiness (Fano factor of hourly event counts): var/mean
+    // of the per-hour arrival counts — ≈1 for Poisson traffic, ≫1 for
+    // bursty types. Two hash aggregates (corpus → hourly counts → type
+    // moments); the dispersion assembles from exact integer count sums
+    // (population variance via n·Σc² − (Σc)²) with float ops once per
+    // output row.
+    "q206_fano_burstiness" -> ((s, dir) => {
+      val hourly = graft.core.Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val ag = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+      val nD = col("n_hours").cast("double")
+      val scD = col("sc").cast("double")
+      val sccD = col("scc").cast("double")
+      ag.select(col("event_type"), col("n_hours"),
+        (scD / nD).as("mean_per_hour"),
+        ((nD * sccD - scD * scD) / (nD * scD)).as("fano"))
+    }),
+
+    // Wilson 95% confidence interval for per-type success proportions
+    // (value > 100 as the success event) — the interval the SRM/Welch
+    // experiment family (q190/q171) quotes per cell; unlike the normal
+    // approximation it behaves at small n and extreme p. Exact integer
+    // (n, s) from one aggregate; the interval is one fixed-order float
+    // expression per row on both engines.
+    "q207_wilson_ci" -> ((s, dir) => {
+      val ag = graft.core.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("s"))
+      val nD = col("n").cast("double")
+      val p = col("s").cast("double") / nD
+      val z2 = lit(1.96 * 1.96)
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD))) / denom
+      ag.select(col("event_type"), col("n"), col("s"), p.as("p"),
+        (center - half).as("lo_95"), (center + half).as("hi_95"))
     })
   )
 
@@ -390,7 +472,7 @@ object StatsQueries {
              count(*) OVER (PARTITION BY lang, source) AS nstr
            FROM p),
          ag AS (SELECT lang, source, count(*) AS n,
-             sum(CASE WHEN rn <= ceil(nstr * 0.8) THEN 1 ELSE 0 END)
+             sum(CASE WHEN rn <= (nstr * 8 + 9) // 10 THEN 1 ELSE 0 END)
                AS n_train
            FROM r GROUP BY 1, 2)
          SELECT lang, source, CAST(n AS BIGINT) AS n,
@@ -425,6 +507,78 @@ object StatsQueries {
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+         FROM ag""",
+    "q201_zipf_slope" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT unnest(t) AS tok FROM tk),
+         top AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+           ORDER BY cnt DESC, tok LIMIT 100),
+         rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+             AS rank FROM top),
+         tm AS (SELECT
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS xg,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT) AS yg,
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+               * 1e9) AS BIGINT) AS xyg,
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+               * 1e9) AS BIGINT) AS xxg
+           FROM rk),
+         ag AS (SELECT count(*) AS n, sum(xg) AS sx, sum(yg) AS sy,
+             sum(xyg) AS sxy, sum(xxg) AS sxx FROM tm)
+         SELECT CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+             - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+           / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+             - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+             AS slope,
+           ((CAST(sy AS DOUBLE) / 1e9)
+             - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+               / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)))
+               * (CAST(sx AS DOUBLE) / 1e9))
+           / CAST(n AS DOUBLE) AS intercept
+         FROM ag""",
+    "q206_fano_burstiness" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         ag AS (SELECT event_type, count(*) AS n_hours, sum(c) AS sc,
+             sum(c * c) AS scc
+           FROM hourly GROUP BY 1)
+         SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_per_hour,
+           (CAST(n_hours AS DOUBLE) * CAST(scc AS DOUBLE)
+             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+           / (CAST(n_hours AS DOUBLE) * CAST(sc AS DOUBLE)) AS fano
+         FROM ag""",
+    "q207_wilson_ci" ->
+      """WITH ag AS (SELECT event_type, count(*) AS n,
+             sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS s
+           FROM events GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+           - (1.96 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+               + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)) AS lo_95,
+           ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)))
+           + (1.96 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+               + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)) AS hi_95
          FROM ag"""
   )
 }

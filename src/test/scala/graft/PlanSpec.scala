@@ -42,7 +42,9 @@ class PlanSpec extends AnyFunSuite {
     "q197_mannwhitney" -> 1,
     "q198_ks_test" -> 1,
     // row-lag pairs over the bounded DAILY aggregate (q179's family)
-    "q205_revenue_acf" -> 1)
+    "q205_revenue_acf" -> 1,
+    // rank over the TakeOrdered 100-row vocabulary cut
+    "q201_zipf_slope" -> 1)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)
