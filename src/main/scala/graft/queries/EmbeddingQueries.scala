@@ -106,6 +106,30 @@ object EmbeddingQueries {
           (col("n_hit").cast("double") / col("n_bf")).as("recall"))
     }),
 
+    // kNN label-agreement (mislabel/label-noise screen): for each probe
+    // vector, the fraction of its 5 exact nearest neighbors sharing its
+    // label — points whose neighborhoods disagree are the mislabel
+    // candidates every curated classification corpus gets swept for.
+    // Same broadcast-probe brute force as q45; labels arrive by two
+    // co-keyed joins; the rate is one division per probe.
+    "q210_knn_label_agreement" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      val nn = Similarity.knnBruteForce(
+          emb, emb.where(col("vec_id") < 20),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      nn.join(lab.select(col("vec_id").as("query_id"), col("label")), "query_id")
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("n_nn"),
+          sum(when(col("n_label") === col("label"), 1L).otherwise(0L))
+            .as("n_same"))
+        .select(col("query_id"), col("label"), col("n_nn"), col("n_same"),
+          (col("n_same").cast("double") / col("n_nn")).as("agree_rate"))
+    }),
+
     // Symmetric int8 quantization — the 4x compression step before ANN
     // indexing at corpus scale. Pure narrow map; floor(x/scale + 0.5)
     // keeps the rounding rule engine-portable.
@@ -251,6 +275,29 @@ object EmbeddingQueries {
              + COALESCE(CAST(1 AS DOUBLE) / (60 + srank), CAST(0 AS DOUBLE))
              AS rrf
          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id""",
+    "q210_knn_label_agreement" ->
+      s"""WITH $evCte, $nvCte,
+         cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM ev a
+           JOIN ev b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         ${pairDotCte("cand", "qid", "nid")},
+         s AS (SELECT qid, nid, round(dp / (nq.nrm * ne.nrm), 6) AS score
+           FROM d JOIN n nq ON nq.vec_id = qid
+                  JOIN n ne ON ne.vec_id = nid),
+         r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) AS rnk FROM s),
+         nn AS (SELECT qid AS query_id, nid AS neighbor_id FROM r
+           WHERE rnk <= 5),
+         lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+           FROM embeddings),
+         ag AS (SELECT nn.query_id, lq.label, count(*) AS n_nn,
+             sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END) AS n_same
+           FROM nn JOIN lb lq ON lq.vec_id = nn.query_id
+                   JOIN lb ln ON ln.vec_id = nn.neighbor_id
+           GROUP BY 1, 2)
+         SELECT CAST(query_id AS BIGINT) AS query_id, label,
+           CAST(n_nn AS BIGINT) AS n_nn, CAST(n_same AS BIGINT) AS n_same,
+           CAST(n_same AS DOUBLE) / n_nn AS agree_rate
+         FROM ag""",
     "q199_ann_recall" ->
       s"""WITH $evCte, $nvCte, $planesCte, $dotpCte, $bkCte,
          candb AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM ev a

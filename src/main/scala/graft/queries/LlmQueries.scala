@@ -98,6 +98,31 @@ object LlmQueries {
       Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
 
+    // Per-source corpus card — the one-row-per-source summary a dataset
+    // release ships: volume, length profile, language mix, and label
+    // agreement between the stored lang column and the marker lang-ID
+    // (q39's predictor). ONE scan, one hash aggregate; every rate is an
+    // exact-integer ratio divided once.
+    "q211_corpus_card" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), col("lang"),
+          TF.langId(col("text")).as("guess"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("guess") === col("lang"), 1L).otherwise(0L))
+            .as("n_lang_match"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          (col("total_chars").cast("double") / col("n_docs"))
+            .as("mean_chars"),
+          col("n_langs"),
+          (col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+          (col("n_lang_match").cast("double") / col("n_docs"))
+            .as("langid_match_rate"))
+    }),
+
     // Sketch calibration — MinHash-estimated vs exact Jaccard over the
     // banded candidate pairs: for each possible signature-agreement
     // count (0..8 of 8 slots), how many candidate pairs land there and
@@ -994,6 +1019,35 @@ object LlmQueries {
          JOIN documents da ON pairs.doc_a = da.doc_id
          JOIN documents db ON pairs.doc_b = db.doc_id
          GROUP BY 1, 2""",
+    "q211_corpus_card" ->
+      s"""WITH $tkCte,
+         sc AS (SELECT doc_id, source, lang,
+             len(list_filter(t, x -> list_contains(['the','and','of','is','a'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(['el','los','las','es','y'], x))) AS s_es
+           FROM tk),
+         g AS (SELECT doc_id, source, lang,
+             CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                  ELSE 'und' END AS guess
+           FROM sc),
+         ag AS (SELECT d.source, count(*) AS n_docs,
+             sum(d.n_chars) AS total_chars,
+             count(DISTINCT d.lang) AS n_langs,
+             sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+             sum(CASE WHEN g.guess = d.lang THEN 1 ELSE 0 END)
+               AS n_lang_match
+           FROM documents d JOIN g ON g.doc_id = d.doc_id GROUP BY 1)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(total_chars AS DOUBLE) / n_docs AS mean_chars,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_en AS DOUBLE) / n_docs AS pct_en,
+           CAST(n_lang_match AS DOUBLE) / n_docs AS langid_match_rate
+         FROM ag""",
     "q204_sketch_calibration" ->
       s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,

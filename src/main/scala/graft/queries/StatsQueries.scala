@@ -341,6 +341,53 @@ object StatsQueries {
         z2 / (lit(4.0) * nD * nD))) / denom
       ag.select(col("event_type"), col("n"), col("s"), p.as("p"),
         (center - half).as("lo_95"), (center + half).as("hi_95"))
+    }),
+
+    // Time-decayed popularity (feature-store freshness score): each
+    // order contributes 2^-(age/30d) to its parts. The decay bucket is
+    // integral (k = age div 30), so the weight 2^-k is a DYADIC rational
+    // and the whole score accumulates as exact integers — floor(1e9/2^k)
+    // is plain integer division, no libm call anywhere, so there is no
+    // pow/exp last-ulp surface between engines at all. One co-keyed
+    // join + one hash aggregate + a TakeOrdered top-100.
+    "q208_decayed_popularity" -> ((s, dir) => {
+      val li = graft.core.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = graft.core.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val maxd = ord.agg(max(col("o_orderdate")).as("maxd"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("k",
+          expr("CAST(datediff(CAST(maxd AS DATE), CAST(o_orderdate AS DATE)) AS LONG) div 30"))
+        .withColumn("wg", when(col("k") <= 30,
+          expr("1000000000L div shiftleft(1L, CAST(k AS INT))"))
+          .otherwise(lit(0L)))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("wg")).as("swg"))
+        .select(col("l_partkey"), col("n_lines"),
+          (col("swg").cast("double") / lit(1e9)).as("score"))
+        .orderBy(col("score").desc, col("l_partkey").asc)
+        .limit(100)
+    }),
+
+    // Effective sample size of the quantity-weighted lineitem mix per
+    // return flag: ESS = (Σw)²/Σw² — how many EQUAL-weight examples the
+    // weighted set is worth, the standard check before weighted training
+    // or importance-sampled eval. Exact integer weight sums from one
+    // aggregate; squares in double (identical order) since (Σw)²
+    // overflows int64 at large SF.
+    "q209_effective_sample_size" -> ((s, dir) => {
+      val ag = graft.core.Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sw"),
+          sum(col("l_quantity").cast("long") * col("l_quantity").cast("long"))
+            .as("sww"))
+      val swD = col("sw").cast("double")
+      val ess = (swD * swD) / col("sww").cast("double")
+      ag.select(col("l_returnflag"), col("n"), col("sw"),
+        ess.as("ess"), (ess / col("n").cast("double")).as("ess_ratio"))
     })
   )
 
@@ -579,6 +626,33 @@ object StatsQueries {
                + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
                  / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
              / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)) AS hi_95
+         FROM ag""",
+    "q208_decayed_popularity" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+         w AS (SELECT l.l_partkey,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+               CAST(mx.maxd AS DATE)) // 30 AS k
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey, mx),
+         ag AS (SELECT l_partkey, count(*) AS n_lines,
+             sum(CASE WHEN k <= 30
+                 THEN 1000000000 // (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                 ELSE 0 END) AS swg
+           FROM w GROUP BY 1)
+         SELECT l_partkey, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(swg AS DOUBLE) / 1e9 AS score
+         FROM ag ORDER BY score DESC, l_partkey LIMIT 100""",
+    "q209_effective_sample_size" ->
+      """WITH ag AS (SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sw,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS sww
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(sw AS BIGINT)
+             AS sw,
+           (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sww AS DOUBLE)
+             AS ess,
+           ((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sww AS DOUBLE))
+             / CAST(n AS DOUBLE) AS ess_ratio
          FROM ag"""
   )
 }
