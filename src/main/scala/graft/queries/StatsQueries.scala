@@ -388,6 +388,54 @@ object StatsQueries {
       val ess = (swD * swD) / col("sww").cast("double")
       ag.select(col("l_returnflag"), col("n"), col("sw"),
         ess.as("ess"), (ess / col("n").cast("double")).as("ess_ratio"))
+    }),
+
+    // Tokenizer fertility per language — the budget number a tokenizer
+    // swap changes: subword-proxy units (alpha runs + digit runs +
+    // punctuation chars, all RE2-portable patterns) per whitespace word,
+    // reported as the corpus-level ratio from EXACT integer totals (one
+    // division per language; no per-doc float means to accumulate).
+    "q212_tokenizer_fertility" -> ((s, dir) => {
+      val low = lower(col("text"))
+      val words = size(TextFunctions.tokens(col("text"))).cast("long")
+      val alphaRuns = size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long")
+      val digitRuns = size(expr("regexp_extract_all(lower(text), '[0-9]+', 0)")).cast("long")
+      val punct = (length(low) -
+        length(regexp_replace(low, "[^a-z0-9\\s]", ""))).cast("long")
+      graft.core.Tables.documents(s, dir)
+        .select(col("lang"), words.as("w"),
+          (alphaRuns + digitRuns + punct).as("sw"))
+        .filter(col("w") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_words"),
+          sum(col("sw")).as("total_subwords"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          col("total_subwords"),
+          (col("total_subwords").cast("double") / col("total_words"))
+            .as("fertility"))
+    }),
+
+    // Power-law tail fit of the supplier→customer reach graph: Hill
+    // estimator α̂ = 1 + n / Σ ln(d/dmin) over suppliers with degree ≥
+    // dmin=2 (degree = distinct customers reached through orders). The
+    // heavy-tail question behind every skew mitigation: how bad is the
+    // hub tail? Degrees are one distinct-aggregate; each ln term runs on
+    // an exact small-integer operand and lands on the 1e-9 grid (q133
+    // discipline) before the sum, so α̂ is bit-stable at any layout.
+    "q213_power_law_tail" -> ((s, dir) => {
+      val deg = graft.core.Tables.lineitem(s, dir)
+        .join(graft.core.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("o_custkey")).as("d"))
+      deg.filter(col("d") >= 2)
+        .select(floor(log(col("d").cast("double") / lit(2.0)) * lit(1e9))
+          .cast("long").as("lng"))
+        .agg(count(lit(1)).as("n_tail"), sum(col("lng")).as("slng"))
+        .select(col("n_tail"),
+          (lit(1.0) + col("n_tail").cast("double") /
+            (col("slng").cast("double") / lit(1e9))).as("hill_alpha"))
     })
   )
 
@@ -653,6 +701,36 @@ object StatsQueries {
              AS ess,
            ((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sww AS DOUBLE))
              / CAST(n AS DOUBLE) AS ess_ratio
+         FROM ag""",
+    "q212_tokenizer_fertility" ->
+      """WITH f AS (SELECT lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS w,
+             len(regexp_extract_all(lower(text), '[a-z]+', 0))
+               + len(regexp_extract_all(lower(text), '[0-9]+', 0))
+               + (length(lower(text))
+                  - length(regexp_replace(lower(text), '[^a-z0-9\s]', '',
+                      'g'))) AS sw
+           FROM documents),
+         ag AS (SELECT lang, count(*) AS n_docs, sum(w) AS total_words,
+             sum(sw) AS total_subwords
+           FROM f WHERE w > 0 GROUP BY 1)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_words AS BIGINT) AS total_words,
+           CAST(total_subwords AS BIGINT) AS total_subwords,
+           CAST(total_subwords AS DOUBLE) / total_words AS fertility
+         FROM ag""",
+    "q213_power_law_tail" ->
+      """WITH deg AS (SELECT l_suppkey, count(DISTINCT o_custkey) AS d
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1),
+         t AS (SELECT CAST(floor(ln(CAST(d AS DOUBLE) / 2.0) * 1e9)
+               AS BIGINT) AS lng
+           FROM deg WHERE d >= 2),
+         ag AS (SELECT count(*) AS n_tail, sum(lng) AS slng FROM t)
+         SELECT CAST(n_tail AS BIGINT) AS n_tail,
+           1.0 + CAST(n_tail AS DOUBLE) / (CAST(slng AS DOUBLE) / 1e9)
+             AS hill_alpha
          FROM ag"""
   )
 }
