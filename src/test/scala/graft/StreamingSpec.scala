@@ -1906,6 +1906,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quota sampler roster equals the batch q194 sample " +
+      "across batch splits and replays") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the operator's input: (source, doc_id, priority) with q194's hash
+      val rows = graft.core.Tables.documents(spark, TestSession.sfDir)
+        .select(col("source"), col("doc_id"),
+          graft.llm.TextFunctions.portableHash(col("doc_id").cast("string"), 11)
+            .as("prio"))
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(String, Long, Long)](spark)
+      val grouped = input.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      val q = StreamingQuotaSampler.keep(grouped, k = 50)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-quota"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long, String)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b1.takeRight(20) ++ b2: _*) // replays are set-idempotent
+      q.processAllAvailable()
+      q.stop()
+      // final roster per key == the batch q194 sample, in rank order
+      val finals = out.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, es) => k -> es.maxBy(_._2)._1._3 }
+      val batch = graft.queries.StatsQueries.queries("q194_quota_sample")(
+        spark, TestSession.sfDir)
+        .orderBy(col("source"), col("rnk")).collect()
+        .groupBy(_.getString(0))
+        .map { case (src, rs) => src -> rs.map(_.getLong(1)).mkString(",") }
+      assert(finals.keySet === batch.keySet)
+      batch.foreach { case (src, ids) =>
+        assert(finals(src) === ids, s"$src: stream roster != batch sample") }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming rolling median bit-agrees with batch q192 across batch " +
       "splits and replays") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
