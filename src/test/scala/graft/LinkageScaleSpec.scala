@@ -148,6 +148,23 @@ class LinkageScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("DeletionBandExpr hashes equal xxhash64 over the HOF deletion band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, transform, xxhash64}
+    val samples = Seq("", "a", "ab", "aab", "Customer#000000042",
+      "héllo wörld", "日本語テスト", "spark")
+    val df = samples.toDF("s")
+    val got = df.select(col("s"),
+        graft.operators.DeletionBandExpr(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val ref = df.select(col("s"),
+        transform(Linkage.deletionBand(col("s")), v => xxhash64(v)).as("h"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    samples.foreach(s =>
+      assert(got(s) === ref(s), s"band mismatch for '$s'"))
+  }
+
   test("sorted-neighborhood candidates are exactly linear by construction") {
     val w = 10
     def count1(df: DataFrame): Long =
