@@ -43,6 +43,10 @@ object GraftFunctions {
         "hyperplane_band_buckets(vec, bands, planesPerBand, dims)")
       HyperplaneBandBucketsExpr(args.head, intArg(args(1), "bands"),
         intArg(args(2), "planesPerBand"), intArg(args(3), "dims"))
+    }),
+    ("deletion_band_hashes", "deletion_band_hashes(str)", args => {
+      require(args.length == 1, "deletion_band_hashes(str)")
+      graft.operators.DeletionBandExpr(args.head)
     })
   )
 

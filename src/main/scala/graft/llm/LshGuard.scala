@@ -52,7 +52,11 @@ object LshGuard {
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
     val keys = keyCols.map(col)
     def selfJoinPairs(t: DataFrame): DataFrame = {
-      val j = t.as("a").join(t.as("b"), keyCols)
+      // shuffle_hash: LSH buckets are near-singleton by construction
+      // (that is the point of banding), so a sort-merge join's two full
+      // sorts of the banded stream are pure overhead — measured 2× on
+      // the deletion-band linkage family, same shape here
+      val j = t.as("a").join(t.as("b").hint("shuffle_hash"), keyCols)
       val filtered =
         if (ordered) j.where(col(s"a.$idCol") < col(s"b.$idCol"))
         else j.where(col(s"a.$idCol") =!= col(s"b.$idCol"))

@@ -245,4 +245,30 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
     def keep(s: List[(Long, Long)]) = s.sortBy(identity).take(k)
     keep(a ++ b) == keep(keep(a) ++ keep(b))
   }
+
+  // DeletionBandExpr's scratch-buffer arraycopy dance (ASCII path) and
+  // char path both equal the obviously-correct reference enumeration of
+  // every ≤2-deletion variant, hashed with Spark's own xxhash64 (seed
+  // 42) — including multibyte strings and repeated characters.
+  private val bandCharGen =
+    Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', 'б', '語', ' ', '#', '0'))
+  property("DeletionBandExpr equals the reference variant enumeration") =
+    forAll(Gen.choose(0, 14).flatMap(n =>
+      Gen.listOfN(n, bandCharGen).map(_.mkString))) { s =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64Function}
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      def h(v: String): Long =
+        XxHash64Function.hash(UTF8String.fromString(v), StringType, 42L)
+      val d1 = s.indices.map(i => s.take(i) + s.drop(i + 1))
+      val d2 = for { i <- s.indices; j <- s.indices if j > i }
+        yield s.take(i) + s.substring(i + 1, j) + s.drop(j + 1)
+      val ref = (Seq(s) ++ d1 ++ d2).map(h).toSet
+      val got = graft.operators.DeletionBandExpr(
+          Literal(UTF8String.fromString(s), StringType))
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSet
+      got == ref
+    }
 }

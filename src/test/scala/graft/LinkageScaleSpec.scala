@@ -148,6 +148,16 @@ class LinkageScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("opt-in star-capped candidates equal the exhaustive join below the cap") {
+    val exhaustive = Linkage.candidatePairs(customers, "c_custkey", "c_name",
+      blockCols).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Linkage.candidatePairs(customers, "c_custkey", "c_name",
+      blockCols, maxBucket = Some(10000)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exhaustive,
+      "no bucket approaches the cap at spec scale, so the guard must be a no-op")
+  }
+
   test("DeletionBandExpr hashes equal xxhash64 over the HOF deletion band") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, transform, xxhash64}
