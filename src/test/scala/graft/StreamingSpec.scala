@@ -1906,6 +1906,75 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming linkage links arriving records against the static " +
+      "reference exactly like the batch form and a naive oracle") {
+    import graft.streaming.StreamingLinkage
+    val cust = graft.core.Tables.customer(spark, TestSession.sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        org.apache.spark.sql.functions.round(col("c_acctbal") * 100)
+          .cast("long").as("cents"))
+    val ref = cust.where(col("c_custkey") % 2 === 0)
+    val arriving = cust.where(col("c_custkey") % 2 === 1)
+    val blockCols = Seq("c_nationkey", "c_mktsegment")
+    val index = StreamingLinkage.referenceIndex(ref, "c_custkey", "c_name",
+      "cents", blockCols).persist()
+    // independent oracle: nested-loop scoring on collected rows
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    case class C(id: Long, name: String, nat: Long, seg: String, cents: Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[C] =
+      df.collect().map(r => C(r.getLong(0), r.getString(1),
+        r.getAs[Number](2).longValue(), r.getString(3), r.getLong(4))).toSeq
+    val refRows = rows(ref)
+    val expected = (for {
+      s <- rows(arriving); r <- refRows
+      if s.nat == r.nat && s.seg == r.seg
+      l = lev(s.name, r.name)
+      score = (if (l <= 2) 2 else 0) +
+        (if (math.abs(s.cents - r.cents) < 50000L) 1 else 0)
+      if score >= 2
+    } yield (s.id, r.id) -> ((l, score))).toMap
+    // batch form equals the naive oracle
+    val batchLinks = StreamingLinkage.link(arriving, index, "c_custkey",
+        "c_name", "cents", blockCols).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(batchLinks === expected, "batch link() diverged from the oracle")
+    // streamed micro-batches (with a replayed tail) emit the same links
+    val stream = rows(arriving)
+    val (b1, b2) = stream.splitAt(stream.size / 2)
+    val input = MemoryStream[(Long, String, Long, String, Long)](spark)
+    val got = scala.collection.mutable.Map.empty[(Long, Long), (Int, Int)]
+    val q = input.toDS()
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents")
+      .writeStream
+      .option("checkpointLocation", tmp("ckpt-slink"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingLinkage.link(b, index, "c_custkey", "c_name", "cents",
+          blockCols).collect().foreach { r =>
+          got((r.getLong(0), r.getLong(1))) = (r.getInt(2), r.getInt(3))
+        }
+        ()
+      }.start()
+    def feed(rs: Seq[C]): Unit = {
+      input.addData(rs.map(c => (c.id, c.name, c.nat, c.seg, c.cents)): _*)
+      q.processAllAvailable()
+    }
+    feed(b1)
+    feed(b1.takeRight(5) ++ b2) // replays re-emit identical links (idempotent upsert)
+    q.stop()
+    index.unpersist()
+    assert(got.toMap === expected,
+      "streamed per-batch links diverged from the batch/oracle link set")
+  }
+
   test("streaming quota sampler roster equals the batch q194 sample " +
       "across batch splits and replays") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
