@@ -165,6 +165,33 @@ object LlmQueries {
             col("n_pairs").cast("double")).as("mean_exact_jaccard"))
     }),
 
+    // Dedup threshold sweep — how many near-dup pairs each candidate
+    // Jaccard threshold would keep, from ONE materialization of the
+    // banded candidate set (q204's machinery): the calibration curve a
+    // team reads before pinning the dedup threshold on a new corpus.
+    // Exact per-pair Jaccard computes once; each threshold is a
+    // conditional aggregate over the same pair table.
+    "q214_dedup_threshold_sweep" -> ((s, dir) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.shinglesText(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+        .persist(lvl)
+      val cand = graft.llm.LshGuard.guardedCandidates(
+        Dedup.bandsFromShingles(sh, 8, 4), Seq("band", "bucket"),
+        "doc_id", maxBucket = 10000, ordered = true)
+      val jac = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      val thresholds = array((3 to 9).map(i => lit(i / 10.0)): _*)
+      jac.select(col("jac"), explode(thresholds).as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jac") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_kept"))
+    }),
+
     // Per-source duplication-rate report — the corpus-card rollup ON TOP
     // of near-dup clustering (q67): every document left-joins its
     // cluster (unclustered docs are their own trivial cluster), a
@@ -1019,6 +1046,28 @@ object LlmQueries {
          JOIN documents da ON pairs.doc_a = da.doc_id
          JOIN documents db ON pairs.doc_b = db.doc_id
          GROUP BY 1, 2""",
+    "q214_dedup_threshold_sweep" ->
+      s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+         j AS (SELECT (CASE
+               WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN 0.0
+               ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.s, sb.s))) END) AS jac
+           FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+                        JOIN sig sb ON sb.doc_id = p.doc_b),
+         th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+             AS DOUBLE) AS threshold),
+         ag AS (SELECT threshold, count(*) AS n_candidates,
+             sum(CASE WHEN jac >= threshold THEN 1 ELSE 0 END) AS n_kept
+           FROM j, th GROUP BY threshold)
+         SELECT threshold, CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_kept AS BIGINT) AS n_kept
+         FROM ag""",
     "q211_corpus_card" ->
       s"""WITH $tkCte,
          sc AS (SELECT doc_id, source, lang,
