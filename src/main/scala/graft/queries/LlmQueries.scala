@@ -165,6 +165,48 @@ object LlmQueries {
             col("n_pairs").cast("double")).as("mean_exact_jaccard"))
     }),
 
+    // Character-4-gram distinctness — the compression-ratio proxy
+    // quality filter (gzip-style filters are standard corpus curation;
+    // distinct-gram share is its deterministic, engine-portable stand-
+    // in): low ratios flag repetitive/templated/low-entropy text that
+    // q65's word-level repetition can miss. Pure per-row HOF arithmetic,
+    // one narrow scan, exact integer counts divided once.
+    "q215_char_ngram_compressibility" -> ((s, dir) => {
+      val low = lower(col("text"))
+      val n = length(low)
+      val grams = transform(sequence(lit(1), n - lit(3)),
+        i => low.substr(i, lit(4)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.cast("long").as("n_chars"),
+          when(n >= 4, size(grams)).otherwise(0).cast("long").as("n_grams"),
+          when(n >= 4, size(array_distinct(grams))).otherwise(0)
+            .cast("long").as("n_distinct"))
+        .where(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_chars"), col("n_grams"),
+          col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_grams"))
+            .as("distinct_ratio"))
+    }),
+
+    // Cross-source contamination matrix: confirmed near-duplicate pairs
+    // (q42's banded LSH + exact-Jaccard ≥ 0.5) attributed to their
+    // source pair — the audit that tells you WHICH feeds are copying
+    // each other (or themselves) before you weight a training mix. One
+    // keyed join per side onto the pair set; sources ordered so each
+    // unordered pair lands on one row.
+    "q216_cross_source_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Dedup threshold sweep — how many near-dup pairs each candidate
     // Jaccard threshold would keep, from ONE materialization of the
     // banded candidate set (q204's machinery): the calibration curve a
@@ -1046,6 +1088,39 @@ object LlmQueries {
          JOIN documents da ON pairs.doc_a = da.doc_id
          JOIN documents db ON pairs.doc_b = db.doc_id
          GROUP BY 1, 2""",
+    "q215_char_ngram_compressibility" ->
+      """WITH g AS (SELECT doc_id, length(lower(text)) AS n_chars,
+             CASE WHEN length(lower(text)) >= 4
+               THEN list_transform(
+                 generate_series(1, length(lower(text)) - 3),
+                 i -> substr(lower(text), i, 4))
+               ELSE [] END AS grams
+           FROM documents),
+         a AS (SELECT doc_id, n_chars, len(grams) AS n_grams,
+             len(list_distinct(grams)) AS n_distinct
+           FROM g WHERE len(grams) > 0)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_grams AS distinct_ratio
+         FROM a""",
+    "q216_cross_source_pairs" ->
+      s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5),
+         sp AS (SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+           FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+                        JOIN documents db ON db.doc_id = p.doc_b)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM sp GROUP BY 1, 2""",
     "q214_dedup_threshold_sweep" ->
       s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,
