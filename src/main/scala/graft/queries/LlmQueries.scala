@@ -234,6 +234,19 @@ object LlmQueries {
             .as("n_kept"))
     }),
 
+    // Duplicate-cluster size distribution: how big the near-dup
+    // families actually are (pairwise counts hide whether 1000 links
+    // mean 500 couples or one 50-member blob — the blob is what blows
+    // up curation cost). Two hash aggregates over q67's cluster table.
+    "q219_cluster_size_distribution" -> ((s, dir) => {
+      Dedup.nearDuplicateClusters(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Per-source duplication-rate report — the corpus-card rollup ON TOP
     // of near-dup clustering (q67): every document left-joins its
     // cluster (unclustered docs are their own trivial cluster), a
@@ -1195,6 +1208,29 @@ object LlmQueries {
            CAST(sum(jg) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
              AS mean_exact_jaccard
          FROM est GROUP BY est8""",
+    "q219_cluster_size_distribution" ->
+      s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
+         ),
+         cl AS (SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node),
+         cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+         FROM cs GROUP BY 1""",
     "q200_dedup_rate_by_source" ->
       s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,

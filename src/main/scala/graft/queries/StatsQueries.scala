@@ -415,6 +415,78 @@ object StatsQueries {
             .as("fertility"))
     }),
 
+    // Per-user event inter-arrival profile: exact mean gap (the
+    // telescoping identity (last−first)/(n−1) — no per-gap sum at all)
+    // plus the exact interpolated median gap from the per-user lag
+    // window (in-partition sorts only). The traffic-shape feature
+    // behind bot/burst heuristics; micros stay integral until the two
+    // output divisions.
+    "q217_interarrival_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val ev = graft.core.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val gaps = ev
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(expr("percentile(gap, 0.5)").as("median_gap_us"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("lo"),
+          max(col("us")).as("hi"))
+        .filter(col("n_events") >= 2)
+        .join(gaps, "user_id")
+        .select(col("user_id"), col("n_events"),
+          ((col("hi") - col("lo")).cast("double") /
+            (col("n_events") - lit(1L)).cast("double")).as("mean_gap_us"),
+          col("median_gap_us"))
+    }),
+
+    // Ship-latency SLA percentiles by order month (p50/p90 of
+    // ship−order days): the operational latency report every warehouse
+    // runs. Integer-day latencies keep the q53 exact-interpolation
+    // pairing; months encode as yyyymm ints (a DATE output would hit
+    // the driver's pandas dtype parity wall).
+    "q218_ship_latency_by_month" -> ((s, dir) => {
+      graft.core.Tables.lineitem(s, dir)
+        .join(graft.core.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("yyyymm"),
+          expr("datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))")
+            .cast("long").as("lat_days"))
+        .groupBy(col("yyyymm"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("percentile(lat_days, 0.5)").as("p50_days"),
+          expr("percentile(lat_days, 0.9)").as("p90_days"))
+    }),
+
+    // Weekday seasonality index of revenue: mean daily cents per
+    // weekday over the overall daily mean — the sanity number behind
+    // q179's weekly decomposition. Weekday from pure integer epoch-day
+    // arithmetic ((day+4) mod 7, 0=Sunday) because the engines disagree
+    // on dayofweek conventions; the index assembles from exact integer
+    // sums in one fixed-order float expression.
+    "q220_weekday_seasonality" -> ((s, dir) => {
+      val daily = graft.core.Tables.orders(s, dir)
+        .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+          .cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val byW = daily
+        .select(((col("day") + lit(4L)) % lit(7L)).as("weekday"), col("cents"))
+        .groupBy(col("weekday"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sw"))
+      val tot = byW.agg(sum(col("n_days")).as("td"), sum(col("sw")).as("ts"))
+      byW.crossJoin(broadcast(tot))
+        .select(col("weekday"), col("n_days"),
+          (col("sw").cast("double") / lit(100.0)).as("revenue"),
+          ((col("sw").cast("double") * col("td").cast("double")) /
+            (col("n_days").cast("double") * col("ts").cast("double")))
+            .as("seasonality_index"))
+    }),
+
     // Power-law tail fit of the supplier→customer reach graph: Hill
     // estimator α̂ = 1 + n / Σ ln(d/dmin) over suppliers with degree ≥
     // dmin=2 (degree = distinct customers reached through orders). The
@@ -731,6 +803,53 @@ object StatsQueries {
          SELECT CAST(n_tail AS BIGINT) AS n_tail,
            1.0 + CAST(n_tail AS DOUBLE) / (CAST(slng AS DOUBLE) / 1e9)
              AS hill_alpha
-         FROM ag"""
+         FROM ag""",
+    "q217_interarrival_stats" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events),
+         g AS (SELECT user_id,
+             us - lag(us, 1) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS gap
+           FROM ev),
+         med AS (SELECT user_id, quantile_cont(CAST(gap AS DOUBLE), 0.5)
+               AS median_gap_us
+           FROM g WHERE gap IS NOT NULL GROUP BY 1),
+         ag AS (SELECT user_id, count(*) AS n_events, min(us) AS lo,
+             max(us) AS hi
+           FROM ev GROUP BY 1)
+         SELECT a.user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(hi - lo AS DOUBLE) / CAST(n_events - 1 AS DOUBLE)
+             AS mean_gap_us,
+           m.median_gap_us
+         FROM ag a JOIN med m ON m.user_id = a.user_id
+         WHERE n_events >= 2""",
+    "q218_ship_latency_by_month" ->
+      """WITH lat AS (SELECT
+             CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+               AS BIGINT) AS yyyymm,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat_days
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT yyyymm, CAST(count(*) AS BIGINT) AS n_lines,
+           quantile_cont(CAST(lat_days AS DOUBLE), 0.5) AS p50_days,
+           quantile_cont(CAST(lat_days AS DOUBLE), 0.9) AS p90_days
+         FROM lat GROUP BY 1""",
+    "q220_weekday_seasonality" ->
+      """WITH daily AS (SELECT
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         byw AS (SELECT (day + 4) % 7 AS weekday, count(*) AS n_days,
+             sum(cents) AS sw
+           FROM daily GROUP BY 1),
+         tot AS (SELECT sum(n_days) AS td, sum(sw) AS ts FROM byw)
+         SELECT CAST(weekday AS BIGINT) AS weekday,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(sw AS DOUBLE) / 100.0 AS revenue,
+           (CAST(sw AS DOUBLE) * CAST(td AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(ts AS DOUBLE))
+             AS seasonality_index
+         FROM byw, tot"""
   )
 }
