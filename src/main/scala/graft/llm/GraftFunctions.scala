@@ -47,6 +47,10 @@ object GraftFunctions {
     ("deletion_band_hashes", "deletion_band_hashes(str)", args => {
       require(args.length == 1, "deletion_band_hashes(str)")
       graft.operators.DeletionBandExpr(args.head)
+    }),
+    ("char_ngram_stats", "char_ngram_stats(text, n)", args => {
+      require(args.length == 2, "char_ngram_stats(text, n)")
+      CharNgramStatsExpr(args.head, intArg(args(1), "n"))
     })
   )
 

@@ -169,18 +169,19 @@ object LlmQueries {
     // quality filter (gzip-style filters are standard corpus curation;
     // distinct-gram share is its deterministic, engine-portable stand-
     // in): low ratios flag repetitive/templated/low-entropy text that
-    // q65's word-level repetition can miss. Pure per-row HOF arithmetic,
-    // one narrow scan, exact integer counts divided once.
+    // q65's word-level repetition can miss. One native scan
+    // (CharNgramStatsExpr — BMP grams long-pack bijectively, so the
+    // distinct count is exact with zero per-gram allocation; the HOF
+    // substr form this replaces was the slowest query in the bench),
+    // exact integer counts divided once.
     "q215_char_ngram_compressibility" -> ((s, dir) => {
-      val low = lower(col("text"))
-      val n = length(low)
-      val grams = transform(sequence(lit(1), n - lit(3)),
-        i => low.substr(i, lit(4)))
       Tables.documents(s, dir)
-        .select(col("doc_id"), n.cast("long").as("n_chars"),
-          when(n >= 4, size(grams)).otherwise(0).cast("long").as("n_grams"),
-          when(n >= 4, size(array_distinct(grams))).otherwise(0)
-            .cast("long").as("n_distinct"))
+        .select(col("doc_id"), length(lower(col("text"))).cast("long")
+            .as("n_chars"),
+          graft.llm.CharNgramStatsExpr(col("text"), 4).as("st"))
+        .select(col("doc_id"), col("n_chars"),
+          col("st.n_grams").as("n_grams"),
+          col("st.n_distinct").as("n_distinct"))
         .where(col("n_grams") > 0)
         .select(col("doc_id"), col("n_chars"), col("n_grams"),
           col("n_distinct"),

@@ -271,4 +271,25 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
         .toLongArray().toSet
       got == ref
     }
+
+  // CharNgramStatsExpr's BMP long-pack fast path and string fallback
+  // both equal the reference code-point window census — including
+  // repeated substrings (the distinct count under test) and multibyte.
+  property("CharNgramStatsExpr equals the reference window census") =
+    forAll(Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, bandCharGen).map(_.mkString)), Gen.choose(1, 4)) { (s, n) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      // parity with Spark's lower(): UTF8String.toLowerCase
+      val low = UTF8String.fromString(s).toLowerCase.toString
+      val cps = low.codePoints().toArray
+      val total = math.max(0, cps.length - n + 1)
+      val windows = (0 until total).map(i => new String(cps, i, n))
+      val row = graft.llm.CharNgramStatsExpr(
+          Literal(UTF8String.fromString(s), StringType), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      row.getLong(0) == total.toLong &&
+        row.getLong(1) == windows.toSet.size.toLong
+    }
 }
