@@ -25,6 +25,8 @@ object Bench {
       // plans; q61 measured 3.44 s inside the suite vs 1.76 s standalone).
       // Sized so one whole sweep's codegen stays resident across sweeps.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // same extension set Verify and deployments run
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/JIT + scan warmup so the first timed query isn't penalized

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * never touch Scala.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.llm.GraftFunctions.builders.foreach { case (name, usage, builder) =>
       // (className, db, functionName, usage, extended) — so
       // `DESCRIBE FUNCTION word_shingles` shows the call signature
@@ -25,4 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.llm.GraftFunctions", null, name, usage, ""),
         builder))
     }
+    // semantics-preserving rewrites Catalyst lacks (each rule documents
+    // its soundness theorem; the full oracle gate runs with them active)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+  }
 }

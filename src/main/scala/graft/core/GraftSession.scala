@@ -43,6 +43,10 @@ object GraftSession {
       // every plan on every pass (measured: q61 3.44 s inside the full
       // sweep vs 1.76 s standalone). One suite's units stay resident.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // native SQL functions + graft optimizer rules (LevenshteinBand)
+      // injected at build — every session, so the oracle gate and the
+      // bench run what a deployment runs
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

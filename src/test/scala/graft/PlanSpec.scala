@@ -104,6 +104,28 @@ class PlanSpec extends AnyFunSuite {
       "scale-killer plan shapes detected:\n" + offenders.mkString("\n"))
   }
 
+  test("LevenshteinBandRule bands lev-threshold filters, exactly once") {
+    import org.apache.spark.sql.catalyst.expressions.{Abs, Length, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.functions.expr
+    val df = graft.core.Tables.customer(spark, sfDir)
+      .filter(expr("levenshtein(c_name, 'Customer#000000001') <= 2"))
+    val optimized = df.queryExecution.optimizedPlan
+    // the guard post-constant-folding: abs(length(col) − 18) ≤ 2 — match
+    // "LessThanOrEqual over an Abs containing a Length", the same shape
+    // the rule's own idempotence check keys on
+    val guards = optimized.collect { case f: logical.Filter =>
+      f.condition.collect {
+        case LessThanOrEqual(a: Abs, _) if a.exists(_.isInstanceOf[Length]) => 1
+      }.sum
+    }.sum
+    assert(guards === 1,
+      "the injected optimizer rule must add exactly one length-band guard")
+    // fixed-point safety: re-applying the rule changes nothing
+    assert(graft.plans.LevenshteinBandRule(optimized).fastEquals(optimized),
+      "rule must be idempotent (it runs in a fixed-point batch)")
+  }
+
   test("shuffle budgets hold for the audited expensive queries") {
     // Ceilings pinned at observed+1 under the EXACT counting mode this
     // test executes (VERDICT r6 item 2): cache manager cleared before
