@@ -44,9 +44,12 @@ object GraftFunctions {
       HyperplaneBandBucketsExpr(args.head, intArg(args(1), "bands"),
         intArg(args(2), "planesPerBand"), intArg(args(3), "dims"))
     }),
-    ("deletion_band_hashes", "deletion_band_hashes(str)", args => {
-      require(args.length == 1, "deletion_band_hashes(str)")
-      graft.operators.DeletionBandExpr(args.head)
+    ("deletion_band_hashes", "deletion_band_hashes(str[, prefix])", args => {
+      require(args.length == 1 || args.length == 2,
+        "deletion_band_hashes(str[, prefix])")
+      val p = if (args.length == 2) intArg(args(1), "prefix")
+              else graft.operators.DeletionBandExpr.DefaultPrefix
+      graft.operators.DeletionBandExpr(args.head, p, fromEnd = false)
     }),
     ("char_ngram_stats", "char_ngram_stats(text, n)", args => {
       require(args.length == 2, "char_ngram_stats(text, n)")

@@ -10,23 +10,51 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native ≤2-deletion banding: string → sorted distinct xxhash64 values
   * (seed 42, Spark's SQL `xxhash64` convention) of every string
-  * reachable by deleting at most 2 characters — the complete blocking
-  * key set for Levenshtein ≤ 2 that `Linkage.candidatePairs` joins on.
+  * reachable by deleting at most 2 CODE POINTS from the banded slice —
+  * the complete blocking key set for Levenshtein ≤ 2 that
+  * `Linkage.candidatePairs` joins on.
   *
-  * Exists because the HOF formulation
-  * (`array_distinct(transform(concat(array(c), del1, del2), xxhash64))`
-  * with del2 a flatten of nested transforms of three `substr` slices)
-  * was the dominant cost of the linkage family at sf0.1 — each variant
-  * paid several UTF8String allocations through the lambda pyramid. Here
-  * one scan writes each variant into a reusable scratch buffer and
-  * hashes it in place: zero allocation per variant on the ASCII fast
-  * path, one small String on the multibyte path (deletions are by
-  * CHARACTER, matching the `substr` semantics, so multibyte text cannot
-  * take the byte shortcut). `LinkageSpec` pins hash-set equality with
-  * the HOF form on arbitrary (incl. multibyte) input.
+  * The banded slice is the first (or, with `fromEnd`, last) min(L,
+  * `prefix`) code points — SymSpell's prefix trick. Capping bounds the
+  * variant fan-out at 1 + P + P(P−1)/2 keys per value REGARDLESS of
+  * string length (a 100-char title pays the same ~200 keys as a name,
+  * not ~5,000), and completeness for lev ≤ 2 on the FULL strings is
+  * preserved: take an optimal alignment of a and b (≤ 2 edit ops) and
+  * keep the matched pairs whose positions fall inside BOTH length-P
+  * slices. From each slice one must delete its unmatched characters
+  * (≤ #dels + #subs on that side) plus the matched characters whose
+  * partner falls outside the other slice — and those boundary crossers
+  * are bounded by the OTHER side's insertion count (the position offset
+  * |i − j| of any matched pair is at most the inserts minus deletes so
+  * far). So each side deletes ≤ dels + subs + ins = total edits ≤ 2
+  * characters to reach the common matched-prefix string: the slices
+  * share a ≤2-deletion variant. Edits beyond the slice never REMOVE a
+  * shared key (they only add candidates, which exact scoring rejects).
+  * `fromEnd` is the reversal-symmetric form (lev is invariant under
+  * reversing both strings) for corpora whose key entropy is
+  * suffix-loaded; pick the slice that carries the field's entropy or a
+  * shared low-entropy slice degrades toward one giant band bucket
+  * (`LshGuard` star-capping is the backstop, as everywhere).
+  *
+  * Deletions are by CODE POINT on both paths, matching Spark's
+  * `substr`/`levenshtein` semantics (so the HOF twin
+  * `Linkage.deletionBand` agrees on supplementary characters too — the
+  * multibyte path iterates `codePoints()`, not UTF-16 units). Exists
+  * because the HOF formulation was the dominant cost of the linkage
+  * family at sf0.1: here one scan writes each variant into a reusable
+  * scratch buffer and hashes it in place — zero allocation per variant
+  * on the ASCII fast path, one small String per variant on the
+  * multibyte path. `LinkageSpec`/`ArithmeticProps` pin hash-set
+  * equality with the HOF form on arbitrary (incl. astral) input.
   */
-case class DeletionBandExpr(child: Expression)
+case class DeletionBandExpr(child: Expression, prefix: Int, fromEnd: Boolean)
     extends UnaryExpression with CodegenFallback {
+
+  // bounds the variant array at ~500k entries — far beyond any sane
+  // banding slice, and keeps 1 + n + n(n−1)/2 safely inside Int (an
+  // uncapped 64 Ki-char input used to overflow the size computation)
+  require(prefix >= 1 && prefix <= DeletionBandExpr.MaxPrefix,
+    s"deletion-band prefix must be in [1, ${DeletionBandExpr.MaxPrefix}], got $prefix")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -37,8 +65,14 @@ case class DeletionBandExpr(child: Expression)
     val s = input.asInstanceOf[UTF8String]
     val bytes = s.getBytes
     val out =
-      if (bytes.length == s.numChars()) asciiVariants(bytes)
-      else charVariants(s.toString)
+      if (bytes.length == s.numChars()) { // pure ASCII: code point == byte
+        val n = math.min(bytes.length, prefix)
+        asciiVariants(bytes, if (fromEnd) bytes.length - n else 0, n)
+      } else {
+        val cps = s.toString.codePoints().toArray
+        val n = math.min(cps.length, prefix)
+        cpVariants(cps, if (fromEnd) cps.length - n else 0, n)
+      }
     java.util.Arrays.sort(out)
     // in-place dedup of the sorted hash list
     var w = 0
@@ -53,52 +87,58 @@ case class DeletionBandExpr(child: Expression)
   private def hashBytes(b: Array[Byte], len: Int): Long =
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, len, seed)
 
-  private def asciiVariants(b: Array[Byte]): Array[Long] = {
-    val n = b.length
+  /** Variants of the byte slice b[off, off+n). */
+  private def asciiVariants(b: Array[Byte], off: Int, n: Int): Array[Long] = {
     val out = new Array[Long](1 + n + n * (n - 1) / 2)
     var idx = 0
-    out(idx) = hashBytes(b, n); idx += 1
     val scratch = new Array[Byte](if (n > 0) n else 1)
+    System.arraycopy(b, off, scratch, 0, n)
+    out(idx) = hashBytes(scratch, n); idx += 1
     var i = 0
-    while (i < n) { // delete position i
-      System.arraycopy(b, 0, scratch, 0, i)
-      System.arraycopy(b, i + 1, scratch, i, n - i - 1)
+    while (i < n) { // delete position i: shift the suffix left over it
+      System.arraycopy(b, off + i + 1, scratch, i, n - i - 1)
       out(idx) = hashBytes(scratch, n - 1); idx += 1
       var j = i + 1
       while (j < n) { // delete i and j: shift the middle left once more
-        // scratch currently holds b minus position i; removing b(j)
-        // (at scratch index j−1) yields the two-deletion variant
+        // scratch currently holds the slice minus position i; removing
+        // position j (at scratch index j−1) yields the 2-deletion form
         System.arraycopy(scratch, j, scratch, j - 1, n - 1 - j)
         out(idx) = hashBytes(scratch, n - 2); idx += 1
         // restore the single-deletion scratch for the next j
-        System.arraycopy(b, j, scratch, j - 1, n - j)
+        System.arraycopy(b, off + j, scratch, j - 1, n - j)
         j += 1
       }
+      // restore the full slice before the next i
+      System.arraycopy(b, off + i, scratch, i, n - i)
       i += 1
     }
     out
   }
 
-  private def charVariants(str: String): Array[Long] = {
-    val n = str.length
+  /** Variants of the code-point slice cps[off, off+n) — deletions by
+    * code point, so astral characters count (and delete) as one.
+    */
+  private def cpVariants(cps: Array[Int], off: Int, n: Int): Array[Long] = {
     val out = new Array[Long](1 + n + n * (n - 1) / 2)
     var idx = 0
-    def hashOf(v: String): Long = {
-      val u = UTF8String.fromString(v)
+    val sb = new java.lang.StringBuilder(2 * n)
+    def hashSkipping(skip1: Int, skip2: Int): Long = {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t != skip1 && t != skip2) sb.appendCodePoint(cps(off + t))
+        t += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
       XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
     }
-    out(idx) = hashOf(str); idx += 1
-    val sb = new java.lang.StringBuilder(n)
+    out(idx) = hashSkipping(-1, -1); idx += 1
     var i = 0
     while (i < n) {
-      sb.setLength(0)
-      sb.append(str, 0, i).append(str, i + 1, n)
-      out(idx) = hashOf(sb.toString); idx += 1
+      out(idx) = hashSkipping(i, -1); idx += 1
       var j = i + 1
       while (j < n) {
-        sb.setLength(0)
-        sb.append(str, 0, i).append(str, i + 1, j).append(str, j + 1, n)
-        out(idx) = hashOf(sb.toString); idx += 1
+        out(idx) = hashSkipping(i, j); idx += 1
         j += 1
       }
       i += 1
@@ -114,6 +154,24 @@ case class DeletionBandExpr(child: Expression)
 
 object DeletionBandExpr {
   import org.apache.spark.sql.graftbridge.ColumnBridge
-  def apply(col: Column): Column =
-    ColumnBridge.toColumn(DeletionBandExpr(ColumnBridge.toExpression(col)))
+
+  /** Hard ceiling on the banded slice (variant count is quadratic in
+    * it; 1000 → ≤ ~500k hashes/row, still Int-safe).
+    */
+  val MaxPrefix = 1000
+
+  /** Default banding slice: long enough that short key fields (names,
+    * SKUs — incl. the 18-char fixture names) band on their FULL value,
+    * while unboundedly long inputs pay at most 1 + 20 + 190 = 211 keys.
+    */
+  val DefaultPrefix = 20
+
+  def apply(col: Column): Column = apply(col, DefaultPrefix, fromEnd = false)
+
+  def apply(col: Column, prefix: Int, fromEnd: Boolean): Column =
+    ColumnBridge.toColumn(
+      DeletionBandExpr(ColumnBridge.toExpression(col), prefix, fromEnd))
+
+  def apply(child: Expression): DeletionBandExpr =
+    DeletionBandExpr(child, DefaultPrefix, fromEnd = false)
 }

@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   *    candidate volume is Σ bucket² over variant buckets — buckets hold
   *    only names that are genuinely near-identical, independent of how
   *    many customers exist. The same pigeonhole shape as the SimHash /
-  *    pHash band joins. Variant fan-out is 1 + L + L(L−1)/2 keys per
-  *    name (L = length; 172 for the 18-char fixture names) — linear in
-  *    corpus size, generated by codegen'd higher-order functions, and
-  *    the join key ships as an 8-byte hash (a hash collision can only
-  *    ADD a candidate, which exact scoring then rejects).
+  *    pHash band joins. Variant fan-out is 1 + P + P(P−1)/2 keys per
+  *    name with P = min(length, bandPrefix) — 172 for the 18-char
+  *    fixture names, and CAPPED at 211 (default P=20) for arbitrarily
+  *    long fields via SymSpell's prefix trick (completeness for lev ≤ 2
+  *    survives the cap; see `deletionBand`) — linear in corpus size,
+  *    and the join key ships as an 8-byte hash (a hash collision can
+  *    only ADD a candidate, which exact scoring then rejects).
   *
   *  - `sortedNeighborhoodPairs`: the standard alternative from the ER
   *    literature — order the corpus by a sort key, slide a fixed window
@@ -45,12 +47,38 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** All strings reachable from `c` by deleting at most 2 characters
-    * (including `c` itself), deduplicated. Complete banding key set for
-    * Levenshtein distance ≤ 2 (see object doc). Pure codegen'd
-    * higher-order functions — no UDF in the scan.
+  /** Default banding-slice length (see `DeletionBandExpr.DefaultPrefix`):
+    * short key fields band on their full value, arbitrarily long inputs
+    * pay a bounded 1 + P + P(P−1)/2 = 211 variant keys.
     */
-  def deletionBand(c: Column): Column = {
+  val DefaultBandPrefix: Int = DeletionBandExpr.DefaultPrefix
+
+  /** All strings reachable by deleting at most 2 characters (including
+    * the slice itself, deduplicated) from the first — or with `fromEnd`
+    * the last — min(length, `prefix`) characters of `c`. The capped
+    * slice is SymSpell's prefix trick: variant fan-out is O(P²)
+    * regardless of string length, and completeness for lev ≤ 2 on the
+    * FULL strings is preserved (boundary-crossing matched characters
+    * are bounded by the opposite side's insertion count, so the two
+    * slices still share a ≤2-deletion variant — argument spelled out in
+    * [[DeletionBandExpr]]'s doc). Pick the slice that carries the
+    * field's entropy (`fromEnd` for suffix-keyed corpora like the
+    * fixture's `Customer#000000042` names — moot at the default P=20,
+    * which covers them fully). Pure codegen'd higher-order functions —
+    * no UDF in the scan.
+    */
+  def deletionBand(c: Column, prefix: Int = DefaultBandPrefix,
+                   fromEnd: Boolean = false): Column = {
+    require(prefix >= 1 && prefix <= DeletionBandExpr.MaxPrefix,
+      s"deletion-band prefix must be in [1, ${DeletionBandExpr.MaxPrefix}], got $prefix")
+    val full = length(c)
+    val sliced =
+      if (fromEnd) c.substr(greatest(full - lit(prefix) + lit(1), lit(1)), lit(prefix))
+      else c.substr(lit(1), lit(prefix))
+    deletionBandOfSlice(sliced)
+  }
+
+  private def deletionBandOfSlice(c: Column): Column = {
     val n = length(c)
     val none = array().cast("array<string>")
     // delete position i (1-based): prefix [1, i) ++ suffix (i, n]
@@ -75,7 +103,9 @@ object Linkage {
     */
   def candidatePairs(df: DataFrame, idCol: String, nameCol: String,
                      blockCols: Seq[String],
-                     maxBucket: Option[Int] = None): DataFrame = {
+                     maxBucket: Option[Int] = None,
+                     bandPrefix: Int = DefaultBandPrefix,
+                     bandFromEnd: Boolean = false): DataFrame = {
     // variants are hashed at GENERATION time and deduped as longs
     // (`DeletionBandExpr` — one native scan, zero allocation per
     // variant, vs the HOF substr/concat pyramid that dominated the
@@ -88,7 +118,8 @@ object Linkage {
     // cache in the repo.
     val keyed = df
       .select(col(idCol) +: blockCols.map(col) :+
-        explode(DeletionBandExpr(col(nameCol))).as("band"): _*)
+        explode(DeletionBandExpr(col(nameCol), bandPrefix, bandFromEnd))
+          .as("band"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     maxBucket match {
       case Some(cap) =>

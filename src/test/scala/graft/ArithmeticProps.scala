@@ -247,25 +247,39 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
   }
 
   // DeletionBandExpr's scratch-buffer arraycopy dance (ASCII path) and
-  // char path both equal the obviously-correct reference enumeration of
-  // every ≤2-deletion variant, hashed with Spark's own xxhash64 (seed
-  // 42) — including multibyte strings and repeated characters.
-  private val bandCharGen =
-    Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', 'б', '語', ' ', '#', '0'))
+  // code-point path both equal the obviously-correct reference
+  // enumeration of every ≤2-deletion variant of the banded slice,
+  // hashed with Spark's own xxhash64 (seed 42) — including multibyte
+  // AND astral (supplementary-plane) strings, repeated characters, and
+  // every (prefix, fromEnd) slicing combination. Deletions and the
+  // slice are both by CODE POINT (Spark substr/levenshtein semantics),
+  // so the reference enumerates over codePoints(), never UTF-16 units.
+  private val bandCharGen: Gen[String] =
+    Gen.oneOf(Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("é", "б", "語", " ", "#", "0", "😀", "𐀀"))
   property("DeletionBandExpr equals the reference variant enumeration") =
-    forAll(Gen.choose(0, 14).flatMap(n =>
-      Gen.listOfN(n, bandCharGen).map(_.mkString))) { s =>
+    forAll(
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, bandCharGen).map(_.mkString)),
+      Gen.oneOf(3, 5, 9, 20),
+      Gen.oneOf(false, true)) { (s, prefix, fromEnd) =>
       import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64Function}
       import org.apache.spark.sql.types.StringType
       import org.apache.spark.unsafe.types.UTF8String
       def h(v: String): Long =
         XxHash64Function.hash(UTF8String.fromString(v), StringType, 42L)
-      val d1 = s.indices.map(i => s.take(i) + s.drop(i + 1))
-      val d2 = for { i <- s.indices; j <- s.indices if j > i }
-        yield s.take(i) + s.substring(i + 1, j) + s.drop(j + 1)
-      val ref = (Seq(s) ++ d1 ++ d2).map(h).toSet
+      val cpsAll = s.codePoints().toArray
+      val n = math.min(cpsAll.length, prefix)
+      val off = if (fromEnd) cpsAll.length - n else 0
+      val cps = cpsAll.slice(off, off + n)
+      def drop(skip: Set[Int]): String =
+        cps.zipWithIndex.collect { case (cp, i) if !skip(i) =>
+          new String(Character.toChars(cp)) }.mkString
+      val d1 = cps.indices.map(i => drop(Set(i)))
+      val d2 = for { i <- cps.indices; j <- cps.indices if j > i }
+        yield drop(Set(i, j))
+      val ref = (Seq(drop(Set.empty)) ++ d1 ++ d2).map(h).toSet
       val got = graft.operators.DeletionBandExpr(
-          Literal(UTF8String.fromString(s), StringType))
+          Literal(UTF8String.fromString(s), StringType), prefix, fromEnd)
         .eval(null)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray().toSet

@@ -158,21 +158,90 @@ class LinkageScaleSpec extends AnyFunSuite {
       "no bucket approaches the cap at spec scale, so the guard must be a no-op")
   }
 
-  test("DeletionBandExpr hashes equal xxhash64 over the HOF deletion band") {
+  test("DeletionBandExpr hashes equal xxhash64 over the HOF deletion band " +
+      "— incl. astral chars and every (prefix, fromEnd) slicing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, transform, xxhash64}
+    // the astral samples (emoji, Linear B) are the ADVICE r7 gap: the
+    // native path must delete CODE POINTS like Spark's substr does, not
+    // UTF-16 units, or the two formulations band differently
     val samples = Seq("", "a", "ab", "aab", "Customer#000000042",
-      "héllo wörld", "日本語テスト", "spark")
+      "héllo wörld", "日本語テスト", "spark",
+      "😀x", "a😀b𐀀c",
+      "😀😁😂 long astral tail 𐀀")
     val df = samples.toDF("s")
-    val got = df.select(col("s"),
-        graft.operators.DeletionBandExpr(col("s")).as("h")).collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
-    val ref = df.select(col("s"),
-        transform(Linkage.deletionBand(col("s")), v => xxhash64(v)).as("h"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
-    samples.foreach(s =>
-      assert(got(s) === ref(s), s"band mismatch for '$s'"))
+    for ((prefix, fromEnd) <- Seq((20, false), (20, true), (4, false),
+        (4, true), (1000, false))) {
+      val got = df.select(col("s"),
+          graft.operators.DeletionBandExpr(col("s"), prefix, fromEnd).as("h"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+      val ref = df.select(col("s"),
+          transform(Linkage.deletionBand(col("s"), prefix, fromEnd),
+            v => xxhash64(v)).as("h"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+      samples.foreach(s =>
+        assert(got(s) === ref(s),
+          s"band mismatch for '$s' at prefix=$prefix fromEnd=$fromEnd"))
+    }
+  }
+
+  /** Long-string corpus for the prefix cap (VERDICT r7 #1): 80-char
+    * names — 16 entropy-bearing hex chars then a constant 64-char tail
+    * (title-like shape: distinguishing head, boilerplate tail) — with a
+    * planted lev=1 partner for every 10th record. Uncapped banding
+    * would pay 1 + 80 + 80·79/2 = 3241 variant keys per row; the
+    * default P=20 cap pays ≤ 211, and completeness (the planted links)
+    * must be unaffected because both slices still share a ≤2-deletion
+    * variant.
+    */
+  private def longStringCorpus(n: Int): DataFrame = {
+    val tail = "x" * 64
+    spark.range(1, n + 1).toDF("id")
+      .select(col("id").cast("long").as("c_custkey"),
+        lower(hex(xxhash64(concat(lit("doc-"), col("id"))))).as("base"),
+        (col("id") % 25).as("c_nationkey"),
+        (col("id") % 5).cast("string").as("c_mktsegment"))
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          concat(lit("z"), substring(
+            lower(hex(xxhash64(concat(lit("doc-"), col("c_custkey") - 1)))),
+            2, 16), lit(tail)))
+          .otherwise(concat(col("base"), lit(tail))).as("c_name"),
+        when(col("c_custkey") % 10 === 0, (col("c_custkey") - 1) % 25)
+          .otherwise(col("c_nationkey")).as("c_nationkey"),
+        when(col("c_custkey") % 10 === 0,
+          ((col("c_custkey") - 1) % 5).cast("string"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+  }
+
+  test("prefix cap bounds per-row variant fan-out on 80-char strings " +
+      "with recall unchanged") {
+    val c = longStringCorpus(1500)
+    // per-row band-key count under the default cap: hard O(P²) bound,
+    // ~15× below what the uncapped enumeration would emit
+    val maxKeys = c.select(size(graft.operators.DeletionBandExpr(
+        col("c_name"))).as("k"))
+      .agg(max(col("k"))).head.getInt(0)
+    info(s"max band keys/row at 80 chars: $maxKeys (uncapped would be 3241)")
+    assert(maxKeys <= 1 + 20 + 20 * 19 / 2,
+      "the default prefix cap must bound variant fan-out at 211 keys")
+    // recall: every planted lev=1 pair must still be a candidate, and
+    // the exact scorer keeps exactly the true link set
+    val cand = Linkage.candidatePairs(c, "c_custkey", "c_name", blockCols)
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("n_a"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("n_b"))
+    val links = cand.join(a, "id_a").join(b, "id_b")
+      .filter(levenshtein(col("n_a"), col("n_b")) <= 2).count()
+    val truth = trueLinks(c)
+    info(s"links through capped band: $links, exhaustive truth: $truth")
+    assert(links === truth,
+      "prefix-capped banding lost a true link — completeness broken")
+    val candN = cand.count()
+    info(s"candidates: $candN for $truth true links")
+    assert(candN <= 8 * math.max(truth, 1),
+      "candidate overhead stopped being a small constant under the cap")
   }
 
   test("sorted-neighborhood candidates are exactly linear by construction") {
