@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // semantics-preserving rewrites Catalyst lacks (each rule documents
     // its soundness theorem; the full oracle gate runs with them active)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardSizeRatioRule)
   }
 }

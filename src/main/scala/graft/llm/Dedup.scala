@@ -69,9 +69,17 @@ object Dedup {
           .as("bucket")))
 
   /** Exact Jaccard over two pre-distinct shingle arrays:
-    * |∩| / (|a| + |b| − |∩|) — one intersection, no union materialization.
+    * |∩| / (|a| + |b| − |∩|). Native single-pass expression
+    * ([[JaccardExpr]] — value-identical to the HOF
+    * `size(array_intersect)/…` form on pre-distinct inputs, incl. the
+    * final double division) whose named node the injected
+    * [[graft.plans.JaccardSizeRatioRule]] recognizes to attach the free
+    * size-ratio prefilter to threshold predicates.
     */
-  def jaccard(a: Column, b: Column): Column = {
+  def jaccard(a: Column, b: Column): Column = JaccardExpr(a, b)
+
+  /** HOF reference form of [[jaccard]] (spec cross-check only). */
+  private[graft] def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val uni = size(a) + size(b) - inter
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)

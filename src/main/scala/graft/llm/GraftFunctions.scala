@@ -51,6 +51,10 @@ object GraftFunctions {
               else graft.operators.DeletionBandExpr.DefaultPrefix
       graft.operators.DeletionBandExpr(args.head, p, fromEnd = false)
     }),
+    ("jaccard_sim", "jaccard_sim(arrayA, arrayB)", args => {
+      require(args.length == 2, "jaccard_sim(arrayA, arrayB)")
+      JaccardExpr(args.head, args(1))
+    }),
     ("char_ngram_stats", "char_ngram_stats(text, n)", args => {
       require(args.length == 2, "char_ngram_stats(text, n)")
       CharNgramStatsExpr(args.head, intArg(args(1), "n"))

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native exact Jaccard similarity |A ∩ B| / |A ∪ B| over two arrays,
+  * treated as sets (elements deduplicated; two NULL elements compare
+  * equal, matching `array_intersect`/`array_distinct` SQL semantics).
+  *
+  * For the pre-distinct shingle arrays every call site feeds it, this
+  * is value-identical (incl. the final double division, computed the
+  * same way) to the HOF form it replaced —
+  * `size(array_intersect(a,b)) / (size(a)+size(b)−size(array_intersect))`
+  * — but runs ONE hash-set pass instead of materializing the
+  * intersection array, and, as a single named Catalyst node, is a shape
+  * [[graft.plans.JaccardSizeRatioRule]] can recognize to attach the
+  * free size-ratio prefilter to `jaccard_sim(a,b) >= t` predicates
+  * (reference point: FLINK.NET ships no similarity operators at all —
+  * this backs the dedup/linkage extension family, q43/q140/q214).
+  *
+  * Element comparison uses the catalyst values' own equals/hashCode
+  * (UTF8String, boxed numerics) — correct for atomic element types,
+  * which is all the shingle/token pipelines produce.
+  */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _)) if l == r =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaccard_sim needs two arrays of the same element type, got $l / $r")
+    }
+  }
+
+  @transient private lazy val elemType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val sa = new java.util.HashSet[Any]()
+    var aNull = false
+    var i = 0
+    while (i < aa.numElements()) {
+      if (aa.isNullAt(i)) aNull = true else sa.add(aa.get(i, elemType))
+      i += 1
+    }
+    var inter = 0
+    var bNull = false
+    val seenB = new java.util.HashSet[Any]()
+    var j = 0
+    while (j < bb.numElements()) {
+      if (bb.isNullAt(j)) bNull = true
+      else {
+        val v = bb.get(j, elemType)
+        if (seenB.add(v) && sa.contains(v)) inter += 1
+      }
+      j += 1
+    }
+    val na = sa.size + (if (aNull) 1 else 0)
+    val nb = seenB.size + (if (bNull) 1 else 0)
+    val interAll = inter + (if (aNull && bNull) 1 else 0)
+    val union = na + nb - interAll
+    if (union == 0) 0.0 else interAll.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_sim"
+}
+
+object JaccardExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(
+      JaccardExpr(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

@@ -286,6 +286,23 @@ object ArithmeticProps extends Properties("graft.arithmetic") {
       got == ref
     }
 
+  // JaccardExpr (single hash-set pass) equals exact set jaccard — incl.
+  // duplicate elements (set semantics) and the empty/empty → 0.0 edge.
+  property("JaccardExpr equals exact set jaccard") = forAll(
+    Gen.listOf(Gen.choose(0, 20).map(i => s"t$i")),
+    Gen.listOf(Gen.choose(0, 20).map(i => s"t$i"))) { (a, b) =>
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val expr = graft.llm.JaccardExpr(
+      Literal.create(a, ArrayType(StringType)),
+      Literal.create(b, ArrayType(StringType)))
+    val got = expr.eval(null).asInstanceOf[Double]
+    val (sa, sb) = (a.toSet, b.toSet)
+    val union = (sa ++ sb).size
+    val ref = if (union == 0) 0.0 else (sa & sb).size.toDouble / union
+    got == ref
+  }
+
   // CharNgramStatsExpr's BMP long-pack fast path and string fallback
   // both equal the reference code-point window census — including
   // repeated substrings (the distinct count under test) and multibyte.

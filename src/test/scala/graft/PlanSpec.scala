@@ -126,6 +126,68 @@ class PlanSpec extends AnyFunSuite {
       "rule must be idempotent (it runs in a fixed-point batch)")
   }
 
+  test("LevenshteinBandRule: full-shape keying — an unrelated abs-length " +
+      "guard does not suppress banding; equality thresholds band too") {
+    import org.apache.spark.sql.catalyst.expressions.{Abs, Length, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.functions.expr
+    def leGuards(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case f: logical.Filter =>
+        f.condition.collect {
+          case LessThanOrEqual(a: Abs, _) if a.exists(_.isInstanceOf[Length]) => 1
+        }.sum
+      }.sum
+    val c = graft.core.Tables.customer(spark, sfDir)
+    // r7 ADVICE: keying on a single column+threshold let the unrelated
+    // hand-written abs(length(c_name) − 5) <= 2 suppress the lev band;
+    // full-shape keys must see {c_name, 5} ≠ {c_name, c_mktsegment}
+    val mixed = c.filter(
+      expr("abs(length(c_name) - 5) <= 2") &&
+      expr("levenshtein(c_name, c_mktsegment) <= 2"))
+    assert(leGuards(mixed) === 2,
+      "hand guard + rule guard expected: unrelated abs-length predicate " +
+        "must not suppress banding")
+    // lev(a,b) = k gains the same <= k band (r7 #3b)
+    val eq = c.filter(expr("levenshtein(c_name, c_mktsegment) = 2"))
+    assert(leGuards(eq) === 1, "equality threshold must gain a length band")
+    val opt = eq.queryExecution.optimizedPlan
+    assert(graft.plans.LevenshteinBandRule(opt).fastEquals(opt),
+      "equality form must be idempotent")
+  }
+
+  test("JaccardSizeRatioRule bands jaccard thresholds with size-ratio " +
+      "guards, exactly once; no-op below the floor") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Size}
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val probe = docs.select(col("doc_id").as("pid"), col("toks").as("ptoks"))
+    val filtered = docs.crossJoin(broadcast(probe.limit(1)))
+      .filter(graft.llm.Dedup.jaccard(col("toks"), col("ptoks")) >= lit(0.5))
+    val optimized = filtered.queryExecution.optimizedPlan
+    // pushdown may land the predicate in a Filter OR a Join condition —
+    // the rule covers both; count guards wherever they ended up
+    val guards = optimized.collect {
+      case f: logical.Filter => Seq(f.condition)
+      case j: logical.Join => j.condition.toSeq
+    }.flatten.map(_.collect {
+      case GreaterThanOrEqual(l, r)
+          if l.exists(_.isInstanceOf[Size]) || r.exists(_.isInstanceOf[Size]) => 1
+    }.sum).sum
+    assert(guards === 2,
+      "expected exactly the two size-ratio conjuncts (|A|≥ts|B|, |B|≥ts|A|)")
+    assert(graft.plans.JaccardSizeRatioRule(optimized).fastEquals(optimized),
+      "rule must be idempotent (it runs in a fixed-point batch)")
+    // results are bit-identical with the guard attached: the conjunct is
+    // implied, so the kept row set matches the unguarded HOF twin
+    val viaHof = docs.crossJoin(broadcast(probe.limit(1)))
+      .filter(graft.llm.Dedup.jaccardHof(col("toks"), col("ptoks")) >= lit(0.5))
+    assert(filtered.count() === viaHof.count(),
+      "size-ratio guard changed the kept row set — soundness broken")
+  }
+
   test("shuffle budgets hold for the audited expensive queries") {
     // Ceilings pinned at observed+1 under the EXACT counting mode this
     // test executes (VERDICT r6 item 2): cache manager cleared before
