@@ -58,7 +58,7 @@ object Bm25 {
       .where(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
 
     // df per query term (+ explicit zero rows so idf exists for unmatched
     // terms — keeps the |Q|-row broadcast total even when a term is absent)

@@ -32,7 +32,7 @@ object Curation {
     // kept feeds both the near-dup pipeline and the final anti-join: one
     // materialized quality pass instead of two token-level rescans
     val kept = quality.where(col("quality") >= minQuality)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val clusters = Dedup.connectedComponents(
       Dedup.nearDuplicatePairs(kept, "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = jaccardThreshold))

@@ -138,7 +138,7 @@ object Dedup {
     require(maxHamming <= 3, "4 bands guarantee recall only for distance <= 3")
     val hashed = docs
       .select(col(idCol).as("doc_id"), simhash(tokens(col(textCol)), 64).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val banded = hashed.select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("band"), col("sh"))
       .select(col("doc_id"), col("band"),
@@ -197,7 +197,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"),
       shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     // The banded signature table is MATERIALIZED (persist) before the
     // self-join: otherwise each join side re-derives every signature —
     // and the optimizer collapses the projection pipeline into a shape
@@ -206,7 +206,7 @@ object Dedup {
     // is O(n·bands) narrow rows (ids + 32-char bucket), cheap to hold
     // and spillable at any scale.
     val banded = bandsFromShingles(sh, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
         "doc_id", maxBucket, ordered = true)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -217,7 +217,7 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val candSh = sh.join(candIds, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     cand
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -244,7 +244,7 @@ object Dedup {
         shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       // consumed twice (sizes + exploded index): materialize one pass
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
     val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"),
@@ -313,7 +313,7 @@ object Dedup {
         shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       // consumed three times: df counts, prefix build, exact verify
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
     // document frequency per (group, token): the order key. Rarest-first
     // prefixes make candidate buckets as small as possible; ties break on
@@ -401,7 +401,7 @@ object Dedup {
     // singleton scan — so materialize it once; O(edges) narrow rows,
     // spillable
     val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     // a node whose ONLY edges are self-loops still belongs in the output —
     // as its own singleton cluster — even though canon() drops loops from
     // the edge set; nodes that also touch a real edge get their component

@@ -42,7 +42,7 @@ object LmScore {
     val ex = docs
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val lm = ex.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val totals = lm.groupBy(col("lang"))

@@ -72,7 +72,7 @@ object LshGuard {
     val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
       .select(keyCols.map(col) :+ lit(true).as("is_hot"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     // Fast path — the common case. One linear count-aggregation (map-side
     // partials, tiny output) decides; with no hot bucket the self-join
     // runs directly against the (persisted) banded table, zero extra

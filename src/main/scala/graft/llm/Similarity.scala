@@ -230,13 +230,13 @@ object Similarity {
                          maxBucket: Int = 10000): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     // persisted like the banded paths: the guard's count aggregation and
     // both self-join sides would otherwise each recompute the planes×dims
     // dot products over the corpus
     val banded = v.select(col("vec_id"),
       hyperplaneBucket(col("v"), planes, dims).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val cand = LshGuard.guardedCandidates(banded, Seq("bucket"),
       "vec_id", maxBucket, ordered = false)
     topKByQuery(scoreCandidates(cand, v), k = 1, withRank = false)
@@ -292,11 +292,11 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroids, "1 ≤ nprobe ≤ centroids")
     val v = emb.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     // rnk 1 = the vector's own list; rnk ≤ nprobe = the probe set
     val probeR = topKByQuery(centroidScores(v, centroids), nprobe,
         withRank = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val members = probeR.where(col("rnk") === 1)
       .select(col("nn_id").as("cid"), col("vec_id").as("member"))
     val probes = probeR.select(col("vec_id"), col("nn_id").as("cid"))
@@ -324,11 +324,11 @@ object Similarity {
                     maxCluster: Int = 4096): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val asn = topKByQuery(centroidScores(v, centroids), k = 1,
         withRank = false)
       .select(col("vec_id"), col("nn_id").as("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val pairs = LshGuard.guardedCandidates(asn, keyCols = Seq("cid"),
       idCol = "vec_id", maxBucket = maxCluster, ordered = true)
     val dropped = scoreCandidates(pairs, v)
@@ -360,12 +360,12 @@ object Similarity {
                             dims: Int): (DataFrame, DataFrame) = {
     val v = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val banded = v
       .select(col("vec_id"),
         posexplode(hyperplaneBandBuckets(col("v"), bands, planesPerBand, dims)))
       .toDF("vec_id", "band", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     (v, banded)
   }
 

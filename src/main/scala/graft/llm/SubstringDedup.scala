@@ -50,7 +50,7 @@ object SubstringDedup {
     val grams = docs.select(col(idCol).as("doc_id"),
         posexplode(ShinglesExpr.occurrences(col(textCol), k)))
       .toDF("doc_id", "pos", "gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     // min ≠ max doc id ⟺ the gram crosses documents; the aggregate is
     // one narrow shuffle of (gram, id, id) partials
     val crossDoc = grams.groupBy("gram")

@@ -56,7 +56,7 @@ object TrainingDataPipeline {
     val scored = docs.withColumn("quality",
       TextFunctions.qualityScore(col("text"), stopwords))
     val kept = scored.where(col("quality") >= cfg.minQuality)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
 
     // 2. near-dup clusters over the kept set; keep the best-quality
     // member per cluster (q130 policy: exact 1e-9 quality grid,

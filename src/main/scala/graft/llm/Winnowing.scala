@@ -63,7 +63,7 @@ object Winnowing {
     val fp = fingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     // guardedCandidates DEDUPES pairs (one row per pair, not per shared
     // fingerprint), so the match-score numerator is recovered by
     // resolving both sides' sketches for exactly the surviving pairs —

@@ -75,7 +75,7 @@ object KMeans {
     val q = embeddings
       .select(col(idCol).cast("long").as("vec_id"), quantize(col(vecCol)).as("qv"))
       // consumed once per assignment pass + once per recompute
-      .persist()
+      .transform(graft.core.Caching.persist)
     val d = q.select(size(col("qv"))).head().getInt(0)
 
     // seeds: the k smallest vec_ids' quantized vectors (tiny sorted take)

@@ -120,7 +120,7 @@ object Linkage {
       .select(col(idCol) +: blockCols.map(col) :+
         explode(DeletionBandExpr(col(nameCol), bandPrefix, bandFromEnd))
           .as("band"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     maxBucket match {
       case Some(cap) =>
         // opt-in star-cap: the same LshGuard every LSH band join runs —

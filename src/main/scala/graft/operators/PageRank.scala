@@ -39,7 +39,7 @@ object PageRank {
     // persisted table, so the edge build executes exactly once, not once
     // per consumer
     val eo = edges.join(outdeg, Seq("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
     val teleport = lit(unit * 3 / 20)
     val p0 = eo.select(col("src").as("node")).distinct()
       .select(col("node"), lit(unit).as("pr"))

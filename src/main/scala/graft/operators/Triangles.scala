@@ -42,7 +42,7 @@ object Triangles {
     // input once so an expensive upstream edge build (a support-filtered
     // self-join, an LSH candidate generator) executes once, not per
     // consumer
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges.transform(graft.core.Caching.persist)
     // deg feeds the two orientation joins AND the summary aggregate;
     // oriented feeds both wedge sides AND the closing-edge probe. Without
     // persisting them each consumer re-runs the degree shuffle and the
@@ -51,7 +51,7 @@ object Triangles {
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
 
     // attach both endpoint degrees, orient by the (degree, id) total order
     val withDeg = e
@@ -66,7 +66,7 @@ object Triangles {
       // agree across the branches for the CASE to typecheck)
       when(uFirst, struct(col("dv").as("rd"), col("v").as("rn")))
         .otherwise(struct(col("du").as("rd"), col("u").as("rn"))).as("rt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caching.persist)
 
     // wedges at the apex s: unordered out-neighbor pairs, emitted as
     // (lower-rank x, higher-rank y) so the closing edge — itself oriented

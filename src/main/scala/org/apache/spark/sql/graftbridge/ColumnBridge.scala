@@ -23,4 +23,12 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "internal")
 
+  /** Whether the session holds NO cached plans — the `private[sql]`
+    * CacheManager emptiness check, exposed so the caching-contract
+    * specs can assert scoped operator caches were fully released.
+    */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
 }
