@@ -91,6 +91,11 @@ object Bench {
     // growth (the 143-entry map at ~1.9 KB plus sbt's "[info] " prefix
     // is what overran the driver's 2000-char tail capture in r1–r5).
     val headline = Seq("q01", "q58", "q105", "q106", "q136")
+    // completed sweeps at emit time: the regression gate compares
+    // per-query MINIMA, so a 1-sweep local run against the committed
+    // 3-sweep baseline reads as a uniform phantom slowdown — recording
+    // the count lets the gate flag that instead of crying wolf
+    var emittedSweeps = 0
     def emit(results: Map[String, Double]): Unit = {
       val total = results.values.filter(_ >= 0).sum
       // full per-query map (full names, 3 decimals) → side file the judge
@@ -101,6 +106,7 @@ object Bench {
         }.mkString("{", ",", "}")
       val detailJson = s"""{"metric":"total","value":${s2(total)},"unit":"sec",""" +
         s""""queries":$detail,"stream_map_count_rows_per_sec":${math.round(streamRps)},""" +
+        s""""sweeps":$emittedSweeps,""" +
         s""""sf":"${new java.io.File(sfDir).getName}"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -139,6 +145,7 @@ object Bench {
     // LAST line.
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt.max(1)
     var results = sweep(1)
+    emittedSweeps = 1
     emit(results)
     (2 to sweeps).foreach { p =>
       val next = sweep(p)
@@ -146,14 +153,18 @@ object Bench {
         val v2 = next(name)
         name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
       }
+      emittedSweeps = p
       if (p < sweeps) emit(results)
     }
     spark.stop()
-    // Bench-regression gate (VERDICT r7 #2): diff this sweep's
-    // bench_detail.json against the committed previous-round baseline
-    // and surface unexcused >1.5× + >0.3 s per-query regressions. The
-    // report goes to STDERR and bench_regress.txt — stdout must end
-    // with the metric line the driver parses — and a failing gate never
+    // final line, after spark shutdown noise
+    emit(results)
+    // Bench-regression gate (VERDICT r7 #2), after the final emit so it
+    // diffs the COMPLETE all-sweeps minima: compares bench_detail.json
+    // against the committed previous-round baseline and surfaces
+    // unexcused >1.5× + >0.3 s per-query regressions. The report goes
+    // to STDERR and bench_regress.txt only — stdout's last line stays
+    // the metric JSON the driver parses — and a failing gate never
     // fails the bench (the driver/judge reads the report; the repo just
     // stops being able to regress silently).
     try {
@@ -169,8 +180,6 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_regress unavailable: $e")
     }
-    // final line, after spark shutdown noise
-    emit(results)
   }
 
   /** Force full evaluation of EVERY output column. `count()` would let

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * supplementary characters falls back to a string set.
   */
 case class CharNgramStatsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1 && n <= 4, "long-packing supports n-grams up to 4 chars")
 
@@ -33,8 +33,16 @@ case class CharNgramStatsExpr(child: Expression, n: Int)
     StructField("n_distinct", LongType, nullable = false)))
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Whole-stage codegen calls this directly on the child's generated
+    * UTF8String (see [[doGenCode]]) — the census loop is one JIT-owned
+    * method either way; what codegen removes is the CodegenFallback
+    * row-boxing boundary around it.
+    */
+  def compute(input: UTF8String): InternalRow = {
+    val text = input.toLowerCase.toString
     val cps = text.codePoints().toArray
     val total = cps.length - n + 1
     if (total <= 0) return InternalRow(0L, 0L)
@@ -64,6 +72,12 @@ case class CharNgramStatsExpr(child: Expression, n: Int)
         seen.size.toLong
       }
     InternalRow(total.toLong, distinct)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgramStats", this,
+      classOf[CharNgramStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramStatsExpr =

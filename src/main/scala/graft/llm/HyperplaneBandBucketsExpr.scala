@@ -22,9 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Implements `doGenCode` (the weight matrix rides along as a codegen
   * reference object), so the band-derivation stage stays inside
-  * whole-stage codegen like the cosine scorer. The md5-based expressions
-  * (shingles/minhash/simhash) stay CodegenFallback deliberately: their
-  * cost is the digest, not dispatch.
+  * whole-stage codegen like the cosine scorer — as do, since r8, all
+  * the other native expressions (shingles/minhash/simhash/deletion-band
+  * /char-ngram/jaccard, each via a direct reference-object call).
   */
 case class HyperplaneBandBucketsExpr(child: Expression, bands: Int,
                                      planesPerBand: Int, dims: Int)

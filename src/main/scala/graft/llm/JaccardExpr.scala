@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * which is all the shingle/token pipelines produce.
   */
 case class JaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -44,8 +44,14 @@ case class JaccardExpr(left: Expression, right: Expression)
   @transient private lazy val elemType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Whole-stage codegen calls this directly on the generated child
+    * arrays (see [[doGenCode]]) — no CodegenFallback row boxing in the
+    * exact-verify join stage this expression gates.
+    */
+  def compute(aa: ArrayData, bb: ArrayData): Double = {
     val sa = new java.util.HashSet[Any]()
     var aNull = false
     var i = 0
@@ -70,6 +76,11 @@ case class JaccardExpr(left: Expression, right: Expression)
     val interAll = inter + (if (aNull && bNull) 1 else 0)
     val union = na + nb - interAll
     if (union == 0) 0.0 else interAll.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard", this, classOf[JaccardExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,12 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8String per (shingle × hash) and re-parses the digest; this computes
   * ⌈k/4⌉ digests per shingle and nothing else.
   *
-  * Interpreted eval with CodegenFallback: the per-row virtual-call overhead
-  * is irrelevant next to the hand-written inner loop (measured: signature
-  * stage 25s → ~1s at sf0.1).
+  * The inner digest loop dominates (measured: signature stage 25s → ~1s
+  * at sf0.1); `doGenCode` additionally keeps the call inside whole-stage
+  * codegen instead of paying the CodegenFallback row-boxing boundary.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0, "k must be positive")
   private val numDigests = (k + 3) / 4
@@ -38,8 +38,14 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     (0 until numDigests).map(s => s"$s|".getBytes("UTF-8")).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Whole-stage codegen calls this directly on the generated child
+    * array (see [[doGenCode]]) — the hand-written digest loop already
+    * dominated; codegen removes the CodegenFallback row boxing around it.
+    */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(-1) // unsigned max (0xFFFFFFFF)
     var hasAny = false
@@ -74,6 +80,11 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     if (!hasAny) new GenericArrayData(Array.empty[Any])
     else new GenericArrayData(
       mins.map(v => UTF8String.fromString(f"${v & 0xFFFFFFFFL}%08x"): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =

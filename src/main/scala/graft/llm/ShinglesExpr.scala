@@ -2,8 +2,8 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * array_distinct.
   */
 case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1)
 
@@ -27,8 +27,12 @@ case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Whole-stage codegen entry point (see [[doGenCode]]). */
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toLowerCase.toString
     val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
     var i = 0
     val len = text.length
@@ -78,6 +82,11 @@ case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
       }
       new GenericArrayData(out)
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShinglesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =

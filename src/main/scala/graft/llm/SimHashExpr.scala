@@ -3,7 +3,7 @@ package graft.llm
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * band instead of the 256 an 8-bit band of a 32-bit hash allows.
   */
 case class SimHashExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(bits >= 1 && bits <= 64)
 
@@ -31,8 +31,11 @@ case class SimHashExpr(child: Expression, bits: Int)
   @transient private lazy val md = MessageDigest.getInstance("MD5")
   @transient private lazy val prefix = "0|".getBytes("UTF-8")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Whole-stage codegen entry point (see [[doGenCode]]). */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](bits)
     var total = 0
@@ -70,6 +73,11 @@ case class SimHashExpr(child: Expression, bits: Int)
       b += 1
     }
     out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =

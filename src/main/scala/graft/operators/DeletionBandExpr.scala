@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.Platform
@@ -48,7 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * equality with the HOF form on arbitrary (incl. astral) input.
   */
 case class DeletionBandExpr(child: Expression, prefix: Int, fromEnd: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // bounds the variant array at ~500k entries — far beyond any sane
   // banding slice, and keeps 1 + n + n(n−1)/2 safely inside Int (an
@@ -61,8 +61,16 @@ case class DeletionBandExpr(child: Expression, prefix: Int, fromEnd: Boolean)
 
   private val seed = 42L
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** The whole-stage path calls this directly on the child's generated
+    * UTF8String — no CodegenFallback, so no per-row InternalRow
+    * materialization and no interpreted eval dispatch; the variant
+    * enumeration itself (hundreds of hashes per row) stays one JVM
+    * method the JIT owns.
+    */
+  def compute(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val out =
       if (bytes.length == s.numChars()) { // pure ASCII: code point == byte
@@ -82,6 +90,12 @@ case class DeletionBandExpr(child: Expression, prefix: Int, fromEnd: Boolean)
       r += 1
     }
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deletionBand", this,
+      classOf[DeletionBandExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   private def hashBytes(b: Array[Byte], len: Int): Long =

@@ -51,6 +51,13 @@ def main():
         print(json.dumps({"gate": "skipped_sf_mismatch",
                           "cur_sf": cur.get("sf"), "base_sf": base.get("sf")}))
         return 0
+    # per-query values are MINIMA over sweeps (the host has bursty
+    # CPU-steal windows); a 1-sweep run vs a 3-sweep baseline reads as a
+    # uniform phantom regression — warn-only in that case
+    cs, bs = cur.get("sweeps", 3), base.get("sweeps", 3)
+    if cs < bs:
+        print(f"bench_regress: WARN-ONLY — current run has {cs} sweep(s) vs "
+              f"baseline {bs}; minima are not comparable, gate will not fail")
 
     cq, bq = cur["queries"], base["queries"]
     regressions, excused = [], []
@@ -74,15 +81,17 @@ def main():
     for r in excused:
         print(f"excused    {r['query']}: {r['base']:.2f}s -> {r['cur']:.2f}s "
               f"(x{r['ratio']}) — {r['excused']}")
+    warn_only = cs < bs
     print(json.dumps({
-        "gate": "fail" if regressions else "ok",
-        "sf": cur.get("sf"),
+        "gate": ("warn_fewer_sweeps" if warn_only else
+                 "fail" if regressions else "ok"),
+        "sf": cur.get("sf"), "sweeps": [cs, bs],
         "total_base": base.get("value"), "total_cur": cur.get("value"),
         "n_regressions": len(regressions), "n_excused": len(excused),
         "n_new_queries": len(new_queries),
         "regressions": [r["query"] for r in regressions],
     }))
-    return 1 if regressions else 0
+    return 1 if regressions and not warn_only else 0
 
 
 if __name__ == "__main__":
