@@ -81,7 +81,10 @@ object EmbeddingQueries {
     // retrieval paths keeps the eval exactly as scalable as they are
     // (broadcast-query brute force over the probe set only + banded
     // candidates), and the comparison itself is id-set joins and one
-    // division per query.
+    // division per query. Cap/oracle boundary: annTopKInBands' default
+    // star-cap (10000) matches the oracle's uncapped banding only while
+    // buckets stay below it — LshCapHeadroomSpec pins >=10x headroom at
+    // both gate SFs.
     "q199_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val bf = Similarity.knnBruteForce(

@@ -132,6 +132,10 @@ object LlmQueries {
     // Same shingle-once/persist-signatures shape as q41; per-pair exact
     // Jaccard is quantized to the 1e-9 grid (q133 discipline) before the
     // mean's sum, so the group means are partition-order-free.
+    // Cap/oracle boundary: the star-cap (maxBucket 10000) equals the
+    // oracle's uncapped pair enumeration only while every (band, bucket)
+    // stays below the cap — LshCapHeadroomSpec pins >=10x headroom at
+    // both gate SFs, so divergence fails a spec before it fails the gate.
     "q204_sketch_calibration" -> ((s, dir) => {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val sh = Tables.documents(s, dir)
