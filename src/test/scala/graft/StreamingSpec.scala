@@ -2078,4 +2078,59 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming WAU deltas sum to batch q134's exact windowed distinct " +
+      "across batch splits and replays") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // the operator's input contract: distinct (user, day), per-user
+    // ascending (global day sort suffices) — batch q134's first stage
+    val userDays = graft.core.Tables.events(spark, TestSession.sfDir)
+      .select(col("user_id").cast("long").as("u"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+      .as[(Long, Long)].collect().toSeq.sortBy(r => (r._2, r._1))
+    val batchRef = graft.queries.AnalyticQueries.queries("q134_rolling_dau")(
+      spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // day -> wau
+    val splits = Seq(Seq(userDays), {
+      val (a, b) = userDays.splitAt(userDays.size / 3)
+      val (b1, b2) = b.splitAt(b.size / 2)
+      Seq(a, b1, b1.takeRight(50) ++ b2) // tail replay opens batch 3
+    })
+    val results = splits.zipWithIndex.map { case (batches, i) =>
+      val input = MemoryStream[(Long, Long)](spark)
+      val grouped = input.toDS().groupByKey(_._1).mapValues(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = graft.streaming.StreamingActives.wauDeltas(grouped)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp(s"ckpt-wau$i"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      batches.foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+      q.stop()
+      out.groupBy(_._1).map { case (w, ds) => w -> ds.map(_._2).sum }
+    }
+    results.foreach { streamWau =>
+      // every batch-complete window day must match the exact distinct
+      // count; the stream's extra trailing wdays (the +6 tail beyond the
+      // last observed day) are the usual incomplete-window tail
+      batchRef.foreach { case (day, wau) =>
+        assert(streamWau.getOrElse(day, 0L) === wau,
+          s"day $day: streamed WAU deltas diverged from batch q134")
+      }
+    }
+    // replay idempotence: both splits produce identical per-window sums
+    assert(results(0) === results(1),
+      "replayed user-days must be dropped at the last-day frontier")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
