@@ -775,6 +775,55 @@ object LlmQueries {
           col("channels"), col("px_sum"),
           (col("px_sum").cast("double")
             / (col("width") * col("height")).cast("double")).as("px_mean"))
+    }),
+
+    // SQL-surface jaccard threshold join: the same probe-vs-corpus
+    // near-dup screen a thrift-server/notebook user would type — the
+    // injected `jaccard_sim` function through spark.sql, with the
+    // predicate landing in the join condition where the injected
+    // JaccardSizeRatioRule attaches its size-ratio prefilter (the gate
+    // thus verifies the guarded plan is value-identical to the
+    // unguarded oracle). Probe side is 20 docs broadcast, so candidate
+    // volume is 20·n — linear in the corpus; the similarity is floored
+    // onto the 1e-9 grid (q133 discipline: both engines divide the
+    // same exact ints, so the double is bit-identical).
+    "q222_jaccard_sql_screen" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .createOrReplaceTempView("g_doc_toks")
+      s.sql("""
+        SELECT a.doc_id AS probe_id, b.doc_id AS doc_id,
+               CAST(floor(jaccard_sim(a.toks, b.toks) * 1e9) AS BIGINT) AS jac_g
+        FROM g_doc_toks a
+        JOIN g_doc_toks b
+          ON a.lang = b.lang AND a.doc_id < 20 AND b.doc_id > a.doc_id
+        WHERE jaccard_sim(a.toks, b.toks) >= CAST(0.2 AS DOUBLE)""")
+    }),
+
+    // First BPE merge iteration — the adjacent-symbol-pair census every
+    // tokenizer build starts from: count each word ONCE into a (word,
+    // weight) vocab (corpus collapses in the first hash agg), expand
+    // each distinct word's adjacent 2-char windows, weight by word
+    // frequency, keep the top 20 merge candidates. Candidate work is
+    // Σ|word| over the VOCAB, not the corpus; the final cut is a
+    // TakeOrdered over the pair table with a total (n DESC, pair)
+    // order, so the boundary is deterministic on both engines.
+    "q223_bpe_pair_census" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("weight"))
+        .where(length(col("w")) >= 2)
+      vocab
+        .select(col("weight"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("weight")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     })
   )
 
@@ -1545,6 +1594,37 @@ object LlmQueries {
            CAST(3 AS BIGINT) AS channels,
            CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(sum(v) AS DOUBLE) / (w * h) AS px_mean
-         FROM px GROUP BY doc_id, w, h"""
+         FROM px GROUP BY doc_id, w, h""",
+    "q222_jaccard_sql_screen" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks
+           FROM documents
+           WHERE len(list_distinct(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))) > 0),
+         pairs AS (
+           SELECT a.doc_id AS probe_id, b.doc_id AS doc_id,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               AS jac
+           FROM t a JOIN t b
+             ON a.lang = b.lang AND a.doc_id < 20 AND b.doc_id > a.doc_id)
+         SELECT probe_id, doc_id,
+           CAST(floor(jac * 1e9) AS BIGINT) AS jac_g
+         FROM pairs WHERE jac >= CAST(0.2 AS DOUBLE)""",
+    "q223_bpe_pair_census" ->
+      """WITH vocab AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+             FROM documents)
+           GROUP BY w HAVING length(w) >= 2),
+         pairs AS (
+           SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, weight
+           FROM vocab, unnest(range(1, length(w))) AS r(i))
+         SELECT pair, CAST(sum(weight) AS BIGINT) AS n
+         FROM pairs GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 20"""
   )
 }

@@ -386,6 +386,41 @@ object OperationalQueries {
               element_at(transform(sort_array(evs), e -> e.value), 1),
               (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)""")
             .as("ewma"))
+    }),
+
+    // Bitemporal point-in-time lookup (operators.Bitemporal — VERDICT
+    // r7 #8): the two-axis generalization of q145's SCD2 PIT join.
+    // Version log from orders: each order asserts the customer's state
+    // effective at its order date (valid time) but only becomes visible
+    // `o_orderkey mod 4` days later (transaction time — deterministic
+    // late-arrival lag). Three probe grids ask each customer's state
+    // at V as known at T: same-day knowledge (recent late recordings
+    // invisible), V + 45 days hindsight, and a later V. Epoch-day longs
+    // everywhere; the (vt, tt, okey, cents) ordering tuple is unique
+    // per key (okey is unique), so selection is deterministic. One
+    // key equi-join + hash max_by — no range join, nothing quadratic.
+    "q221_bitemporal_pit" -> ((s, dir) => {
+      val day = "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+      val v = Tables.orders(s, dir).select(
+        col("o_custkey"),
+        expr(day).as("vt"),
+        expr(s"$day + o_orderkey % 4").as("tt"),
+        col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      import s.implicits._
+      val grid = Seq(
+        ("1995-06-01", "1995-06-01"),
+        ("1995-06-01", "1995-07-16"),
+        ("1997-03-01", "1997-03-11")).toDF("pv_d", "pt_d")
+        .select(
+          expr("CAST(datediff(CAST(pv_d AS DATE), DATE '1970-01-01') AS BIGINT)").as("pv"),
+          expr("CAST(datediff(CAST(pt_d AS DATE), DATE '1970-01-01') AS BIGINT)").as("pt"))
+      val probes = v.select(col("o_custkey")).distinct()
+        .crossJoin(broadcast(grid))
+      graft.operators.Bitemporal.pointInTime(
+        v, keyCol = "o_custkey", validCol = "vt", txCol = "tt",
+        valueCols = Seq("okey", "cents"),
+        probes = probes, pvCol = "pv", ptCol = "pt")
     })
   )
 
@@ -598,6 +633,30 @@ object OperationalQueries {
              CAST(0.2 AS DOUBLE) * e.value + CAST(0.8 AS DOUBLE) * w.ewma
            FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
          SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events, ewma
-         FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.n"""
+         FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.n""",
+    "q221_bitemporal_pit" ->
+      """WITH v AS (
+           SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS vt,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + o_orderkey % 4 AS BIGINT) AS tt,
+             CAST(o_orderkey AS BIGINT) AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         grid AS (SELECT
+             CAST(datediff('day', DATE '1970-01-01', CAST(pv_d AS DATE)) AS BIGINT) AS pv,
+             CAST(datediff('day', DATE '1970-01-01', CAST(pt_d AS DATE)) AS BIGINT) AS pt
+           FROM (VALUES (DATE '1995-06-01', DATE '1995-06-01'),
+                        (DATE '1995-06-01', DATE '1995-07-16'),
+                        (DATE '1997-03-01', DATE '1997-03-11')) AS g(pv_d, pt_d)),
+         probes AS (SELECT DISTINCT o_custkey FROM v),
+         j AS (
+           SELECT p.o_custkey, g.pv, g.pt, v.vt, v.tt, v.okey, v.cents
+           FROM probes p CROSS JOIN grid g
+           JOIN v ON v.o_custkey = p.o_custkey
+             AND v.vt <= g.pv AND v.tt <= g.pt)
+         SELECT o_custkey, pv, pt, vt, tt, okey, cents
+         FROM j
+         QUALIFY row_number() OVER (PARTITION BY o_custkey, pv, pt
+           ORDER BY vt DESC, tt DESC, okey DESC, cents DESC) = 1"""
   )
 }
