@@ -225,6 +225,41 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Incremental near-dup screen: LSH-band candidates of NEW documents
+    * against an existing REFERENCE corpus only — never ref×ref or
+    * new×new — the production ingestion shape ([[graft.streaming.StreamingNearDup]]
+    * is its streaming twin). The reference is shingled/banded like an
+    * index build; each new batch joins band-for-band, so per-batch cost
+    * is Σ over shared buckets of |new_bucket|·|ref_bucket| — candidates
+    * only where the index already has near-identical content — and the
+    * exact-Jaccard verify touches candidate documents alone. Returns
+    * (new_id, ref_id, jac) with jac ≥ `threshold`.
+    */
+  def incrementalNearDuplicates(refDocs: DataFrame, newDocs: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int = 3, k: Int = 8,
+                                bands: Int = 4,
+                                threshold: Double = 0.5): DataFrame = {
+    def prep(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+        shinglesText(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .transform(graft.core.Caching.persist)
+    val refSh = prep(refDocs)
+    val newSh = prep(newDocs)
+    val refB = bandsFromShingles(refSh, k, bands)
+      .select(col("doc_id").as("ref_id"), col("band"), col("bucket"))
+    val newB = bandsFromShingles(newSh, k, bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val cand = newB.join(refB, Seq("band", "bucket"))
+      .select(col("new_id"), col("ref_id")).distinct()
+    cand
+      .join(refSh.select(col("doc_id").as("ref_id"), col("sh").as("sh_r")), "ref_id")
+      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .select(col("new_id"), col("ref_id"),
+        jaccard(col("sh_n"), col("sh_r")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** Exact pairwise n-gram Jaccard within a partition key, inverted-index
     * formulation: explode shingles, self-join on (group, shingle) to count
     * intersections, derive |union| from set sizes. Replaces per-pair array

@@ -803,6 +803,21 @@ object LlmQueries {
         WHERE jaccard_sim(a.toks, b.toks) >= CAST(0.2 AS DOUBLE)""")
     }),
 
+    // Incremental ingestion dedup — the production shape dedup actually
+    // runs in: the existing corpus (doc_id % 5 != 4 here) is banded
+    // once like an index build, the arriving batch (doc_id % 5 = 4)
+    // joins band-for-band against it, and only new×ref candidates pay
+    // the exact verify. Never re-screens ref×ref; per-batch cost tracks
+    // the batch, not the corpus (Dedup.incrementalNearDuplicates —
+    // StreamingNearDup is the same contract on a stream).
+    "q224_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDuplicates(
+        docs.where(col("doc_id") % 5 =!= 4),
+        docs.where(col("doc_id") % 5 === 4),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+    }),
+
     // First BPE merge iteration — the adjacent-symbol-pair census every
     // tokenizer build starts from: count each word ONCE into a (word,
     // weight) vocab (corpus collapses in the first hash agg), expand
@@ -1613,6 +1628,18 @@ object LlmQueries {
          SELECT probe_id, doc_id,
            CAST(floor(jac * 1e9) AS BIGINT) AS jac_g
          FROM pairs WHERE jac >= CAST(0.2 AS DOUBLE)""",
+    "q224_incremental_neardup" ->
+      s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id,
+             CASE WHEN len(list_distinct(list_concat(n.s, r.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(n.s, r.s))) END AS jac
+           FROM band n JOIN band r ON n.b = r.b AND n.bucket = r.bucket
+             AND n.doc_id % 5 = 4 AND r.doc_id % 5 <> 4)
+         SELECT new_id, ref_id, jac FROM pairs WHERE jac >= 0.5""",
     "q223_bpe_pair_census" ->
       """WITH vocab AS (
            SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (

@@ -982,6 +982,34 @@ object QualityQueries {
             .otherwise(lit(0)))
         .filter(col("score") >= 2)
         .select(col("id_a"), col("id_b"), col("lev"), col("score"))
+    }),
+
+    // Winsorized robust stats — the clamp-at-percentiles twin of q167's
+    // MAD screen (standard outlier treatment before a mean is trusted):
+    // per-priority p05/p95 of order value in exact cents (the q53
+    // interpolated-percentile contract both engines compute
+    // identically), each value clamped to [lo, hi], clamped sum carried
+    // on the 1e-6 grid as exact integers (cents ≤ ~1e8, ×1e6 stays
+    // inside 2⁵³ — partition-order-free), mean divided out once. Two
+    // hash aggregates + one broadcast join; nothing sorts the corpus.
+    "q225_winsorized_stats" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = o.groupBy(col("o_orderpriority")).agg(
+        expr("percentile(CAST(cents AS DOUBLE), CAST(0.05 AS DOUBLE))").as("lo"),
+        expr("percentile(CAST(cents AS DOUBLE), CAST(0.95 AS DOUBLE))").as("hi"))
+      o.join(broadcast(b), "o_orderpriority")
+        .select(col("o_orderpriority"), col("lo"), col("hi"),
+          expr("CAST(floor(least(greatest(CAST(cents AS DOUBLE), lo), hi) * 1e6) AS BIGINT)")
+            .as("cg"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cg")).as("sg"),
+          first(col("lo")).as("lo_c"), first(col("hi")).as("hi_c"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("lo_c") / lit(100.0)).as("lo_price"),
+          (col("hi_c") / lit(100.0)).as("hi_price"),
+          (col("sg").cast("double") / col("n").cast("double") / lit(1e6) / lit(100.0))
+            .as("wins_mean"))
     })
   )
 
@@ -1525,6 +1553,23 @@ object QualityQueries {
                AS score
            FROM c a JOIN c b ON b.rn - a.rn BETWEEN 1 AND 9)
          SELECT id_a, id_b, CAST(lev AS INT) AS lev, CAST(score AS INT)
-           AS score FROM p WHERE score >= 2"""
+           AS score FROM p WHERE score >= 2""",
+    "q225_winsorized_stats" ->
+      """WITH o AS (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         b AS (SELECT o_orderpriority,
+             quantile_cont(CAST(cents AS DOUBLE), CAST(0.05 AS DOUBLE)) AS lo,
+             quantile_cont(CAST(cents AS DOUBLE), CAST(0.95 AS DOUBLE)) AS hi
+           FROM o GROUP BY 1),
+         c AS (SELECT o.o_orderpriority, lo, hi,
+             CAST(floor(least(greatest(CAST(cents AS DOUBLE), lo), hi) * 1e6)
+               AS BIGINT) AS cg
+           FROM o JOIN b USING (o_orderpriority))
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           any_value(lo) / 100.0 AS lo_price,
+           any_value(hi) / 100.0 AS hi_price,
+           CAST(sum(cg) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 / 100.0
+             AS wins_mean
+         FROM c GROUP BY 1"""
   )
 }
