@@ -508,10 +508,84 @@ object StatsQueries {
         .select(col("n_tail"),
           (lit(1.0) + col("n_tail").cast("double") /
             (col("slng").cast("double") / lit(1e9))).as("hill_alpha"))
+    }),
+
+    // Spearman rank correlation of quantity vs discount — the rank-based
+    // monotone-association test closing the nonparametric family (q196
+    // κ, q197 U, q198 KS). The corpus collapses into the ≤550-row
+    // (quantity, discount-cents) contingency table in ONE hash agg;
+    // tie-corrected average ranks come from cumulative counts over the
+    // two bounded marginals (≤50 and ≤11 rows — the q197 whitelist
+    // shape), DOUBLED so every rank is an exact integer; the five
+    // moment sums accumulate in decimal(38,0) (Long Σc·r²q·r²d overflows
+    // past ~sf0.3, and ANSI would abort the scan — the q190/q205
+    // discipline), and the closed-form rho runs ONCE in double with an
+    // identical operation sequence on both engines.
+    "q226_spearman" -> ((s, dir) => {
+      val ct = graft.core.Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("q"),
+          round(col("l_discount") * 100).cast("long").as("d"))
+        .agg(count(lit(1)).as("c"))
+      import org.apache.spark.sql.expressions.Window
+      def avg2Ranks(key: String, out: String) = {
+        val w = Window.orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ct.groupBy(col(key)).agg(sum(col("c")).as("t"))
+          .withColumn("prev", coalesce(sum(col("t")).over(w), lit(0L)))
+          .select(col(key),
+            (lit(2L) * col("prev") + col("t") + lit(1L)).as(out))
+      }
+      val j = ct
+        .join(broadcast(avg2Ranks("q", "rq2")), "q")
+        .join(broadcast(avg2Ranks("d", "rd2")), "d")
+      val dec = "decimal(38,0)"
+      val agg = j.agg(
+        sum(col("c")).as("n"),
+        // cast BEFORE every multiply: at 100 TB c·rq2 alone passes 2⁶³
+        sum(expr(s"CAST(c AS $dec) * rq2")).as("sx"),
+        sum(expr(s"CAST(c AS $dec) * rd2")).as("sy"),
+        sum(expr(s"CAST(c AS $dec) * rq2 * rq2")).as("sxx"),
+        sum(expr(s"CAST(c AS $dec) * rd2 * rd2")).as("syy"),
+        sum(expr(s"CAST(c AS $dec) * rq2 * rd2")).as("sxy"))
+      val nD = col("n").cast("double")
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val cov = nD * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+      val vx = nD * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+      val vy = nD * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+      agg.select(col("n"), (cov / sqrt(vx * vy)).as("rho"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q226_spearman" ->
+      """WITH ct AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         mq AS (SELECT q, sum(c) AS t FROM ct GROUP BY 1),
+         rq AS (SELECT q, 2 * COALESCE(sum(t) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+             AS rq2 FROM mq),
+         md AS (SELECT d, sum(c) AS t FROM ct GROUP BY 1),
+         rd AS (SELECT d, 2 * COALESCE(sum(t) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+             AS rd2 FROM md),
+         j AS (SELECT c, rq2, rd2 FROM ct
+           JOIN rq USING (q) JOIN rd USING (d)),
+         a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(c AS DECIMAL(38,0)) * rq2) AS sx,
+             sum(CAST(c AS DECIMAL(38,0)) * rd2) AS sy,
+             sum(CAST(c AS DECIMAL(38,0)) * rq2 * rq2) AS sxx,
+             sum(CAST(c AS DECIMAL(38,0)) * rd2 * rd2) AS syy,
+             sum(CAST(c AS DECIMAL(38,0)) * rq2 * rd2) AS sxy
+           FROM j)
+         SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+         FROM a""",
     "q194_quota_sample" ->
       """WITH p AS (SELECT source, doc_id,
              CAST(concat('0x', substr(md5(concat('11', '|',

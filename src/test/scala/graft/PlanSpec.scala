@@ -44,7 +44,10 @@ class PlanSpec extends AnyFunSuite {
     // row-lag pairs over the bounded DAILY aggregate (q179's family)
     "q205_revenue_acf" -> 1,
     // rank over the TakeOrdered 100-row vocabulary cut
-    "q201_zipf_slope" -> 1)
+    "q201_zipf_slope" -> 1,
+    // rank prefix sums over the two bounded marginals of the
+    // (quantity, discount) contingency table (≤50 and ≤11 rows)
+    "q226_spearman" -> 2)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)
