@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class HyperplaneBandBucketsExpr(child: Expression, bands: Int,
                                      planesPerBand: Int, dims: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
   require(bands > 0 && planesPerBand > 0 && planesPerBand <= 63)
 

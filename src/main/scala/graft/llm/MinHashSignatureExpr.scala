@@ -3,7 +3,7 @@ package graft.llm
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -26,7 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen instead of paying the CodegenFallback row-boxing boundary.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
 
   require(k > 0, "k must be positive")
   private val numDigests = (k + 3) / 4

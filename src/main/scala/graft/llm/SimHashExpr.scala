@@ -2,7 +2,7 @@ package graft.llm
 
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * band instead of the 256 an 8-bit band of a 32-bit hash allows.
   */
 case class SimHashExpr(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
 
   require(bits >= 1 && bits <= 64)
 

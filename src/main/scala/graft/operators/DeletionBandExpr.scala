@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -48,7 +48,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * equality with the HOF form on arbitrary (incl. astral) input.
   */
 case class DeletionBandExpr(child: Expression, prefix: Int, fromEnd: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType)
 
   // bounds the variant array at ~500k entries — far beyond any sane
   // banding slice, and keeps 1 + n + n(n−1)/2 safely inside Int (an
