@@ -48,4 +48,28 @@ object Bitemporal {
       .select(col(keyCol) +: col(pvCol) +: col(ptCol) +:
         verCols.map(c => col("ver." + c).as(c)): _*)
   }
+
+  /** Reconstruct the VALID-TIME timeline as known at transaction time
+    * `asOf` — the "rebuild the SCD2 dimension from the bitemporal log"
+    * face: among versions recorded by `asOf`, the latest recording per
+    * (key, validTime) wins (corrections overwrite), and each surviving
+    * version's interval closes at the key's next effective validTime
+    * (`valid_to` null = open). One hash `max_by` + one per-key `lead`
+    * window (partitioned by the key — never global). Same determinism
+    * contract as [[pointInTime]]: include a unique id in `valueCols`.
+    */
+  def timelineAsOf(versions: DataFrame, keyCol: String, validCol: String,
+                   txCol: String, valueCols: Seq[String],
+                   asOf: Column): DataFrame = {
+    val payload: Seq[String] = txCol +: valueCols
+    val ord: Column = struct(payload.map(col): _*)
+    val latest = versions.where(col(txCol) <= asOf)
+      .groupBy(col(keyCol), col(validCol))
+      .agg(max_by(struct(payload.map(col): _*), ord).as("ver"))
+      .select(col(keyCol) +: col(validCol) +:
+        payload.map(c => col("ver." + c).as(c)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(validCol))
+    latest.withColumn("valid_to", lead(col(validCol), 1).over(w))
+  }
 }

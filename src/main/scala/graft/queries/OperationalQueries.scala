@@ -421,6 +421,27 @@ object OperationalQueries {
         v, keyCol = "o_custkey", validCol = "vt", txCol = "tt",
         valueCols = Seq("okey", "cents"),
         probes = probes, pvCol = "pv", ptCol = "pt")
+    }),
+
+    // Bitemporal timeline reconstruction (Bitemporal.timelineAsOf):
+    // the OTHER face of q221's log — rebuild the full valid-time SCD2
+    // dimension as the system knew it on 1996-01-01. Latest recording
+    // per (key, valid day) wins; intervals close at the key's next
+    // effective valid day (null = still open). Hash max_by + one
+    // per-key lead window, nothing global.
+    "q227_bitemporal_timeline" -> ((s, dir) => {
+      val day = "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+      val v = Tables.orders(s, dir).select(
+        col("o_custkey"),
+        expr(day).as("vt"),
+        expr(s"$day + o_orderkey % 4").as("tt"),
+        col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val asOf = expr(
+        "CAST(datediff(DATE '1996-01-01', DATE '1970-01-01') AS BIGINT)")
+      graft.operators.Bitemporal.timelineAsOf(
+        v, keyCol = "o_custkey", validCol = "vt", txCol = "tt",
+        valueCols = Seq("okey", "cents"), asOf = asOf)
     })
   )
 
@@ -657,6 +678,23 @@ object OperationalQueries {
          SELECT o_custkey, pv, pt, vt, tt, okey, cents
          FROM j
          QUALIFY row_number() OVER (PARTITION BY o_custkey, pv, pt
-           ORDER BY vt DESC, tt DESC, okey DESC, cents DESC) = 1"""
+           ORDER BY vt DESC, tt DESC, okey DESC, cents DESC) = 1""",
+    "q227_bitemporal_timeline" ->
+      """WITH v AS (
+           SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS vt,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + o_orderkey % 4 AS BIGINT) AS tt,
+             CAST(o_orderkey AS BIGINT) AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         vis AS (SELECT * FROM v
+           WHERE tt <= CAST(datediff('day', DATE '1970-01-01', DATE '1996-01-01') AS BIGINT)),
+         latest AS (
+           SELECT o_custkey, vt, tt, okey, cents FROM vis
+           QUALIFY row_number() OVER (PARTITION BY o_custkey, vt
+             ORDER BY tt DESC, okey DESC, cents DESC) = 1)
+         SELECT o_custkey, vt, tt, okey, cents,
+           lead(vt) OVER (PARTITION BY o_custkey ORDER BY vt) AS valid_to
+         FROM latest"""
   )
 }

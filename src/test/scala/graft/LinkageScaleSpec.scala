@@ -244,6 +244,44 @@ class LinkageScaleSpec extends AnyFunSuite {
       "candidate overhead stopped being a small constant under the cap")
   }
 
+  test("bandFromEnd recovers recall when the entropy is suffix-loaded") {
+    // mirror corpus of the long-string test: constant 64-char HEAD,
+    // distinguishing hex TAIL (the TPC-H c_name shape at scale) — a
+    // front slice is one giant shared bucket; the fromEnd slice bands
+    // on the entropy and keeps candidates ~= true links
+    val head = "x" * 64
+    val c = spark.range(1, 1201).toDF("id")
+      .select(col("id").cast("long").as("c_custkey"),
+        lower(hex(xxhash64(concat(lit("sfx-"), col("id"))))).as("base"),
+        (col("id") % 25).as("c_nationkey"),
+        (col("id") % 5).cast("string").as("c_mktsegment"))
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          concat(lit(head), lit("z"), substring(
+            lower(hex(xxhash64(concat(lit("sfx-"), col("c_custkey") - 1)))),
+            2, 16)))
+          .otherwise(concat(lit(head), col("base"))).as("c_name"),
+        when(col("c_custkey") % 10 === 0, (col("c_custkey") - 1) % 25)
+          .otherwise(col("c_nationkey")).as("c_nationkey"),
+        when(col("c_custkey") % 10 === 0,
+          ((col("c_custkey") - 1) % 5).cast("string"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val cand = Linkage.candidatePairs(c, "c_custkey", "c_name", blockCols,
+      bandFromEnd = true)
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("n_a"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("n_b"))
+    val links = cand.join(a, "id_a").join(b, "id_b")
+      .filter(levenshtein(col("n_a"), col("n_b")) <= 2).count()
+    val truth = trueLinks(c)
+    info(s"fromEnd links $links vs exhaustive truth $truth")
+    assert(links === truth,
+      "suffix banding lost a true link on a suffix-entropy corpus")
+    val candN = cand.count()
+    info(s"fromEnd candidates $candN for $truth true links")
+    assert(candN <= 8 * math.max(truth, 1),
+      "suffix banding stopped bounding candidates on a suffix-entropy corpus")
+  }
+
   test("sorted-neighborhood candidates are exactly linear by construction") {
     val w = 10
     def count1(df: DataFrame): Long =
