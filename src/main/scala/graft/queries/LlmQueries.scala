@@ -818,6 +818,32 @@ object LlmQueries {
         "doc_id", "text", shingleN = 3, k = 8, bands = 4, threshold = 0.5)
     }),
 
+    // Effective corpus size — the headline curation stat every training
+    // run starts from: per source, raw volume vs what survives near-dup
+    // cluster collapse (the min-id member represents its cluster;
+    // singletons represent themselves). Rides q67's cluster table; one
+    // left join + one hash agg; keep_ratio is a single double division
+    // of exact integer sums.
+    "q228_effective_corpus" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val clusters = Dedup.nearDuplicateClusters(d, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("source"), col("n_chars"),
+          (col("doc_id") === coalesce(col("cluster_id"), col("doc_id")))
+            .as("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_raw"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+        .select(col("source"), col("n_docs"), col("chars_raw"),
+          col("docs_kept"), col("chars_kept"),
+          (col("chars_kept").cast("double") / col("chars_raw").cast("double"))
+            .as("keep_ratio"))
+    }),
+
     // First BPE merge iteration — the adjacent-symbol-pair census every
     // tokenizer build starts from: count each word ONCE into a (word,
     // weight) vocab (corpus collapses in the first hash agg), expand
@@ -1628,6 +1654,37 @@ object LlmQueries {
          SELECT probe_id, doc_id,
            CAST(floor(jac * 1e9) AS BIGINT) AS jac_g
          FROM pairs WHERE jac >= CAST(0.2 AS DOUBLE)""",
+    "q228_effective_corpus" ->
+      s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
+         ),
+         cl AS (SELECT node AS doc_id, min(anc) AS cluster_id
+           FROM reach GROUP BY node),
+         j AS (SELECT d.source, d.n_chars,
+             d.doc_id = COALESCE(cl.cluster_id, d.doc_id) AS kept
+           FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_raw,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept,
+           CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n_chars) AS DOUBLE) AS keep_ratio
+         FROM j GROUP BY source""",
     "q224_incremental_neardup" ->
       s"""WITH $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,
