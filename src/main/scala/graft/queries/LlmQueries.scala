@@ -818,6 +818,39 @@ object LlmQueries {
         "doc_id", "text", shingleN = 3, k = 8, bands = 4, threshold = 0.5)
     }),
 
+    // Language-ID evaluation table — per-class precision/recall/F1 of
+    // the marker predictor (q39) against the stored label: the corpus
+    // collapses into the ≤(k+1)² confusion table in ONE hash agg
+    // (persisted — support/predicted/diagonal all derive from it),
+    // marginals ride broadcast joins, and every rate is one double
+    // division in identical order on both engines.
+    "q229_langid_eval" -> ((s, dir) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val conf = Tables.documents(s, dir)
+        .select(col("lang"), TF.langId(col("text")).as("guess"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("c"))
+        .persist(lvl)
+      val support = conf.groupBy(col("lang")).agg(sum(col("c")).as("support"))
+      val predicted = conf.groupBy(col("guess")).agg(sum(col("c")).as("predicted"))
+      val correct = conf.where(col("lang") === col("guess"))
+        .select(col("lang"), col("c").as("correct"))
+      val p = col("correct").cast("double") / col("predicted").cast("double")
+      val r = col("correct").cast("double") / col("support").cast("double")
+      support
+        .join(broadcast(predicted), col("lang") === col("guess"), "left")
+        .join(broadcast(correct), Seq("lang"), "left")
+        .select(col("lang"), col("support"),
+          coalesce(col("predicted"), lit(0L)).as("predicted"),
+          coalesce(col("correct"), lit(0L)).as("correct"))
+        .select(col("lang"), col("support"), col("predicted"), col("correct"),
+          when(col("predicted") > 0, p).otherwise(lit(0.0)).as("precision"),
+          when(col("support") > 0, r).otherwise(lit(0.0)).as("recall"))
+        .withColumn("f1",
+          when(col("precision") + col("recall") > 0,
+            lit(2.0) * col("precision") * col("recall")
+              / (col("precision") + col("recall"))).otherwise(lit(0.0)))
+    }),
+
     // Effective corpus size — the headline curation stat every training
     // run starts from: per source, raw volume vs what survives near-dup
     // cluster collapse (the min-id member represents its cluster;
@@ -1654,6 +1687,43 @@ object LlmQueries {
          SELECT probe_id, doc_id,
            CAST(floor(jac * 1e9) AS BIGINT) AS jac_g
          FROM pairs WHERE jac >= CAST(0.2 AS DOUBLE)""",
+    "q229_langid_eval" ->
+      s"""WITH $tkCte,
+         sc AS (SELECT lang,
+             len(list_filter(t, x -> list_contains(['the','and','of','is','a'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(['el','los','las','es','y'], x))) AS s_es
+           FROM tk),
+         g AS (SELECT lang,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                ELSE 'und' END AS guess
+           FROM sc),
+         conf AS (SELECT lang, guess, count(*) AS c FROM g GROUP BY 1, 2),
+         sup AS (SELECT lang, sum(c) AS support FROM conf GROUP BY 1),
+         pred AS (SELECT guess, sum(c) AS predicted FROM conf GROUP BY 1),
+         corr AS (SELECT lang, c AS correct FROM conf WHERE lang = guess),
+         m AS (SELECT s.lang, CAST(s.support AS BIGINT) AS support,
+             CAST(COALESCE(p.predicted, 0) AS BIGINT) AS predicted,
+             CAST(COALESCE(c.correct, 0) AS BIGINT) AS correct
+           FROM sup s LEFT JOIN pred p ON s.lang = p.guess
+           LEFT JOIN corr c ON s.lang = c.lang),
+         pr AS (SELECT lang, support, predicted, correct,
+             CASE WHEN predicted > 0
+               THEN CAST(correct AS DOUBLE) / CAST(predicted AS DOUBLE)
+               ELSE 0.0 END AS precision,
+             CASE WHEN support > 0
+               THEN CAST(correct AS DOUBLE) / CAST(support AS DOUBLE)
+               ELSE 0.0 END AS recall
+           FROM m)
+         SELECT lang, support, predicted, correct, precision, recall,
+           CASE WHEN precision + recall > 0
+             THEN 2.0 * precision * recall / (precision + recall)
+             ELSE 0.0 END AS f1
+         FROM pr""",
     "q228_effective_corpus" ->
       s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,
