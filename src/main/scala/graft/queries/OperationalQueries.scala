@@ -442,6 +442,29 @@ object OperationalQueries {
       graft.operators.Bitemporal.timelineAsOf(
         v, keyCol = "o_custkey", validCol = "vt", txCol = "tt",
         valueCols = Seq("okey", "cents"), asOf = asOf)
+    }),
+
+    // Gaps-and-islands (activity streaks): the classic run-detection
+    // shape — consecutive active DAYS group under the constant
+    // day − row_number() key inside a per-user window (partitioned,
+    // never global), islands collapse in one hash agg, and the per-user
+    // streak profile (total active days, streak count, longest run) in
+    // a second. Corpus touches one distinct + two aggs; all longs.
+    "q230_activity_streaks" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = ud
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
     })
   )
 
@@ -695,6 +718,19 @@ object OperationalQueries {
              ORDER BY tt DESC, okey DESC, cents DESC) = 1)
          SELECT o_custkey, vt, tt, okey, cents,
            lead(vt) OVER (PARTITION BY o_custkey ORDER BY vt) AS valid_to
-         FROM latest"""
+         FROM latest""",
+    "q230_activity_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         g AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+           FROM ud),
+         isl AS (SELECT user_id, grp, count(*) AS len
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+         FROM isl GROUP BY 1"""
   )
 }
