@@ -465,6 +465,35 @@ object OperationalQueries {
         .agg(sum(col("len")).as("active_days"),
           count(lit(1)).as("n_streaks"),
           max(col("len")).as("longest_streak"))
+    }),
+
+    // k-anonymity / l-diversity audit — the release gate a dataset
+    // passes before leaving the pipeline: rows grouped by their
+    // quasi-identifier tuple (nation × coarse balance band), each
+    // group's size (k) and distinct-sensitive-value count (l, segment
+    // here) computed in ONE hash agg over the corpus, then collapsed to
+    // the one-row risk summary (groups/rows below k=5, minimum k and l,
+    // re-identification share as a single division). All integer until
+    // the final ratio.
+    "q231_k_anonymity" -> ((s, dir) => {
+      val groups = Tables.customer(s, dir)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .groupBy(col("c_nationkey"), col("bal_band"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("c_mktsegment")).as("l"))
+      groups.agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("k")).as("n_rows"),
+          min(col("k")).as("min_k"),
+          min(col("l")).as("min_l"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("groups_below_k5"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_below_k5"))
+        .select(col("n_groups"), col("n_rows"), col("min_k"), col("min_l"),
+          col("groups_below_k5"), col("rows_below_k5"),
+          (col("rows_below_k5").cast("double") / col("n_rows").cast("double"))
+            .as("risk_share"))
     })
   )
 
@@ -731,6 +760,23 @@ object OperationalQueries {
          SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
            CAST(count(*) AS BIGINT) AS n_streaks,
            CAST(max(len) AS BIGINT) AS longest_streak
-         FROM isl GROUP BY 1"""
+         FROM isl GROUP BY 1""",
+    "q231_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS k,
+             count(DISTINCT c_mktsegment) AS l
+           FROM customer GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_below_k5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+             / CAST(sum(k) AS DOUBLE) AS risk_share
+         FROM g"""
   )
 }
