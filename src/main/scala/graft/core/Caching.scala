@@ -56,7 +56,16 @@ object Caching {
     synchronized { scopes.push(buf) }
     try body
     finally {
-      synchronized { scopes.remove(buf) }
+      // pop, not remove(buf): ArrayBuffer equality is STRUCTURAL, so
+      // equality-based removal of (say) two empty nested scopes relies
+      // on scan order to hit the right one — pop states the LIFO
+      // contract directly and cannot mis-target (try/finally nesting
+      // guarantees LIFO exits on the single orchestration thread)
+      synchronized {
+        val popped = scopes.pop()
+        require(popped eq buf,
+          "Caching.scoped exits must be LIFO on one thread")
+      }
       buf.foreach(_.unpersist(blocking = false))
     }
   }

@@ -232,14 +232,19 @@ object Dedup {
     * index build; each new batch joins band-for-band, so per-batch cost
     * is Σ over shared buckets of |new_bucket|·|ref_bucket| — candidates
     * only where the index already has near-identical content — and the
-    * exact-Jaccard verify touches candidate documents alone. Returns
+    * exact-Jaccard verify touches candidate documents alone. Reference
+    * buckets over `maxBucket` degrade to their min-id representative
+    * (the LshGuard star contract; output equals the uncapped screen
+    * while every bucket stays below the cap — LshCapHeadroomSpec pins
+    * the headroom at the oracle-verified scales). Returns
     * (new_id, ref_id, jac) with jac ≥ `threshold`.
     */
   def incrementalNearDuplicates(refDocs: DataFrame, newDocs: DataFrame,
                                 idCol: String, textCol: String,
                                 shingleN: Int = 3, k: Int = 8,
                                 bands: Int = 4,
-                                threshold: Double = 0.5): DataFrame = {
+                                threshold: Double = 0.5,
+                                maxBucket: Int = 10000): DataFrame = {
     def prep(d: DataFrame) = d.select(col(idCol).as("doc_id"),
         shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
@@ -250,7 +255,19 @@ object Dedup {
       .select(col("doc_id").as("ref_id"), col("band"), col("bucket"))
     val newB = bandsFromShingles(newSh, k, bands)
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
-    val cand = newB.join(refB, Seq("band", "bucket"))
+    // hot-bucket backstop, same contract as every other band join
+    // (LshGuard): a reference bucket over `maxBucket` (boilerplate
+    // content) degrades to its min-id REPRESENTATIVE row, so an
+    // arriving batch still surfaces the boilerplate link but the join
+    // pays |new_bucket| instead of |new_bucket|·|hot_ref_bucket|.
+    // Below the cap the output equals the uncapped screen exactly.
+    val refCapped = refB
+      .join(refB.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bn"), min(col("ref_id")).as("rep")),
+        Seq("band", "bucket"))
+      .where(col("bn") <= maxBucket || col("ref_id") === col("rep"))
+      .select(col("ref_id"), col("band"), col("bucket"))
+    val cand = newB.join(refCapped, Seq("band", "bucket"))
       .select(col("new_id"), col("ref_id")).distinct()
     cand
       .join(refSh.select(col("doc_id").as("ref_id"), col("sh").as("sh_r")), "ref_id")

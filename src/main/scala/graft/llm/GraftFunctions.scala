@@ -44,7 +44,12 @@ object GraftFunctions {
       HyperplaneBandBucketsExpr(args.head, intArg(args(1), "bands"),
         intArg(args(2), "planesPerBand"), intArg(args(3), "dims"))
     }),
-    ("deletion_band_hashes", "deletion_band_hashes(str[, prefix])", args => {
+    ("deletion_band_hashes",
+      "deletion_band_hashes(str[, prefix]) — hashes the <=2-deletion " +
+        "neighborhood of the FIRST min(length, prefix) code points; " +
+        "prefix defaults to 20 (r8 change: previously unbounded, so " +
+        "band keys for >20-char strings differ from pre-r8 indexes — " +
+        "pass an explicit larger prefix to match an old index)", args => {
       require(args.length == 1 || args.length == 2,
         "deletion_band_hashes(str[, prefix])")
       val p = if (args.length == 2) intArg(args(1), "prefix")

@@ -33,11 +33,21 @@ case class JaccardExpr(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
-      case (ArrayType(l, _), ArrayType(r, _)) if l == r =>
+      // ATOMIC elements only: the hash-set pass compares catalyst
+      // values with their own equals/hashCode, which is well-defined
+      // for atomics (UTF8String, boxed numerics) but REPRESENTATION-
+      // dependent for nested types (UnsafeArrayData vs GenericArrayData
+      // never compare equal) — the same reason Spark bans maps as
+      // grouping keys. Reject at analysis instead of silently scoring 0.
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == r &&
+            org.apache.spark.sql.catalyst.util.TypeUtils
+              .typeWithProperEquals(l) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"jaccard_sim needs two arrays of the same element type, got $l / $r")
+          "jaccard_sim needs two arrays of the same ATOMIC element type " +
+            s"(nested element types have no stable value equality), got $l / $r")
     }
   }
 

@@ -27,6 +27,27 @@ import org.apache.spark.sql.types.DoubleType
   * the O(|a|+|b|) set build the same way the Levenshtein length band
   * short-circuits the DP.
   *
+  * SOUNDNESS PRECONDITION — set-valued operands. [[JaccardExpr]] is a
+  * SET similarity (it deduplicates), while `size(x)` counts RAW
+  * elements; with duplicates present the raw count overstates the set
+  * size and the implied ratio bound breaks (toks = ['x','x','x'] vs
+  * ['x']: J = 1 but raw ratio 1/3 — a guard on raw sizes would drop a
+  * qualifying row). The rule therefore fires ONLY when BOTH operands
+  * are PROVABLY duplicate-free in the plan: a dedup-by-construction
+  * expression (`array_distinct`, `array_union/intersect/except`,
+  * `map_keys`, `collect_set`, strictly-monotonic `sequence`, a
+  * distinct-mode `ShinglesExpr`), an order-only wrapper over one
+  * (`sort_array`, `reverse`, casts), a foldable array whose evaluated
+  * elements are pairwise distinct — or an ATTRIBUTE whose defining
+  * alias (resolved through the plan's Project/Aggregate lists, chased
+  * through alias-of-alias chains) is any of those. The lineage walk
+  * matters because by the time the predicate sits in a Filter/Join
+  * condition, pushdown has usually reduced the operands to bare
+  * attributes whose `array_distinct(...)` definition lives in a
+  * Project below. An attribute with no visible definition (a scan
+  * column, a union output) is conservatively NOT banded — a missed
+  * optimization, never a wrong row.
+  *
   * Idempotence mirrors [[LevenshteinBandRule]]: guards are keyed on the
   * full shape (both size operands + slackened threshold), with foldable
   * sides keyed by their EVALUATED values so the key is identical
@@ -40,6 +61,69 @@ import org.apache.spark.sql.types.DoubleType
 object JaccardSizeRatioRule extends Rule[LogicalPlan] {
 
   private val Slack = 1e-9
+
+  /** Whether `e` is duplicate-free BY CONSTRUCTION (see class doc) —
+    * the precondition making raw `size()` equal set size, without which
+    * the ratio guard is unsound. `defs` maps attribute exprIds to their
+    * defining alias children (Project/Aggregate lists anywhere in the
+    * plan — exprIds are plan-unique, so one global map is sound); the
+    * depth bound caps alias-chain chasing (chains are short; the bound
+    * only guards against pathological plans).
+    */
+  private def provablyDistinct(e: Expression,
+                               defs: Map[ExprId, Expression],
+                               depth: Int = 0): Boolean =
+    if (depth > 20) false else provablyDistinct0(e, defs, depth)
+
+  private def provablyDistinct0(e: Expression,
+                                defs: Map[ExprId, Expression],
+                                depth: Int): Boolean = e match {
+    case a: AttributeReference =>
+      defs.get(a.exprId).exists(provablyDistinct(_, defs, depth + 1))
+    case al: Alias => provablyDistinct(al.child, defs, depth + 1)
+    case _: ArrayDistinct => true
+    case _: ArrayUnion => true     // these three return results
+    case _: ArrayIntersect => true // "without duplicates" by contract
+    case _: ArrayExcept => true
+    case _: MapKeys => true
+    case _: Sequence => true // strictly monotonic by contract
+    case ae: aggregate.AggregateExpression =>
+      ae.aggregateFunction.isInstanceOf[aggregate.CollectSet]
+    case sh: graft.llm.ShinglesExpr => sh.distinct
+    case SortArray(c, _) => provablyDistinct(c, defs, depth + 1)
+    case Reverse(c) => provablyDistinct(c, defs, depth + 1)
+    // a cast preserves distinctness only when element conversion is
+    // INJECTIVE — canUpCast casts are lossless by contract; a narrowing
+    // cast (array<double> → array<int>) can collapse distinct elements
+    case c @ Cast(ch, _, _, _) =>
+      ((ch.dataType, c.dataType) match {
+        case (org.apache.spark.sql.types.ArrayType(f, _),
+              org.apache.spark.sql.types.ArrayType(t, _)) =>
+          f == t || Cast.canUpCast(f, t)
+        case _ => false
+      }) && provablyDistinct(ch, defs, depth + 1)
+    case lit if lit.foldable =>
+      scala.util.Try {
+        lit.eval() match {
+          case null => true // null array: predicate is null either way
+          case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val et = e.dataType.asInstanceOf[
+              org.apache.spark.sql.types.ArrayType].elementType
+            val seen = new java.util.HashSet[Any]()
+            var nulls = 0
+            var ok = true
+            var i = 0
+            while (i < ad.numElements() && ok) {
+              if (ad.isNullAt(i)) { nulls += 1; ok = nulls <= 1 }
+              else ok = seen.add(ad.get(i, et))
+              i += 1
+            }
+            ok
+          case _ => false
+        }
+      }.getOrElse(false)
+    case _ => false
+  }
 
   private def castSize(e: Expression): Expression =
     Cast(Size(e), DoubleType)
@@ -93,23 +177,39 @@ object JaccardSizeRatioRule extends Rule[LogicalPlan] {
     for (lk <- side(x); rk <- rhs) yield (lk, rk)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // Filter AND Join conditions — pushdown turns post-join similarity
-    // filters (the exact-verify stage of every banded dedup query) into
-    // join conditions, where the prefilter matters most.
-    case f @ Filter(cond, _) =>
-      val rewritten = band(cond)
-      if (rewritten.fastEquals(cond)) f else f.copy(condition = rewritten)
-    case j @ Join(_, _, _, Some(cond), _) =>
-      val rewritten = band(cond)
-      if (rewritten.fastEquals(cond)) j else j.copy(condition = Some(rewritten))
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // attribute exprId → defining alias child, for the distinctness
+    // lineage walk (built lazily: almost every plan has zero jaccard
+    // predicates and never pays the collect)
+    lazy val defs: Map[ExprId, Expression] = plan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        ag.aggregateExpressions.collect { case a: Alias => a.exprId -> a.child }
+    }.flatten.toMap
+    def hasJaccard(cond: Expression): Boolean =
+      cond.exists(_.isInstanceOf[JaccardExpr])
+    plan.transform {
+      // Filter AND Join conditions — pushdown turns post-join similarity
+      // filters (the exact-verify stage of every banded dedup query) into
+      // join conditions, where the prefilter matters most.
+      case f @ Filter(cond, _) if hasJaccard(cond) =>
+        val rewritten = band(cond, defs)
+        if (rewritten.fastEquals(cond)) f else f.copy(condition = rewritten)
+      case j @ Join(_, _, _, Some(cond), _) if hasJaccard(cond) =>
+        val rewritten = band(cond, defs)
+        if (rewritten.fastEquals(cond)) j
+        else j.copy(condition = Some(rewritten))
+    }
   }
 
-  private def band(cond: Expression): Expression = {
+  private def band(cond: Expression,
+                   defs: Map[ExprId, Expression]): Expression = {
       val existing = guardedKeys(cond)
       def eligible(a: Expression, b: Expression, t: Expression): Boolean =
         t.foldable && t.dataType == DoubleType &&
           !(a.foldable && b.foldable) &&
+          provablyDistinct(a, defs) && provablyDistinct(b, defs) &&
           scala.util.Try(t.eval().asInstanceOf[Double]).toOption
             .exists(_ > 1e-6)
       def guard(a: Expression, b: Expression, t: Expression,

@@ -836,11 +836,16 @@ object LlmQueries {
         .select(col("lang"), col("c").as("correct"))
       val p = col("correct").cast("double") / col("predicted").cast("double")
       val r = col("correct").cast("double") / col("support").cast("double")
+      // FULL outer over the two margins: a class that is predicted but
+      // never a true label (the 'und' fallback) must still appear, or
+      // the table under-reports the misclassification mass
       support
-        .join(broadcast(predicted), col("lang") === col("guess"), "left")
+        .join(broadcast(predicted), col("lang") === col("guess"), "full_outer")
+        .select(coalesce(col("lang"), col("guess")).as("lang"),
+          coalesce(col("support"), lit(0L)).as("support"),
+          coalesce(col("predicted"), lit(0L)).as("predicted"))
         .join(broadcast(correct), Seq("lang"), "left")
-        .select(col("lang"), col("support"),
-          coalesce(col("predicted"), lit(0L)).as("predicted"),
+        .select(col("lang"), col("support"), col("predicted"),
           coalesce(col("correct"), lit(0L)).as("correct"))
         .select(col("lang"), col("support"), col("predicted"), col("correct"),
           when(col("predicted") > 0, p).otherwise(lit(0.0)).as("precision"),
@@ -1706,11 +1711,13 @@ object LlmQueries {
          sup AS (SELECT lang, sum(c) AS support FROM conf GROUP BY 1),
          pred AS (SELECT guess, sum(c) AS predicted FROM conf GROUP BY 1),
          corr AS (SELECT lang, c AS correct FROM conf WHERE lang = guess),
-         m AS (SELECT s.lang, CAST(s.support AS BIGINT) AS support,
-             CAST(COALESCE(p.predicted, 0) AS BIGINT) AS predicted,
+         m0 AS (SELECT COALESCE(s.lang, p.guess) AS lang,
+             CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+             CAST(COALESCE(p.predicted, 0) AS BIGINT) AS predicted
+           FROM sup s FULL OUTER JOIN pred p ON s.lang = p.guess),
+         m AS (SELECT m0.lang, m0.support, m0.predicted,
              CAST(COALESCE(c.correct, 0) AS BIGINT) AS correct
-           FROM sup s LEFT JOIN pred p ON s.lang = p.guess
-           LEFT JOIN corr c ON s.lang = c.lang),
+           FROM m0 LEFT JOIN corr c ON m0.lang = c.lang),
          pr AS (SELECT lang, support, predicted, correct,
              CASE WHEN predicted > 0
                THEN CAST(correct AS DOUBLE) / CAST(predicted AS DOUBLE)

@@ -191,6 +191,30 @@ class PlanSpec extends AnyFunSuite {
       "size-ratio guard changed the kept row set — soundness broken")
   }
 
+  test("JaccardSizeRatioRule does NOT fire on arrays that are not provably " +
+      "distinct — raw sizes would drop qualifying duplicate-bearing rows") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Size}
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // toks = ['x','x','x']: set jaccard vs ['x'] is 1.0, but a RAW
+    // size-ratio guard would compute 1 >= 0.4999…·3 → false and drop
+    // the row — the r8 review finding the distinctness gate closes
+    val dup = Seq((1L, Seq("x", "x", "x"))).toDF("id", "toks")
+      .filter(graft.llm.Dedup.jaccard(col("toks"), array(lit("x"))) >= lit(0.5))
+    val guards = dup.queryExecution.optimizedPlan.collect {
+      case f: logical.Filter => Seq(f.condition)
+      case j: logical.Join => j.condition.toSeq
+    }.flatten.map(_.collect {
+      case GreaterThanOrEqual(l, r)
+          if l.exists(_.isInstanceOf[Size]) || r.exists(_.isInstanceOf[Size]) => 1
+    }.sum).sum
+    assert(guards === 0,
+      "rule must not band operands that are not provably duplicate-free")
+    assert(dup.count() === 1L,
+      "the duplicate-bearing qualifying row must survive")
+  }
+
   test("shuffle budgets hold for the audited expensive queries") {
     // Ceilings pinned at observed+1 under the EXACT counting mode this
     // test executes (VERDICT r6 item 2): cache manager cleared before

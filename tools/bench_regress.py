@@ -53,11 +53,16 @@ def main():
         return 0
     # per-query values are MINIMA over sweeps (the host has bursty
     # CPU-steal windows); a 1-sweep run vs a 3-sweep baseline reads as a
-    # uniform phantom regression — warn-only in that case
+    # uniform phantom regression — skip the diff entirely (printing
+    # "REGRESSION" lines from incomparable minima would be exactly the
+    # false-alarm wall this field exists to prevent)
     cs, bs = cur.get("sweeps", 3), base.get("sweeps", 3)
     if cs < bs:
-        print(f"bench_regress: WARN-ONLY — current run has {cs} sweep(s) vs "
-              f"baseline {bs}; minima are not comparable, gate will not fail")
+        print(f"bench_regress: SKIP — current run has {cs} sweep(s) vs "
+              f"baseline {bs}; per-query minima are not comparable")
+        print(json.dumps({"gate": "skipped_fewer_sweeps",
+                          "sweeps": [cs, bs]}))
+        return 0
 
     cq, bq = cur["queries"], base["queries"]
     regressions, excused = [], []
@@ -81,17 +86,15 @@ def main():
     for r in excused:
         print(f"excused    {r['query']}: {r['base']:.2f}s -> {r['cur']:.2f}s "
               f"(x{r['ratio']}) — {r['excused']}")
-    warn_only = cs < bs
     print(json.dumps({
-        "gate": ("warn_fewer_sweeps" if warn_only else
-                 "fail" if regressions else "ok"),
+        "gate": "fail" if regressions else "ok",
         "sf": cur.get("sf"), "sweeps": [cs, bs],
         "total_base": base.get("value"), "total_cur": cur.get("value"),
         "n_regressions": len(regressions), "n_excused": len(excused),
         "n_new_queries": len(new_queries),
         "regressions": [r["query"] for r in regressions],
     }))
-    return 1 if regressions and not warn_only else 0
+    return 1 if regressions else 0
 
 
 if __name__ == "__main__":
