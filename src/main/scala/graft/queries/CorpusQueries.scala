@@ -30,6 +30,34 @@ import graft.llm.TextFunctions
   */
 object CorpusQueries {
 
+  /** Shared by q235/q236: per-vector squared-L2 distance to every
+    * label centroid, all in EXACT integer math on the KMeans 2^14 grid
+    * (quantized vectors, round-half-up integer centroid coordinates) —
+    * floats appear only downstream, once per output value. Shape:
+    * one (label, dim) hash aggregate builds the ≤|labels|·64-row
+    * centroid table; the distance pass is a broadcast nested-loop over
+    * that tiny table (corpus never shuffles).
+    */
+  private def centroidDistances(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.core.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        graft.operators.KMeans.quantize(col("embedding")).as("qv"))
+    val parts = q.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        floor((lit(2) * col("sv") + col("n")) / (lit(2.0) * col("n")))
+          .cast("long").as("cv"))
+    val cents = parts.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(col("label").as("clabel"),
+        transform(col("pc"), x => x.getField("cv")).as("cvec"))
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        aggregate(zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("dist"))
+  }
+
   /** Non-overlapping `c`-token windows of `t` as (idx, n_tokens, hash)
     * structs — the shared chunker for q232/q233. The chunk string exists
     * only inside this projection; downstream sees the 64-bit hash.
@@ -156,6 +184,204 @@ object CorpusQueries {
               / col("tb").cast("double"))
           + lit(0.5) * (col("sa").cast("double") / lit(1e9)
             + col("sb").cast("double") / lit(1e9))).as("js"))
+    }),
+
+    // Centroid-based silhouette per label: for each embedding, a = L2
+    // distance to its own label centroid, b = the nearest other label
+    // centroid, s = (b−a)/max(a,b) — the embedding-space label-quality
+    // screen run before accepting a labeled corpus (low silhouette ⇒
+    // labels don't separate in embedding space). Distances are exact
+    // integers on the KMeans 2^14 grid; each point's s is one
+    // fixed-order float expression, quantized to the 1e-9 grid before
+    // the per-label mean.
+    "q235_silhouette" -> ((s, dir) => {
+      val d = centroidDistances(s, dir)
+      val ab = d.groupBy(col("vec_id"), col("label"))
+        .agg(min(when(col("label") === col("clabel"), col("dist"))).as("a2"),
+          min(when(col("label") =!= col("clabel"), col("dist"))).as("b2"))
+      val sa = sqrt(col("a2").cast("double"))
+      val sb = sqrt(col("b2").cast("double"))
+      val sil = when(greatest(sa, sb) === lit(0.0), lit(0.0))
+        .otherwise((sb - sa) / greatest(sa, sb))
+      ab.select(col("label"), floor(sil * lit(1e9)).cast("long").as("g"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("g")).as("sg"))
+        .select(col("label"), col("n_vectors"),
+          ((col("sg").cast("double") / lit(1e9))
+            / col("n_vectors").cast("double")).as("mean_silhouette"))
+    }),
+
+    // Davies–Bouldin components per label: within-label scatter S_k
+    // (mean member→centroid distance) and the worst (S_i+S_j)/M_ij
+    // ratio against any other label centroid — the companion clustering-
+    // quality diagnostic to q235 (lower is better-separated). Scatter
+    // means are 1e-9-grid quantized sums; centroid separations are
+    // sqrt of exact integer squared-L2; the ratio table is bounded at
+    // |labels|², assembled after the corpus has fully collapsed.
+    "q236_davies_bouldin" -> ((s, dir) => {
+      val d = centroidDistances(s, dir)
+      val scat = d.where(col("label") === col("clabel"))
+        .select(col("label"),
+          floor(sqrt(col("dist").cast("double")) * lit(1e9)).cast("long")
+            .as("g"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("g")).as("sg"))
+        .select(col("label"), col("n_vectors"),
+          ((col("sg").cast("double") / lit(1e9))
+            / col("n_vectors").cast("double")).as("scatter"))
+      val parts = graft.core.Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(graft.operators.KMeans.quantize(col("embedding"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          floor((lit(2) * col("sv") + col("n")) / (lit(2.0) * col("n")))
+            .cast("long").as("cv"))
+      val cents = parts.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("label"), transform(col("pc"), x => x.getField("cv"))
+          .as("cvec"))
+      val ca = cents.select(col("label").as("la"), col("cvec").as("va"))
+      val cb = cents.select(col("label").as("lb"), col("cvec").as("vb"))
+      val m = ca.join(broadcast(cb), col("la") =!= col("lb"))
+        .select(col("la"), col("lb"),
+          sqrt(aggregate(zip_with(col("va"), col("vb"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+            .cast("double")).as("m"))
+      val si = scat.select(col("label").as("la"), col("scatter").as("s_a"))
+      val sj = scat.select(col("label").as("lb"), col("scatter").as("s_b"))
+      val r = m.join(broadcast(si), "la").join(broadcast(sj), "lb")
+        .select(col("la"), ((col("s_a") + col("s_b")) / col("m")).as("r"))
+        .groupBy(col("la")).agg(max(col("r")).as("db_component"))
+      scat.join(r, col("label") === col("la"))
+        .select(col("label"), col("n_vectors"), col("scatter"),
+          col("db_component"))
+    }),
+
+    // Revenue-concentration Gini over the per-customer order-revenue
+    // distribution, collapsed to exact $1000 buckets (the q138/q226
+    // value-domain pattern: the only unpartitioned window runs over the
+    // ≤~600-row bucket table, never the corpus). The mean-difference
+    // numerator Σᵢcᵢ(vᵢ·N₍<ᵢ₎ − S₍<ᵢ₎) is exact decimal via ordered
+    // prefix sums; Gini = T/(n·S) is one fixed-order float expression.
+    "q237_gini_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = graft.core.Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rc"))
+        .select(expr("rc div 100000").as("v")) // $1000 buckets, exact
+      val buckets = rev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val t = buckets
+        // both prefix sums in ONE projection so they share a single
+        // Window node (one pass over the bucket table)
+        .select(col("v"), col("c"),
+          coalesce(sum(col("c")).over(w), lit(0L)).as("ncum"),
+          coalesce(sum(dec(col("c")) * col("v")).over(w), dec(lit(0)))
+            .as("scum"))
+        .select(col("c"), col("v"),
+          (dec(col("c")) * (dec(col("v")) * col("ncum") - col("scum")))
+            .as("term"),
+          (dec(col("c")) * col("v")).as("cv"))
+        .agg(sum(col("c")).as("n"), sum(col("cv")).as("s"),
+          sum(col("term")).as("t"))
+      t.select(col("n").cast("long").as("n_customers"),
+        (col("s").cast("double") / col("n").cast("double"))
+          .as("mean_rev_k"),
+        (col("t").cast("double")
+          / (col("n").cast("double") * col("s").cast("double"))).as("gini"))
+    }),
+
+    // Kaplan–Meier fulfillment survival: per-order ship SPAN (days
+    // between an order's first and last line shipping — the fixture's
+    // dates are independent draws, so order→ship latency is undefined,
+    // but the within-order span is a real duration), right-censored at
+    // 365 days (slower orders stay at risk through the horizon). The
+    // corpus collapses into the ≤366-row span-day table in one hash
+    // aggregate; at-risk counts and the survival product (a 1e-9-grid
+    // cumulative log sum — the order-stable product form) run over
+    // that bounded table.
+    "q238_kaplan_meier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lat = graft.core.Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(datediff(max(col("l_shipdate")).cast("date"),
+          min(col("l_shipdate")).cast("date")).as("lat"))
+      val day = lat.select(least(col("lat"), lit(365)).as("t"),
+          (col("lat") <= 365).as("ev"))
+        .groupBy(col("t"))
+        .agg(sum(when(col("ev"), lit(1L)).otherwise(lit(0L))).as("d"),
+          sum(when(col("ev"), lit(0L)).otherwise(lit(1L))).as("cens"))
+      val atRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val cum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // log-survival is the parity-exact output (exact grid sum); the
+      // survival column re-exponentiates and rounds to the 1e-6 grid
+      // (the repo's round(,6) practice for single libm calls)
+      day.withColumn("n_at_risk", sum(col("d") + col("cens")).over(atRisk))
+        .withColumn("lng",
+          floor(log(lit(1.0) - col("d").cast("double")
+            / col("n_at_risk").cast("double")) * lit(1e9)).cast("long"))
+        .withColumn("log_survival",
+          sum(col("lng")).over(cum).cast("double") / lit(1e9))
+        .select(col("t").cast("long").as("t"), col("d"), col("cens"),
+          col("n_at_risk"), col("log_survival"),
+          round(exp(col("log_survival")), 6).as("survival"))
+    }),
+
+    // Inverted-index posting statistics: document frequency and total
+    // term frequency per token, rolled up into power-of-two df buckets
+    // (exact integer log2 via binary-string length — no float edge at
+    // exact powers) — the index-sizing profile a search/RAG pipeline
+    // reads before choosing posting compression. Two hash aggregates;
+    // the share denominators ride a broadcast single-row total.
+    "q239_posting_stats" -> ((s, dir) => {
+      val post = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("dfreq"),
+          count(lit(1)).as("tf"))
+      val bucketed = post
+        .select((length(bin(col("dfreq"))) - 1).cast("long").as("df_bucket"),
+          col("dfreq"), col("tf"))
+        .groupBy(col("df_bucket"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("dfreq")).as("sum_df"),
+          sum(col("tf")).as("sum_tf"))
+      val tot = post.agg(sum(col("tf")).as("total_tf"))
+      bucketed.crossJoin(broadcast(tot))
+        .select(col("df_bucket"), col("n_terms"), col("sum_df"),
+          col("sum_tf"),
+          (col("sum_tf").cast("double") / col("total_tf").cast("double"))
+            .as("tf_share"))
+    }),
+
+    // Incipit-duplicate gap profile: fingerprint each document by its
+    // first 10 tokens (the leading-k fingerprint that catches template-
+    // prefixed docs exact-hash dedup misses), then profile how far
+    // apart (in doc_id order — ingestion order) repeated incipits
+    // land, in power-of-two gap buckets. The novelty-decay diagnostic
+    // for dedup window sizing: gaps beyond a streaming dedup's state
+    // horizon are the dups it would miss. Exact integers end to end.
+    "q240_dup_gap" -> ((s, dir) => {
+      val fp = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.portableHash(
+            concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 10)),
+            17).as("h"))
+      val first = fp.groupBy(col("h")).agg(min(col("doc_id")).as("first"))
+      fp.join(first, "h")
+        .where(col("doc_id") > col("first"))
+        .select((length(bin(col("doc_id") - col("first"))) - 1).cast("long")
+          .as("gap_bucket"),
+          (col("doc_id") - col("first")).as("gap"))
+        .groupBy(col("gap_bucket"))
+        .agg(count(lit(1)).as("n_dups"), min(col("gap")).as("min_gap"),
+          max(col("gap")).as("max_gap"))
     })
   )
 
@@ -167,6 +393,24 @@ object CorpusQueries {
          list_filter(string_split_regex(lower(trim(text)), '\s+'),
            x -> x <> '') AS t
        FROM documents)"""
+
+  // q235/q236 shared CTEs: KMeans-grid quantized vectors, integer
+  // centroids (round-half-up on the same float-floor form the Spark
+  // side and KMeans.oracleSql use), exact integer squared-L2.
+  private val centroidCtes =
+    """q AS (SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0 + 0.5) AS BIGINT))
+           AS qv
+       FROM embeddings),
+     dim AS (SELECT unnest(range(64)) AS i),
+     parts AS (SELECT label, dim.i, sum(q.qv[dim.i + 1]) AS sv,
+         count(*) AS n
+       FROM q, dim GROUP BY 1, 2),
+     cm AS (SELECT label AS clabel, i,
+         CAST(floor((2 * sv + n) / (2.0 * n)) AS BIGINT) AS cv FROM parts),
+     d AS (SELECT q.vec_id, q.label, cm.clabel,
+         sum((q.qv[cm.i + 1] - cm.cv) * (q.qv[cm.i + 1] - cm.cv)) AS dist
+       FROM q, cm GROUP BY 1, 2, 3)"""
 
   private def chunkCte(c: Int, seed: Int) =
     s"""ch AS (SELECT doc_id, source, i AS chunk_idx,
@@ -236,6 +480,125 @@ object CorpusQueries {
                + CAST(tb - mb AS DOUBLE) / CAST(tb AS DOUBLE))
            + 0.5 * (CAST(sa AS DOUBLE) / 1e9 + CAST(sb AS DOUBLE) / 1e9)
              AS js
-         FROM g"""
+         FROM g""",
+    "q235_silhouette" ->
+      s"""WITH $centroidCtes,
+         ab AS (SELECT vec_id, label,
+             min(CASE WHEN label = clabel THEN dist END) AS a2,
+             min(CASE WHEN label <> clabel THEN dist END) AS b2
+           FROM d GROUP BY 1, 2),
+         sg AS (SELECT label, CAST(floor(
+             CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                 sqrt(CAST(b2 AS DOUBLE))) = 0.0 THEN 0.0
+             ELSE (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+               / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                   sqrt(CAST(b2 AS DOUBLE))) END * 1e9) AS BIGINT) AS g
+           FROM ab)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           (CAST(sum(g) AS DOUBLE) / 1e9) / CAST(count(*) AS DOUBLE)
+             AS mean_silhouette
+         FROM sg GROUP BY label""",
+    "q236_davies_bouldin" ->
+      s"""WITH $centroidCtes,
+         scat AS (SELECT label, count(*) AS n_vectors,
+             sum(CAST(floor(sqrt(CAST(dist AS DOUBLE)) * 1e9) AS BIGINT))
+               AS sg
+           FROM d WHERE label = clabel GROUP BY 1),
+         sc AS (SELECT label, n_vectors,
+             (CAST(sg AS DOUBLE) / 1e9) / CAST(n_vectors AS DOUBLE)
+               AS scatter
+           FROM scat),
+         cv AS (SELECT clabel, list(cv ORDER BY i) AS cvec
+           FROM cm GROUP BY 1),
+         m AS (SELECT a.clabel AS la, b.clabel AS lb,
+             sqrt(CAST(list_reduce(list_transform(range(64),
+                 i -> (a.cvec[i + 1] - b.cvec[i + 1])
+                   * (a.cvec[i + 1] - b.cvec[i + 1])),
+               (x, y) -> x + y) AS DOUBLE)) AS m
+           FROM cv a JOIN cv b ON a.clabel <> b.clabel),
+         r AS (SELECT la, max((sa.scatter + sb.scatter) / m.m)
+               AS db_component
+           FROM m JOIN sc sa ON sa.label = m.la
+                  JOIN sc sb ON sb.label = m.lb
+           GROUP BY 1)
+         SELECT sc.label, CAST(sc.n_vectors AS BIGINT) AS n_vectors,
+           sc.scatter, r.db_component
+         FROM sc JOIN r ON r.la = sc.label""",
+    "q237_gini_revenue" ->
+      """WITH rev AS (SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+           FROM orders GROUP BY 1),
+         b AS (SELECT rc // 100000 AS v, count(*) AS c FROM rev GROUP BY 1),
+         p AS (SELECT v, c,
+             COALESCE(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ncum,
+             COALESCE(sum(CAST(c AS DECIMAL(38,0)) * v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS scum
+           FROM b),
+         a AS (SELECT sum(c) AS n, sum(CAST(c AS DECIMAL(38,0)) * v) AS s,
+             sum(CAST(c AS DECIMAL(38,0))
+               * (CAST(v AS DECIMAL(38,0)) * ncum - scum)) AS t
+           FROM p)
+         SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_rev_k,
+           CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+             AS gini
+         FROM a""",
+    "q238_kaplan_meier" ->
+      """WITH lat AS (SELECT date_diff('day', CAST(min(l_shipdate) AS DATE),
+             CAST(max(l_shipdate) AS DATE)) AS lat
+           FROM lineitem GROUP BY l_orderkey),
+         dy AS (SELECT least(lat, 365) AS t,
+             sum(CASE WHEN lat <= 365 THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN lat <= 365 THEN 0 ELSE 1 END) AS cens
+           FROM lat GROUP BY 1),
+         k AS (SELECT t, d, cens,
+             sum(d + cens) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_at_risk
+           FROM dy),
+         g AS (SELECT t, d, cens, n_at_risk,
+             CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+               / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT) AS lng
+           FROM k),
+         s AS (SELECT t, d, cens, n_at_risk,
+             CAST(sum(lng) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 1e9 AS log_survival
+           FROM g)
+         SELECT CAST(t AS BIGINT) AS t, CAST(d AS BIGINT) AS d,
+           CAST(cens AS BIGINT) AS cens,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk, log_survival,
+           round(exp(log_survival), 6) AS survival
+         FROM s""",
+    "q239_posting_stats" ->
+      s"""WITH $tkCte,
+         post AS (SELECT tok, count(DISTINCT doc_id) AS dfreq,
+             count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1),
+         bk AS (SELECT CAST(length(bin(dfreq)) - 1 AS BIGINT) AS df_bucket,
+             count(*) AS n_terms, sum(dfreq) AS sum_df, sum(tf) AS sum_tf
+           FROM post GROUP BY 1),
+         tot AS (SELECT sum(tf) AS total_tf FROM post)
+         SELECT df_bucket, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(sum_df AS BIGINT) AS sum_df, CAST(sum_tf AS BIGINT) AS sum_tf,
+           CAST(sum_tf AS DOUBLE) / CAST(total_tf AS DOUBLE) AS tf_share
+         FROM bk, tot""",
+    "q240_dup_gap" ->
+      s"""WITH $tkCte,
+         fp AS (SELECT doc_id, CAST(concat('0x', substr(md5(concat('17', '|',
+             array_to_string(t[1:10], ' '))), 1, 8)) AS BIGINT) AS h
+           FROM tk),
+         f AS (SELECT h, min(doc_id) AS fst FROM fp GROUP BY 1),
+         g AS (SELECT CAST(length(bin(doc_id - fst)) - 1 AS BIGINT)
+               AS gap_bucket,
+             doc_id - fst AS gap
+           FROM fp JOIN f USING (h) WHERE doc_id > fst)
+         SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(gap) AS BIGINT) AS min_gap,
+           CAST(max(gap) AS BIGINT) AS max_gap
+         FROM g GROUP BY 1"""
   )
 }

@@ -47,7 +47,13 @@ class PlanSpec extends AnyFunSuite {
     "q201_zipf_slope" -> 1,
     // rank prefix sums over the two bounded marginals of the
     // (quantity, discount) contingency table (≤50 and ≤11 rows)
-    "q226_spearman" -> 2)
+    "q226_spearman" -> 2,
+    // mean-difference prefix sums over the ≤~600-row $1000 revenue-
+    // bucket table (corpus collapsed in the per-customer hash agg)
+    "q237_gini_revenue" -> 1,
+    // at-risk suffix sum + survival prefix sum over the ≤366-row
+    // span-day table (corpus collapsed in the per-order hash agg)
+    "q238_kaplan_meier" -> 2)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)
