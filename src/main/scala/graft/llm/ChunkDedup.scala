@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sub-document (chunk-level) dedup building blocks — the
+  * RefinedWeb/CCNet paragraph-dedup analog over fixed token windows
+  * (the corpus has no newline structure; a newline-aware splitter would
+  * slot into `chunkStructs` without touching anything downstream).
+  *
+  * Shared by the batch query (q232) and [[graft.streaming.StreamingChunkDedup]]
+  * so both faces band, hash, and encode identically — the agreement
+  * contract between them is structural, not coincidental.
+  *
+  * 100 TB posture: the chunk STRING never leaves the projection that
+  * builds it — downstream shuffles see only the 64-bit `portableHash`
+  * and two small longs, so the dedup groupBy and the join back are
+  * keyed on fixed-width values.
+  */
+object ChunkDedup {
+
+  /** Non-overlapping `c`-token windows of the token array `t`, as an
+    * array of (ctoks, chash) structs (chunk token count + 64-bit chunk
+    * hash). Pure column expression — narrow, streaming-safe.
+    */
+  def chunkStructs(t: Column, c: Int, seed: Int): Column = {
+    require(c >= 1, s"chunk size must be >= 1, got $c")
+    val nChunks = ((size(t) + lit(c - 1)) / lit(c)).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(
+        size(slice(t, i * lit(c) + lit(1), lit(c))).cast("long").as("ctoks"),
+        TextFunctions.portableHash(
+          concat_ws(" ", slice(t, i * lit(c) + lit(1), lit(c))), seed)
+          .as("chash")))
+  }
+
+  /** (doc_id, chunk_idx, ctoks, chash) membership rows for every
+    * non-empty document — one narrow pass; empty token arrays drop out
+    * (they have no chunks).
+    */
+  def chunkMembership(docs: DataFrame, idCol: String, textCol: String,
+                      c: Int, seed: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(chunkStructs(col("t"), c, seed)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.ctoks").as("ctoks"), col("col.chash").as("chash"))
+
+  /** The (doc_id, chunk_idx) → single-long encoding both dedup faces
+    * key first-occurrence on. Collision-free while chunk_idx < 1e6
+    * (a 20-token chunking needs 20M-token docs to break that).
+    */
+  val IdxEncode = 1000000L
+
+  /** Batch first-occurrence marking: membership rows plus a `kept`
+    * flag — true iff this (doc_id, chunk_idx) is the corpus-wide
+    * minimum for its chunk hash. One hash aggregate + one hash-keyed
+    * join; no windows.
+    */
+  def firstOccurrence(membership: DataFrame): DataFrame = {
+    val k = col("doc_id") * lit(IdxEncode) + col("chunk_idx")
+    val keep = membership.groupBy(col("chash")).agg(min(k).as("keeper"))
+    membership.join(keep, "chash")
+      .withColumn("kept", k === col("keeper"))
+      .drop("keeper")
+  }
+}

@@ -58,19 +58,10 @@ object CorpusQueries {
           lit(0L), (acc, v) => acc + v).as("dist"))
   }
 
-  /** Non-overlapping `c`-token windows of `t` as (idx, n_tokens, hash)
-    * structs — the shared chunker for q232/q233. The chunk string exists
-    * only inside this projection; downstream sees the 64-bit hash.
-    */
-  private def chunks(t: org.apache.spark.sql.Column, c: Int, seed: Int) = {
-    val nChunks = ((size(t) + lit(c - 1)) / lit(c)).cast("int")
-    transform(sequence(lit(0), nChunks - 1), i =>
-      struct(
-        size(slice(t, i * lit(c) + lit(1), lit(c))).cast("long").as("ctoks"),
-        TextFunctions.portableHash(
-          concat_ws(" ", slice(t, i * lit(c) + lit(1), lit(c))), seed)
-          .as("chash")))
-  }
+  // chunking/hashing lives in graft.llm.ChunkDedup (shared with the
+  // StreamingChunkDedup twin so both faces band identically)
+  private def chunks(t: org.apache.spark.sql.Column, c: Int, seed: Int) =
+    graft.llm.ChunkDedup.chunkStructs(t, c, seed)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -91,12 +82,7 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"),
           col("pos").cast("long").as("chunk_idx"),
           col("col.ctoks").as("ctoks"), col("col.chash").as("chash"))
-      // encoded first-occurrence key: chunk_idx < 1e6 (docs are far
-      // shorter), so the encoding is collision-free and order-exact
-      val k = col("doc_id") * lit(1000000L) + col("chunk_idx")
-      val keep = ch.groupBy(col("chash")).agg(min(k).as("keeper"))
-      ch.join(keep, "chash")
-        .withColumn("kept", k === col("keeper"))
+      graft.llm.ChunkDedup.firstOccurrence(ch)
         .groupBy(col("doc_id"), col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("kept_chunks"),

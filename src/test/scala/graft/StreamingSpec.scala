@@ -1149,6 +1149,72 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming chunk dedup: first-occurrence keep across batches, " +
+      "replay-stable, agrees with the batch marking") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 4-token chunks; A/B/C are distinct chunks, docs share them
+      val A = "alpha beta gamma delta"
+      val B = "epsilon zeta eta theta"
+      val C = "iota kappa lambda mu"
+      val docs = Seq(1L -> s"$A $B", 2L -> s"$B $C", 3L -> s"$A $C")
+      val input = MemoryStream[(Long, String)](spark)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+      val marked = graft.streaming.StreamingChunkDedup.markChunks(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", chunkTokens = 4)
+      val q = marked.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-scd"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long, Boolean)], _: Long) =>
+          got ++= b.collect(); ()
+        }
+        .start()
+      // ingest in doc_id order, one doc per micro-batch
+      docs.foreach { d => input.addData(d); q.processAllAvailable() }
+      q.stop()
+      val streamed = got.map(r => (r._1, r._2) -> r._4).toMap
+      // batch marking over the same corpus
+      val batch = graft.llm.ChunkDedup.firstOccurrence(
+          graft.llm.ChunkDedup.chunkMembership(
+            docs.toDF("doc_id", "text"), "doc_id", "text", c = 4, seed = 7))
+        .select(col("doc_id"), col("chunk_idx"), col("kept"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed === batch,
+        "streamed kept flags must equal the batch first-occurrence marking")
+      // doc1's A and B kept; doc2 drops B, keeps C; doc3 keeps nothing
+      assert(streamed((1L, 0L)) && streamed((1L, 1L)))
+      assert(!streamed((2L, 0L)) && streamed((2L, 1L)))
+      assert(!streamed((3L, 0L)) && !streamed((3L, 1L)))
+      // replay stability: a restarted query re-fed the same docs reuses
+      // the pinned keepers — flags identical, keeper rows stay kept
+      val input2 = MemoryStream[(Long, String)](spark)
+      val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+      val marked2 = graft.streaming.StreamingChunkDedup.markChunks(
+        input2.toDF().toDF("doc_id", "text"), "doc_id", "text", chunkTokens = 4)
+      val q2 = marked2.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-scd2"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long, Boolean)], _: Long) =>
+          got2 ++= b.collect(); ()
+        }
+        .start()
+      input2.addData(docs: _*); q2.processAllAvailable()
+      input2.addData(docs: _*); q2.processAllAvailable() // re-delivery
+      q2.stop()
+      val firstPass = got2.take(got.size).map(r => (r._1, r._2) -> r._4).toMap
+      val replay = got2.drop(got.size).map(r => (r._1, r._2) -> r._4).toMap
+      assert(firstPass === batch, "single-batch corpus matches batch min()")
+      assert(replay === batch, "re-delivered batch re-emits the same flags")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("LLM quality/dedup operators run unchanged on a stream (batch ≡ stream)") {
     // the same Column expressions drive batch curation and streaming
     // ingest — the reference's unified-runtime claim, checked by value
