@@ -368,6 +368,49 @@ object CorpusQueries {
         .groupBy(col("gap_bucket"))
         .agg(count(lit(1)).as("n_dups"), min(col("gap")).as("min_gap"),
           max(col("gap")).as("max_gap"))
+    }),
+
+    // Heaps'-law vocabulary growth: how many NEW types each ingestion
+    // decile contributes — the curve that predicts tokenizer vocab
+    // saturation as a corpus grows. Types are token BIGRAMS (the
+    // fixture's unigram vocab saturates inside the first decile; a real
+    // corpus runs the same query at n=1). Each type collapses to its
+    // FIRST document (one hash aggregate — the corpus never sorts);
+    // deciles are exact integer id arithmetic against the broadcast
+    // max-id scalar; the cumulative curve runs over the 10-row decile
+    // table.
+    "q241_vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ft = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.bigrams(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val n = graft.core.Tables.documents(s, dir)
+        .agg((max(col("doc_id")) + 1).as("n_ids"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ft.crossJoin(broadcast(n))
+        .select(least(expr("(fd * 10) div n_ids"), lit(9L)).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_new_tokens"))
+        .withColumn("cum_vocab", sum(col("n_new_tokens")).over(w))
+    }),
+
+    // LSH band load profile: per MinHash band, the bucket-population
+    // histogram moments that BOUND the near-dup join — bucket count,
+    // hottest bucket, and the exact Σ n(n−1)/2 candidate-pair total.
+    // This is the q42/q67 self-join's cost model as an oracle-gated
+    // query (the quantity LshCapHeadroomSpec asserts headroom on):
+    // a dedup rollout reads this per-increment to size the star-cap
+    // before paying the join.
+    "q242_lsh_load_profile" -> ((s, dir) => {
+      val bk = graft.llm.Dedup.bandMembership(
+          graft.core.Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4)
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      bk.groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_docs"),
+          max(col("n")).as("max_bucket"),
+          sum(expr("(n * (n - 1)) div 2")).as("cand_pairs"))
     })
   )
 
@@ -585,6 +628,37 @@ object CorpusQueries {
          SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_dups,
            CAST(min(gap) AS BIGINT) AS min_gap,
            CAST(max(gap) AS BIGINT) AS max_gap
-         FROM g GROUP BY 1"""
+         FROM g GROUP BY 1""",
+    "q241_vocab_growth" ->
+      s"""WITH $tkCte,
+         bg AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> concat(t[i], ' ', t[i + 1]))) AS tok
+           FROM tk WHERE len(t) >= 2),
+         ft AS (SELECT tok, min(doc_id) AS fd FROM bg GROUP BY 1),
+         n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+         dk AS (SELECT least((fd * 10) // n_ids, 9) AS decile
+           FROM ft, n),
+         g AS (SELECT decile, count(*) AS n_new_tokens
+           FROM dk GROUP BY 1)
+         SELECT decile, CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+           CAST(sum(n_new_tokens) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+         FROM g""",
+    "q242_lsh_load_profile" ->
+      s"""WITH ${LlmQueries.tkCte}, ${LlmQueries.shingleCte(3)},
+         ${LlmQueries.sigCte},
+         band AS (SELECT doc_id, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2],
+               x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         bk AS (SELECT b, bucket, count(*) AS n FROM band GROUP BY 1, 2)
+         SELECT CAST(b AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS cand_pairs
+         FROM bk GROUP BY 1"""
   )
 }

@@ -22,7 +22,7 @@ object LlmQueries {
     """tk AS (SELECT doc_id, lang, source, text,
         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
         FROM documents)"""
-  private def shingleCte(n: Int) =
+  private[queries] def shingleCte(n: Int) =
     s"""sh AS (SELECT doc_id, list_distinct(list_transform(
          generate_series(1, len(t) - ${n - 1}),
          j -> ${(0 until n).map(o => s"t[j + $o]").mkString("concat(", ", ' ', ", ")")})) AS s
@@ -31,7 +31,7 @@ object LlmQueries {
     s"CAST(concat('0x', substr(md5(concat($seedExpr, '|', $valExpr)), 1, 8)) AS BIGINT)"
   // minhash as 8-hex-char string minima, four 32-bit slices per md5 digest
   // (mirrors Dedup.minhashSignature's hot-path formulation)
-  private val sigCte =
+  private[queries] val sigCte =
     """sig AS (SELECT doc_id, s, list_transform(generate_series(0, 7), i ->
          list_min(list_transform(s, x ->
            substr(md5(concat(CAST(i // 4 AS VARCHAR), '|', x)),

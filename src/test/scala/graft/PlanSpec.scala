@@ -53,7 +53,10 @@ class PlanSpec extends AnyFunSuite {
     "q237_gini_revenue" -> 1,
     // at-risk suffix sum + survival prefix sum over the ≤366-row
     // span-day table (corpus collapsed in the per-order hash agg)
-    "q238_kaplan_meier" -> 2)
+    "q238_kaplan_meier" -> 2,
+    // cumulative vocab over the 10-row decile table (token types
+    // collapsed to first-document in the one hash agg before it)
+    "q241_vocab_growth" -> 1)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)
