@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch chunk-dedup invariants (the q232 operator,
+  * `graft.llm.ChunkDedup`): exactly one keeper per distinct chunk, the
+  * keeper is the minimum encoded (doc_id, chunk_idx), and token
+  * accounting survives the marking join.
+  */
+class ChunkDedupSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("firstOccurrence keeps exactly one row per distinct chunk, " +
+      "the minimum encoded (doc_id, chunk_idx)") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val marked = graft.llm.ChunkDedup.firstOccurrence(
+      graft.llm.ChunkDedup.chunkMembership(docs, "doc_id", "text", 20, 7))
+    val enc = col("doc_id") * lit(graft.llm.ChunkDedup.IdxEncode) +
+      col("chunk_idx")
+    val perChunk = marked.groupBy(col("chash"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(enc).as("min_enc"),
+        min(when(col("kept"), enc)).as("kept_enc"))
+    assert(perChunk.where(col("n_kept") =!= 1L).count() === 0L,
+      "every distinct chunk must have exactly one kept occurrence")
+    assert(perChunk.where(col("kept_enc") =!= col("min_enc")).count() === 0L,
+      "the kept occurrence must be the minimum encoded (doc_id, idx)")
+    // marking never loses or duplicates rows
+    val membership = graft.llm.ChunkDedup.chunkMembership(
+      docs, "doc_id", "text", 20, 7)
+    assert(marked.count() === membership.count())
+    // chunk token counts partition the document token counts
+    val fromChunks = marked.groupBy(col("doc_id"))
+      .agg(sum(col("ctoks")).as("n"))
+    val fromDocs = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(graft.llm.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .where(col("n") > 0)
+    assert(fromChunks.as[(Long, Long)].collect().toMap ===
+      fromDocs.as[(Long, Long)].collect().toMap,
+      "chunk token counts must partition each document's tokens")
+  }
+
+  test("chunkStructs emits ceil(n/c) chunks, last chunk carries the " +
+      "remainder") {
+    val df = Seq((1L, (1 to 47).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = graft.llm.ChunkDedup.chunkMembership(df, "doc_id", "text", 20, 7)
+      .orderBy(col("chunk_idx"))
+      .select(col("chunk_idx"), col("ctoks")).as[(Long, Long)].collect()
+    assert(ch.toSeq === Seq((0L, 20L), (1L, 20L), (2L, 7L)))
+  }
+}
