@@ -411,6 +411,97 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_docs"),
           max(col("n")).as("max_bucket"),
           sum(expr("(n * (n - 1)) div 2")).as("cand_pairs"))
+    }),
+
+    // Mutual information + Cramér's V between the lang and source
+    // labelings — the categorical-association pair every corpus card
+    // quotes next to q157's chi-square (MI in nats answers "how many
+    // bits of source does knowing lang buy"; V normalizes association
+    // to [0,1]). ONE corpus hash aggregate builds the contingency
+    // cells; margins/totals live on that bounded table; each cell's MI
+    // and chi-square terms assemble from EXACT decimal count products
+    // (c·N over r·k — the count form of p/(p_r·p_k)), one fixed-order
+    // float expression per cell, 1e-9-grid quantized before the sums.
+    "q243_mutual_information" -> ((s, dir) => {
+      val cells = graft.core.Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+        .transform(graft.core.Caching.persist)
+      val rm = cells.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+      val km = cells.groupBy(col("source")).agg(sum(col("c")).as("k"))
+      val tot = cells.agg(sum(col("c")).as("n"),
+        countDistinct(col("lang")).as("r_levels"),
+        countDistinct(col("source")).as("k_levels"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cn = dec(col("c")) * col("n")
+      val rk = dec(col("r")) * col("k")
+      val mig = floor((col("c").cast("double") / col("n").cast("double"))
+        * log(cn.cast("double") / rk.cast("double")) * lit(1e9)).cast("long")
+      val chg = floor(((cn - rk).cast("double") * (cn - rk).cast("double"))
+        / (col("n").cast("double") * rk.cast("double")) * lit(1e9))
+        .cast("long")
+      cells.join(broadcast(rm), "lang").join(broadcast(km), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("r_levels"), col("k_levels"),
+          mig.as("mig"), chg.as("chg"))
+        .groupBy(col("n"), col("r_levels"), col("k_levels"))
+        .agg(sum(col("mig")).as("smi"), sum(col("chg")).as("sch"))
+        .select(col("n"), col("r_levels"), col("k_levels"),
+          (col("smi").cast("double") / lit(1e9)).as("mi"),
+          (col("sch").cast("double") / lit(1e9)).as("chi2"),
+          sqrt((col("sch").cast("double") / lit(1e9))
+            / (col("n").cast("double")
+              * least(col("r_levels") - 1, col("k_levels") - 1)
+                .cast("double"))).as("cramers_v"))
+    }),
+
+    // Weighted Theil–Sen robust slope of discount (%) on quantity —
+    // the outlier-immune counterpart of q131's OLS, made tractable by
+    // the value-domain collapse: the corpus folds onto the ≤550-cell
+    // (quantity, discount) contingency, pairwise slopes enumerate over
+    // the bounded cell-pair cross (broadcast NLJ, ≤550² pairs, weight
+    // c_i·c_j in exact decimal), collapse onto ≤~2000 distinct exact
+    // rational slopes, and the weighted median is a cumulative-weight
+    // prefix scan over that bounded slope table. The intercept is the
+    // weighted median of y − m·x over the cells, same machinery.
+    "q244_theil_sen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cells = graft.core.Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("x"),
+          round(col("l_discount") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.core.Caching.persist)
+      val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+        col("c").as("ca"))
+      val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("c").as("cb"))
+      val slopes = a.join(broadcast(b), col("xa") < col("xb"))
+        .select(((col("yb") - col("ya")).cast("double")
+          / (col("xb") - col("xa")).cast("double")).as("m"),
+          (dec(col("ca")) * col("cb")).as("w"))
+        .groupBy(col("m")).agg(sum(col("w")).as("w"))
+        .transform(graft.core.Caching.persist)
+      val wtot = slopes.agg(sum(col("w")).as("wt"))
+      val cumw = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = slopes.withColumn("cw", sum(col("w")).over(cumw))
+        .crossJoin(broadcast(wtot))
+        .where(col("cw") * 2 >= col("wt"))
+        .agg(min(col("m")).as("slope"))
+      // intercept: weighted median of y − m·x over the cells
+      val vals = cells.crossJoin(broadcast(med))
+        .select((col("y").cast("double")
+          - col("slope") * col("x").cast("double")).as("v"),
+          col("c"), col("slope"))
+        .groupBy(col("v"), col("slope")).agg(sum(col("c")).as("c"))
+        .transform(graft.core.Caching.persist)
+      val ctot = vals.agg(sum(col("c")).as("ct"))
+      val cumc = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals.withColumn("cc", sum(col("c")).over(cumc))
+        .crossJoin(broadcast(ctot))
+        .where(col("cc") * 2 >= col("ct"))
+        .agg(min(col("slope")).as("slope"), min(col("v")).as("intercept"))
     })
   )
 
@@ -659,6 +750,64 @@ object CorpusQueries {
            CAST(sum(n) AS BIGINT) AS n_docs,
            CAST(max(n) AS BIGINT) AS max_bucket,
            CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS cand_pairs
-         FROM bk GROUP BY 1"""
+         FROM bk GROUP BY 1""",
+    "q243_mutual_information" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         rm AS (SELECT lang, sum(c) AS r FROM cells GROUP BY 1),
+         km AS (SELECT source, sum(c) AS k FROM cells GROUP BY 1),
+         tot AS (SELECT sum(c) AS n, count(DISTINCT lang) AS r_levels,
+             count(DISTINCT source) AS k_levels
+           FROM cells),
+         t AS (SELECT n, r_levels, k_levels,
+             CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(CAST(c AS DECIMAL(38,0)) * n AS DOUBLE)
+                 / CAST(CAST(r AS DECIMAL(38,0)) * k AS DOUBLE))
+               * 1e9) AS BIGINT) AS mig,
+             CAST(floor(
+               (CAST(CAST(c AS DECIMAL(38,0)) * n
+                   - CAST(r AS DECIMAL(38,0)) * k AS DOUBLE)
+                 * CAST(CAST(c AS DECIMAL(38,0)) * n
+                   - CAST(r AS DECIMAL(38,0)) * k AS DOUBLE))
+               / (CAST(n AS DOUBLE)
+                 * CAST(CAST(r AS DECIMAL(38,0)) * k AS DOUBLE))
+               * 1e9) AS BIGINT) AS chg
+           FROM cells JOIN rm USING (lang) JOIN km USING (source), tot),
+         g AS (SELECT n, r_levels, k_levels, sum(mig) AS smi,
+             sum(chg) AS sch
+           FROM t GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n,
+           CAST(r_levels AS BIGINT) AS r_levels,
+           CAST(k_levels AS BIGINT) AS k_levels,
+           CAST(smi AS DOUBLE) / 1e9 AS mi,
+           CAST(sch AS DOUBLE) / 1e9 AS chi2,
+           sqrt((CAST(sch AS DOUBLE) / 1e9)
+             / (CAST(n AS DOUBLE)
+               * CAST(least(r_levels - 1, k_levels - 1) AS DOUBLE)))
+             AS cramers_v
+         FROM g""",
+    "q244_theil_sen" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         sp AS (SELECT CAST(b.y - a.y AS DOUBLE)
+               / CAST(b.x - a.x AS DOUBLE) AS m,
+             CAST(a.c AS DECIMAL(38,0)) * b.c AS w
+           FROM cells a JOIN cells b ON a.x < b.x),
+         sl AS (SELECT m, sum(w) AS w FROM sp GROUP BY 1),
+         wt AS (SELECT sum(w) AS wt FROM sl),
+         cw AS (SELECT m, sum(w) OVER (ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           FROM sl),
+         med AS (SELECT min(m) AS slope FROM cw, wt WHERE cw * 2 >= wt),
+         vals AS (SELECT CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE)
+               AS v, slope, sum(c) AS c
+           FROM cells, med GROUP BY 1, 2),
+         ct AS (SELECT sum(c) AS ct FROM vals),
+         cc AS (SELECT v, slope, sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+           FROM vals)
+         SELECT min(slope) AS slope, min(v) AS intercept
+         FROM cc, ct WHERE cc * 2 >= ct"""
   )
 }

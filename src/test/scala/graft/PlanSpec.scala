@@ -56,7 +56,14 @@ class PlanSpec extends AnyFunSuite {
     "q238_kaplan_meier" -> 2,
     // cumulative vocab over the 10-row decile table (token types
     // collapsed to first-document in the one hash agg before it)
-    "q241_vocab_growth" -> 1)
+    "q241_vocab_growth" -> 1,
+    // weighted-median prefix scans over the ≤~2000-row distinct-slope
+    // table and the ≤550-row intercept-value table, both PERSISTED
+    // bounded aggregates (the corpus collapsed onto the persisted
+    // (quantity, discount) contingency before any of them); the slope
+    // scan sits inside the cached intercept-value subtree, so the
+    // logical census sees up to 3 depending on cache resolution order
+    "q244_theil_sen" -> 3)
 
   // logical-plan walk: Window nodes expose partitionSpec structurally
   // (the physical string form is too fragile to grep for emptiness)
