@@ -502,6 +502,138 @@ object CorpusQueries {
         .crossJoin(broadcast(ctot))
         .where(col("cc") * 2 >= col("ct"))
         .agg(min(col("slope")).as("slope"), min(col("v")).as("intercept"))
+    }),
+
+    // Kendall τ-b of discount on quantity — the tie-corrected rank
+    // correlation that complements q226's Spearman ρ (τ counts pairwise
+    // concordance, ρ correlates ranks; analysts quote both). EXACT via
+    // the same value-domain collapse as q244: the corpus folds onto the
+    // ≤550-cell persisted contingency, concordant/discordant mass is a
+    // Σ ca·cb over the bounded broadcast cell-pair cross (decimal
+    // products, no float until the last expression), and the tie terms
+    // come from the two marginals. n0−n1 = (n(n−1) − Σt(t−1))/2 stays
+    // an exact integer; /2.0 and sqrt are the only float ops, one fixed
+    // order on both engines.
+    "q245_kendall_tau" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cells = graft.core.Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("x"),
+          round(col("l_discount") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.core.Caching.persist)
+      val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+        col("c").as("ca"))
+      val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("c").as("cb"))
+      val cd = a.join(broadcast(b), col("xa") < col("xb"))
+        .agg(sum(when(col("ya") < col("yb"), dec(col("ca")) * col("cb")))
+          .as("cp"),
+          sum(when(col("ya") > col("yb"), dec(col("ca")) * col("cb")))
+            .as("dp"))
+      val xm = cells.groupBy(col("x")).agg(sum(col("c")).as("t"))
+        .agg(sum(dec(col("t")) * (col("t") - 1)).as("tx2"))
+      val ym = cells.groupBy(col("y")).agg(sum(col("c")).as("t"))
+        .agg(sum(dec(col("t")) * (col("t") - 1)).as("ty2"))
+      val nn = cells.agg(sum(col("c")).as("n"))
+      cd.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
+        .crossJoin(broadcast(nn))
+        .select(col("n").cast("long").as("n"),
+          col("cp").cast("long").as("c_pairs"),
+          col("dp").cast("long").as("d_pairs"),
+          ((col("cp") - col("dp")).cast("double")
+            / (sqrt((dec(col("n")) * (col("n") - 1) - col("tx2"))
+                .cast("double") / lit(2.0))
+              * sqrt((dec(col("n")) * (col("n") - 1) - col("ty2"))
+                .cast("double") / lit(2.0)))).as("tau_b"))
+    }),
+
+    // Bhattacharyya coefficient + Hellinger distance between each pair
+    // of per-source unigram distributions — the bounded-metric drift
+    // companion to q234's JS divergence (Hellinger is a true metric in
+    // [0,1]; BC is the kernel the dedup literature thresholds). Same
+    // corpus-collapse shape as q234: one (source, token) hash agg, a
+    // token-keyed vocabulary self-join, per-token terms quantized to
+    // the 1e-9 grid before the sum. √(pa·pb) assembles as
+    // √(ca·cb)/(√ta·√tb) — the product ca·cb exact in decimal before
+    // the cast, every operand an exactly-representable integer.
+    "q246_hellinger" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cnt = graft.core.Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("tt"))
+      val v = cnt.join(broadcast(tot), "source")
+      val a = v.select(col("source").as("src_a"), col("tok"),
+        col("c").as("ca"), col("tt").as("ta"))
+      val b = v.select(col("source").as("src_b"), col("tok"),
+        col("c").as("cb"), col("tt").as("tb"))
+      val g = a.join(b, Seq("tok")).where(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          floor(sqrt((dec(col("ca")) * col("cb")).cast("double"))
+            / (sqrt(col("ta").cast("double"))
+              * sqrt(col("tb").cast("double"))) * lit(1e9)).cast("long")
+            .as("g"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common"), sum(col("g")).as("sg"))
+      g.select(col("src_a"), col("src_b"), col("n_common"),
+        (col("sg").cast("double") / lit(1e9)).as("bhattacharyya"),
+        sqrt(greatest(lit(0.0),
+          lit(1.0) - col("sg").cast("double") / lit(1e9))).as("hellinger"))
+    }),
+
+    // Calinski–Harabasz index over the labeled embeddings — the third
+    // standard clustering-quality diagnostic next to q235's silhouette
+    // and q236's Davies–Bouldin (between-scatter over within-scatter,
+    // higher = better separated; the variance-ratio criterion). All
+    // scatter is EXACT integer math on the KMeans 2^14 grid: label
+    // centroids and the global centroid round on the same half-up form,
+    // trace(W) sums own-label squared distances, trace(B) sums
+    // n_label·‖c_label − c_global‖²; the one float expression is the
+    // final ratio of exact integers. The corpus collapses in the one
+    // (label, dim) hash agg; everything downstream is ≤|labels|·64 rows
+    // except the single broadcast-centroid distance pass.
+    "q247_calinski_harabasz" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val q = graft.core.Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          graft.operators.KMeans.quantize(col("embedding")).as("qv"))
+      val parts = q.select(col("label"), posexplode(col("qv")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+        .transform(graft.core.Caching.persist)
+      val cm = parts.select(col("label"), col("pos"), col("n"),
+        floor((lit(2) * col("sv") + col("n")) / (lit(2.0) * col("n")))
+          .cast("long").as("cv"))
+      val gm = parts.groupBy(col("pos"))
+        .agg(sum(col("sv")).as("gsv"), sum(col("n")).as("gn"))
+        .select(col("pos"),
+          floor((lit(2) * col("gsv") + col("gn"))
+            / (lit(2.0) * col("gn"))).cast("long").as("gv"))
+      val bsq = cm.join(broadcast(gm), "pos")
+        .groupBy(col("label"), col("n"))
+        .agg(sum((col("cv") - col("gv")) * (col("cv") - col("gv")))
+          .as("bsq"))
+      val btot = bsq.agg(sum(dec(col("n")) * col("bsq")).as("tb"),
+        sum(col("n")).as("nv"), count(lit(1)).as("k"))
+      val cents = cm.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .as("pc"))
+        .select(col("label"), transform(col("pc"), x => x.getField("cv"))
+          .as("cvec"))
+      val w = q.join(broadcast(cents), "label")
+        .select(aggregate(zip_with(col("qv"), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+          .as("dist"))
+        .agg(sum(dec(col("dist"))).as("tw"))
+      btot.crossJoin(broadcast(w))
+        .select(col("nv").cast("long").as("n_vectors"),
+          col("k").cast("long").as("n_labels"),
+          col("tw").cast("long").as("trace_w"),
+          col("tb").cast("long").as("trace_b"),
+          ((col("tb").cast("double") / (col("k") - 1).cast("double"))
+            / (col("tw").cast("double")
+              / (col("nv") - col("k")).cast("double"))).as("ch"))
     })
   )
 
@@ -808,6 +940,68 @@ object CorpusQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
            FROM vals)
          SELECT min(slope) AS slope, min(v) AS intercept
-         FROM cc, ct WHERE cc * 2 >= ct"""
+         FROM cc, ct WHERE cc * 2 >= ct""",
+    "q245_kendall_tau" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y, count(*) AS c
+           FROM lineitem GROUP BY x, y),
+         cd AS (SELECT
+             sum(CASE WHEN a.y < b.y
+               THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS cp,
+             sum(CASE WHEN a.y > b.y
+               THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS dp
+           FROM cells a JOIN cells b ON a.x < b.x),
+         xm AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS tx2
+           FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+         ym AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS ty2
+           FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+         nn AS (SELECT sum(c) AS n FROM cells)
+         SELECT CAST(n AS BIGINT) AS n, CAST(cp AS BIGINT) AS c_pairs,
+           CAST(dp AS BIGINT) AS d_pairs,
+           CAST(cp - dp AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2
+                 AS DOUBLE) / CAST(2.0 AS DOUBLE))
+               * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - ty2
+                 AS DOUBLE) / CAST(2.0 AS DOUBLE))) AS tau_b
+         FROM cd, xm, ym, nn""",
+    "q246_hellinger" ->
+      s"""WITH $tkCte,
+         cnt AS (SELECT source, tok, count(*) AS c
+           FROM (SELECT source, unnest(t) AS tok FROM tk) GROUP BY 1, 2),
+         tot AS (SELECT source, sum(c) AS tt FROM cnt GROUP BY 1),
+         v AS (SELECT cnt.source, tok, c, tt
+           FROM cnt JOIN tot USING (source)),
+         t AS (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(floor(
+               sqrt(CAST(CAST(a.c AS DECIMAL(38,0)) * b.c AS DOUBLE))
+               / (sqrt(CAST(a.tt AS DOUBLE)) * sqrt(CAST(b.tt AS DOUBLE)))
+               * 1e9) AS BIGINT) AS g
+           FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source),
+         g AS (SELECT src_a, src_b, count(*) AS n_common, sum(g) AS sg
+           FROM t GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sg AS DOUBLE) / 1e9 AS bhattacharyya,
+           sqrt(greatest(CAST(0.0 AS DOUBLE),
+             CAST(1.0 AS DOUBLE) - CAST(sg AS DOUBLE) / 1e9)) AS hellinger
+         FROM g""",
+    "q247_calinski_harabasz" ->
+      s"""WITH $centroidCtes,
+         gm AS (SELECT i, CAST(floor((2 * sum(sv) + sum(n))
+               / (2.0 * sum(n))) AS BIGINT) AS gv
+           FROM parts GROUP BY i),
+         nl AS (SELECT label, max(n) AS n FROM parts GROUP BY label),
+         bs AS (SELECT cm.clabel AS label,
+             sum((cm.cv - gm.gv) * (cm.cv - gm.gv)) AS bsq
+           FROM cm JOIN gm ON cm.i = gm.i GROUP BY 1),
+         b AS (SELECT sum(CAST(nl.n AS DECIMAL(38,0)) * bs.bsq) AS tb,
+             sum(nl.n) AS nv, count(*) AS k
+           FROM bs JOIN nl ON nl.label = bs.label),
+         w AS (SELECT sum(dist) AS tw FROM d WHERE label = clabel)
+         SELECT CAST(nv AS BIGINT) AS n_vectors,
+           CAST(k AS BIGINT) AS n_labels,
+           CAST(tw AS BIGINT) AS trace_w, CAST(tb AS BIGINT) AS trace_b,
+           (CAST(tb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+             / (CAST(tw AS DOUBLE) / CAST(nv - k AS DOUBLE)) AS ch
+         FROM b, w"""
   )
 }
