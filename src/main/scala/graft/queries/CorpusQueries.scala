@@ -634,6 +634,110 @@ object CorpusQueries {
           ((col("tb").cast("double") / (col("k") - 1).cast("double"))
             / (col("tw").cast("double")
               / (col("nv") - col("k")).cast("double"))).as("ch"))
+    }),
+
+    // Weighted isotonic (non-decreasing L2) regression of mean discount
+    // on quantity — the monotone calibration fit every score-calibration
+    // pass needs (PAVA's pooled means), computed NOT by the sequential
+    // pool-adjacent algorithm but by its closed minimax characterization
+    // fit(i) = max_{j<=i} min_{k>=i} avg(j..k), which is pure joins and
+    // aggregates over the bounded domain: the corpus collapses onto the
+    // <=50-row per-quantity (weight, sum) table, range averages
+    // enumerate over the <=1275 (j,k) interval pairs by a bounded
+    // broadcast join (no prefix-sum window needed), and the max-min
+    // nesting is two hash aggregates over the <=64k (i,j,k) triples.
+    // Averages are 1e-9-grid floats of exact integer ratios, so min/max
+    // compare longs and the fit is bit-stable under any partitioning.
+    "q248_isotonic_fit" -> ((s, dir) => {
+      val xs = graft.core.Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("x"))
+        .agg(sum(round(col("l_discount") * 100).cast("long")).as("sx"),
+          count(lit(1)).as("wx"))
+        .transform(graft.core.Caching.persist)
+      val jk = xs.select(col("x").as("j"))
+        .join(broadcast(xs.select(col("x").as("k"))), col("j") <= col("k"))
+      val rng = jk.join(broadcast(xs),
+          col("x") >= col("j") && col("x") <= col("k"))
+        .groupBy(col("j"), col("k"))
+        .agg(sum(col("sx")).as("ss"), sum(col("wx")).as("ww"))
+        .select(col("j"), col("k"),
+          floor(col("ss").cast("double") / col("ww").cast("double")
+            * lit(1e9)).cast("long").as("a"))
+      val fit = rng.join(broadcast(xs.select(col("x").as("i"))),
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("a")).as("mn"))
+        .groupBy(col("i")).agg(max(col("mn")).as("fg"))
+      xs.join(broadcast(fit), col("x") === col("i"))
+        .select(col("x"), col("wx").as("n"),
+          (floor(col("sx").cast("double") / col("wx").cast("double")
+            * lit(1e9)).cast("double") / lit(1e9)).as("mean_disc_pct"),
+          (col("fg").cast("double") / lit(1e9)).as("isotonic_fit_pct"))
+    }),
+
+    // ROC AUC of document length (token count) as a classifier score
+    // for lang = 'en' — the eval-harness statistic behind every "does
+    // this cheap signal separate the classes" screen, EXACT including
+    // tie handling: the corpus collapses onto the per-score
+    // (n_pos, n_neg) table (score domain = distinct token counts, a few
+    // hundred values), the Mann–Whitney numerator enumerates ordered
+    // score pairs over the bounded broadcast self-join, ties contribute
+    // the half-credit term, and doubling both sides keeps every count
+    // integral in decimal until the single final division.
+    "q249_auc_length" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sc = graft.core.Tables.documents(s, dir)
+        .select(size(TextFunctions.tokens(col("text"))).cast("long")
+          .as("sv"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("sv"))
+        .agg(sum(col("pos")).as("np"),
+          sum(lit(1L) - col("pos")).as("nn"))
+        .transform(graft.core.Caching.persist)
+      val a = sc.select(col("sv").as("sa"), col("np").as("npa"))
+      val b = sc.select(col("sv").as("sb"), col("nn").as("nnb"))
+      val gt = a.join(broadcast(b), col("sa") > col("sb"))
+        .agg(sum(dec(col("npa")) * col("nnb")).as("u"))
+      val eq = sc.agg(sum(dec(col("np")) * col("nn")).as("e"))
+      val tots = sc.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+      gt.crossJoin(broadcast(eq)).crossJoin(broadcast(tots))
+        .select(col("tp").cast("long").as("n_pos"),
+          col("tn").cast("long").as("n_neg"),
+          ((lit(2) * col("u") + col("e")).cast("double")
+            / (lit(2) * dec(col("tp")) * col("tn")).cast("double"))
+            .as("auc"))
+    }),
+
+    // Delete-one-fold jackknife standard error of revenue-per-order —
+    // the resampling-free uncertainty estimate a pipeline quotes next
+    // to every ratio metric (deterministic: folds are o_custkey mod 32,
+    // dense TPC-H custkeys make them balanced; no RNG surface). Fold
+    // totals are exact cent sums; each leave-one-out ratio is one
+    // fixed-order float of exact integers, 1e-9-grid quantized; the
+    // variance assembles from Σg and Σg² in decimal — order-free — and
+    // the only remaining floats are the final scalings.
+    "q250_jackknife_se" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val folds = graft.core.Tables.orders(s, dir)
+        .groupBy(pmod(col("o_custkey"), lit(32)).cast("long").as("f"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("sc"),
+          count(lit(1)).as("nc"))
+      val tot = folds.agg(sum(col("sc")).as("st"), sum(col("nc")).as("nt"))
+      val thetas = folds.crossJoin(broadcast(tot))
+        .select(col("st"), col("nt"),
+          floor((col("st") - col("sc")).cast("double")
+            / (col("nt") - col("nc")).cast("double") * lit(1e9))
+            .cast("long").as("gi"))
+      thetas.groupBy(col("st"), col("nt"))
+        .agg(sum(col("gi")).as("sa"), sum(dec(col("gi")) * col("gi"))
+          .as("sb"), count(lit(1)).as("gg"))
+        .select(col("nt").cast("long").as("n_orders"),
+          col("st").cast("long").as("revenue_cents"),
+          (col("st").cast("double") / col("nt").cast("double") / lit(100.0))
+            .as("theta"),
+          sqrt(((col("gg") * col("sb") - dec(col("sa")) * col("sa"))
+            .cast("double") * (col("gg") - 1).cast("double")
+            / (col("gg") * col("gg")).cast("double") / lit(1e18)))
+            .as("jack_se_cents"))
     })
   )
 
@@ -1002,6 +1106,62 @@ object CorpusQueries {
            CAST(tw AS BIGINT) AS trace_w, CAST(tb AS BIGINT) AS trace_b,
            (CAST(tb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
              / (CAST(tw AS DOUBLE) / CAST(nv - k AS DOUBLE)) AS ch
-         FROM b, w"""
+         FROM b, w""",
+    "q248_isotonic_fit" ->
+      """WITH xs AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             sum(CAST(round(l_discount * 100) AS BIGINT)) AS sx,
+             count(*) AS wx
+           FROM lineitem GROUP BY x),
+         jk AS (SELECT a.x AS j, b.x AS k FROM xs a JOIN xs b
+           ON a.x <= b.x),
+         rng AS (SELECT j, k, CAST(floor(
+               CAST(sum(sx) AS DOUBLE) / CAST(sum(wx) AS DOUBLE) * 1e9)
+             AS BIGINT) AS a
+           FROM jk JOIN xs ON xs.x >= jk.j AND xs.x <= jk.k
+           GROUP BY j, k),
+         mn AS (SELECT i.x AS i, rng.j, min(rng.a) AS mn
+           FROM rng JOIN xs i ON rng.j <= i.x AND rng.k >= i.x
+           GROUP BY 1, 2),
+         fit AS (SELECT i, max(mn) AS fg FROM mn GROUP BY i)
+         SELECT xs.x, CAST(xs.wx AS BIGINT) AS n,
+           CAST(floor(CAST(xs.sx AS DOUBLE) / CAST(xs.wx AS DOUBLE)
+             * 1e9) AS DOUBLE) / 1e9 AS mean_disc_pct,
+           CAST(fit.fg AS DOUBLE) / 1e9 AS isotonic_fit_pct
+         FROM xs JOIN fit ON fit.i = xs.x""",
+    "q249_auc_length" ->
+      s"""WITH $tkCte,
+         sc AS (SELECT CAST(len(t) AS BIGINT) AS sv,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+           FROM tk JOIN documents USING (doc_id) GROUP BY sv),
+         gt AS (SELECT sum(CAST(a.np AS DECIMAL(38,0)) * b.nn) AS u
+           FROM sc a JOIN sc b ON a.sv > b.sv),
+         eq AS (SELECT sum(CAST(np AS DECIMAL(38,0)) * nn) AS e FROM sc),
+         tots AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM sc)
+         SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
+           CAST(2 * u + e AS DOUBLE)
+             / CAST(2 * CAST(tp AS DECIMAL(38,0)) * tn AS DOUBLE) AS auc
+         FROM gt, eq, tots""",
+    "q250_jackknife_se" ->
+      """WITH folds AS (SELECT CAST(o_custkey % 32 AS BIGINT) AS f,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc,
+             count(*) AS nc
+           FROM orders GROUP BY f),
+         tot AS (SELECT sum(sc) AS st, sum(nc) AS nt FROM folds),
+         th AS (SELECT st, nt, CAST(floor(
+               CAST(st - sc AS DOUBLE) / CAST(nt - nc AS DOUBLE) * 1e9)
+             AS BIGINT) AS gi
+           FROM folds, tot),
+         m AS (SELECT st, nt, sum(gi) AS sa,
+             sum(CAST(gi AS DECIMAL(38,0)) * gi) AS sb, count(*) AS gg
+           FROM th GROUP BY st, nt)
+         SELECT CAST(nt AS BIGINT) AS n_orders,
+           CAST(st AS BIGINT) AS revenue_cents,
+           CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / CAST(100.0 AS DOUBLE)
+             AS theta,
+           sqrt(CAST(gg * sb - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)
+             * CAST(gg - 1 AS DOUBLE) / CAST(gg * gg AS DOUBLE) / 1e18)
+             AS jack_se_cents
+         FROM m"""
   )
 }
