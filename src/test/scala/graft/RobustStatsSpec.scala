@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algorithm-level cross-checks for the q243–q250 statistics tail.
+  *
+  * The oracle gate proves Spark == DuckDB, but both sides share the
+  * FORMULA (value-domain collapse + grid quantization); these tests
+  * validate the formula itself against independent reference
+  * algorithms on the sf0.001 fixture — an O(n²) raw-pair scan for
+  * Kendall τ-b, the classic sequential pool-adjacent-violators sweep
+  * for the closed-form minimax isotonic fit, a brute-force pairwise
+  * count for the tie-aware AUC, and a direct floating-point jackknife
+  * for the grid-assembled standard error. Collects here are test-only
+  * (≤ a few thousand fixture rows), never in the queries.
+  */
+class RobustStatsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def queryRow(name: String): org.apache.spark.sql.Row = {
+    val r = SparkEntry.queries(name)(spark, sfDir).collect()
+    assert(r.length == 1, s"$name expected 1 row, got ${r.length}")
+    r(0)
+  }
+
+  test("q245 Kendall tau-b equals the O(n^2) raw-pair scan") {
+    val xy = graft.core.Tables.lineitem(spark, sfDir)
+      .selectExpr("cast(l_quantity as long) x",
+        "cast(round(l_discount * 100) as long) y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var c = 0L; var d = 0L
+    var i = 0
+    while (i < xy.length) {
+      var j = i + 1
+      while (j < xy.length) {
+        val s = java.lang.Long.signum(xy(i)._1 - xy(j)._1) *
+          java.lang.Long.signum(xy(i)._2 - xy(j)._2)
+        if (s > 0) c += 1 else if (s < 0) d += 1
+        j += 1
+      }
+      i += 1
+    }
+    val n = xy.length.toLong
+    val tx = xy.groupBy(_._1).values.map(g => g.length.toLong)
+      .map(t => t * (t - 1) / 2).sum
+    val ty = xy.groupBy(_._2).values.map(g => g.length.toLong)
+      .map(t => t * (t - 1) / 2).sum
+    val n0 = n * (n - 1) / 2
+    val tau = (c - d).toDouble /
+      (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble))
+    val row = queryRow("q245_kendall_tau")
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("c_pairs") === c)
+    assert(row.getAs[Long]("d_pairs") === d)
+    assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-12)
+  }
+
+  test("q248 minimax isotonic fit equals sequential weighted PAVA") {
+    // reference: classic PAVA sweep with exact-rational pool means
+    // (BigInt cross-multiplication comparisons — no float until the
+    // final mean), over the same collapsed (x → sum, weight) domain
+    val dom = graft.core.Tables.lineitem(spark, sfDir)
+      .selectExpr("cast(l_quantity as long) x",
+        "cast(round(l_discount * 100) as long) c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (x, g) =>
+        (x, g.map(_._2).sum, g.length.toLong)
+      }.toArray.sortBy(_._1)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[
+      (BigInt, BigInt, Int)] // (sum, weight, span)
+    dom.foreach { case (_, sx, wx) =>
+      var s = BigInt(sx); var w = BigInt(wx); var span = 1
+      while (blocks.nonEmpty &&
+        blocks.last._1 * w >= s * blocks.last._2) { // prevMean >= curMean
+        val (ps, pw, pc) = blocks.remove(blocks.length - 1)
+        s += ps; w += pw; span += pc
+      }
+      blocks += ((s, w, span))
+    }
+    val pava = blocks.flatMap { case (s, w, span) =>
+      Seq.fill(span)(s.toDouble / w.toDouble)
+    }
+    assert(pava.length === dom.length)
+    val fit = SparkEntry.queries("q248_isotonic_fit")(spark, sfDir)
+      .orderBy("x").collect()
+    fit.zip(pava).foreach { case (row, ref) =>
+      val got = row.getAs[Double]("isotonic_fit_pct")
+      assert(math.abs(got - ref) < 2e-9,
+        s"x=${row.getAs[Long]("x")}: query $got vs PAVA $ref")
+    }
+    // and the fit is non-decreasing
+    fit.map(_.getAs[Double]("isotonic_fit_pct")).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-15)
+      case _ =>
+    }
+  }
+
+  test("q249 AUC equals the brute-force tie-aware pairwise count") {
+    import org.apache.spark.sql.functions.{col, size}
+    val sl = graft.core.Tables.documents(spark, sfDir)
+      .select(size(graft.llm.TextFunctions.tokens(col("text")))
+        .cast("long").as("s"), (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val posS = sl.filter(_._2).map(_._1)
+    val negS = sl.filterNot(_._2).map(_._1)
+    var num2 = BigInt(0) // doubled numerator: 2*wins + ties
+    posS.foreach { p =>
+      negS.foreach { q =>
+        if (p > q) num2 += 2 else if (p == q) num2 += 1
+      }
+    }
+    val auc = num2.toDouble /
+      (2.0 * posS.length.toDouble * negS.length.toDouble)
+    val row = queryRow("q249_auc_length")
+    assert(row.getAs[Long]("n_pos") === posS.length.toLong)
+    assert(row.getAs[Long]("n_neg") === negS.length.toLong)
+    assert(math.abs(row.getAs[Double]("auc") - auc) < 1e-12)
+  }
+
+  test("q250 grid-assembled jackknife SE matches the direct float form") {
+    val fo = graft.core.Tables.orders(spark, sfDir)
+      .selectExpr("cast(o_custkey % 32 as long) f",
+        "cast(round(o_totalprice * 100) as long) cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val folds = fo.groupBy(_._1).map { case (_, g) =>
+      (g.map(_._2).sum, g.length.toLong)
+    }.toArray
+    val st = folds.map(_._1).sum; val nt = folds.map(_._2).sum
+    val g = folds.length
+    val thetas = folds.map { case (sc, nc) =>
+      (st - sc).toDouble / (nt - nc).toDouble
+    }
+    val mean = thetas.sum / g
+    val varJack = thetas.map(t => (t - mean) * (t - mean)).sum *
+      (g - 1).toDouble / g.toDouble
+    val row = queryRow("q250_jackknife_se")
+    assert(row.getAs[Long]("n_orders") === nt)
+    assert(row.getAs[Long]("revenue_cents") === st)
+    // query quantizes each theta to the 1e-9 grid before Σg/Σg²;
+    // the direct form doesn't — agree to the grid's error budget
+    assert(math.abs(row.getAs[Double]("jack_se_cents") - math.sqrt(varJack))
+      < 1e-4 * math.max(1.0, math.sqrt(varJack)))
+  }
+}
