@@ -38,20 +38,41 @@ object CorpusQueries {
     * centroid table; the distance pass is a broadcast nested-loop over
     * that tiny table (corpus never shuffles).
     */
-  private def centroidDistances(s: SparkSession, dir: String): DataFrame = {
-    val q = graft.core.Tables.embeddings(s, dir)
+  /** (vec_id, label, qv): the grid-quantized embedding table. */
+  private def quantizedVectors(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         graft.operators.KMeans.quantize(col("embedding")).as("qv"))
-    val parts = q.select(col("label"), posexplode(col("qv")))
+
+  /** (label, pos, sv, n): per-label per-dim coordinate sums/counts —
+    * the ONE corpus aggregate every centroid consumer derives from.
+    */
+  private def centroidParts(q: DataFrame): DataFrame =
+    q.select(col("label"), posexplode(col("qv")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
-      .select(col("label"), col("pos"),
-        floor((lit(2) * col("sv") + col("n")) / (lit(2.0) * col("n")))
-          .cast("long").as("cv"))
-    val cents = parts.groupBy(col("label"))
+
+  /** (label, pos, n, cv): round-half-up integer centroid coordinates
+    * on the KMeans grid — THE rounding form (same as KMeans.oracleSql
+    * and the centroidCtes oracle twin). q235/q236/q247 all band on it;
+    * change it here or nowhere.
+    */
+  private def centroidCv(parts: DataFrame): DataFrame =
+    parts.select(col("label"), col("pos"), col("n"),
+      floor((lit(2) * col("sv") + col("n")) / (lit(2.0) * col("n")))
+        .cast("long").as("cv"))
+
+  /** (label, cvec): centroid coordinate arrays in dim order. */
+  private def centroidVecs(cm: DataFrame): DataFrame =
+    cm.groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-      .select(col("label").as("clabel"),
+      .select(col("label"),
         transform(col("pc"), x => x.getField("cv")).as("cvec"))
+
+  private def centroidDistances(s: SparkSession, dir: String): DataFrame = {
+    val q = quantizedVectors(s, dir)
+    val cents = centroidVecs(centroidCv(centroidParts(q)))
+      .select(col("label").as("clabel"), col("cvec"))
     q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("clabel"),
         aggregate(zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
@@ -62,6 +83,19 @@ object CorpusQueries {
   // StreamingChunkDedup twin so both faces band identically)
   private def chunks(t: org.apache.spark.sql.Column, c: Int, seed: Int) =
     graft.llm.ChunkDedup.chunkStructs(t, c, seed)
+
+  /** Shared by q244/q245/q248 (and the same convention as StatsQueries'
+    * q226 Spearman): lineitem collapsed onto the ≤550-cell exact-integer
+    * (quantity, discount-percent) contingency, persisted. The whole
+    * correlation family banks on ONE rounding convention — change it
+    * here or nowhere.
+    */
+  private def quantityDiscountCells(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.core.Caching.persist)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -215,18 +249,8 @@ object CorpusQueries {
         .select(col("label"), col("n_vectors"),
           ((col("sg").cast("double") / lit(1e9))
             / col("n_vectors").cast("double")).as("scatter"))
-      val parts = graft.core.Tables.embeddings(s, dir)
-        .select(col("label"),
-          posexplode(graft.operators.KMeans.quantize(col("embedding"))))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
-        .select(col("label"), col("pos"),
-          floor((lit(2) * col("sv") + col("n")) / (lit(2.0) * col("n")))
-            .cast("long").as("cv"))
-      val cents = parts.groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-        .select(col("label"), transform(col("pc"), x => x.getField("cv"))
-          .as("cvec"))
+      val cents = centroidVecs(centroidCv(
+        centroidParts(quantizedVectors(s, dir))))
       val ca = cents.select(col("label").as("la"), col("cvec").as("va"))
       val cb = cents.select(col("label").as("lb"), col("cvec").as("vb"))
       val m = ca.join(broadcast(cb), col("la") =!= col("lb"))
@@ -419,7 +443,7 @@ object CorpusQueries {
     // bits of source does knowing lang buy"; V normalizes association
     // to [0,1]). ONE corpus hash aggregate builds the contingency
     // cells; margins/totals live on that bounded table; each cell's MI
-    // and chi-square terms assemble from EXACT decimal count products
+    // and φ² (χ²/n) terms assemble from EXACT decimal count products
     // (c·N over r·k — the count form of p/(p_r·p_k)), one fixed-order
     // float expression per cell, 1e-9-grid quantized before the sums.
     "q243_mutual_information" -> ((s, dir) => {
@@ -436,22 +460,27 @@ object CorpusQueries {
       val rk = dec(col("r")) * col("k")
       val mig = floor((col("c").cast("double") / col("n").cast("double"))
         * log(cn.cast("double") / rk.cast("double")) * lit(1e9)).cast("long")
-      val chg = floor(((cn - rk).cast("double") * (cn - rk).cast("double"))
-        / (col("n").cast("double") * rk.cast("double")) * lit(1e9))
-        .cast("long")
+      // grid the φ² (= χ²/n) contribution, NOT the raw χ² term: each
+      // cell's (p−p_r·p_k)²/(p_r·p_k) ≤ 1 (p ≤ min(p_r, p_k)), so the
+      // per-cell grid long is ≤ ~1e9 and the sum ≤ min(r,k)·1e9 at ANY
+      // corpus size — a raw-χ² grid would overflow Long near n ~ 1e10.
+      // χ² re-scales by n afterwards (resolution n·1e-9, documented).
+      val phg = floor(((cn - rk).cast("double") * (cn - rk).cast("double"))
+        / (col("n").cast("double") * rk.cast("double")
+          * col("n").cast("double")) * lit(1e9)).cast("long")
       cells.join(broadcast(rm), "lang").join(broadcast(km), "source")
         .crossJoin(broadcast(tot))
         .select(col("n"), col("r_levels"), col("k_levels"),
-          mig.as("mig"), chg.as("chg"))
+          mig.as("mig"), phg.as("phg"))
         .groupBy(col("n"), col("r_levels"), col("k_levels"))
-        .agg(sum(col("mig")).as("smi"), sum(col("chg")).as("sch"))
+        .agg(sum(col("mig")).as("smi"), sum(col("phg")).as("sph"))
         .select(col("n"), col("r_levels"), col("k_levels"),
           (col("smi").cast("double") / lit(1e9)).as("mi"),
-          (col("sch").cast("double") / lit(1e9)).as("chi2"),
-          sqrt((col("sch").cast("double") / lit(1e9))
-            / (col("n").cast("double")
-              * least(col("r_levels") - 1, col("k_levels") - 1)
-                .cast("double"))).as("cramers_v"))
+          ((col("sph").cast("double") / lit(1e9))
+            * col("n").cast("double")).as("chi2"),
+          sqrt((col("sph").cast("double") / lit(1e9))
+            / least(col("r_levels") - 1, col("k_levels") - 1)
+              .cast("double")).as("cramers_v"))
     }),
 
     // Weighted Theil–Sen robust slope of discount (%) on quantity —
@@ -466,11 +495,7 @@ object CorpusQueries {
     "q244_theil_sen" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val cells = graft.core.Tables.lineitem(s, dir)
-        .groupBy(col("l_quantity").cast("long").as("x"),
-          round(col("l_discount") * 100).cast("long").as("y"))
-        .agg(count(lit(1)).as("c"))
-        .transform(graft.core.Caching.persist)
+      val cells = quantityDiscountCells(s, dir)
       val a = cells.select(col("x").as("xa"), col("y").as("ya"),
         col("c").as("ca"))
       val b = cells.select(col("x").as("xb"), col("y").as("yb"),
@@ -516,11 +541,7 @@ object CorpusQueries {
     // order on both engines.
     "q245_kendall_tau" -> ((s, dir) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val cells = graft.core.Tables.lineitem(s, dir)
-        .groupBy(col("l_quantity").cast("long").as("x"),
-          round(col("l_discount") * 100).cast("long").as("y"))
-        .agg(count(lit(1)).as("c"))
-        .transform(graft.core.Caching.persist)
+      val cells = quantityDiscountCells(s, dir)
       val a = cells.select(col("x").as("xa"), col("y").as("ya"),
         col("c").as("ca"))
       val b = cells.select(col("x").as("xb"), col("y").as("yb"),
@@ -535,11 +556,14 @@ object CorpusQueries {
       val ym = cells.groupBy(col("y")).agg(sum(col("c")).as("t"))
         .agg(sum(dec(col("t")) * (col("t") - 1)).as("ty2"))
       val nn = cells.agg(sum(col("c")).as("n"))
+      // pair counts report as double, not long: concordance mass is
+      // O(n²) and passes Long.MaxValue near n ~ 4.3e9 rows — the
+      // decimal sums stay exact, only the reporting cast widens
       cd.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
         .crossJoin(broadcast(nn))
         .select(col("n").cast("long").as("n"),
-          col("cp").cast("long").as("c_pairs"),
-          col("dp").cast("long").as("d_pairs"),
+          col("cp").cast("double").as("c_pairs"),
+          col("dp").cast("double").as("d_pairs"),
           ((col("cp") - col("dp")).cast("double")
             / (sqrt((dec(col("n")) * (col("n") - 1) - col("tx2"))
                 .cast("double") / lit(2.0))
@@ -595,16 +619,9 @@ object CorpusQueries {
     // except the single broadcast-centroid distance pass.
     "q247_calinski_harabasz" -> ((s, dir) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val q = graft.core.Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          graft.operators.KMeans.quantize(col("embedding")).as("qv"))
-      val parts = q.select(col("label"), posexplode(col("qv")))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
-        .transform(graft.core.Caching.persist)
-      val cm = parts.select(col("label"), col("pos"), col("n"),
-        floor((lit(2) * col("sv") + col("n")) / (lit(2.0) * col("n")))
-          .cast("long").as("cv"))
+      val q = quantizedVectors(s, dir)
+      val parts = centroidParts(q).transform(graft.core.Caching.persist)
+      val cm = centroidCv(parts)
       val gm = parts.groupBy(col("pos"))
         .agg(sum(col("sv")).as("gsv"), sum(col("n")).as("gn"))
         .select(col("pos"),
@@ -616,12 +633,7 @@ object CorpusQueries {
           .as("bsq"))
       val btot = bsq.agg(sum(dec(col("n")) * col("bsq")).as("tb"),
         sum(col("n")).as("nv"), count(lit(1)).as("k"))
-      val cents = cm.groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
-          .as("pc"))
-        .select(col("label"), transform(col("pc"), x => x.getField("cv"))
-          .as("cvec"))
-      val w = q.join(broadcast(cents), "label")
+      val w = q.join(broadcast(centroidVecs(cm)), "label")
         .select(aggregate(zip_with(col("qv"), col("cvec"),
           (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
           .as("dist"))
@@ -649,11 +661,11 @@ object CorpusQueries {
     // Averages are 1e-9-grid floats of exact integer ratios, so min/max
     // compare longs and the fit is bit-stable under any partitioning.
     "q248_isotonic_fit" -> ((s, dir) => {
-      val xs = graft.core.Tables.lineitem(s, dir)
-        .groupBy(col("l_quantity").cast("long").as("x"))
-        .agg(sum(round(col("l_discount") * 100).cast("long")).as("sx"),
-          count(lit(1)).as("wx"))
-        .transform(graft.core.Caching.persist)
+      // per-quantity (Σcents-pct, weight) marginal of the shared
+      // persisted contingency — Σ_y y·c == Σ_rows round(disc·100)
+      val xs = quantityDiscountCells(s, dir)
+        .groupBy(col("x"))
+        .agg(sum(col("y") * col("c")).as("sx"), sum(col("c")).as("wx"))
       val jk = xs.select(col("x").as("j"))
         .join(broadcast(xs.select(col("x").as("k"))), col("j") <= col("k"))
       val rng = jk.join(broadcast(xs),
@@ -1006,20 +1018,20 @@ object CorpusQueries {
                  * CAST(CAST(c AS DECIMAL(38,0)) * n
                    - CAST(r AS DECIMAL(38,0)) * k AS DOUBLE))
                / (CAST(n AS DOUBLE)
-                 * CAST(CAST(r AS DECIMAL(38,0)) * k AS DOUBLE))
-               * 1e9) AS BIGINT) AS chg
+                 * CAST(CAST(r AS DECIMAL(38,0)) * k AS DOUBLE)
+                 * CAST(n AS DOUBLE))
+               * 1e9) AS BIGINT) AS phg
            FROM cells JOIN rm USING (lang) JOIN km USING (source), tot),
          g AS (SELECT n, r_levels, k_levels, sum(mig) AS smi,
-             sum(chg) AS sch
+             sum(phg) AS sph
            FROM t GROUP BY 1, 2, 3)
          SELECT CAST(n AS BIGINT) AS n,
            CAST(r_levels AS BIGINT) AS r_levels,
            CAST(k_levels AS BIGINT) AS k_levels,
            CAST(smi AS DOUBLE) / 1e9 AS mi,
-           CAST(sch AS DOUBLE) / 1e9 AS chi2,
-           sqrt((CAST(sch AS DOUBLE) / 1e9)
-             / (CAST(n AS DOUBLE)
-               * CAST(least(r_levels - 1, k_levels - 1) AS DOUBLE)))
+           (CAST(sph AS DOUBLE) / 1e9) * CAST(n AS DOUBLE) AS chi2,
+           sqrt((CAST(sph AS DOUBLE) / 1e9)
+             / CAST(least(r_levels - 1, k_levels - 1) AS DOUBLE))
              AS cramers_v
          FROM g""",
     "q244_theil_sen" ->
@@ -1060,8 +1072,8 @@ object CorpusQueries {
          ym AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS ty2
            FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
          nn AS (SELECT sum(c) AS n FROM cells)
-         SELECT CAST(n AS BIGINT) AS n, CAST(cp AS BIGINT) AS c_pairs,
-           CAST(dp AS BIGINT) AS d_pairs,
+         SELECT CAST(n AS BIGINT) AS n, CAST(cp AS DOUBLE) AS c_pairs,
+           CAST(dp AS DOUBLE) AS d_pairs,
            CAST(cp - dp AS DOUBLE)
              / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2
                  AS DOUBLE) / CAST(2.0 AS DOUBLE))

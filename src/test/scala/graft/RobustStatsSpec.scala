@@ -50,9 +50,146 @@ class RobustStatsSpec extends AnyFunSuite {
       (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble))
     val row = queryRow("q245_kendall_tau")
     assert(row.getAs[Long]("n") === n)
-    assert(row.getAs[Long]("c_pairs") === c)
-    assert(row.getAs[Long]("d_pairs") === d)
+    assert(row.getAs[Double]("c_pairs") === c.toDouble)
+    assert(row.getAs[Double]("d_pairs") === d.toDouble)
     assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-12)
+  }
+
+  test("q243 MI / chi-square / Cramér's V match the direct float form") {
+    val ls = graft.core.Tables.documents(spark, sfDir)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = ls.length.toDouble
+    val cell = ls.groupBy(identity).view.mapValues(_.length.toDouble)
+    val rm = ls.groupBy(_._1).view.mapValues(_.length.toDouble)
+    val km = ls.groupBy(_._2).view.mapValues(_.length.toDouble)
+    val mi = cell.map { case ((l, s), c) =>
+      (c / n) * math.log(c * n / (rm(l) * km(s)))
+    }.sum
+    val chi2 = cell.map { case ((l, s), c) =>
+      val e = rm(l) * km(s) / n
+      (c - e) * (c - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / n / math.min(rm.size - 1, km.size - 1))
+    val row = queryRow("q243_mutual_information")
+    assert(row.getAs[Long]("n") === ls.length.toLong)
+    assert(row.getAs[Long]("r_levels") === rm.size.toLong)
+    assert(row.getAs[Long]("k_levels") === km.size.toLong)
+    // grid error: ≤ 1e-9 per cell for MI, ≤ n·1e-9 per cell for χ²
+    assert(math.abs(row.getAs[Double]("mi") - mi) < 1e-5)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-4 * n)
+    assert(math.abs(row.getAs[Double]("cramers_v") - v) < 1e-5)
+  }
+
+  test("q244 Theil–Sen slope/intercept equal the raw-pair weighted medians") {
+    val xy = graft.core.Tables.lineitem(spark, sfDir)
+      .selectExpr("cast(l_quantity as long) x",
+        "cast(round(l_discount * 100) as long) y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // all O(n²) cross-x pair slopes, weight 1 each — the multiset the
+    // query reproduces through the contingency's ca·cb weights
+    val wBySlope = new java.util.HashMap[Double, Long]()
+    var i = 0
+    while (i < xy.length) {
+      var j = 0
+      while (j < xy.length) {
+        if (xy(i)._1 < xy(j)._1) {
+          val m = (xy(j)._2 - xy(i)._2).toDouble /
+            (xy(j)._1 - xy(i)._1).toDouble
+          wBySlope.merge(m, 1L, _ + _)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    def weightedMedian(wv: Seq[(Double, Long)]): Double = {
+      val sorted = wv.sortBy(_._1)
+      val wt = sorted.map(_._2).sum
+      var cw = 0L
+      sorted.find { case (_, w) => cw += w; 2 * cw >= wt }.get._1
+    }
+    val slope = weightedMedian(
+      wBySlope.asScala.toSeq.map { case (m, w) => (m.toDouble, w.toLong) })
+    val vals = xy.groupBy { case (x, y) => y.toDouble - slope * x.toDouble }
+      .view.mapValues(_.length.toLong).toSeq
+    val intercept = weightedMedian(vals)
+    val row = queryRow("q244_theil_sen")
+    assert(row.getAs[Double]("slope") === slope)
+    assert(row.getAs[Double]("intercept") === intercept)
+  }
+
+  test("q246 Bhattacharyya/Hellinger match the direct float form") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val cnt = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(graft.llm.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySrc = cnt.groupBy(_._1).view
+      .mapValues(g => g.map(t => (t._2, t._3)).toMap).toMap
+    val tots = bySrc.view.mapValues(_.values.sum.toDouble).toMap
+    val rows = SparkEntry.queries("q246_hellinger")(spark, sfDir).collect()
+    assert(rows.length === bySrc.size * (bySrc.size - 1) / 2)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val common = bySrc(sa).keySet.intersect(bySrc(sb).keySet)
+      val bc = common.toSeq.map { t =>
+        math.sqrt(bySrc(sa)(t).toDouble * bySrc(sb)(t).toDouble) /
+          (math.sqrt(tots(sa)) * math.sqrt(tots(sb)))
+      }.sum
+      assert(r.getAs[Long]("n_common") === common.size.toLong)
+      // per-term floor-grid bias plus the reference's own float-sum
+      // rounding: budget 4e-9 × |common vocabulary| (any formula error
+      // would show at ≥ 1e-6·|common|)
+      val tol = 4e-9 * common.size + 1e-12
+      val bcQ = r.getAs[Double]("bhattacharyya")
+      assert(math.abs(bcQ - bc) < tol)
+      // hellinger amplifies a BC perturbation by 1/(2h) near BC→1, so
+      // check it as exact internal consistency with the query's own BC
+      assert(r.getAs[Double]("hellinger") ===
+        math.sqrt(math.max(0.0, 1.0 - bcQ)))
+    }
+  }
+
+  test("q247 Calinski–Harabasz matches an independent Scala replication") {
+    val rows = graft.core.Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 16384.0 + 0.5).toLong).toArray))
+    val d = rows.head._2.length
+    val byLabel = rows.groupBy(_._1)
+    def cents(g: Array[(Int, Array[Long])]): Array[Long] = {
+      val n = g.length.toLong
+      Array.tabulate(d) { i =>
+        val sv = g.map(_._2(i)).sum
+        math.floor((2 * sv + n).toDouble / (2.0 * n)).toLong
+      }
+    }
+    val labCents = byLabel.view.mapValues(g => cents(g)).toMap
+    val gCent = cents(rows.map(r => (0, r._2)))
+    var tw = 0L
+    rows.foreach { case (l, q) =>
+      val c = labCents(l)
+      var i = 0
+      while (i < d) { val e = q(i) - c(i); tw += e * e; i += 1 }
+    }
+    var tb = 0L
+    byLabel.foreach { case (l, g) =>
+      val c = labCents(l)
+      var s = 0L; var i = 0
+      while (i < d) { val e = c(i) - gCent(i); s += e * e; i += 1 }
+      tb += g.length.toLong * s
+    }
+    val k = byLabel.size; val nv = rows.length
+    val ch = (tb.toDouble / (k - 1)) / (tw.toDouble / (nv - k))
+    val row = queryRow("q247_calinski_harabasz")
+    assert(row.getAs[Long]("n_vectors") === nv.toLong)
+    assert(row.getAs[Long]("n_labels") === k.toLong)
+    assert(row.getAs[Long]("trace_w") === tw)
+    assert(row.getAs[Long]("trace_b") === tb)
+    assert(math.abs(row.getAs[Double]("ch") - ch) < 1e-12 * ch)
   }
 
   test("q248 minimax isotonic fit equals sequential weighted PAVA") {
