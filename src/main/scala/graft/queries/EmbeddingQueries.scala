@@ -207,10 +207,10 @@ object EmbeddingQueries {
   // (~1e-8 expected failure rate at fixture scale), and a score at a
   // round-to-6-decimals boundary could flip the last digit. No unordered
   // float summation remains in any embedding oracle.
-  private val evCte =
+  private[queries] val evCte =
     """ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings)"""
-  private val nvCte =
+  private[queries] val nvCte =
     """n AS (SELECT vec_id,
              sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
            FROM ev)"""
@@ -228,7 +228,7 @@ object EmbeddingQueries {
                CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
                         ELSE 0 END) AS BIGINT) AS bucket
              FROM dotp GROUP BY vec_id, p // 8)"""
-  private def pairDotCte(table: String, ida: String, idb: String) =
+  private[queries] def pairDotCte(table: String, ida: String, idb: String) =
     s"""d AS (SELECT c.$ida AS $ida, c.$idb AS $idb,
              list_reduce(list_transform(range(64), i -> ea.v[i+1] * eb.v[i+1]),
                (a, b) -> a + b) AS dp
