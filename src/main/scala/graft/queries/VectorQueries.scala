@@ -38,7 +38,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Top principal component of the quantized embedding covariance by
-    // three power-iteration steps from the uniform start, all exact
+    // five power-iteration steps from the uniform start, all exact
     // integer: covariance C = (n·P − s·sᵀ) div n² on the KMeans 2^14
     // grid, iterate w = C·v, renormalize to max|w| = 1e6. Output: the
     // 64 loadings and the Rayleigh-quotient eigenvalue.
@@ -86,7 +86,7 @@ object VectorQueries {
                     ELSE CAST((CAST(w AS DECIMAL(38,0)) * 1000000) DIV m
                       AS BIGINT) END""").as("v"))
       }
-      val v3 = step(step(step(v0))).transform(graft.core.Caching.persist)
+      val v3 = step(step(step(step(step(v0))))).transform(graft.core.Caching.persist)
       val w3 = cMat.join(v3, cMat("j") === v3("vi"))
         .groupBy(col("i"))
         .agg(sum(col("c") * col("v")).as("w"))
@@ -207,7 +207,9 @@ object VectorQueries {
                END AS BIGINT) AS c
            FROM pp JOIN st sa ON sa.i = pp.i JOIN st sb ON sb.i = pp.j),
          v0 AS (SELECT i AS vi, CAST(1000000 AS BIGINT) AS v FROM dim),
-         ${powerStepSql("v0", "v1")},
+         ${powerStepSql("v0", "va")},
+         ${powerStepSql("va", "vb")},
+         ${powerStepSql("vb", "v1")},
          ${powerStepSql("v1", "v2")},
          ${powerStepSql("v2", "v3")},
          w3 AS (SELECT cc.i, sum(cc.c * v3.v) AS w
