@@ -21,17 +21,22 @@ object ChunkDedup {
 
   /** Non-overlapping `c`-token windows of the token array `t`, as an
     * array of (ctoks, chash) structs (chunk token count + 64-bit chunk
-    * hash). Pure column expression — narrow, streaming-safe.
+    * hash). Pure column expression — narrow, streaming-safe. An empty
+    * token array yields an empty chunk array (guarded: `sequence(0,
+    * -1)` would otherwise default its step to -1 and fabricate two
+    * chunks of the empty slice).
     */
   def chunkStructs(t: Column, c: Int, seed: Int): Column = {
     require(c >= 1, s"chunk size must be >= 1, got $c")
     val nChunks = ((size(t) + lit(c - 1)) / lit(c)).cast("int")
-    transform(sequence(lit(0), nChunks - 1), i =>
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(
         size(slice(t, i * lit(c) + lit(1), lit(c))).cast("long").as("ctoks"),
         TextFunctions.portableHash(
           concat_ws(" ", slice(t, i * lit(c) + lit(1), lit(c))), seed)
           .as("chash")))
+    when(size(t) > 0, chunks)
+      .otherwise(array().cast("array<struct<ctoks:bigint,chash:bigint>>"))
   }
 
   /** (doc_id, chunk_idx, ctoks, chash) membership rows for every

@@ -331,11 +331,17 @@ object CorpusQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // log-survival is the parity-exact output (exact grid sum); the
       // survival column re-exponentiates and rounds to the 1e-6 grid
-      // (the repo's round(,6) practice for single libm calls)
+      // (the repo's round(,6) practice for single libm calls).
+      // Terminal-step guard: when every remaining at-risk order events
+      // on the same day (d == n_at_risk, always the last uncensored
+      // row), the factor is log(0) = -Inf; both engines pin it to the
+      // -1e3 grid floor instead, so survival underflows to exactly 0
+      // and log_survival stays a finite, engine-identical grid sum.
       day.withColumn("n_at_risk", sum(col("d") + col("cens")).over(atRisk))
         .withColumn("lng",
-          floor(log(lit(1.0) - col("d").cast("double")
-            / col("n_at_risk").cast("double")) * lit(1e9)).cast("long"))
+          when(col("d") === col("n_at_risk"), lit(-1000000000000L))
+            .otherwise(floor(log(lit(1.0) - col("d").cast("double")
+              / col("n_at_risk").cast("double")) * lit(1e9)).cast("long")))
         .withColumn("log_survival",
           sum(col("lng")).over(cum).cast("double") / lit(1e9))
         .select(col("t").cast("long").as("t"), col("d"), col("cens"),
@@ -696,7 +702,6 @@ object CorpusQueries {
     // the half-credit term, and doubling both sides keeps every count
     // integral in decimal until the single final division.
     "q249_auc_length" -> ((s, dir) => {
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val sc = graft.core.Tables.documents(s, dir)
         .select(size(TextFunctions.tokens(col("text"))).cast("long")
           .as("sv"),
@@ -705,18 +710,10 @@ object CorpusQueries {
         .agg(sum(col("pos")).as("np"),
           sum(lit(1L) - col("pos")).as("nn"))
         .transform(graft.core.Caching.persist)
-      val a = sc.select(col("sv").as("sa"), col("np").as("npa"))
-      val b = sc.select(col("sv").as("sb"), col("nn").as("nnb"))
-      val gt = a.join(broadcast(b), col("sa") > col("sb"))
-        .agg(sum(dec(col("npa")) * col("nnb")).as("u"))
-      val eq = sc.agg(sum(dec(col("np")) * col("nn")).as("e"))
-      val tots = sc.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
-      gt.crossJoin(broadcast(eq)).crossJoin(broadcast(tots))
-        .select(col("tp").cast("long").as("n_pos"),
-          col("tn").cast("long").as("n_neg"),
-          ((lit(2) * col("u") + col("e")).cast("double")
-            / (lit(2) * dec(col("tp")) * col("tn")).cast("double"))
-            .as("auc"))
+      // assembly is SHARED with the streaming twin (one code path, so
+      // batch/stream agreement — including the single-score corpus
+      // where the u join is empty and coalesces to 0 — is structural)
+      graft.streaming.StreamingAuc.aucOf(sc)
     }),
 
     // Delete-one-fold jackknife standard error of revenue-per-order —
@@ -928,8 +925,9 @@ object CorpusQueries {
                AS n_at_risk
            FROM dy),
          g AS (SELECT t, d, cens, n_at_risk,
-             CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
-               / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT) AS lng
+             CASE WHEN d = n_at_risk THEN CAST(-1000000000000 AS BIGINT)
+               ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+                 / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS lng
            FROM k),
          s AS (SELECT t, d, cens, n_at_risk,
              CAST(sum(lng) OVER (ORDER BY t
@@ -1151,7 +1149,7 @@ object CorpusQueries {
          eq AS (SELECT sum(CAST(np AS DECIMAL(38,0)) * nn) AS e FROM sc),
          tots AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM sc)
          SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
-           CAST(2 * u + e AS DOUBLE)
+           CAST(2 * COALESCE(u, 0) + e AS DOUBLE)
              / CAST(2 * CAST(tp AS DECIMAL(38,0)) * tn AS DOUBLE) AS auc
          FROM gt, eq, tots""",
     "q250_jackknife_se" ->

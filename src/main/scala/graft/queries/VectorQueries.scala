@@ -13,14 +13,17 @@ import graft.operators.KMeans
   * serving stack runs after ANN retrieval. Both carry DuckDB oracles.
   *
   * Scale notes (100 TB posture):
-  *  - q259's only corpus-sized stage is ONE pass that explodes each
-  *    vector's 64×64 outer product into a 4096-cell hash aggregate —
-  *    map-side partial aggregation collapses every partition to ≤4096
-  *    cells before the shuffle, so the exchange is O(partitions·d²)
-  *    regardless of corpus size (the classic distributed-Gram trick,
-  *    declared in DataFrame ops). The power iteration itself runs on
-  *    the 4096-row covariance table. Products are cast DECIMAL(38,0)
-  *    before corpus sums (n·2^30 overflows long at n ≥ 2^33); the
+  *  - q259's only corpus-sized stage is ONE pass through
+  *    [[graft.operators.GramMatrixAgg]]: each vector folds into a fixed
+  *    (n, Σq, Σqqᵀ) long buffer — no row amplification, and the
+  *    exchange carries ≤G = 64 buffer rows total regardless of corpus
+  *    size (the classic distributed-Gram trick as a typed aggregate;
+  *    r8's declarative form posexploded 4096 cells/vector and was the
+  *    bench's hottest line). The power iteration itself runs on the
+  *    4096-row covariance table. Partial buffers combine in
+  *    DECIMAL(38,0) (n·2^30 overflows long at n ≥ 2^33 in one buffer —
+  *    the G-way hash split keeps each buffer under that, addExact
+  *    guards it loudly); the
   *    iteration renormalizes to a 1e6 integer grid each step with
   *    explicit sign-handling (Spark DIV truncates toward zero, DuckDB
   *    `//` floors — they agree only on non-negative operands, so both
@@ -45,16 +48,24 @@ object VectorQueries {
     "q259_pca_power" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
-      // one corpus pass: coordinate sums + outer-product cell sums
-      val st = emb.select(posexplode(col("qv")))
+      // ONE corpus pass, zero row amplification: the typed Gram
+      // aggregate folds each vector into a fixed (n, Σq, Σqqᵀ) long
+      // buffer per hash group (G groups bound any single buffer's row
+      // count — exact-long headroom to G·2^33 rows); the ≤G partial
+      // rows then combine in DECIMAL, so the downstream integer math
+      // is bit-identical to the old 4096-cells-per-vector explode
+      val G = 64
+      val parts = emb
+        .groupBy(pmod(hash(col("vec_id")), lit(G)).as("g"))
+        .agg(graft.operators.GramMatrixAgg.gram(col("qv"), D).as("gr"))
+        .transform(graft.core.Caching.persist)
+      val st = parts.select(col("gr.n").as("gn"), posexplode(col("gr.s")))
         .groupBy(col("pos"))
         .agg(sum(col("col").cast("decimal(38,0)")).as("sv"),
-          count(lit(1)).as("n"))
+          sum(col("gn")).as("n"))
         .withColumnRenamed("pos", "i")
         .transform(graft.core.Caching.persist)
-      val pp = emb
-        .select(posexplode(flatten(transform(col("qv"), x =>
-          transform(col("qv"), y => x * y)))))
+      val pp = parts.select(posexplode(col("gr.p")))
         .groupBy(col("pos"))
         .agg(sum(col("col").cast("decimal(38,0)")).as("p"))
         .withColumnRenamed("pos", "k")

@@ -52,4 +52,18 @@ class ChunkDedupSpec extends AnyFunSuite {
       .select(col("chunk_idx"), col("ctoks")).as[(Long, Long)].collect()
     assert(ch.toSeq === Seq((0L, 20L), (1L, 20L), (2L, 7L)))
   }
+
+  test("chunkStructs yields an EMPTY chunk array on an empty token " +
+      "array (public helper, no caller pre-filter)") {
+    // without the guard, sequence(0, nChunks - 1) with nChunks = 0 is
+    // sequence(0, -1) which defaults its step to -1 and fabricates TWO
+    // bogus chunks of the empty slice
+    val df = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b", "c")))
+      .toDF("doc_id", "t")
+    val out = df.select(col("doc_id"),
+        size(graft.llm.ChunkDedup.chunkStructs(col("t"), 2, 7)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) === 0, "empty token array must produce zero chunks")
+    assert(out(2L) === 2) // ceil(3/2)
+  }
 }

@@ -278,4 +278,39 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("jack_se_cents") - math.sqrt(varJack))
       < 1e-4 * math.max(1.0, math.sqrt(varJack)))
   }
+
+  test("q238 Kaplan–Meier terminal step with d == n_at_risk pins to " +
+      "the grid floor: survival 0, log_survival finite") {
+    // fixture whose spans are ALL within the 365-day censor horizon,
+    // so the largest span day has every remaining at-risk order
+    // eventing (d == n_at_risk) — the log(0) = -Inf hole the sf
+    // fixtures' >365-day spans never exercise
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-km").toString
+    val li = Seq(
+        (1L, "1995-01-01"), (1L, "1995-01-01"), // span 0
+        (2L, "1995-01-01"), (2L, "1995-01-06"), // span 5
+        (3L, "1995-02-01"), (3L, "1995-02-06"), // span 5
+        (4L, "1995-03-01"), (4L, "1995-03-11")) // span 10 (largest)
+      .toDF("l_orderkey", "d")
+      .select(col("l_orderkey"),
+        col("d").cast("timestamp").as("l_shipdate"))
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = SparkEntry.queries("q238_kaplan_meier")(spark, tmp)
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("t")).toSeq === Seq(0L, 5L, 10L))
+    assert(out.map(_.getAs[Long]("n_at_risk")).toSeq === Seq(4L, 3L, 1L))
+    val lng0 = math.floor(math.log(1.0 - 1.0 / 4.0) * 1e9).toLong
+    val lng5 = math.floor(math.log(1.0 - 2.0 / 3.0) * 1e9).toLong
+    val lngT = -1000000000000L // the guard's grid floor
+    assert(out(0).getAs[Double]("log_survival") === lng0 / 1e9)
+    assert(out(1).getAs[Double]("log_survival") === (lng0 + lng5) / 1e9)
+    val term = out(2)
+    assert(term.getAs[Long]("d") === 1L)
+    assert(term.getAs[Double]("log_survival") ===
+      (lng0 + lng5 + lngT).toDouble / 1e9)
+    assert(!term.getAs[Double]("log_survival").isInfinite)
+    assert(term.getAs[Double]("survival") === 0.0)
+  }
 }

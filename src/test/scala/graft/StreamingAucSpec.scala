@@ -23,6 +23,24 @@ class StreamingAucSpec extends AnyFunSuite {
       num2.toDouble / (2.0 * pos.length.toDouble * neg.length.toDouble))
   }
 
+  test("aucOf on a single-score corpus coalesces the empty ordered-pair " +
+      "join to the tie half-credit (batch q249 shares this assembly)") {
+    // the sa > sb join is empty, so sum() is null without the
+    // coalesce; the degenerate AUC is e / (2·tp·tn) = 0.5 exactly
+    // (tie half-credit), the same on both faces — q249's batch body
+    // now calls this very assembly, so the agreement is structural
+    val counts = Seq((42L, 3L, 5L)).toDF("sv", "np", "nn")
+    val r = graft.streaming.StreamingAuc.aucOf(counts).collect()(0)
+    assert(r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Long]("n_neg") === 5L)
+    assert(!r.isNullAt(r.fieldIndex("auc")), "auc must not be null")
+    assert(r.getAs[Double]("auc") === 0.5)
+    val (tp, tn, ref) = bruteAuc(
+      Seq.fill(3)((42L, true)) ++ Seq.fill(5)((42L, false)))
+    assert((tp, tn) === (3L, 5L))
+    assert(r.getAs[Double]("auc") === ref)
+  }
+
   test("streaming AUC equals brute force at every prefix and batch q249 " +
       "at the end") {
     val prev = spark.conf.getOption(
