@@ -49,7 +49,9 @@ object GraftFunctions {
         "neighborhood of the FIRST min(length, prefix) code points; " +
         "prefix defaults to 20 (r8 change: previously unbounded, so " +
         "band keys for >20-char strings differ from pre-r8 indexes — " +
-        "pass an explicit larger prefix to match an old index)", args => {
+        "pass an explicit larger prefix to match an old index; " +
+        "persisted indexes should go through graft.operators.BandIndex, " +
+        "which records the prefix and fails loudly on mismatch)", args => {
       require(args.length == 1 || args.length == 2,
         "deletion_band_hashes(str[, prefix])")
       val p = if (args.length == 2) intArg(args(1), "prefix")

@@ -1,16 +1,27 @@
 #!/usr/bin/env python3
-"""Per-query bench-regression gate (VERDICT r7 #2).
+"""Per-query bench-regression gate (VERDICT r7 #2, drift-aware since r10).
 
 Diffs the current sweep (bench_detail.json, written by graft.Bench)
 against the committed previous-round baseline
 (tools/bench_baseline.json, refreshed from the driver's sf0.1 detail
-each round) and reports every query that regressed by MORE THAN BOTH
-thresholds:
+each round) and reports every query whose DRIFT-NORMALIZED time clears
+both a proportional and an absolute noise allowance:
 
-    cur > RATIO * base   AND   cur - base > ABS_SECS
+    cur/drift > RATIO * base + NOISE_SECS
 
-The double threshold keeps sub-100ms queries (pure JVM noise) and
-large-but-proportional shifts out of the report. Regressions listed in
+where drift = median over shared queries of cur/base (computed on
+queries with base >= MEDIAN_FLOOR_SECS so sub-50ms JVM noise doesn't
+vote). The r9 round proved the need for both terms: byte-identical
+code re-ran ~25% slower suite-wide (10 phantom flags from drift
+alone), and even after dividing the median out, the two jumpiest
+sub-second queries (q134 x1.64, q77 x1.78 normalized — scheduling-
+quantum noise, roughly CONSTANT seconds per query, hence the additive
+term) still cleared a pure-ratio bar. A real single-query regression
+barely moves the median (one vote out of 260) and real hot-spot
+regressions are multi-second (q259's explode was +20 s), so the gate
+still trips on them — `--selftest` proves both directions.
+
+Regressions listed in
 tools/bench_exclusions.json (deliberate, documented trades — q175's r7
 linkage rebuild is the charter entry) are reported as "excused" and do
 not fail the gate.
@@ -18,6 +29,7 @@ not fail the gate.
 Usage:
     python3 tools/bench_regress.py [current.json] [baseline.json]
         (defaults: bench_detail.json, tools/bench_baseline.json)
+    python3 tools/bench_regress.py --selftest
 
 Exit codes: 0 = clean (or SF mismatch — cross-SF diffs are meaningless,
 reported and skipped), 1 = unexcused regressions, 2 = usage/IO error.
@@ -25,13 +37,20 @@ Output is line-oriented for the driver: one "REGRESSION ..." line per
 finding, then a one-line JSON summary.
 """
 import json
+import statistics
 import sys
 
 RATIO = 1.5
-ABS_SECS = 0.3
+NOISE_SECS = 0.45  # absolute per-query noise floor observed on identical
+                   # code (min-of-3 sweeps still swings ~0.5s on this host)
+MEDIAN_FLOOR_SECS = 0.05  # queries too small to measure don't vote on drift
+DRIFT_CLAMP = (0.5, 2.0)  # beyond this the "drift" is itself suspicious;
+                          # clamp so a broken host can't excuse real 2x+ hits
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        return selftest()
     cur_path = sys.argv[1] if len(sys.argv) > 1 else "bench_detail.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_baseline.json"
     try:
@@ -65,14 +84,17 @@ def main():
         return 0
 
     cq, bq = cur["queries"], base["queries"]
+    drift = suite_drift(cq, bq)
     regressions, excused = [], []
     for name, b in sorted(bq.items()):
         c = cq.get(name)
         if c is None:
             continue  # removed/renamed queries are the judge's business
-        if c > RATIO * b and c - b > ABS_SECS:
+        cn = c / drift
+        if cn > RATIO * b + NOISE_SECS:
             entry = {"query": name, "base": b, "cur": c,
-                     "ratio": round(c / b, 2) if b > 0 else None}
+                     "cur_norm": round(cn, 3),
+                     "ratio": round(cn / b, 2) if b > 0 else None}
             if name in excl and name != "_doc":
                 entry["excused"] = excl[name].get("why", "")[:120]
                 excused.append(entry)
@@ -82,19 +104,67 @@ def main():
     new_queries = sorted(set(cq) - set(bq))
     for r in regressions:
         print(f"REGRESSION {r['query']}: {r['base']:.2f}s -> {r['cur']:.2f}s "
-              f"(x{r['ratio']})")
+              f"({r['cur_norm']:.2f}s drift-normalized, x{r['ratio']})")
     for r in excused:
         print(f"excused    {r['query']}: {r['base']:.2f}s -> {r['cur']:.2f}s "
               f"(x{r['ratio']}) — {r['excused']}")
     print(json.dumps({
         "gate": "fail" if regressions else "ok",
-        "sf": cur.get("sf"), "sweeps": [cs, bs],
+        "sf": cur.get("sf"), "sweeps": [cs, bs], "drift": round(drift, 3),
         "total_base": base.get("value"), "total_cur": cur.get("value"),
         "n_regressions": len(regressions), "n_excused": len(excused),
         "n_new_queries": len(new_queries),
         "regressions": [r["query"] for r in regressions],
     }))
     return 1 if regressions else 0
+
+
+def suite_drift(cq, bq):
+    """Median cur/base over measurable shared queries, clamped.
+
+    The median is robust to any handful of REAL regressions (they are a
+    few votes out of hundreds), so dividing it out removes exactly the
+    whole-suite host-speed component and nothing else.
+    """
+    ratios = [cq[n] / b for n, b in bq.items()
+              if n in cq and b >= MEDIAN_FLOOR_SECS and cq[n] > 0]
+    if len(ratios) < 8:  # too few comparable queries to estimate drift
+        return 1.0
+    lo, hi = DRIFT_CLAMP
+    return min(hi, max(lo, statistics.median(ratios)))
+
+
+def selftest():
+    """Prove both gate directions without touching disk."""
+    base = {q: t for q, t in
+            [(f"q{i:03d}", 0.2 + (i % 17) * 0.11) for i in range(1, 121)]}
+    mk = lambda qs: {"sf": 0.1, "sweeps": 3, "queries": qs,
+                     "value": sum(qs.values())}
+    def flags(cur, d):
+        return [q for q, b in sorted(base.items())
+                if cur["queries"][q] / d > RATIO * b + NOISE_SECS]
+    # 1) uniform 1.3x host drift on identical code -> clean gate
+    drifted = mk({q: t * 1.3 for q, t in base.items()})
+    d = suite_drift(drifted["queries"], base)
+    assert abs(d - 1.3) < 1e-9, d
+    assert flags(drifted, d) == []
+    # 2) same drift PLUS one genuine 2x regression on a measurable
+    #    (~2s) query -> exactly that query flags
+    hit = mk({q: t * 1.3 * (2.0 if q == "q016" else 1.0)
+              for q, t in base.items()})
+    d = suite_drift(hit["queries"], base)
+    assert flags(hit, d) == ["q016"], flags(hit, d)
+    # 2b) r9's observed phantom shape — a sub-second query swinging
+    #     x1.8 on identical code — stays inside the noise allowance
+    phantom = mk({q: t * 1.3 * (1.8 if q == "q002" else 1.0)
+                  for q, t in base.items()})
+    assert flags(phantom, suite_drift(phantom["queries"], base)) == []
+    # 3) clamp: a phantom 3x "drift" cannot excuse itself
+    crazy = mk({q: t * 3.0 for q, t in base.items()})
+    assert suite_drift(crazy["queries"], base) == DRIFT_CLAMP[1]
+    print("selftest ok: drift normalized, real regression caught, "
+          "clamp holds")
+    return 0
 
 
 if __name__ == "__main__":
