@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.queries.{AnalyticQueries, CorpusQueries, EvalQueries, VectorQueries, DataStreamQueries, EmbeddingQueries, ExtendedRelationalQueries, LlmQueries, OperationalQueries, PipelineQueries, QualityQueries, RelationalQueries, StatsQueries, WindowQueries}
+import graft.queries.{AnalyticQueries, CorpusQueries, CurationQueries, EvalQueries, VectorQueries, DataStreamQueries, EmbeddingQueries, ExtendedRelationalQueries, LlmQueries, OperationalQueries, PipelineQueries, QualityQueries, RelationalQueries, StatsQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,11 +26,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ WindowQueries.queries ++ DataStreamQueries.queries ++ LlmQueries.queries ++ EmbeddingQueries.queries ++ ExtendedRelationalQueries.queries ++ AnalyticQueries.queries ++ PipelineQueries.queries ++ OperationalQueries.queries ++ QualityQueries.queries ++ StatsQueries.queries ++ CorpusQueries.queries ++ EvalQueries.queries ++ VectorQueries.queries
+    RelationalQueries.queries ++ WindowQueries.queries ++ DataStreamQueries.queries ++ LlmQueries.queries ++ EmbeddingQueries.queries ++ ExtendedRelationalQueries.queries ++ AnalyticQueries.queries ++ PipelineQueries.queries ++ OperationalQueries.queries ++ QualityQueries.queries ++ StatsQueries.queries ++ CorpusQueries.queries ++ EvalQueries.queries ++ VectorQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ WindowQueries.oracles ++ DataStreamQueries.oracles ++ LlmQueries.oracles ++ EmbeddingQueries.oracles ++ ExtendedRelationalQueries.oracles ++ AnalyticQueries.oracles ++ PipelineQueries.oracles ++ OperationalQueries.oracles ++ QualityQueries.oracles ++ StatsQueries.oracles ++ CorpusQueries.oracles ++ EvalQueries.oracles ++ VectorQueries.oracles
+    RelationalQueries.oracles ++ WindowQueries.oracles ++ DataStreamQueries.oracles ++ LlmQueries.oracles ++ EmbeddingQueries.oracles ++ ExtendedRelationalQueries.oracles ++ AnalyticQueries.oracles ++ PipelineQueries.oracles ++ OperationalQueries.oracles ++ QualityQueries.oracles ++ StatsQueries.oracles ++ CorpusQueries.oracles ++ EvalQueries.oracles ++ VectorQueries.oracles ++ CurationQueries.oracles
 }

@@ -61,4 +61,84 @@ object LmScore {
         round(col("total_microbits").cast("double")
           / col("n_tok").cast("double") / lit(1e6), 6).as("mean_bits"))
   }
+
+  /** Interpolated bigram LM perplexity filter — one rung up the CCNet
+    * ladder from [[unigramSurprisal]]: score each document's mean
+    * bits/bigram under p(w|u) = λ·c(u,w)/c(u·) + (1−λ)·(c(w)+1)/(N+V),
+    * the classic Jelinek–Mercer blend of the per-language bigram MLE
+    * with the add-one unigram floor (λ = 3/4, exactly representable).
+    * Emits the keep/cut verdict at `keepBits` mean bits/bigram — the
+    * low-perplexity-head selection real curation recipes apply.
+    *
+    * Determinism contract (the q82 discipline): one −log2 per DISTINCT
+    * (lang, u, w) key quantized to integer microbits, per-doc totals
+    * are exact long sums, and the verdict compares ON THE GRID
+    * (total ≤ thresholdMicrobits·n — integer × integer, no float
+    * boundary), so kept/cut is bit-portable across engines and
+    * cluster layouts.
+    *
+    * Scale shape: everything is keyed on the bounded (lang, bigram)
+    * vocabulary — the LM build is two map-side-combined aggregations,
+    * context totals reduce the bigram table, and scoring is the same
+    * bounded-key join as unigram scoring. At 100 TB the bigram table
+    * gets a frequency floor exactly like the unigram LM; nothing here
+    * is corpus-quadratic.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String, keepBits: Double = 12.0): DataFrame = {
+    val lambdaNum = 3L // λ = lambdaNum / lambdaDen = 0.75
+    val lambdaDen = 4L
+    val toks = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+      .transform(graft.core.Caching.persist)
+    // (doc_id, lang, u, w) bigram stream — persisted for the same
+    // generator-re-evaluation reason as unigram's token stream
+    val big = toks
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(2), size(col("t"))), i =>
+          struct(element_at(col("t"), i - lit(1)).as("u"),
+            element_at(col("t"), i).as("w")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.u"), col("bg.w"))
+      .transform(graft.core.Caching.persist)
+    val uni = toks
+      .select(col("lang"), explode(col("t")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cu"))
+      .transform(graft.core.Caching.persist)
+    val utot = uni.groupBy(col("lang"))
+      .agg(sum(col("cu")).cast("long").as("n_lang"),
+        count(lit(1)).as("v_lang"))
+    val bc = big.groupBy(col("lang"), col("u"), col("w"))
+      .agg(count(lit(1)).as("cb"))
+    val ctx = bc.groupBy(col("lang"), col("u"))
+      .agg(sum(col("cb")).cast("long").as("cc"))
+    // λ·MLE + (1−λ)·floor in one fixed operand order (both engines run
+    // the identical IEEE op sequence on exact integer inputs), one
+    // libm log2 per distinct key, rounded onto the microbit grid
+    val pb = bc
+      .join(ctx, Seq("lang", "u"))
+      .join(uni.select(col("lang"), col("tok").as("w"), col("cu")),
+        Seq("lang", "w"))
+      .join(broadcast(utot), "lang")
+      .select(col("lang"), col("u"), col("w"),
+        round(negate(log2(
+          lit(lambdaNum.toDouble / lambdaDen)
+            * (col("cb").cast("double") / col("cc").cast("double"))
+          + lit(1.0 - lambdaNum.toDouble / lambdaDen)
+            * ((col("cu") + lit(1L)).cast("double")
+              / (col("n_lang") + col("v_lang")).cast("double"))))
+          * lit(1e6)).cast("long").as("microbits"))
+    val thresholdMicrobits = Math.round(keepBits * 1e6)
+    big.join(pb, Seq("lang", "u", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("microbits")).cast("long").as("total_microbits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_microbits"),
+        round(col("total_microbits").cast("double")
+          / col("n_bigrams").cast("double") / lit(1e6), 6).as("mean_bits"),
+        (col("total_microbits")
+          <= lit(thresholdMicrobits) * col("n_bigrams")).as("kept"))
+  }
 }

@@ -77,6 +77,37 @@ object Similarity {
       .withColumnsRenamed(Map("vec_id" -> "query_id", "nn_id" -> "neighbor_id"))
   }
 
+  /** Contrastive hard-negative mining: for each probe, the top-k most
+    * similar corpus rows PER POLARITY — same-label (the positives a
+    * contrastive batch pairs with) and different-label (the hard
+    * negatives that actually move an embedding model). Encodes
+    * (query, polarity) into one long key so the whole ranking rides
+    * [[TopKAggregator]] exactly like [[knnBruteForce]]: the corpus
+    * never shuffles (probe side broadcast), and the exchange carries
+    * ≤ k rows per (partition, query, polarity).
+    */
+  def labeledTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("nvec"),
+      col(labelCol).as("nlabel"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"),
+      col(labelCol).as("qlabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(
+        (col("query_id") * lit(2L)
+          + when(col("nlabel") =!= col("qlabel"), lit(1L))
+            .otherwise(lit(0L))).as("vec_id"),
+        col("neighbor_id").as("nn_id"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("score"))
+    topKByQuery(scored, k, withRank = true)
+      .select(expr("vec_id DIV 2").as("query_id"),
+        (pmod(col("vec_id"), lit(2L)) === lit(1L)).as("is_negative"),
+        col("nn_id").as("neighbor_id"), col("score"), col("rnk"))
+  }
+
   /** Symmetric int8 quantization scale: max|x| / 127 (0 for zero vectors). */
   def int8Scale(v: Column): Column =
     array_max(transform(v, x => abs(x))) / lit(127.0)

@@ -777,7 +777,7 @@ object CorpusQueries {
          sum((q.qv[cm.i + 1] - cm.cv) * (q.qv[cm.i + 1] - cm.cv)) AS dist
        FROM q, cm GROUP BY 1, 2, 3)"""
 
-  private def chunkCte(c: Int, seed: Int) =
+  private[queries] def chunkCte(c: Int, seed: Int) =
     s"""ch AS (SELECT doc_id, source, i AS chunk_idx,
          len(t[i*$c+1 : i*$c+$c]) AS ctoks,
          CAST(concat('0x', substr(md5(concat('$seed', '|',

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Round-10 widening: the two curation passes the r9 verdict queued —
+  * the interpolated bigram LM perplexity filter (the CCNet-style
+  * keep/cut real recipes run, one rung above q82's unigram surprisal)
+  * and chunk-level cross-source contamination (q216's source-pair
+  * audit at sub-document granularity — the shape benchmark-
+  * decontamination sweeps actually need, since eval sets leak as
+  * passages inside otherwise-novel documents, not as whole-document
+  * near-dups).
+  *
+  * Scale notes (100 TB posture):
+  *  - q261: the LM lives on the bounded (lang, bigram) vocabulary key —
+  *    two map-side-combined count aggregations + one reduction for the
+  *    context totals; scoring is a bounded-key join against the bigram
+  *    stream. Per-key surprisal is one −log2 quantized to integer
+  *    microbits; per-doc totals are exact long sums and the keep/cut
+  *    verdict compares on the integer grid (total ≤ threshold·n), so
+  *    the filter decision is bit-portable across engines and layouts.
+  *  - q262: chunks collapse to 64-bit hashes before any shuffle
+  *    (`ChunkDedup`); the (chash, source) table bounds the pair join —
+  *    each chunk hash meets ≤ |sources| rows, so candidate volume is
+  *    Σ per-chash |sources|² with |sources| a catalog-scale constant,
+  *    never corpus-quadratic. Reported masses are corpus-linear longs.
+  */
+object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Interpolated bigram LM perplexity filter: mean bits/bigram under
+    // λ·bigram-MLE + (1−λ)·add-one-unigram (λ = 3/4), verdict at 12
+    // bits/bigram on the exact microbit grid. See LmScore for the
+    // determinism and scale contract.
+    "q261_bigram_perplexity" -> ((s, dir) =>
+      graft.llm.LmScore.bigramSurprisal(Tables.documents(s, dir),
+        "doc_id", "text", "lang", keepBits = 12.0)),
+
+    // Chunk-level cross-source contamination matrix: which source
+    // pairs share verbatim 20-token chunks, and how much token mass —
+    // q216's audit at sub-document granularity. One hash aggregate to
+    // (chash, source), one bounded self-join, one matrix aggregate.
+    "q262_chunk_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mem = graft.llm.ChunkDedup
+        .chunkMembership(docs, "doc_id", "text", 20, 7)
+        .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("source")), "doc_id")
+      // max(ctoks) per (chash, source): chunks with equal hashes have
+      // equal token counts unless a 32-bit collision merges two chunk
+      // types — max picks ONE deterministic representative either way
+      val ss = mem.groupBy(col("chash"), col("source"))
+        .agg(max(col("ctoks")).as("ctoks"))
+        .transform(graft.core.Caching.persist)
+      val a = ss.select(col("chash"), col("source").as("source_a"),
+        col("ctoks"))
+      val b = ss.select(col("chash"), col("source").as("source_b"))
+      a.join(b, "chash")
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_chunks"),
+          sum(col("ctoks")).cast("long").as("shared_tokens"))
+    }),
+
+    // DSIR-style hashed-bigram importance weights: per-doc mean log2
+    // ratio between a target LM (lang = 'en' as the quality proxy) and
+    // the raw-corpus LM, both estimated on a FIXED 4096-bucket hashed
+    // feature space — the data-selection trick that keeps the model a
+    // broadcastable constant at any corpus size. Per-bucket weight is
+    // one floored microbit long (floor, not round: weights are signed
+    // and floor has no halfway rule to disagree on); per-doc totals are
+    // exact long sums; target_leaning compares on the grid.
+    "q263_dsir_weights" -> ((s, dir) => {
+      val B = 4096L
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.llm.TextFunctions.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+      val big = toks
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(2), size(col("t"))), i =>
+            concat(element_at(col("t"), i - lit(1)), lit(" "),
+              element_at(col("t"), i)))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          pmod(graft.llm.TextFunctions.portableHash(col("bg"), 37), lit(B))
+            .as("bk"))
+        .transform(graft.core.Caching.persist)
+      val raw = big.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
+      val tgt = big.where(col("lang") === "en")
+        .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+      val tots = big.agg(count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val w = raw.join(tgt, Seq("bk"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("bk"),
+          floor((log2((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+              / (col("nt") + lit(B)).cast("double"))
+            - log2((col("cr") + lit(1L)).cast("double")
+              / (col("nr") + lit(B)).cast("double"))) * lit(1e6))
+            .cast("long").as("mb"))
+      big.join(broadcast(w), "bk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("mb")).cast("long").as("total_microbits"))
+        // NO round(,6) here: the weight is signed, and decimal-rounding
+        // a negative double at a half boundary differs between engines;
+        // the raw double is two IEEE divisions of exact integers —
+        // bit-identical everywhere
+        .select(col("doc_id"), col("n_bigrams"), col("total_microbits"),
+          (col("total_microbits").cast("double")
+            / col("n_bigrams").cast("double") / lit(1e6)).as("mean_bits"),
+          (col("total_microbits") > lit(0L)).as("target_leaning"))
+    }),
+
+    // Content-defined chunking (FastCDC's idea at token granularity):
+    // chunk boundaries where a token's portable hash lands in the
+    // 1/16 gate, so chunk edges are a pure function of CONTENT — an
+    // insertion shifts every fixed-window chunk after it but leaves
+    // all content-defined chunks except the edited one intact, which
+    // is why incremental-dedup pipelines chunk this way. Reports the
+    // dedup profile per power-of-two chunk-length bucket. The only
+    // window is per-document (partitioned); chunks collapse to 64-bit
+    // hashes before the corpus-wide distinct.
+    "q264_cdc_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.llm.TextFunctions.tokens(col("text"))
+          .as("t"))
+        .where(size(col("t")) > 0)
+        .select(col("doc_id"), posexplode(col("t")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"),
+          when(pmod(graft.llm.TextFunctions.portableHash(col("col"), 41),
+            lit(16L)) === lit(0L), lit(1L)).otherwise(lit(0L)).as("bd"))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ch = toks
+        .withColumn("cid", coalesce(sum(col("bd")).over(wPrev), lit(0L)))
+        .groupBy(col("doc_id"), col("cid"))
+        .agg(count(lit(1)).as("ctoks"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"),
+              col("tok")))), x => x.getField("tok"))).as("ctext"))
+        .select(col("ctoks"),
+          graft.llm.TextFunctions.portableHash(col("ctext"), 43).as("chash"))
+      ch.groupBy((length(bin(col("ctoks"))) - 1).cast("long")
+          .as("len_bucket"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chash")).as("n_distinct"),
+          sum(col("ctoks")).cast("long").as("n_tokens"))
+        .select(col("len_bucket"), col("n_chunks"), col("n_distinct"),
+          col("n_tokens"),
+          ((col("n_chunks") - col("n_distinct")).cast("double")
+            / col("n_chunks").cast("double")).as("dup_rate"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q261_bigram_perplexity" ->
+      s"""WITH ${LlmQueries.tkCte},
+         tk2 AS (SELECT doc_id, lang, t FROM tk WHERE len(t) >= 2),
+         big AS (SELECT doc_id, lang, t[i-1] AS u, t[i] AS w
+           FROM tk2, unnest(generate_series(2, len(t))) AS g(i)),
+         uni AS (SELECT lang, tok, count(*) AS cu
+           FROM (SELECT lang, unnest(t) AS tok FROM tk2) GROUP BY 1, 2),
+         utot AS (SELECT lang, CAST(sum(cu) AS BIGINT) AS n_lang,
+             CAST(count(*) AS BIGINT) AS v_lang
+           FROM uni GROUP BY lang),
+         bc AS (SELECT lang, u, w, count(*) AS cb
+           FROM big GROUP BY 1, 2, 3),
+         ctx AS (SELECT lang, u, CAST(sum(cb) AS BIGINT) AS cc
+           FROM bc GROUP BY 1, 2),
+         pb AS (SELECT bc.lang, bc.u, bc.w,
+             CAST(round(-log2(
+                 CAST(0.75 AS DOUBLE)
+                   * (CAST(cb AS DOUBLE) / CAST(cc AS DOUBLE))
+                 + CAST(0.25 AS DOUBLE)
+                   * (CAST(cu + 1 AS DOUBLE)
+                     / CAST(n_lang + v_lang AS DOUBLE))) * 1e6)
+               AS BIGINT) AS microbits
+           FROM bc
+           JOIN ctx ON ctx.lang = bc.lang AND ctx.u = bc.u
+           JOIN uni ON uni.lang = bc.lang AND uni.tok = bc.w
+           JOIN utot ON utot.lang = bc.lang)
+         SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(microbits) AS BIGINT) AS total_microbits,
+           round(CAST(sum(microbits) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_bits,
+           sum(microbits) <= 12000000 * count(*) AS kept
+         FROM big
+         JOIN pb ON pb.lang = big.lang AND pb.u = big.u AND pb.w = big.w
+         GROUP BY big.doc_id""",
+    "q262_chunk_contamination" ->
+      s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(20, 7)},
+         ss AS (SELECT chash, source, max(ctoks) AS ctoks
+           FROM ch GROUP BY 1, 2)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_chunks,
+           CAST(sum(a.ctoks) AS BIGINT) AS shared_tokens
+         FROM ss a JOIN ss b ON a.chash = b.chash AND a.source < b.source
+         GROUP BY 1, 2""",
+    "q263_dsir_weights" ->
+      s"""WITH ${LlmQueries.tkCte},
+         tk2 AS (SELECT doc_id, lang, t FROM tk WHERE len(t) >= 2),
+         big AS (SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(concat('37', '|',
+               concat(t[i-1], ' ', t[i]))), 1, 8)) AS BIGINT) % 4096 AS bk
+           FROM tk2, unnest(generate_series(2, len(t))) AS g(i)),
+         raw AS (SELECT bk, count(*) AS cr FROM big GROUP BY 1),
+         tgt AS (SELECT bk, count(*) AS ct FROM big
+           WHERE lang = 'en' GROUP BY 1),
+         tots AS (SELECT count(*) AS nr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM big),
+         w AS (SELECT raw.bk, CAST(floor((
+               log2(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                 / CAST(nt + 4096 AS DOUBLE))
+               - log2(CAST(cr + 1 AS DOUBLE)
+                 / CAST(nr + 4096 AS DOUBLE))) * 1e6) AS BIGINT) AS mb
+           FROM raw LEFT JOIN tgt ON tgt.bk = raw.bk, tots)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(mb) AS BIGINT) AS total_microbits,
+           CAST(sum(mb) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+             AS mean_bits,
+           sum(mb) > 0 AS target_leaning
+         FROM big JOIN w USING (bk) GROUP BY doc_id""",
+    "q264_cdc_chunks" ->
+      s"""WITH ${LlmQueries.tkCte},
+         tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('41', '|',
+                 t[i])), 1, 8)) AS BIGINT) % 16 = 0
+               THEN 1 ELSE 0 END AS bd
+           FROM tk, unnest(generate_series(1, len(t))) AS g(i)
+           WHERE len(t) > 0),
+         cid AS (SELECT doc_id, pos, tok,
+             COALESCE(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+           FROM tok),
+         ch AS (SELECT doc_id, cid, count(*) AS ctoks,
+             CAST(concat('0x', substr(md5(concat('43', '|',
+                 string_agg(tok, ' ' ORDER BY pos))), 1, 8)) AS BIGINT)
+               AS chash
+           FROM cid GROUP BY 1, 2),
+         bk AS (SELECT CAST(length(bin(ctoks)) - 1 AS BIGINT) AS len_bucket,
+             count(*) AS n_chunks, count(DISTINCT chash) AS n_distinct,
+             sum(ctoks) AS n_tokens
+           FROM ch GROUP BY 1)
+         SELECT len_bucket, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chunks - n_distinct AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+             AS dup_rate
+         FROM bk"""
+  )
+}

@@ -191,6 +191,17 @@ object EmbeddingQueries {
           (coalesce(lit(1.0) / (lit(60L) + col("lrank")), lit(0.0))
             + coalesce(lit(1.0) / (lit(60L) + col("srank")), lit(0.0)))
             .as("rrf"))
+    }),
+
+    // Contrastive hard-negative mining: per probe, the 5 most similar
+    // SAME-label rows (positives pool) and the 5 most similar
+    // DIFFERENT-label rows (the hard negatives a contrastive trainer
+    // pairs against) — one TopKAggregator pass keyed on (query,
+    // polarity), corpus never shuffles.
+    "q265_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.labeledTopK(emb, emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
     })
   )
 
@@ -458,6 +469,27 @@ object EmbeddingQueries {
                  ORDER BY dist2 DESC, vec_id ASC) AS BIGINT) AS rnk
              FROM d)
          SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 5""",
-    "q139_kmeans" -> graft.operators.KMeans.oracleSql(k = 4, iters = 2, dims = 64)
+    "q139_kmeans" -> graft.operators.KMeans.oracleSql(k = 4, iters = 2, dims = 64),
+    "q265_hard_negatives" ->
+      s"""WITH $evCte, $nvCte,
+         lb AS (SELECT vec_id, label FROM embeddings),
+         cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CASE WHEN la.label <> lbb.label THEN 1 ELSE 0 END AS neg
+           FROM ev a JOIN ev b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+           JOIN lb la ON la.vec_id = a.vec_id
+           JOIN lb lbb ON lbb.vec_id = b.vec_id),
+         ${pairDotCte("cand", "qid", "nid")},
+         s AS (SELECT d.qid, d.nid, c.neg,
+             round(dp / (nq.nrm * ne.nrm), 6) AS score
+           FROM d JOIN cand c ON c.qid = d.qid AND c.nid = d.nid
+                  JOIN n nq ON nq.vec_id = d.qid
+                  JOIN n ne ON ne.vec_id = d.nid),
+         r AS (SELECT qid AS query_id, neg = 1 AS is_negative,
+             nid AS neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY qid, neg
+               ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk
+           FROM s)
+         SELECT query_id, is_negative, neighbor_id, score, rnk
+         FROM r WHERE rnk <= 5"""
   )
 }

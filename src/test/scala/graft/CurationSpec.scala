@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algorithm-level cross-checks for the round-10 curation pack — the
+  * oracle gate proves Spark == DuckDB, but both share the FORMULA, so
+  * q261's interpolated bigram LM is re-derived here by a brute-force
+  * Scala replication, and q264's content-defined chunking is checked
+  * against the property that justifies its existence: an insertion
+  * perturbs only the edited chunk, never the chunks downstream.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("q261 interpolated bigram surprisal equals a brute-force Scala " +
+      "replication on the fixture") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.llm.TextFunctions.tokens(col("text")).as("t"), col("lang"))
+      .as[(Long, Seq[String], String)].collect()
+      .filter(_._2.length >= 2)
+    val bigrams = docs.flatMap { case (id, t, lang) =>
+      t.sliding(2).map(p => (id, lang, p(0), p(1)))
+    }
+    val uni = docs.flatMap { case (_, t, lang) => t.map((lang, _)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val utot = uni.groupBy(_._1._1).map { case (lang, m) =>
+      lang -> (m.values.sum, m.size.toLong)
+    }
+    val bc = bigrams.groupBy(r => (r._2, r._3, r._4))
+      .map { case (k, v) => k -> v.length.toLong }
+    val ctx = bc.groupBy { case ((lang, u, _), _) => (lang, u) }
+      .map { case (k, m) => k -> m.values.sum }
+    def microbits(lang: String, u: String, w: String): Long = {
+      val cb = bc((lang, u, w)).toDouble
+      val cc = ctx((lang, u)).toDouble
+      val cu = uni((lang, w)).toDouble
+      val (n, v) = utot(lang)
+      val p = 0.75 * (cb / cc) + 0.25 * ((cu + 1) / (n + v).toDouble)
+      Math.round(-(Math.log(p) / Math.log(2.0)) * 1e6)
+    }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val total = bs.map(b => microbits(b._2, b._3, b._4)).sum
+      id -> (bs.length.toLong, total)
+    }
+    val got = SparkEntry.queries("q261_bigram_perplexity")(spark, sfDir)
+      .select(col("doc_id"), col("n_bigrams"), col("total_microbits"),
+        col("kept"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, total, kept) =>
+      val (en, etotal) = expected(id)
+      assert(n === en, s"doc $id bigram count")
+      assert(total === etotal, s"doc $id total microbits")
+      assert(kept === (total <= 12000000L * n), s"doc $id verdict")
+    }
+  }
+
+  test("q264 CDC chunking: inserting one token changes only the edited " +
+      "chunk's hash, fixed windows shift everything after it") {
+    // membership helper mirrored inline: boundary gate = hash%16 == 0
+    def cdcHashes(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = df
+        .select(col("doc_id"),
+          graft.llm.TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(col("t")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"),
+          when(pmod(graft.llm.TextFunctions.portableHash(col("col"), 41),
+            lit(16L)) === lit(0L), lit(1L)).otherwise(lit(0L)).as("bd"))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.withColumn("cid", coalesce(sum(col("bd")).over(wPrev), lit(0L)))
+        .groupBy(col("doc_id"), col("cid"))
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("tok")))), x => x.getField("tok"))).as("ctext"))
+        .select(graft.llm.TextFunctions.portableHash(col("ctext"), 43))
+        .as[Long].collect().toSeq
+    }
+    // 400 deterministic pseudo-words => dozens of content-defined chunks
+    val words = (1 to 400).map(i => s"w${i * 7919 % 1000}")
+    val orig = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val edited = Seq(
+      (1L, (words.take(200) ++ Seq("inserted") ++ words.drop(200))
+        .mkString(" "))).toDF("doc_id", "text")
+    val h0 = cdcHashes(orig)
+    val h1 = cdcHashes(edited)
+    assert(h0.size >= 10, s"fixture too small: ${h0.size} chunks")
+    val lost = h0.toSet -- h1.toSet
+    // the insertion lands inside exactly one chunk; if "inserted" is
+    // itself a boundary token it splits that chunk in two — either way
+    // every OTHER chunk survives verbatim
+    assert(lost.size <= 1,
+      s"CDC must localize the edit, lost ${lost.size} chunks")
+    assert((h1.toSet -- h0.toSet).size <= 2)
+  }
+
+  test("q265 hard negatives: per probe, 5 per polarity, scores " +
+      "descending, polarity labels correct") {
+    val labels = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rows = SparkEntry.queries("q265_hard_negatives")(spark, sfDir)
+      .select(col("query_id"), col("is_negative"), col("neighbor_id"),
+        col("score"), col("rnk"))
+      .as[(Long, Boolean, Long, Double, Long)].collect()
+    assert(rows.length === 10 * 2 * 5)
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((q, neg), g) =>
+      assert(g.length === 5)
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+        s"probe $q neg=$neg scores must be non-increasing in rank")
+      g.foreach { r =>
+        assert((labels(r._3) != labels(q)) === neg,
+          s"probe $q neighbor ${r._3} polarity")
+      }
+    }
+  }
+}
