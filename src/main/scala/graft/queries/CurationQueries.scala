@@ -154,6 +154,80 @@ object CurationQueries {
           col("n_tokens"),
           ((col("n_chunks") - col("n_distinct")).cast("double")
             / col("n_chunks").cast("double")).as("dup_rate"))
+    }),
+
+    // Verbatim-memorization screen: per document, the share of its
+    // DISTINCT 8-token windows that also occur in at least one other
+    // document — the risk score extraction-attack audits rank training
+    // docs by. Shingles collapse to 64-bit hashes before the corpus
+    // aggregate (q233's shape at 8-gram granularity); the join back is
+    // keyed on the same bounded hash.
+    "q266_memorization" -> ((s, dir) => {
+      val sg = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.llm.Dedup.shinglesText(col("text"), 8)).as("sg"))
+        .select(col("doc_id"),
+          graft.llm.TextFunctions.portableHash(col("sg"), 53).as("h"))
+        .transform(graft.core.Caching.persist)
+      val df8 = sg.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      sg.join(df8, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("nd") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+            .as("memorization_risk"))
+    }),
+
+    // The curation funnel report: documents surviving each successive
+    // filter stage — length floor, mean-word-length band (compared in
+    // INTEGERS: 3·wc ≤ Σlen ≤ 10·wc, no float boundary), stopword
+    // floor, exact-dedup keep — with per-stage retention. The one-page
+    // summary every pipeline run ships; all four verdicts come from
+    // ONE corpus pass + the q40 fingerprint aggregate, and the output
+    // is 4 rows regardless of corpus size.
+    "q267_curation_funnel" -> ((s, dir) => {
+      val t = graft.llm.TextFunctions.tokens(col("text"))
+      val stops = array(LlmQueries.stopwords.map(lit): _*)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), size(t).cast("long").as("wc"),
+          aggregate(t, lit(0L), (a, x) => a + length(x)).as("sl"),
+          size(filter(t, x => array_contains(stops, x))).cast("long")
+            .as("sh"),
+          md5(graft.llm.TextFunctions.normalizeText(col("text"))).as("fp"))
+        .transform(graft.core.Caching.persist)
+      val keep = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      val flags = base.join(keep, "fp")
+        .select((col("wc") >= lit(50L)).as("p1"),
+          (col("sl") >= col("wc") * lit(3L)
+            && col("sl") <= col("wc") * lit(10L)).as("p2"),
+          (col("sh") >= lit(2L)).as("p3"),
+          (col("doc_id") === col("keeper")).as("p4"))
+      flags.agg(count(lit(1)).as("n0"),
+          sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+            .as("n3"),
+          sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+            .otherwise(0L)).as("n4"))
+        .select(explode(array(
+          struct(lit(1L).as("stage_idx"), lit("min_words_50").as("stage"),
+            col("n0").as("n_in"), col("n1").as("n_out")),
+          struct(lit(2L).as("stage_idx"),
+            lit("mean_word_len_3_10").as("stage"),
+            col("n1").as("n_in"), col("n2").as("n_out")),
+          struct(lit(3L).as("stage_idx"),
+            lit("stopword_floor_2").as("stage"),
+            col("n2").as("n_in"), col("n3").as("n_out")),
+          struct(lit(4L).as("stage_idx"),
+            lit("exact_dedup_keep").as("stage"),
+            col("n3").as("n_in"), col("n4").as("n_out")))).as("st"))
+        .select(col("st.stage_idx").as("stage_idx"),
+          col("st.stage").as("stage"), col("st.n_in").as("n_in"),
+          col("st.n_out").as("n_out"),
+          (col("st.n_out").cast("double") / col("st.n_in").cast("double"))
+            .as("retention"))
     })
   )
 
@@ -251,6 +325,47 @@ object CurationQueries {
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_chunks - n_distinct AS DOUBLE) / CAST(n_chunks AS DOUBLE)
              AS dup_rate
-         FROM bk"""
+         FROM bk""",
+    "q266_memorization" ->
+      s"""WITH ${LlmQueries.tkCte}, ${LlmQueries.shingleCte(8)},
+         m AS (SELECT doc_id, CAST(concat('0x', substr(md5(concat('53',
+               '|', sgl)), 1, 8)) AS BIGINT) AS h
+           FROM (SELECT doc_id, unnest(s) AS sgl FROM sh)),
+         d8 AS (SELECT h, count(DISTINCT doc_id) AS nd FROM m GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS memorization_risk
+         FROM m JOIN d8 USING (h) GROUP BY doc_id""",
+    "q267_curation_funnel" ->
+      s"""WITH ${LlmQueries.tkCte},
+         b AS (SELECT doc_id, len(t) AS wc,
+             COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS sl,
+             len(list_filter(t, x -> list_contains(
+               ${LlmQueries.stopListSql}, x))) AS sh,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           FROM tk),
+         k AS (SELECT fp, min(doc_id) AS keeper FROM b GROUP BY 1),
+         f AS (SELECT wc >= 50 AS p1,
+             sl >= wc * 3 AND sl <= wc * 10 AS p2,
+             sh >= 2 AS p3, doc_id = keeper AS p4
+           FROM b JOIN k USING (fp)),
+         a AS (SELECT count(*) AS n0,
+             sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS n3,
+             sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS n4
+           FROM f),
+         sel AS (
+           SELECT 1 AS stage_idx, 'min_words_50' AS stage,
+             n0 AS n_in, n1 AS n_out FROM a
+           UNION ALL SELECT 2, 'mean_word_len_3_10', n1, n2 FROM a
+           UNION ALL SELECT 3, 'stopword_floor_2', n2, n3 FROM a
+           UNION ALL SELECT 4, 'exact_dedup_keep', n3, n4 FROM a)
+         SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+           CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS retention
+         FROM sel"""
   )
 }
