@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Streaming face of q261's interpolated bigram LM (the 22nd twin):
+  * a continuously maintained per-language language model over an
+  * unbounded document stream — the online form of the CCNet-style
+  * perplexity filter, where the LM drifts as the corpus grows and
+  * each snapshot scores exactly like the batch build over the prefix.
+  *
+  * Same decomposition as [[StreamingAuc]]: the STATEFUL half is
+  * trivially mergeable — one long counter per distinct count event,
+  * keyed by the event string (`u|lang|tok` for unigrams,
+  * `b|lang|u w` for bigrams; context totals are Σ over the bigram
+  * counters, so they carry no state of their own) — and the LM
+  * assembly ([[assembleWeights]]) is a PURE function of the counter
+  * table, running q261's exact math (λ = 3/4 Jelinek–Mercer blend,
+  * one −log2 per distinct key, integer microbits). State is bounded
+  * by the (lang, vocabulary) domain, never by stream length.
+  *
+  * Exactness contract (spec-verified): after any prefix of batches,
+  * `assembleWeights` over the emitted counters equals the weight
+  * table batch `LmScore.bigramSurprisal` derives from the same
+  * prefix, key for key — counter merging is addition and the
+  * assembly is deterministic, so scoring any document against the
+  * snapshot matches the batch score bit for bit.
+  */
+object StreamingLm {
+
+  /** Tag a document frame into count events: one `u|lang|tok` row per
+    * token and one `b|lang|u w` row per adjacent pair, only for docs
+    * with ≥ 2 tokens (q261's eligibility rule — the LM and the scored
+    * stream see the same filter).
+    */
+  def countEvents(docs: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    val t = graft.llm.TextFunctions.tokens(col(textCol))
+    val eligible = docs
+      .select(col(langCol).as("lang"), t.as("t"))
+      .where(size(col("t")) >= 2)
+    val uni = eligible.select(
+      explode(transform(col("t"), x =>
+        concat(lit("u|"), col("lang"), lit("|"), x))).as("k"))
+    val big = eligible.select(
+      explode(transform(sequence(lit(2), size(col("t"))), i =>
+        concat(lit("b|"), col("lang"), lit("|"),
+          element_at(col("t"), i - lit(1)), lit(" "),
+          element_at(col("t"), i)))).as("k"))
+    uni.unionAll(big)
+  }
+
+  /** Keyed counter processor: per event key, one long of state; emits
+    * the key's updated total whenever a batch touches it.
+    */
+  def counters(grouped: KeyValueGroupedDataset[String, String])(
+      implicit stEnc: Encoder[Long],
+      outEnc: Encoder[(String, Long)]): org.apache.spark.sql.Dataset[(String, Long)] = {
+    val processor = new StatefulProcessor[String, String, (String, Long)] {
+      @transient private var st: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Long]("n", stEnc, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[String],
+          timers: TimerValues): Iterator[(String, Long)] = {
+        var n = if (st.exists()) st.get() else 0L
+        rows.foreach(_ => n += 1)
+        st.update(n)
+        Iterator.single((key, n))
+      }
+    }
+    grouped.transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** q261's LM assembly over any (key, count) counter table — the
+    * consumer-side half. Bounded by the vocabulary; exact microbit
+    * output per (lang, u, w), identical to the batch weight table.
+    */
+  def assembleWeights(counts: DataFrame): DataFrame = {
+    val uni = counts.where(col("k").startsWith("u|"))
+      .select(split(col("k"), "\\|", 3).getItem(1).as("lang"),
+        split(col("k"), "\\|", 3).getItem(2).as("tok"), col("n").as("cu"))
+    val bc = counts.where(col("k").startsWith("b|"))
+      .select(split(col("k"), "\\|", 3).getItem(1).as("lang"),
+        split(split(col("k"), "\\|", 3).getItem(2), " ", 2).getItem(0)
+          .as("u"),
+        split(split(col("k"), "\\|", 3).getItem(2), " ", 2).getItem(1)
+          .as("w"),
+        col("n").as("cb"))
+    val utot = uni.groupBy(col("lang"))
+      .agg(sum(col("cu")).cast("long").as("n_lang"),
+        count(lit(1)).as("v_lang"))
+    val ctx = bc.groupBy(col("lang"), col("u"))
+      .agg(sum(col("cb")).cast("long").as("cc"))
+    bc.join(ctx, Seq("lang", "u"))
+      .join(uni.select(col("lang"), col("tok").as("w"), col("cu")),
+        Seq("lang", "w"))
+      .join(broadcast(utot), "lang")
+      .select(col("lang"), col("u"), col("w"),
+        round(negate(log2(
+          lit(0.75) * (col("cb").cast("double") / col("cc").cast("double"))
+          + lit(0.25) * ((col("cu") + lit(1L)).cast("double")
+            / (col("n_lang") + col("v_lang")).cast("double"))))
+          * lit(1e6)).cast("long").as("microbits"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Agreement contract for the 22nd streaming twin (`StreamingLm`):
+  * the incrementally counted LM assembles, at every stream prefix, to
+  * exactly the weight table an independent brute-force build derives
+  * from the same prefix, and scoring the full fixture against the
+  * final snapshot reproduces batch q261 bit for bit.
+  */
+class StreamingLmSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def bruteWeights(docs: Seq[(Long, String, Seq[String])])
+      : Map[(String, String, String), Long] = {
+    val eligible = docs.filter(_._3.length >= 2)
+    val uni = eligible.flatMap { case (_, lang, t) => t.map((lang, _)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val utot = uni.groupBy(_._1._1).map { case (lang, m) =>
+      lang -> (m.values.sum, m.size.toLong)
+    }
+    val bc = eligible.flatMap { case (_, lang, t) =>
+      t.sliding(2).map(p => (lang, p(0), p(1)))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ctx = bc.groupBy { case ((lang, u, _), _) => (lang, u) }
+      .map { case (k, m) => k -> m.values.sum }
+    bc.keys.map { case key @ (lang, u, w) =>
+      val p = 0.75 * (bc(key).toDouble / ctx((lang, u)).toDouble) +
+        0.25 * ((uni((lang, w)) + 1).toDouble /
+          (utot(lang)._1 + utot(lang)._2).toDouble)
+      key -> Math.round(-(Math.log(p) / Math.log(2.0)) * 1e6)
+    }.toMap
+  }
+
+  test("streaming LM counters assemble to the brute-force weight table " +
+      "at every prefix and reproduce batch q261 at the end") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          graft.llm.TextFunctions.tokens(col("text")).as("t"), col("text"))
+        .as[(Long, String, Seq[String], String)].collect().toSeq
+      val batches = docs.grouped((docs.size + 2) / 3).toSeq
+      val input = MemoryStream[(String, String)](spark) // (lang, text)
+      val events = graft.streaming.StreamingLm.countEvents(
+        input.toDS().toDF("lang", "text"), "text", "lang")
+      val grouped = events.as[String].groupByKey(identity)
+      val sink = scala.collection.mutable.Map.empty[String, Long]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-slm").toString
+      val q = graft.streaming.StreamingLm.counters(grouped)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+            b.collect().foreach { case (k, n) => sink(k) = n }
+            ()
+        }.start()
+      var delivered = Seq.empty[(Long, String, Seq[String])]
+      batches.foreach { batch =>
+        input.addData(batch.map(d => (d._2, d._4)): _*)
+        q.processAllAvailable()
+        delivered ++= batch.map(d => (d._1, d._2, d._3))
+        val assembled = graft.streaming.StreamingLm.assembleWeights(
+            sink.toSeq.toDF("k", "n"))
+          .as[(String, String, String, Long)].collect()
+          .map { case (lang, u, w, mb) => (lang, u, w) -> mb }.toMap
+        val expected = bruteWeights(delivered)
+        assert(assembled === expected,
+          s"prefix of ${delivered.size} docs: weight tables differ")
+      }
+      q.stop()
+      // final snapshot scores the whole fixture exactly like batch q261
+      val weights = graft.streaming.StreamingLm.assembleWeights(
+          sink.toSeq.toDF("k", "n"))
+        .as[(String, String, String, Long)].collect()
+        .map { case (lang, u, w, mb) => (lang, u, w) -> mb }.toMap
+      val batchQ = SparkEntry.queries("q261_bigram_perplexity")(spark, sfDir)
+        .select(col("doc_id"), col("total_microbits"))
+        .as[(Long, Long)].collect().toMap
+      val scored = delivered.filter(_._3.length >= 2).map { case (id, lang, t) =>
+        id -> t.sliding(2).map(p => weights((lang, p(0), p(1)))).sum
+      }.toMap
+      assert(scored === batchQ)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
