@@ -228,6 +228,34 @@ object CurationQueries {
           col("st.n_out").as("n_out"),
           (col("st.n_out").cast("double") / col("st.n_in").cast("double"))
             .as("retention"))
+    }),
+
+    // Train→eval split leakage at chunk granularity: how many of the
+    // val/test splits' 20-token chunks ALSO appear verbatim in train —
+    // the audit that catches eval contamination the doc-level near-dup
+    // screen misses (a leaked passage inside an otherwise-novel doc).
+    // Composes the q85 deterministic hash split with ChunkDedup; the
+    // probe joins eval chunks to the distinct train-chunk hash set, so
+    // everything shuffles on the 64-bit chash key only.
+    "q268_split_leakage" -> ((s, dir) => {
+      val mem = graft.llm.ChunkDedup
+        .chunkMembership(Tables.documents(s, dir), "doc_id", "text", 20, 7)
+        .withColumn("split",
+          graft.llm.TextFunctions.splitAssign(col("doc_id")))
+        .transform(graft.core.Caching.persist)
+      val train = mem.where(col("split") === "train")
+        .select(col("chash")).distinct().withColumn("hit", lit(1L))
+      mem.where(col("split") =!= "train")
+        .join(train, Seq("chash"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
+          sum(when(col("hit").isNotNull, col("ctoks")).otherwise(0L))
+            .cast("long").as("leaked_tokens"))
+        .select(col("split"), col("n_chunks"), col("n_leaked"),
+          col("leaked_tokens"),
+          (col("n_leaked").cast("double") / col("n_chunks").cast("double"))
+            .as("leak_rate"))
     })
   )
 
@@ -366,6 +394,28 @@ object CurationQueries {
          SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
            CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
            CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS retention
-         FROM sel"""
+         FROM sel""",
+    "q268_split_leakage" ->
+      s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(20, 7)},
+         cm AS (SELECT chash, ctoks,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95
+                 THEN 'val'
+               ELSE 'test' END AS split
+           FROM ch),
+         tr AS (SELECT DISTINCT chash, 1 AS hit FROM cm
+           WHERE split = 'train')
+         SELECT split, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           CAST(sum(CASE WHEN hit IS NOT NULL THEN ctoks ELSE 0 END)
+             AS BIGINT) AS leaked_tokens,
+           CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS leak_rate
+         FROM cm LEFT JOIN tr USING (chash)
+         WHERE split <> 'train' GROUP BY split"""
   )
 }
