@@ -39,6 +39,34 @@ object ChunkDedup {
       .otherwise(array().cast("array<struct<ctoks:bigint,chash:bigint>>"))
   }
 
+  /** OVERLAPPING `c`-token windows with `stride` step — the RAG-index
+    * layout (each passage window overlaps its neighbor by c − stride
+    * tokens so no answer span straddles a boundary unseen). Window
+    * count is the standard max(1, ceil((n − c)/stride) + 1), computed
+    * in integers; the tail window truncates. Same (ctoks, chash)
+    * struct contract as [[chunkStructs]], so [[firstOccurrence]] and
+    * both dedup faces consume it unchanged.
+    */
+  def slidingChunkStructs(t: Column, c: Int, stride: Int,
+                          seed: Int): Column = {
+    require(c >= 1, s"window size must be >= 1, got $c")
+    require(stride >= 1 && stride <= c,
+      s"stride must be in [1, $c], got $stride")
+    val n = size(t)
+    val nw = when(n <= lit(c), lit(1))
+      .otherwise(floor((n - lit(c) + lit(stride - 1)).cast("double")
+        / lit(stride.toDouble)).cast("int") + lit(1))
+    val chunks = transform(sequence(lit(0), nw - 1), i =>
+      struct(
+        size(slice(t, i * lit(stride) + lit(1), lit(c))).cast("long")
+          .as("ctoks"),
+        TextFunctions.portableHash(
+          concat_ws(" ", slice(t, i * lit(stride) + lit(1), lit(c))), seed)
+          .as("chash")))
+    when(size(t) > 0, chunks)
+      .otherwise(array().cast("array<struct<ctoks:bigint,chash:bigint>>"))
+  }
+
   /** (doc_id, chunk_idx, ctoks, chash) membership rows for every
     * non-empty document — one narrow pass; empty token arrays drop out
     * (they have no chunks).

@@ -256,6 +256,69 @@ object CurationQueries {
           col("leaked_tokens"),
           (col("n_leaked").cast("double") / col("n_chunks").cast("double"))
             .as("leak_rate"))
+    }),
+
+    // Sliding-window (RAG-index) chunking with overlap: 20-token
+    // windows at stride 10, deduped corpus-wide by first occurrence —
+    // per document, how many of its passage windows actually enter the
+    // index (the index-size planning number an overlapping layout
+    // needs, since overlap inflates raw windows ~2x but dedup claws
+    // back repeated spans). Same hash-collapse + keyed-join shape as
+    // q232 via the shared firstOccurrence contract.
+    "q269_sliding_windows" -> ((s, dir) => {
+      val mem = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          graft.llm.TextFunctions.tokens(col("text")).as("t"))
+        .where(size(col("t")) > 0)
+        .select(col("doc_id"), posexplode(
+          graft.llm.ChunkDedup.slidingChunkStructs(col("t"), 20, 10, 7)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col.ctoks").as("ctoks"), col("col.chash").as("chash"))
+      graft.llm.ChunkDedup.firstOccurrence(mem)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("kept"), lit(1L)).otherwise(lit(0L)))
+            .as("kept_windows"),
+          sum(when(col("kept"), col("ctoks")).otherwise(lit(0L)))
+            .cast("long").as("kept_tokens"))
+        .select(col("doc_id"), col("n_windows"), col("kept_windows"),
+          col("kept_tokens"),
+          (col("kept_windows").cast("double")
+            / col("n_windows").cast("double")).as("index_share"))
+    }),
+
+    // Dedup-adjusted temperature mixture: q251's sqrt-temperature
+    // sampling weights recomputed on tokens SURVIVING chunk-level
+    // dedup instead of raw counts — the recipe correction that stops a
+    // self-copying source from buying mixture share with duplicated
+    // mass. One chunk-dedup pass + one |sources|-row weight table.
+    "q270_dedup_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mem = graft.llm.ChunkDedup
+        .chunkMembership(docs, "doc_id", "text", 20, 7)
+        .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("source")), "doc_id")
+      val perSource = graft.llm.ChunkDedup.firstOccurrence(mem)
+        .groupBy(col("source"))
+        .agg(sum(col("ctoks")).cast("long").as("n_tokens"),
+          sum(when(col("kept"), col("ctoks")).otherwise(lit(0L)))
+            .cast("long").as("kept_tokens"))
+        .select(col("source"), col("n_tokens"), col("kept_tokens"),
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1e6))
+            .cast("long").as("wr"),
+          floor(sqrt(col("kept_tokens").cast("double")) * lit(1e6))
+            .cast("long").as("wk"))
+        .transform(graft.core.Caching.persist)
+      val tot = perSource.agg(sum(col("wr")).cast("long").as("twr"),
+        sum(col("wk")).cast("long").as("twk"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("kept_tokens"),
+          (col("kept_tokens").cast("double") / col("n_tokens").cast("double"))
+            .as("keep_ratio"),
+          (col("wr").cast("double") / col("twr").cast("double"))
+            .as("w_raw"),
+          (col("wk").cast("double") / col("twk").cast("double"))
+            .as("w_dedup"))
     })
   )
 
@@ -416,6 +479,49 @@ object CurationQueries {
            CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS leak_rate
          FROM cm LEFT JOIN tr USING (chash)
-         WHERE split <> 'train' GROUP BY split"""
+         WHERE split <> 'train' GROUP BY split""",
+    "q269_sliding_windows" ->
+      s"""WITH ${LlmQueries.tkCte},
+         sw AS (SELECT doc_id, i AS chunk_idx,
+             len(t[i*10+1 : i*10+20]) AS ctoks,
+             CAST(concat('0x', substr(md5(concat('7', '|',
+               array_to_string(t[i*10+1 : i*10+20], ' '))), 1, 8))
+               AS BIGINT) AS chash
+           FROM tk, unnest(range(CASE WHEN len(t) <= 20 THEN 1
+             ELSE (len(t) - 20 + 9) // 10 + 1 END)) AS u(i)
+           WHERE len(t) > 0),
+         k AS (SELECT chash, min(doc_id*1000000+chunk_idx) AS keeper
+           FROM sw GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN doc_id*1000000+chunk_idx = keeper
+             THEN 1 ELSE 0 END) AS BIGINT) AS kept_windows,
+           CAST(sum(CASE WHEN doc_id*1000000+chunk_idx = keeper
+             THEN ctoks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN doc_id*1000000+chunk_idx = keeper
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS index_share
+         FROM sw JOIN k USING (chash) GROUP BY doc_id""",
+    "q270_dedup_mixture" ->
+      s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(20, 7)},
+         k AS (SELECT chash, min(doc_id*1000000+chunk_idx) AS keeper
+           FROM ch GROUP BY 1),
+         ps AS (SELECT source, CAST(sum(ctoks) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN doc_id*1000000+chunk_idx = keeper
+               THEN ctoks ELSE 0 END) AS BIGINT) AS kept_tokens
+           FROM ch JOIN k USING (chash) GROUP BY source),
+         w AS (SELECT source, n_tokens, kept_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS wr,
+             CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS wk
+           FROM ps),
+         t AS (SELECT CAST(sum(wr) AS BIGINT) AS twr,
+             CAST(sum(wk) AS BIGINT) AS twk FROM w)
+         SELECT source, n_tokens, kept_tokens,
+           CAST(kept_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS keep_ratio,
+           CAST(wr AS DOUBLE) / CAST(twr AS DOUBLE) AS w_raw,
+           CAST(wk AS DOUBLE) / CAST(twk AS DOUBLE) AS w_dedup
+         FROM w, t"""
   )
 }

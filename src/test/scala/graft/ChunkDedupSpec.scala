@@ -66,4 +66,29 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(out(1L) === 0, "empty token array must produce zero chunks")
     assert(out(2L) === 2) // ceil(3/2)
   }
+
+  test("slidingChunkStructs: max(1, ceil((n-c)/s)+1) windows, stride " +
+      "overlap, truncated tail, empty guard") {
+    val df = Seq(
+        (1L, (1 to 47).map(i => s"w$i")), // 47 toks, c=20 s=10 -> 4 windows
+        (2L, (1 to 20).map(i => s"w$i")), // exactly c -> 1 window
+        (3L, Seq("a", "b")),              // n < c -> 1 truncated window
+        (4L, Seq.empty[String]))          // empty -> no windows
+      .toDF("doc_id", "t")
+    val out = df.select(col("doc_id"), posexplode(
+        graft.llm.ChunkDedup.slidingChunkStructs(col("t"), 20, 10, 7)))
+      .select(col("doc_id"), col("pos"), col("col.ctoks"))
+      .as[(Long, Int, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc(1L) === Seq(20L, 20L, 20L, 17L)) // starts 1,11,21,31
+    assert(byDoc(2L) === Seq(20L))
+    assert(byDoc(3L) === Seq(2L))
+    assert(!byDoc.contains(4L))
+    // overlap check: window 1 of doc 1 starts at token 11
+    val texts = df.where(col("doc_id") === 1L).select(posexplode(
+        graft.llm.ChunkDedup.slidingChunkStructs(col("t"), 20, 10, 7)))
+      .select(col("col.chash")).as[Long].collect()
+    assert(texts.distinct.length === 4, "overlapping windows differ")
+  }
 }
