@@ -4,28 +4,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
-/** Round-10 widening: the two curation passes the r9 verdict queued —
-  * the interpolated bigram LM perplexity filter (the CCNet-style
-  * keep/cut real recipes run, one rung above q82's unigram surprisal)
-  * and chunk-level cross-source contamination (q216's source-pair
-  * audit at sub-document granularity — the shape benchmark-
-  * decontamination sweeps actually need, since eval sets leak as
-  * passages inside otherwise-novel documents, not as whole-document
-  * near-dups).
+/** Round-10 widening: the curation-recipe pack — the passes a real
+  * training-data pipeline runs between raw crawl and mixture, each as
+  * an oracle-gated query. q261 bigram perplexity filter (CCNet-style,
+  * one rung above q82's unigram surprisal), q262 chunk-level
+  * cross-source contamination (q216's matrix at sub-document
+  * granularity — eval sets leak as passages inside otherwise-novel
+  * docs), q263 DSIR importance weights, q264 content-defined
+  * chunking, q266 verbatim-memorization screen, q267 the 4-stage
+  * curation funnel, q268 train→eval split leakage, q269 sliding
+  * RAG-window dedup, q270 dedup-adjusted temperature mixture.
+  * (q265 hard negatives lives in EmbeddingQueries with the other
+  * vector probes.)
   *
   * Scale notes (100 TB posture):
-  *  - q261: the LM lives on the bounded (lang, bigram) vocabulary key —
-  *    two map-side-combined count aggregations + one reduction for the
-  *    context totals; scoring is a bounded-key join against the bigram
-  *    stream. Per-key surprisal is one −log2 quantized to integer
-  *    microbits; per-doc totals are exact long sums and the keep/cut
-  *    verdict compares on the integer grid (total ≤ threshold·n), so
-  *    the filter decision is bit-portable across engines and layouts.
-  *  - q262: chunks collapse to 64-bit hashes before any shuffle
-  *    (`ChunkDedup`); the (chash, source) table bounds the pair join —
-  *    each chunk hash meets ≤ |sources| rows, so candidate volume is
-  *    Σ per-chash |sources|² with |sources| a catalog-scale constant,
-  *    never corpus-quadratic. Reported masses are corpus-linear longs.
+  *  - LM-shaped queries (q261/q263): the model lives on a bounded key
+  *    — the (lang, bigram) vocabulary or a FIXED 4096-bucket hash
+  *    space — so the build is map-side-combined counting and scoring
+  *    is a bounded-key join; per-key surprisal is one −log2 quantized
+  *    to integer microbits, per-doc totals exact long sums, keep/cut
+  *    verdicts compared ON THE GRID (total ≤ threshold·n) — bit-
+  *    portable across engines and cluster layouts.
+  *  - chunk-shaped queries (q262/q264/q266/q268/q269/q270): chunks and
+  *    shingles collapse to 64-bit hashes before any shuffle
+  *    (`ChunkDedup`/`portableHash`); pair joins are bounded per hash
+  *    by |sources| (catalog constants), never corpus-quadratic; the
+  *    only windows are per-document (partitioned).
+  *  - report-shaped queries (q267/q270): output is O(stages) or
+  *    O(sources) rows at any corpus size — one corpus pass each.
   */
 object CurationQueries {
 
@@ -121,30 +127,32 @@ object CurationQueries {
     // insertion shifts every fixed-window chunk after it but leaves
     // all content-defined chunks except the edited one intact, which
     // is why incremental-dedup pipelines chunk this way. Reports the
-    // dedup profile per power-of-two chunk-length bucket. The only
-    // window is per-document (partitioned); chunks collapse to 64-bit
-    // hashes before the corpus-wide distinct.
+    // dedup profile per power-of-two chunk-length bucket. The chunking
+    // itself is PURE per-row column algebra (boundary positions →
+    // chunk starts → slices, all higher-order functions) — nothing
+    // corpus-sized shuffles until the fixed-width chunk-hash aggregate
+    // (the oracle's window+string_agg form is the same segmentation).
     "q264_cdc_chunks" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), graft.llm.TextFunctions.tokens(col("text"))
-          .as("t"))
+      val n = size(col("t"))
+      val bpos = filter(sequence(lit(1), n), i =>
+        pmod(graft.llm.TextFunctions.portableHash(
+          element_at(col("t"), i), 41), lit(16L)) === lit(0L))
+      val starts = concat(array(lit(1)),
+        filter(transform(bpos, p => p + lit(1)), st => st <= n))
+      val chunksExpr = transform(sequence(lit(0), size(starts) - 1), k => {
+        val st = element_at(starts, k + lit(1))
+        val en = when(k < size(starts) - 1,
+          element_at(starts, k + lit(2)) - lit(1)).otherwise(n)
+        struct((en - st + lit(1)).cast("long").as("ctoks"),
+          graft.llm.TextFunctions.portableHash(
+            concat_ws(" ", slice(col("t"), st, en - st + lit(1))), 43)
+            .as("chash"))
+      })
+      val ch = Tables.documents(s, dir)
+        .select(graft.llm.TextFunctions.tokens(col("text")).as("t"))
         .where(size(col("t")) > 0)
-        .select(col("doc_id"), posexplode(col("t")))
-        .select(col("doc_id"), col("pos"), col("col").as("tok"),
-          when(pmod(graft.llm.TextFunctions.portableHash(col("col"), 41),
-            lit(16L)) === lit(0L), lit(1L)).otherwise(lit(0L)).as("bd"))
-      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ch = toks
-        .withColumn("cid", coalesce(sum(col("bd")).over(wPrev), lit(0L)))
-        .groupBy(col("doc_id"), col("cid"))
-        .agg(count(lit(1)).as("ctoks"),
-          concat_ws(" ",
-            transform(array_sort(collect_list(struct(col("pos"),
-              col("tok")))), x => x.getField("tok"))).as("ctext"))
-        .select(col("ctoks"),
-          graft.llm.TextFunctions.portableHash(col("ctext"), 43).as("chash"))
+        .select(explode(chunksExpr).as("c"))
+        .select(col("c.ctoks").as("ctoks"), col("c.chash").as("chash"))
       ch.groupBy((length(bin(col("ctoks"))) - 1).cast("long")
           .as("len_bucket"))
         .agg(count(lit(1)).as("n_chunks"),
