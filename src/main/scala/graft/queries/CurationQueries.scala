@@ -137,20 +137,28 @@ object CurationQueries {
       val bpos = filter(sequence(lit(1), n), i =>
         pmod(graft.llm.TextFunctions.portableHash(
           element_at(col("t"), i), 41), lit(16L)) === lit(0L))
+      // starts MATERIALIZES as a column between the two selects: the
+      // chunk lambda below references it three times, and a lambda
+      // reference to an expression (unlike to a bound attribute)
+      // re-derives it per reference — the generator re-evaluation
+      // trap, measured 6× on this query before the split
       val starts = concat(array(lit(1)),
         filter(transform(bpos, p => p + lit(1)), st => st <= n))
-      val chunksExpr = transform(sequence(lit(0), size(starts) - 1), k => {
-        val st = element_at(starts, k + lit(1))
-        val en = when(k < size(starts) - 1,
-          element_at(starts, k + lit(2)) - lit(1)).otherwise(n)
-        struct((en - st + lit(1)).cast("long").as("ctoks"),
-          graft.llm.TextFunctions.portableHash(
-            concat_ws(" ", slice(col("t"), st, en - st + lit(1))), 43)
-            .as("chash"))
-      })
+      val chunksExpr = transform(
+        sequence(lit(0), size(col("st0")) - 1), k => {
+          val st = element_at(col("st0"), k + lit(1))
+          val en = when(k < size(col("st0")) - 1,
+            element_at(col("st0"), k + lit(2)) - lit(1))
+            .otherwise(size(col("t")))
+          struct((en - st + lit(1)).cast("long").as("ctoks"),
+            graft.llm.TextFunctions.portableHash(
+              concat_ws(" ", slice(col("t"), st, en - st + lit(1))), 43)
+              .as("chash"))
+        })
       val ch = Tables.documents(s, dir)
         .select(graft.llm.TextFunctions.tokens(col("text")).as("t"))
         .where(size(col("t")) > 0)
+        .select(col("t"), starts.as("st0"))
         .select(explode(chunksExpr).as("c"))
         .select(col("c.ctoks").as("ctoks"), col("c.chash").as("chash"))
       ch.groupBy((length(bin(col("ctoks"))) - 1).cast("long")
