@@ -82,18 +82,28 @@ object ChunkDedup {
         col("col.ctoks").as("ctoks"), col("col.chash").as("chash"))
 
   /** The (doc_id, chunk_idx) → single-long encoding both dedup faces
-    * key first-occurrence on. Collision-free while chunk_idx < 1e6
-    * (a 20-token chunking needs 20M-token docs to break that).
+    * key first-occurrence on. Collision-free while chunk_idx < 1e6 —
+    * note the margin is STRIDE-dependent: non-overlapping 20-token
+    * chunks need a 20M-token doc to break it, but stride-10 sliding
+    * windows ([[slidingChunkStructs]]) halve that to 10M tokens.
+    * [[firstOccurrence]] enforces the bound per row (raise, not
+    * silent wrong keeper selection).
     */
   val IdxEncode = 1000000L
 
   /** Batch first-occurrence marking: membership rows plus a `kept`
     * flag — true iff this (doc_id, chunk_idx) is the corpus-wide
     * minimum for its chunk hash. One hash aggregate + one hash-keyed
-    * join; no windows.
+    * join; no windows. Rows with chunk_idx ≥ [[IdxEncode]] raise at
+    * execution (the encoding would collide across documents).
     */
   def firstOccurrence(membership: DataFrame): DataFrame = {
-    val k = col("doc_id") * lit(IdxEncode) + col("chunk_idx")
+    val k = col("doc_id") * lit(IdxEncode) +
+      when(col("chunk_idx") < lit(IdxEncode), col("chunk_idx"))
+        .otherwise(raise_error(format_string(
+          "chunk_idx %s >= IdxEncode 1e6: first-occurrence keys would " +
+            "collide across documents (doc longer than the encoding margin)",
+          col("chunk_idx"))).cast("long"))
     val keep = membership.groupBy(col("chash")).agg(min(k).as("keeper"))
     membership.join(keep, "chash")
       .withColumn("kept", k === col("keeper"))

@@ -56,15 +56,35 @@ object Similarity {
     override def outputEncoder = seqEnc
   }
 
+  /** Probe-side cap for the brute-force rankers: both broadcast the
+    * query frame AND cross-join it against every corpus row, so cost is
+    * |corpus|·|probe| — linear in the corpus only while the probe side
+    * is small. The check counts at most cap+1 rows (limit before
+    * count), so the guard itself is O(cap) however large the frame is;
+    * past the cap the right tool is the banded-LSH / IVF path, not a
+    * bigger broadcast.
+    */
+  private def requireProbeBounded(q: DataFrame, cap: Int, who: String): Unit = {
+    val n = q.limit(cap + 1).count()
+    require(n <= cap,
+      s"$who: probe side has > $cap rows; a broadcast cross-join at this " +
+        "size OOMs the driver and scans |corpus|x|probe| - use the banded " +
+        "LSH (annTopKInBands) or IVF (ivfTopK) path instead, or raise maxProbe")
+  }
+
   /** Exact top-k neighbors for each row of `queries` against `corpus`.
     * Both frames need (`idCol`, `vecCol`); the score is rounded to 6
     * decimals before ranking so ordering is reproducible across engines,
     * ties broken by neighbor id. The ranking runs through TopKAggregator:
     * partial aggregation bounds the shuffle at k rows per (partition,
     * query) — the corpus itself never shuffles (query side broadcast).
+    * The probe side is capped at `maxProbe` rows (checked eagerly with a
+    * bounded count): brute force is the small-probe tool by contract.
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
-                    idCol: String, vecCol: String, k: Int): DataFrame = {
+                    idCol: String, vecCol: String, k: Int,
+                    maxProbe: Int = 65536): DataFrame = {
+    requireProbeBounded(queries, maxProbe, "knnBruteForce")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("nvec"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -84,10 +104,18 @@ object Similarity {
     * (query, polarity) into one long key so the whole ranking rides
     * [[TopKAggregator]] exactly like [[knnBruteForce]]: the corpus
     * never shuffles (probe side broadcast), and the exchange carries
-    * ≤ k rows per (partition, query, polarity).
+    * ≤ k rows per (partition, query, polarity). Same `maxProbe` cap as
+    * [[knnBruteForce]] (broadcast cross-join = small-probe contract).
+    *
+    * Id domain: `idCol` values must fit `|id| < 2^62` (the ×2 polarity
+    * encoding overflows a long past that). Negative ids round-trip
+    * correctly — decode is an arithmetic shift (floor division), not
+    * truncating DIV.
     */
   def labeledTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+                  vecCol: String, labelCol: String, k: Int,
+                  maxProbe: Int = 65536): DataFrame = {
+    requireProbeBounded(queries, maxProbe, "labeledTopK")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("nvec"),
       col(labelCol).as("nlabel"))
@@ -102,8 +130,11 @@ object Similarity {
             .otherwise(lit(0L))).as("vec_id"),
         col("neighbor_id").as("nn_id"),
         round(cosine(col("qvec"), col("nvec")), 6).as("score"))
+    // shiftright = floor division: (-3 -> key -5) decodes back to -3,
+    // where truncating DIV 2 would give -2 and pair it with pmod's
+    // floor-style remainder inconsistently
     topKByQuery(scored, k, withRank = true)
-      .select(expr("vec_id DIV 2").as("query_id"),
+      .select(shiftright(col("vec_id"), 1).cast("long").as("query_id"),
         (pmod(col("vec_id"), lit(2L)) === lit(1L)).as("is_negative"),
         col("nn_id").as("neighbor_id"), col("score"), col("rnk"))
   }

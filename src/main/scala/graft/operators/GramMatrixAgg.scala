@@ -41,7 +41,12 @@ case class GramMatrixAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
-  require(d >= 1 && d <= 4096, s"dimension must be in [1, 4096], got $d")
+  // d = 512 ⇒ a ~2.1 MB long buffer per GROUP; the caller owns keeping
+  // groups × (1+d+d²) × 8 B inside executor memory (q259: 64 groups ×
+  // d=64 ≈ 2 MB total). The previous 4096 bound allowed ~134 MB per
+  // group — a handful of groups OOMed the hash aggregate long before
+  // addExact could trip.
+  require(d >= 1 && d <= 512, s"dimension must be in [1, 512], got $d")
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),

@@ -75,8 +75,17 @@ object StreamingLm {
   /** q261's LM assembly over any (key, count) counter table — the
     * consumer-side half. Bounded by the vocabulary; exact microbit
     * output per (lang, u, w), identical to the batch weight table.
+    *
+    * The processor above emits one CUMULATIVE row per key per touching
+    * batch (append mode), so a raw appended sink holds every historical
+    * total, not just the latest. Counters are monotone, so the latest
+    * total per key is exactly `max(n)` — deduped here internally, which
+    * makes the function total over both a latest-row-per-key map AND
+    * the raw appended table (feeding the latter used to silently
+    * inflate cu/cb/n_lang/v_lang).
     */
-  def assembleWeights(counts: DataFrame): DataFrame = {
+  def assembleWeights(counts0: DataFrame): DataFrame = {
+    val counts = counts0.groupBy(col("k")).agg(max(col("n")).as("n"))
     val uni = counts.where(col("k").startsWith("u|"))
       .select(split(col("k"), "\\|", 3).getItem(1).as("lang"),
         split(col("k"), "\\|", 3).getItem(2).as("tok"), col("n").as("cu"))

@@ -91,4 +91,24 @@ class ChunkDedupSpec extends AnyFunSuite {
       .select(col("col.chash")).as[Long].collect()
     assert(texts.distinct.length === 4, "overlapping windows differ")
   }
+
+  test("firstOccurrence raises past the IdxEncode margin instead of " +
+      "silently colliding keeper keys across documents") {
+    val bad = Seq((1L, 0L, 20L, 42L),
+        (2L, graft.llm.ChunkDedup.IdxEncode, 20L, 42L))
+      .toDF("doc_id", "chunk_idx", "ctoks", "chash")
+    val e = intercept[Exception] {
+      graft.llm.ChunkDedup.firstOccurrence(bad).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("IdxEncode"), s"unexpected failure: $chain")
+    // in-margin rows are untouched by the guard
+    val ok = Seq((1L, 0L, 20L, 42L), (2L, 999999L, 20L, 42L))
+      .toDF("doc_id", "chunk_idx", "ctoks", "chash")
+    val kept = graft.llm.ChunkDedup.firstOccurrence(ok)
+      .where(col("kept")).select(col("doc_id")).as[Long].collect()
+    assert(kept.toSeq === Seq(1L))
+  }
 }

@@ -342,4 +342,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no sort window in assignment:\n$plan")
     assert(!plan.contains("Join"), s"centroids fold into the row expression, not a join:\n$plan")
   }
+
+  test("labeledTopK round-trips NEGATIVE query ids (floor-division decode)") {
+    import spark.implicits._
+    // encode(-3, neg) = -5; truncating DIV 2 would decode to -2
+    val emb = Seq(
+        (-3L, Seq(1.0, 0.0), 0L), (-2L, Seq(0.9, 0.1), 0L),
+        (5L, Seq(0.2, 1.0), 1L), (6L, Seq(0.1, 0.9), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labeledTopK(emb, emb.where(col("vec_id") === -3L),
+      "vec_id", "embedding", "label", k = 2).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("query_id") === -3L,
+      s"decode must floor-divide: $r"))
+    val neg = out.filter(_.getAs[Boolean]("is_negative"))
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neg === Set(5L, 6L), "different-label side = hard negatives")
+    val pos = out.filter(!_.getAs[Boolean]("is_negative"))
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(pos === Set(-2L), "same-label side excludes self")
+  }
+
+  test("brute-force probe cap raises instead of broadcasting an " +
+      "oversized query side") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnBruteForce(emb, emb, "vec_id", "embedding", k = 2,
+        maxProbe = 8)
+    }
+    assert(e.getMessage.contains("probe side"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.labeledTopK(emb, emb, "vec_id", "embedding", "vec_id",
+        k = 2, maxProbe = 8)
+    }
+    assert(e2.getMessage.contains("probe side"))
+    // at-cap probe side passes (the guard counts cap+1 rows, not all)
+    Similarity.knnBruteForce(emb, emb.limit(8), "vec_id", "embedding",
+      k = 2, maxProbe = 8)
+  }
 }

@@ -97,4 +97,22 @@ class StreamingLmSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("assembleWeights dedupes the RAW appended counter table: " +
+      "cumulative per-batch rows collapse to the latest total") {
+    val latest = Seq(("u|en|a", 3L), ("u|en|b", 2L), ("b|en|a b", 2L),
+        ("b|en|b a", 1L)).toDF("k", "n")
+    // append-mode sink history: earlier cumulative totals still present
+    val appended = Seq(("u|en|a", 1L), ("u|en|a", 2L), ("u|en|a", 3L),
+        ("u|en|b", 2L), ("b|en|a b", 1L), ("b|en|a b", 2L),
+        ("b|en|b a", 1L)).toDF("k", "n")
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingLm.assembleWeights(df).collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+          r.getLong(3))).toMap
+    val a = tab(latest)
+    val b = tab(appended)
+    assert(a === b, "raw appended table must not inflate the LM")
+    assert(a.nonEmpty)
+  }
 }
