@@ -37,6 +37,21 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Frequency-based boilerplate line removal (CCNet/RefinedWeb
+    // pre-dedup): strip 10-token lines whose doc-frequency within
+    // their source clears ≥2 docs AND ≥5% of the source — per-doc
+    // retained text + removal accounting. See llm/Boilerplate.
+    "q271_boilerplate" -> ((s, dir) =>
+      graft.llm.Boilerplate.strip(Tables.documents(s, dir),
+        "doc_id", "text", "source", c = 10, seed = 11)),
+
+    // Per-source boilerplate mass: the O(sources)-row planning report
+    // over the same strip (a source past ~30% repeated mass is a
+    // scrape problem, not a corpus).
+    "q273_boilerplate_mass" -> ((s, dir) =>
+      graft.llm.Boilerplate.sourceMass(Tables.documents(s, dir),
+        "doc_id", "text", "source", c = 10, seed = 11)),
+
     // Interpolated bigram LM perplexity filter: mean bits/bigram under
     // λ·bigram-MLE + (1−λ)·add-one-unigram (λ = 3/4), verdict at 12
     // bits/bigram on the exact microbit grid. See LmScore for the
@@ -339,6 +354,55 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q271_boilerplate" ->
+      s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(10, 11)},
+         nd AS (SELECT source, count(*) AS nd FROM tk
+           WHERE len(t) > 0 GROUP BY 1),
+         dfl AS (SELECT source, chash, count(DISTINCT doc_id) AS df
+           FROM ch GROUP BY 1, 2),
+         bo AS (SELECT dfl.source, chash FROM dfl JOIN nd USING (source)
+           WHERE df >= 2 AND df * 100 >= nd * 5),
+         fl AS (SELECT ch.doc_id, ch.source, ch.chunk_idx, ch.ctoks,
+             bo.chash IS NOT NULL AS boiler,
+             array_to_string(t[ch.chunk_idx*10+1 : ch.chunk_idx*10+10],
+               ' ') AS line
+           FROM ch JOIN tk ON tk.doc_id = ch.doc_id
+           LEFT JOIN bo ON bo.source = ch.source AND bo.chash = ch.chash)
+         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS boiler_lines,
+           CAST(sum(CASE WHEN NOT boiler THEN ctoks ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(sum(CASE WHEN boiler THEN ctoks ELSE 0 END) AS BIGINT)
+             AS removed_tokens,
+           COALESCE(string_agg(CASE WHEN NOT boiler THEN line END, ' '
+             ORDER BY chunk_idx), '') AS retained_text
+         FROM fl GROUP BY 1, 2""",
+    "q273_boilerplate_mass" ->
+      s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(10, 11)},
+         nd AS (SELECT source, count(*) AS nd FROM tk
+           WHERE len(t) > 0 GROUP BY 1),
+         dfl AS (SELECT source, chash, count(DISTINCT doc_id) AS df
+           FROM ch GROUP BY 1, 2),
+         bo AS (SELECT dfl.source, chash FROM dfl JOIN nd USING (source)
+           WHERE df >= 2 AND df * 100 >= nd * 5),
+         fl AS (SELECT ch.doc_id, ch.source, ch.ctoks,
+             bo.chash IS NOT NULL AS boiler
+           FROM ch LEFT JOIN bo ON bo.source = ch.source
+             AND bo.chash = ch.chash),
+         pd AS (SELECT doc_id, source, count(*) AS n_lines,
+             sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS boiler_lines,
+             sum(ctoks) AS n_tokens,
+             sum(CASE WHEN boiler THEN ctoks ELSE 0 END) AS removed_tokens
+           FROM fl GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(boiler_lines) AS BIGINT) AS boiler_lines,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(removed_tokens) AS BIGINT) AS removed_tokens,
+           CAST(sum(removed_tokens) AS DOUBLE)
+             / CAST(sum(n_tokens) AS DOUBLE) AS boiler_share
+         FROM pd GROUP BY 1""",
     "q261_bigram_perplexity" ->
       s"""WITH ${LlmQueries.tkCte},
          tk2 AS (SELECT doc_id, lang, t FROM tk WHERE len(t) >= 2),

@@ -119,4 +119,60 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("boilerplate strip: a header repeated across a source is " +
+      "stripped; a unique line of identical length survives") {
+    val header = "terms of service apply to all pages of this site" // 10 toks
+    def uniq(i: Int) =
+      s"unique line number n$i with exactly ten tokens included yes" // 10 toks
+    val docs = ((1 to 5).map(i =>
+        (i.toLong, s"$header ${uniq(i)}", "web")) :+
+      (100L, uniq(99), "web")).toDF("doc_id", "text", "source")
+    val out = graft.llm.Boilerplate
+      .strip(docs, "doc_id", "text", "source", c = 10, seed = 11)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1 to 5).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("boiler_lines") === 1L, s"doc $i")
+      assert(r.getAs[Long]("removed_tokens") === 10L)
+      assert(r.getAs[Long]("kept_tokens") === 10L)
+      assert(r.getAs[String]("retained_text") === uniq(i),
+        "the unique line of IDENTICAL length must survive")
+    }
+    val lone = out(100L)
+    assert(lone.getAs[Long]("boiler_lines") === 0L)
+    assert(lone.getAs[String]("retained_text") === uniq(99))
+    // per-source mass: 5 headers of 10 tokens removed out of 110
+    val mass = graft.llm.Boilerplate
+      .sourceMass(docs, "doc_id", "text", "source", c = 10, seed = 11)
+      .collect()
+    assert(mass.length === 1)
+    val m = mass.head
+    assert(m.getAs[Long]("n_docs") === 6L)
+    assert(m.getAs[Long]("removed_tokens") === 50L)
+    assert(m.getAs[Long]("n_tokens") === 110L)
+    assert(math.abs(m.getAs[Double]("boiler_share") - 50.0 / 110.0) < 1e-12)
+  }
+
+  test("boilerplate is PER-SOURCE: the same repeated line in another " +
+      "source below threshold survives there") {
+    val line = "this exact same line appears in two different source pools"
+    def pad(i: Int) =
+      s"filler content row n$i keeps the document body distinct here"
+    // srcA: line in 3/3 docs -> boiler there; srcB: line in 1/20 docs
+    val docs = ((1 to 3).map(i =>
+        (i.toLong, s"$line ${pad(i)}", "srcA")) ++
+      Seq((50L, s"$line ${pad(50)}", "srcB")) ++
+      (51 to 69).map(i => (i.toLong, pad(i), "srcB")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Boilerplate
+      .strip(docs, "doc_id", "text", "source", c = 10, seed = 11)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1 to 3).foreach(i =>
+      assert(out(i.toLong).getAs[Long]("boiler_lines") === 1L,
+        s"srcA doc $i strips the shared line"))
+    assert(out(50L).getAs[Long]("boiler_lines") === 0L,
+      "srcB sees the line once in 20 docs - below both thresholds")
+    assert(out(50L).getAs[String]("retained_text").startsWith(line))
+  }
 }
