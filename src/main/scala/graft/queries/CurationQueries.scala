@@ -52,6 +52,15 @@ object CurationQueries {
       graft.llm.Boilerplate.sourceMass(Tables.documents(s, dir),
         "doc_id", "text", "source", c = 10, seed = 11)),
 
+    // Multi-round BPE merge training: 8 rounds of the adjacent-pair
+    // census with each round's winning merge re-entering the pair
+    // table — q223 was round 1; the tokenizer-training loop IS the
+    // dependency of round r on rounds 1..r-1. See llm/Bpe for the
+    // per-round shape (vocab-collapsed census, one-row argmax collect,
+    // per-row greedy fold rewrite).
+    "q272_bpe_merge_rounds" -> ((s, dir) =>
+      graft.llm.Bpe.train(Tables.documents(s, dir), "text", 8)),
+
     // Interpolated bigram LM perplexity filter: mean bits/bigram under
     // λ·bigram-MLE + (1−λ)·add-one-unigram (λ = 3/4), verdict at 12
     // bits/bigram on the exact microbit grid. See LmScore for the
@@ -353,7 +362,45 @@ object CurationQueries {
     })
   )
 
+  /** k chained BPE rounds in one DuckDB statement: census → one-row
+    * argmax → list_reduce greedy rewrite (the same fold semantics as
+    * `Bpe.mergePair` — append each symbol unless the accumulator's
+    * last symbol is x and the incoming one is y), repeated by CTE
+    * chaining with the round-r winner cross-joined into round r+1's
+    * vocab rewrite.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH ${LlmQueries.tkCte},
+      v1 AS (SELECT CAST(count(*) AS BIGINT) AS weight,
+          string_split(w, '') AS s
+        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),""")
+    for (r <- 1 to rounds) {
+      sb.append(s"""
+      c$r AS (SELECT s[i] AS x, s[i+1] AS y,
+          CAST(sum(weight) AS BIGINT) AS n
+        FROM v$r, unnest(generate_series(1, len(s) - 1)) AS g(i)
+        WHERE len(s) >= 2 GROUP BY 1, 2),
+      b$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
+      v${r + 1} AS (SELECT weight, string_split(list_reduce(s,
+          (acc, sy) -> CASE
+            WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+            THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+            ELSE acc || ' ' || sy END), ' ') AS s
+        FROM v$r, b$r b),
+      m$r AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+        FROM v${r + 1})""")
+      if (r < rounds) sb.append(",")
+    }
+    sb.append((1 to rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, x, y, n AS pair_n,
+         (SELECT mass FROM m$r) AS mass_after FROM b$r""")
+      .mkString("\n", "\nUNION ALL\n", ""))
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
+    "q272_bpe_merge_rounds" -> bpeOracleSql(8),
     "q271_boilerplate" ->
       s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(10, 11)},
          nd AS (SELECT source, count(*) AS nd FROM tk

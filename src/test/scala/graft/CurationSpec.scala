@@ -175,4 +175,62 @@ class CurationSpec extends AnyFunSuite {
       "srcB sees the line once in 20 docs - below both thresholds")
     assert(out(50L).getAs[String]("retained_text").startsWith(line))
   }
+
+  test("bpe: merge rounds match a brute-force replication, char mass " +
+      "is invariant, symbol mass shrinks by the merged occurrences") {
+    def bruteMerge(seq: Vector[String], x: String, y: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == x && seq(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += seq(i); i += 1 }
+      }
+      out.result()
+    }
+    def brute(words: Map[String, Long], rounds: Int)
+        : Seq[(Long, String, String, Long, Long)] = {
+      var vocab = words.map { case (w, n) =>
+        w.toVector.map(_.toString) -> n
+      }
+      val charMass0 = vocab.map { case (s, n) => n * s.map(_.length).sum }.sum
+      (1 to rounds).flatMap { r =>
+        val census = vocab.toSeq.flatMap { case (s, n) =>
+          s.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)) -> n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        if (census.isEmpty) None
+        else {
+          val ((x, y), n) = census.minBy { case ((a, b), c) => (-c, a, b) }
+          vocab = vocab.toSeq.map { case (s, w) => (bruteMerge(s, x, y), w) }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+          val charMass = vocab.map { case (s, w) =>
+            w * s.map(_.length).sum }.sum
+          assert(charMass === charMass0, "char mass must be invariant")
+          val symMass = vocab.map { case (s, w) => w * s.length }.sum
+          Some((r.toLong, x, y, n, symMass))
+        }
+      }
+    }
+    // corpus engineered so later rounds depend on earlier merges:
+    // "aaab" repeats make (a,a) then (aa,a*)-family merges compete
+    val texts = Seq.fill(6)("banana band bandana") ++
+      Seq.fill(4)("aaab aaab banana") ++ Seq.fill(3)("na na banana nab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val expected = brute(words, 5)
+    val got = graft.llm.Bpe.train(docs, "text", 5)
+      .collect().map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("x"),
+        r.getAs[String]("y"), r.getAs[Long]("pair_n"),
+        r.getAs[Long]("mass_after"))).sortBy(_._1).toSeq
+    assert(got === expected,
+      s"distributed trainer must replay the reference loop\n$got\n$expected")
+    // symbol mass strictly decreases every executed round
+    got.map(_._5).sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, "each merge removes occurrences")
+      case _ =>
+    }
+  }
 }
