@@ -30,6 +30,22 @@ object TrainingDataPipeline {
     * @param contaminationMax drop docs whose eval-shingle overlap share
     *                         exceeds this (docs too short to shingle
     *                         cannot match and are kept)
+    * @param chunkC chunk size (tokens) for the OPTIONAL chunk-granular
+    *               stages; 0 disables both. Doc-level near-dup and
+    *               shingle decontamination miss sub-document copies —
+    *               a leaked eval passage inside an otherwise-novel doc
+    *               (q268's finding), or a doc assembled mostly from
+    *               chunks that already occur elsewhere (q232's) — so
+    *               with chunkC > 0 the pipeline re-screens survivors at
+    *               chunk granularity.
+    * @param chunkNovelMin with chunkC > 0: drop docs whose
+    *               first-occurrence (novel) token share is below this
+    *               (0.0 keeps the stage off). Chunk-less docs (empty
+    *               text) have no duplicated chunks and are kept.
+    * @param evalChunkLeakMax with chunkC > 0 AND evalDocs passed to
+    *               [[run]]: drop docs whose share of chunks appearing
+    *               verbatim in the eval set exceeds this (0.0 = one
+    *               leaked chunk drops the doc).
     */
   final case class Config(
       minQuality: Double = 0.4,
@@ -38,7 +54,10 @@ object TrainingDataPipeline {
       contaminationMax: Double = 0.2,
       mixtureTargets: Map[String, Double] = Map.empty,
       tokenBudget: Int = 512,
-      shards: Int = 4)
+      shards: Int = 4,
+      chunkC: Int = 0,
+      chunkNovelMin: Double = 0.0,
+      evalChunkLeakMax: Double = 0.0)
 
   /** @param corpus  surviving docs with `quality` and `split` columns
     * @param packed  (doc_id, lang, shard, tok_count, chunk_id) of the
@@ -47,8 +66,16 @@ object TrainingDataPipeline {
     */
   final case class Result(corpus: DataFrame, packed: DataFrame, manifest: DataFrame)
 
+  /** @param evalDocs eval/benchmark DOCUMENTS (doc_id, text) for the
+    *                  chunk-level decontamination stage — distinct from
+    *                  `evalNgrams` (the shingle table stage 3 uses)
+    *                  because chunk screening needs the eval text
+    *                  re-chunked with the corpus's own chunking. Stage
+    *                  runs only when chunkC > 0 and this is non-empty.
+    */
   def run(docs: DataFrame, evalNgrams: DataFrame, stopwords: Seq[String],
-          cfg: Config = Config()): Result = {
+          cfg: Config = Config(),
+          evalDocs: Option[DataFrame] = None): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -75,13 +102,57 @@ object TrainingDataPipeline {
     // may broadcast it when small, a forced hint would OOM at 100 TB
     val deduped = kept.join(dupDrop, Seq("doc_id"), "left_anti")
 
+    // 2b. OPTIONAL chunk-level dedup: drop docs that are mostly
+    // assembled from chunks already seen elsewhere (novel-token share
+    // below the floor) — whole-doc near-dup can't see these. Same
+    // firstOccurrence contract as q232; shuffles carry only the 64-bit
+    // chunk hash. Docs without chunks never enter the drop set.
+    val chunkDeduped =
+      if (cfg.chunkC <= 0 || cfg.chunkNovelMin <= 0.0) deduped
+      else {
+        val stale = ChunkDedup.firstOccurrence(
+            ChunkDedup.chunkMembership(deduped, "doc_id", "text",
+              cfg.chunkC, 7))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("ctoks")).as("tt"),
+            sum(when(col("kept"), col("ctoks")).otherwise(0L)).as("kt"))
+          .where(col("kt").cast("double") / col("tt").cast("double")
+            < cfg.chunkNovelMin)
+          .select(col("doc_id"))
+        deduped.join(stale, Seq("doc_id"), "left_anti")
+      }
+
     // 3. decontamination: drop docs overlapping the benchmark above the
     // threshold; shingle-less (short) docs cannot match and stay
     val contaminated = Contamination
-      .contaminationScore(deduped, evalNgrams, "doc_id", "text", cfg.contamN)
+      .contaminationScore(chunkDeduped, evalNgrams, "doc_id", "text",
+        cfg.contamN)
       .where(col("contamination") > cfg.contaminationMax)
       .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val docClean = chunkDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 3b. OPTIONAL chunk-level decontamination: a leaked eval passage
+    // inside an otherwise-novel doc dilutes below any whole-doc shingle
+    // share, so survivors are re-screened chunk for chunk against the
+    // re-chunked eval set (broadcast — benchmarks are small by nature).
+    val clean = (cfg.chunkC > 0, evalDocs) match {
+      case (true, Some(ed)) =>
+        val evalH = ChunkDedup
+          .chunkMembership(ed, "doc_id", "text", cfg.chunkC, 7)
+          .select(col("chash")).distinct().withColumn("hit", lit(1L))
+        val leaky = ChunkDedup
+          .chunkMembership(docClean, "doc_id", "text", cfg.chunkC, 7)
+          .join(broadcast(evalH), Seq("chash"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nl"))
+          .where(col("nl") > 0L &&
+            col("nl").cast("double") / col("nc").cast("double")
+              > cfg.evalChunkLeakMax)
+          .select(col("doc_id"))
+        docClean.join(leaky, Seq("doc_id"), "left_anti")
+      case _ => docClean
+    }
 
     // 4. mixture balancing by source (deterministic hash membership)
     val balanced =
@@ -97,13 +168,23 @@ object TrainingDataPipeline {
       corpus.where(col("split") === "train"), "doc_id", "text", "lang",
       cfg.tokenBudget, cfg.shards)
 
-    val manifest = Seq(
+    val chunkStage =
+      if (cfg.chunkC > 0 && cfg.chunkNovelMin > 0.0)
+        Seq(("2b_chunk_novel", chunkDeduped.count()))
+      else Seq.empty
+    val chunkDecon =
+      if (cfg.chunkC > 0 && evalDocs.nonEmpty)
+        Seq(("3b_chunk_decontaminated", clean.count()))
+      else Seq.empty
+    val manifest = (Seq(
       ("0_input", docs.count()),
       ("1_quality_gate", kept.count()),
-      ("2_near_dup", deduped.count()),
-      ("3_decontaminated", clean.count()),
-      ("4_mixture", balanced.count()),
-      ("5_train_packed", packed.count())
+      ("2_near_dup", deduped.count())) ++
+      chunkStage ++
+      Seq(("3_decontaminated", docClean.count())) ++
+      chunkDecon ++
+      Seq(("4_mixture", balanced.count()),
+        ("5_train_packed", packed.count()))
     ).toDF("stage", "n_docs")
 
     Result(corpus, packed, manifest)

@@ -781,6 +781,65 @@ class LlmSpec extends AnyFunSuite {
     assert(ids1 == ids2, "pipeline must be a pure function of its inputs")
   }
 
+  test("pipeline chunk stages catch what doc-level screens miss: " +
+      "leaked eval chunk and chunk-assembled doc") {
+    import spark.implicits._
+    import graft.llm.TrainingDataPipeline
+    def filler(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val leak = (0 until 20).map(i => s"leak$i").mkString(" ")   // 20 toks
+    val shared = (0 until 40).map(i => s"shared$i").mkString(" ") // 2 chunks
+    // X: the leaked passage sits chunk-ALIGNED inside 160 tokens, so
+    // its whole-doc shingle share (~18/158) stays under the 0.2
+    // doc-level ceiling — the q268 miss
+    val xDoc = s"${filler("xa", 60)} $leak ${filler("xb", 80)}"
+    // W1/W2 share 40 tokens out of 100: Jaccard ~0.24 < 0.5, so
+    // doc-level near-dup keeps both; W2's novel share is 0.6
+    val w1 = s"$shared ${filler("wa", 60)}"
+    val w2 = s"$shared ${filler("wb", 60)}"
+    val docs = (Seq((10L, xDoc), (11L, w1), (12L, w2)) ++
+      (20L to 29L).map(i => (i, filler(s"f$i", 100).toString)))
+      .map { case (id, t) => (id, t, "en", "srcA") }
+      .toDF("doc_id", "text", "lang", "source")
+    val evalDocs = Seq((1000L, leak)).toDF("doc_id", "text")
+    val evalNgrams = evalDocs.select(
+      explode(graft.llm.Dedup.shinglesText(col("text"), 3)).as("g"))
+    val base = TrainingDataPipeline.Config(minQuality = 0.0)
+
+    // doc-level-only run: BOTH problem docs survive (the miss is real)
+    val r0 = TrainingDataPipeline.run(docs, evalNgrams, Nil, base)
+    val ids0 = r0.corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids0.contains(10L), "doc-level screens must miss the leak")
+    assert(ids0.contains(12L), "doc-level near-dup must miss W2")
+
+    // chunk-granular run: both are caught, nothing else is lost
+    val cfg = base.copy(chunkC = 20, chunkNovelMin = 0.8,
+      evalChunkLeakMax = 0.0)
+    val r = TrainingDataPipeline.run(docs, evalNgrams, Nil, cfg,
+      Some(evalDocs))
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(10L), "leaked eval chunk must drop X")
+    assert(!ids.contains(12L), "chunk-assembled W2 below novel floor")
+    assert(ids.contains(11L), "first occurrence W1 survives")
+    assert(ids === ids0 - 10L - 12L, "no collateral drops")
+
+    // manifest: ordered stages present and monotone non-increasing
+    val m = r.manifest.collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(1)).toSeq
+    val stages = m.map(_._1)
+    assert(stages.containsSlice(Seq("2_near_dup", "2b_chunk_novel",
+      "3_decontaminated", "3b_chunk_decontaminated", "4_mixture")))
+    val dropStages = m.filterNot(_._1 == "5_train_packed").map(_._2)
+    dropStages.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"manifest must be monotone: $m")
+      case _ =>
+    }
+    assert(m.toMap.apply("2b_chunk_novel") ===
+      m.toMap.apply("2_near_dup") - 1, "exactly W2 dropped at 2b")
+    assert(m.toMap.apply("3b_chunk_decontaminated") ===
+      m.toMap.apply("3_decontaminated") - 1, "exactly X dropped at 3b")
+  }
+
   test("split assignment is a deterministic 3-way partition of ids") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")
