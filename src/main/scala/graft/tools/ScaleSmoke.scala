@@ -106,6 +106,46 @@ object ScaleSmoke {
       val b = baseSummary.getAs[Long](c); val g = bigSummary.getAs[Long](c)
       require(g == 10 * b, s"$c: expected ${10 * b} at 10x, got $g")
     }
+
+    // Empirical linearity gate for the hot bench set (r10 verdict #4):
+    // the 100 TB posture of these plans is otherwise argued from shape
+    // (no cartesians, bounded candidate sets, co-keyed iterations) —
+    // this measures it. Each query runs at sf0.01 and at sf0.1 (10x the
+    // rows), min of `sweeps` wall-times each; the gate allows 1.5x
+    // super-linear growth on top of the 10x data, with a 0.15 s floor
+    // on the small-SF time so JVM/scheduler constants don't divide into
+    // the ratio. Sub-linear queries (bounded outputs like q258's
+    // |types|^2 matrix) pass trivially — the gate is an upper bound.
+    val hot = Seq("q105_", "q106_", "q130_", "q136_", "q147_", "q153_",
+      "q175_", "q191_", "q258_", "q58_")
+    val smallDir = "/root/testdata/sf0.01"
+    val bigDir = "/root/testdata/sf0.1"
+    val sweeps = 2
+    def time(name: String, d: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      (1 to sweeps).map { _ =>
+        val t = System.nanoTime()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    }
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => hot.exists(n.startsWith))
+    require(names.size == hot.size, s"hot-set resolution: $names")
+    var worst = 0.0
+    names.foreach { n =>
+      val ts = time(n, smallDir)
+      val tb = time(n, bigDir)
+      val bound = 15.0 * math.max(ts, 0.15)
+      val ratio = tb / math.max(ts, 0.15)
+      worst = math.max(worst, ratio / 10.0)
+      println(f"[smoke] linearity $n: sf0.01 $ts%.2f s -> sf0.1 $tb%.2f s " +
+        f"(x$ratio%.1f at 10x rows, bound x15)")
+      require(tb <= bound,
+        f"$n grows super-linearly: $ts%.2f s -> $tb%.2f s at 10x rows")
+    }
+    println(f"[smoke] linearity gate passed; worst normalized growth " +
+      f"x$worst%.2f (1.0 = perfectly linear)")
     spark.stop()
   }
 }
