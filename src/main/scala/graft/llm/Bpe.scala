@@ -106,4 +106,40 @@ object Bpe {
     v.unpersist()
     rules.toSeq.toDF("merge_round", "x", "y", "pair_n", "mass_after")
   }
+
+  /** Apply learned merge rules (in order) and report per-`byCol`
+    * tokenizer stats: word/char/symbol counts and the two ratios every
+    * tokenizer build quotes — chars per symbol (compression) and
+    * symbols per word (fertility). The merges replay over the DISTINCT
+    * word table only (8 chained per-row folds, no corpus pass), then
+    * join back to per-(group, word) instance counts — so corpus-sized
+    * data is touched exactly twice (vocab build + instance count), both
+    * map-side-combined aggregates.
+    */
+  def encodeStats(docs: DataFrame, textCol: String, byCol: String,
+                  rounds: Int): DataFrame = {
+    val rules = train(docs, textCol, rounds).collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y")))
+    val sw = docs.select(col(byCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("nsw"))
+      .transform(graft.core.Caching.persist)
+    val enc0 = sw.select(col("w")).distinct()
+      .select(col("w"),
+        filter(split(col("w"), ""), x => x =!= lit("")).as("s"))
+    val enc = rules.foldLeft(enc0) { case (d, (x, y)) =>
+      d.select(col("w"), mergePair(col("s"), x, y).as("s"))
+    }.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+    sw.join(enc, "w")
+      .groupBy(col("grp"))
+      .agg(sum(col("nsw")).cast("long").as("n_words"),
+        sum(col("nsw") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("nsw") * col("n_sym")).cast("long").as("n_symbols"))
+      .select(col("grp").as(byCol), col("n_words"), col("n_chars"),
+        col("n_symbols"),
+        (col("n_chars").cast("double") / col("n_symbols").cast("double"))
+          .as("chars_per_symbol"),
+        (col("n_symbols").cast("double") / col("n_words").cast("double"))
+          .as("symbols_per_word"))
+  }
 }

@@ -99,6 +99,77 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Gopher's top-n-gram rule, the one intra-doc repetition screen
+    // q65's duplicate-fraction scores don't cover: the share of a
+    // document's bigrams taken by its single MOST frequent bigram
+    // (boilerplate loops and keyword stuffing spike it long before the
+    // distinct-token ratio moves). Deterministic argmax: max count,
+    // ties to the lexicographically smallest bigram, via one struct-min
+    // aggregate — no window, the per-doc bigram table never sorts.
+    "q275_top_bigram_share" -> ((s, dir) => {
+      val toks = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+      toks.select(col("doc_id"),
+          explode(transform(sequence(lit(2), size(col("t"))), i =>
+            concat(element_at(col("t"), i - lit(1)), lit(" "),
+              element_at(col("t"), i)))).as("bg"))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          min(struct(negate(col("c")).as("nc"), col("bg").as("g")))
+            .as("best"))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("best.g").as("top_bigram"),
+          negate(col("best.nc")).cast("long").as("top_n"),
+          (negate(col("best.nc")).cast("double")
+            / col("n_bigrams").cast("double")).as("top_share"))
+    }),
+
+    // Incremental-ingestion dedup audit: a deterministic 80/20 hash
+    // split plays the roles of the EXISTING corpus and the NEW crawl
+    // batch; every new doc's chunks classify as dup-vs-base (hash
+    // already in the base chunk set), dup-intra (first seen by an
+    // earlier new doc), or novel — the nightly-ingest report that says
+    // how much of the crawl is actually new. Base chunk set and
+    // first-occurrence-within-new are both hash-keyed aggregates; the
+    // chunk string never shuffles.
+    "q276_incremental_dedup" -> ((s, dir) => {
+      val mem = graft.llm.ChunkDedup
+        .chunkMembership(graft.core.Tables.documents(s, dir),
+          "doc_id", "text", 20, 7)
+        .withColumn("is_new",
+          pmod(TextFunctions.portableHash(col("doc_id").cast("string"), 29),
+            lit(10L)) >= lit(8L))
+        .transform(graft.core.Caching.persist)
+      val baseH = mem.where(!col("is_new"))
+        .select(col("chash")).distinct().withColumn("in_base", lit(true))
+      val enc = col("doc_id") * lit(graft.llm.ChunkDedup.IdxEncode) +
+        col("chunk_idx")
+      val newm = mem.where(col("is_new"))
+      val firstNew = newm.groupBy(col("chash")).agg(min(enc).as("keeper"))
+      newm.join(baseH, Seq("chash"), "left")
+        .join(firstNew, "chash")
+        .select(col("doc_id"), col("ctoks"),
+          when(col("in_base").isNotNull, "dup_base")
+            .when(enc =!= col("keeper"), "dup_intra")
+            .otherwise("novel").as("cls"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cls") === "dup_base", 1L).otherwise(0L))
+            .as("dup_base"),
+          sum(when(col("cls") === "dup_intra", 1L).otherwise(0L))
+            .as("dup_intra"),
+          sum(when(col("cls") === "novel", 1L).otherwise(0L)).as("novel"),
+          sum(when(col("cls") === "novel", col("ctoks")).otherwise(0L))
+            .cast("long").as("novel_tokens"))
+        .select(col("doc_id"), col("n_chunks"), col("dup_base"),
+          col("dup_intra"), col("novel"), col("novel_tokens"),
+          (col("novel").cast("double") / col("n_chunks").cast("double"))
+            .as("novel_share"))
+    }),
+
     // Sub-document dedup with reassembly: split every document into
     // non-overlapping 20-token chunks, keep only each chunk's FIRST
     // occurrence corpus-wide (min encoded (doc_id, chunk_idx) — a pure
@@ -787,6 +858,50 @@ object CorpusQueries {
        WHERE len(t) > 0)"""
 
   def oracles: Map[String, String] = Map(
+    "q275_top_bigram_share" ->
+      s"""WITH ${LlmQueries.tkCte},
+         big AS (SELECT doc_id, concat(t[i-1], ' ', t[i]) AS bg
+           FROM (SELECT doc_id, t FROM tk WHERE len(t) >= 2),
+             unnest(generate_series(2, len(t))) AS g(i)),
+         bc AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+           FROM big GROUP BY 1, 2),
+         mx AS (SELECT doc_id, max(c) AS mc,
+             CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+         SELECT bc.doc_id, n_bigrams, min(bg) AS top_bigram,
+           mc AS top_n,
+           CAST(mc AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_share
+         FROM bc JOIN mx ON mx.doc_id = bc.doc_id AND bc.c = mx.mc
+         GROUP BY 1, 2, 4""",
+    "q276_incremental_dedup" ->
+      s"""WITH ${LlmQueries.tkCte}, ${chunkCte(20, 7)},
+         cm AS (SELECT doc_id, chunk_idx, ctoks, chash,
+             CAST(concat('0x', substr(md5(concat('29', '|',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10 >= 8
+               AS is_new
+           FROM ch),
+         bh AS (SELECT DISTINCT chash, 1 AS in_base FROM cm
+           WHERE NOT is_new),
+         fn AS (SELECT chash, min(doc_id * 1000000 + chunk_idx) AS keeper
+           FROM cm WHERE is_new GROUP BY 1),
+         cls AS (SELECT cm.doc_id, cm.ctoks,
+             CASE WHEN in_base IS NOT NULL THEN 'dup_base'
+               WHEN cm.doc_id * 1000000 + cm.chunk_idx <> keeper
+                 THEN 'dup_intra'
+               ELSE 'novel' END AS cls
+           FROM cm LEFT JOIN bh USING (chash) JOIN fn USING (chash)
+           WHERE cm.is_new)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cls = 'dup_base' THEN 1 ELSE 0 END)
+             AS BIGINT) AS dup_base,
+           CAST(sum(CASE WHEN cls = 'dup_intra' THEN 1 ELSE 0 END)
+             AS BIGINT) AS dup_intra,
+           CAST(sum(CASE WHEN cls = 'novel' THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel,
+           CAST(sum(CASE WHEN cls = 'novel' THEN ctoks ELSE 0 END)
+             AS BIGINT) AS novel_tokens,
+           CAST(sum(CASE WHEN cls = 'novel' THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novel_share
+         FROM cls GROUP BY 1""",
     "q232_chunk_dedup" ->
       s"""WITH $tkCte, ${chunkCte(20, 7)},
          k AS (SELECT chash, min(doc_id*1000000+chunk_idx) AS keeper

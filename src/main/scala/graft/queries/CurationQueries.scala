@@ -61,6 +61,14 @@ object CurationQueries {
     "q272_bpe_merge_rounds" -> ((s, dir) =>
       graft.llm.Bpe.train(Tables.documents(s, dir), "text", 8)),
 
+    // Tokenizer application: replay q272's 8 learned merges over the
+    // distinct-word table and report per-source compression (chars per
+    // symbol) and fertility (symbols per word) — the numbers a
+    // tokenizer build quotes before anyone trains on it.
+    "q274_bpe_encode" -> ((s, dir) =>
+      graft.llm.Bpe.encodeStats(Tables.documents(s, dir), "text",
+        "source", 8)),
+
     // Interpolated bigram LM perplexity filter: mean bits/bigram under
     // λ·bigram-MLE + (1−λ)·add-one-unigram (λ = 3/4), verdict at 12
     // bits/bigram on the exact microbit grid. See LmScore for the
@@ -369,10 +377,10 @@ object CurationQueries {
     * chaining with the round-r winner cross-joined into round r+1's
     * vocab rewrite.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""WITH ${LlmQueries.tkCte},
-      v1 AS (SELECT CAST(count(*) AS BIGINT) AS weight,
+      v1 AS (SELECT w, CAST(count(*) AS BIGINT) AS weight,
           string_split(w, '') AS s
         FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),""")
     for (r <- 1 to rounds) {
@@ -382,7 +390,7 @@ object CurationQueries {
         FROM v$r, unnest(generate_series(1, len(s) - 1)) AS g(i)
         WHERE len(s) >= 2 GROUP BY 1, 2),
       b$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
-      v${r + 1} AS (SELECT weight, string_split(list_reduce(s,
+      v${r + 1} AS (SELECT w, weight, string_split(list_reduce(s,
           (acc, sy) -> CASE
             WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
             THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
@@ -392,15 +400,26 @@ object CurationQueries {
         FROM v${r + 1})""")
       if (r < rounds) sb.append(",")
     }
-    sb.append((1 to rounds).map(r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_round, x, y, n AS pair_n,
-         (SELECT mass FROM m$r) AS mass_after FROM b$r""")
-      .mkString("\n", "\nUNION ALL\n", ""))
     sb.toString
   }
 
   def oracles: Map[String, String] = Map(
-    "q272_bpe_merge_rounds" -> bpeOracleSql(8),
+    "q272_bpe_merge_rounds" -> (bpeCtes(8) +
+      (1 to 8).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_round, x, y, n AS pair_n,
+           (SELECT mass FROM m$r) AS mass_after FROM b$r""")
+        .mkString("\n", "\nUNION ALL\n", "")),
+    "q274_bpe_encode" -> (bpeCtes(8) + s""",
+      sw AS (SELECT source AS grp, w, CAST(count(*) AS BIGINT) AS nsw
+        FROM (SELECT source, unnest(t) AS w FROM tk) GROUP BY 1, 2)
+      SELECT grp AS source, CAST(sum(nsw) AS BIGINT) AS n_words,
+        CAST(sum(nsw * length(w)) AS BIGINT) AS n_chars,
+        CAST(sum(nsw * len(s)) AS BIGINT) AS n_symbols,
+        CAST(sum(nsw * length(w)) AS DOUBLE)
+          / CAST(sum(nsw * len(s)) AS DOUBLE) AS chars_per_symbol,
+        CAST(sum(nsw * len(s)) AS DOUBLE)
+          / CAST(sum(nsw) AS DOUBLE) AS symbols_per_word
+      FROM v9 JOIN sw USING (w) GROUP BY 1"""),
     "q271_boilerplate" ->
       s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(10, 11)},
          nd AS (SELECT source, count(*) AS nd FROM tk
