@@ -67,6 +67,20 @@ object Bpe {
     * pair table goes empty (every word fully merged).
     */
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainRules(docs, textCol, rounds, withMass = true)
+      .toDF("merge_round", "x", "y", "pair_n", "mass_after")
+  }
+
+  /** The driver-side loop behind [[train]]/[[encodeStats]]. With
+    * `withMass = false` the per-round mass aggregate (an extra action
+    * per round that only the q272 report needs) is skipped and
+    * mass_after is −1.
+    */
+  private def trainRules(docs: DataFrame, textCol: String, rounds: Int,
+                         withMass: Boolean)
+      : Seq[(Long, String, String, Long, Long)] = {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16] (each round is a full vocab pass): $rounds")
     val spark = docs.sparkSession
@@ -93,8 +107,11 @@ object Bpe {
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         val nv = v.select(col("weight"), mergePair(col("s"), x, y).as("s"))
           .transform(graft.core.Caching.persist)
-        val mass = nv.agg(sum(col("weight") * size(col("s"))).cast("long"))
-          .as[Long].head()
+        val mass =
+          if (withMass)
+            nv.agg(sum(col("weight") * size(col("s"))).cast("long"))
+              .as[Long].head()
+          else -1L
         rules += ((r.toLong, x, y, n, mass))
         if (prev != null) prev.unpersist()
         prev = v
@@ -104,7 +121,7 @@ object Bpe {
     }
     if (prev != null) prev.unpersist()
     v.unpersist()
-    rules.toSeq.toDF("merge_round", "x", "y", "pair_n", "mass_after")
+    rules.toSeq
   }
 
   /** Apply learned merge rules (in order) and report per-`byCol`
@@ -118,8 +135,8 @@ object Bpe {
     */
   def encodeStats(docs: DataFrame, textCol: String, byCol: String,
                   rounds: Int): DataFrame = {
-    val rules = train(docs, textCol, rounds).collect()
-      .map(r => (r.getAs[String]("x"), r.getAs[String]("y")))
+    val rules = trainRules(docs, textCol, rounds, withMass = false)
+      .map(r => (r._2, r._3))
     val sw = docs.select(col(byCol).as("grp"),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("nsw"))
