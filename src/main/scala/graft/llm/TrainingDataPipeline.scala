@@ -47,6 +47,13 @@ object TrainingDataPipeline {
     *               verbatim in the eval set exceeds this (0.0 = one
     *               leaked chunk drops the doc).
     */
+  /** @param boilerC line size (tokens) for the OPTIONAL boilerplate
+    *               strip that runs BEFORE everything else (the CCNet
+    *               ordering — repeated headers otherwise glue
+    *               unrelated docs into near-dup clusters and inflate
+    *               every downstream dup/perplexity stat); 0 disables.
+    *               Docs whose text empties out drop at this stage.
+    */
   final case class Config(
       minQuality: Double = 0.4,
       jaccardThreshold: Double = 0.5,
@@ -57,7 +64,10 @@ object TrainingDataPipeline {
       shards: Int = 4,
       chunkC: Int = 0,
       chunkNovelMin: Double = 0.0,
-      evalChunkLeakMax: Double = 0.0)
+      evalChunkLeakMax: Double = 0.0,
+      boilerC: Int = 0,
+      boilerMinDf: Int = 2,
+      boilerPct: Int = 5)
 
   /** @param corpus  surviving docs with `quality` and `split` columns
     * @param packed  (doc_id, lang, shard, tok_count, chunk_id) of the
@@ -79,8 +89,26 @@ object TrainingDataPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // 0b. OPTIONAL boilerplate strip, FIRST (CCNet order): replace
+    // each doc's text with its boilerplate-stripped form so the
+    // quality gate, dedup, and decontamination all see clean prose —
+    // without this, two unrelated docs sharing a big header read as
+    // near-dups and the cluster keeps only one of them.
+    val prepped =
+      if (cfg.boilerC <= 0) docs
+      else {
+        val stripped = Boilerplate.strip(docs, "doc_id", "text", "source",
+            cfg.boilerC, seed = 11, cfg.boilerMinDf, cfg.boilerPct)
+          .where(col("kept_tokens") > 0L)
+          .select(col("doc_id"), col("retained_text"))
+        docs.withColumn("doc_id", col("doc_id").cast("long"))
+          .join(stripped, "doc_id")
+          .withColumn("text", col("retained_text"))
+          .drop("retained_text")
+      }
+
     // 1. quality gate — one token pass, fused into the scan
-    val scored = docs.withColumn("quality",
+    val scored = prepped.withColumn("quality",
       TextFunctions.qualityScore(col("text"), stopwords))
     val kept = scored.where(col("quality") >= cfg.minQuality)
       .transform(graft.core.Caching.persist)
@@ -176,9 +204,13 @@ object TrainingDataPipeline {
       if (cfg.chunkC > 0 && evalDocs.nonEmpty)
         Seq(("3b_chunk_decontaminated", clean.count()))
       else Seq.empty
+    val boilerStage =
+      if (cfg.boilerC > 0) Seq(("0b_boilerplate", prepped.count()))
+      else Seq.empty
     val manifest = (Seq(
-      ("0_input", docs.count()),
-      ("1_quality_gate", kept.count()),
+      ("0_input", docs.count())) ++
+      boilerStage ++
+      Seq(("1_quality_gate", kept.count()),
       ("2_near_dup", deduped.count())) ++
       chunkStage ++
       Seq(("3_decontaminated", docClean.count())) ++

@@ -233,4 +233,36 @@ class CurationSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("bpe mergePair fold equals greedy left-to-right merge on ALL " +
+      "symbol sequences up to length 6 over {a, b, ab}, all 9 pairs") {
+    def bruteMerge(seq: Vector[String], x: String, y: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == x && seq(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += seq(i); i += 1 }
+      }
+      out.result()
+    }
+    val alpha = Vector("a", "b", "ab")
+    val seqs: Seq[Vector[String]] = (1 to 6).flatMap(n =>
+      Seq.fill(n)(alpha).foldLeft(Seq(Vector.empty[String])) {
+        (acc, cs) => acc.flatMap(v => cs.map(v :+ _))
+      })
+    val df = seqs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "s").transform(graft.core.Caching.persist)
+    for (x <- alpha; y <- alpha) {
+      val got = df.select(col("id"),
+          graft.llm.Bpe.mergePair(col("s"), x, y).as("m"))
+        .as[(Long, Seq[String])].collect().toMap
+      seqs.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i.toLong) === bruteMerge(v, x, y).toSeq,
+          s"pair ($x,$y) on $v")
+      }
+    }
+    df.unpersist()
+  }
 }

@@ -840,6 +840,47 @@ class LlmSpec extends AnyFunSuite {
       m.toMap.apply("3_decontaminated") - 1, "exactly X dropped at 3b")
   }
 
+  test("pipeline boilerplate stage rescues docs glued into near-dup " +
+      "clusters by a shared header") {
+    import spark.implicits._
+    import graft.llm.TrainingDataPipeline
+    def filler(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val header = filler("hdr", 80) // 8 ten-token boilerplate lines
+    // W1/W2: disjoint 10-token bodies behind the same 80-token header
+    // -> whole-doc Jaccard ~0.8 >= 0.5, a phantom near-dup pair
+    val w1 = s"$header ${filler("wa", 10)}"
+    val w2 = s"$header ${filler("wb", 10)}"
+    val docs = (Seq((10L, w1), (11L, w2)) ++
+      (20L to 29L).map(i => (i, filler(s"f$i", 100).toString)))
+      .map { case (id, t) => (id, t, "en", "srcA") }
+      .toDF("doc_id", "text", "lang", "source")
+    val evalNgrams = Seq.empty[String].toDF("g")
+    val base = TrainingDataPipeline.Config(minQuality = 0.0)
+
+    // without the strip, the header merges W1/W2 into one cluster
+    val r0 = TrainingDataPipeline.run(docs, evalNgrams, Nil, base)
+    val ids0 = r0.corpus.select("doc_id").as[Long].collect().toSet
+    assert(!(ids0.contains(10L) && ids0.contains(11L)),
+      "fixture must exercise the phantom near-dup")
+
+    // with it, both bodies survive and carry stripped text
+    val cfg = base.copy(boilerC = 10)
+    val r = TrainingDataPipeline.run(docs, evalNgrams, Nil, cfg)
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(10L) && ids.contains(11L),
+      "stripped bodies are distinct docs and must both survive")
+    val text10 = r.corpus.where(col("doc_id") === 10L)
+      .select("text").as[String].head()
+    assert(text10 === filler("wa", 10),
+      "downstream stages must see the stripped text")
+    val m = r.manifest.collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(m.contains("0b_boilerplate"))
+    assert(m("0b_boilerplate") === m("0_input"),
+      "strip rewrites text, nothing empties out here")
+  }
+
   test("split assignment is a deterministic 3-way partition of ids") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")
