@@ -141,4 +141,73 @@ object LmScore {
         (col("total_microbits")
           <= lit(thresholdMicrobits) * col("n_bigrams")).as("kept"))
   }
+
+  /** Interpolated Kneser–Ney bigram surprisal — THE standard n-gram
+    * smoothing (what KenLM ships), one rung above [[bigramSurprisal]]'s
+    * Jelinek–Mercer blend:
+    *
+    *   p(w|u) = (max(c(u,w) − D, 0) + D·N₁₊(u·)·p_cont(w)) / c(u·)
+    *   p_cont(w) = N₁₊(·w) / N₁₊(··),  D = 3/4 (exactly representable)
+    *
+    * where N₁₊(u·) = distinct continuations of u, N₁₊(·w) = distinct
+    * contexts preceding w, N₁₊(··) = distinct bigram types — the
+    * "how many contexts has this word appeared in" signal that makes
+    * KN the right smoother for curation scoring (a word frequent in
+    * ONE boilerplate context scores unlikely everywhere else, where
+    * add-one/JM would credit its raw frequency).
+    *
+    * Same determinism contract as [[bigramSurprisal]]: every model
+    * quantity is an exact integer count; p is ONE fixed-operand-order
+    * float expression per distinct (lang, u, w); −log2 is a single
+    * positive libm output rounded to integer microbits; per-doc totals
+    * are exact long sums; the keep verdict compares on the grid. Same
+    * scale shape: all aggregations and the scoring join are keyed on
+    * the bounded (lang, bigram) vocabulary.
+    */
+  def knBigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, keepBits: Double = 12.0)
+      : DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+    val big = toks
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(2), size(col("t"))), i =>
+          struct(element_at(col("t"), i - lit(1)).as("u"),
+            element_at(col("t"), i).as("w")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.u"), col("bg.w"))
+      .transform(graft.core.Caching.persist)
+    val bc = big.groupBy(col("lang"), col("u"), col("w"))
+      .agg(count(lit(1)).as("cb"))
+      .transform(graft.core.Caching.persist)
+    val ctx = bc.groupBy(col("lang"), col("u"))
+      .agg(sum(col("cb")).cast("long").as("cc"),
+        count(lit(1)).as("nfu")) // N₁₊(u·): distinct continuations
+    val cw = bc.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("npw")) // N₁₊(·w): distinct contexts
+    val tot = bc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nbb")) // N₁₊(··): distinct bigram types
+    val pb = bc
+      .join(ctx, Seq("lang", "u"))
+      .join(cw, Seq("lang", "w"))
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("u"), col("w"),
+        round(negate(log2(
+          (greatest(col("cb").cast("double") - lit(0.75), lit(0.0))
+            + lit(0.75) * col("nfu").cast("double")
+              * (col("npw").cast("double") / col("nbb").cast("double")))
+          / col("cc").cast("double")))
+          * lit(1e6)).cast("long").as("microbits"))
+    val thresholdMicrobits = Math.round(keepBits * 1e6)
+    big.join(pb, Seq("lang", "u", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("microbits")).cast("long").as("total_microbits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_microbits"),
+        round(col("total_microbits").cast("double")
+          / col("n_bigrams").cast("double") / lit(1e6), 6).as("mean_bits"),
+        (col("total_microbits")
+          <= lit(thresholdMicrobits) * col("n_bigrams")).as("kept"))
+  }
 }

@@ -52,6 +52,14 @@ object CurationQueries {
       graft.llm.Boilerplate.sourceMass(Tables.documents(s, dir),
         "doc_id", "text", "source", c = 10, seed = 11)),
 
+    // Interpolated Kneser–Ney bigram perplexity filter — the KenLM
+    // smoother (continuation counts, absolute discount D = 3/4), one
+    // rung above q261's Jelinek–Mercer blend. Same microbit grid and
+    // on-grid keep verdict; see LmScore.knBigramSurprisal.
+    "q277_kn_perplexity" -> ((s, dir) =>
+      graft.llm.LmScore.knBigramSurprisal(Tables.documents(s, dir),
+        "doc_id", "text", "lang", keepBits = 12.0)),
+
     // Multi-round BPE merge training: 8 rounds of the adjacent-pair
     // census with each round's winning merge re-entering the pair
     // table — q223 was round 1; the tokenizer-training loop IS the
@@ -404,6 +412,39 @@ object CurationQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q277_kn_perplexity" ->
+      s"""WITH ${LlmQueries.tkCte},
+         tk2 AS (SELECT doc_id, lang, t FROM tk WHERE len(t) >= 2),
+         big AS (SELECT doc_id, lang, t[i-1] AS u, t[i] AS w
+           FROM tk2, unnest(generate_series(2, len(t))) AS g(i)),
+         bc AS (SELECT lang, u, w, CAST(count(*) AS BIGINT) AS cb
+           FROM big GROUP BY 1, 2, 3),
+         ctx AS (SELECT lang, u, CAST(sum(cb) AS BIGINT) AS cc,
+             CAST(count(*) AS BIGINT) AS nfu FROM bc GROUP BY 1, 2),
+         cw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS npw
+           FROM bc GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS nbb
+           FROM bc GROUP BY 1),
+         pb AS (SELECT bc.lang, bc.u, bc.w,
+             CAST(round(-log2(
+                 (greatest(CAST(cb AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                     CAST(0.0 AS DOUBLE))
+                   + CAST(0.75 AS DOUBLE) * CAST(nfu AS DOUBLE)
+                     * (CAST(npw AS DOUBLE) / CAST(nbb AS DOUBLE)))
+                 / CAST(cc AS DOUBLE)) * 1e6)
+               AS BIGINT) AS microbits
+           FROM bc
+           JOIN ctx ON ctx.lang = bc.lang AND ctx.u = bc.u
+           JOIN cw ON cw.lang = bc.lang AND cw.w = bc.w
+           JOIN tot ON tot.lang = bc.lang)
+         SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(microbits) AS BIGINT) AS total_microbits,
+           round(CAST(sum(microbits) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_bits,
+           sum(microbits) <= 12000000 * count(*) AS kept
+         FROM big
+         JOIN pb ON pb.lang = big.lang AND pb.u = big.u AND pb.w = big.w
+         GROUP BY big.doc_id""",
     "q272_bpe_merge_rounds" -> (bpeCtes(8) +
       (1 to 8).map(r =>
         s"""SELECT CAST($r AS BIGINT) AS merge_round, x, y, n AS pair_n,
