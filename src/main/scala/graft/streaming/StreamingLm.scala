@@ -84,6 +84,42 @@ object StreamingLm {
     * the raw appended table (feeding the latter used to silently
     * inflate cu/cb/n_lang/v_lang).
     */
+  /** Kneser–Ney assembly over the SAME counter table (twin #25 —
+    * q277's smoother): every KN quantity is a pure function of the
+    * bigram counters alone — c(u,w) is the counter, c(u·)/N₁₊(u·)
+    * reduce it by context, N₁₊(·w)/N₁₊(··) by continuation — so the
+    * stateful half is [[counters]] verbatim and only this assembly
+    * differs from the JM face. Emits the exact batch weight table
+    * (`LmScore.knBigramSurprisal`'s pb): (lang, u, w, microbits).
+    * Dedupes the raw appended table like [[assembleWeights]].
+    */
+  def assembleKnWeights(counts0: DataFrame): DataFrame = {
+    val counts = counts0.groupBy(col("k")).agg(max(col("n")).as("n"))
+    val bc = counts.where(col("k").startsWith("b|"))
+      .select(split(col("k"), "\\|", 3).getItem(1).as("lang"),
+        split(split(col("k"), "\\|", 3).getItem(2), " ", 2).getItem(0)
+          .as("u"),
+        split(split(col("k"), "\\|", 3).getItem(2), " ", 2).getItem(1)
+          .as("w"),
+        col("n").as("cb"))
+    val ctx = bc.groupBy(col("lang"), col("u"))
+      .agg(sum(col("cb")).cast("long").as("cc"),
+        count(lit(1)).as("nfu"))
+    val cw = bc.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("npw"))
+    val tot = bc.groupBy(col("lang")).agg(count(lit(1)).as("nbb"))
+    bc.join(ctx, Seq("lang", "u"))
+      .join(cw, Seq("lang", "w"))
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("u"), col("w"),
+        round(negate(log2(
+          (greatest(col("cb").cast("double") - lit(0.75), lit(0.0))
+            + lit(0.75) * col("nfu").cast("double")
+              * (col("npw").cast("double") / col("nbb").cast("double")))
+          / col("cc").cast("double")))
+          * lit(1e6)).cast("long").as("microbits"))
+  }
+
   def assembleWeights(counts0: DataFrame): DataFrame = {
     val counts = counts0.groupBy(col("k")).agg(max(col("n")).as("n"))
     val uni = counts.where(col("k").startsWith("u|"))

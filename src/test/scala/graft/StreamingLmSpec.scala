@@ -115,4 +115,70 @@ class StreamingLmSpec extends AnyFunSuite {
     assert(a === b, "raw appended table must not inflate the LM")
     assert(a.nonEmpty)
   }
+
+  test("KN assembly over the SAME counter stream matches a brute-force " +
+      "KN weight table at every prefix and reproduces batch q277") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.llm.TextFunctions.tokens(col("text")).as("t"))
+      .as[(Long, String, Seq[String])].collect().toSeq
+    def bruteKn(prefix: Seq[(Long, String, Seq[String])])
+        : Map[(String, String, String), Long] = {
+      val bs = prefix.filter(_._3.length >= 2).flatMap { case (_, l, t) =>
+        t.sliding(2).map(p => (l, p(0), p(1)))
+      }
+      val bc = bs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cc = bc.groupBy { case ((l, u, _), _) => (l, u) }
+        .map { case (k, m) => k -> m.values.sum }
+      val nfu = bc.groupBy { case ((l, u, _), _) => (l, u) }
+        .map { case (k, m) => k -> m.size.toLong }
+      val npw = bc.groupBy { case ((l, _, w), _) => (l, w) }
+        .map { case (k, m) => k -> m.size.toLong }
+      val nbb = bc.groupBy { case ((l, _, _), _) => l }
+        .map { case (k, m) => k -> m.size.toLong }
+      bc.keys.map { case k @ (l, u, w) =>
+        val p = (math.max(bc(k).toDouble - 0.75, 0.0) +
+          0.75 * nfu((l, u)).toDouble *
+            (npw((l, w)).toDouble / nbb(l).toDouble)) / cc((l, u)).toDouble
+        k -> Math.round(-(math.log(p) / math.log(2.0)) * 1e6)
+      }.toMap
+    }
+    // replay the counter stream in 3 batches through a plain map-sink
+    // (the counter processor itself is already spec-covered above; the
+    // KN face only adds assembly, which is what this pins)
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    val sink = scala.collection.mutable.Map.empty[String, Long]
+    var delivered = Seq.empty[(Long, String, Seq[String])]
+    batches.foreach { batch =>
+      // batch-side counter increment (equivalent to the processor: one
+      // monotone long per b| key; u| keys are irrelevant to KN)
+      batch.filter(_._3.length >= 2).foreach { case (_, lang, t) =>
+        t.sliding(2).foreach { p =>
+          val k = s"b|$lang|${p(0)} ${p(1)}"
+          sink(k) = sink.getOrElse(k, 0L) + 1L
+        }
+      }
+      delivered ++= batch
+      val assembled = graft.streaming.StreamingLm.assembleKnWeights(
+          sink.toSeq.toDF("k", "n"))
+        .as[(String, String, String, Long)].collect()
+        .map { case (l, u, w, mb) => (l, u, w) -> mb }.toMap
+      assert(assembled === bruteKn(delivered),
+        s"prefix of ${delivered.size} docs: KN weight tables differ")
+    }
+    // final snapshot scores the whole fixture exactly like batch q277
+    val weights = graft.streaming.StreamingLm.assembleKnWeights(
+        sink.toSeq.toDF("k", "n"))
+      .as[(String, String, String, Long)].collect()
+      .map { case (l, u, w, mb) => (l, u, w) -> mb }.toMap
+    val batchQ = graft.queries.CurationQueries
+      .queries("q277_kn_perplexity")(spark, sfDir)
+      .select(col("doc_id"), col("total_microbits"))
+      .as[(Long, Long)].collect().toMap
+    val scored = delivered.filter(_._3.length >= 2)
+      .map { case (id, lang, t) =>
+        id -> t.sliding(2).map(p => weights((lang, p(0), p(1)))).sum
+      }.toMap
+    assert(scored === batchQ)
+  }
 }
