@@ -246,7 +246,17 @@ class PlanSpec extends AnyFunSuite {
       "q106_pagerank" -> 10,
       "q58_curation_pipeline" -> 2,
       "q136_assoc_rules" -> 6,
-      "q130_keep_best" -> 3)
+      "q130_keep_best" -> 3,
+      // round-11 additions (same exact counting mode): boilerplate's 4 =
+      // DF agg + nd agg + flag join + doc-side reassembly join;
+      // mass adds the per-source rollup; top-bigram = per-doc pair agg +
+      // argmax agg; incremental = base-set agg + first-new agg + class
+      // join; KN = the 4 model aggs sharing the bc exchange + score join
+      "q271_boilerplate" -> 4,
+      "q273_boilerplate_mass" -> 5,
+      "q275_top_bigram_share" -> 2,
+      "q276_incremental_dedup" -> 3,
+      "q277_kn_perplexity" -> 5)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
