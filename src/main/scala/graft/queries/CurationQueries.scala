@@ -60,6 +60,69 @@ object CurationQueries {
       graft.llm.LmScore.knBigramSurprisal(Tables.documents(s, dir),
         "doc_id", "text", "lang", keepBits = 12.0)),
 
+    // Held-out perplexity: the JM bigram LM built on the TRAIN split
+    // only, scoring val/test docs — the eval-loss proxy every data
+    // ablation quotes, which the in-corpus filters (q261/q277) cannot
+    // be: scoring held-out text forces OOV handling. Unseen (u, w)
+    // pairs and contexts coalesce to the add-one unigram floor; unseen
+    // unigrams to 1/(N+V); per-row microbits (identical double
+    // expression per occurrence), exact long sums, split from q85's
+    // pure hash. Docs of a lang absent from train drop (inner join on
+    // the lang totals — none in this fixture).
+    "q278_heldout_perplexity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.llm.TextFunctions.tokens(col("text")).as("t"),
+          graft.llm.TextFunctions.splitAssign(col("doc_id")).as("split"))
+        .where(size(col("t")) >= 2)
+      val big = toks
+        .select(col("doc_id"), col("lang"), col("split"),
+          explode(transform(sequence(lit(2), size(col("t"))), i =>
+            struct(element_at(col("t"), i - lit(1)).as("u"),
+              element_at(col("t"), i).as("w")))).as("bg"))
+        .select(col("doc_id"), col("lang"), col("split"),
+          col("bg.u"), col("bg.w"))
+        .transform(graft.core.Caching.persist)
+      val train = big.where(col("split") === "train")
+      val uni = toks.where(col("split") === "train")
+        .select(col("lang"), explode(col("t")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cu"))
+        .transform(graft.core.Caching.persist)
+      val utot = uni.groupBy(col("lang"))
+        .agg(sum(col("cu")).cast("long").as("n_lang"),
+          count(lit(1)).as("v_lang"))
+      val bc = train.groupBy(col("lang"), col("u"), col("w"))
+        .agg(count(lit(1)).as("cb"))
+      val ctx = bc.groupBy(col("lang"), col("u"))
+        .agg(sum(col("cb")).cast("long").as("cc"))
+      big.where(col("split") =!= "train")
+        .join(bc, Seq("lang", "u", "w"), "left")
+        .join(ctx, Seq("lang", "u"), "left")
+        .join(uni.select(col("lang"), col("tok").as("w"), col("cu")),
+          Seq("lang", "w"), "left")
+        .join(broadcast(utot), "lang")
+        .select(col("doc_id"), col("split"),
+          col("cb").isNull.as("oov"),
+          round(negate(log2(
+            lit(0.75) * coalesce(
+              col("cb").cast("double") / col("cc").cast("double"),
+              lit(0.0))
+            + lit(0.25) * ((coalesce(col("cu"), lit(0L)) + lit(1L))
+                .cast("double")
+              / (col("n_lang") + col("v_lang")).cast("double"))))
+            * lit(1e6)).cast("long").as("mb"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("split")).as("split"),
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("oov"), 1L).otherwise(0L)).as("oov_bigrams"),
+          sum(col("mb")).cast("long").as("total_microbits"))
+        .select(col("doc_id"), col("split"), col("n_bigrams"),
+          col("oov_bigrams"), col("total_microbits"),
+          round(col("total_microbits").cast("double")
+            / col("n_bigrams").cast("double") / lit(1e6), 6)
+            .as("mean_bits"))
+    }),
+
     // Multi-round BPE merge training: 8 rounds of the adjacent-pair
     // census with each round's winning merge re-entering the pair
     // table — q223 was round 1; the tokenizer-training loop IS the
@@ -445,6 +508,51 @@ object CurationQueries {
          FROM big
          JOIN pb ON pb.lang = big.lang AND pb.u = big.u AND pb.w = big.w
          GROUP BY big.doc_id""",
+    "q278_heldout_perplexity" ->
+      s"""WITH ${LlmQueries.tkCte},
+         tk2 AS (SELECT doc_id, lang, t,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(concat('21', '|',
+                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95
+                 THEN 'val'
+               ELSE 'test' END AS split
+           FROM tk WHERE len(t) >= 2),
+         big AS (SELECT doc_id, lang, split, t[i-1] AS u, t[i] AS w
+           FROM tk2, unnest(generate_series(2, len(t))) AS g(i)),
+         uni AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT lang, unnest(t) AS tok FROM tk2
+             WHERE split = 'train') GROUP BY 1, 2),
+         utot AS (SELECT lang, CAST(sum(cu) AS BIGINT) AS n_lang,
+             CAST(count(*) AS BIGINT) AS v_lang FROM uni GROUP BY 1),
+         bc AS (SELECT lang, u, w, CAST(count(*) AS BIGINT) AS cb
+           FROM big WHERE split = 'train' GROUP BY 1, 2, 3),
+         ctx AS (SELECT lang, u, CAST(sum(cb) AS BIGINT) AS cc
+           FROM bc GROUP BY 1, 2),
+         sc AS (SELECT big.doc_id, big.split, cb IS NULL AS oov,
+             CAST(round(-log2(
+                 CAST(0.75 AS DOUBLE) * COALESCE(
+                   CAST(cb AS DOUBLE) / CAST(cc AS DOUBLE),
+                   CAST(0.0 AS DOUBLE))
+                 + CAST(0.25 AS DOUBLE)
+                   * (CAST(COALESCE(cu, 0) + 1 AS DOUBLE)
+                     / CAST(n_lang + v_lang AS DOUBLE))) * 1e6)
+               AS BIGINT) AS mb
+           FROM big
+           LEFT JOIN bc ON bc.lang = big.lang AND bc.u = big.u
+             AND bc.w = big.w
+           LEFT JOIN ctx ON ctx.lang = big.lang AND ctx.u = big.u
+           LEFT JOIN uni ON uni.lang = big.lang AND uni.tok = big.w
+           JOIN utot ON utot.lang = big.lang
+           WHERE big.split <> 'train')
+         SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_bigrams,
+           CAST(sum(mb) AS BIGINT) AS total_microbits,
+           round(CAST(sum(mb) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_bits
+         FROM sc GROUP BY 1, 2""",
     "q272_bpe_merge_rounds" -> (bpeCtes(8) +
       (1 to 8).map(r =>
         s"""SELECT CAST($r AS BIGINT) AS merge_round, x, y, n AS pair_n,
