@@ -54,4 +54,54 @@ object Mixture {
       .where(bucket < col("rate") * lit(1000000L))
       .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
+
+  /** Exact water-filling budget allocation: give each row
+    * min(available, r·target) with r chosen so allocations sum to the
+    * budget — the classic algorithm, run entirely in decimal(38,0)
+    * products + integral division so the result is a pure integer
+    * function of the inputs on any engine (token counts × 1e6-grid
+    * targets exceed a long at 100 TB).
+    *
+    * @param perSource (source, a, t): available units and integer-grid
+    *                  target weight per row, a ≥ 1, t ≥ 1
+    * @param budgetDen budget = floor(Σa / budgetDen)
+    * @return (source, available, target_grid, capped, allocated,
+    *         fill_ratio); windows run over the O(rows) input only.
+    */
+  def waterfill(perSource: DataFrame, budgetDen: Long = 2L): DataFrame = {
+    require(budgetDen >= 1L, s"budgetDen must be >= 1: $budgetDen")
+    import org.apache.spark.sql.expressions.Window
+    val tot = perSource.agg(sum(col("a")).cast("long").as("ta"),
+      sum(col("t")).cast("long").as("tt"))
+    val w = Window.orderBy(col("qk"), col("source"))
+    val ranked = perSource.crossJoin(broadcast(tot))
+      .withColumn("b", expr(s"ta div ${budgetDen}L"))
+      .withColumn("qk", expr(
+        "(CAST(a AS DECIMAL(38,0)) * 1000000) div CAST(t AS DECIMAL(38,0))"))
+      .withColumn("pref_a", sum(col("a")).over(w) - col("a"))
+      .withColumn("suf_t",
+        col("tt") - (sum(col("t")).over(w) - col("t")))
+      .withColumn("sat", expr(
+        """CAST(a AS DECIMAL(38,0)) * CAST(suf_t AS DECIMAL(38,0))
+           <= CAST(b - pref_a AS DECIMAL(38,0))
+              * CAST(t AS DECIMAL(38,0))"""))
+      .withColumn("capped",
+        min(when(col("sat"), 1L).otherwise(0L)).over(w) === lit(1L))
+    val caps = ranked.agg(
+      sum(when(col("capped"), col("a")).otherwise(0L)).cast("long")
+        .as("ca"),
+      sum(when(col("capped"), col("t")).otherwise(0L)).cast("long")
+        .as("ct"))
+    ranked.crossJoin(broadcast(caps))
+      .select(col("source"), col("a").as("available"),
+        col("t").as("target_grid"), col("capped"),
+        when(col("capped"), col("a")).otherwise(expr(
+          """CAST(b - ca AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+             div CAST(tt - ct AS DECIMAL(38,0))""").cast("long"))
+          .as("allocated"))
+      .select(col("source"), col("available"), col("target_grid"),
+        col("capped"), col("allocated"),
+        (col("allocated").cast("double") / col("available").cast("double"))
+          .as("fill_ratio"))
+  }
 }

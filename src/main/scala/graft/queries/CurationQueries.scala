@@ -123,6 +123,29 @@ object CurationQueries {
             .as("mean_bits"))
     }),
 
+    // Token-budget water-filling: allocate a training budget (half the
+    // corpus here) across sources proportionally to sqrt-temperature
+    // targets, CAPPED at each source's available tokens — the planner
+    // that answers "which sources saturate and how much does everyone
+    // else get". Exact classic algorithm: sort by capacity/target
+    // ratio, cap the maximal prefix whose members saturate under the
+    // proportional share of the remaining budget, divide the rest.
+    // Every comparison and the final division run in decimal(38,0)
+    // products + integral division (the overflow rule: token counts ×
+    // 1e6-grid targets exceed long at 100 TB), so allocation is a pure
+    // integer function of the inputs on any engine. The only windows
+    // run over the O(sources) row set (PlanSpec-whitelisted, bounded).
+    "q279_budget_waterfill" -> ((s, dir) =>
+      graft.llm.Mixture.waterfill(
+        Tables.documents(s, dir)
+          .select(col("source"),
+            graft.llm.TextFunctions.tokenCount(col("text")).as("tk"))
+          .groupBy(col("source")).agg(sum(col("tk")).cast("long").as("a"))
+          .select(col("source"), col("a"),
+            floor(sqrt(col("a").cast("double")) * lit(1e6)).cast("long")
+              .as("t")),
+        budgetDen = 2L)),
+
     // Multi-round BPE merge training: 8 rounds of the adjacent-pair
     // census with each round's winning merge re-entering the pair
     // table — q223 was round 1; the tokenizer-training loop IS the
@@ -553,6 +576,41 @@ object CurationQueries {
            round(CAST(sum(mb) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_bits
          FROM sc GROUP BY 1, 2""",
+    "q279_budget_waterfill" ->
+      s"""WITH ${LlmQueries.tkCte},
+         ps AS (SELECT source, CAST(sum(len(t)) AS BIGINT) AS a
+           FROM tk GROUP BY 1),
+         ps2 AS (SELECT source, a,
+             CAST(floor(sqrt(CAST(a AS DOUBLE)) * 1e6) AS BIGINT) AS t
+           FROM ps),
+         tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+             CAST(sum(t) AS BIGINT) AS tt FROM ps2),
+         rk AS (SELECT source, a, t, ta, tt, ta // 2 AS b,
+             CAST(a AS HUGEINT) * 1000000 // CAST(t AS HUGEINT) AS qk
+           FROM ps2, tot),
+         wn AS (SELECT *,
+             sum(a) OVER (ORDER BY qk, source) - a AS pref_a,
+             tt - (sum(t) OVER (ORDER BY qk, source) - t) AS suf_t
+           FROM rk),
+         st AS (SELECT *, CAST(a AS HUGEINT) * CAST(suf_t AS HUGEINT)
+               <= CAST(b - pref_a AS HUGEINT) * CAST(t AS HUGEINT) AS sat
+           FROM wn),
+         cp AS (SELECT *, min(CASE WHEN sat THEN 1 ELSE 0 END)
+               OVER (ORDER BY qk, source) = 1 AS capped
+           FROM st),
+         caps AS (SELECT
+             CAST(sum(CASE WHEN capped THEN a ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN capped THEN t ELSE 0 END) AS BIGINT) AS ct
+           FROM cp),
+         al AS (SELECT source, a, t, capped,
+             CAST(CASE WHEN capped THEN CAST(a AS HUGEINT)
+               ELSE CAST(b - ca AS HUGEINT) * CAST(t AS HUGEINT)
+                 // CAST(tt - ct AS HUGEINT) END AS BIGINT) AS allocated
+           FROM cp, caps)
+         SELECT source, a AS available, t AS target_grid, capped,
+           allocated,
+           CAST(allocated AS DOUBLE) / CAST(a AS DOUBLE) AS fill_ratio
+         FROM al""",
     "q272_bpe_merge_rounds" -> (bpeCtes(8) +
       (1 to 8).map(r =>
         s"""SELECT CAST($r AS BIGINT) AS merge_round, x, y, n AS pair_n,

@@ -307,4 +307,49 @@ class CurationSpec extends AnyFunSuite {
     assert(npw.values.toSet.size > 1,
       "fixture must have varied context diversity")
   }
+
+  test("waterfill: skewed inputs cap the scarce sources exactly, the " +
+      "rest split proportionally, and the budget binds") {
+    def brute(rows: Seq[(String, Long, Long)], den: Long)
+        : Map[String, (Boolean, Long)] = {
+      val ta = rows.map(_._2).sum
+      val b = ta / den
+      val sorted = rows.sortBy { case (s2, a, t) =>
+        (a * 1000000L / t, s2)
+      }
+      var rem = b
+      var remT = rows.map(_._3).sum
+      val out = scala.collection.mutable.Map.empty[String, (Boolean, Long)]
+      var capping = true
+      sorted.foreach { case (s2, a, t) =>
+        if (capping &&
+            BigInt(a) * BigInt(remT) <= BigInt(rem) * BigInt(t)) {
+          out(s2) = (true, a); rem -= a; remT -= t
+        } else capping = false
+      }
+      val (fr, frT) = (rem, remT)
+      sorted.foreach { case (s2, a, t) =>
+        if (!out.contains(s2))
+          out(s2) = (false, (BigInt(fr) * BigInt(t) / BigInt(frT)).toLong)
+      }
+      out.toMap
+    }
+    // one tiny source (caps), one mid source, two huge ones
+    val rows = Seq(("tiny", 100L, 10000000L), ("mid", 50000L, 223606797L),
+      ("bigA", 1000000L, 1000000000L), ("bigB", 1000000L, 1000000000L))
+    val df = rows.toDF("source", "a", "t")
+    val got = graft.llm.Mixture.waterfill(df, budgetDen = 2L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Boolean]("capped"), r.getAs[Long]("allocated"))).toMap
+    val expected = brute(rows, 2L)
+    assert(got === expected, s"waterfill mismatch\n$got\n$expected")
+    assert(got("tiny") === ((true, 100L)), "scarce source saturates")
+    assert(!got("bigA")._1 && !got("bigB")._1)
+    assert(got("bigA")._2 === got("bigB")._2,
+      "equal targets get equal shares")
+    val b = rows.map(_._2).sum / 2
+    val total = got.values.map(_._2).sum
+    assert(total <= b && b - total < rows.size,
+      "budget binds up to per-row floor rounding")
+  }
 }

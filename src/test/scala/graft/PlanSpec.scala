@@ -57,6 +57,11 @@ class PlanSpec extends AnyFunSuite {
     // cumulative vocab over the 10-row decile table (token types
     // collapsed to first-document in the one hash agg before it)
     "q241_vocab_growth" -> 1,
+    // water-filling prefix sums + capped-prefix min over the
+    // |sources|-row allocation table (corpus collapsed in the
+    // per-source token agg); the ranked subtree appears twice in the
+    // plan (caps aggregate + final projection), hence 4 nodes
+    "q279_budget_waterfill" -> 4,
     // weighted-median prefix scans over the ≤~2000-row distinct-slope
     // table and the ≤550-row intercept-value table, both PERSISTED
     // bounded aggregates (the corpus collapsed onto the persisted
