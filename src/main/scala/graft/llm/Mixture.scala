@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mixture balancing: downsample a corpus so stratum (language / domain /
@@ -87,6 +87,10 @@ object Mixture {
               * CAST(t AS DECIMAL(38,0))"""))
       .withColumn("capped",
         min(when(col("sat"), 1L).otherwise(0L)).over(w) === lit(1L))
+      // O(rows) table consumed by the caps aggregate AND the final
+      // projection (and by callers that join the result) — persisted so
+      // the window subtree plans once instead of once per consumer
+      .transform(graft.core.Caching.persist)
     val caps = ranked.agg(
       sum(when(col("capped"), col("a")).otherwise(0L)).cast("long")
         .as("ca"),
@@ -104,4 +108,18 @@ object Mixture {
         (col("allocated").cast("double") / col("available").cast("double"))
           .as("fill_ratio"))
   }
+
+  /** Effective-data ratio of the repeated-epoch decay (published
+    * data-constrained-scaling fit, R* = 5.3): allocated < U means every
+    * token is fresh (ratio = allocated/U); past one epoch repeats decay
+    * as 1 + R*·(1−e^{−(ep−1)/R*}). Single libm exp on exact-integer
+    * division inputs, rounded to the 6-decimal grid (q82 discipline).
+    */
+  def effectiveRatio(allocated: Column, u: Column): Column =
+    round(when(allocated < u,
+      allocated.cast("double") / u.cast("double"))
+      .otherwise(lit(1.0) + lit(5.3)
+        * (lit(1.0) - exp(negate(
+            (allocated.cast("double") / u.cast("double")
+              - lit(1.0)) / lit(5.3))))), 6)
 }

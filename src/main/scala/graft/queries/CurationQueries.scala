@@ -146,6 +146,43 @@ object CurationQueries {
               .as("t")),
         budgetDen = 2L)),
 
+    // Dedup-aware EFFECTIVE-data audit (the data-constrained-scaling
+    // composition): chunk-dedup gives each source's unique token mass
+    // (q270), the water-fill allocates the budget against
+    // sqrt(unique)-grid targets (q279's planner, dedup-adjusted so a
+    // self-copying source cannot buy share), and the published
+    // repeated-epoch decay (eff/U = 1 + R*·(1−e^{−(ep−1)/R*}),
+    // R* = 5.3) converts each source's allocation into the effective
+    // tokens it actually contributes. Integer math end-to-end except
+    // the final two reported ratios (single libm exp/divisions,
+    // rounded to the 6-decimal grid — the q82 discipline).
+    "q280_effective_data" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mem = graft.llm.ChunkDedup
+        .chunkMembership(docs, "doc_id", "text", 20, 7)
+        .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("source")), "doc_id")
+      val perSource = graft.llm.ChunkDedup.firstOccurrence(mem)
+        .groupBy(col("source"))
+        .agg(sum(col("ctoks")).cast("long").as("a"),
+          sum(when(col("kept"), col("ctoks")).otherwise(lit(0L)))
+            .cast("long").as("u"))
+        .select(col("source"), col("a"), col("u"),
+          floor(sqrt(col("u").cast("double")) * lit(1e6)).cast("long")
+            .as("t"))
+        .transform(graft.core.Caching.persist)
+      val alloc = graft.llm.Mixture.waterfill(
+        perSource.select(col("source"), col("a"), col("t")),
+        budgetDen = 2L)
+      alloc.join(perSource.select(col("source"), col("u")), "source")
+        .select(col("source"), col("available"), col("u").as("unique_tokens"),
+          col("capped"), col("allocated"),
+          round(col("allocated").cast("double") / col("u").cast("double"), 6)
+            .as("epochs"),
+          graft.llm.Mixture.effectiveRatio(col("allocated"), col("u"))
+            .as("eff_ratio"))
+    }),
+
     // Multi-round BPE merge training: 8 rounds of the adjacent-pair
     // census with each round's winning merge re-entering the pair
     // table — q223 was round 1; the tokenizer-training loop IS the
@@ -610,6 +647,53 @@ object CurationQueries {
          SELECT source, a AS available, t AS target_grid, capped,
            allocated,
            CAST(allocated AS DOUBLE) / CAST(a AS DOUBLE) AS fill_ratio
+         FROM al""",
+    "q280_effective_data" ->
+      s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(20, 7)},
+         k AS (SELECT chash, min(doc_id*1000000+chunk_idx) AS keeper
+           FROM ch GROUP BY 1),
+         ps AS (SELECT source, CAST(sum(ctoks) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN doc_id*1000000+chunk_idx = keeper
+               THEN ctoks ELSE 0 END) AS BIGINT) AS u
+           FROM ch JOIN k USING (chash) GROUP BY source),
+         ps2 AS (SELECT source, a, u,
+             CAST(floor(sqrt(CAST(u AS DOUBLE)) * 1e6) AS BIGINT) AS t
+           FROM ps),
+         tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+             CAST(sum(t) AS BIGINT) AS tt FROM ps2),
+         rk AS (SELECT source, a, u, t, ta, tt, ta // 2 AS b,
+             CAST(a AS HUGEINT) * 1000000 // CAST(t AS HUGEINT) AS qk
+           FROM ps2, tot),
+         wn AS (SELECT *,
+             sum(a) OVER (ORDER BY qk, source) - a AS pref_a,
+             tt - (sum(t) OVER (ORDER BY qk, source) - t) AS suf_t
+           FROM rk),
+         st AS (SELECT *, CAST(a AS HUGEINT) * CAST(suf_t AS HUGEINT)
+               <= CAST(b - pref_a AS HUGEINT) * CAST(t AS HUGEINT) AS sat
+           FROM wn),
+         cp AS (SELECT *, min(CASE WHEN sat THEN 1 ELSE 0 END)
+               OVER (ORDER BY qk, source) = 1 AS capped
+           FROM st),
+         caps AS (SELECT
+             CAST(sum(CASE WHEN capped THEN a ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN capped THEN t ELSE 0 END) AS BIGINT) AS ct
+           FROM cp),
+         al AS (SELECT source, a, u, capped,
+             CAST(CASE WHEN capped THEN CAST(a AS HUGEINT)
+               ELSE CAST(b - ca AS HUGEINT) * CAST(t AS HUGEINT)
+                 // CAST(tt - ct AS HUGEINT) END AS BIGINT) AS allocated
+           FROM cp, caps)
+         SELECT source, a AS available, u AS unique_tokens, capped,
+           allocated,
+           round(CAST(allocated AS DOUBLE) / CAST(u AS DOUBLE), 6)
+             AS epochs,
+           round(CASE WHEN allocated < u
+               THEN CAST(allocated AS DOUBLE) / CAST(u AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE) + CAST(5.3 AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) - exp(-(
+                     (CAST(allocated AS DOUBLE) / CAST(u AS DOUBLE)
+                       - CAST(1.0 AS DOUBLE)) / CAST(5.3 AS DOUBLE))))
+               END, 6) AS eff_ratio
          FROM al""",
     "q272_bpe_merge_rounds" -> (bpeCtes(8) +
       (1 to 8).map(r =>

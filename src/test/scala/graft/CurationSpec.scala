@@ -352,4 +352,34 @@ class CurationSpec extends AnyFunSuite {
     assert(total <= b && b - total < rows.size,
       "budget binds up to per-row floor rounding")
   }
+
+  test("effectiveRatio: fresh branch is linear, repeated epochs decay " +
+      "toward the published 1+R* ceiling, monotone non-decreasing") {
+    val rows = Seq((1L, 50L, 100L), (2L, 100L, 100L), (3L, 200L, 100L),
+      (4L, 530L, 100L), (5L, 5300L, 100L), (6L, 100000L, 100L))
+      .toDF("id", "alloc", "u")
+    val got = rows.select(col("id"),
+        graft.llm.Mixture.effectiveRatio(col("alloc"), col("u")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    def ref(alloc: Long, u: Long): Double = {
+      val ep = alloc.toDouble / u.toDouble
+      val raw = if (alloc < u) ep
+        else 1.0 + 5.3 * (1.0 - math.exp(-((ep - 1.0) / 5.3)))
+      math.rint(raw * 1e6) / 1e6
+    }
+    assert(got(1L) === 0.5, "fresh branch: eff = allocation share")
+    assert(got(2L) === 1.0, "exactly one epoch: no decay yet")
+    Seq((3L, 200L), (4L, 530L), (5L, 5300L), (6L, 100000L)).foreach {
+      case (id, a) => assert(math.abs(got(id) - ref(a, 100L)) <= 1e-6,
+        s"row $id")
+    }
+    assert(got(6L) <= 6.3 && got(6L) > 6.0,
+      "many epochs approach the 1 + R* ceiling (grid-rounds to it) " +
+        "and never exceed it")
+    val ordered = (1L to 6L).map(got)
+    ordered.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a, "monotone in allocation")
+      case _ =>
+    }
+  }
 }
