@@ -146,4 +146,72 @@ class StreamingLeakageSpec extends AnyFunSuite {
     assert(assembled === batch,
       "counter-table assembly must equal the batch audit")
   }
+
+  test("counters survive stop/restart from checkpoint (RocksDB): the " +
+      "post-restart assembly still equals the batch audit") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-slk-restart").toString
+      val docs = graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+        .sortBy { case (id, _) => (splitOf(id) == "train", id) }
+      def addFile(tag: String, rows: Seq[(Long, String)]): Unit = {
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/stage")
+        val part = new java.io.File(s"$dir/stage").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$dir/in"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/in/$tag.parquet"))
+      }
+      val cut = (docs.size * 2) / 3
+      addFile("a", docs.take(cut))
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val sink = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Boolean, Long, Long, Long, Long)]
+      def run(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .parquet(s"$dir/in")
+        val events = graft.streaming.StreamingLeakage.chunkEvents(
+          stream, "doc_id", "text")
+        val q = graft.streaming.StreamingLeakage.counters(
+            events.as[(Long, Long, Long)].groupByKey(_._1))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[
+               (Long, Boolean, Long, Long, Long, Long)], _: Long) =>
+              sink ++= b.collect()
+              ()
+          }.start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      // the train tail lands while the query is DOWN — the restart must
+      // resume the per-chash state, not recount the first file
+      addFile("b", docs.drop(cut))
+      run()
+      val assembled = graft.streaming.StreamingLeakage.assembleAudit(
+          sink.toSeq.toDF("chash", "train_seen", "val_n", "val_toks",
+            "test_n", "test_toks"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(assembled === brute(docs),
+        "restarted counters must assemble to the full-corpus audit")
+      assert(assembled.values.exists(_._2 > 0), "leaks present at the end")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
