@@ -99,6 +99,45 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Chunk-sharing communities: connected components over the graph
+    // whose edges join documents sharing ≥ 2 exact 20-token chunks —
+    // dedup clustering at SUB-document granularity (template families,
+    // quote chains, mirror fragments), where minhash clustering (q67)
+    // sees whole-doc similarity and q232's first-occurrence sees single
+    // chunks. Boilerplate-frequency chunks (df > 100 docs) are excluded
+    // before the pair join — they carry no community signal (q271's
+    // screen owns them) AND they are exactly what would make the
+    // per-chash self-join quadratic; with the cap, pair work is
+    // Σ df² ≤ 100·Σ df. Components run through the alternating-star
+    // `connectedComponents` (O(log n) rounds, any graph shape).
+    "q281_chunk_communities" -> ((s, dir) => {
+      val docs = graft.core.Tables.documents(s, dir)
+      val cd = graft.llm.ChunkDedup
+        .chunkMembership(docs, "doc_id", "text", 20, 7)
+        .select(col("chash"), col("doc_id")).distinct()
+        .transform(graft.core.Caching.persist)
+      val shared = cd.groupBy(col("chash"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2L && col("df") <= 100L)
+        .select(col("chash"))
+      val eligible = cd.join(shared, "chash")
+      val edges = eligible.as("a")
+        .join(eligible.as("b").hint("shuffle_hash"), "chash")
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2L)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = graft.llm.Dedup.connectedComponents(edges)
+      val toks = docs.select(col("doc_id").cast("long").as("node"),
+        TextFunctions.tokenCount(col("text")).as("tk"))
+      clusters.join(toks, "node")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tk")).cast("long").as("total_tokens"))
+        .select(col("cluster_id"), col("n_docs"), col("total_tokens"))
+    }),
+
     // Gopher's top-n-gram rule, the one intra-doc repetition screen
     // q65's duplicate-fraction scores don't cover: the share of a
     // document's bigrams taken by its single MOST frequent bigram
@@ -858,6 +897,31 @@ object CorpusQueries {
        WHERE len(t) > 0)"""
 
   def oracles: Map[String, String] = Map(
+    "q281_chunk_communities" ->
+      s"""WITH RECURSIVE ${LlmQueries.tkCte}, ${chunkCte(20, 7)},
+         cd AS (SELECT DISTINCT chash, doc_id FROM ch),
+         sh2 AS (SELECT chash FROM (SELECT chash, count(*) AS df
+             FROM cd GROUP BY 1) WHERE df >= 2 AND df <= 100),
+         el AS (SELECT cd.chash, cd.doc_id FROM cd JOIN sh2 USING (chash)),
+         ed AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM el a JOIN el b
+             ON a.chash = b.chash AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM ed
+                 UNION ALL SELECT doc_b, doc_a FROM ed),
+         cnodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM cnodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach
+             JOIN sym ON reach.node = sym.src
+         ),
+         cl AS (SELECT node, min(anc) AS cluster_id FROM reach
+           GROUP BY node),
+         tkn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS tk FROM tk)
+         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tk) AS BIGINT) AS total_tokens
+         FROM cl JOIN tkn ON tkn.doc_id = cl.node GROUP BY 1""",
     "q275_top_bigram_share" ->
       s"""WITH ${LlmQueries.tkCte},
          big AS (SELECT doc_id, concat(t[i-1], ' ', t[i]) AS bg

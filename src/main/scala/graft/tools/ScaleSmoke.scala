@@ -107,6 +107,29 @@ object ScaleSmoke {
       require(g == 10 * b, s"$c: expected ${10 * b} at 10x, got $g")
     }
 
+    // Chunk-dedup state boundedness at 10x: replicating the corpus adds
+    // ZERO new distinct chunks, so the dedup roster (the streaming
+    // twin's state domain) stays exactly 1x and the kept token mass is
+    // identical to the base corpus — the invariant that makes global
+    // first-occurrence dedup survivable at 100 TB of near-duplicate
+    // crawl (state scales with CONTENT, not ingest volume).
+    val memBase = graft.llm.ChunkDedup.chunkMembership(
+      base, "doc_id", "text", 20, 7)
+    val memBig = graft.llm.ChunkDedup.chunkMembership(
+      big, "doc_id", "text", 20, 7)
+    def keptStats(m: org.apache.spark.sql.DataFrame) =
+      graft.llm.ChunkDedup.firstOccurrence(m)
+        .agg(countDistinct(col("chash")).as("roster"),
+          sum(when(col("kept"), col("ctoks")).otherwise(0L)).as("kept_toks"))
+        .head()
+    val (sb2, sg2) = (keptStats(memBase), keptStats(memBig))
+    println(s"[smoke] chunk roster base=${sb2.getLong(0)} 10x=${sg2.getLong(0)}; " +
+      s"kept tokens base=${sb2.getLong(1)} 10x=${sg2.getLong(1)}")
+    require(sb2.getLong(0) == sg2.getLong(0),
+      "replication must not grow the distinct-chunk roster")
+    require(sb2.getLong(1) == sg2.getLong(1),
+      "kept token mass must be invariant under replication")
+
     // Empirical linearity gate for the hot bench set (r10 verdict #4):
     // the 100 TB posture of these plans is otherwise argued from shape
     // (no cartesians, bounded candidate sets, co-keyed iterations) —
