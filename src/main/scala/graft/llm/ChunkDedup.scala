@@ -97,13 +97,23 @@ object ChunkDedup {
     * join; no windows. Rows with chunk_idx ≥ [[IdxEncode]] raise at
     * execution (the encoding would collide across documents).
     */
-  def firstOccurrence(membership: DataFrame): DataFrame = {
-    val k = col("doc_id") * lit(IdxEncode) +
-      when(col("chunk_idx") < lit(IdxEncode), col("chunk_idx"))
+  /** Guarded (doc_id, chunk_idx) → long encoding: raises at execution
+    * past the [[IdxEncode]] margin instead of silently colliding
+    * keeper keys across documents. Use this everywhere the encoding
+    * appears (firstOccurrence, the incremental-ingest audit, manual
+    * keeper math) — an unguarded re-derivation is exactly the latent
+    * hole the margin doc warns about.
+    */
+  def encodeIdx(docId: Column, chunkIdx: Column): Column =
+    docId * lit(IdxEncode) +
+      when(chunkIdx < lit(IdxEncode), chunkIdx)
         .otherwise(raise_error(format_string(
           "chunk_idx %s >= IdxEncode 1e6: first-occurrence keys would " +
             "collide across documents (doc longer than the encoding margin)",
-          col("chunk_idx"))).cast("long"))
+          chunkIdx)).cast("long"))
+
+  def firstOccurrence(membership: DataFrame): DataFrame = {
+    val k = encodeIdx(col("doc_id"), col("chunk_idx"))
     val keep = membership.groupBy(col("chash")).agg(min(k).as("keeper"))
     membership.join(keep, "chash")
       .withColumn("kept", k === col("keeper"))

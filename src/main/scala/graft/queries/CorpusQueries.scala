@@ -184,8 +184,8 @@ object CorpusQueries {
         .transform(graft.core.Caching.persist)
       val baseH = mem.where(!col("is_new"))
         .select(col("chash")).distinct().withColumn("in_base", lit(true))
-      val enc = col("doc_id") * lit(graft.llm.ChunkDedup.IdxEncode) +
-        col("chunk_idx")
+      val enc = graft.llm.ChunkDedup.encodeIdx(col("doc_id"),
+        col("chunk_idx"))
       val newm = mem.where(col("is_new"))
       val firstNew = newm.groupBy(col("chash")).agg(min(enc).as("keeper"))
       newm.join(baseH, Seq("chash"), "left")
