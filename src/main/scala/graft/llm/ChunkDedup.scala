@@ -26,7 +26,14 @@ object ChunkDedup {
     * -1)` would otherwise default its step to -1 and fabricate two
     * chunks of the empty slice).
     */
-  def chunkStructs(t: Column, c: Int, seed: Int): Column = {
+  def chunkStructs(t: Column, c: Int, seed: Int): Column =
+    ChunkStructsExpr(t, c, stride = c, seed)
+
+  /** Column-composed reference form of [[chunkStructs]] — kept as the
+    * spec cross-check for the native expression (identical output;
+    * per-chunk slice+concat_ws allocations make it the slower path).
+    */
+  def chunkStructsHof(t: Column, c: Int, seed: Int): Column = {
     require(c >= 1, s"chunk size must be >= 1, got $c")
     val nChunks = ((size(t) + lit(c - 1)) / lit(c)).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
@@ -48,7 +55,14 @@ object ChunkDedup {
     * both dedup faces consume it unchanged.
     */
   def slidingChunkStructs(t: Column, c: Int, stride: Int,
-                          seed: Int): Column = {
+                          seed: Int): Column =
+    ChunkStructsExpr(t, c, stride, seed)
+
+  /** Column-composed reference form of [[slidingChunkStructs]] (spec
+    * cross-check for the native expression).
+    */
+  def slidingChunkStructsHof(t: Column, c: Int, stride: Int,
+                             seed: Int): Column = {
     require(c >= 1, s"window size must be >= 1, got $c")
     require(stride >= 1 && stride <= c,
       s"stride must be in [1, $c], got $stride")

@@ -111,4 +111,45 @@ class ChunkDedupSpec extends AnyFunSuite {
       .where(col("kept")).select(col("doc_id")).as[Long].collect()
     assert(kept.toSeq === Seq(1L))
   }
+
+  test("native chunk_structs equals the Column-composed form on the " +
+      "fixture plus edge cases, both strides, under CODEGEN_ONLY") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val fixture = graft.core.Tables.documents(spark, sfDir)
+        .select(graft.llm.TextFunctions.tokens(col("text")).as("t"))
+      val edges = Seq(Seq.empty[String], Seq("a"), (1 to 20).map(i =>
+          s"w$i").toSeq, (1 to 21).map(i => s"w$i").toSeq,
+          (1 to 47).map(i => s"w$i").toSeq)
+        .toDF("t")
+      Seq(fixture, edges).foreach { df =>
+        val rows = df.select(
+            graft.llm.ChunkDedup.chunkStructs(col("t"), 20, 7).as("n1"),
+            graft.llm.ChunkDedup.chunkStructsHof(col("t"), 20, 7).as("h1"),
+            graft.llm.ChunkDedup
+              .slidingChunkStructs(col("t"), 20, 10, 7).as("n2"),
+            graft.llm.ChunkDedup
+              .slidingChunkStructsHof(col("t"), 20, 10, 7).as("h2"),
+            graft.llm.ChunkDedup
+              .slidingChunkStructs(col("t"), 20, 7, 11).as("n3"),
+            graft.llm.ChunkDedup
+              .slidingChunkStructsHof(col("t"), 20, 7, 11).as("h3"))
+          .collect()
+        rows.foreach { r =>
+          assert(r.getSeq[org.apache.spark.sql.Row](0) === r.getSeq(1),
+            "non-overlapping chunking must match the HOF form")
+          assert(r.getSeq[org.apache.spark.sql.Row](2) === r.getSeq(3),
+            "stride-10 windows must match the HOF form")
+          assert(r.getSeq[org.apache.spark.sql.Row](4) === r.getSeq(5),
+            "stride-7 windows must match the HOF form")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
