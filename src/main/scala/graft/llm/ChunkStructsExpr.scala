@@ -78,9 +78,15 @@ case class ChunkStructsExpr(child: Expression, c: Int, stride: Int,
       md.reset()
       md.update(seedPrefix)
       var j = st
+      var wrote = false
       while (j < en) {
-        if (j > st) md.update(space)
-        md.update(arr.getUTF8String(j).getBytes)
+        // concat_ws parity: null elements contribute neither bytes nor
+        // a separator, but still count toward ctoks (= size(slice)).
+        if (!arr.isNullAt(j)) {
+          if (wrote) md.update(space)
+          md.update(arr.getUTF8String(j).getBytes)
+          wrote = true
+        }
         j += 1
       }
       val d = md.digest()

@@ -71,10 +71,24 @@ object Mixture {
   def waterfill(perSource: DataFrame, budgetDen: Long = 2L): DataFrame = {
     require(budgetDen >= 1L, s"budgetDen must be >= 1: $budgetDen")
     import org.apache.spark.sql.expressions.Window
-    val tot = perSource.agg(sum(col("a")).cast("long").as("ta"),
+    // Enforce the documented precondition at execution: a 0/negative/
+    // null `a` or `t` would otherwise make qk null (decimal div-by-zero
+    // under non-ANSI semantics), silently corrupting the sort order and
+    // every allocation downstream — raise instead (the encodeIdx
+    // pattern).
+    def atLeastOne(c: String): org.apache.spark.sql.Column =
+      when(col(c) >= 1L, col(c)).otherwise(raise_error(concat(
+        lit(s"waterfill: $c must be >= 1, got "),
+        coalesce(col(c).cast("string"), lit("null")),
+        lit(" for source "),
+        coalesce(col("source").cast("string"), lit("null"))))
+        .cast("long"))
+    val checked = perSource.withColumn("a", atLeastOne("a"))
+      .withColumn("t", atLeastOne("t"))
+    val tot = checked.agg(sum(col("a")).cast("long").as("ta"),
       sum(col("t")).cast("long").as("tt"))
     val w = Window.orderBy(col("qk"), col("source"))
-    val ranked = perSource.crossJoin(broadcast(tot))
+    val ranked = checked.crossJoin(broadcast(tot))
       .withColumn("b", expr(s"ta div ${budgetDen}L"))
       .withColumn("qk", expr(
         "(CAST(a AS DECIMAL(38,0)) * 1000000) div CAST(t AS DECIMAL(38,0))"))

@@ -56,20 +56,30 @@ object Similarity {
     override def outputEncoder = seqEnc
   }
 
-  /** Probe-side cap for the brute-force rankers: both broadcast the
-    * query frame AND cross-join it against every corpus row, so cost is
+  /** Probe-side cap for the brute-force rankers, folded into the
+    * broadcast build: both rankers broadcast the query frame AND
+    * cross-join it against every corpus row, so cost is
     * |corpus|·|probe| — linear in the corpus only while the probe side
-    * is small. The check counts at most cap+1 rows (limit before
-    * count), so the guard itself is O(cap) however large the frame is;
-    * past the cap the right tool is the banded-LSH / IVF path, not a
-    * bigger broadcast.
+    * is small. The probe is pulled to the driver ONCE here (`limit
+    * (cap+1)` — at most cap+1 narrow rows, exactly what the broadcast
+    * would ship anyway), the cap checked on the pulled rows, and the
+    * LOCALIZED frame returned — the probe source is never rescanned by
+    * the cross-join, cached or not. Contract notes: (a) this is an
+    * action, so the brute-force rankers are batch-only — a streaming
+    * probe must ride the banded-LSH (annTopKInBands) or IVF (ivfTopK)
+    * paths; (b) probes past `cap` fail HERE by design (a broadcast
+    * cross-join at that size OOMs the driver and scans
+    * |corpus|×|probe|) — raise `maxProbe` explicitly if the probe is
+    * genuinely meant to be that large.
     */
-  private def requireProbeBounded(q: DataFrame, cap: Int, who: String): Unit = {
-    val n = q.limit(cap + 1).count()
-    require(n <= cap,
+  private def localizedProbe(q: DataFrame, cap: Int, who: String): DataFrame = {
+    val rows = q.limit(cap + 1).collect()
+    require(rows.length <= cap,
       s"$who: probe side has > $cap rows; a broadcast cross-join at this " +
         "size OOMs the driver and scans |corpus|x|probe| - use the banded " +
         "LSH (annTopKInBands) or IVF (ivfTopK) path instead, or raise maxProbe")
+    q.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), q.schema)
   }
 
   /** Exact top-k neighbors for each row of `queries` against `corpus`.
@@ -78,17 +88,20 @@ object Similarity {
     * ties broken by neighbor id. The ranking runs through TopKAggregator:
     * partial aggregation bounds the shuffle at k rows per (partition,
     * query) — the corpus itself never shuffles (query side broadcast).
-    * The probe side is capped at `maxProbe` rows (checked eagerly with a
-    * bounded count): brute force is the small-probe tool by contract.
+    * The probe side is capped at `maxProbe` rows and localized to the
+    * driver as part of the broadcast build (see [[localizedProbe]] for
+    * the batch-only / fail-past-cap contract): brute force is the
+    * small-probe tool by contract.
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
                     maxProbe: Int = 65536): DataFrame = {
-    requireProbeBounded(queries, maxProbe, "knnBruteForce")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("nvec"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+    val q = localizedProbe(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec")),
+      maxProbe, "knnBruteForce")
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
@@ -115,13 +128,14 @@ object Similarity {
   def labeledTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, labelCol: String, k: Int,
                   maxProbe: Int = 65536): DataFrame = {
-    requireProbeBounded(queries, maxProbe, "labeledTopK")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("nvec"),
       col(labelCol).as("nlabel"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"),
-      col(labelCol).as("qlabel"))
+    val q = localizedProbe(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"),
+        col(labelCol).as("qlabel")),
+      maxProbe, "labeledTopK")
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(

@@ -505,8 +505,12 @@ object CurationQueries {
     * argmax → list_reduce greedy rewrite (the same fold semantics as
     * `Bpe.mergePair` — append each symbol unless the accumulator's
     * last symbol is x and the incoming one is y), repeated by CTE
-    * chaining with the round-r winner cross-joined into round r+1's
-    * vocab rewrite.
+    * chaining with the round-r winner LEFT-joined into round r+1's
+    * vocab rewrite. The LEFT JOIN (ON TRUE) + CASE fallback matches
+    * `Bpe.trainRules`'s early-stop semantics on degenerate corpora: a
+    * round whose pair census is empty keeps the vocab unchanged
+    * instead of emptying every later round's CTE (which would zero
+    * q274's final v-join while Spark still reports stats).
     */
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
@@ -521,12 +525,13 @@ object CurationQueries {
         FROM v$r, unnest(generate_series(1, len(s) - 1)) AS g(i)
         WHERE len(s) >= 2 GROUP BY 1, 2),
       b$r AS (SELECT x, y, n FROM c$r ORDER BY n DESC, x, y LIMIT 1),
-      v${r + 1} AS (SELECT w, weight, string_split(list_reduce(s,
+      v${r + 1} AS (SELECT w, weight, CASE WHEN b.x IS NULL THEN s
+          ELSE string_split(list_reduce(s,
           (acc, sy) -> CASE
             WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
             THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-            ELSE acc || ' ' || sy END), ' ') AS s
-        FROM v$r, b$r b),
+            ELSE acc || ' ' || sy END), ' ') END AS s
+        FROM v$r LEFT JOIN b$r b ON TRUE),
       m$r AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
         FROM v${r + 1})""")
       if (r < rounds) sb.append(",")

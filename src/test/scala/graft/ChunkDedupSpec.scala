@@ -123,6 +123,13 @@ class ChunkDedupSpec extends AnyFunSuite {
           s"w$i").toSeq, (1 to 21).map(i => s"w$i").toSeq,
           (1 to 47).map(i => s"w$i").toSeq)
         .toDF("t")
+        // null elements: concat_ws skips them (no bytes, no separator)
+        // while size(slice) still counts them — native must match both.
+        .union(Seq(
+          Seq[String](null, "a", null, "b", null),
+          Seq[String](null), (1 to 25).map(i =>
+            if (i % 3 == 0) null else s"w$i").toSeq)
+          .toDF("t"))
       Seq(fixture, edges).foreach { df =>
         val rows = df.select(
             graft.llm.ChunkDedup.chunkStructs(col("t"), 20, 7).as("n1"),

@@ -353,6 +353,21 @@ class CurationSpec extends AnyFunSuite {
       "budget binds up to per-row floor rounding")
   }
 
+  test("waterfill raises on a < 1 or t < 1 instead of silently " +
+      "null-corrupting the sort order") {
+    Seq(Seq(("ok", 100L, 10L), ("zt", 50L, 0L)),
+        Seq(("ok", 100L, 10L), ("za", 0L, 10L)),
+        Seq(("ok", 100L, 10L), ("neg", 50L, -3L))).foreach { rows =>
+      val e = intercept[Exception] {
+        graft.llm.Mixture.waterfill(rows.toDF("source", "a", "t")).collect()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(chain.contains("must be >= 1"), s"unexpected failure: $chain")
+    }
+  }
+
   test("effectiveRatio: fresh branch is linear, repeated epochs decay " +
       "toward the published 1+R* ceiling, monotone non-decreasing") {
     val rows = Seq((1L, 50L, 100L), (2L, 100L, 100L), (3L, 200L, 100L),

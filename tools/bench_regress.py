@@ -129,7 +129,11 @@ def main():
         print(f"bench_regress: re-running {len(names)} suspect(s): {cmd}")
         try:
             subprocess.run(cmd, shell=True, check=True, timeout=3600)
-            return json.load(open("bench_detail.json"))["queries"]
+            # the hook rewrites the CURRENT detail file (whatever path was
+            # passed), not the default name — reloading a literal
+            # 'bench_detail.json' would confirm suspects against stale data
+            # whenever a custom current.json is in play
+            return json.load(open(cur_path))["queries"]
         except (OSError, ValueError, KeyError,
                 subprocess.SubprocessError) as e:
             print(f"bench_regress: re-run failed ({e}); suspects stay "
@@ -195,7 +199,14 @@ def diff(cq, bq, drift, excl, rerun_hook):
         if rerun is not None:
             confirmed, remaining = [], []
             for r in suspects:
-                best = min(r["cur"], rerun.get(r["query"], r["cur"]))
+                if r["query"] not in rerun:
+                    # the hook ran but produced no fresh measurement for
+                    # this query — neither confirmed nor melted; keep it
+                    # visible as an (unconfirmed) SUSPECT instead of
+                    # silently dropping it or promoting it on stale data
+                    remaining.append(r)
+                    continue
+                best = min(r["cur"], rerun[r["query"]])
                 bn = best / drift
                 if bn > SUSPECT_RATIO * r["base"]:
                     r.update(cur=best, cur_norm=round(bn, 3),
@@ -262,6 +273,11 @@ def selftest():
     assert reg == [] and sus == [], (reg, sus)
     # 6) no re-run hook -> visible unconfirmed SUSPECT, gate still clean
     reg, _, sus = diff(cur4, sb, 1.0, {}, lambda names: None)
+    assert reg == [] and [r["query"] for r in sus] == ["q900"], (reg, sus)
+    # 7) hook ran but produced no measurement for the suspect -> it stays
+    #    a visible SUSPECT (neither silently dropped nor promoted on
+    #    stale data)
+    reg, _, sus = diff(cur4, sb, 1.0, {}, lambda names: {"q777": 0.2})
     assert reg == [] and [r["query"] for r in sus] == ["q900"], (reg, sus)
     print("selftest ok: drift normalized, real regression caught, "
           "clamp holds, sub-noise suspect confirmed/melted/reported")
