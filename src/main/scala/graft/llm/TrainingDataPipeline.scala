@@ -54,7 +54,16 @@ object TrainingDataPipeline {
     *               every downstream dup/perplexity stat); 0 disables.
     *               Docs whose text empties out drop at this stage.
     */
+  /** @param normalize when true, run [[Normalize.forDedup]] (mojibake
+    *               repair → NFC → punctuation cleanup → whitespace
+    *               collapse) over the text FIRST, so every downstream
+    *               hash — shingles, chunk hashes, contamination
+    *               n-grams — keys on the normalized bytes. Without it,
+    *               NFD/NFC/mojibake spellings of equal content never
+    *               collide in any dedup stage.
+    */
   final case class Config(
+      normalize: Boolean = false,
       minQuality: Double = 0.4,
       jaccardThreshold: Double = 0.5,
       contamN: Int = 3,
@@ -94,14 +103,21 @@ object TrainingDataPipeline {
     // quality gate, dedup, and decontamination all see clean prose —
     // without this, two unrelated docs sharing a big header read as
     // near-dups and the cluster keeps only one of them.
+    // 0a. OPTIONAL unicode normalization, before EVERYTHING that
+    // hashes text: a narrow projection (no shuffle), so it fuses into
+    // the first scan.
+    val normed =
+      if (!cfg.normalize) docs
+      else docs.withColumn("text", Normalize.forDedup(col("text")))
+
     val prepped =
-      if (cfg.boilerC <= 0) docs
+      if (cfg.boilerC <= 0) normed
       else {
-        val stripped = Boilerplate.strip(docs, "doc_id", "text", "source",
+        val stripped = Boilerplate.strip(normed, "doc_id", "text", "source",
             cfg.boilerC, seed = 11, cfg.boilerMinDf, cfg.boilerPct)
           .where(col("kept_tokens") > 0L)
           .select(col("doc_id"), col("retained_text"))
-        docs.withColumn("doc_id", col("doc_id").cast("long"))
+        normed.withColumn("doc_id", col("doc_id").cast("long"))
           .join(stripped, "doc_id")
           .withColumn("text", col("retained_text"))
           .drop("retained_text")

@@ -498,6 +498,48 @@ object CurationQueries {
             .as("w_raw"),
           (col("wk").cast("double") / col("twk").cast("double"))
             .as("w_dedup"))
+    }),
+
+    // Unicode normalization audit (graft.llm.Normalize): per source,
+    // NFC-compose/mojibake-repair/punct-normalize the distinct word
+    // vocabulary decorated with constructed NFD / cp1252-mojibake /
+    // typographic suffixes, and report counts + 32-bit-hash SUMS of
+    // the normalized strings — any single byte of cross-engine NFC
+    // divergence flips a hash sum. The dedup-impact invariant rides
+    // the counts: the raw spelling pair (dec, comp) is n_words +
+    // n_composed distinct strings, exactly n_words after NFC — i.e.
+    // un-normalized text defeats exact dedup by n_composed collisions.
+    // Vocab-collapsed (distinct words), so the normalization work is
+    // O(|vocab|) however big the corpus; the per-source agg is
+    // map-side combined.
+    "q282_unicode_normalize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = docs.select(col("source"),
+          explode(graft.llm.TextFunctions.tokens(col("text"))).as("w"))
+        .distinct()
+      val dec = concat(col("w"), lit("\u0301"))
+      val moji = concat(col("w"), lit("\u00c3\u00a9"))
+      val clean = concat(col("w"), lit("\u00e9"))
+      val punctIn = concat(col("w"), lit("\u2014done\u2026"))
+      val punctWant = concat(col("w"), lit("-done..."))
+      words.select(col("source"), col("w"), dec.as("dec"),
+          graft.llm.Normalize.nfc(dec).as("comp"),
+          graft.llm.Normalize.repairMojibake(moji).as("rep"),
+          clean.as("clean"),
+          graft.llm.Normalize.normalizePunct(punctIn).as("pn"),
+          punctWant.as("pw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(when(col("comp") =!= col("dec"), 1L).otherwise(0L))
+            .cast("long").as("n_composed"),
+          sum(graft.llm.TextFunctions.portableHash(col("comp"), 7))
+            .cast("long").as("nfc_hash_sum"),
+          sum(graft.llm.TextFunctions.portableHash(col("rep"), 7))
+            .cast("long").as("repair_hash_sum"),
+          sum(when(col("rep") === col("clean"), 1L).otherwise(0L))
+            .cast("long").as("n_repaired"),
+          sum(when(col("pn") === col("pw"), 1L).otherwise(0L))
+            .cast("long").as("n_punct"))
     })
   )
 
@@ -964,6 +1006,29 @@ object CurationQueries {
              AS keep_ratio,
            CAST(wr AS DOUBLE) / CAST(twr AS DOUBLE) AS w_raw,
            CAST(wk AS DOUBLE) / CAST(twk AS DOUBLE) AS w_dedup
-         FROM w, t"""
+         FROM w, t""",
+    // The oracle computes NFC honestly (utf8proc's nfc_normalize vs the
+    // JDK Normalizer — true cross-engine NFC parity through the hash
+    // sums) and states the EXPECTED results for mojibake repair and
+    // punctuation cleanup (chr(233) / '-done...'): Spark must reach
+    // them through the real repair/translate path or the sums diverge.
+    "q282_unicode_normalize" ->
+      s"""WITH ${LlmQueries.tkCte},
+         words AS (SELECT DISTINCT source, unnest(t) AS w FROM tk),
+         n AS (SELECT source,
+             w || chr(769) AS dec,
+             nfc_normalize(w || chr(769)) AS comp,
+             w || chr(233) AS rep
+           FROM words)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN comp <> dec THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_composed,
+           CAST(sum(CAST(concat('0x', substr(md5(concat('7', '|', comp)),
+             1, 8)) AS BIGINT)) AS BIGINT) AS nfc_hash_sum,
+           CAST(sum(CAST(concat('0x', substr(md5(concat('7', '|', rep)),
+             1, 8)) AS BIGINT)) AS BIGINT) AS repair_hash_sum,
+           CAST(count(*) AS BIGINT) AS n_repaired,
+           CAST(count(*) AS BIGINT) AS n_punct
+         FROM n GROUP BY source"""
   )
 }

@@ -881,6 +881,41 @@ class LlmSpec extends AnyFunSuite {
       "strip rewrites text, nothing empties out here")
   }
 
+  test("pipeline normalize stage: an NFD spelling twin dedups only " +
+      "with cfg.normalize (un-normalized hashes never collide)") {
+    import spark.implicits._
+    import graft.llm.TrainingDataPipeline
+    def filler(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // identical content, byte-different spellings: precomposed vs
+    // NFD-decomposed accents on every token
+    val clean = (0 until 100).map(i => s"caf\u00e9$i").mkString(" ")
+    val nfd = (0 until 100).map(i => s"cafe\u0301$i").mkString(" ")
+    assert(clean !== nfd)
+    val docs = (Seq((10L, clean), (11L, nfd)) ++
+      (20L to 29L).map(i => (i, filler(s"f$i", 100).toString)))
+      .map { case (id, t) => (id, t, "en", "srcA") }
+      .toDF("doc_id", "text", "lang", "source")
+    val evalNgrams = Seq.empty[String].toDF("g")
+    val base = TrainingDataPipeline.Config(minQuality = 0.0)
+
+    // without normalization the twins never share a shingle hash:
+    // both survive — the silent dedup miss the stage exists to close
+    val ids0 = TrainingDataPipeline.run(docs, evalNgrams, Nil, base)
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids0.contains(10L) && ids0.contains(11L),
+      "fixture must exercise the un-normalized miss")
+
+    // with it, exactly one twin survives and nothing else is lost
+    val ids = TrainingDataPipeline.run(docs, evalNgrams, Nil,
+        base.copy(normalize = true))
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert((ids.contains(10L) ^ ids.contains(11L)),
+      "normalized twins must collapse to one survivor")
+    assert(ids0 -- Set(10L, 11L) === ids -- Set(10L, 11L),
+      "no collateral drops from normalization")
+  }
+
   test("split assignment is a deterministic 3-way partition of ids") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")
