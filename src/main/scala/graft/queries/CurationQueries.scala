@@ -540,6 +540,45 @@ object CurationQueries {
             .cast("long").as("n_repaired"),
           sum(when(col("pn") === col("pw"), 1L).otherwise(0L))
             .cast("long").as("n_punct"))
+    }),
+
+    // Per-registrable-domain corpus rollup (the C4/RefinedWeb domain
+    // mix report) over graft.llm.Domains: hosts constructed
+    // deterministically from doc_id to cover every PSL rule kind
+    // (multi-label suffix, wildcard *.ck, exception !www.ck, unknown
+    // TLD default rule, IPv4 literal, host-is-a-suffix, case +
+    // trailing-dot normalization); the oracle states the EXPECTED
+    // registrable domain per construction pattern, so any divergence
+    // in the real PSL matcher shifts a rollup row. Extraction is a
+    // codegen'd per-row set probe (no joins); the rollup is one hash
+    // aggregate keyed on the ~bounded domain set.
+    "q283_domain_rollup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sd = (col("doc_id") % 50).cast("string")
+      val m = col("doc_id") % 10
+      val site = concat(lit("site"), sd)
+      val host = when(m === 0, concat(lit("www."), site, lit(".com")))
+        .when(m === 1, concat(lit("blog."), site, lit(".co.uk")))
+        .when(m === 2, concat(lit("a.b."), site, lit(".ac.uk")))
+        .when(m === 3, concat(site, lit(".org")))
+        .when(m === 4, concat(lit("www."), site, lit(".xyzunknown")))
+        .when(m === 5, concat(lit("192.168.0."),
+          (col("doc_id") % 200).cast("string")))
+        .when(m === 6, concat(lit("x."), site, lit(".ck")))
+        .when(m === 7, lit("WWW.CK."))
+        .when(m === 8, concat(lit("deep.sub."), site, lit(".com.au")))
+        .otherwise(lit("co.uk"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.llm.TextFunctions.tokenCount(col("text")).as("tk"),
+          host.as("host"))
+        .withColumn("domain", coalesce(
+          graft.llm.Domains.registrableDomain(col("host")), lit("(none)")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("host")).cast("long").as("n_hosts"),
+          countDistinct(col("lang")).cast("long").as("n_langs"),
+          sum(col("tk")).cast("long").as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     })
   )
 
@@ -1029,6 +1068,43 @@ object CurationQueries {
              1, 8)) AS BIGINT)) AS BIGINT) AS repair_hash_sum,
            CAST(count(*) AS BIGINT) AS n_repaired,
            CAST(count(*) AS BIGINT) AS n_punct
-         FROM n GROUP BY source"""
+         FROM n GROUP BY source""",
+    // expected-by-construction registrable domains: the oracle derives
+    // each from the host pattern (m), Spark from the real PSL matcher
+    "q283_domain_rollup" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x <> '')) AS tk,
+           doc_id % 50 AS sd, doc_id % 10 AS m FROM documents),
+         h AS (SELECT *,
+             CASE m
+               WHEN 0 THEN 'www.site' || sd || '.com'
+               WHEN 1 THEN 'blog.site' || sd || '.co.uk'
+               WHEN 2 THEN 'a.b.site' || sd || '.ac.uk'
+               WHEN 3 THEN 'site' || sd || '.org'
+               WHEN 4 THEN 'www.site' || sd || '.xyzunknown'
+               WHEN 5 THEN '192.168.0.' || (doc_id % 200)
+               WHEN 6 THEN 'x.site' || sd || '.ck'
+               WHEN 7 THEN 'WWW.CK.'
+               WHEN 8 THEN 'deep.sub.site' || sd || '.com.au'
+               ELSE 'co.uk' END AS host,
+             CASE m
+               WHEN 0 THEN 'site' || sd || '.com'
+               WHEN 1 THEN 'site' || sd || '.co.uk'
+               WHEN 2 THEN 'site' || sd || '.ac.uk'
+               WHEN 3 THEN 'site' || sd || '.org'
+               WHEN 4 THEN 'site' || sd || '.xyzunknown'
+               WHEN 5 THEN '(none)'
+               WHEN 6 THEN 'x.site' || sd || '.ck'
+               WHEN 7 THEN 'www.ck'
+               WHEN 8 THEN 'site' || sd || '.com.au'
+               ELSE '(none)' END AS domain
+           FROM d)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(tk) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM h GROUP BY domain"""
   )
 }
