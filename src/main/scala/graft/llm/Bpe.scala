@@ -159,4 +159,71 @@ object Bpe {
         (col("n_symbols").cast("double") / col("n_words").cast("double"))
           .as("symbols_per_word"))
   }
+
+  /** Materialize the per-document token-id sequence — the pretraining
+    * handoff artifact (what actually ships to the trainer). Merges
+    * train as in [[train]]; ids come from the POST-MERGE vocabulary
+    * (distinct surviving symbols, sorted, 1-based) — bounded by
+    * |alphabet| + `rounds`, so the id table is a driver-side literal
+    * array (the q259 bounded-collect charter) and id assignment is a
+    * per-row `array_position`, no join. Per-doc assembly: one
+    * posexplode + one hash join on the DISTINCT-word encode table +
+    * one per-doc aggregate; the shuffled payload is id arrays, and
+    * blocks of `blockTokens` ids (the training micro-batch boundary)
+    * are derived arithmetically from the sequence.
+    *
+    * @return (doc_id, n_words, n_symbols, n_blocks, ids) — `ids` is
+    *         the full ordered id sequence; empty docs drop (no words).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int, blockTokens: Int = 64): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = trainRules(docs, textCol, rounds, withMass = false)
+      .map(r => (r._2, r._3))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+    val enc0 = toks.select(explode(col("t")).as("w")).distinct()
+      .select(col("w"),
+        filter(split(col("w"), ""), x => x =!= lit("")).as("s"))
+    val enc = rules.foldLeft(enc0) { case (d, (x, y)) =>
+      d.select(col("w"), mergePair(col("s"), x, y).as("s"))
+    }.transform(graft.core.Caching.persist)
+    // bounded vocabulary: alphabet + <= rounds merged symbols
+    val vocab = enc.select(explode(col("s")).as("sym")).distinct()
+      .orderBy(col("sym")).as[String].collect()
+    val vlit = array(vocab.toIndexedSeq.map(lit): _*)
+    val encIds = enc.select(col("w"),
+      transform(col("s"), sy => array_position(vlit, sy)).as("wids"))
+    toks.select(col("doc_id"), posexplode(col("t")))
+      .join(encIds, col("col") === col("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sort_array(collect_list(struct(col("pos"), col("wids")))).as("ws"))
+      .select(col("doc_id"), col("n_words"),
+        flatten(col("ws.wids")).as("ids"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("ids")).cast("long").as("n_symbols"),
+        expr(s"CAST((size(ids) + ${blockTokens - 1}) div $blockTokens " +
+          "AS BIGINT)").as("n_blocks"),
+        col("ids"))
+  }
+
+  /** Split an id sequence into `blockTokens`-sized training blocks
+    * (tail block truncates) — the pack boundary the loader consumes.
+    */
+  def idBlocks(ids: org.apache.spark.sql.Column, blockTokens: Int)
+      : org.apache.spark.sql.Column = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
+    // integer ceil-div, and an explicit empty guard: sequence(0, -1)
+    // would default its step to -1 and fabricate phantom blocks
+    val nb = floor((size(ids) + lit(blockTokens - 1))
+      .cast("long") / lit(blockTokens.toLong)).cast("int")
+    when(size(ids) > 0,
+      transform(sequence(lit(0), nb - 1), b =>
+        slice(ids, b * lit(blockTokens) + 1, lit(blockTokens))))
+      .otherwise(array().cast("array<array<bigint>>"))
+  }
 }

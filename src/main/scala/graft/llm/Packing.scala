@@ -23,12 +23,25 @@ object Packing {
     * per (lang, shard), docs ordered by id.
     */
   def packChunks(docs: DataFrame, idCol: String, textCol: String,
-                 langCol: String, tokenBudget: Int, shards: Int): DataFrame = {
+                 langCol: String, tokenBudget: Int, shards: Int): DataFrame =
+    packChunksByCount(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        TextFunctions.tokenCount(col(textCol)).as("tok_count")),
+      "doc_id", "lang", "tok_count", tokenBudget, shards)
+
+  /** [[packChunks]] over a PRECOMPUTED token count — the integration
+    * point for real tokenizer counts ([[Bpe.encodeIds]]'s n_symbols):
+    * pack boundaries then reflect what the trainer actually loads,
+    * not the whitespace proxy.
+    */
+  def packChunksByCount(docs: DataFrame, idCol: String, langCol: String,
+                        countCol: String, tokenBudget: Int,
+                        shards: Int): DataFrame = {
     require(tokenBudget > 0 && shards > 0)
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
     docs
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-        TextFunctions.tokenCount(col(textCol)).as("tok_count"))
+        col(countCol).cast("long").as("tok_count"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .withColumn("chunk_id",
         floor((sum(col("tok_count")).over(w) - col("tok_count"))

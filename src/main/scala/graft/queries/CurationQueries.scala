@@ -579,6 +579,24 @@ object CurationQueries {
           countDistinct(col("lang")).cast("long").as("n_langs"),
           sum(col("tk")).cast("long").as("n_tokens"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Tokenizer APPLICATION at corpus scale: the per-document token-id
+    // sequence (the pretraining handoff artifact) under the 8-round
+    // trained merges — Bpe.encodeIds replays merges on DISTINCT words,
+    // ids come from the bounded post-merge vocabulary (driver literal,
+    // per-row array_position — no id join), and each doc's ordered
+    // sequence is hashed so one transposed/wrong id anywhere in the
+    // corpus flips the compare. n_blocks is the 64-id training-block
+    // count (the pack boundary the loader consumes).
+    "q284_token_ids" -> ((s, dir) => {
+      graft.llm.Bpe.encodeIds(Tables.documents(s, dir), "doc_id",
+          "text", rounds = 8, blockTokens = 64)
+        .select(col("doc_id"), col("n_words"), col("n_symbols"),
+          col("n_blocks"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(transform(col("ids"), i => i.cast("string")), ","),
+            7).as("ids_hash"))
     })
   )
 
@@ -1105,6 +1123,25 @@ object CurationQueries {
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(sum(tk) AS BIGINT) AS n_tokens,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM h GROUP BY domain"""
+         FROM h GROUP BY domain""",
+    "q284_token_ids" -> (bpeCtes(8) + s""",
+      vocab AS (SELECT sym, row_number() OVER (ORDER BY sym) AS vid
+        FROM (SELECT DISTINCT unnest(s) AS sym FROM v9)),
+      wp AS (SELECT doc_id, g.i AS wpos, t[g.i] AS w
+        FROM tk, unnest(generate_series(1, len(t))) AS g(i)),
+      sy AS (SELECT wp.doc_id, wp.wpos, g2.j AS spos, s[g2.j] AS sym
+        FROM wp JOIN v9 USING (w),
+          unnest(generate_series(1, len(s))) AS g2(j)),
+      agg AS (SELECT sy.doc_id,
+          string_agg(CAST(vid AS VARCHAR), ',' ORDER BY wpos, spos)
+            AS csv,
+          CAST(count(*) AS BIGINT) AS n_symbols,
+          CAST(count(DISTINCT wpos) AS BIGINT) AS n_words
+        FROM sy JOIN vocab USING (sym) GROUP BY sy.doc_id)
+      SELECT doc_id, n_words, n_symbols,
+        CAST((n_symbols + 63) // 64 AS BIGINT) AS n_blocks,
+        CAST(concat('0x', substr(md5(concat('7', '|', csv)), 1, 8))
+          AS BIGINT) AS ids_hash
+      FROM agg""")
   )
 }

@@ -353,6 +353,68 @@ class CurationSpec extends AnyFunSuite {
       "budget binds up to per-row floor rounding")
   }
 
+  test("encodeIds: sequences agree with encodeStats counts, ids stay " +
+      "in the vocabulary, and idBlocks obey the pack-boundary law") {
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(200)
+      .transform(graft.core.Caching.persist)
+    val enc = graft.llm.Bpe.encodeIds(docs, "doc_id", "text",
+        rounds = 4, blockTokens = 64)
+      .transform(graft.core.Caching.persist)
+    // cross-check totals against the independent encodeStats assembly
+    val fromIds = enc
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("w"), sum(col("n_symbols")).as("s"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val fromStats = graft.llm.Bpe.encodeStats(docs, "text", "lang", 4)
+      .select(col("lang"), col("n_words"), col("n_symbols"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(fromIds === fromStats,
+      "per-lang word/symbol totals must match the encodeStats path")
+    // id range and block law per doc
+    val rows = enc.select(col("n_symbols"), col("n_blocks"),
+        array_min(col("ids")).as("lo"), array_max(col("ids")).as("hi"),
+        graft.llm.Bpe.idBlocks(col("ids"), 64).as("blocks"),
+        col("ids"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nb) = (r.getLong(0), r.getLong(1))
+      assert(nb === (n + 63) / 64, "n_blocks = ceil(n_symbols / 64)")
+      assert(r.getLong(2) >= 1L, "ids are 1-based")
+      val blocks = r.getSeq[scala.collection.Seq[Long]](4)
+      val ids = r.getSeq[Long](5)
+      assert(blocks.length.toLong === nb)
+      assert(blocks.flatten === ids, "blocks must tile the sequence")
+      blocks.dropRight(1).foreach(b => assert(b.length === 64))
+      assert(blocks.last.length >= 1 && blocks.last.length <= 64)
+    }
+    // packing integration: boundaries computed from REAL tokenizer
+    // counts obey the same prefix-sum law packChunks pins for the
+    // whitespace proxy
+    val packed = graft.llm.Packing.packChunksByCount(
+      enc.join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang")), "doc_id"),
+      "doc_id", "lang", "n_symbols", tokenBudget = 512, shards = 2)
+    val byShard = packed
+      .select(col("lang"), col("shard"), col("doc_id"),
+        col("tok_count"), col("chunk_id"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    byShard.values.foreach { rs =>
+      var run = 0L
+      rs.sortBy(_.getLong(2)).foreach { r =>
+        assert(r.getLong(4) === run / 512,
+          "chunk_id is the exclusive prefix sum over n_symbols div budget")
+        run += r.getLong(3)
+      }
+    }
+    enc.unpersist(); docs.unpersist()
+  }
+
   test("waterfill raises on a < 1 or t < 1 instead of silently " +
       "null-corrupting the sort order") {
     Seq(Seq(("ok", 100L, 10L), ("zt", 50L, 0L)),
