@@ -29,6 +29,60 @@ import graft.llm.ChunkDedup
   */
 object StreamingChunkDedup {
 
+  /** (doc_id, chunk_idx, ctoks, chash, source) membership events for
+    * the COMPOSED boilerplate→chunk-dedup face. Same chunking
+    * constants as [[StreamingBoilerplate.lineEvents]] so line hashes
+    * and chunk hashes coincide: with c_line == c_chunk, stripping
+    * whole lines keeps every remaining chunk boundary on a c-token
+    * multiple, which is exactly what makes batch strip-then-re-chunk
+    * reproducible from the ORIGINAL chunking (indices shift, spans
+    * don't).
+    */
+  def membershipEvents(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, c: Int = 10, seed: Int = 11)
+      : DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        graft.llm.TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(ChunkDedup.chunkStructs(col("t"), c, seed)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.ctoks").as("ctoks"), col("col.chash").as("chash"),
+        col("source"))
+
+  /** Pure assembly of the composed pipeline stages 0b→2b from streamed
+    * state: the boilerplate counter table
+    * ([[StreamingBoilerplate.counters]] output — monotone, so verdicts
+    * apply RETROACTIVELY, exactly like the batch screen re-run on the
+    * prefix) decides which line hashes are boilerplate per source;
+    * those lines are stripped from the accumulated membership; then
+    * first-occurrence marking runs over the SURVIVORS. Equals batch
+    * `Boilerplate.strip` → re-chunk → `ChunkDedup.firstOccurrence`
+    * over the same prefix at EVERY prefix — including chunks whose
+    * keeper changes because an earlier occurrence's line became
+    * boilerplate (an arrival-time keeper could never repair that; the
+    * counter-plus-assembly split can, the [[StreamingLm]] pattern).
+    */
+  def assembleStripped(counts: DataFrame, membership: DataFrame,
+                       minDf: Int = 2, pct: Int = 5): DataFrame = {
+    val latest = counts.groupBy(col("k")).agg(max(col("df")).as("df"))
+    val nd = latest.where(col("k").startsWith("d|"))
+      .select(substring(col("k"), 3, Int.MaxValue).as("source"),
+        col("df").as("nd"))
+    val boiler = latest.where(col("k").startsWith("l|"))
+      .select(split(col("k"), "\\|", 3).getItem(1).as("source"),
+        split(col("k"), "\\|", 3).getItem(2).cast("long").as("chash"),
+        col("df"))
+      .join(nd, "source")
+      .where(col("df") >= lit(minDf.toLong)
+        && col("df") * lit(100L) >= col("nd") * lit(pct.toLong))
+      .select(col("source"), col("chash"))
+    val surv = membership.join(boiler, Seq("source", "chash"),
+      "left_anti")
+    ChunkDedup.firstOccurrence(surv)
+  }
+
   /** (doc_id, chunk_idx, ctoks, kept) for every arriving chunk. */
   def markChunks(docs: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 20, seed: Int = 7)
