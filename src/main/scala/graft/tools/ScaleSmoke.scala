@@ -169,6 +169,46 @@ object ScaleSmoke {
     }
     println(f"[smoke] linearity gate passed; worst normalized growth " +
       f"x$worst%.2f (1.0 = perfectly linear)")
+
+    // 100x frontier (one decade past the bench SF): replicate the
+    // sf0.01 inputs of the three most expensive bench plans as 100
+    // DISJOINT copies (key-shifted -> ~10x the sf0.1 row count),
+    // materialize to parquet, and run the full plans end-to-end.
+    // Disjoint copies measure pure VOLUME throughput; per-key density
+    // growth is the separate axis the star/prefix caps bound (smoked
+    // by the replica-family sections above). Same 15x envelope on 10x
+    // rows as the linearity gate. SPARK_GRAFT_SKIP_100X skips.
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_100X")) {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-100x").toString
+      val rep = spark.range(100).select(col("id").as("rep"))
+      Tables.lineitem(spark, smallDir)
+        .crossJoin(rep)
+        .withColumn("l_orderkey",
+          col("l_orderkey") + col("rep") * lit(100000000L))
+        .withColumn("l_partkey",
+          col("l_partkey") + col("rep") * lit(100000000L))
+        .drop("rep")
+        .write.parquet(s"$out/lineitem.parquet")
+      Tables.customer(spark, smallDir)
+        .crossJoin(rep)
+        .withColumn("c_custkey",
+          col("c_custkey") + col("rep") * lit(100000000L))
+        .withColumn("c_nationkey",
+          col("c_nationkey") + col("rep") * lit(10000L))
+        .drop("rep")
+        .write.parquet(s"$out/customer.parquet")
+      Seq("q105_triangles", "q106_pagerank", "q175_entity_resolution")
+        .foreach { qn =>
+          val t10 = time(qn, bigDir) // sf0.1 reference
+          val t100 = time(qn, out)   // 10x its rows
+          val ratio = t100 / math.max(t10, 0.15)
+          println(f"[smoke] 100x frontier $qn%s: sf0.1 $t10%.2f s -> " +
+            f"100x-sf0.01 $t100%.2f s (x$ratio%.1f at 10x rows, bound x15)")
+          require(t100 <= 15.0 * math.max(t10, 0.15),
+            s"$qn grows super-linearly at the 100x frontier")
+        }
+    }
     spark.stop()
   }
 }
