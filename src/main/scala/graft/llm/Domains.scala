@@ -46,7 +46,43 @@ object Domains {
   def registrableDomainFromUrl(url: Column,
                                suffixes: Seq[String] = defaultSuffixes)
       : Column =
-    registrableDomain(parse_url(url, lit("HOST")), suffixes)
+    registrableDomain(try_parse_url(url, lit("HOST")), suffixes)
+
+  /** URL canonicalization for URL-level dedup (the FineWeb/C4 recipe):
+    * lowercase scheme+host, strip a leading `www.`, drop default ports
+    * (http:80 / https:443), drop the fragment, strip trailing path
+    * slashes, remove tracking query params (utm_*, fbclid, gclid, ref,
+    * mc_cid/mc_eid) and SORT the survivors so param order never splits
+    * a dedup bucket. Pure builtin composition (parse_url + regexp +
+    * array HOFs) — a narrow, shuffle-free projection; URLs without a
+    * parseable host canonicalize to null.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostRaw = lower(try_parse_url(url, lit("HOST")))
+    val host = regexp_replace(hostRaw, "^www\\.", "")
+    val port = regexp_extract(
+      coalesce(try_parse_url(url, lit("AUTHORITY")), lit("")), ":(\\d+)$", 1)
+    val keepPort = port =!= lit("") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val path = regexp_replace(
+      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", "")
+    val params = filter(
+      split(coalesce(try_parse_url(url, lit("QUERY")), lit("")), "&"), p =>
+        p =!= lit("") && !p.rlike(TrackingParamRegex))
+    val qs = array_join(array_sort(params), "&")
+    val qPart = when(qs =!= lit(""), concat(lit("?"), qs)).otherwise(lit(""))
+    when(hostRaw.isNull || hostRaw === lit("") || scheme === lit(""),
+      lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
+  }
+
+  /** Query params that never change content (analytics/click IDs). */
+  val TrackingParamRegex: String =
+    "^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
 
   /** A representative PSL subset for tests/defaults — real deployments
     * pass the full list (publicsuffix.org, ~9k rules; the expression

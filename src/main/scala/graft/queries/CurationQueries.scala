@@ -581,6 +581,109 @@ object CurationQueries {
           sum(col("n_chars")).cast("long").as("sum_chars"))
     }),
 
+    // URL-level dedup (the FineWeb recipe's first pass): canonicalize
+    // constructed URLs (case, www, default ports, fragments, trailing
+    // slashes, tracking params, param ORDER) and report per-source raw
+    // vs canonical distinct counts plus a canonical hash SUM — any
+    // canonicalization divergence flips the sum. Narrow projection +
+    // one hash aggregate.
+    "q285_url_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sd = (col("doc_id") % 50).cast("string")
+      val m = col("doc_id") % 8
+      val site = concat(lit("site"), sd)
+      val url = when(m === 0, concat(lit("https://WWW."), site,
+          lit(".com/Page/"), sd, lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("http://"), site,
+          lit(".co.uk:80/index.html")))
+        .when(m === 2, concat(lit("https://"), site, lit(".com:8443/x")))
+        .when(m === 3, concat(lit("https://www."), site,
+          lit(".com/?fbclid=abc")))
+        .when(m === 4, concat(lit("http://"), site, lit(".org/a/b/")))
+        .when(m === 5, concat(lit("https://"), site,
+          lit(".com/a?gclid=1&z=9&utm_campaign=c")))
+        .when(m === 6, concat(lit("https://"), site, lit(".com/a")))
+        .otherwise(concat(lit("https://"), site, lit(".com/Page/"), sd,
+          lit("?b=2&a=1&utm_medium=y")))
+      docs.select(col("source"), url.as("url"))
+        .withColumn("canon", graft.llm.Domains.canonicalUrl(col("url")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("url")).cast("long").as("n_raw"),
+          countDistinct(col("canon")).cast("long").as("n_canonical"),
+          sum(graft.llm.TextFunctions.portableHash(col("canon"), 7))
+            .cast("long").as("canon_hash_sum"))
+    }),
+
+    // Packing-efficiency planning report: per (lang, shard), the block
+    // cost of pad-each-doc vs concat-and-chunk at a 512-token budget —
+    // the number every packing recipe quotes to justify concatenation.
+    // Pure integer arithmetic (ceil-div via `div`), one aggregate.
+    "q286_packing_efficiency" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), pmod(col("doc_id"), lit(4L)).as("shard"),
+          graft.llm.TextFunctions.tokenCount(col("text")).as("tok"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("n_tokens"),
+          sum(expr("(tok + 511) div 512")).cast("long")
+            .as("padded_blocks"))
+        .select(col("lang"), col("shard"), col("n_docs"),
+          col("n_tokens"), col("padded_blocks"),
+          expr("(n_tokens + 511) div 512").cast("long")
+            .as("concat_blocks"))
+        .withColumn("padding_waste",
+          col("padded_blocks") * lit(512L) - col("n_tokens"))
+        .withColumn("savings_ratio",
+          when(col("padded_blocks") > 0L,
+            (col("padded_blocks") - col("concat_blocks")).cast("double")
+              / col("padded_blocks").cast("double"))
+            .otherwise(lit(0.0)))),
+
+    // Per-domain document caps (the C4 domain-cap stage): keep at most
+    // k docs per registrable domain by deterministic hash priority.
+    // Rides TopKAggregator — partial aggregation bounds the shuffle at
+    // k rows per (partition, domain), no ranking window over the
+    // corpus. Hosts constructed as in q283; docs with no registrable
+    // domain (IPs, public-suffix hosts) are exempt from caps.
+    "q287_domain_caps" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5
+      val docs = Tables.documents(s, dir)
+      val sd = (col("doc_id") % 50).cast("string")
+      val m = col("doc_id") % 10
+      val site = concat(lit("site"), sd)
+      val host = when(m === 0, concat(lit("www."), site, lit(".com")))
+        .when(m === 1, concat(lit("blog."), site, lit(".co.uk")))
+        .when(m === 2, concat(lit("a.b."), site, lit(".ac.uk")))
+        .when(m === 3, concat(site, lit(".org")))
+        .when(m === 4, concat(lit("www."), site, lit(".xyzunknown")))
+        .when(m === 5, concat(lit("192.168.0."),
+          (col("doc_id") % 200).cast("string")))
+        .when(m === 6, concat(lit("x."), site, lit(".ck")))
+        .when(m === 7, lit("WWW.CK."))
+        .when(m === 8, concat(lit("deep.sub."), site, lit(".com.au")))
+        .otherwise(lit("co.uk"))
+      val prio = graft.llm.TextFunctions.portableHash(
+        col("doc_id").cast("string"), 23)
+      val topk = new graft.llm.Similarity.TopKAggregator(k).toColumn
+      docs.select(host.as("host"), col("doc_id"), prio.as("prio"))
+        .withColumn("domain",
+          graft.llm.Domains.registrableDomain(col("host")))
+        .where(col("domain").isNotNull)
+        .select(col("domain"), col("doc_id"), col("prio"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, p) => (id, -p.toDouble) }
+        .agg(topk.name("top"))
+        .flatMap { case (domain, top) =>
+          top.iterator.zipWithIndex.map { case ((id, negP), i) =>
+            (domain, id, (-negP).toLong, (i + 1).toLong)
+          }
+        }
+        .toDF("domain", "doc_id", "prio", "rnk")
+    }),
+
     // Tokenizer APPLICATION at corpus scale: the per-document token-id
     // sequence (the pretraining handoff artifact) under the 8-round
     // trained merges — Bpe.encodeIds replays merges on DISTINCT words,
@@ -1124,6 +1227,84 @@ object CurationQueries {
            CAST(sum(tk) AS BIGINT) AS n_tokens,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM h GROUP BY domain""",
+    // raw URLs rebuilt by the same construction; canonical forms
+    // stated expected-by-construction (params sorted, tracking gone,
+    // www/port/slash/fragment normalized)
+    "q285_url_dedup" ->
+      s"""WITH d AS (SELECT doc_id, source, doc_id % 50 AS sd,
+           doc_id % 8 AS m FROM documents),
+         u AS (SELECT source,
+             CASE m
+               WHEN 0 THEN 'https://WWW.site' || sd || '.com/Page/' || sd
+                 || '/?utm_source=x&b=2&a=1#frag'
+               WHEN 1 THEN 'http://site' || sd || '.co.uk:80/index.html'
+               WHEN 2 THEN 'https://site' || sd || '.com:8443/x'
+               WHEN 3 THEN 'https://www.site' || sd || '.com/?fbclid=abc'
+               WHEN 4 THEN 'http://site' || sd || '.org/a/b/'
+               WHEN 5 THEN 'https://site' || sd
+                 || '.com/a?gclid=1&z=9&utm_campaign=c'
+               WHEN 6 THEN 'https://site' || sd || '.com/a'
+               ELSE 'https://site' || sd || '.com/Page/' || sd
+                 || '?b=2&a=1&utm_medium=y' END AS url,
+             CASE m
+               WHEN 0 THEN 'https://site' || sd || '.com/Page/' || sd
+                 || '?a=1&b=2'
+               WHEN 1 THEN 'http://site' || sd || '.co.uk/index.html'
+               WHEN 2 THEN 'https://site' || sd || '.com:8443/x'
+               WHEN 3 THEN 'https://site' || sd || '.com'
+               WHEN 4 THEN 'http://site' || sd || '.org/a/b'
+               WHEN 5 THEN 'https://site' || sd || '.com/a?z=9'
+               WHEN 6 THEN 'https://site' || sd || '.com/a'
+               ELSE 'https://site' || sd || '.com/Page/' || sd
+                 || '?a=1&b=2' END AS canon
+           FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           CAST(sum(CAST(concat('0x', substr(md5(concat('7', '|',
+             canon)), 1, 8)) AS BIGINT)) AS BIGINT) AS canon_hash_sum
+         FROM u GROUP BY source""",
+    "q286_packing_efficiency" ->
+      s"""WITH d AS (SELECT lang, doc_id % 4 AS shard,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x <> '')) AS tok FROM documents),
+         g AS (SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens,
+             CAST(sum((tok + 511) // 512) AS BIGINT) AS padded_blocks
+           FROM d GROUP BY 1, 2)
+         SELECT lang, shard, n_docs, n_tokens, padded_blocks,
+           CAST((n_tokens + 511) // 512 AS BIGINT) AS concat_blocks,
+           CAST(padded_blocks * 512 - n_tokens AS BIGINT)
+             AS padding_waste,
+           CASE WHEN padded_blocks > 0 THEN
+             CAST(padded_blocks - (n_tokens + 511) // 512 AS DOUBLE)
+               / CAST(padded_blocks AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS savings_ratio
+         FROM g""",
+    "q287_domain_caps" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 50 AS sd, doc_id % 10 AS m,
+           CAST(concat('0x', substr(md5(concat('23', '|',
+             CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS prio
+           FROM documents),
+         h AS (SELECT doc_id, prio,
+             CASE m
+               WHEN 0 THEN 'site' || sd || '.com'
+               WHEN 1 THEN 'site' || sd || '.co.uk'
+               WHEN 2 THEN 'site' || sd || '.ac.uk'
+               WHEN 3 THEN 'site' || sd || '.org'
+               WHEN 4 THEN 'site' || sd || '.xyzunknown'
+               WHEN 5 THEN NULL
+               WHEN 6 THEN 'x.site' || sd || '.ck'
+               WHEN 7 THEN 'www.ck'
+               WHEN 8 THEN 'site' || sd || '.com.au'
+               ELSE NULL END AS domain
+           FROM d),
+         r AS (SELECT domain, doc_id, prio,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY prio, doc_id) AS rnk
+           FROM h WHERE domain IS NOT NULL)
+         SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 5""",
     "q284_token_ids" -> (bpeCtes(8) + s""",
       vocab AS (SELECT sym, row_number() OVER (ORDER BY sym) AS vid
         FROM (SELECT DISTINCT unnest(s) AS sym FROM v9)),

@@ -84,6 +84,35 @@ class DomainsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalUrl: case, www, default ports, fragments, trailing " +
+      "slashes, tracking params, and param order all normalize away") {
+    val vectors: Seq[(String, Option[String])] = Seq(
+      "https://WWW.Example.COM/Page/1/?utm_source=x&b=2&a=1#frag" ->
+        Some("https://example.com/Page/1?a=1&b=2"),
+      "http://example.com:80/i.html" -> Some("http://example.com/i.html"),
+      "https://example.com:443/x" -> Some("https://example.com/x"),
+      "https://example.com:8443/x" -> Some("https://example.com:8443/x"),
+      "https://www.example.com/?fbclid=abc" -> Some("https://example.com"),
+      "http://example.org/a/b/" -> Some("http://example.org/a/b"),
+      "https://example.com/a?gclid=1&z=9&utm_campaign=c" ->
+        Some("https://example.com/a?z=9"),
+      // param ORDER collapses to one bucket
+      "https://example.com/p?b=2&a=1" -> Some("https://example.com/p?a=1&b=2"),
+      "https://example.com/p?a=1&b=2" -> Some("https://example.com/p?a=1&b=2"),
+      // utm_ prefix is a family, not a fixed list
+      "https://example.com/p?utm_weird=1&keep=2" ->
+        Some("https://example.com/p?keep=2"),
+      // no parseable host -> null
+      "not a url" -> None,
+      "mailto:someone@example.com" -> None)
+    val got = vectors.map(_._1).toDF("u")
+      .select(graft.llm.Domains.canonicalUrl(col("u")).as("r"))
+      .as[Option[String]].collect().toSeq
+    vectors.zip(got).foreach { case ((u, want), r) =>
+      assert(r === want, s"canonicalUrl('$u')")
+    }
+  }
+
   test("registrableDomainFromUrl extracts through the URL host under " +
       "CODEGEN_ONLY") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
