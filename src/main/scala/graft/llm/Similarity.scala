@@ -526,6 +526,13 @@ object Similarity {
         col(scoreCol).cast("double").as("score")), k, withRank = true)
       .select(col("nn_id").as(idCol), col("score"), col("rnk"))
 
+  /** Public bounded top-k ranking over (vec_id, nn_id, score) rows —
+    * the TopKAggregator path (≤ k rows per partition-query reach the
+    * shuffle), score desc / nn_id asc, 1-based `rnk`.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    topKByQuery(scored, k, withRank = true)
+
   private def topKByQuery(scored: DataFrame, k: Int,
                           withRank: Boolean): DataFrame = {
     import org.apache.spark.sql.types._

@@ -684,6 +684,36 @@ object CurationQueries {
         .toDF("domain", "doc_id", "prio", "rnk")
     }),
 
+    // Positional phrase search: find every occurrence (count + first
+    // position) of the corpus's most frequent bigram per language —
+    // argmax by struct-min (no window), then ONE narrow corpus pass
+    // with the 1-row-per-lang phrase table broadcast; positions come
+    // from an in-row index filter, so nothing corpus-sized shuffles.
+    "q288_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val top = docs.select(col("lang"),
+          explode(graft.llm.TextFunctions.bigrams(col("text"))).as("bg"))
+        .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(min(struct(negate(col("n")).as("nn"), col("bg").as("bg")))
+          .as("b"))
+        .select(col("lang"), col("b.bg").as("phrase"),
+          split(col("b.bg"), " ").getItem(0).as("x"),
+          split(col("b.bg"), " ").getItem(1).as("y"))
+      docs.select(col("doc_id"), col("lang"),
+          graft.llm.TextFunctions.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .join(broadcast(top), "lang")
+        .select(col("doc_id"), col("lang"), col("phrase"),
+          filter(sequence(lit(1), size(col("t")) - 1), i =>
+            element_at(col("t"), i) === col("x") &&
+              element_at(col("t"), i + lit(1)) === col("y")).as("hits"))
+        .where(size(col("hits")) > 0)
+        .select(col("doc_id"), col("lang"), col("phrase"),
+          size(col("hits")).cast("long").as("n_occ"),
+          element_at(col("hits"), 1).cast("long").as("first_pos"))
+    }),
+
     // Tokenizer APPLICATION at corpus scale: the per-document token-id
     // sequence (the pretraining handoff artifact) under the 8-round
     // trained merges — Bpe.encodeIds replays merges on DISTINCT words,
@@ -1305,6 +1335,24 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    "q288_phrase_search" ->
+      s"""WITH ${LlmQueries.tkCte},
+         bgc AS (SELECT lang, t[i] || ' ' || t[i+1] AS bg,
+             CAST(count(*) AS BIGINT) AS n
+           FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+           WHERE len(t) >= 2 GROUP BY 1, 2),
+         top AS (SELECT lang, bg FROM (SELECT lang, bg,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n DESC, bg) AS r FROM bgc)
+           WHERE r = 1),
+         occ AS (SELECT tk.doc_id, tk.lang, top.bg AS phrase, g.i AS pos
+           FROM tk JOIN top USING (lang),
+             unnest(generate_series(1, len(t) - 1)) AS g(i)
+           WHERE len(t) >= 2 AND t[g.i] = split_part(top.bg, ' ', 1)
+             AND t[g.i + 1] = split_part(top.bg, ' ', 2))
+         SELECT doc_id, lang, phrase, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(pos) AS BIGINT) AS first_pos
+         FROM occ GROUP BY 1, 2, 3""",
     "q284_token_ids" -> (bpeCtes(8) + s""",
       vocab AS (SELECT sym, row_number() OVER (ORDER BY sym) AS vid
         FROM (SELECT DISTINCT unnest(s) AS sym FROM v9)),

@@ -148,6 +148,48 @@ object EmbeddingQueries {
             .as("qvec"))
     }),
 
+    // Quantization-accuracy audit (q71's missing half): recall@10 of
+    // the int8-quantized ranking against the exact float ranking for
+    // the probe set — the number that decides whether 4x-compressed
+    // vectors are good enough to serve ANN from. The int dot products
+    // are EXACT (long sums of int8 products), so the quantized scores
+    // are bit-portable; both rankings ride TopKAggregator.
+    "q289_int8_recall" -> ((s, dir) => {
+      val k = 10
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.knnBruteForce(emb,
+          emb.where(col("vec_id") < 10), "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"))
+      val qemb = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("v"), Similarity.int8Scale(col("v")))
+            .as("qv"))
+      val c = qemb.select(col("vec_id").as("nn_id"), col("qv").as("nv"))
+      val q = qemb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("pv"))
+      def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
+          lit(0L), (acc, x) => acc + x)
+      def inrm(a: org.apache.spark.sql.Column) =
+        sqrt(idot(a, a).cast("double"))
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("nn_id"))
+        .select(col("qid").as("vec_id"), col("nn_id"),
+          round(idot(col("pv"), col("nv")).cast("double")
+            / (inrm(col("pv")) * inrm(col("nv"))), 6).as("score"))
+      val quant = Similarity.topKPerQuery(scored, k)
+        .select(col("vec_id").as("query_id"),
+          col("nn_id").as("neighbor_id"), lit(1L).as("hit"))
+      exact.join(quant, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("k"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_overlap"))
+        .select(col("query_id"), col("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("k").cast("double"))
+            .as("recall"))
+    }),
+
     // Per-label centroid outliers: the 5 vectors farthest from their
     // label's centroid — the embedded-corpus mislabel/contamination
     // screen. All-integer distance arithmetic (14-bit quantization), so
@@ -368,6 +410,49 @@ object EmbeddingQueries {
                CAST(row_number() OVER (PARTITION BY qid
                  ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk FROM s)
          SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5""",
+    "q289_int8_recall" ->
+      s"""WITH $evCte, $nvCte,
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+           FROM ev),
+         qv AS (SELECT vec_id, CASE WHEN s = 0
+             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+             END AS qv FROM sc),
+         cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM ev a
+           JOIN ev b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         ${pairDotCte("cand", "qid", "nid")},
+         se AS (SELECT qid, nid, round(dp / (nq.nrm * ne.nrm), 6) AS score
+           FROM d JOIN n nq ON nq.vec_id = qid
+                  JOIN n ne ON ne.vec_id = nid),
+         re AS (SELECT qid, nid FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) AS rnk FROM se)
+           WHERE rnk <= 10),
+         qd AS (SELECT c.qid, c.nid,
+             CAST(list_reduce(list_transform(range(64),
+               i -> a.qv[i+1] * b.qv[i+1]), (x, y) -> x + y) AS BIGINT)
+               AS dp
+           FROM cand c JOIN qv a ON a.vec_id = c.qid
+                       JOIN qv b ON b.vec_id = c.nid),
+         qn AS (SELECT vec_id, sqrt(CAST(list_reduce(
+             list_transform(qv, x -> x * x), (a, b) -> a + b) AS DOUBLE))
+             AS nrm FROM qv),
+         sq AS (SELECT qid, nid,
+             round(CAST(dp AS DOUBLE) / (na.nrm * nb.nrm), 6) AS score
+           FROM qd JOIN qn na ON na.vec_id = qid
+                   JOIN qn nb ON nb.vec_id = nid),
+         rq AS (SELECT qid, nid FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) AS rnk FROM sq)
+           WHERE rnk <= 10)
+         SELECT re.qid AS query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN rq.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
+           CAST(sum(CASE WHEN rq.nid IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         FROM re LEFT JOIN rq ON rq.qid = re.qid AND rq.nid = re.nid
+         GROUP BY re.qid""",
     "q46_ann_lsh" ->
       s"""WITH $evCte, $nvCte, $planesCte, $dotpCte, $bkCte,
          cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
