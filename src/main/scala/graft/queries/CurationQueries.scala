@@ -684,6 +684,56 @@ object CurationQueries {
         .toDF("domain", "doc_id", "prio", "rnk")
     }),
 
+    // The C4-style per-domain CURATION report — the composition the
+    // domain operators exist for: per registrable domain, document
+    // count, mean quality (exact 1e-9-grid longs, so the mean is a
+    // pure integer function divided once — no order-dependent float
+    // sums), and the chunk-dedup token keep-share. One corpus pass for
+    // quality, one chunk-dedup pass, one bounded-domain aggregate.
+    "q290_domain_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sd = (col("doc_id") % 50).cast("string")
+      val m = col("doc_id") % 10
+      val site = concat(lit("site"), sd)
+      val host = when(m === 0, concat(lit("www."), site, lit(".com")))
+        .when(m === 1, concat(lit("blog."), site, lit(".co.uk")))
+        .when(m === 2, concat(lit("a.b."), site, lit(".ac.uk")))
+        .when(m === 3, concat(site, lit(".org")))
+        .when(m === 4, concat(lit("www."), site, lit(".xyzunknown")))
+        .when(m === 5, concat(lit("192.168.0."),
+          (col("doc_id") % 200).cast("string")))
+        .when(m === 6, concat(lit("x."), site, lit(".ck")))
+        .when(m === 7, lit("WWW.CK."))
+        .when(m === 8, concat(lit("deep.sub."), site, lit(".com.au")))
+        .otherwise(lit("co.uk"))
+      val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        floor(graft.llm.TextFunctions.qualityScore(col("text"),
+          LlmQueries.stopwords) * lit(1e9)).cast("long").as("qg"),
+        coalesce(graft.llm.Domains.registrableDomain(host), lit("(none)"))
+          .as("domain"))
+      val chunks = graft.llm.ChunkDedup.firstOccurrence(
+          graft.llm.ChunkDedup.chunkMembership(docs, "doc_id", "text",
+            20, 7))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("ctoks")).as("ct"),
+          sum(when(col("kept"), col("ctoks")).otherwise(0L)).as("kt"))
+      base.join(chunks, Seq("doc_id"), "left_outer")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("qg")).cast("long").as("sum_qg"),
+          sum(coalesce(col("ct"), lit(0L))).cast("long").as("n_tokens"),
+          sum(coalesce(col("kt"), lit(0L))).cast("long")
+            .as("kept_tokens"))
+        .select(col("domain"), col("n_docs"),
+          (col("sum_qg").cast("double") / col("n_docs").cast("double")
+            / lit(1e9)).as("mean_quality"),
+          col("n_tokens"), col("kept_tokens"),
+          when(col("n_tokens") > 0L,
+            col("kept_tokens").cast("double")
+              / col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)).as("kept_share"))
+    }),
+
     // Positional phrase search: find every occurrence (count + first
     // position) of the corpus's most frequent bigram per language —
     // argmax by struct-min (no window), then ONE narrow corpus pass
@@ -1335,6 +1385,49 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    "q290_domain_curation" ->
+      s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(20, 7)},
+         q AS (SELECT doc_id,
+             CAST(floor((least(length(text) / 500.0, 1.0) * 0.4
+               + least((CASE WHEN len(t) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(t, x ->
+                     list_contains(${LlmQueries.stopListSql}, x)))
+                     AS DOUBLE) / len(t) END) * 5.0, 1.0) * 0.3
+               + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+                     AS DOUBLE) / len(t) END) BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.3) * 1e9) AS BIGINT) AS qg,
+             doc_id % 50 AS sd, doc_id % 10 AS m
+           FROM tk),
+         dom AS (SELECT doc_id, qg,
+             coalesce(CASE m
+               WHEN 0 THEN 'site' || sd || '.com'
+               WHEN 1 THEN 'site' || sd || '.co.uk'
+               WHEN 2 THEN 'site' || sd || '.ac.uk'
+               WHEN 3 THEN 'site' || sd || '.org'
+               WHEN 4 THEN 'site' || sd || '.xyzunknown'
+               WHEN 5 THEN NULL
+               WHEN 6 THEN 'x.site' || sd || '.ck'
+               WHEN 7 THEN 'www.ck'
+               WHEN 8 THEN 'site' || sd || '.com.au'
+               ELSE NULL END, '(none)') AS domain
+           FROM q),
+         k AS (SELECT chash, min(doc_id*1000000+chunk_idx) AS keeper
+           FROM ch GROUP BY 1),
+         cs AS (SELECT doc_id, CAST(sum(ctoks) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN doc_id*1000000+chunk_idx = keeper
+               THEN ctoks ELSE 0 END) AS BIGINT) AS kt
+           FROM ch JOIN k USING (chash) GROUP BY 1)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(qg) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e9
+             AS mean_quality,
+           CAST(sum(coalesce(ct, 0)) AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(kt, 0)) AS BIGINT) AS kept_tokens,
+           CASE WHEN sum(coalesce(ct, 0)) > 0 THEN
+             CAST(sum(coalesce(kt, 0)) AS DOUBLE)
+               / CAST(sum(coalesce(ct, 0)) AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS kept_share
+         FROM dom LEFT JOIN cs USING (doc_id) GROUP BY domain""",
     "q288_phrase_search" ->
       s"""WITH ${LlmQueries.tkCte},
          bgc AS (SELECT lang, t[i] || ' ' || t[i+1] AS bg,
