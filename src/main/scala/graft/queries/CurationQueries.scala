@@ -684,6 +684,44 @@ object CurationQueries {
         .toDF("domain", "doc_id", "prio", "rnk")
     }),
 
+    // Length-bucketed batching (the dynamic-batching planner): batch
+    // docs 16-at-a-time in LENGTH order vs ingest order per (lang,
+    // shard), and report the padding waste each policy pays when every
+    // batch pads to its own max — the number that justifies
+    // length-sorted batching in every inference/training loader.
+    // Windows are per-(lang, shard) partitions (scale = shard count),
+    // all arithmetic exact integers.
+    "q291_length_batching" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("lang"),
+        pmod(col("doc_id"), lit(4L)).as("shard"), col("doc_id"),
+        graft.llm.TextFunctions.tokenCount(col("text")).as("tok"))
+      val bySorted = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("tok"), col("doc_id"))
+      val byIngest = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+      val b = d
+        .withColumn("rs", row_number().over(bySorted).cast("long"))
+        .withColumn("ru", row_number().over(byIngest).cast("long"))
+        .withColumn("bs", expr("(rs - 1) div 16"))
+        .withColumn("bu", expr("(ru - 1) div 16"))
+      def waste(col0: String, out: String) = b
+        .groupBy(col("lang"), col("shard"), col(col0))
+        .agg((max(col("tok")) * count(lit(1)) - sum(col("tok"))).as("w"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(sum(col("w")).cast("long").as(out),
+          count(lit(1)).cast("long").as("n_batches"))
+      waste("bs", "waste_sorted")
+        .join(waste("bu", "waste_ingest").drop("n_batches"),
+          Seq("lang", "shard"))
+        .select(col("lang"), col("shard"), col("n_batches"),
+          col("waste_sorted"), col("waste_ingest"),
+          when(col("waste_ingest") > 0L,
+            lit(1.0) - col("waste_sorted").cast("double")
+              / col("waste_ingest").cast("double"))
+            .otherwise(lit(0.0)).as("waste_reduction"))
+    }),
+
     // The C4-style per-domain CURATION report — the composition the
     // domain operators exist for: per registrable domain, document
     // count, mean quality (exact 1e-9-grid longs, so the mean is a
@@ -1385,6 +1423,33 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    "q291_length_batching" ->
+      s"""WITH d AS (SELECT lang, doc_id % 4 AS shard, doc_id,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x <> '')) AS tok FROM documents),
+         b AS (SELECT lang, shard, tok,
+             (row_number() OVER (PARTITION BY lang, shard
+               ORDER BY tok, doc_id) - 1) // 16 AS bs,
+             (row_number() OVER (PARTITION BY lang, shard
+               ORDER BY doc_id) - 1) // 16 AS bu
+           FROM d),
+         ws AS (SELECT lang, shard,
+             CAST(sum(w) AS BIGINT) AS waste_sorted,
+             CAST(count(*) AS BIGINT) AS n_batches
+           FROM (SELECT lang, shard, bs,
+               max(tok) * count(*) - sum(tok) AS w
+             FROM b GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         wu AS (SELECT lang, shard,
+             CAST(sum(w) AS BIGINT) AS waste_ingest
+           FROM (SELECT lang, shard, bu,
+               max(tok) * count(*) - sum(tok) AS w
+             FROM b GROUP BY 1, 2, 3) GROUP BY 1, 2)
+         SELECT lang, shard, n_batches, waste_sorted, waste_ingest,
+           CASE WHEN waste_ingest > 0 THEN
+             1.0 - CAST(waste_sorted AS DOUBLE)
+               / CAST(waste_ingest AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS waste_reduction
+         FROM ws JOIN wu USING (lang, shard)""",
     "q290_domain_curation" ->
       s"""WITH ${LlmQueries.tkCte}, ${CorpusQueries.chunkCte(20, 7)},
          q AS (SELECT doc_id,
