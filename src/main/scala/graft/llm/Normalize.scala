@@ -69,6 +69,32 @@ object Normalize {
       "\u200b\u200c\u200d\ufeff"
   val PunctTo: String = "''''" + "\"\"\"\"" + "-------" + "       "
 
+  /** Crawl-grade HTML stripping (the trafilatura-lite pass): drop
+    * script/style blocks WITH their content, drop comments, replace
+    * every remaining tag with a space (block boundaries must not glue
+    * words), decode the core entities (amp LAST so double-encoded
+    * `&amp;lt;` stays a literal `<`), and collapse whitespace. Every
+    * pattern sits in the RE2∩Java regex subset (the PII discipline),
+    * so a SQL oracle recomputes the strip verbatim. Pure codegen'd
+    * Column chain — narrow, shuffle-free.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, v)) =>
+      regexp_replace(c, e, v)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Entity decode order matters: `&amp;` LAST (see [[stripHtml]]). */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
   /** The full pre-hash normalization: mojibake repair → NFC → punct
     * cleanup → whitespace collapse. This is the string both dedup faces
     * should hash (see the NFD/NFC dedup spec): byte-different spellings

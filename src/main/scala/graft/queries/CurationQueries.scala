@@ -684,6 +684,33 @@ object CurationQueries {
         .toDF("domain", "doc_id", "prio", "rnk")
     }),
 
+    // Crawl-grade HTML stripping: every doc is wrapped in a realistic
+    // page skeleton (style/script blocks with angle brackets inside,
+    // multi-line comments, per-word paragraph tags, double-encoded
+    // entities) and stripped back; the oracle RECOMPUTES the strip
+    // with the same RE2∩Java regex chain — a true cross-engine check
+    // of the regex semantics, plus hash sums over the stripped text.
+    "q292_html_strip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body><!-- nav\nmenu --><p>"),
+        regexp_replace(col("text"), " ", "</p>\n<p>"),
+        lit("</p><div>&amp;copy; 2024 &lt;corp&gt;&nbsp;" +
+          "&quot;quoted&quot;</div></body></html>"))
+      val stripped = graft.llm.Normalize.stripHtml(html)
+      val expected = concat(trim(regexp_replace(col("text"), "\\s+", " ")),
+        lit(" &copy; 2024 <corp> \"quoted\""))
+      docs.select(col("source"), stripped.as("st"), expected.as("ex"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("st") === col("ex"), 1L).otherwise(0L))
+            .cast("long").as("n_exact"),
+          sum(graft.llm.TextFunctions.portableHash(col("st"), 7))
+            .cast("long").as("strip_hash_sum"))
+    }),
+
     // Length-bucketed batching (the dynamic-batching planner): batch
     // docs 16-at-a-time in LENGTH order vs ingest order per (lang,
     // shard), and report the padding waste each policy pays when every
@@ -1423,6 +1450,38 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    // honest recompute: same regex chain, same entity order (amp LAST)
+    "q292_html_strip" ->
+      s"""WITH h AS (SELECT source,
+           '<html><head><style>p{color:red}</style>'
+             || '<script type="text/javascript">var x = 1 < 2;</script>'
+             || '</head><body><!-- nav' || chr(10) || 'menu --><p>'
+             || replace(text, ' ', '</p>' || chr(10) || '<p>')
+             || '</p><div>&amp;copy; 2024 &lt;corp&gt;&nbsp;'
+             || '&quot;quoted&quot;</div></body></html>' AS html,
+           trim(regexp_replace(text, '\\s+', ' ', 'g'))
+             || ' &copy; 2024 <corp> "quoted"' AS ex
+           FROM documents),
+         s1 AS (SELECT source, ex, trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '(?s)<(script|style)[^>]*>.*?</(script|style)>',
+                     ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+               '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS st
+           FROM h)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN st = ex THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CAST(concat('0x', substr(md5(concat('7', '|', st)),
+             1, 8)) AS BIGINT)) AS BIGINT) AS strip_hash_sum
+         FROM s1 GROUP BY source""",
     "q291_length_batching" ->
       s"""WITH d AS (SELECT lang, doc_id % 4 AS shard, doc_id,
            len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),

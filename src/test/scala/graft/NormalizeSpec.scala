@@ -138,6 +138,30 @@ class NormalizeSpec extends AnyFunSuite {
       "done..."))
   }
 
+  test("stripHtml: script/style content dies with its tags, comments " +
+      "span lines, tags become word boundaries, entities decode once") {
+    val got = runOne(graft.llm.Normalize.stripHtml, Seq(
+      "<p>hello</p><p>world</p>",
+      "<script>if (a < b) { alert('x</b>'); }</script>kept",
+      "<style>p { color: red }</style>kept",
+      "before<!-- line1\nline2 -->after",
+      "a<br>b",                           // tag = boundary, not glue
+      "x &amp;lt; y",                     // double-encoded stays literal
+      "5 &lt; 6 &amp;&amp; 7 &gt; 6",
+      "no markup at all",
+      "<div class=\"a\" data-x='1'>v</div>"))
+    assert(got === Seq(
+      "hello world",
+      "kept",
+      "kept",
+      "before after",
+      "a b",
+      "x &lt; y",
+      "5 < 6 && 7 > 6",
+      "no markup at all",
+      "v"))
+  }
+
   test("an NFD/NFC spelling pair dedups ONLY after forDedup " +
       "normalization (raw hashes differ, normalized hashes collide)") {
     val nfd = "it's the expose\u0301 of the cafe\u0301"
