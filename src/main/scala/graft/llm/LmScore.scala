@@ -62,6 +62,56 @@ object LmScore {
           / col("n_tok").cast("double") / lit(1e6), 6).as("mean_bits"))
   }
 
+  /** CCNet head/middle/tail tercile partition per language over the
+    * [[unigramSurprisal]] score (CCNet keeps the low-perplexity head,
+    * samples the middle, drops the tail). Thresholds come from a BOUNDED
+    * deci-bit histogram of the micro-bit grid (≤ ~300 rows per lang at
+    * any corpus size): the only window is the cumulative count over that
+    * bounded aggregate, and per-doc bucketing is a broadcast-threshold
+    * compare — two corpus passes, zero corpus-scale sorts. Boundary math
+    * is integer-exact (t = min deci-bit with cum·3 ≥ k·n; the whole
+    * threshold bucket joins the lower tier), so membership is
+    * bit-portable across engines and cluster layouts.
+    *
+    * Output: (lang, bucket, n_docs, tokens, sum_microbits, mean_bits).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val scored = unigramSurprisal(docs, idCol, textCol, langCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+      .select(col("lang"), col("n_tok"), col("total_microbits"),
+        expr("(total_microbits * 10) div (n_tok * 1000000)")
+          .as("decibits"))
+      .transform(graft.core.Caching.persist)
+    val hist = scored.groupBy(col("lang"), col("decibits"))
+      .agg(count(lit(1)).as("h"))
+    val nl = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val cum = hist.select(col("lang"), col("decibits"),
+      sum(col("h")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("decibits"))).as("ch"))
+    val th = cum.join(broadcast(nl), "lang")
+      .groupBy(col("lang"))
+      .agg(min(when(col("ch") * 3 >= col("n_lang"), col("decibits")))
+          .as("t1"),
+        min(when(col("ch") * 3 >= col("n_lang") * 2, col("decibits")))
+          .as("t2"))
+    scored.join(broadcast(th), "lang")
+      .select(col("lang"),
+        when(col("decibits") <= col("t1"), lit("head"))
+          .when(col("decibits") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("n_tok"), col("total_microbits"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tokens"),
+        sum(col("total_microbits")).cast("long").as("sum_microbits"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("tokens"),
+        col("sum_microbits"),
+        round(col("sum_microbits").cast("double")
+          / col("tokens").cast("double") / lit(1e6), 6).as("mean_bits"))
+  }
+
   /** Interpolated bigram LM perplexity filter — one rung up the CCNet
     * ladder from [[unigramSurprisal]]: score each document's mean
     * bits/bigram under p(w|u) = λ·c(u,w)/c(u·) + (1−λ)·(c(w)+1)/(N+V),

@@ -829,6 +829,20 @@ object CurationQueries {
           element_at(col("hits"), 1).cast("long").as("first_pos"))
     }),
 
+    // CCNet perplexity buckets: the head/middle/tail tercile partition
+    // per language (CCNet keeps the low-perplexity head, samples the
+    // middle, drops the tail). Tercile thresholds are computed on a
+    // BOUNDED deci-bit histogram of the q82 micro-bit surprisal grid
+    // (≤ ~300 rows per lang regardless of corpus size), so the only
+    // window runs over that bounded aggregate and the doc-level
+    // bucketing is a broadcast-threshold compare — two corpus passes,
+    // zero corpus-scale sorts. All boundary math is integer-exact
+    // (cum·3 ≥ n, floor-div deci-bits), so bucket membership is
+    // bit-portable across engines and cluster layouts.
+    "q293_perplexity_buckets" -> ((s, dir) =>
+      graft.llm.LmScore.perplexityBuckets(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
+
     // Tokenizer APPLICATION at corpus scale: the per-document token-id
     // sequence (the pretraining handoff artifact) under the 8-round
     // trained merges — Bpe.encodeIds replays merges on DISTINCT words,
@@ -1450,6 +1464,50 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    // q82's microbit LM chain, then integer tercile cuts on the
+    // deci-bit histogram (cum·3 ≥ n / floor-div — no float boundary)
+    "q293_perplexity_buckets" ->
+      s"""WITH ${LlmQueries.tkCte},
+         ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM tk),
+         lm AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             FROM ex GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nlt,
+               CAST(count(*) AS BIGINT) AS vl
+             FROM lm GROUP BY lang),
+         bits AS (SELECT lm.lang, lm.tok,
+               CAST(round(-log2(CAST(lm.c + 1 AS DOUBLE)
+                 / CAST(tot.nlt + tot.vl AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS microbits
+             FROM lm JOIN tot USING (lang)),
+         sc AS (SELECT ex.doc_id, ex.lang,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(b.microbits) AS BIGINT) AS tm
+             FROM ex JOIN bits b ON b.lang = ex.lang AND b.tok = ex.tok
+             GROUP BY 1, 2),
+         g AS (SELECT lang, n_tok, tm,
+               (tm * 10) // (n_tok * 1000000) AS decibits
+             FROM sc),
+         hist AS (SELECT lang, decibits, CAST(count(*) AS BIGINT) AS h
+             FROM g GROUP BY 1, 2),
+         nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+             FROM g GROUP BY 1),
+         cm AS (SELECT lang, decibits, CAST(sum(h) OVER (
+               PARTITION BY lang ORDER BY decibits) AS BIGINT) AS ch
+             FROM hist),
+         th AS (SELECT cm.lang,
+               min(CASE WHEN ch * 3 >= n_lang THEN decibits END) AS t1,
+               min(CASE WHEN ch * 3 >= n_lang * 2 THEN decibits END) AS t2
+             FROM cm JOIN nl ON nl.lang = cm.lang GROUP BY 1)
+         SELECT g.lang,
+           CASE WHEN decibits <= t1 THEN 'head'
+                WHEN decibits <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(sum(tm) AS BIGINT) AS sum_microbits,
+           round(CAST(sum(tm) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+             / 1e6, 6) AS mean_bits
+         FROM g JOIN th ON th.lang = g.lang GROUP BY 1, 2""",
     // honest recompute: same regex chain, same entity order (amp LAST)
     "q292_html_strip" ->
       s"""WITH h AS (SELECT source,

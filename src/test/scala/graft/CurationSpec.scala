@@ -459,4 +459,41 @@ class CurationSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("perplexityBuckets: the whole threshold bucket joins the lower " +
+      "tier, terciles are exact on a frequency-controlled corpus") {
+    // single-token docs make per-doc mean surprisal = that token's
+    // surprisal; frequencies 4/3/2 order the docs a < b < c, so the
+    // integer tercile cuts (cum*3 >= n, cum*3 >= 2n over 9 docs) land
+    // head = all 4 "a" docs (threshold bucket stays low), middle = the
+    // 3 "b" docs, tail = the 2 "c" docs.
+    val docs = ((1 to 4).map(i => (i.toLong, "a", "xx"))
+      ++ (5 to 7).map(i => (i.toLong, "b", "xx"))
+      ++ (8 to 9).map(i => (i.toLong, "c", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.llm.LmScore
+      .perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select(col("bucket"), col("n_docs"), col("tokens"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got === Map("head" -> (4L, 4L), "middle" -> (3L, 3L),
+      "tail" -> (2L, 2L)))
+    // per-lang independence: a second lang with 3 equal-frequency
+    // tokens (one doc each) collapses to a single decibit bucket; the
+    // whole bucket is then the threshold bucket for BOTH cuts, so all
+    // docs land in head and middle/tail are empty.
+    val two = (docs.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      ++ Seq((10L, "p", "yy"), (11L, "q", "yy"), (12L, "r", "yy")))
+      .toDF("doc_id", "text", "lang")
+    val byLang = graft.llm.LmScore
+      .perplexityBuckets(two, "doc_id", "text", "lang")
+      .select(col("lang"), col("bucket"), col("n_docs"))
+      .as[(String, String, Long)].collect()
+    assert(byLang.filter(_._1 == "yy").toSet === Set(("yy", "head", 3L)),
+      "uniform-surprisal lang: one bucket, all head")
+    assert(byLang.filter(_._1 == "xx").map(r => r._2 -> r._3).toMap
+      === Map("head" -> 4L, "middle" -> 3L, "tail" -> 2L),
+      "adding a lang never moves another lang's cuts")
+  }
 }
