@@ -169,6 +169,54 @@ object Similarity {
       when(scale === lit(0.0), lit(0))
         .otherwise(floor(x / scale + lit(0.5)).cast("int")))
 
+  /** Per-label semantic centroid drift vs the global centroid — the
+    * embedded-corpus mix monitor: a label (source/cluster/shard) whose
+    * centroid swings away from the corpus centroid signals topic drift
+    * or an ingest break. Components quantize to the same 14-bit integer
+    * grid as [[embeddingOutliers]], so every centroid sum is an exact
+    * long and both dot products are exact decimal(38,0) sums — the
+    * final cosine is ONE fixed-order double expression over exact
+    * integers, bit-portable across engines and cluster layouts.
+    * (Cosine of the SUM vectors — scale-invariant, so no division by
+    * counts ever happens in the exact part.)
+    *
+    * Scale shape: one corpus pass collapses to |labels|·d exact sums
+    * (map-side combined); everything after is arithmetic on that
+    * bounded table (global centroid = its d-row re-aggregation,
+    * broadcast back). Nothing corpus-scale survives the first agg.
+    */
+  def centroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, scaleBits: Int = 14): DataFrame = {
+    val scale = math.pow(2.0, scaleBits)
+    val pos = emb.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("q",
+        floor(col("v").cast("double") * lit(scale) + lit(0.5)).cast("long"))
+    val cent = pos.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"))
+      .transform(graft.core.Caching.persist)
+    val glob = cent.groupBy(col("pos"))
+      .agg(sum(col("s")).cast("decimal(38,0)").as("g"))
+      .transform(graft.core.Caching.persist)
+    val counts = emb.groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val dots = cent.join(broadcast(glob), "pos")
+      .groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("g")).as("dot_sg"),
+        sum(col("s").cast("decimal(38,0)")
+          * col("s").cast("decimal(38,0)")).as("dot_ss"))
+    val gg = glob.agg(sum(col("g") * col("g")).as("dot_gg"))
+    dots.join(counts, "label")
+      .crossJoin(broadcast(gg)) // 1-row exact scalar, not a cartesian
+      .select(col("label"), col("n_vecs"),
+        (col("dot_sg").cast("double")
+          / (sqrt(col("dot_ss").cast("double"))
+            * sqrt(col("dot_gg").cast("double")))).as("cos_to_global"),
+        (sqrt(col("dot_ss").cast("double"))
+          / (col("n_vecs").cast("double") * lit(scale)))
+          .as("centroid_norm"))
+  }
+
   /** Portable 32-bit hash (same value as TextFunctions.portableHash /
     * the DuckDB SQL formulation): the first 8 md5 hex chars = the first 4
     * digest bytes as an unsigned big-endian int. Reads the bytes directly

@@ -244,7 +244,16 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.labeledTopK(emb, emb.where(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
-    })
+    }),
+
+    // Per-label centroid drift vs the global centroid — the embedded-
+    // corpus mix monitor (topic drift / ingest-break detection). One
+    // corpus pass to |labels|·d exact 14-bit-grid sums; cosine is a
+    // single fixed-order double expression over exact decimal dot
+    // products. See Similarity.centroidDrift.
+    "q294_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label"))
   )
 
   private val planeHash =
@@ -555,6 +564,27 @@ object EmbeddingQueries {
              FROM d)
          SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 5""",
     "q139_kmeans" -> graft.operators.KMeans.oracleSql(k = 4, iters = 2, dims = 64),
+    // cosine of SUM vectors on the 14-bit grid: HUGEINT dots mirror
+    // Spark's decimal(38,0) sums exactly; one fixed-order double tail
+    "q294_centroid_drift" ->
+      s"""WITH e AS (SELECT label, i,
+             CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 16384.0 + 0.5)
+               AS BIGINT) AS q
+           FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+         c AS (SELECT label, i, sum(q) AS s FROM e GROUP BY 1, 2),
+         g AS (SELECT i, sum(s) AS g FROM c GROUP BY 1),
+         n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+             FROM embeddings GROUP BY 1),
+         d AS (SELECT c.label, sum(c.s * g.g) AS dot_sg,
+               sum(c.s * c.s) AS dot_ss
+             FROM c JOIN g ON g.i = c.i GROUP BY 1),
+         gg AS (SELECT sum(g * g) AS dot_gg FROM g)
+         SELECT CAST(d.label AS BIGINT) AS label, n.n_vecs,
+           CAST(dot_sg AS DOUBLE) / (sqrt(CAST(dot_ss AS DOUBLE))
+             * sqrt(CAST(dot_gg AS DOUBLE))) AS cos_to_global,
+           sqrt(CAST(dot_ss AS DOUBLE))
+             / (CAST(n.n_vecs AS DOUBLE) * 16384.0) AS centroid_norm
+         FROM d JOIN n ON n.label = d.label, gg""",
     "q265_hard_negatives" ->
       s"""WITH $evCte, $nvCte,
          lb AS (SELECT vec_id, label FROM embeddings),

@@ -380,4 +380,37 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.knnBruteForce(emb, emb.limit(8), "vec_id", "embedding",
       k = 2, maxProbe = 8)
   }
+
+  test("centroidDrift: axis-aligned labels give the hand-computed " +
+      "cosines, magnitude scaling is invariant, norm is exact") {
+    import spark.implicits._
+    // label 0: two unit vectors on axis 0; label 1: one on axis 1.
+    // global sum = (32768, 16384) on the 14-bit grid, so
+    // cos(l0) = 2/sqrt(5), cos(l1) = 1/sqrt(5), norm(l0) = 1.0.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(emb, "vec_id", "embedding", "label")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._2 === 2L && got(1L)._2 === 1L)
+    assert(math.abs(got(0L)._3 - 2.0 / math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(got(1L)._3 - 1.0 / math.sqrt(5.0)) < 1e-12)
+    assert(got(0L)._4 === 1.0, "norm of the mean unit vector is exact")
+    // cosine is computed on SUM vectors: doubling one label's vector
+    // magnitudes moves its norm but not its own direction, and scales
+    // the global sum WITHIN the same 2-d span - recompute by hand.
+    val scaled = Seq(
+      (0L, Seq(2.0f, 0.0f), 0),
+      (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val g2 = Similarity.centroidDrift(scaled, "vec_id", "embedding", "label")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(g2(0L)._3 - 4.0 / math.sqrt(17.0)) < 1e-12)
+    assert(g2(0L)._4 === 2.0)
+  }
 }
