@@ -843,6 +843,37 @@ object CurationQueries {
       graft.llm.LmScore.perplexityBuckets(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // Rendezvous (highest-random-weight) shard assignment stability:
+    // the consistent-sharding audit for incremental corpus processing.
+    // Growing the shard count 8 → 12 must move ONLY the docs captured
+    // by a new shard (HRW monotonicity: the old argmax survives in the
+    // superset unless a new shard beats it — expected moved fraction
+    // = 4/12), where mod-hashing would reshuffle ~everything and
+    // invalidate every per-shard artifact (dedup rosters, LSH indexes,
+    // pack files). Weight = portable 32-bit hash per (shard, doc); the
+    // argmax rides one combined integer (w·32 + shard) so ties break
+    // identically everywhere. Pure map stage + one bounded agg; the
+    // n_to_new column is the monotonicity witness (== n_moved).
+    "q295_shard_stability" -> ((s, dir) => {
+      def hrw(k: Int) = pmod(array_max(transform(
+        sequence(lit(0), lit(k - 1)), sh =>
+          conv(substring(md5(concat(sh.cast("string"), lit("|"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            * lit(32L) + sh.cast("long"))), lit(32L))
+      Tables.documents(s, dir)
+        .select(col("source"), hrw(8).as("s8"), hrw(12).as("s12"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("s8") =!= col("s12"), 1L).otherwise(0L))
+            .cast("long").as("n_moved"),
+          sum(when(col("s12") >= 8, 1L).otherwise(0L))
+            .cast("long").as("n_to_new"))
+        .select(col("source"), col("n_docs"), col("n_moved"),
+          col("n_to_new"),
+          (col("n_moved").cast("double") / col("n_docs").cast("double"))
+            .as("moved_rate"))
+    }),
+
     // Tokenizer APPLICATION at corpus scale: the per-document token-id
     // sequence (the pretraining handoff artifact) under the 8-round
     // trained merges — Bpe.encodeIds replays merges on DISTINCT words,
@@ -1464,6 +1495,26 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    // same md5-slice weights, same w*32+s combined-argmax tie rule
+    "q295_shard_stability" ->
+      s"""WITH a AS (SELECT source,
+           list_max(list_transform(range(8), s ->
+             CAST(concat('0x', substr(md5(concat(CAST(s AS VARCHAR), '|',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) * 32 + s))
+             % 32 AS s8,
+           list_max(list_transform(range(12), s ->
+             CAST(concat('0x', substr(md5(concat(CAST(s AS VARCHAR), '|',
+               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) * 32 + s))
+             % 32 AS s12
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s8 <> s12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(sum(CASE WHEN s12 >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_to_new,
+           CAST(sum(CASE WHEN s8 <> s12 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS moved_rate
+         FROM a GROUP BY source""",
     // q82's microbit LM chain, then integer tercile cuts on the
     // deci-bit histogram (cum·3 ≥ n / floor-div — no float boundary)
     "q293_perplexity_buckets" ->

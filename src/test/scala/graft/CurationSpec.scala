@@ -496,4 +496,22 @@ class CurationSpec extends AnyFunSuite {
       === Map("head" -> 4L, "middle" -> 3L, "tail" -> 2L),
       "adding a lang never moves another lang's cuts")
   }
+
+  test("q295 rendezvous sharding: growing 8 -> 12 moves docs ONLY onto " +
+      "new shards, at roughly the 1/3 HRW rate") {
+    val rows = SparkEntry.queries("q295_shard_stability")(spark, sfDir)
+      .select(col("source"), col("n_docs"), col("n_moved"),
+        col("n_to_new"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src0, _, moved, toNew) =>
+      assert(moved === toNew,
+        s"$src0: a doc changed shard WITHOUT landing on a new shard - " +
+          "HRW monotonicity violated")
+    }
+    val n = rows.map(_._2).sum.toDouble
+    val moved = rows.map(_._3).sum.toDouble
+    assert(moved / n > 0.2 && moved / n < 0.47,
+      s"moved fraction ${moved / n} should concentrate near 4/12")
+  }
 }
