@@ -843,6 +843,35 @@ object CurationQueries {
       graft.llm.LmScore.perplexityBuckets(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // C4-style blocked-wordlist screen: a document is DROPPED when any
+    // token hits the blocklist (the "bad words" doc-level drop — C4's
+    // most-criticized but universally-run stage), and the report prices
+    // the filter per source: docs blocked, occurrence hits, and the
+    // token mass the drop costs. Broadcast-literal word set inside one
+    // codegen'd map stage + one agg — zero joins, zero extra shuffles
+    // at any corpus size.
+    "q296_badword_filter" -> ((s, dir) => {
+      val blocked = Seq("dup", "slow", "stale")
+      val toks = graft.llm.TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("source"),
+          size(filter(toks, t => t.isin(blocked: _*)))
+            .cast("long").as("hits"),
+          size(toks).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L))
+            .cast("long").as("n_blocked"),
+          sum(col("hits")).cast("long").as("n_hits"),
+          sum(col("n_tok")).cast("long").as("tokens_total"),
+          sum(when(col("hits") > 0, col("n_tok")).otherwise(0L))
+            .cast("long").as("tokens_lost"))
+        .select(col("source"), col("n_docs"), col("n_blocked"),
+          col("n_hits"), col("tokens_total"), col("tokens_lost"),
+          (col("n_blocked").cast("double") / col("n_docs").cast("double"))
+            .as("blocked_rate"))
+    }),
+
     // Rendezvous (highest-random-weight) shard assignment stability:
     // the consistent-sharding audit for incremental corpus processing.
     // Growing the shard count 8 → 12 must move ONLY the docs captured
@@ -1495,6 +1524,23 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    "q296_badword_filter" ->
+      s"""WITH ${LlmQueries.tkCte},
+         h AS (SELECT source,
+             CAST(len(list_filter(t, x ->
+               x IN ('dup', 'slow', 'stale'))) AS BIGINT) AS hits,
+             CAST(len(t) AS BIGINT) AS n_tok
+           FROM tk)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(sum(hits) AS BIGINT) AS n_hits,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN hits > 0 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_lost,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS blocked_rate
+         FROM h GROUP BY source""",
     // same md5-slice weights, same w*32+s combined-argmax tie rule
     "q295_shard_stability" ->
       s"""WITH a AS (SELECT source,

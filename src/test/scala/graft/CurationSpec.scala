@@ -514,4 +514,20 @@ class CurationSpec extends AnyFunSuite {
     assert(moved / n > 0.2 && moved / n < 0.47,
       s"moved fraction ${moved / n} should concentrate near 4/12")
   }
+
+  test("q296 blocklist screen matches whole TOKENS, never substrings, " +
+      "and counts every occurrence") {
+    val blocked = Seq("dup", "slow", "stale")
+    val toks = graft.llm.TextFunctions.tokens(col("text"))
+    val hits = size(filter(toks, t => t.isin(blocked: _*))).cast("long")
+    val got = Seq(
+      (1L, "backup dups duplicate slowly"), // substrings only - clean
+      (2L, "a dup b"),
+      (3L, "dup DUP Slow"),                 // case-folded tokens
+      (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), hits.as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
+  }
 }
