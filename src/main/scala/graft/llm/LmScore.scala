@@ -76,10 +76,18 @@ object LmScore {
     * Output: (lang, bucket, n_docs, tokens, sum_microbits, mean_bits).
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-                        langCol: String): DataFrame = {
-    val scored = unigramSurprisal(docs, idCol, textCol, langCol)
+                        langCol: String): DataFrame =
+    bucketReport(unigramSurprisal(docs, idCol, textCol, langCol)
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
-        "doc_id")
+        "doc_id"))
+
+  /** The tercile-report half of [[perplexityBuckets]], over any
+    * (lang, n_tok, total_microbits) per-doc score frame — shared with
+    * the streaming assembly, which derives the same frame from its
+    * counter table instead of a batch corpus pass.
+    */
+  def bucketReport(scored0: DataFrame): DataFrame = {
+    val scored = scored0
       .select(col("lang"), col("n_tok"), col("total_microbits"),
         expr("(total_microbits * 10) div (n_tok * 1000000)")
           .as("decibits"))

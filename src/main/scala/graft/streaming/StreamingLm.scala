@@ -148,4 +148,70 @@ object StreamingLm {
             / (col("n_lang") + col("v_lang")).cast("double"))))
           * lit(1e6)).cast("long").as("microbits"))
   }
+
+  /** Count events for q293's tercile report (twin #27): the unigram LM
+    * counters (`u|lang|tok`) PLUS per-document token counters
+    * (`d|docId|lang|tok`) — the extra coordinate the bucket report
+    * needs, because a doc's score depends on the LM over the WHOLE
+    * prefix, so it must be re-derivable at assembly time rather than
+    * frozen at arrival. Eligibility is q82/q293's ≥ 1 token (not
+    * q261's ≥ 2). State stays one long per distinct (doc, token) pair
+    * — bounded by content (token occurrences collapse into counts),
+    * never by stream length or arrival order.
+    */
+  def bucketEvents(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val t = graft.llm.TextFunctions.tokens(col(textCol))
+    val eligible = docs
+      .select(col(idCol).cast("string").as("doc"),
+        col(langCol).as("lang"), t.as("t"))
+      .where(size(col("t")) >= 1)
+    val uni = eligible.select(
+      explode(transform(col("t"), x =>
+        concat(lit("u|"), col("lang"), lit("|"), x))).as("k"))
+    val dd = eligible.select(
+      explode(transform(col("t"), x =>
+        concat(lit("d|"), col("doc"), lit("|"), col("lang"), lit("|"), x)))
+        .as("k"))
+    uni.unionAll(dd)
+  }
+
+  /** q293's tercile-bucket report as a PURE function of the
+    * [[bucketEvents]] counter table: rebuild the add-one unigram LM
+    * from the `u|` counters (the exact `LmScore.unigramSurprisal`
+    * expression), score each doc from its `d|` counters (Σ c·microbits
+    * — identical to the batch per-occurrence sum), then run the shared
+    * `LmScore.bucketReport` tercile math. Because counters are
+    * monotone and the assembly is deterministic, every snapshot equals
+    * the batch q293 over the delivered prefix — even when a doc's
+    * tokens arrive before most of the LM mass that prices them.
+    * Dedupes the raw appended table like [[assembleWeights]].
+    */
+  def assembleBuckets(counts0: DataFrame): DataFrame = {
+    val counts = counts0.groupBy(col("k")).agg(max(col("n")).as("n"))
+      .transform(graft.core.Caching.persist)
+    val lm = counts.where(col("k").startsWith("u|"))
+      .select(split(col("k"), "\\|", 3).getItem(1).as("lang"),
+        split(col("k"), "\\|", 3).getItem(2).as("tok"), col("n").as("c"))
+    val totals = lm.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_lang"),
+        count(lit(1)).as("v_lang"))
+    val bits = lm.join(broadcast(totals), "lang")
+      .select(col("lang"), col("tok"),
+        round(negate(log2((col("c") + lit(1L)).cast("double")
+            / (col("n_lang") + col("v_lang")).cast("double"))) * lit(1e6))
+          .cast("long").as("microbits"))
+    val d = counts.where(col("k").startsWith("d|"))
+      .select(split(col("k"), "\\|", 4).getItem(1).as("doc"),
+        split(col("k"), "\\|", 4).getItem(2).as("lang"),
+        split(col("k"), "\\|", 4).getItem(3).as("tok"),
+        col("n").as("c"))
+    val scored = d.join(bits, Seq("lang", "tok"))
+      .groupBy(col("doc"), col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        sum(col("c") * col("microbits")).cast("long")
+          .as("total_microbits"))
+    graft.llm.LmScore.bucketReport(
+      scored.select(col("lang"), col("n_tok"), col("total_microbits")))
+  }
 }

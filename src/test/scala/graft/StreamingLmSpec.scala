@@ -181,4 +181,60 @@ class StreamingLmSpec extends AnyFunSuite {
       }.toMap
     assert(scored === batchQ)
   }
+
+  test("streamed per-doc counters assemble to the EXACT batch q293 " +
+      "tercile report at every prefix (twin #27, RocksDB)") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val batches = docs.grouped((docs.size + 2) / 3).toSeq
+      val input = MemoryStream[(Long, String, String)](spark)
+      val events = graft.streaming.StreamingLm.bucketEvents(
+        input.toDS().toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang")
+      val grouped = events.as[String].groupByKey(identity)
+      val sink = scala.collection.mutable.Map.empty[String, Long]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-spb").toString
+      val q = graft.streaming.StreamingLm.counters(grouped)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+            b.collect().foreach { case (k, n) => sink(k) = n }
+            ()
+        }.start()
+      def tab(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("lang"), col("bucket"), col("n_docs"), col("tokens"),
+          col("sum_microbits"), col("mean_bits"))
+        .as[(String, String, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+      var delivered = Seq.empty[(Long, String, String)]
+      batches.foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        delivered ++= batch
+        val assembled = tab(graft.streaming.StreamingLm.assembleBuckets(
+          sink.toSeq.toDF("k", "n")))
+        val expected = tab(graft.llm.LmScore.perplexityBuckets(
+          delivered.toDF("doc_id", "lang", "text"),
+          "doc_id", "text", "lang"))
+        assert(assembled === expected,
+          s"prefix of ${delivered.size} docs: bucket reports differ")
+      }
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
