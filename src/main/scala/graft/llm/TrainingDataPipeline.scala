@@ -62,8 +62,16 @@ object TrainingDataPipeline {
     *               NFD/NFC/mojibake spellings of equal content never
     *               collide in any dedup stage.
     */
+  /** @param stripHtml when true, run [[Normalize.stripHtml]] over the
+    *               text BEFORE normalization — the raw-crawl entry
+    *               point (markup-wrapped copies of the same prose
+    *               never collide in any dedup stage otherwise: the
+    *               tags land inside the shingles). Docs that are pure
+    *               markup strip to empty and fall to the quality gate.
+    */
   final case class Config(
       normalize: Boolean = false,
+      stripHtml: Boolean = false,
       minQuality: Double = 0.4,
       jaccardThreshold: Double = 0.5,
       contamN: Int = 3,
@@ -106,9 +114,15 @@ object TrainingDataPipeline {
     // 0a. OPTIONAL unicode normalization, before EVERYTHING that
     // hashes text: a narrow projection (no shuffle), so it fuses into
     // the first scan.
+    // 0-pre. OPTIONAL crawl-grade HTML strip, before even the unicode
+    // pass: markup must go before anything hashes or scores the text.
+    val texted =
+      if (!cfg.stripHtml) docs
+      else docs.withColumn("text", Normalize.stripHtml(col("text")))
+
     val normed =
-      if (!cfg.normalize) docs
-      else docs.withColumn("text", Normalize.forDedup(col("text")))
+      if (!cfg.normalize) texted
+      else texted.withColumn("text", Normalize.forDedup(col("text")))
 
     val prepped =
       if (cfg.boilerC <= 0) normed

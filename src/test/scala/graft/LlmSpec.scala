@@ -916,6 +916,38 @@ class LlmSpec extends AnyFunSuite {
       "no collateral drops from normalization")
   }
 
+  test("pipeline stripHtml stage: a markup-wrapped twin dedups only " +
+      "with cfg.stripHtml (tags land inside the shingles otherwise)") {
+    import spark.implicits._
+    import graft.llm.TrainingDataPipeline
+    def filler(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val prose = filler("w", 100)
+    // same prose, but every word wrapped in a paragraph tag plus a
+    // page skeleton - no shingle survives the markup intact
+    val html = "<html><head><style>p{x:1}</style></head><body><p>" +
+      prose.replace(" ", "</p><p>") + "</p></body></html>"
+    val docs = (Seq((10L, prose), (11L, html)) ++
+      (20L to 29L).map(i => (i, filler(s"f$i", 100).toString)))
+      .map { case (id, t) => (id, t, "en", "srcA") }
+      .toDF("doc_id", "text", "lang", "source")
+    val evalNgrams = Seq.empty[String].toDF("g")
+    val base = TrainingDataPipeline.Config(minQuality = 0.0)
+
+    val ids0 = TrainingDataPipeline.run(docs, evalNgrams, Nil, base)
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids0.contains(10L) && ids0.contains(11L),
+      "fixture must exercise the markup dedup miss")
+
+    val ids = TrainingDataPipeline.run(docs, evalNgrams, Nil,
+        base.copy(stripHtml = true))
+      .corpus.select("doc_id").as[Long].collect().toSet
+    assert((ids.contains(10L) ^ ids.contains(11L)),
+      "stripped twins must collapse to one survivor")
+    assert(ids0 -- Set(10L, 11L) === ids -- Set(10L, 11L),
+      "no collateral drops from stripping")
+  }
+
   test("split assignment is a deterministic 3-way partition of ids") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")
