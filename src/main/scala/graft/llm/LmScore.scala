@@ -120,6 +120,55 @@ object LmScore {
           / col("tokens").cast("double") / lit(1e6), 6).as("mean_bits"))
   }
 
+  /** Perplexity-threshold calibration to a TOKEN budget: per language,
+    * the loosest deci-bit surprisal cut whose kept docs (lowest
+    * perplexity first) still fit `budgetNum/budgetDen` of the
+    * language's token mass — the knob-tuning pass behind "keep the
+    * best X% of tokens" recipes. Same bounded-histogram machinery as
+    * [[perplexityBuckets]] (the cumulative scan runs over the ≤ ~300-
+    * row deci-bit table, never the corpus) with integer-exact budget
+    * math (ctok·den ≤ ntok·num). A first bucket already over budget
+    * yields the honest empty cut (−1, zero kept), never an overshoot.
+    */
+  def budgetCalibration(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, budgetNum: Long = 6L,
+                        budgetDen: Long = 10L): DataFrame = {
+    val scored = unigramSurprisal(docs, idCol, textCol, langCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+      .select(col("lang"), col("n_tok"),
+        expr("(total_microbits * 10) div (n_tok * 1000000)")
+          .as("decibits"))
+      .transform(graft.core.Caching.persist)
+    val hist = scored.groupBy(col("lang"), col("decibits"))
+      .agg(sum(col("n_tok")).cast("long").as("btok"),
+        count(lit(1)).as("bdocs"))
+    val tot = scored.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("decibits"))
+    val cum = hist.select(col("lang"), col("decibits"),
+      sum(col("btok")).over(w).as("ctok"),
+      sum(col("bdocs")).over(w).as("cdocs"))
+    val cut = cum.join(broadcast(tot.select(col("lang"), col("n_tokens"))),
+        "lang")
+      .where(col("ctok") * lit(budgetDen) <= col("n_tokens") * lit(budgetNum))
+      .groupBy(col("lang"))
+      .agg(max(col("decibits")).as("cut"),
+        max(col("ctok")).cast("long").as("kept_tokens"),
+        max(col("cdocs")).cast("long").as("kept_docs"))
+    tot.join(cut, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens * $budgetNum) div $budgetDen")
+          .as("budget_tokens"),
+        coalesce(col("cut"), lit(-1L)).as("cut_decibits"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (coalesce(col("kept_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("kept_share"))
+  }
+
   /** Interpolated bigram LM perplexity filter — one rung up the CCNet
     * ladder from [[unigramSurprisal]]: score each document's mean
     * bits/bigram under p(w|u) = λ·c(u,w)/c(u·) + (1−λ)·(c(w)+1)/(N+V),

@@ -843,6 +843,19 @@ object CurationQueries {
       graft.llm.LmScore.perplexityBuckets(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // Perplexity-threshold calibration to a TOKEN budget: find, per
+    // language, the loosest deci-bit surprisal cut whose kept docs
+    // (lowest-perplexity first) still fit 60% of the language's token
+    // mass — the knob-tuning pass behind every "keep the best X% of
+    // tokens" recipe. Same bounded-histogram machinery as q293 (the
+    // cumulative scan runs over the ≤ ~300-row deci-bit table, never
+    // the corpus) with integer-exact budget math (ctok·10 ≤ ntok·6);
+    // a first bucket already over budget yields the honest empty cut
+    // (-1, zero kept) instead of overshooting.
+    "q297_budget_calibration" -> ((s, dir) =>
+      graft.llm.LmScore.budgetCalibration(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
+
     // C4-style blocked-wordlist screen: a document is DROPPED when any
     // token hits the blocklist (the "bad words" doc-level drop — C4's
     // most-criticized but universally-run stage), and the report prices
@@ -1524,6 +1537,54 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    // q82's LM chain + integer budget cut on the deci-bit histogram
+    "q297_budget_calibration" ->
+      s"""WITH ${LlmQueries.tkCte},
+         ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM tk),
+         lm AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             FROM ex GROUP BY 1, 2),
+         tot0 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nlt,
+               CAST(count(*) AS BIGINT) AS vl
+             FROM lm GROUP BY lang),
+         bits AS (SELECT lm.lang, lm.tok,
+               CAST(round(-log2(CAST(lm.c + 1 AS DOUBLE)
+                 / CAST(tot0.nlt + tot0.vl AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS microbits
+             FROM lm JOIN tot0 USING (lang)),
+         sc AS (SELECT ex.doc_id, ex.lang,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(b.microbits) AS BIGINT) AS tm
+             FROM ex JOIN bits b ON b.lang = ex.lang AND b.tok = ex.tok
+             GROUP BY 1, 2),
+         g AS (SELECT lang, n_tok,
+               (tm * 10) // (n_tok * 1000000) AS decibits
+             FROM sc),
+         hist AS (SELECT lang, decibits,
+               CAST(sum(n_tok) AS BIGINT) AS btok,
+               CAST(count(*) AS BIGINT) AS bdocs
+             FROM g GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+             FROM g GROUP BY 1),
+         cm AS (SELECT lang, decibits,
+               CAST(sum(btok) OVER (PARTITION BY lang
+                 ORDER BY decibits) AS BIGINT) AS ctok,
+               CAST(sum(bdocs) OVER (PARTITION BY lang
+                 ORDER BY decibits) AS BIGINT) AS cdocs
+             FROM hist),
+         cut AS (SELECT cm.lang, max(cm.decibits) AS cut,
+               CAST(max(ctok) AS BIGINT) AS kept_tokens,
+               CAST(max(cdocs) AS BIGINT) AS kept_docs
+             FROM cm JOIN tot ON tot.lang = cm.lang
+             WHERE ctok * 10 <= n_tokens * 6 GROUP BY 1)
+         SELECT tot.lang, n_docs, n_tokens,
+           (n_tokens * 6) // 10 AS budget_tokens,
+           coalesce(cut, -1) AS cut_decibits,
+           coalesce(kept_docs, 0) AS kept_docs,
+           coalesce(kept_tokens, 0) AS kept_tokens,
+           CAST(coalesce(kept_tokens, 0) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) AS kept_share
+         FROM tot LEFT JOIN cut ON cut.lang = tot.lang""",
     "q296_badword_filter" ->
       s"""WITH ${LlmQueries.tkCte},
          h AS (SELECT source,

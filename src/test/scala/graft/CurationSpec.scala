@@ -530,4 +530,27 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
   }
+
+  test("budgetCalibration: the cut fits the budget, is maximal, and an " +
+      "over-budget first bucket yields the honest empty cut") {
+    // single-token docs: freq 4/3/2 orders surprisal a < b < c.
+    // n_tokens = 9, budget = 9*6//10 = 5: cum(a)=4 fits, cum(a,b)=7
+    // does not, so cut = a's bucket, kept = 4 docs / 4 tokens.
+    val docs = ((1 to 4).map(i => (i.toLong, "a", "xx"))
+      ++ (5 to 7).map(i => (i.toLong, "b", "xx"))
+      ++ (8 to 9).map(i => (i.toLong, "c", "xx"))
+      // lang yy: one uniform bucket of 3 tokens, budget = 1 -> no cut
+      ++ Seq((10L, "p", "yy"), (11L, "q", "yy"), (12L, "r", "yy")))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.llm.LmScore
+      .budgetCalibration(docs, "doc_id", "text", "lang")
+      .select(col("lang"), col("budget_tokens"), col("cut_decibits"),
+        col("kept_docs"), col("kept_tokens"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("xx")._2 === 5L && got("xx")._4 === 4L
+      && got("xx")._5 === 4L)
+    assert(got("xx")._3 >= 0L, "a qualifying bucket exists")
+    assert(got("yy") === ("yy", 1L, -1L, 0L, 0L))
+  }
 }
