@@ -169,6 +169,82 @@ object LmScore {
           / col("n_tokens").cast("double")).as("kept_share"))
   }
 
+  /** Vocabulary frequency-floor sensitivity audit — PRICES the
+    * documented 100 TB mitigation ("the LM table gets a frequency
+    * floor") instead of asserting it: every doc is scored under the
+    * full vocab AND the df ≥ `minDf` vocab (floored tokens take the
+    * add-one unseen path, q278's OOV rule), and the per-language
+    * report carries the exact microbit mass under each model, the
+    * signed mean drift (raw IEEE division of exact longs — never
+    * rounded), and how many docs change deci-bit bucket — whether
+    * [[perplexityBuckets]]' terciles survive the floor. Both models
+    * come from ONE token census; scoring is the bounded-vocab join
+    * twice.
+    */
+  def vocabFloorAudit(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String, minDf: Long = 2L): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .transform(graft.core.Caching.persist)
+    val lm = ex.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.core.Caching.persist)
+    def mbExpr(cc: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column,
+               v: org.apache.spark.sql.Column) =
+      round(negate(log2(cc.cast("double")
+        / (n + v).cast("double"))) * lit(1e6)).cast("long")
+    val totFull = lm.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_full"),
+        count(lit(1)).as("v_full"))
+    val bitsFull = lm.join(broadcast(totFull), "lang")
+      .select(col("lang"), col("tok"),
+        mbExpr(col("c") + lit(1L), col("n_full"), col("v_full"))
+          .as("mb_full"))
+    val keptLm = lm.where(col("c") >= minDf)
+    val totFl = keptLm.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_fl"),
+        count(lit(1)).as("v_fl"))
+    val bitsFl = keptLm.join(broadcast(totFl), "lang")
+      .select(col("lang"), col("tok"),
+        mbExpr(col("c") + lit(1L), col("n_fl"), col("v_fl")).as("mb_fl"))
+    val unseen = totFl.select(col("lang"),
+      mbExpr(lit(1L), col("n_fl"), col("v_fl")).as("mb_unseen"),
+      col("v_fl"))
+    val scored = ex.join(bitsFull, Seq("lang", "tok"))
+      .join(bitsFl, Seq("lang", "tok"), "left_outer")
+      .join(broadcast(unseen.select(col("lang"), col("mb_unseen"))),
+        "lang")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("mb_full")).cast("long").as("tm_full"),
+        sum(coalesce(col("mb_fl"), col("mb_unseen"))).cast("long")
+          .as("tm_fl"))
+    scored
+      .select(col("lang"), col("n_tok"), col("tm_full"), col("tm_fl"),
+        expr("(tm_full * 10) div (n_tok * 1000000)").as("db_full"),
+        expr("(tm_fl * 10) div (n_tok * 1000000)").as("db_fl"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tokens"),
+        sum(col("tm_full")).cast("long").as("sum_mb_full"),
+        sum(col("tm_fl")).cast("long").as("sum_mb_floored"),
+        sum(when(col("db_full") =!= col("db_fl"), 1L).otherwise(0L))
+          .cast("long").as("n_bucket_moved"))
+      .join(broadcast(totFull.select(col("lang"),
+        col("v_full").cast("long").as("vocab_full"))), "lang")
+      .join(broadcast(unseen.select(col("lang"),
+        col("v_fl").cast("long").as("vocab_floored"))), "lang")
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        col("vocab_full"), col("vocab_floored"),
+        col("sum_mb_full"), col("sum_mb_floored"),
+        ((col("sum_mb_floored") - col("sum_mb_full")).cast("double")
+          / col("tokens").cast("double") / lit(1e6))
+          .as("mean_delta_bits"),
+        col("n_bucket_moved"))
+  }
+
   /** Interpolated bigram LM perplexity filter — one rung up the CCNet
     * ladder from [[unigramSurprisal]]: score each document's mean
     * bits/bigram under p(w|u) = λ·c(u,w)/c(u·) + (1−λ)·(c(w)+1)/(N+V),

@@ -843,6 +843,21 @@ object CurationQueries {
       graft.llm.LmScore.perplexityBuckets(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // Vocabulary frequency-floor sensitivity: LmScore's documented
+    // 100 TB posture drops singleton tokens from the LM ("the LM table
+    // gets a frequency floor") — this audit PRICES that mitigation
+    // instead of asserting it. Every doc is scored twice (full vocab
+    // vs df ≥ 2 vocab with floored tokens taking the add-one unseen
+    // path, q278's OOV rule) and the report gives, per language, the
+    // exact microbit mass under each model, the signed mean drift
+    // (raw IEEE division of exact longs — no rounding), and how many
+    // docs change deci-bit bucket — i.e. whether q293's terciles
+    // survive the floor. Both models share one token pass; scoring is
+    // the same bounded-vocab join twice.
+    "q298_vocab_floor_audit" -> ((s, dir) =>
+      graft.llm.LmScore.vocabFloorAudit(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
+
     // Perplexity-threshold calibration to a TOKEN budget: find, per
     // language, the loosest deci-bit surprisal cut whose kept docs
     // (lowest-perplexity first) still fit 60% of the language's token
@@ -1537,6 +1552,64 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    // both LMs from one census; floored scoring LEFT-joins the df>=2
+    // table and coalesces onto the per-lang unseen microbits
+    "q298_vocab_floor_audit" ->
+      s"""WITH ${LlmQueries.tkCte},
+         ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM tk),
+         lm AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             FROM ex GROUP BY 1, 2),
+         tf AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_full,
+               CAST(count(*) AS BIGINT) AS v_full
+             FROM lm GROUP BY lang),
+         bf AS (SELECT lm.lang, lm.tok,
+               CAST(round(-log2(CAST(lm.c + 1 AS DOUBLE)
+                 / CAST(tf.n_full + tf.v_full AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS mb_full
+             FROM lm JOIN tf USING (lang)),
+         kl AS (SELECT lang, tok, c FROM lm WHERE c >= 2),
+         tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_fl,
+               CAST(count(*) AS BIGINT) AS v_fl
+             FROM kl GROUP BY lang),
+         bl AS (SELECT kl.lang, kl.tok,
+               CAST(round(-log2(CAST(kl.c + 1 AS DOUBLE)
+                 / CAST(tl.n_fl + tl.v_fl AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS mb_fl
+             FROM kl JOIN tl USING (lang)),
+         un AS (SELECT lang,
+               CAST(round(-log2(CAST(1 AS DOUBLE)
+                 / CAST(n_fl + v_fl AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS mb_unseen, v_fl
+             FROM tl),
+         sc AS (SELECT ex.doc_id, ex.lang,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(bf.mb_full) AS BIGINT) AS tm_full,
+               CAST(sum(coalesce(bl.mb_fl, un.mb_unseen)) AS BIGINT)
+                 AS tm_fl
+             FROM ex
+             JOIN bf ON bf.lang = ex.lang AND bf.tok = ex.tok
+             LEFT JOIN bl ON bl.lang = ex.lang AND bl.tok = ex.tok
+             JOIN un ON un.lang = ex.lang
+             GROUP BY 1, 2),
+         g AS (SELECT lang, n_tok, tm_full, tm_fl,
+               (tm_full * 10) // (n_tok * 1000000) AS db_full,
+               (tm_fl * 10) // (n_tok * 1000000) AS db_fl
+             FROM sc),
+         r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens,
+               CAST(sum(tm_full) AS BIGINT) AS sum_mb_full,
+               CAST(sum(tm_fl) AS BIGINT) AS sum_mb_floored,
+               CAST(sum(CASE WHEN db_full <> db_fl THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bucket_moved
+             FROM g GROUP BY lang)
+         SELECT r.lang, n_docs, tokens,
+           tf.v_full AS vocab_full, un.v_fl AS vocab_floored,
+           sum_mb_full, sum_mb_floored,
+           CAST(sum_mb_floored - sum_mb_full AS DOUBLE)
+             / CAST(tokens AS DOUBLE) / 1e6 AS mean_delta_bits,
+           n_bucket_moved
+         FROM r JOIN tf ON tf.lang = r.lang
+                JOIN un ON un.lang = r.lang""",
     // q82's LM chain + integer budget cut on the deci-bit histogram
     "q297_budget_calibration" ->
       s"""WITH ${LlmQueries.tkCte},

@@ -553,4 +553,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got("xx")._3 >= 0L, "a qualifying bucket exists")
     assert(got("yy") === ("yy", 1L, -1L, 0L, 0L))
   }
+
+  test("vocabFloorAudit: floored singletons take the unseen path, kept " +
+      "tokens get CHEAPER, and the exact sums match a hand model") {
+    // lang en, counts a:3 b:2 c:1 over docs "a a a" / "b b" / "c".
+    // full LM:    N=6 V=3 -> p(a)=4/9  p(b)=3/9  p(c)=2/9
+    // floored df>=2: N=5 V=2 -> p(a)=4/7 p(b)=3/7 unseen=1/7
+    val docs = Seq((1L, "a a a", "en"), (2L, "b b", "en"),
+      (3L, "c", "en")).toDF("doc_id", "text", "lang")
+    def mb(p: Double): Long = Math.round(-(math.log(p) / math.log(2.0)) * 1e6)
+    val expFull = 3 * mb(4.0 / 9) + 2 * mb(3.0 / 9) + mb(2.0 / 9)
+    val expFl = 3 * mb(4.0 / 7) + 2 * mb(3.0 / 7) + mb(1.0 / 7)
+    val r = graft.llm.LmScore
+      .vocabFloorAudit(docs, "doc_id", "text", "lang")
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        col("vocab_full"), col("vocab_floored"), col("sum_mb_full"),
+        col("sum_mb_floored"), col("n_bucket_moved"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(r.length === 1)
+    val (_, nd, tk, vf, vfl, smf, smfl, _) = r.head
+    assert((nd, tk, vf, vfl) === ((3L, 6L, 3L, 2L)))
+    assert(smf === expFull, "full-vocab microbit mass")
+    assert(smfl === expFl, "floored microbit mass incl. the unseen path")
+    assert(mb(4.0 / 7) < mb(4.0 / 9),
+      "kept tokens price CHEAPER under the floored model")
+    assert(mb(1.0 / 7) > mb(2.0 / 9),
+      "the floored singleton prices DEARER")
+  }
 }
