@@ -124,6 +124,34 @@ object Bpe {
     rules.toSeq
   }
 
+  /** The merge-depth compression curve — the vocab-size tuning
+    * readout: after r = 0..`rounds` trained merges, the corpus-wide
+    * symbol mass and symbols/word fertility. Each point is one bounded
+    * aggregate over the distinct-word vocab (the corpus collapses into
+    * `charVocab` once); state r replays r merges on that bounded
+    * table, so the whole curve costs O(rounds²) vocab passes and zero
+    * extra corpus scans. Rows: (round, n_words, n_symbols,
+    * symbols_per_word) — the knee of this curve is where extra merges
+    * stop buying compression.
+    */
+  def compressionCurve(docs: DataFrame, textCol: String, rounds: Int)
+      : DataFrame = {
+    val rules = trainRules(docs, textCol, rounds, withMass = false)
+      .map(r => (r._2, r._3))
+    val v0 = charVocab(docs, textCol).transform(graft.core.Caching.persist)
+    val states = rules.scanLeft(v0) { case (d, (x, y)) =>
+      d.select(col("weight"), mergePair(col("s"), x, y).as("s"))
+    }
+    states.zipWithIndex.map { case (d, r) =>
+      d.agg(sum(col("weight")).cast("long").as("n_words"),
+          sum(col("weight") * size(col("s"))).cast("long").as("n_symbols"))
+        .select(lit(r.toLong).as("round"), col("n_words"),
+          col("n_symbols"),
+          (col("n_symbols").cast("double") / col("n_words").cast("double"))
+            .as("symbols_per_word"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Apply learned merge rules (in order) and report per-`byCol`
     * tokenizer stats: word/char/symbol counts and the two ratios every
     * tokenizer build quotes — chars per symbol (compression) and

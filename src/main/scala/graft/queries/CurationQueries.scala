@@ -843,6 +843,14 @@ object CurationQueries {
       graft.llm.LmScore.perplexityBuckets(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // BPE merge-depth compression curve: symbols/word fertility after
+    // r = 0..8 trained merges — the vocab-size tuning readout (the
+    // knee is where extra merges stop buying compression). Each point
+    // is a bounded vocab aggregate; see Bpe.compressionCurve.
+    "q299_bpe_compression_curve" -> ((s, dir) =>
+      graft.llm.Bpe.compressionCurve(Tables.documents(s, dir), "text",
+        rounds = 8)),
+
     // Vocabulary frequency-floor sensitivity: LmScore's documented
     // 100 TB posture drops singleton tokens from the LM ("the LM table
     // gets a frequency floor") — this audit PRICES that mitigation
@@ -1552,6 +1560,17 @@ object CurationQueries {
            FROM h WHERE domain IS NOT NULL)
          SELECT domain, doc_id, prio, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5""",
+    // v{r+1} = vocab after r merges; one stats row per round
+    "q299_bpe_compression_curve" -> (bpeCtes(8) + s""",
+         curve AS (${(0 to 8).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+             CAST(sum(weight) AS BIGINT) AS n_words,
+             CAST(sum(weight * len(s)) AS BIGINT) AS n_symbols
+           FROM v${r + 1}""").mkString(" UNION ALL ")})
+         SELECT round, n_words, n_symbols,
+           CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS symbols_per_word
+         FROM curve"""),
     // both LMs from one census; floored scoring LEFT-joins the df>=2
     // table and coalesces onto the per-lang unseen microbits
     "q298_vocab_floor_audit" ->

@@ -581,4 +581,34 @@ class CurationSpec extends AnyFunSuite {
     assert(mb(1.0 / 7) > mb(2.0 / 9),
       "the floored singleton prices DEARER")
   }
+
+  test("compressionCurve: word mass constant, symbol mass strictly " +
+      "falls by each winner's pair count, round 0 = raw chars") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rows = graft.llm.Bpe.compressionCurve(docs, "text", 8)
+      .orderBy(col("round"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === 9)
+    assert(rows.map(_._2).distinct.length === 1, "n_words is constant")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 < a._3,
+        s"round ${b._1}: an executed merge must strictly shrink mass")
+      case _ =>
+    }
+    // round 0 is the raw character mass of the whitespace tokens
+    val chars = docs.select(explode(
+        graft.llm.TextFunctions.tokens(col("text"))).as("w"))
+      .agg(sum(length(col("w"))).cast("long")).as[Long].head()
+    assert(rows.head._3 === chars)
+    // per-round drop equals the winning pair count train() reports
+    val train = graft.llm.Bpe.train(docs, "text", 8)
+      .select(col("merge_round"), col("pair_n"))
+      .as[(Long, Long)].collect().toMap
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 - b._3 === train(b._1),
+          s"round ${b._1}: mass drop == winner pair_n")
+      case _ =>
+    }
+  }
 }
