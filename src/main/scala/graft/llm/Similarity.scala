@@ -430,6 +430,34 @@ object Similarity {
     topKByQuery(scoreCandidates(cand, v), k, withRank = true)
   }
 
+  /** IVF index-health profile: the per-list membership histogram of
+    * [[ivfTopK]]'s coarse quantizer — the artifact an index build ships
+    * next to the lists themselves. Skewed lists mean skewed probe cost
+    * (one hot list dominates every nprobe-query that touches it) and
+    * EMPTY lists waste a probe budget slot, so both must be visible:
+    * every centroid appears, zero-member lists included (left join from
+    * the centroid set, not the members). One assignment pass (broadcast
+    * centroids, corpus never shuffles for it) + one |lists|-row agg.
+    */
+  def ivfListProfile(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .transform(graft.core.Caching.persist)
+    val asn = topKByQuery(centroidScores(v, centroids), k = 1,
+        withRank = false)
+      .select(col("nn_id").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).cast("long").as("n_members"))
+    val cents = v.orderBy("vec_id").limit(centroids)
+      .select(col("vec_id").as("cid"))
+    val total = emb.count().toDouble
+    cents.join(asn, Seq("cid"), "left_outer")
+      .select(col("cid").cast("long").as("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        (coalesce(col("n_members"), lit(0L)).cast("double") / lit(total))
+          .as("share"))
+  }
+
   /** SemDeDup-style semantic deduplication: coarse-quantizer clustering
     * (same deterministic quantizer as [[ivfTopK]]) followed by exact
     * pairwise cosine INSIDE each cluster only — a vector is dropped when

@@ -246,6 +246,17 @@ object EmbeddingQueries {
         idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
     }),
 
+    // IVF index-health: the per-list membership histogram of q77's
+    // coarse quantizer (hot lists = skewed probe cost; empty lists =
+    // wasted probe slots — both must be visible, so zero-member
+    // centroids appear). See Similarity.ivfListProfile.
+    "q300_ivf_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      Similarity.ivfListProfile(emb, idCol = "vec_id",
+        vecCol = "embedding", centroids = nLists)
+    }),
+
     // Per-label centroid drift vs the global centroid — the embedded-
     // corpus mix monitor (topic drift / ingest-break detection). One
     // corpus pass to |labels|·d exact 14-bit-grid sums; cosine is a
@@ -564,6 +575,18 @@ object EmbeddingQueries {
              FROM d)
          SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= 5""",
     "q139_kmeans" -> graft.operators.KMeans.oracleSql(k = 4, iters = 2, dims = 64),
+    // r=1 assignments counted per centroid; empty lists kept via the
+    // centroid-set left join
+    "q300_ivf_balance" ->
+      s"""WITH $ivfCommon,
+         asn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+             FROM pr WHERE r = 1 GROUP BY cid),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         SELECT CAST(c.vec_id AS BIGINT) AS cid,
+           coalesce(a.n_members, 0) AS n_members,
+           CAST(coalesce(a.n_members, 0) AS DOUBLE)
+             / CAST(tot.n AS DOUBLE) AS share
+         FROM cent c LEFT JOIN asn a ON a.cid = c.vec_id, tot""",
     // cosine of SUM vectors on the 14-bit grid: HUGEINT dots mirror
     // Spark's decimal(38,0) sums exactly; one fixed-order double tail
     "q294_centroid_drift" ->

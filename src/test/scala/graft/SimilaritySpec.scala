@@ -413,4 +413,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(g2(0L)._3 - 4.0 / math.sqrt(17.0)) < 1e-12)
     assert(g2(0L)._4 === 2.0)
   }
+
+  test("ivfListProfile: members conserve, ties collapse onto the " +
+      "smallest centroid, and EMPTY lists stay visible") {
+    import spark.implicits._
+    // identical vectors: every cosine ties at 1.0, the cid-ascending
+    // tie rule sends all members to centroid 0, lists 1..3 sit empty
+    val emb = (0L until 12L).map(i => (i, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfListProfile(emb, "vec_id", "embedding",
+        centroids = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got === Map(0L -> 12L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // mixed corpus: membership is conserved across lists
+    val emb2 = (0L until 20L).map(i =>
+        (i, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val prof = Similarity.ivfListProfile(emb2, "vec_id", "embedding",
+        centroids = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(prof.length === 5)
+    assert(prof.map(_._2).sum === 20L, "every vector lands in one list")
+  }
 }
