@@ -328,6 +328,28 @@ object LlmQueries {
     // integer grid (doubles tie bit-identically on both engines),
     // deterministic min-id tiebreak, no ranking window, and max_by is
     // deliberately avoided (its tie choice is arrival-order-dependent).
+    // Does keep-best MATTER? The per-cluster quality dispersion prices
+    // q130's policy: a cluster with zero spread could keep any member,
+    // while a wide spread means the choice moves real quality mass.
+    // Same cluster + quality-grid composition as q130, reduced to the
+    // exact integer (min, max, spread) per cluster — no ranking window.
+    "q301_cluster_quality_spread" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cl = Dedup.nearDuplicateClusters(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5)
+      val q = docs.select(col("doc_id"),
+        TF.qualityScore(col("text"), stopwords).as("quality"))
+      cl.join(q, Seq("doc_id"))
+        .select(col("cluster_id").as("cid"),
+          floor(col("quality") * lit(1e9)).cast("long").as("qg"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          min(col("qg")).cast("long").as("q_min_grid"),
+          max(col("qg")).cast("long").as("q_max_grid"),
+          (max(col("qg")) - min(col("qg"))).cast("long")
+            .as("spread_grid"))
+    }),
+
     "q130_keep_best" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val cl = Dedup.nearDuplicateClusters(docs, "doc_id", "text",
@@ -1411,6 +1433,45 @@ object LlmQueries {
            SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
          )
          SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node""",
+    // q130's chain up to the quality-grid join, reduced per cluster
+    "q301_cluster_quality_spread" ->
+      s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
+         band AS (SELECT doc_id, s, b,
+             md5(array_to_string(list_transform(mh[b*2+1 : b*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) END) >= 0.5),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+         cnodes AS (SELECT DISTINCT src AS node FROM sym),
+         reach(node, anc) AS (
+           SELECT node, node FROM cnodes
+           UNION
+           SELECT sym.dst, reach.anc FROM reach JOIN sym ON reach.node = sym.src
+         ),
+         cl AS (SELECT node, min(anc) AS cluster_id FROM reach GROUP BY node),
+         m AS (SELECT doc_id, text, t,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t) END AS stop_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END AS mean_tok_len
+           FROM tk),
+         qy AS (SELECT doc_id,
+             least(length(text) / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 AS quality
+           FROM m),
+         j AS (SELECT cl.cluster_id AS cid, cl.node,
+             CAST(floor(qy.quality * 1000000000.0) AS BIGINT) AS qg
+           FROM cl JOIN qy ON cl.node = qy.doc_id)
+         SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(qg) AS BIGINT) AS q_min_grid,
+           CAST(max(qg) AS BIGINT) AS q_max_grid,
+           CAST(max(qg) - min(qg) AS BIGINT) AS spread_grid
+         FROM j GROUP BY cid""",
     "q130_keep_best" ->
       s"""WITH RECURSIVE $tkCte, ${shingleCte(3)}, $sigCte,
          band AS (SELECT doc_id, s, b,

@@ -139,8 +139,12 @@ object ScaleSmoke {
     // on the small-SF time so JVM/scheduler constants don't divide into
     // the ratio. Sub-linear queries (bounded outputs like q258's
     // |types|^2 matrix) pass trivially — the gate is an upper bound.
+    // q272/q284 represent the BPE loop family (train / apply) — the
+    // other hot lines left after r12's widening: per-round cost is a
+    // census aggregation over the bounded vocab, so growth must track
+    // the token mass, not the round count.
     val hot = Seq("q105_", "q106_", "q130_", "q136_", "q147_", "q153_",
-      "q175_", "q191_", "q258_", "q58_")
+      "q175_", "q191_", "q258_", "q58_", "q272_", "q284_")
     val smallDir = "/root/testdata/sf0.01"
     val bigDir = "/root/testdata/sf0.1"
     val sweeps = 2
