@@ -194,12 +194,22 @@ object Similarity {
         floor(col("v").cast("double") * lit(scale) + lit(0.5)).cast("long"))
     val cent = pos.groupBy(col("label"), col("pos"))
       .agg(sum(col("q")).as("s"))
-      .transform(graft.core.Caching.persist)
+    val counts = emb.groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    centroidDriftFromSums(cent, counts, scale)
+  }
+
+  /** The arithmetic tail of [[centroidDrift]], over an already-reduced
+    * (label, pos, s) quantized-sum table plus (label, n_vecs) counts —
+    * shared with the streaming face, whose bounded |labels|·d counter
+    * state IS that table.
+    */
+  def centroidDriftFromSums(cent0: DataFrame, counts: DataFrame,
+                            scale: Double): DataFrame = {
+    val cent = cent0.transform(graft.core.Caching.persist)
     val glob = cent.groupBy(col("pos"))
       .agg(sum(col("s")).cast("decimal(38,0)").as("g"))
       .transform(graft.core.Caching.persist)
-    val counts = emb.groupBy(col(labelCol).cast("long").as("label"))
-      .agg(count(lit(1)).cast("long").as("n_vecs"))
     val dots = cent.join(broadcast(glob), "pos")
       .groupBy(col("label"))
       .agg(sum(col("s").cast("decimal(38,0)") * col("g")).as("dot_sg"),
