@@ -139,9 +139,15 @@ object Bpe {
     val rules = trainRules(docs, textCol, rounds, withMass = false)
       .map(r => (r._2, r._3))
     val v0 = charVocab(docs, textCol).transform(graft.core.Caching.persist)
-    val states = rules.scanLeft(v0) { case (d, (x, y)) =>
+    val executed = rules.scanLeft(v0) { case (d, (x, y)) =>
       d.select(col("weight"), mergePair(col("s"), x, y).as("s"))
     }
+    // early stop (empty pair census) executes < `rounds` merges; the
+    // curve still reports rounds+1 points by carrying the final vocab
+    // state forward (a fully-merged corpus stays fully merged) — the
+    // cross-engine contract: both engines always emit rounds+1 rows
+    val states = executed ++
+      Seq.fill(rounds - rules.length)(executed.last)
     states.zipWithIndex.map { case (d, r) =>
       d.agg(sum(col("weight")).cast("long").as("n_words"),
           sum(col("weight") * size(col("s"))).cast("long").as("n_symbols"))

@@ -80,9 +80,12 @@ object Domains {
       .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
   }
 
-  /** Query params that never change content (analytics/click IDs). */
+  /** Query params that never change content (analytics/click IDs).
+    * `(=|$)` so VALUELESS occurrences (`?fbclid`, `?utm_source`) are
+    * also stripped — real crawls carry both spellings.
+    */
   val TrackingParamRegex: String =
-    "^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+    "^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=|$)"
 
   /** A representative PSL subset for tests/defaults — real deployments
     * pass the full list (publicsuffix.org, ~9k rules; the expression

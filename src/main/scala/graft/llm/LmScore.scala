@@ -209,9 +209,17 @@ object LmScore {
     val bitsFl = keptLm.join(broadcast(totFl), "lang")
       .select(col("lang"), col("tok"),
         mbExpr(col("c") + lit(1L), col("n_fl"), col("v_fl")).as("mb_fl"))
-    val unseen = totFl.select(col("lang"),
-      mbExpr(lit(1L), col("n_fl"), col("v_fl")).as("mb_unseen"),
-      col("v_fl"))
+    // left-join totFl so a language whose ENTIRE vocab falls under the
+    // floor still appears (vocab_floored = 0) — the audit must stay
+    // visible exactly where the floor bites hardest. Its degenerate
+    // all-unseen cost: add-one uniform over the FULL vocab,
+    // -log2(1/v_full) — the natural limit of the unseen path when the
+    // floored model retains nothing.
+    val unseen = totFull.join(totFl, Seq("lang"), "left_outer")
+      .select(col("lang"),
+        coalesce(mbExpr(lit(1L), col("n_fl"), col("v_fl")),
+          mbExpr(lit(1L), lit(0L), col("v_full"))).as("mb_unseen"),
+        coalesce(col("v_fl"), lit(0L)).as("v_fl"))
     val scored = ex.join(bitsFull, Seq("lang", "tok"))
       .join(bitsFl, Seq("lang", "tok"), "left_outer")
       .join(broadcast(unseen.select(col("lang"), col("mb_unseen"))),

@@ -1595,11 +1595,15 @@ object CurationQueries {
                  / CAST(tl.n_fl + tl.v_fl AS DOUBLE)) * 1e6)
                  AS BIGINT) AS mb_fl
              FROM kl JOIN tl USING (lang)),
-         un AS (SELECT lang,
-               CAST(round(-log2(CAST(1 AS DOUBLE)
-                 / CAST(n_fl + v_fl AS DOUBLE)) * 1e6)
-                 AS BIGINT) AS mb_unseen, v_fl
-             FROM tl),
+         un AS (SELECT tf.lang,
+               CAST(coalesce(
+                 round(-log2(CAST(1 AS DOUBLE)
+                   / CAST(n_fl + v_fl AS DOUBLE)) * 1e6),
+                 round(-log2(CAST(1 AS DOUBLE)
+                   / CAST(tf.v_full AS DOUBLE)) * 1e6))
+                 AS BIGINT) AS mb_unseen,
+               CAST(coalesce(v_fl, 0) AS BIGINT) AS v_fl
+             FROM tf LEFT JOIN tl ON tl.lang = tf.lang),
          sc AS (SELECT ex.doc_id, ex.lang,
                CAST(count(*) AS BIGINT) AS n_tok,
                CAST(sum(bf.mb_full) AS BIGINT) AS tm_full,

@@ -76,7 +76,11 @@ object StreamingDomainCaps {
   def assembleKept(snapshots: DataFrame): DataFrame = {
     val latest = snapshots.groupBy(col("domain"))
       .agg(max(col("version")).as("version"))
+    // distinct: the state merge is idempotent but an at-least-once
+    // output sink can re-deliver the SAME version's snapshot rows —
+    // without it the assembly duplicates (domain, doc_id) pairs
     snapshots.join(latest, Seq("domain", "version"))
       .select(col("domain"), col("doc_id"), col("prio"), col("rnk"))
+      .distinct()
   }
 }

@@ -582,6 +582,43 @@ class CurationSpec extends AnyFunSuite {
       "the floored singleton prices DEARER")
   }
 
+  test("vocabFloorAudit: a language whose ENTIRE vocab floors stays " +
+      "visible with vocab_floored = 0 and the log2(v_full) unseen cost") {
+    // lang zz is all singletons -> df >= 2 keeps nothing; the audit
+    // must still report it (the r12 inner join dropped it silently)
+    val docs = Seq((1L, "a a a", "en"), (2L, "b b", "en"),
+      (3L, "x y z", "zz")).toDF("doc_id", "text", "lang")
+    def mb(p: Double): Long = Math.round(-(math.log(p) / math.log(2.0)) * 1e6)
+    val r = graft.llm.LmScore
+      .vocabFloorAudit(docs, "doc_id", "text", "lang")
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        col("vocab_full"), col("vocab_floored"), col("sum_mb_floored"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r.contains("zz"), "fully-floored language must appear")
+    val (_, nd, tk, vf, vfl, smfl) = r("zz")
+    assert((nd, tk, vf, vfl) === ((1L, 3L, 3L, 0L)))
+    // degenerate all-unseen cost: add-one uniform over the full vocab
+    assert(smfl === 3 * mb(1.0 / 3))
+    assert(r("en")._5 === 2L, "non-degenerate language unchanged")
+  }
+
+  test("compressionCurve pads to rounds+1 rows when training stops " +
+      "early (fully-merged corpus carries its final state forward)") {
+    // one distinct word of 2 chars -> exactly 1 executable merge; the
+    // curve must still emit rounds+1 rows, flat after the stop (the
+    // q299 oracle's LEFT JOIN ... ON TRUE fallback behaves the same)
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val rows = graft.llm.Bpe.compressionCurve(docs, "text", 4)
+      .orderBy(col("round"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === 5)
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.head._3 === 6L, "round 0: raw char mass (3 x 'ab')")
+    assert(rows.drop(1).forall(_._3 === 3L),
+      "after the single merge the state is carried forward unchanged")
+  }
+
   test("compressionCurve: word mass constant, symbol mass strictly " +
       "falls by each winner's pair count, round 0 = raw chars") {
     val docs = graft.core.Tables.documents(spark, sfDir)

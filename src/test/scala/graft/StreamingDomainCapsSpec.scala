@@ -102,4 +102,22 @@ class StreamingDomainCapsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("assembleKept is idempotent under at-least-once re-delivery of " +
+      "the latest snapshot") {
+    // the same version-2 snapshot delivered twice (sink replay) must
+    // not duplicate (domain, doc_id) rows in the assembly
+    val once = Seq(
+      ("a.com", 1L, 10L, 1L, 1L),
+      ("a.com", 1L, 10L, 1L, 2L), ("a.com", 2L, 20L, 2L, 2L))
+    val replayed = once ++ Seq(
+      ("a.com", 1L, 10L, 1L, 2L), ("a.com", 2L, 20L, 2L, 2L))
+    def kept(rows: Seq[(String, Long, Long, Long, Long)]) =
+      graft.streaming.StreamingDomainCaps.assembleKept(
+          rows.toDF("domain", "doc_id", "prio", "rnk", "version"))
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(kept(replayed) === kept(once))
+    assert(kept(once) === Seq(("a.com", 1L, 10L, 1L),
+      ("a.com", 2L, 20L, 2L)))
+  }
 }
