@@ -83,11 +83,29 @@ object Normalize {
       "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "<[^>]+>", " ")
-    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, v)) =>
-      regexp_replace(c, e, v)
-    }
+    val named = HtmlEntities.takeWhile(_._1 != "&amp;")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    // numeric refs AFTER the other named entities (so a decoded
+    // `&#38;lt;` -> `&lt;` is never re-decoded) and BEFORE `&amp;` (so
+    // double-encoded `&amp;#8217;` stays the literal text `&#8217;`)
+    val decoded = regexp_replace(
+      decodeNumericEntities(named), "&amp;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Decode HTML numeric character references — `&#NNN;` (1–7 decimal
+    * digits) and `&#xHH;`/`&#XHH;` (1–6 hex digits) — to their Unicode
+    * character; real crawls are full of `&#8217;` (CMS smart-quote
+    * output) and leaving them as literal text splits dedup keys.
+    * Single pass, decoded text never re-decodes. Invalid references
+    * (codepoint 0, beyond U+10FFFF, a surrogate, a digit run past the
+    * length cap, or a missing `;`) pass through as literal text. The
+    * SQL twin is `string_split(s, '&#')` + a per-segment CASE — the
+    * q292 oracle recomputes it that way.
+    */
+  def decodeNumericEntities(text: Column): Column =
+    ColumnBridge.toColumn(
+      NumericEntitiesExpr(ColumnBridge.toExpression(text)))
 
   /** Entity decode order matters: `&amp;` LAST (see [[stripHtml]]). */
   val HtmlEntities: Seq[(String, String)] = Seq(
@@ -187,6 +205,74 @@ case class MojibakeRepairExpr(child: Expression)
       : MojibakeRepairExpr = copy(child = newChild)
 
   override def prettyName: String = "repair_mojibake"
+}
+
+/** Native numeric-character-reference decoder (see
+  * [[Normalize.decodeNumericEntities]]). One left-to-right scan: at
+  * each `&#`, parse `[0-9]{1,7};` or `[xX][0-9a-fA-F]{1,6};`; a valid
+  * codepoint (1..U+10FFFF, not a surrogate) appends its chars, anything
+  * else appends the literal `&#` and rescans right after it — exactly
+  * the semantics of splitting on `&#` and judging each segment head,
+  * which is how the SQL twin recomputes it.
+  */
+case class NumericEntitiesExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = str.indexOf("&#")
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var pos = 0
+    while (i >= 0) {
+      sb.append(str, pos, i)
+      var j = i + 2
+      val hex = j < str.length &&
+        (str.charAt(j) == 'x' || str.charAt(j) == 'X')
+      if (hex) j += 1
+      val start = j
+      while (j < str.length && isRefDigit(hex, str.charAt(j))) j += 1
+      val run = j - start
+      val cap = if (hex) 6 else 7
+      val ok = run >= 1 && run <= cap &&
+        j < str.length && str.charAt(j) == ';'
+      val cp = if (!ok) -1
+        else Integer.parseInt(str.substring(start, j), if (hex) 16 else 10)
+      if (ok && cp >= 1 && cp <= 0x10FFFF &&
+          !(cp >= 0xD800 && cp <= 0xDFFF)) {
+        sb.appendCodePoint(cp)
+        pos = j + 1
+      } else {
+        sb.append("&#")
+        pos = i + 2
+      }
+      i = str.indexOf("&#", pos)
+    }
+    sb.append(str, pos, str.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def isRefDigit(hex: Boolean, c: Char): Boolean =
+    (c >= '0' && c <= '9') || (hex &&
+      ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("numEnt", this,
+      classOf[NumericEntitiesExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NumericEntitiesExpr = copy(child = newChild)
+
+  override def prettyName: String = "decode_numeric_entities"
 }
 
 object MojibakeRepairExpr {

@@ -698,10 +698,13 @@ object CurationQueries {
           "</head><body><!-- nav\nmenu --><p>"),
         regexp_replace(col("text"), " ", "</p>\n<p>"),
         lit("</p><div>&amp;copy; 2024 &lt;corp&gt;&nbsp;" +
-          "&quot;quoted&quot;</div></body></html>"))
+          "&quot;quoted&quot; it&#8217;s &#x2014; &#174; &amp;#8217; " +
+          "&#999999999; &#xD800; &#x110000; &#0; &#12abc;" +
+          "</div></body></html>"))
       val stripped = graft.llm.Normalize.stripHtml(html)
       val expected = concat(trim(regexp_replace(col("text"), "\\s+", " ")),
-        lit(" &copy; 2024 <corp> \"quoted\""))
+        lit(" &copy; 2024 <corp> \"quoted\" it\u2019s \u2014 \u00ae " +
+          "&#8217; &#999999999; &#xD800; &#x110000; &#0; &#12abc;"))
       docs.select(col("source"), stripped.as("st"), expected.as("ex"))
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -1762,7 +1765,8 @@ object CurationQueries {
            round(CAST(sum(tm) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
              / 1e6, 6) AS mean_bits
          FROM g JOIN th ON th.lang = g.lang GROUP BY 1, 2""",
-    // honest recompute: same regex chain, same entity order (amp LAST)
+    // honest recompute: same regex chain, same entity order (named
+    // except amp -> numeric refs via split-on-'&#' -> amp LAST)
     "q292_html_strip" ->
       s"""WITH h AS (SELECT source,
            '<html><head><style>p{color:red}</style>'
@@ -1770,12 +1774,16 @@ object CurationQueries {
              || '</head><body><!-- nav' || chr(10) || 'menu --><p>'
              || replace(text, ' ', '</p>' || chr(10) || '<p>')
              || '</p><div>&amp;copy; 2024 &lt;corp&gt;&nbsp;'
-             || '&quot;quoted&quot;</div></body></html>' AS html,
+             || '&quot;quoted&quot; it&#8217;s &#x2014; &#174; '
+             || '&amp;#8217; &#999999999; &#xD800; &#x110000; &#0; '
+             || '&#12abc;</div></body></html>' AS html,
            trim(regexp_replace(text, '\\s+', ' ', 'g'))
-             || ' &copy; 2024 <corp> "quoted"' AS ex
+             || ' &copy; 2024 <corp> "quoted" it' || chr(8217)
+             || 's ' || chr(8212) || ' ' || chr(174) || ' &#8217; '
+             || '&#999999999; &#xD800; &#x110000; &#0; &#12abc;' AS ex
            FROM documents),
-         s1 AS (SELECT source, ex, trim(regexp_replace(
-             replace(replace(replace(replace(replace(replace(replace(
+         s1 AS (SELECT source, ex,
+             replace(replace(replace(replace(replace(replace(
                regexp_replace(
                  regexp_replace(
                    regexp_replace(html,
@@ -1784,16 +1792,47 @@ object CurationQueries {
                    '(?s)<!--.*?-->', ' ', 'g'),
                  '<[^>]+>', ' ', 'g'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-               '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
-               '&amp;', '&'),
-             '\\s+', ' ', 'g')) AS st
-           FROM h)
+               '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' ')
+             AS t0
+           FROM h),
+         s2 AS (SELECT source, ex,
+             CASE WHEN strpos(t0, '&#') = 0 THEN t0
+               ELSE string_split(t0, '&#')[1] || list_aggr(
+                 list_transform(string_split(t0, '&#')[2:], seg ->
+                   CASE WHEN regexp_matches(seg, '^[0-9]{1,7};')
+                       AND TRY_CAST(regexp_extract(seg,
+                         '^([0-9]{1,7});', 1) AS BIGINT)
+                         BETWEEN 1 AND 1114111
+                       AND TRY_CAST(regexp_extract(seg,
+                         '^([0-9]{1,7});', 1) AS BIGINT)
+                         NOT BETWEEN 55296 AND 57343
+                     THEN chr(CAST(regexp_extract(seg,
+                         '^([0-9]{1,7});', 1) AS INTEGER))
+                       || regexp_replace(seg, '^[0-9]{1,7};', '')
+                   WHEN regexp_matches(seg, '^[xX][0-9a-fA-F]{1,6};')
+                       AND TRY_CAST(concat('0x', regexp_extract(seg,
+                         '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT)
+                         BETWEEN 1 AND 1114111
+                       AND TRY_CAST(concat('0x', regexp_extract(seg,
+                         '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT)
+                         NOT BETWEEN 55296 AND 57343
+                     THEN chr(CAST(TRY_CAST(concat('0x',
+                         regexp_extract(seg, '^[xX]([0-9a-fA-F]{1,6});',
+                           1)) AS BIGINT) AS INTEGER))
+                       || regexp_replace(seg,
+                         '^[xX][0-9a-fA-F]{1,6};', '')
+                   ELSE '&#' || seg END),
+                 'string_agg', '') END AS t1
+           FROM s1),
+         s3 AS (SELECT source, ex, trim(regexp_replace(
+             replace(t1, '&amp;', '&'), '\\s+', ' ', 'g')) AS st
+           FROM s2)
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN st = ex THEN 1 ELSE 0 END) AS BIGINT)
              AS n_exact,
            CAST(sum(CAST(concat('0x', substr(md5(concat('7', '|', st)),
              1, 8)) AS BIGINT)) AS BIGINT) AS strip_hash_sum
-         FROM s1 GROUP BY source""",
+         FROM s3 GROUP BY source""",
     "q291_length_batching" ->
       s"""WITH d AS (SELECT lang, doc_id % 4 AS shard, doc_id,
            len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),

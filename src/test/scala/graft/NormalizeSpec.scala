@@ -162,6 +162,50 @@ class NormalizeSpec extends AnyFunSuite {
       "v"))
   }
 
+  test("decodeNumericEntities: dec/hex refs decode once; zero, " +
+      "surrogates, out-of-range, overlong runs and malformed refs " +
+      "stay literal") {
+    val cases = Seq(
+      "plain text no refs" -> "plain text no refs",
+      "a&#8217;b" -> "a\u2019b",
+      "x&#x2014;y" -> "x\u2014y",
+      "up&#X27;Z" -> "up'Z",
+      "&#174;" -> "\u00ae",
+      "&#0;" -> "&#0;",
+      "&#xD800;" -> "&#xD800;",
+      "&#x110000;" -> "&#x110000;",
+      "&#999999999;" -> "&#999999999;",
+      "&#12abc;" -> "&#12abc;",
+      "&#" -> "&#",
+      "&#x;" -> "&#x;",
+      "&#xx27;" -> "&#xx27;",
+      "&#38;lt;" -> "&lt;",
+      "tail&#" -> "tail&#",
+      "&#&#38;" -> "&#&",
+      "&#039;" -> "'",
+      "&#8217;&#8217;" -> "\u2019\u2019",
+      // astral plane: U+1F600 needs the surrogate-pair append
+      "a&#x1F600;b" -> ("a" + new String(Character.toChars(0x1F600)) + "b"))
+    val got = runOne(graft.llm.Normalize.decodeNumericEntities, cases.map(_._1))
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((exp, g), in) => assert(g === exp, s"input $in")
+    }
+  }
+
+  test("stripHtml decodes numeric refs AFTER named entities and " +
+      "BEFORE &amp; (double-encoded numerics stay literal)") {
+    val got = runOne(graft.llm.Normalize.stripHtml, Seq(
+      "it&#8217;s &#x2014; fine",
+      "&amp;#8217; stays literal",     // double-encoded numeric
+      "&#38;lt; is a literal &lt;",    // decoded & never re-decodes
+      "&#174;&nbsp;2024"))
+    assert(got === Seq(
+      "it\u2019s \u2014 fine",
+      "&#8217; stays literal",
+      "&lt; is a literal <",
+      "\u00ae 2024"))
+  }
+
   test("an NFD/NFC spelling pair dedups ONLY after forDedup " +
       "normalization (raw hashes differ, normalized hashes collide)") {
     val nfd = "it's the expose\u0301 of the cafe\u0301"
