@@ -51,11 +51,16 @@ object Domains {
   /** URL canonicalization for URL-level dedup (the FineWeb/C4 recipe):
     * lowercase scheme+host, strip a leading `www.`, drop default ports
     * (http:80 / https:443), drop the fragment, strip trailing path
-    * slashes, remove tracking query params (utm_*, fbclid, gclid, ref,
-    * mc_cid/mc_eid) and SORT the survivors so param order never splits
-    * a dedup bucket. Pure builtin composition (parse_url + regexp +
-    * array HOFs) — a narrow, shuffle-free projection; URLs without a
-    * parseable host canonicalize to null.
+    * slashes, normalize percent-escapes in path and query (unreserved
+    * escapes `%41`/`%7E` decode to their literal char, every other
+    * valid escape uppercases its hex — RFC 3986 §6.2.2), remove
+    * tracking query params (utm_*, fbclid, gclid, ref, mc_cid/mc_eid;
+    * valueless spellings too) and SORT the survivors so param order
+    * never splits a dedup bucket. Pure builtin composition (parse_url
+    * + regexp + array HOFs) — a narrow, shuffle-free projection; URLs
+    * without a parseable host canonicalize to null. IDN (punycode)
+    * host forms are NOT unified — a documented non-goal (needs an IDNA
+    * table; byte-different `xn--` vs UTF-8 hosts stay distinct).
     */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url,
@@ -68,16 +73,46 @@ object Domains {
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
-    val path = regexp_replace(
-      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", "")
+    val path = pctNormalize(regexp_replace(
+      coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", ""))
     val params = filter(
       split(coalesce(try_parse_url(url, lit("QUERY")), lit("")), "&"), p =>
         p =!= lit("") && !p.rlike(TrackingParamRegex))
-    val qs = array_join(array_sort(params), "&")
+    val qs = array_join(array_sort(transform(params, pctNormalize(_))), "&")
     val qPart = when(qs =!= lit(""), concat(lit("?"), qs)).otherwise(lit(""))
     when(hostRaw.isNull || hostRaw === lit("") || scheme === lit(""),
       lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
+  }
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization: an escape of an
+    * UNRESERVED char (ALPHA / DIGIT / `-` `.` `_` `~`) decodes to the
+    * char (`%7E` and `%7e` → `~`); any other valid escape uppercases
+    * its hex (`%2f` → `%2F`); a `%` not followed by two hex digits
+    * passes through literally. Pure HOF over `split('%')` — each
+    * segment's first two chars are the candidate hex — so the DuckDB
+    * twin recomputes it with the same split (the q285 oracle states
+    * results by construction instead, but DomainsSpec pins the vectors).
+    */
+  def pctNormalize(s: Column): Column = {
+    val parts = split(s, "%")
+    val rest = transform(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), seg => {
+        val h2 = substring(seg, 1, 2)
+        val valid = h2.rlike("^[0-9a-fA-F]{2}$")
+        val code = conv(h2, 16, 10).cast("int")
+        val unreserved =
+          (code >= 48 && code <= 57) || (code >= 65 && code <= 90) ||
+            (code >= 97 && code <= 122) ||
+            code.isin(45, 46, 95, 126)
+        when(valid && unreserved,
+          concat(call_function("char", code), seg.substr(lit(3), length(seg))))
+          .when(valid,
+            concat(lit("%"), upper(h2), seg.substr(lit(3), length(seg))))
+          .otherwise(concat(lit("%"), seg))
+      })
+    when(s.isNull, lit(null).cast("string"))
+      .otherwise(concat(element_at(parts, 1), array_join(rest, "")))
   }
 
   /** Query params that never change content (analytics/click IDs).

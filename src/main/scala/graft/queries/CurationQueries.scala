@@ -590,7 +590,7 @@ object CurationQueries {
     "q285_url_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sd = (col("doc_id") % 50).cast("string")
-      val m = col("doc_id") % 8
+      val m = col("doc_id") % 10
       val site = concat(lit("site"), sd)
       val url = when(m === 0, concat(lit("https://WWW."), site,
           lit(".com/Page/"), sd, lit("/?utm_source=x&b=2&a=1#frag")))
@@ -603,8 +603,15 @@ object CurationQueries {
         .when(m === 5, concat(lit("https://"), site,
           lit(".com/a?gclid=1&z=9&utm_campaign=c")))
         .when(m === 6, concat(lit("https://"), site, lit(".com/a")))
-        .otherwise(concat(lit("https://"), site, lit(".com/Page/"), sd,
-          lit("?b=2&a=1&utm_medium=y")))
+        .when(m === 7, concat(lit("https://"), site, lit(".com/Page/"),
+          sd, lit("?b=2&a=1&utm_medium=y")))
+        // percent-escapes: unreserved %7E decodes, %2f uppercases,
+        // %41 in a query value decodes
+        .when(m === 8, concat(lit("https://"), site,
+          lit(".com/%7Etilde/%2fpath?a=%41")))
+        // valueless tracking param + lowercase unreserved escape
+        .otherwise(concat(lit("https://"), site,
+          lit(".com/a?fbclid&z=%7a")))
       docs.select(col("source"), url.as("url"))
         .withColumn("canon", graft.llm.Domains.canonicalUrl(col("url")))
         .groupBy(col("source"))
@@ -1490,7 +1497,7 @@ object CurationQueries {
     // www/port/slash/fragment normalized)
     "q285_url_dedup" ->
       s"""WITH d AS (SELECT doc_id, source, doc_id % 50 AS sd,
-           doc_id % 8 AS m FROM documents),
+           doc_id % 10 AS m FROM documents),
          u AS (SELECT source,
              CASE m
                WHEN 0 THEN 'https://WWW.site' || sd || '.com/Page/' || sd
@@ -1502,8 +1509,12 @@ object CurationQueries {
                WHEN 5 THEN 'https://site' || sd
                  || '.com/a?gclid=1&z=9&utm_campaign=c'
                WHEN 6 THEN 'https://site' || sd || '.com/a'
-               ELSE 'https://site' || sd || '.com/Page/' || sd
-                 || '?b=2&a=1&utm_medium=y' END AS url,
+               WHEN 7 THEN 'https://site' || sd || '.com/Page/' || sd
+                 || '?b=2&a=1&utm_medium=y'
+               WHEN 8 THEN 'https://site' || sd
+                 || '.com/%7Etilde/%2fpath?a=%41'
+               ELSE 'https://site' || sd || '.com/a?fbclid&z=%7a'
+               END AS url,
              CASE m
                WHEN 0 THEN 'https://site' || sd || '.com/Page/' || sd
                  || '?a=1&b=2'
@@ -1513,8 +1524,11 @@ object CurationQueries {
                WHEN 4 THEN 'http://site' || sd || '.org/a/b'
                WHEN 5 THEN 'https://site' || sd || '.com/a?z=9'
                WHEN 6 THEN 'https://site' || sd || '.com/a'
-               ELSE 'https://site' || sd || '.com/Page/' || sd
-                 || '?a=1&b=2' END AS canon
+               WHEN 7 THEN 'https://site' || sd || '.com/Page/' || sd
+                 || '?a=1&b=2'
+               WHEN 8 THEN 'https://site' || sd
+                 || '.com/~tilde/%2Fpath?a=A'
+               ELSE 'https://site' || sd || '.com/a?z=z' END AS canon
            FROM d)
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT url) AS BIGINT) AS n_raw,

@@ -102,6 +102,24 @@ class DomainsSpec extends AnyFunSuite {
       // utm_ prefix is a family, not a fixed list
       "https://example.com/p?utm_weird=1&keep=2" ->
         Some("https://example.com/p?keep=2"),
+      // percent-escape normalization (RFC 3986 6.2.2): unreserved
+      // escapes decode either spelling, others uppercase their hex,
+      // and a bare/invalid '%' passes through literally
+      "https://example.com/%7Euser/%7e2" ->
+        Some("https://example.com/~user/~2"),
+      "https://example.com/a%2fb?x=%41%5a" ->
+        Some("https://example.com/a%2Fb?x=AZ"),
+      // a bare/invalid '%' makes the URI unparseable -> parse_url
+      // yields no host -> null (such strings are not valid URLs)
+      "https://example.com/100%?y=%G1&z=%4" -> None,
+      // percent spellings of one URL collapse to one bucket
+      "https://example.com/%61bc" -> Some("https://example.com/abc"),
+      "https://example.com/abc" -> Some("https://example.com/abc"),
+      // valueless tracking params strip like their valued spellings
+      "https://example.com/a?fbclid&z=1" ->
+        Some("https://example.com/a?z=1"),
+      "https://example.com/a?utm_source" ->
+        Some("https://example.com/a"),
       // no parseable host -> null
       "not a url" -> None,
       "mailto:someone@example.com" -> None)
@@ -110,6 +128,24 @@ class DomainsSpec extends AnyFunSuite {
       .as[Option[String]].collect().toSeq
     vectors.zip(got).foreach { case ((u, want), r) =>
       assert(r === want, s"canonicalUrl('$u')")
+    }
+  }
+
+  test("pctNormalize: unreserved escapes decode, others uppercase, " +
+      "invalid/bare '%' stays literal (defensive path — parse_url " +
+      "never emits one)") {
+    val vectors = Seq(
+      "%7E%7e" -> "~~",
+      "%41%5a%61%7a%30%39" -> "AZaz09",
+      "%2d%2e%5f" -> "-._",
+      "%2f%3a%3f" -> "%2F%3A%3F",
+      "a%" -> "a%", "%G1" -> "%G1", "%4" -> "%4", "%%41" -> "%A",
+      "" -> "", "plain" -> "plain")
+    val got = vectors.map(_._1).toDF("s")
+      .select(graft.llm.Domains.pctNormalize(col("s")).as("r"))
+      .as[String].collect().toSeq
+    vectors.zip(got).foreach { case ((in, want), r) =>
+      assert(r === want, s"pctNormalize('$in')")
     }
   }
 
