@@ -122,8 +122,45 @@ object Domains {
   val TrackingParamRegex: String =
     "^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=|$)"
 
+  /** Load a PSL rule list from a file in the publicsuffix.org dat
+    * format: one rule per line, `//` comment lines and blank lines
+    * skipped, whitespace trimmed (both ICANN and PRIVATE sections are
+    * kept — filter upstream if only ICANN rules are wanted). This is a
+    * deliberate DRIVER-side bounded collect: the full PSL is ~9k rules
+    * (~250 KB), which [[RegistrableDomainExpr]] holds as three hash
+    * sets (≈ 2 MB of JVM strings per executor, shipped with the task
+    * binary) — lookups stay zero-join, zero-shuffle at any corpus
+    * size. Hard cap 100k rules so a mistaken path (a corpus file)
+    * fails loudly instead of inflating every task.
+    */
+  def suffixesFromFile(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] =
+    parseRules(spark.read.textFile(path).collect().toSeq)
+
+  /** Same contract as [[suffixesFromFile]] for rules already in a
+    * DataFrame column (e.g. a curated suffix table).
+    */
+  def suffixesFromDataFrame(df: org.apache.spark.sql.DataFrame,
+                            ruleCol: String): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    parseRules(df.select(col(ruleCol).cast("string"))
+      .as[String].collect().toSeq)
+  }
+
+  private def parseRules(lines: Seq[String]): Seq[String] = {
+    val rules = lines.iterator
+      .map(l => Option(l).fold("")(_.trim))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .toSeq
+    require(rules.size <= 100000,
+      s"suffix list has ${rules.size} rules (cap 100k) — is this a PSL file?")
+    rules
+  }
+
   /** A representative PSL subset for tests/defaults — real deployments
-    * pass the full list (publicsuffix.org, ~9k rules; the expression
+    * pass the full list (publicsuffix.org, ~9k rules; load it with
+    * [[suffixesFromFile]]/[[suffixesFromDataFrame]] — the expression
     * holds it as one in-memory set). Includes multi-label suffixes and
     * the PSL's own wildcard/exception showcase (`*.ck` / `!www.ck`).
     */

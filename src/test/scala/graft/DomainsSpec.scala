@@ -149,6 +149,67 @@ class DomainsSpec extends AnyFunSuite {
     }
   }
 
+  test("suffixesFromFile loads a full-size PSL (comments/blanks " +
+      "skipped), multi-label rules beyond the default subset resolve, " +
+      "and the q283 host family is INVARIANT under the bigger list") {
+    // a realistically large, multi-label-heavy list: the defaults plus
+    // the .kr family the r12 verdict called out, a 400-rule two-label
+    // synthetic block, a deep 4-label rule, and wildcard/exception
+    // rules — ~440 rules through the real file-format path
+    val extra = Seq("kr", "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr",
+        "pe.kr", "a.b.c.zz", "*.wild.zz", "!ok.wild.zz") ++
+      (for (c1 <- 'a' to 't'; c2 <- 'a' to 't')
+        yield s"$c1$c2.zz")
+    val big = graft.llm.Domains.defaultSuffixes ++ extra
+    val dir = java.nio.file.Files.createTempDirectory("graft-psl")
+    val f = dir.resolve("psl.dat")
+    val content = ("// ===BEGIN ICANN DOMAINS===" +: "" +:
+      big.map(r => if (r == "co.kr") s"  $r  " else r)) :+
+      "" :+ "// ===END ICANN DOMAINS==="
+    java.nio.file.Files.write(f,
+      content.mkString("\n").getBytes("UTF-8"))
+    val loaded = graft.llm.Domains.suffixesFromFile(spark, f.toString)
+    assert(loaded.size === big.size, "comments/blanks skipped, rules kept")
+    assert(loaded.toSet === big.toSet)
+    // multi-label resolution the default subset gets WRONG (co.kr is
+    // not a default rule -> default says registrable = 'co.kr')
+    def rd(host: String, rules: Seq[String]): Option[String] =
+      Seq(host).toDF("h")
+        .select(graft.llm.Domains.registrableDomain(col("h"), rules))
+        .as[Option[String]].head()
+    assert(rd("foo.bar.co.kr", loaded) === Some("bar.co.kr"))
+    assert(rd("foo.bar.co.kr", graft.llm.Domains.defaultSuffixes)
+      === Some("co.kr"), "the default subset misses .kr (why the " +
+      "loader exists)")
+    assert(rd("w.x.ab.zz", loaded) === Some("x.ab.zz"))
+    assert(rd("deep.a.b.c.zz", loaded) === Some("deep.a.b.c.zz"))
+    assert(rd("a.b.c.zz", loaded) === None, "host IS a public suffix")
+    assert(rd("n.anything.wild.zz", loaded) === Some("n.anything.wild.zz"))
+    assert(rd("sub.ok.wild.zz", loaded) === Some("ok.wild.zz"),
+      "exception rule wins over the wildcard")
+    // q283/q290 contract: their host family never touches the added
+    // rules, so extraction is identical under defaults and the big list
+    val hosts = (0L until 500L).toDF("doc_id")
+      .select((col("doc_id") % 50).cast("string").as("sd"),
+        (col("doc_id") % 10).as("m"), col("doc_id"))
+      .select(when(col("m") === 0, concat(lit("www.site"), col("sd"), lit(".com")))
+        .when(col("m") === 1, concat(lit("blog.site"), col("sd"), lit(".co.uk")))
+        .when(col("m") === 2, concat(lit("a.b.site"), col("sd"), lit(".ac.uk")))
+        .when(col("m") === 3, concat(lit("site"), col("sd"), lit(".org")))
+        .when(col("m") === 4, concat(lit("www.site"), col("sd"), lit(".xyzunknown")))
+        .when(col("m") === 5, concat(lit("192.168.0."), (col("doc_id") % 200).cast("string")))
+        .when(col("m") === 6, concat(lit("x.site"), col("sd"), lit(".ck")))
+        .when(col("m") === 7, lit("WWW.CK."))
+        .when(col("m") === 8, concat(lit("deep.sub.site"), col("sd"), lit(".com.au")))
+        .otherwise(lit("co.uk")).as("h"))
+    val under = hosts.select(
+        graft.llm.Domains.registrableDomain(col("h")).as("d"),
+        graft.llm.Domains.registrableDomain(col("h"), loaded).as("b"))
+      .collect()
+    under.foreach(r => assert(r.get(0) === r.get(1),
+      s"q283 hosts must extract identically under the big list: $r"))
+  }
+
   test("registrableDomainFromUrl extracts through the URL host under " +
       "CODEGEN_ONLY") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
