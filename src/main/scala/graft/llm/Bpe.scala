@@ -1,7 +1,12 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Multi-round BPE merge training — the tokenizer-training inner loop
   * (q223 ran exactly one census; this runs `rounds` of them with the
@@ -245,6 +250,82 @@ object Bpe {
         col("ids"))
   }
 
+  /** Apply an EXTERNALLY SUPPLIED merge list to a word — the
+    * production-tokenizer apply path. [[encodeIds]] replays its own
+    * trained rules as a foldLeft of per-rule projections, which caps
+    * out around the trainer's 16 rounds (expression-tree depth grows
+    * with the rule count); a real pretraining vocabulary is 32k–100k
+    * merges. This runs the standard BPE apply loop instead — repeatedly
+    * merge the LOWEST-RANK adjacent pair present (greedy left-to-right
+    * within a pass) until none remains — inside ONE native expression
+    * whose rank map ships with the task binary, so cost per word is
+    * O(len²) hash probes independent of vocabulary size, zero joins.
+    *
+    * For a TRAINED merge list the result is identical to the in-order
+    * foldLeft replay (a later rule's output can never create an
+    * earlier rule's pair, because earlier rules cannot reference
+    * later outputs) — BpeSpec pins that equivalence; for arbitrary
+    * rule lists the min-rank semantics is the contract.
+    */
+  def applyMerges(word: Column, rules: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(
+      BpeApplyExpr(ColumnBridge.toExpression(word), rules))
+  }
+
+  /** Map each symbol to its id under a FIXED vocabulary (broadcast
+    * hash map inside the expression — O(1)/symbol at any vocab size,
+    * where an `array_position` literal scan is O(|vocab|)). Unknown
+    * symbols map to -1 (callers building the vocab from observed
+    * symbols never see one).
+    */
+  def symbolIds(symbols: Column, vocab: Map[String, Long]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(
+      SymbolIdsExpr(ColumnBridge.toExpression(symbols), vocab))
+  }
+
+  /** [[encodeIds]] with an externally supplied merge list (the
+    * production artifact — see [[applyMerges]]): same distinct-word
+    * replay shape and output schema, but the per-word encode is the
+    * one-expression min-rank apply, so 32k–100k-merge vocabularies are
+    * in reach. Ids keep the [[encodeIds]] contract (observed post-merge
+    * symbols, sorted, 1-based — bounded by |alphabet| + |rules|, a
+    * documented driver-side collect) assigned via the O(1) hash-map
+    * expression rather than a literal-array scan.
+    */
+  def encodeIdsWith(docs: DataFrame, idCol: String, textCol: String,
+                    rules: Seq[(String, String)],
+                    blockTokens: Int = 64): DataFrame = {
+    require(rules.nonEmpty, "empty merge list")
+    require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+    val enc = toks.select(explode(col("t")).as("w")).distinct()
+      .select(col("w"), applyMerges(col("w"), rules).as("s"))
+      .transform(graft.core.Caching.persist)
+    val vocab = enc.select(explode(col("s")).as("sym")).distinct()
+      .orderBy(col("sym")).as[String].collect()
+    val idMap = vocab.iterator.zipWithIndex
+      .map { case (sym, i) => sym -> (i + 1L) }.toMap
+    val encIds = enc.select(col("w"), symbolIds(col("s"), idMap).as("wids"))
+    toks.select(col("doc_id"), posexplode(col("t")))
+      .join(encIds, col("col") === col("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sort_array(collect_list(struct(col("pos"), col("wids")))).as("ws"))
+      .select(col("doc_id"), col("n_words"),
+        flatten(col("ws.wids")).as("ids"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("ids")).cast("long").as("n_symbols"),
+        expr(s"CAST((size(ids) + ${blockTokens - 1}) div $blockTokens " +
+          "AS BIGINT)").as("n_blocks"),
+        col("ids"))
+  }
+
   /** Split an id sequence into `blockTokens`-sized training blocks
     * (tail block truncates) — the pack boundary the loader consumes.
     */
@@ -260,4 +341,133 @@ object Bpe {
         slice(ids, b * lit(blockTokens) + 1, lit(blockTokens))))
       .otherwise(array().cast("array<array<bigint>>"))
   }
+}
+
+/** Native BPE apply (see [[Bpe.applyMerges]]): word → post-merge symbol
+  * array under a fixed rank map. The loop is the GPT-2/fast-tokenizer
+  * standard: find the lowest-rank adjacent pair present, merge ALL its
+  * occurrences greedy left-to-right (a fresh merge never re-merges in
+  * its own pass — the concatenated symbol no longer equals x), repeat
+  * until no pair is ranked. Duplicate pairs in the list keep their
+  * first rank. Whitespace never appears inside symbols
+  * ([[TextFunctions.tokens]] splits on it), so symbols are exactly the
+  * character-run concatenations of the input word.
+  */
+case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](rules.size * 2)
+    var i = 0
+    rules.foreach { case (x, y) =>
+      // '\n' separator keeps the key unambiguous (("ab","c") vs
+      // ("a","bc")) — symbols never contain whitespace
+      m.putIfAbsent(x + "\n" + y, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(in: UTF8String): ArrayData = {
+    val w = in.toString
+    var syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(w.substring(i, i + n))
+      i += n
+    }
+    var done = syms.size < 2
+    while (!done) {
+      // lowest-rank adjacent pair present
+      var best = Integer.MAX_VALUE
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = rank.get(syms.get(j) + "\n" + syms.get(j + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        j += 1
+      }
+      if (best == Integer.MAX_VALUE) done = true
+      else {
+        val (x, y) = rules(best)
+        val out = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && syms.get(k) == x && syms.get(k + 1) == y) {
+            out.add(x + y); k += 2 // greedy LTR, non-overlapping
+          } else { out.add(syms.get(k)); k += 1 }
+        }
+        syms = out
+        done = syms.size < 2
+      }
+    }
+    val arr = new Array[Any](syms.size)
+    var a = 0
+    while (a < syms.size) { arr(a) = UTF8String.fromString(syms.get(a)); a += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApply", this,
+      classOf[BpeApplyExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeApplyExpr = copy(child = newChild)
+
+  override def prettyName: String = "bpe_apply"
+}
+
+/** Native symbol→id map lookup (see [[Bpe.symbolIds]]): array<string>
+  * → array<bigint> under a fixed vocabulary hash map; unknown symbols
+  * → -1.
+  */
+case class SymbolIdsExpr(child: Expression, vocab: Map[String, Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (s, i) => m.put(s, java.lang.Long.valueOf(i)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = in.getUTF8String(i)
+      val v = if (s == null) null else ids.get(s.toString)
+      out(i) = if (v == null) -1L else v.longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("symIds", this,
+      classOf[SymbolIdsExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SymbolIdsExpr = copy(child = newChild)
+
+  override def prettyName: String = "symbol_ids"
 }

@@ -965,8 +965,59 @@ object CurationQueries {
           graft.llm.TextFunctions.portableHash(
             array_join(transform(col("ids"), i => i.cast("string")), ","),
             7).as("ids_hash"))
+    }),
+
+    // Tokenizer APPLY with an EXTERNALLY SUPPLIED merge list at
+    // realistic vocab size (the production artifact — a trained
+    // 32k–100k-merge vocabulary applied, never re-trained): 1352
+    // closed-form merge rules (both engines derive the list from the
+    // same formula) run through Bpe.applyMerges' min-rank loop — ONE
+    // native expression holding the rank map, replayed over DISTINCT
+    // words only, then joined back to per-(source, word) instance
+    // counts. Corpus touched twice (both map-side-combined
+    // aggregates); per-word symbol sequences are hashed so one wrong
+    // merge anywhere flips the compare. The DuckDB oracle recomputes
+    // the SAME min-rank loop with a recursive CTE over the rank map.
+    "q302_bpe_apply_external" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sw = docs.select(col("source"),
+          explode(graft.llm.TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("nsw"))
+      val enc = sw.select(col("w")).distinct()
+        .select(col("w"),
+          graft.llm.Bpe.applyMerges(col("w"), externalMerges).as("s"))
+        .select(col("w"), size(col("s")).cast("long").as("n_sym"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(col("s"), " "), 13).as("h"))
+      sw.join(enc, "w")
+        .groupBy(col("source"))
+        .agg(sum(col("nsw")).cast("long").as("n_words"),
+          sum(col("nsw") * length(col("w"))).cast("long").as("n_chars"),
+          sum(col("nsw") * col("n_sym")).cast("long").as("n_symbols"),
+          sum(col("nsw") * col("h")).cast("long").as("sym_hash_sum"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          col("n_symbols"),
+          (col("n_chars").cast("double") / col("n_symbols").cast("double"))
+            .as("chars_per_symbol"),
+          (col("n_symbols").cast("double") / col("n_words").cast("double"))
+            .as("symbols_per_word"),
+          col("sym_hash_sum"))
     })
   )
+
+  /** Deterministic 1352-rule external merge list — the q302 fixture
+    * vocabulary, derived from one closed-form formula on BOTH engines
+    * (the oracle inverts ranks back to pairs arithmetically): ranks
+    * 0..675 are all lowercase letter pairs in lexicographic order;
+    * rank 676+j merges the 2-letter symbol of j with letter
+    * (j·7+3) mod 26, so phase 2 consumes phase-1 outputs (real
+    * apply-loop chaining, not a flat substitution table).
+    */
+  private[graft] val externalMerges: Seq[(String, String)] =
+    (0 until 676).map(i => ((97 + i / 26).toChar.toString,
+      (97 + i % 26).toChar.toString)) ++
+      (0 until 676).map(j => ("" + (97 + j / 26).toChar + (97 + j % 26).toChar,
+        (97 + (j * 7 + 3) % 26).toChar.toString))
 
   /** k chained BPE rounds in one DuckDB statement: census → one-row
     * argmax → list_reduce greedy rewrite (the same fold semantics as
@@ -1588,6 +1639,74 @@ object CurationQueries {
            CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
              AS symbols_per_word
          FROM curve"""),
+    // the SAME min-rank apply loop, as a recursive CTE: rank map from
+    // the closed-form rule formula, per iteration each still-mergeable
+    // word finds its lowest-rank adjacent pair (ranks invert back to
+    // (x, y) arithmetically) and greedy-merges it with the list_reduce
+    // fold; finished words fall out of the recursion
+    "q302_bpe_apply_external" ->
+      s"""WITH RECURSIVE ${LlmQueries.tkCte},
+         rk AS (SELECT map_from_entries(list(struct_pack(
+               k := x || chr(10) || y, v := rank))) AS m
+             FROM (
+               SELECT i AS rank, chr(97 + CAST(i // 26 AS INTEGER)) AS x,
+                   chr(97 + CAST(i % 26 AS INTEGER)) AS y
+                 FROM range(676) t(i)
+               UNION ALL
+               SELECT 676 + j AS rank,
+                   chr(97 + CAST(j // 26 AS INTEGER))
+                     || chr(97 + CAST(j % 26 AS INTEGER)) AS x,
+                   chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER)) AS y
+                 FROM range(676) t(j))),
+         sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS nsw
+           FROM (SELECT source, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+         w0 AS (SELECT DISTINCT w FROM sw),
+         enc AS (
+           SELECT w, list_filter(string_split(w, ''), c -> c <> '') AS s
+             FROM w0
+           UNION ALL
+           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
+               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
+               ELSE acc || ' ' || sy END), ' ') AS s
+           FROM (
+             SELECT w, s, br,
+               CASE WHEN br < 676
+                   THEN chr(97 + CAST(br // 26 AS INTEGER))
+                 ELSE chr(97 + CAST((br - 676) // 26 AS INTEGER))
+                   || chr(97 + CAST((br - 676) % 26 AS INTEGER)) END AS bx,
+               CASE WHEN br < 676
+                   THEN chr(97 + CAST(br % 26 AS INTEGER))
+                 ELSE chr(97 + CAST(((br - 676) * 7 + 3) % 26
+                   AS INTEGER)) END AS by
+             FROM (
+               SELECT w, s, list_min(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> m[s[i] || chr(10) || s[i+1]][1])) AS br
+               FROM enc, rk WHERE len(s) >= 2
+             ) WHERE br IS NOT NULL
+           )
+         ),
+         fin AS (SELECT w, len(s) AS n_sym,
+             CAST(concat('0x', substr(md5(concat('13', '|',
+               array_to_string(s, ' '))), 1, 8)) AS BIGINT) AS h
+           FROM enc, rk
+           WHERE len(s) < 2 OR list_min(list_transform(
+             generate_series(1, len(s) - 1),
+             i -> m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
+         g AS (SELECT source,
+             CAST(sum(nsw) AS BIGINT) AS n_words,
+             CAST(sum(nsw * length(w)) AS BIGINT) AS n_chars,
+             CAST(sum(nsw * n_sym) AS BIGINT) AS n_symbols,
+             CAST(sum(nsw * h) AS BIGINT) AS sym_hash_sum
+           FROM sw JOIN fin USING (w) GROUP BY source)
+         SELECT source, n_words, n_chars, n_symbols,
+           CAST(n_chars AS DOUBLE) / CAST(n_symbols AS DOUBLE)
+             AS chars_per_symbol,
+           CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS symbols_per_word,
+           sym_hash_sum
+         FROM g""",
     // both LMs from one census; floored scoring LEFT-joins the df>=2
     // table and coalesces onto the per-lang unseen microbits
     "q298_vocab_floor_audit" ->

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The external-merge BPE apply path (`Bpe.applyMerges` /
+  * `Bpe.encodeIdsWith`): the min-rank loop against a brute-force Scala
+  * reference, its equivalence to the in-order foldLeft replay for
+  * TRAINED rule lists (the property that makes `encodeIdsWith` a
+  * drop-in for `encodeIds`), and the id-map expression. The q302
+  * oracle gate proves Spark == DuckDB on the same loop; this suite
+  * proves the loop itself.
+  */
+class BpeSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  /** Brute-force reference: repeatedly merge the lowest-rank adjacent
+    * pair (greedy left-to-right within the pass) until none is ranked.
+    */
+  private def refApply(w: String, rules: Seq[(String, String)])
+      : Seq[String] = {
+    val rank = rules.zipWithIndex.groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).min }
+    var s = w.map(_.toString).toVector
+    var done = false
+    while (!done && s.length >= 2) {
+      val present = s.sliding(2).map(p => (p(0), p(1)))
+        .filter(rank.contains).toSeq
+      if (present.isEmpty) done = true
+      else {
+        val (x, y) = present.minBy(rank)
+        val out = Vector.newBuilder[String]
+        var k = 0
+        while (k < s.length) {
+          if (k < s.length - 1 && s(k) == x && s(k + 1) == y) {
+            out += (x + y); k += 2
+          } else { out += s(k); k += 1 }
+        }
+        s = out.result()
+      }
+    }
+    s
+  }
+
+  private def sparkApply(words: Seq[String],
+                         rules: Seq[(String, String)]): Seq[Seq[String]] =
+    words.toDF("w")
+      .select(graft.llm.Bpe.applyMerges(col("w"), rules).as("s"))
+      .as[Seq[String]].collect().toSeq
+
+  test("applyMerges matches the brute-force min-rank reference on the " +
+      "q302 1352-rule closed-form vocabulary") {
+    val rules = graft.queries.CurationQueries.externalMerges
+    assert(rules.size === 1352, "the fixture list is >= 1k rules")
+    val words = Seq("hello", "aaaa", "abc", "the", "a", "zz9zz", "x1z",
+      "tokenization", "mississippi", "aaaaaaa", "zzz", "q-q", "42")
+    val got = sparkApply(words, rules)
+    words.zip(got).foreach { case (w, g) =>
+      assert(g === refApply(w, rules), s"applyMerges('$w')")
+      assert(g.mkString === w, s"char mass preserved for '$w'")
+    }
+    // hand-verified anchors (same values the DuckDB oracle prototype
+    // produced): greedy LTR for self-adjacent pairs, phase-2 chaining
+    assert(got(1) === Seq("aa", "aa"))
+    assert(got(0) === Seq("h", "el", "lo"))
+    assert(got(3) === Seq("t", "he"))
+  }
+
+  test("applyMerges on fixture words equals the in-order foldLeft " +
+      "replay for a TRAINED rule list (drop-in contract)") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rules = graft.llm.Bpe.train(docs, "text", 8)
+      .orderBy(col("merge_round"))
+      .select(col("x"), col("y")).as[(String, String)].collect().toSeq
+    assert(rules.nonEmpty)
+    val words = docs.select(explode(
+        graft.llm.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct()
+    val fold = rules.foldLeft(words.select(col("w"),
+        filter(split(col("w"), ""), x => x =!= lit("")).as("s"))) {
+      case (d, (x, y)) =>
+        d.select(col("w"), graft.llm.Bpe.mergePair(col("s"), x, y).as("s"))
+    }
+    // compare via collects: joining the 8-deep fold plan with another
+    // plan makes the (4^8-node) expression tree's plan string blow the
+    // heap — the fold side alone is exactly what encodeStats runs
+    val foldMap = fold.select(col("w"), array_join(col("s"), " "))
+      .as[(String, String)].collect().toMap
+    val mr = words.select(col("w"),
+        array_join(graft.llm.Bpe.applyMerges(col("w"), rules), " "))
+      .as[(String, String)].collect()
+    assert(mr.nonEmpty)
+    mr.foreach { case (w, s2) =>
+      assert(foldMap(w) === s2,
+        s"min-rank apply must equal sequential replay for '$w'")
+    }
+  }
+
+  test("encodeIdsWith(trained rules) is a drop-in for encodeIds on " +
+      "the fixture (same ids, counts, blocks)") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rules = graft.llm.Bpe.train(docs, "text", 8)
+      .orderBy(col("merge_round"))
+      .select(col("x"), col("y")).as[(String, String)].collect().toSeq
+    def dump(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), col("n_words"), col("n_symbols"),
+          col("n_blocks"),
+          array_join(transform(col("ids"), i => i.cast("string")), ",")
+            .as("ids"))
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val a = dump(graft.llm.Bpe.encodeIds(docs, "doc_id", "text",
+      rounds = 8, blockTokens = 64))
+    val b = dump(graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+      rules, blockTokens = 64))
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
+  test("encodeIdsWith carries a 1352-rule vocabulary end-to-end " +
+      "(ids positive, blocks consistent, char mass preserved)") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rules = graft.queries.CurationQueries.externalMerges
+    val out = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text", rules,
+        blockTokens = 32)
+      .select(col("doc_id"), col("n_words"), col("n_symbols"),
+        col("n_blocks"),
+        array_min(col("ids")).cast("long").as("minId"),
+        size(col("ids")).cast("long").as("nIds"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nw, ns, nb, minId, nIds) =>
+      assert(minId >= 1L, s"doc $id: unknown-symbol id leaked")
+      assert(ns === nIds)
+      assert(nb === (ns + 31) / 32, s"doc $id: block count")
+      assert(ns <= nw * 100 && ns >= nw, s"doc $id: symbol count sane")
+    }
+  }
+
+  test("symbolIds maps through the hash map; unknown symbols -> -1") {
+    val got = Seq(Seq("aa", "b", "zz"), Seq.empty[String])
+      .toDF("s")
+      .select(graft.llm.Bpe.symbolIds(col("s"),
+        Map("aa" -> 5L, "b" -> 2L)).as("r"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === Seq(Seq(5L, 2L, -1L), Seq.empty[Long]))
+  }
+}
