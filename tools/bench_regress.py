@@ -142,6 +142,15 @@ def main():
 
     regressions, excused, suspects = diff(cq, bq, drift, excl, rerun_hook)
 
+    # Cross-round anchor (r12 verdict: the baseline is refreshed inside
+    # each round, so slow creep that lands before every refresh is
+    # invisible to the gate). tools/bench_anchor.json is a PINNED past
+    # sweep that is NOT refreshed; cumulative movement of the common
+    # queries against it is REPORTED (never gated — it spans rounds of
+    # deliberate code change plus host drift, so it is a judge signal,
+    # not a pass/fail).
+    anchor_ratio, anchor_med, anchor_n = anchor_report(cq, cur.get("sf"))
+
     new_queries = sorted(set(cq) - set(bq))
     for r in regressions:
         print(f"REGRESSION {r['query']}: {r['base']:.2f}s -> {r['cur']:.2f}s "
@@ -162,8 +171,39 @@ def main():
         "n_new_queries": len(new_queries), "n_suspects": len(suspects),
         "regressions": [r["query"] for r in regressions],
         "suspects": [r["query"] for r in suspects],
+        "anchor_ratio": anchor_ratio, "anchor_median": anchor_med,
+        "anchor_n": anchor_n,
     }))
     return 1 if regressions else 0
+
+
+def anchor_report(cq, cur_sf, path="tools/bench_anchor.json"):
+    """(total_ratio, median_ratio, n_common) of the current sweep vs the
+    pinned cross-round anchor — raw, NOT drift-normalized (cumulative
+    movement across rounds cannot separate host drift from creep; the
+    median/total pair lets the reader judge: median ~= host drift,
+    total >> median = a few queries grew). (None, None, 0) when the
+    anchor is missing or at a different SF.
+    """
+    try:
+        anchor = json.load(open(path))
+    except (OSError, ValueError):
+        return None, None, 0
+    if anchor.get("sf") != cur_sf:
+        print(f"anchor: SKIP — anchor sf={anchor.get('sf')} vs "
+              f"current sf={cur_sf}")
+        return None, None, 0
+    aq = anchor.get("queries", {})
+    common = [q for q in aq if q in cq and aq[q] > 0]
+    if len(common) < 8:
+        return None, None, 0
+    tot = round(sum(cq[q] for q in common) / sum(aq[q] for q in common), 3)
+    med = round(statistics.median(cq[q] / aq[q] for q in common
+                                  if aq[q] >= MEDIAN_FLOOR_SECS), 3)
+    print(f"anchor     {len(common)} common queries vs "
+          f"{anchor.get('anchor_note', path)}: total x{tot}, median x{med} "
+          f"(reported, not gated)")
+    return tot, med, len(common)
 
 
 def diff(cq, bq, drift, excl, rerun_hook):
@@ -279,8 +319,23 @@ def selftest():
     #    stale data)
     reg, _, sus = diff(cur4, sb, 1.0, {}, lambda names: {"q777": 0.2})
     assert reg == [] and [r["query"] for r in sus] == ["q900"], (reg, sus)
+    # 8) anchor report: total picks up the one grown query, median
+    #    stays at the host-drift floor; missing anchor -> (None, None, 0)
+    import tempfile, os as _os
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump({"sf": 0.1, "queries": base,
+                   "anchor_note": "selftest"}, f)
+        apath = f.name
+    cur8 = {q: t * 1.1 * (3.0 if q == "q016" else 1.0)
+            for q, t in base.items()}
+    tot, med, n = anchor_report(cur8, 0.1, apath)
+    _os.unlink(apath)
+    assert n == len(base) and med == 1.1 and tot > med, (tot, med, n)
+    assert anchor_report(cur8, 0.1, "/nonexistent.json") == (None, None, 0)
     print("selftest ok: drift normalized, real regression caught, "
-          "clamp holds, sub-noise suspect confirmed/melted/reported")
+          "clamp holds, sub-noise suspect confirmed/melted/reported, "
+          "anchor reported")
     return 0
 
 
