@@ -202,7 +202,21 @@ object ScaleSmoke {
           col("c_nationkey") + col("rep") * lit(10000L))
         .drop("rep")
         .write.parquet(s"$out/customer.parquet")
-      Seq("q105_triangles", "q106_pagerank", "q175_entity_resolution")
+      // documents-side frontier (r12 verdict #7): q284 runs the whole
+      // BPE family — train over the (replication-invariant) distinct
+      // vocab, distinct-word encode, per-doc id materialization — so
+      // the 100 TB tokenize story is measured end-to-end, not argued.
+      // doc_ids shift per copy (disjoint docs); text is byte-identical,
+      // which is exactly the point: corpus volume grows 100x while the
+      // vocab/encode tables stay content-bounded.
+      Tables.documents(spark, smallDir)
+        .crossJoin(rep)
+        .withColumn("doc_id",
+          col("doc_id") + col("rep") * lit(100000000L))
+        .drop("rep")
+        .write.parquet(s"$out/documents.parquet")
+      Seq("q105_triangles", "q106_pagerank", "q175_entity_resolution",
+          "q284_token_ids")
         .foreach { qn =>
           val t10 = time(qn, bigDir) // sf0.1 reference
           val t100 = time(qn, out)   // 10x its rows
