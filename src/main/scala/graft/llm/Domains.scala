@@ -115,6 +115,26 @@ object Domains {
       .otherwise(concat(element_at(parts, 1), array_join(rest, "")))
   }
 
+  /** Batch URL-level dedup marking (the q285 / FineWeb first pass):
+    * (doc_id, canon, kept) where kept iff the doc has the MIN id of
+    * its canonical-URL bucket; docs with no parseable host (canonical
+    * null) cannot be deduped by URL and stay kept. One narrow
+    * projection + one hash aggregate + one keyed join — the shuffle
+    * carries (canon, id) pairs only, never text. The streaming face is
+    * [[graft.streaming.StreamingUrlDedup]] (twin #29).
+    */
+  def urlDedupMark(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   urlCol: String): org.apache.spark.sql.DataFrame = {
+    val ev = docs.select(col(idCol).cast("long").as("doc_id"),
+      canonicalUrl(col(urlCol)).as("canon"))
+    val keepers = ev.where(col("canon").isNotNull)
+      .groupBy(col("canon")).agg(min(col("doc_id")).as("keeper"))
+    ev.join(keepers, Seq("canon"), "left_outer")
+      .select(col("doc_id"), col("canon"),
+        (col("canon").isNull || col("doc_id") === col("keeper"))
+          .as("kept"))
+  }
+
   /** Query params that never change content (analytics/click IDs).
     * `(=|$)` so VALUELESS occurrences (`?fbclid`, `?utm_source`) are
     * also stripped — real crawls carry both spellings.

@@ -69,7 +69,16 @@ object TrainingDataPipeline {
     *               tags land inside the shingles). Docs that are pure
     *               markup strip to empty and fall to the quality gate.
     */
+  /** @param urlCol when non-empty, URL-level dedup runs FIRST (the
+    *               FineWeb ordering — a re-crawled spelling of one URL
+    *               never pays for stripping, scoring, or any dedup
+    *               signature): keep the min-doc_id doc per CANONICAL
+    *               URL ([[Domains.canonicalUrl]]); unparseable URLs
+    *               (canonical null) pass through to the content
+    *               stages. "" disables.
+    */
   final case class Config(
+      urlCol: String = "",
       normalize: Boolean = false,
       stripHtml: Boolean = false,
       minQuality: Double = 0.4,
@@ -116,9 +125,20 @@ object TrainingDataPipeline {
     // the first scan.
     // 0-pre. OPTIONAL crawl-grade HTML strip, before even the unicode
     // pass: markup must go before anything hashes or scores the text.
+    // 0u. OPTIONAL URL-level dedup before EVERYTHING (the FineWeb
+    // first pass): one narrow canonicalization + one hash agg + one
+    // semi-join on ids — the cheapest stage goes first so duplicate
+    // crawls never reach a single content pass.
+    val urlDeduped =
+      if (cfg.urlCol.isEmpty) docs
+      else docs.withColumn("doc_id", col("doc_id").cast("long"))
+        .join(Domains.urlDedupMark(docs, "doc_id", cfg.urlCol)
+          .where(col("kept")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+
     val texted =
-      if (!cfg.stripHtml) docs
-      else docs.withColumn("text", Normalize.stripHtml(col("text")))
+      if (!cfg.stripHtml) urlDeduped
+      else urlDeduped.withColumn("text", Normalize.stripHtml(col("text")))
 
     val normed =
       if (!cfg.normalize) texted
@@ -237,8 +257,12 @@ object TrainingDataPipeline {
     val boilerStage =
       if (cfg.boilerC > 0) Seq(("0b_boilerplate", prepped.count()))
       else Seq.empty
+    val urlStage =
+      if (cfg.urlCol.nonEmpty) Seq(("0u_url_dedup", urlDeduped.count()))
+      else Seq.empty
     val manifest = (Seq(
       ("0_input", docs.count())) ++
+      urlStage ++
       boilerStage ++
       Seq(("1_quality_gate", kept.count()),
       ("2_near_dup", deduped.count())) ++

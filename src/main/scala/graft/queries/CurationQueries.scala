@@ -1002,6 +1002,24 @@ object CurationQueries {
           (col("n_symbols").cast("double") / col("n_words").cast("double"))
             .as("symbols_per_word"),
           col("sym_hash_sum"))
+    }),
+
+    // The q284 handoff artifact under the EXTERNAL 1352-rule
+    // vocabulary: per-doc ordered token-id sequences via
+    // Bpe.encodeIdsWith (min-rank apply over distinct words + O(1)
+    // hash-map id assignment), each doc's full sequence hashed so one
+    // transposed/wrong id anywhere flips the compare. The oracle
+    // replays q302's recursive apply, then assigns the SAME ids
+    // (row_number over the sorted distinct observed symbols) and
+    // reassembles each doc's sequence by word position.
+    "q303_external_token_ids" -> ((s, dir) => {
+      graft.llm.Bpe.encodeIdsWith(Tables.documents(s, dir), "doc_id",
+          "text", externalMerges, blockTokens = 64)
+        .select(col("doc_id"), col("n_words"), col("n_symbols"),
+          col("n_blocks"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(transform(col("ids"), i => i.cast("string")), ","),
+            7).as("ids_hash"))
     })
   )
 
@@ -1030,6 +1048,59 @@ object CurationQueries {
     * instead of emptying every later round's CTE (which would zero
     * q274's final v-join while Spark still reports stats).
     */
+  /** Shared q302/q303 oracle machinery — the min-rank external-merge
+    * apply as a recursive CTE: the closed-form 1352-rule rank map, per
+    * iteration each still-mergeable word finds its lowest-rank
+    * adjacent pair (ranks invert back to (x, y) arithmetically) and
+    * greedy-merges it with the list_reduce fold; finished words fall
+    * out of the recursion into `fin0(w, s)`.
+    */
+  private def bpeApplyCtes: String =
+    s"""WITH RECURSIVE ${LlmQueries.tkCte},
+       rk AS (SELECT map_from_entries(list(struct_pack(
+             k := x || chr(10) || y, v := rank))) AS m
+           FROM (
+             SELECT i AS rank, chr(97 + CAST(i // 26 AS INTEGER)) AS x,
+                 chr(97 + CAST(i % 26 AS INTEGER)) AS y
+               FROM range(676) t(i)
+             UNION ALL
+             SELECT 676 + j AS rank,
+                 chr(97 + CAST(j // 26 AS INTEGER))
+                   || chr(97 + CAST(j % 26 AS INTEGER)) AS x,
+                 chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER)) AS y
+               FROM range(676) t(j))),
+       w0 AS (SELECT DISTINCT w FROM (SELECT unnest(t) AS w FROM tk)),
+       enc AS (
+         SELECT w, list_filter(string_split(w, ''), c -> c <> '') AS s
+           FROM w0
+         UNION ALL
+         SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
+             WHEN string_split(acc, ' ')[-1] = bx AND sy = by
+             THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
+             ELSE acc || ' ' || sy END), ' ') AS s
+         FROM (
+           SELECT w, s, br,
+             CASE WHEN br < 676
+                 THEN chr(97 + CAST(br // 26 AS INTEGER))
+               ELSE chr(97 + CAST((br - 676) // 26 AS INTEGER))
+                 || chr(97 + CAST((br - 676) % 26 AS INTEGER)) END AS bx,
+             CASE WHEN br < 676
+                 THEN chr(97 + CAST(br % 26 AS INTEGER))
+               ELSE chr(97 + CAST(((br - 676) * 7 + 3) % 26
+                 AS INTEGER)) END AS by
+           FROM (
+             SELECT w, s, list_min(list_transform(
+                 generate_series(1, len(s) - 1),
+                 i -> m[s[i] || chr(10) || s[i+1]][1])) AS br
+             FROM enc, rk WHERE len(s) >= 2
+           ) WHERE br IS NOT NULL
+         )
+       ),
+       fin0 AS (SELECT w, s FROM enc, rk
+         WHERE len(s) < 2 OR list_min(list_transform(
+           generate_series(1, len(s) - 1),
+           i -> m[s[i] || chr(10) || s[i+1]][1])) IS NULL)"""
+
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""WITH ${LlmQueries.tkCte},
@@ -1639,61 +1710,17 @@ object CurationQueries {
            CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
              AS symbols_per_word
          FROM curve"""),
-    // the SAME min-rank apply loop, as a recursive CTE: rank map from
-    // the closed-form rule formula, per iteration each still-mergeable
-    // word finds its lowest-rank adjacent pair (ranks invert back to
-    // (x, y) arithmetically) and greedy-merges it with the list_reduce
-    // fold; finished words fall out of the recursion
+    // the SAME min-rank apply loop, as a recursive CTE (shared with
+    // q303 via bpeApplyCtes): per-(source, word) instance counts
+    // joined to the finished encodings
     "q302_bpe_apply_external" ->
-      s"""WITH RECURSIVE ${LlmQueries.tkCte},
-         rk AS (SELECT map_from_entries(list(struct_pack(
-               k := x || chr(10) || y, v := rank))) AS m
-             FROM (
-               SELECT i AS rank, chr(97 + CAST(i // 26 AS INTEGER)) AS x,
-                   chr(97 + CAST(i % 26 AS INTEGER)) AS y
-                 FROM range(676) t(i)
-               UNION ALL
-               SELECT 676 + j AS rank,
-                   chr(97 + CAST(j // 26 AS INTEGER))
-                     || chr(97 + CAST(j % 26 AS INTEGER)) AS x,
-                   chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER)) AS y
-                 FROM range(676) t(j))),
+      s"""$bpeApplyCtes,
          sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS nsw
            FROM (SELECT source, unnest(t) AS w FROM tk) GROUP BY 1, 2),
-         w0 AS (SELECT DISTINCT w FROM sw),
-         enc AS (
-           SELECT w, list_filter(string_split(w, ''), c -> c <> '') AS s
-             FROM w0
-           UNION ALL
-           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
-               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
-               ELSE acc || ' ' || sy END), ' ') AS s
-           FROM (
-             SELECT w, s, br,
-               CASE WHEN br < 676
-                   THEN chr(97 + CAST(br // 26 AS INTEGER))
-                 ELSE chr(97 + CAST((br - 676) // 26 AS INTEGER))
-                   || chr(97 + CAST((br - 676) % 26 AS INTEGER)) END AS bx,
-               CASE WHEN br < 676
-                   THEN chr(97 + CAST(br % 26 AS INTEGER))
-                 ELSE chr(97 + CAST(((br - 676) * 7 + 3) % 26
-                   AS INTEGER)) END AS by
-             FROM (
-               SELECT w, s, list_min(list_transform(
-                   generate_series(1, len(s) - 1),
-                   i -> m[s[i] || chr(10) || s[i+1]][1])) AS br
-               FROM enc, rk WHERE len(s) >= 2
-             ) WHERE br IS NOT NULL
-           )
-         ),
          fin AS (SELECT w, len(s) AS n_sym,
              CAST(concat('0x', substr(md5(concat('13', '|',
                array_to_string(s, ' '))), 1, 8)) AS BIGINT) AS h
-           FROM enc, rk
-           WHERE len(s) < 2 OR list_min(list_transform(
-             generate_series(1, len(s) - 1),
-             i -> m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
+           FROM fin0),
          g AS (SELECT source,
              CAST(sum(nsw) AS BIGINT) AS n_words,
              CAST(sum(nsw * length(w)) AS BIGINT) AS n_chars,
@@ -1707,6 +1734,31 @@ object CurationQueries {
              AS symbols_per_word,
            sym_hash_sum
          FROM g""",
+    // same apply, then encodeIdsWith's id contract recomputed: ids =
+    // row_number over the sorted distinct OBSERVED symbols, each doc's
+    // sequence reassembled by word position and hashed
+    "q303_external_token_ids" ->
+      s"""$bpeApplyCtes,
+         vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym)
+               AS BIGINT) AS id
+             FROM (SELECT DISTINCT unnest(s) AS sym FROM fin0)),
+         vm AS (SELECT map_from_entries(list(struct_pack(
+             k := sym, v := id))) AS m2 FROM vocab),
+         ew AS (SELECT w, list_transform(s, sy -> m2[sy][1]) AS wids
+           FROM fin0, vm),
+         dk AS (SELECT doc_id, i AS pos, t[i] AS w
+           FROM tk, unnest(generate_series(1, len(t))) g(i)
+           WHERE len(t) > 0),
+         byDoc AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             flatten(list(wids ORDER BY pos)) AS ids
+           FROM dk JOIN ew USING (w) GROUP BY doc_id)
+         SELECT doc_id, n_words,
+           CAST(len(ids) AS BIGINT) AS n_symbols,
+           CAST((len(ids) + 63) // 64 AS BIGINT) AS n_blocks,
+           CAST(concat('0x', substr(md5(concat('7', '|',
+             array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
+         FROM byDoc""",
     // both LMs from one census; floored scoring LEFT-joins the df>=2
     // table and coalesces onto the per-lang unseen microbits
     "q298_vocab_floor_audit" ->

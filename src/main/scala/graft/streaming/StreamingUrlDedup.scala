@@ -79,16 +79,11 @@ object StreamingUrlDedup {
 
   /** Batch twin of the marking over a delivered prefix: kept iff the
     * doc has the MIN doc_id of its canonical bucket (null canon always
-    * kept) — what q285's canonicalize→first-occurrence recipe marks.
+    * kept) — what q285's canonicalize→first-occurrence recipe marks
+    * ([[graft.llm.Domains.urlDedupMark]], shared with the
+    * TrainingDataPipeline stage 0u).
     */
   def batchMark(docs: DataFrame, idCol: String, urlCol: String)
-      : DataFrame = {
-    val ev = events(docs, idCol, urlCol)
-    val keepers = ev.where(col("canon").isNotNull)
-      .groupBy(col("canon")).agg(min(col("doc_id")).as("keeper"))
-    ev.join(keepers, Seq("canon"), "left_outer")
-      .select(col("doc_id"), col("canon"),
-        (col("canon").isNull || col("doc_id") === col("keeper"))
-          .as("kept"))
-  }
+      : DataFrame =
+    Domains.urlDedupMark(docs, idCol, urlCol)
 }

@@ -50,21 +50,38 @@ class BpeSpec extends AnyFunSuite {
       .as[Seq[String]].collect().toSeq
 
   test("applyMerges matches the brute-force min-rank reference on the " +
-      "q302 1352-rule closed-form vocabulary") {
-    val rules = graft.queries.CurationQueries.externalMerges
-    assert(rules.size === 1352, "the fixture list is >= 1k rules")
-    val words = Seq("hello", "aaaa", "abc", "the", "a", "zz9zz", "x1z",
-      "tokenization", "mississippi", "aaaaaaa", "zzz", "q-q", "42")
-    val got = sparkApply(words, rules)
-    words.zip(got).foreach { case (w, g) =>
-      assert(g === refApply(w, rules), s"applyMerges('$w')")
-      assert(g.mkString === w, s"char mass preserved for '$w'")
+      "q302 1352-rule closed-form vocabulary, under CODEGEN_ONLY") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rules = graft.queries.CurationQueries.externalMerges
+      assert(rules.size === 1352, "the fixture list is >= 1k rules")
+      val words = Seq("hello", "aaaa", "abc", "the", "a", "zz9zz", "x1z",
+        "tokenization", "mississippi", "aaaaaaa", "zzz", "q-q", "42")
+      val got = sparkApply(words, rules)
+      words.zip(got).foreach { case (w, g) =>
+        assert(g === refApply(w, rules), s"applyMerges('$w')")
+        assert(g.mkString === w, s"char mass preserved for '$w'")
+      }
+      // hand-verified anchors (same values the DuckDB oracle prototype
+      // produced): greedy LTR for self-adjacent pairs, phase-2 chaining
+      assert(got(1) === Seq("aa", "aa"))
+      assert(got(0) === Seq("h", "el", "lo"))
+      assert(got(3) === Seq("t", "he"))
+      // the id expression codegens too (the stray space symbol maps
+      // to -1 — callers feed pre-tokenized words)
+      val ids = Seq("ab ab").toDF("w")
+        .select(graft.llm.Bpe.symbolIds(
+          graft.llm.Bpe.applyMerges(col("w"), Seq(("a", "b"))),
+          Map("ab" -> 7L)).as("r"))
+        .as[Seq[Long]].head()
+      assert(ids === Seq(7L, -1L, 7L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
-    // hand-verified anchors (same values the DuckDB oracle prototype
-    // produced): greedy LTR for self-adjacent pairs, phase-2 chaining
-    assert(got(1) === Seq("aa", "aa"))
-    assert(got(0) === Seq("h", "el", "lo"))
-    assert(got(3) === Seq("t", "he"))
   }
 
   test("applyMerges on fixture words equals the in-order foldLeft " +

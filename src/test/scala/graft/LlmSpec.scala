@@ -840,6 +840,49 @@ class LlmSpec extends AnyFunSuite {
       m.toMap.apply("3_decontaminated") - 1, "exactly X dropped at 3b")
   }
 
+  test("pipeline URL-dedup stage drops re-crawled spellings of one " +
+      "URL before any content pass; unparseable URLs pass through") {
+    import spark.implicits._
+    import graft.llm.TrainingDataPipeline
+    def filler(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // docs 10/11/12 are DIFFERENT content behind three spellings of
+    // ONE URL (case/www/tracking/percent) — content dedup would keep
+    // all three; URL dedup must keep only the min-id crawl. Doc 13 has
+    // an unparseable URL and must pass through.
+    val docs = (Seq(
+      (10L, filler("a", 100), "https://site1.com/p?z=1"),
+      (11L, filler("b", 100), "https://WWW.site1.com/p/?z=1#frag"),
+      (12L, filler("c", 100), "https://site1.com/%70?fbclid&z=1"),
+      (13L, filler("d", 100), "not a url")) ++
+      (20L to 25L).map(i =>
+        (i, filler(s"f$i", 100), s"https://other$i.com/x")))
+      .map { case (id, t, u) => (id, t, "en", "srcA", u) }
+      .toDF("doc_id", "text", "lang", "source", "url")
+    val evalNgrams = Seq.empty[String].toDF("g")
+    val base = TrainingDataPipeline.Config(minQuality = 0.0)
+
+    // without urlCol the three crawls all survive (distinct content)
+    val r0 = TrainingDataPipeline.run(docs, evalNgrams, Nil, base)
+    val ids0 = r0.corpus.select("doc_id").as[Long].collect().toSet
+    assert(Set(10L, 11L, 12L, 13L).subsetOf(ids0))
+    assert(!r0.manifest.as[(String, Long)].collect()
+      .exists(_._1 == "0u_url_dedup"), "stage off by default")
+
+    // with urlCol: only the first crawl of the bucket survives
+    val r = TrainingDataPipeline.run(docs, evalNgrams, Nil,
+      base.copy(urlCol = "url"))
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(10L), "min-id crawl survives")
+    assert(!ids.contains(11L) && !ids.contains(12L),
+      "re-crawled spellings drop at stage 0u")
+    assert(ids.contains(13L), "unparseable URL passes through")
+    assert(ids === ids0 - 11L - 12L, "no collateral drops")
+    val m = r.manifest.as[(String, Long)].collect().toMap
+    assert(m("0u_url_dedup") === m("0_input") - 2,
+      "manifest prices exactly the two URL dups")
+  }
+
   test("pipeline boilerplate stage rescues docs glued into near-dup " +
       "clusters by a shared header") {
     import spark.implicits._
