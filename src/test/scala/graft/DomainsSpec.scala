@@ -171,6 +171,10 @@ class DomainsSpec extends AnyFunSuite {
     val loaded = graft.llm.Domains.suffixesFromFile(spark, f.toString)
     assert(loaded.size === big.size, "comments/blanks skipped, rules kept")
     assert(loaded.toSet === big.toSet)
+    // the DataFrame path parses identically (same trim/comment rules)
+    val viaDf = graft.llm.Domains.suffixesFromDataFrame(
+      content.toDF("rule"), "rule")
+    assert(viaDf.toSet === loaded.toSet && viaDf.size === loaded.size)
     // multi-label resolution the default subset gets WRONG (co.kr is
     // not a default rule -> default says registrable = 'co.kr')
     def rd(host: String, rules: Seq[String]): Option[String] =

@@ -261,7 +261,13 @@ class PlanSpec extends AnyFunSuite {
       "q273_boilerplate_mass" -> 5,
       "q275_top_bigram_share" -> 2,
       "q276_incremental_dedup" -> 3,
-      "q277_kn_perplexity" -> 5)
+      "q277_kn_perplexity" -> 5,
+      // round-13 additions (observed exactly, cold cache): q302 = the
+      // (source, word) agg + distinct-word agg + per-source rollup
+      // (the encode join broadcasts); q303's 1 = the per-doc ordered
+      // reassembly agg — the distinct-word encode rides a broadcast
+      "q302_bpe_apply_external" -> 3,
+      "q303_external_token_ids" -> 1)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
