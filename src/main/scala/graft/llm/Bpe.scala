@@ -250,6 +250,33 @@ object Bpe {
         col("ids"))
   }
 
+  /** Load a merge list from a file in the standard tokenizer
+    * `merges.txt` format (HF/GPT-2 lineage): one `x y` pair per line
+    * in rank order, `#...` comment/version headers and blank lines
+    * skipped. Driver-side bounded collect — a 100k-merge vocabulary is
+    * ~2 MB of text, and [[BpeApplyExpr]] ships the rank map with the
+    * task binary. Hard cap 1M rules so a mistaken path fails loudly.
+    * Lines that are not exactly two space-separated symbols raise
+    * (half-parsed vocabularies silently mis-tokenize everything).
+    */
+  def rulesFromFile(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, String)] = {
+    val lines = spark.read.textFile(path).collect()
+    val rules = lines.iterator
+      .map(l => Option(l).fold("")(_.trim))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ")
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"malformed merges.txt line (want 'x y'): '$l'")
+        (parts(0), parts(1))
+      }
+      .toSeq
+    require(rules.size <= 1000000,
+      s"merge list has ${rules.size} rules (cap 1M) — is this a merges file?")
+    rules
+  }
+
   /** Apply an EXTERNALLY SUPPLIED merge list to a word — the
     * production-tokenizer apply path. [[encodeIds]] replays its own
     * trained rules as a foldLeft of per-rule projections, which caps

@@ -154,6 +154,47 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("applyMerges matches the reference on 300 random words under " +
+      "random chained rule lists (seeded property)") {
+    val rnd = new scala.util.Random(1337)
+    // a 3-letter alphabet makes pairs collide constantly, and phase-2
+    // rules chain off phase-1 outputs like a real trained list
+    val alpha = "abc"
+    val p1 = for (x <- alpha; y <- alpha) yield (x.toString, y.toString)
+    val p2 = (0 until 30).map { _ =>
+      val (x, y) = p1(rnd.nextInt(p1.length))
+      (x + y, alpha(rnd.nextInt(3)).toString)
+    }
+    val rules = rnd.shuffle(p1.toSeq ++ p2)
+    val words = (1 to 300).map { _ =>
+      (1 to (1 + rnd.nextInt(14)))
+        .map(_ => alpha(rnd.nextInt(3))).mkString
+    }.distinct
+    val got = sparkApply(words, rules)
+    words.zip(got).foreach { case (w, g) =>
+      assert(g === refApply(w, rules), s"random word '$w'")
+      assert(g.mkString === w, s"char mass preserved for '$w'")
+    }
+  }
+
+  test("rulesFromFile parses the merges.txt format (headers/blanks " +
+      "skipped, rank order kept) and rejects malformed lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merges")
+    val f = dir.resolve("merges.txt")
+    java.nio.file.Files.write(f,
+      "#version: 0.2\n\na b\nab c\n  b c  \n".getBytes("UTF-8"))
+    val rules = graft.llm.Bpe.rulesFromFile(spark, f.toString)
+    assert(rules === Seq(("a", "b"), ("ab", "c"), ("b", "c")))
+    // loaded rules drive the apply end-to-end
+    assert(sparkApply(Seq("abc"), rules) === Seq(Seq("abc")))
+    val bad = dir.resolve("bad.txt")
+    java.nio.file.Files.write(bad, "a b c\n".getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      graft.llm.Bpe.rulesFromFile(spark, bad.toString)
+    }
+    assert(ex.getMessage.contains("malformed"))
+  }
+
   test("symbolIds maps through the hash map; unknown symbols -> -1") {
     val got = Seq(Seq("aa", "b", "zz"), Seq.empty[String])
       .toDF("s")
