@@ -1020,6 +1020,25 @@ object CurationQueries {
           graft.llm.TextFunctions.portableHash(
             array_join(transform(col("ids"), i => i.cast("string")), ","),
             7).as("ids_hash"))
+    }),
+
+    // The MATERIALIZED training blocks — what the loader actually mmaps:
+    // q303's id sequences cut into 64-id pack units via Bpe.idBlocks
+    // (tail truncates), one row per (doc, block) with the block's exact
+    // id hash. Gates idBlocks cross-engine (the q286/q291 packing
+    // queries price block ECONOMICS; this pins block CONTENT). The
+    // explode is a narrow per-row expansion — no extra shuffle past
+    // q303's reassembly agg.
+    "q304_training_blocks" -> ((s, dir) => {
+      graft.llm.Bpe.encodeIdsWith(Tables.documents(s, dir), "doc_id",
+          "text", externalMerges, blockTokens = 64)
+        .select(col("doc_id"),
+          posexplode(graft.llm.Bpe.idBlocks(col("ids"), 64)))
+        .select(col("doc_id"), col("pos").cast("long").as("block_idx"),
+          size(col("col")).cast("long").as("n_ids"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(transform(col("col"), i => i.cast("string")), ","),
+            19).as("block_hash"))
     })
   )
 
@@ -1759,6 +1778,33 @@ object CurationQueries {
            CAST(concat('0x', substr(md5(concat('7', '|',
              array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
          FROM byDoc""",
+    // q303's sequences cut into 64-id blocks: DuckDB's 1-based
+    // inclusive list slice clamps at the tail exactly like idBlocks'
+    // truncating slice
+    "q304_training_blocks" ->
+      s"""$bpeApplyCtes,
+         vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym)
+               AS BIGINT) AS id
+             FROM (SELECT DISTINCT unnest(s) AS sym FROM fin0)),
+         vm AS (SELECT map_from_entries(list(struct_pack(
+             k := sym, v := id))) AS m2 FROM vocab),
+         ew AS (SELECT w, list_transform(s, sy -> m2[sy][1]) AS wids
+           FROM fin0, vm),
+         dk AS (SELECT doc_id, i AS pos, t[i] AS w
+           FROM tk, unnest(generate_series(1, len(t))) g(i)
+           WHERE len(t) > 0),
+         byDoc AS (SELECT doc_id,
+             flatten(list(wids ORDER BY pos)) AS ids
+           FROM dk JOIN ew USING (w) GROUP BY doc_id),
+         blocks AS (SELECT doc_id, b AS block_idx,
+             ids[(b * 64 + 1):(b * 64 + 64)] AS blk
+           FROM byDoc, unnest(generate_series(0,
+             (len(ids) + 63) // 64 - 1)) g(b))
+         SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx,
+           CAST(len(blk) AS BIGINT) AS n_ids,
+           CAST(concat('0x', substr(md5(concat('19', '|',
+             array_to_string(blk, ','))), 1, 8)) AS BIGINT) AS block_hash
+         FROM blocks""",
     // both LMs from one census; floored scoring LEFT-joins the df>=2
     // table and coalesces onto the per-lang unseen microbits
     "q298_vocab_floor_audit" ->
