@@ -133,9 +133,10 @@ object Bpe {
     * readout: after r = 0..`rounds` trained merges, the corpus-wide
     * symbol mass and symbols/word fertility. Each point is one bounded
     * aggregate over the distinct-word vocab (the corpus collapses into
-    * `charVocab` once); state r replays r merges on that bounded
-    * table, so the whole curve costs O(rounds²) vocab passes and zero
-    * extra corpus scans. Rows: (round, n_words, n_symbols,
+    * the word-weight table once); state r applies the first r merges
+    * natively per word on that bounded table, so the whole curve costs
+    * rounds+1 bounded-vocab passes after training and zero extra
+    * corpus scans. Rows: (round, n_words, n_symbols,
     * symbols_per_word) — the knee of this curve is where extra merges
     * stop buying compression.
     */
@@ -143,19 +144,23 @@ object Bpe {
       : DataFrame = {
     val rules = trainRules(docs, textCol, rounds, withMass = false)
       .map(r => (r._2, r._3))
-    val v0 = charVocab(docs, textCol).transform(graft.core.Caching.persist)
-    val executed = rules.scanLeft(v0) { case (d, (x, y)) =>
-      d.select(col("weight"), mergePair(col("s"), x, y).as("s"))
-    }
-    // early stop (empty pair census) executes < `rounds` merges; the
-    // curve still reports rounds+1 points by carrying the final vocab
-    // state forward (a fully-merged corpus stays fully merged) — the
-    // cross-engine contract: both engines always emit rounds+1 rows
-    val states = executed ++
-      Seq.fill(rounds - rules.length)(executed.last)
-    states.zipWithIndex.map { case (d, r) =>
-      d.agg(sum(col("weight")).cast("long").as("n_words"),
-          sum(col("weight") * size(col("s"))).cast("long").as("n_symbols"))
+    // state r = one native min-rank apply of the first r trained rules
+    // over the persisted word-weight vocab (≡ replaying them in order,
+    // BpeSpec's drop-in contract) — each curve point is a FLAT plan
+    // instead of an r-deep fold chain (~4^r expression nodes). Early
+    // stop (rules.length < rounds) still emits rounds+1 points: r past
+    // the executed merges takes the full list — a fully-merged corpus
+    // stays fully merged (the cross-engine contract with the oracle's
+    // LEFT JOIN keep-vocab fallback).
+    val wv = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("weight"))
+      .transform(graft.core.Caching.persist)
+    (0 to rounds).map { r =>
+      val rs = rules.take(math.min(r, rules.length))
+      wv.agg(sum(col("weight")).cast("long").as("n_words"),
+          sum(col("weight") * size(applyMerges(col("w"), rs)))
+            .cast("long").as("n_symbols"))
         .select(lit(r.toLong).as("round"), col("n_words"),
           col("n_symbols"),
           (col("n_symbols").cast("double") / col("n_words").cast("double"))
@@ -180,12 +185,13 @@ object Bpe {
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("nsw"))
       .transform(graft.core.Caching.persist)
-    val enc0 = sw.select(col("w")).distinct()
+    // one native min-rank apply instead of `rounds` chained folds —
+    // identical for trained rule lists (BpeSpec's drop-in contract)
+    // and it keeps the plan tree flat (the fold chain was ~4^rounds
+    // expression nodes)
+    val enc = sw.select(col("w")).distinct()
       .select(col("w"),
-        filter(split(col("w"), ""), x => x =!= lit("")).as("s"))
-    val enc = rules.foldLeft(enc0) { case (d, (x, y)) =>
-      d.select(col("w"), mergePair(col("s"), x, y).as("s"))
-    }.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+        size(applyMerges(col("w"), rules)).cast("long").as("n_sym"))
     sw.join(enc, "w")
       .groupBy(col("grp"))
       .agg(sum(col("nsw")).cast("long").as("n_words"),
@@ -224,12 +230,11 @@ object Bpe {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))
       .where(size(col("t")) > 0)
-    val enc0 = toks.select(explode(col("t")).as("w")).distinct()
-      .select(col("w"),
-        filter(split(col("w"), ""), x => x =!= lit("")).as("s"))
-    val enc = rules.foldLeft(enc0) { case (d, (x, y)) =>
-      d.select(col("w"), mergePair(col("s"), x, y).as("s"))
-    }.transform(graft.core.Caching.persist)
+    // native min-rank apply ≡ the foldLeft replay for trained rules
+    // (BpeSpec) — flat plan instead of a ~4^rounds expression tree
+    val enc = toks.select(explode(col("t")).as("w")).distinct()
+      .select(col("w"), applyMerges(col("w"), rules).as("s"))
+      .transform(graft.core.Caching.persist)
     // bounded vocabulary: alphabet + <= rounds merged symbols
     val vocab = enc.select(explode(col("s")).as("sym")).distinct()
       .orderBy(col("sym")).as[String].collect()
@@ -386,13 +391,17 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](rules.size * 2)
+  // two-level map: a probe is two hash lookups with ZERO allocation
+  // (a concatenated "x\ny" key would allocate a string per adjacent
+  // pair per iteration — measured 15% on the 8-rule bench queries)
+  @transient private lazy val rank
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m =
+      new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
     var i = 0
     rules.foreach { case (x, y) =>
-      // '\n' separator keeps the key unambiguous (("ab","c") vs
-      // ("a","bc")) — symbols never contain whitespace
-      m.putIfAbsent(x + "\n" + y, Integer.valueOf(i))
+      m.computeIfAbsent(x, _ => new java.util.HashMap[String, Integer]())
+        .putIfAbsent(y, Integer.valueOf(i)) // duplicates keep FIRST rank
       i += 1
     }
     m
@@ -417,8 +426,11 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
       var best = Integer.MAX_VALUE
       var j = 0
       while (j < syms.size - 1) {
-        val r = rank.get(syms.get(j) + "\n" + syms.get(j + 1))
-        if (r != null && r.intValue() < best) best = r.intValue()
+        val byX = rank.get(syms.get(j))
+        if (byX != null) {
+          val r = byX.get(syms.get(j + 1))
+          if (r != null && r.intValue() < best) best = r.intValue()
+        }
         j += 1
       }
       if (best == Integer.MAX_VALUE) done = true
