@@ -71,10 +71,19 @@ object Bpe {
     * Σ weight·|symbols| after applying the merge. Stops early if the
     * pair table goes empty (every word fully merged).
     */
-  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    trainFromVocab(charVocab(docs, textCol), rounds)
+
+  /** [[train]] from an already-built word-frequency vocabulary table
+    * (weight, s: array<string>) — the entry point the streaming
+    * vocabulary-census twin assembles through: the stream maintains
+    * per-word counters (bounded by the vocabulary), and retraining on
+    * the accumulated census IS the batch train over the prefix.
+    */
+  def trainFromVocab(wv: DataFrame, rounds: Int): DataFrame = {
+    val spark = wv.sparkSession
     import spark.implicits._
-    trainRules(docs, textCol, rounds, withMass = true)
+    trainRules(wv, rounds, withMass = true)
       .toDF("merge_round", "x", "y", "pair_n", "mass_after")
   }
 
@@ -83,14 +92,14 @@ object Bpe {
     * per round that only the q272 report needs) is skipped and
     * mass_after is −1.
     */
-  private def trainRules(docs: DataFrame, textCol: String, rounds: Int,
+  private def trainRules(v0: DataFrame, rounds: Int,
                          withMass: Boolean)
       : Seq[(Long, String, String, Long, Long)] = {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16] (each round is a full vocab pass): $rounds")
-    val spark = docs.sparkSession
+    val spark = v0.sparkSession
     import spark.implicits._
-    var v = charVocab(docs, textCol).transform(graft.core.Caching.persist)
+    var v = v0.transform(graft.core.Caching.persist)
     var prev: DataFrame = null
     val rules =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
@@ -142,7 +151,8 @@ object Bpe {
     */
   def compressionCurve(docs: DataFrame, textCol: String, rounds: Int)
       : DataFrame = {
-    val rules = trainRules(docs, textCol, rounds, withMass = false)
+    val rules = trainRules(charVocab(docs, textCol), rounds,
+      withMass = false)
       .map(r => (r._2, r._3))
     // state r = one native min-rank apply of the first r trained rules
     // over the persisted word-weight vocab (≡ replaying them in order,
@@ -179,7 +189,8 @@ object Bpe {
     */
   def encodeStats(docs: DataFrame, textCol: String, byCol: String,
                   rounds: Int): DataFrame = {
-    val rules = trainRules(docs, textCol, rounds, withMass = false)
+    val rules = trainRules(charVocab(docs, textCol), rounds,
+      withMass = false)
       .map(r => (r._2, r._3))
     val sw = docs.select(col(byCol).as("grp"),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
@@ -225,7 +236,8 @@ object Bpe {
     require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
     val spark = docs.sparkSession
     import spark.implicits._
-    val rules = trainRules(docs, textCol, rounds, withMass = false)
+    val rules = trainRules(charVocab(docs, textCol), rounds,
+        withMass = false)
       .map(r => (r._2, r._3))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.Bpe
+
+/** Streaming face of the q272 BPE trainer (the 30th twin): a
+  * continuously maintained tokenizer-training CENSUS over an unbounded
+  * document stream. The insight that makes this a bounded-state twin:
+  * BPE training is a pure function of the word-frequency table, not of
+  * the documents — so the stream only has to maintain one long counter
+  * per DISTINCT word (the [[StreamingLm]] counter pattern, state
+  * bounded by the vocabulary, never by stream length), and retraining
+  * on the accumulated census ([[assembleTrain]] →
+  * [[graft.llm.Bpe.trainFromVocab]]) IS the batch train over the
+  * delivered prefix, rule for rule.
+  *
+  * This is the online form of the tokenizer-refresh loop: as a crawl
+  * grows, each snapshot answers "what would the tokenizer look like if
+  * we retrained now" without ever rescanning ingested text.
+  *
+  * Exactness contract (spec-verified on RocksDB): after any prefix of
+  * batches, `assembleTrain(counters, rounds)` equals
+  * `Bpe.train(prefixDocs, textCol, rounds)` row for row — counter
+  * merging is addition, the census is monotone (latest total per word
+  * = max, so an at-least-once OUTPUT sink re-delivering snapshot rows
+  * cannot inflate it), and the train loop is deterministic (total
+  * argmax order).
+  */
+object StreamingBpeVocab {
+
+  /** One count event per token occurrence — the word-census feed
+    * (same tokenization as batch [[graft.llm.Bpe.charVocab]]).
+    */
+  def wordEvents(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
+      graft.llm.TextFunctions.tokens(col(textCol))).as("k"))
+
+  /** Batch trainer over any (k, n) counter table emitted by
+    * [[StreamingLm.counters]] on [[wordEvents]] — dedupes cumulative
+    * re-emissions via max (counters are monotone), rebuilds the
+    * char-split vocabulary exactly like `charVocab`, and trains.
+    */
+  def assembleTrain(counts: DataFrame, rounds: Int): DataFrame = {
+    val wv = counts.groupBy(col("k")).agg(max(col("n")).as("weight"))
+      .select(col("weight"),
+        filter(split(col("k"), ""), x => x =!= lit("")).as("s"))
+    Bpe.trainFromVocab(wv, rounds)
+  }
+}
