@@ -506,6 +506,96 @@ object Similarity {
     * centroid pick at `centroids` rows. Zero-norm vectors (null cosine)
     * pin to a sentinel below the cosine range so assignment stays total.
     */
+  /** A persistable IVF index: `cents(cid, cv)` — the coarse quantizer —
+    * and `lists(cid, member, mv)` — the inverted lists WITH their
+    * member vectors (the standard IVF layout: a probe reads only its
+    * lists, never the corpus). Both are plain DataFrames, so the index
+    * is a parquet artifact: build once ([[ivfBuild]] /
+    * [[ivfBuildWith]]), [[ivfSave]], and every later job [[ivfLoad]]s
+    * and [[ivfQuery]]s without touching the corpus again.
+    */
+  final case class IvfIndex(cents: DataFrame, lists: DataFrame)
+
+  /** Build the IVF index under the deterministic coarse quantizer
+    * ([[ivfTopK]]'s smallest-id vectors — value-reproducible); swap in
+    * sampled k-means centroids via [[ivfBuildWith]] at corpus scale.
+    */
+  def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Int): IvfIndex = {
+    val v = embVectors(emb, idCol, vecCol)
+    ivfBuildWith(emb, idCol, vecCol,
+      v.orderBy("vec_id").limit(centroids)
+        .select(col("vec_id").cast("long").as("cid"), col("v").as("cv")))
+  }
+
+  /** Build with an ARBITRARY quantizer table (cid, cv) — e.g.
+    * `KMeans.fit` centroids. Assignment is one narrow pass against the
+    * broadcast quantizer (the corpus never shuffles for it); ties
+    * break toward the smallest cid so the index is deterministic for
+    * any quantizer.
+    */
+  def ivfBuildWith(emb: DataFrame, idCol: String, vecCol: String,
+                   quantizer: DataFrame): IvfIndex = {
+    val v = embVectors(emb, idCol, vecCol)
+    val cents = quantizer
+      .select(col("cid").cast("long").as("cid"),
+        col("cv").cast("array<double>").as("cv"))
+    val asn = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(negate(coalesce(round(cosine(col("v"), col("cv")), 6),
+          lit(-2.0))).as("ns"), col("cid").as("cid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("best"), first(col("v")).as("v"))
+      .select(col("best.cid").as("cid"),
+        col("vec_id").cast("long").as("member"), col("v").as("mv"))
+    IvfIndex(cents, asn)
+  }
+
+  /** Write the index as two parquet tables under `dir`. */
+  def ivfSave(ix: IvfIndex, dir: String): Unit = {
+    ix.cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    ix.lists.write.mode("overwrite").parquet(s"$dir/lists.parquet")
+  }
+
+  /** Load a saved index. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+              dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids.parquet"),
+      spark.read.parquet(s"$dir/lists.parquet"))
+
+  /** Query a PREBUILT index with an out-of-corpus query set: each
+    * query scores the broadcast quantizer, probes its `nprobe` nearest
+    * lists, and reranks exactly within them — candidate work is
+    * Σ probed-list sizes, the corpus is never read. Output
+    * (vec_id = query id, nn_id = member id, score, rnk). Same recall
+    * contract as [[ivfTopK]]: raise `nprobe` for recall.
+    */
+  def ivfQuery(ix: IvfIndex, queries: DataFrame, idCol: String,
+               vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val q = embVectors(queries, idCol, vecCol)
+    val scored = q.crossJoin(broadcast(ix.cents))
+      .select(col("vec_id"), col("cid").as("nn_id"),
+        coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0))
+          .as("score"))
+    val probes = topKByQuery(scored, nprobe, withRank = false)
+      .select(col("vec_id"), col("nn_id").as("cid"))
+    val cand = probes
+      .join(ix.lists, "cid")
+      .join(q.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id"), col("member").as("nn_id"),
+        round(cosine(col("v"), col("mv")), 6).as("score"))
+    // lists PARTITION the corpus (one best cid per member), so no
+    // candidate can arrive twice — no dedup pass needed
+    topKByQuery(cand, k, withRank = true)
+  }
+
+  private def embVectors(emb: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .transform(graft.core.Caching.persist)
+
   private def centroidScores(v: DataFrame, centroids: Int): DataFrame = {
     val cents = v.orderBy("vec_id").limit(centroids)
       .select(col("vec_id").as("nn_id"), col("v").as("cv"))

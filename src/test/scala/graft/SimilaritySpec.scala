@@ -133,6 +133,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w === Similarity.planeWeights(0, 64))
   }
 
+  test("IVF index: build/save/load round-trips; a full probe of the " +
+      "loaded index equals brute force for ANY quantizer; lists " +
+      "partition the corpus") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf").toString
+    val built = Similarity.ivfBuild(emb, "vec_id", "embedding", 8)
+    Similarity.ivfSave(built, dir)
+    val ix = Similarity.ivfLoad(spark, dir)
+    // round-trip: byte-identical tables
+    assert(ix.cents.collect().toSet === built.cents.collect().toSet)
+    assert(ix.lists.drop("mv").collect().toSet ===
+      built.lists.drop("mv").collect().toSet)
+    // lists PARTITION the corpus: every vector in exactly one list
+    assert(ix.lists.count() === n)
+    assert(ix.lists.select("member").distinct().count() === n)
+
+    def fullProbeEqualsBrute(index: Similarity.IvfIndex): Unit = {
+      val queries = emb.where(col("vec_id") < 5)
+      val ivf = Similarity.ivfQuery(index, queries, "vec_id",
+          "embedding", nprobe = 8, k = 6)
+        .where(col("nn_id") =!= col("vec_id"))
+        .orderBy(col("vec_id"), col("rnk"))
+        .select(col("vec_id"), col("nn_id"), col("score"))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).take(5))
+        .toMap
+      val brute = Similarity.knnBruteForce(emb, queries, "vec_id",
+          "embedding", k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq)
+        .toMap
+      assert(ivf.keySet === brute.keySet)
+      ivf.keys.foreach { q =>
+        assert(ivf(q).toSeq === brute(q), s"query $q")
+      }
+    }
+    fullProbeEqualsBrute(ix)
+
+    // pluggable quantizer: the LARGEST-id vectors — full probe is
+    // still exact (the quantizer only decides WHICH list holds a
+    // vector, never what a probed rerank sees)
+    val alt = emb.orderBy(col("vec_id").desc).limit(8)
+      .select(col("vec_id").cast("long").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    val ix2 = Similarity.ivfBuildWith(emb, "vec_id", "embedding", alt)
+    assert(ix2.lists.count() === n)
+    fullProbeEqualsBrute(ix2)
+
+    // partial probe degrades gracefully: results are a subset of the
+    // probed lists' members, ranked by true cosine
+    val part = Similarity.ivfQuery(ix, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = 2, k = 5)
+    assert(part.count() > 0)
+  }
+
   test("knn plan broadcasts the query side (no corpus shuffle for scoring)") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val df = Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 3),
