@@ -523,20 +523,22 @@ object Similarity {
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Int): IvfIndex = {
     val v = embVectors(emb, idCol, vecCol)
-    ivfBuildWith(emb, idCol, vecCol,
+    buildFrom(v,
       v.orderBy("vec_id").limit(centroids)
         .select(col("vec_id").cast("long").as("cid"), col("v").as("cv")))
   }
 
-  /** Build with an ARBITRARY quantizer table (cid, cv) — e.g.
-    * `KMeans.fit` centroids. Assignment is one narrow pass against the
+  /** Build with an ARBITRARY quantizer table (cid, cv) — e.g. sampled
+    * k-means centroids. Assignment is one narrow pass against the
     * broadcast quantizer (the corpus never shuffles for it); ties
     * break toward the smallest cid so the index is deterministic for
     * any quantizer.
     */
   def ivfBuildWith(emb: DataFrame, idCol: String, vecCol: String,
-                   quantizer: DataFrame): IvfIndex = {
-    val v = embVectors(emb, idCol, vecCol)
+                   quantizer: DataFrame): IvfIndex =
+    buildFrom(embVectors(emb, idCol, vecCol), quantizer)
+
+  private def buildFrom(v: DataFrame, quantizer: DataFrame): IvfIndex = {
     val cents = quantizer
       .select(col("cid").cast("long").as("cid"),
         col("cv").cast("array<double>").as("cv"))

@@ -55,6 +55,22 @@ object EmbeddingQueries {
         centroids = nLists, nprobe = 2, k = 3)
     }),
 
+    // The PREBUILT-index query path (build-once-query-many, the
+    // production ANN shape q77 sizes): ivfBuild materializes the
+    // centroids + inverted lists (with member vectors), then an
+    // out-of-corpus query set (every 20th vector as the probe set)
+    // runs ivfQuery against the index — broadcast quantizer, 2-probe,
+    // exact rerank inside probed lists, corpus never re-read. Same
+    // candidate math as q77 minus the self-exclusion (an index query
+    // legitimately returns an exact match at score 1).
+    "q305_ivf_index_query" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val ix = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists)
+      Similarity.ivfQuery(ix, emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", nprobe = 2, k = 3)
+    }),
+
     // SemDeDup-style semantic dedup: sqrt(n) coarse clusters, exact
     // pairwise cosine inside each cluster only, drop vectors with a
     // smaller-id ≥ threshold cluster-mate. (Fixture embeddings are
@@ -510,6 +526,26 @@ object EmbeddingQueries {
          asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
          cand AS (SELECT pr.vec_id, a.member AS nn_id FROM pr
                JOIN asn a ON a.cid = pr.cid AND a.member <> pr.vec_id
+               WHERE pr.r <= 2),
+         ${pairDotCte("cand", "vec_id", "nn_id")},
+         s2 AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM d JOIN n na ON na.vec_id = d.vec_id
+                    JOIN n nb ON nb.vec_id = d.nn_id),
+         r AS (SELECT vec_id, nn_id, score,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, nn_id ASC) AS BIGINT) AS rnk FROM s2)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(nn_id AS BIGINT) AS nn_id, score, rnk
+         FROM r WHERE rnk <= 3""",
+    // q77's candidate math for an EXTERNAL probe set, self kept
+    "q305_ivf_index_query" ->
+      s"""WITH $ivfCommon,
+         asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
+         qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+         cand AS (SELECT pr.vec_id, a.member AS nn_id FROM pr
+               JOIN qs ON qs.vec_id = pr.vec_id
+               JOIN asn a ON a.cid = pr.cid
                WHERE pr.r <= 2),
          ${pairDotCte("cand", "vec_id", "nn_id")},
          s2 AS (SELECT d.vec_id, d.nn_id,
