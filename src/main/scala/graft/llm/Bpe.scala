@@ -45,10 +45,11 @@ object Bpe {
   def charVocab(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("weight"))
-      // filter() drops split's zero-width artifacts portably (Java's
-      // split("") trailing-empty behavior is version-dependent)
-      .select(col("weight"),
-        filter(split(col("w"), ""), x => x =!= lit("")).as("s"))
+      // rule-less applyMerges = the codepoint splitter: keeps EVERY
+      // splitter in the family codepoint-based (split(w, "") is UTF-16
+      // units — an astral char would become two lone surrogates and
+      // diverge from the oracle's string_split, which is codepoint)
+      .select(col("weight"), applyMerges(col("w"), Nil).as("s"))
 
   /** Greedy left-to-right merge of the literal pair (x, y) over the
     * symbol array column `s` — the per-row fold described above.

@@ -44,7 +44,7 @@ object StreamingBpeVocab {
   def assembleTrain(counts: DataFrame, rounds: Int): DataFrame = {
     val wv = counts.groupBy(col("k")).agg(max(col("n")).as("weight"))
       .select(col("weight"),
-        filter(split(col("k"), ""), x => x =!= lit("")).as("s"))
+        Bpe.applyMerges(col("k"), Nil).as("s")) // = charVocab's splitter
     Bpe.trainFromVocab(wv, rounds)
   }
 }
