@@ -592,6 +592,48 @@ object Similarity {
     topKByQuery(cand, k, withRank = true)
   }
 
+  /** The nprobe-tuning readout for a built index: recall@k of
+    * [[ivfQuery]] against exact brute force, per nprobe in
+    * 1..`maxProbe` — the curve every ANN deployment quotes to pick its
+    * probe budget (the Scaladoc's "raise nprobe for recall", measured
+    * instead of asserted). Self-matches are excluded on both sides so
+    * the metric scores genuine neighbors. One brute pass + one
+    * assignment-ranking pass, both over the (small) probe set; each
+    * curve point reuses them.
+    *
+    * @return (nprobe, n_queries, hits, possible, recall) — `possible`
+    *         = Σ per-query brute neighbors (≤ k each).
+    */
+  def ivfRecallCurve(ix: IvfIndex, corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     maxProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxProbe >= 1, s"maxProbe must be >= 1: $maxProbe")
+    val brute = knnBruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("nn_id"))
+      .transform(graft.core.Caching.persist)
+    val nq = queries.select(col(idCol)).distinct().count()
+    (1 to maxProbe).map { np =>
+      // k+1 then drop self then re-rank: an exact self-match occupies
+      // one slot at score 1, never a neighbor slot
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("rnk"))
+      val ivf = ivfQuery(ix, queries, idCol, vecCol, np, k + 1)
+        .where(col("nn_id") =!= col("vec_id"))
+        .withColumn("rr", row_number().over(w))
+        .where(col("rr") <= k)
+        .select(col("vec_id"), col("nn_id"))
+      ivf.join(brute, Seq("vec_id", "nn_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .crossJoin(broadcast(
+          brute.agg(count(lit(1)).cast("long").as("possible"))))
+        .select(lit(np.toLong).as("nprobe"),
+          lit(nq).as("n_queries"), col("hits"), col("possible"),
+          (col("hits").cast("double") / col("possible").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
   private def embVectors(emb: DataFrame, idCol: String,
                          vecCol: String): DataFrame =
     emb.select(col(idCol).as("vec_id"),

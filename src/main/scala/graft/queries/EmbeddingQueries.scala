@@ -71,6 +71,20 @@ object EmbeddingQueries {
         "vec_id", "embedding", nprobe = 2, k = 3)
     }),
 
+    // The nprobe-tuning curve for the q305 index: recall@3 of the
+    // index query vs exact brute force at nprobe 1..4 — the knob
+    // readout behind "raise nprobe for recall", measured instead of
+    // asserted. Self-matches excluded on both sides; one brute pass +
+    // one assignment ranking, reused by every curve point.
+    "q306_ivf_recall_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val ix = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists)
+      Similarity.ivfRecallCurve(ix, emb,
+        emb.where(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        k = 3, maxProbe = 4)
+    }),
+
     // SemDeDup-style semantic dedup: sqrt(n) coarse clusters, exact
     // pairwise cosine inside each cluster only, drop vectors with a
     // smaller-id ≥ threshold cluster-mate. (Fixture embeddings are
@@ -538,6 +552,65 @@ object EmbeddingQueries {
          SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(nn_id AS BIGINT) AS nn_id, score, rnk
          FROM r WHERE rnk <= 3""",
+    // q305's machinery at nprobe 1..4, each point's top-(k+1) ranking
+    // self-filtered and re-ranked to k, scored against the brute top-k
+    "q306_ivf_recall_curve" -> {
+      val ivBlocks = (1 to 4).map { np =>
+        s"""c$np AS (SELECT pr.vec_id, a.member AS nn_id FROM pr
+               JOIN qs ON qs.vec_id = pr.vec_id
+               JOIN asn a ON a.cid = pr.cid
+               WHERE pr.r <= $np),
+         d$np AS (SELECT c.vec_id, c.nn_id,
+               list_reduce(list_transform(range(64),
+                 i -> ea.v[i+1] * eb.v[i+1]), (a, b) -> a + b) AS dp
+             FROM c$np c JOIN ev ea ON ea.vec_id = c.vec_id
+                         JOIN ev eb ON eb.vec_id = c.nn_id),
+         s$np AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM d$np d JOIN n na ON na.vec_id = d.vec_id
+                         JOIN n nb ON nb.vec_id = d.nn_id),
+         r$np AS (SELECT vec_id, nn_id, row_number() OVER (
+               PARTITION BY vec_id ORDER BY score DESC, nn_id ASC)
+               AS rnk FROM s$np),
+         iv$np AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY rnk) AS rr
+               FROM r$np WHERE rnk <= 4 AND nn_id <> vec_id)
+             WHERE rr <= 3)"""
+      }.mkString(",\n         ")
+      val points = (1 to 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT) FROM iv$np i
+              JOIN br b ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id)
+             AS hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM br) AS possible,
+           CAST((SELECT count(*) FROM iv$np i JOIN br b
+               ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM br) AS DOUBLE) AS recall"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH $ivfCommon,
+         asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
+         qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+         bc AS (SELECT q.vec_id, e.vec_id AS nn_id FROM qs q, ev e
+             WHERE e.vec_id <> q.vec_id),
+         bd AS (SELECT c.vec_id, c.nn_id,
+               list_reduce(list_transform(range(64),
+                 i -> ea.v[i+1] * eb.v[i+1]), (a, b) -> a + b) AS dp
+             FROM bc c JOIN ev ea ON ea.vec_id = c.vec_id
+                       JOIN ev eb ON eb.vec_id = c.nn_id),
+         bs AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM bd d JOIN n na ON na.vec_id = d.vec_id
+                       JOIN n nb ON nb.vec_id = d.nn_id),
+         br AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, nn_id ASC)
+                 AS rnk FROM bs)
+             WHERE rnk <= 3),
+         $ivBlocks
+         $points"""
+    },
     // q77's candidate math for an EXTERNAL probe set, self kept
     "q305_ivf_index_query" ->
       s"""WITH $ivfCommon,

@@ -193,6 +193,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(part.count() > 0)
   }
 
+  test("ivfRecallCurve is monotone in nprobe and reaches EXACTLY 1.0 " +
+      "at a full probe") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val lists = 6
+    val ix = Similarity.ivfBuild(emb, "vec_id", "embedding", lists)
+    val curve = Similarity.ivfRecallCurve(ix, emb,
+        emb.where(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 3, maxProbe = lists)
+      .orderBy(col("nprobe"))
+      .select(col("nprobe"), col("hits"), col("possible"), col("recall"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(curve.length === lists)
+    curve.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 >= a._4,
+        s"recall must not drop: nprobe ${a._1} -> ${b._1}")
+      case _ =>
+    }
+    val last = curve.last
+    assert(last._2 === last._3 && last._4 === 1.0,
+      "probing every list IS brute force")
+    assert(curve.head._4 < 1.0,
+      "fixture must make the first point lossy (near-random vectors)")
+  }
+
   test("knn plan broadcasts the query side (no corpus shuffle for scoring)") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val df = Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 3),
