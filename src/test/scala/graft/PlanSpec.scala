@@ -267,7 +267,14 @@ class PlanSpec extends AnyFunSuite {
       // (the encode join broadcasts); q303's 1 = the per-doc ordered
       // reassembly agg — the distinct-word encode rides a broadcast
       "q302_bpe_apply_external" -> 3,
-      "q303_external_token_ids" -> 1)
+      "q303_external_token_ids" -> 1,
+      // q305 = lists build agg + probe-ranking agg + rerank agg (the
+      // quantizer broadcasts); q306's 25 = the brute ranking + 4 curve
+      // points x (probe agg + rerank + re-rank window + semi join +
+      // hit/possible aggs) — a diagnostic query, each point bounded by
+      // the probe set
+      "q305_ivf_index_query" -> 3,
+      "q306_ivf_recall_curve" -> 25)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
