@@ -318,6 +318,23 @@ object Bpe {
       BpeApplyExpr(ColumnBridge.toExpression(word), rules))
   }
 
+  /** [[applyMerges]] over the GPT-2 BYTE-LEVEL base alphabet: the
+    * word's UTF-8 bytes, each remapped through the standard
+    * bytes_to_unicode bijection ([[ByteLevel.byteToChar]]) — the
+    * symbol space real GPT-2/HF-lineage `merges.txt` artifacts are
+    * trained over, so [[rulesFromFile]] + this is the byte-faithful
+    * production apply (codepoint-level rules would never match a
+    * byte-level vocabulary on non-ASCII text). Same min-rank loop,
+    * same zero-join/zero-shuffle shape; char mass is preserved in
+    * BYTES: `ByteLevel.decode(concat(symbols)) == word`.
+    */
+  def applyMergesBytes(word: Column,
+                       rules: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(BpeApplyExpr(
+      ColumnBridge.toExpression(word), rules, byteLevel = true))
+  }
+
   /** Map each symbol to its id under a FIXED vocabulary (broadcast
     * hash map inside the expression — O(1)/symbol at any vocab size,
     * where an `array_position` literal scan is O(|vocab|)). Unknown
@@ -337,11 +354,15 @@ object Bpe {
     * in reach. Ids keep the [[encodeIds]] contract (observed post-merge
     * symbols, sorted, 1-based — bounded by |alphabet| + |rules|, a
     * documented driver-side collect) assigned via the O(1) hash-map
-    * expression rather than a literal-array scan.
+    * expression rather than a literal-array scan. With
+    * `byteLevel = true` the base alphabet is the GPT-2 byte remap
+    * ([[applyMergesBytes]]) — pass it when `rules` come from a
+    * byte-level `merges.txt`.
     */
   def encodeIdsWith(docs: DataFrame, idCol: String, textCol: String,
                     rules: Seq[(String, String)],
-                    blockTokens: Int = 64): DataFrame = {
+                    blockTokens: Int = 64,
+                    byteLevel: Boolean = false): DataFrame = {
     require(rules.nonEmpty, "empty merge list")
     require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
     val spark = docs.sparkSession
@@ -349,8 +370,11 @@ object Bpe {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))
       .where(size(col("t")) > 0)
+    val apply0 =
+      if (byteLevel) applyMergesBytes(col("w"), rules)
+      else applyMerges(col("w"), rules)
     val enc = toks.select(explode(col("t")).as("w")).distinct()
-      .select(col("w"), applyMerges(col("w"), rules).as("s"))
+      .select(col("w"), apply0.as("s"))
       .transform(graft.core.Caching.persist)
     val vocab = enc.select(explode(col("s")).as("sym")).distinct()
       .orderBy(col("sym")).as[String].collect()
@@ -398,7 +422,8 @@ object Bpe {
   * ([[TextFunctions.tokens]] splits on it), so symbols are exactly the
   * character-run concatenations of the input word.
   */
-case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
+case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)],
+                        byteLevel: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(StringType)
@@ -426,12 +451,24 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
   def compute(in: UTF8String): ArrayData = {
     val w = in.toString
     var syms = new java.util.ArrayList[String](w.length)
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      val n = Character.charCount(cp)
-      syms.add(w.substring(i, i + n))
-      i += n
+    if (byteLevel) {
+      // GPT-2 byte-level base alphabet: the word's UTF-8 bytes, each
+      // remapped through the standard bytes_to_unicode bijection — the
+      // symbol space real merges.txt artifacts are trained over
+      val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        syms.add(ByteLevel.byteToChar(bytes(i) & 0xFF))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        syms.add(w.substring(i, i + n))
+        i += n
+      }
     }
     var done = syms.size < 2
     while (!done) {
@@ -477,6 +514,50 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
       : BpeApplyExpr = copy(child = newChild)
 
   override def prettyName: String = "bpe_apply"
+}
+
+/** The GPT-2 byte↔unicode bijection (public bytes_to_unicode
+  * algorithm): the 188 "printable" bytes (33–126, 161–172, 174–255)
+  * map to their own codepoint; the remaining 68 map to 256+k in
+  * ascending byte order, so every byte gets a VISIBLE single-codepoint
+  * symbol and byte-level merge rules are plain strings.
+  */
+object ByteLevel {
+  val byteToChar: Array[String] = {
+    val arr = new Array[String](256)
+    var k = 0
+    (0 until 256).foreach { b =>
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (printable) arr(b) = new String(Character.toChars(b))
+      else { arr(b) = new String(Character.toChars(256 + k)); k += 1 }
+    }
+    arr
+  }
+
+  private val charToByte: Map[Int, Byte] =
+    byteToChar.zipWithIndex.map { case (s, b) =>
+      s.codePointAt(0) -> b.toByte
+    }.toMap
+
+  /** Invert a remapped symbol string back to UTF-8 text (the
+    * detokenizer's last step). Throws on a codepoint outside the
+    * bijection — such a string was never produced by the encoder.
+    */
+  def decode(symbols: String): String = {
+    val bytes = new Array[Byte](symbols.codePointCount(0, symbols.length))
+    var i = 0
+    var j = 0
+    while (i < symbols.length) {
+      val cp = symbols.codePointAt(i)
+      bytes(j) = charToByte.getOrElse(cp,
+        throw new IllegalArgumentException(
+          s"codepoint ${cp.toHexString} is not in the byte-level alphabet"))
+      i += Character.charCount(cp)
+      j += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }
 
 /** Native symbol→id map lookup (see [[Bpe.symbolIds]]): array<string>

@@ -195,6 +195,64 @@ class BpeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("malformed"))
   }
 
+  test("byte-level apply: GPT-2 bytes_to_unicode bijection round-trips " +
+      "all 256 bytes, merges fire on the remapped symbols, and " +
+      "decode(concat(symbols)) == word for unicode input") {
+    import graft.llm.ByteLevel
+    // bijection: 256 distinct single-codepoint symbols, decode inverts
+    val syms = ByteLevel.byteToChar
+    assert(syms.length === 256)
+    assert(syms.toSet.size === 256, "the remap is a bijection")
+    syms.foreach(s0 => assert(s0.codePointCount(0, s0.length) === 1))
+    // decode is a TEXT-level inverse: it maps symbols back to their
+    // bytes and UTF-8-decodes the result, so feed it whole valid
+    // sequences (a lone continuation byte is not valid UTF-8)
+    assert(ByteLevel.decode(syms(0xC3) + syms(0xA9)) === "é")
+    assert(ByteLevel.decode("abc") === "abc")
+    assert(syms(97) === "a" && syms(126) === "~",
+      "printable bytes map to themselves")
+    assert(syms(32) != " " && syms(10) != "\n",
+      "space/control bytes remap out of the whitespace range")
+
+    // a byte-level rule list: merge the remapped UTF-8 bytes of 'é'
+    // (0xC3 0xA9), then the result with 's' — rules a codepoint-level
+    // apply could NEVER match
+    val c3 = ByteLevel.byteToChar(0xC3)
+    val a9 = ByteLevel.byteToChar(0xA9)
+    val rules = Seq((c3, a9), (c3 + a9, "s"))
+    val words = Seq("és", "é", "state", "cafés")
+    val got = words.toDF("w")
+      .select(col("w"),
+        graft.llm.Bpe.applyMergesBytes(col("w"), rules).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("és") === Seq(c3 + a9 + "s"), "chained byte-level merge")
+    assert(got("é") === Seq(c3 + a9))
+    assert(got("state") === "state".map(_.toString),
+      "no rule touches pure-ASCII bytes here")
+    // byte mass preserved: decoding the concatenated symbols restores
+    // the exact input text
+    got.foreach { case (w, s) =>
+      assert(ByteLevel.decode(s.mkString) === w, s"round-trip of '$w'")
+    }
+
+    // the codepoint-level apply canNOT fire these byte rules
+    val cpGot = sparkApply(Seq("és"), rules)
+    assert(cpGot.head === Seq("é", "s"),
+      "codepoint apply must not match byte-level rules")
+
+    // encodeIdsWith(byteLevel = true) end-to-end: ids positive, and
+    // symbol mass = byte mass, not codepoint mass
+    val docs = Seq((1L, "café café")).toDF("doc_id", "text")
+    val out = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text", rules,
+        blockTokens = 8, byteLevel = true)
+      .select(col("n_words"), col("n_symbols"),
+        array_min(col("ids")).cast("long"))
+      .as[(Long, Long, Long)].head()
+    // 'café' = 5 UTF-8 bytes; the (0xC3,0xA9) merge shrinks it to 4
+    // symbols per word
+    assert(out === ((2L, 8L, 1L)))
+  }
+
   test("symbolIds maps through the hash map; unknown symbols -> -1") {
     val got = Seq(Seq("aa", "b", "zz"), Seq.empty[String])
       .toDF("s")
