@@ -1022,6 +1022,47 @@ object CurationQueries {
             7).as("ids_hash"))
     }),
 
+    // BYTE-LEVEL tokenizer apply (the GPT-2/HF merges.txt alphabet):
+    // every token is prefixed with 'é' so the corpus genuinely carries
+    // multi-byte UTF-8 (the raw fixture is pure ASCII), then applied
+    // under a byte-level rule list — rank 0 merges é's two bytes
+    // (0xC3 0xA9, both PRINTABLE bytes, so their remap symbols are
+    // themselves), rank 1 chains the merged é onto 't', then the q302
+    // ASCII rules (identical in byte space for ASCII). The oracle
+    // constructs the same symbol stream by construction knowledge
+    // (printable bytes self-map) and replays the same min-rank loop —
+    // so the BYTE path, not just the codepoint path, is oracle-gated.
+    "q307_bytelevel_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val c3 = graft.llm.ByteLevel.byteToChar(0xC3)
+      val a9 = graft.llm.ByteLevel.byteToChar(0xA9)
+      val rules = Seq((c3, a9), (c3 + a9, "t")) ++ externalMerges
+      val sw = docs.select(col("source"),
+          explode(graft.llm.TextFunctions.tokens(col("text"))).as("w0"))
+        .select(col("source"), col("w0"),
+          concat(lit("\u00e9"), col("w0")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("nsw"),
+          first(length(col("w0")) + lit(2)).as("nbytes"))
+      val enc = sw.select(col("w")).distinct()
+        .select(col("w"),
+          graft.llm.Bpe.applyMergesBytes(col("w"), rules).as("s"))
+        .select(col("w"), size(col("s")).cast("long").as("n_sym"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(col("s"), " "), 29).as("h"))
+      sw.join(enc, "w")
+        .groupBy(col("source"))
+        .agg(sum(col("nsw")).cast("long").as("n_words"),
+          sum(col("nsw") * col("nbytes")).cast("long").as("n_bytes"),
+          sum(col("nsw") * col("n_sym")).cast("long").as("n_symbols"),
+          sum(col("nsw") * col("h")).cast("long").as("sym_hash_sum"))
+        .select(col("source"), col("n_words"), col("n_bytes"),
+          col("n_symbols"),
+          (col("n_bytes").cast("double") / col("n_symbols").cast("double"))
+            .as("bytes_per_symbol"),
+          col("sym_hash_sum"))
+    }),
+
     // The MATERIALIZED training blocks — what the loader actually mmaps:
     // q303's id sequences cut into 64-id pack units via Bpe.idBlocks
     // (tail truncates), one row per (doc, block) with the block's exact
@@ -1729,6 +1770,83 @@ object CurationQueries {
            CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
              AS symbols_per_word
          FROM curve"""),
+    // byte-level apply by construction knowledge: 0xC3/0xA9 are
+    // PRINTABLE bytes (self-mapping under bytes_to_unicode) and the
+    // fixture words are pure ASCII, so the remapped symbol stream of
+    // 'é'+word is exactly [chr(195), chr(169)] ++ chars(word); the
+    // same min-rank recursion replays the byte-level rule list (ranks
+    // 0/1 the é merges, ranks 2+ the q302 ASCII rules)
+    "q307_bytelevel_apply" ->
+      s"""WITH RECURSIVE ${LlmQueries.tkCte},
+         rk AS (SELECT map_from_entries(list(struct_pack(
+               k := x || chr(10) || y, v := rank))) AS m
+             FROM (
+               SELECT 0 AS rank, chr(195) AS x, chr(169) AS y
+               UNION ALL
+               SELECT 1 AS rank, chr(195) || chr(169) AS x, 't' AS y
+               UNION ALL
+               SELECT i + 2 AS rank,
+                   chr(97 + CAST(i // 26 AS INTEGER)) AS x,
+                   chr(97 + CAST(i % 26 AS INTEGER)) AS y
+                 FROM range(676) t(i)
+               UNION ALL
+               SELECT 678 + j AS rank,
+                   chr(97 + CAST(j // 26 AS INTEGER))
+                     || chr(97 + CAST(j % 26 AS INTEGER)) AS x,
+                   chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER)) AS y
+                 FROM range(676) t(j))),
+         sw AS (SELECT source, w0, CAST(count(*) AS BIGINT) AS nsw
+           FROM (SELECT source, unnest(t) AS w0 FROM tk) GROUP BY 1, 2),
+         wd AS (SELECT DISTINCT w0 AS w FROM sw),
+         enc AS (
+           SELECT w, [chr(195), chr(169)]
+               || list_filter(string_split(w, ''), c -> c <> '') AS s
+             FROM wd
+           UNION ALL
+           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
+               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
+               ELSE acc || ' ' || sy END), ' ') AS s
+           FROM (
+             SELECT w, s, br,
+               CASE WHEN br = 0 THEN chr(195)
+                 WHEN br = 1 THEN chr(195) || chr(169)
+                 WHEN br < 678
+                   THEN chr(97 + CAST((br - 2) // 26 AS INTEGER))
+                 ELSE chr(97 + CAST((br - 678) // 26 AS INTEGER))
+                   || chr(97 + CAST((br - 678) % 26 AS INTEGER)) END AS bx,
+               CASE WHEN br = 0 THEN chr(169)
+                 WHEN br = 1 THEN 't'
+                 WHEN br < 678
+                   THEN chr(97 + CAST((br - 2) % 26 AS INTEGER))
+                 ELSE chr(97 + CAST(((br - 678) * 7 + 3) % 26
+                   AS INTEGER)) END AS by
+             FROM (
+               SELECT w, s, list_min(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> m[s[i] || chr(10) || s[i+1]][1])) AS br
+               FROM enc, rk WHERE len(s) >= 2
+             ) WHERE br IS NOT NULL
+           )
+         ),
+         fin AS (SELECT w, len(s) AS n_sym,
+             CAST(concat('0x', substr(md5(concat('29', '|',
+               array_to_string(s, ' '))), 1, 8)) AS BIGINT) AS h
+           FROM enc, rk
+           WHERE len(s) < 2 OR list_min(list_transform(
+             generate_series(1, len(s) - 1),
+             i -> m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
+         g AS (SELECT source,
+             CAST(sum(nsw) AS BIGINT) AS n_words,
+             CAST(sum(nsw * (length(w0) + 2)) AS BIGINT) AS n_bytes,
+             CAST(sum(nsw * n_sym) AS BIGINT) AS n_symbols,
+             CAST(sum(nsw * h) AS BIGINT) AS sym_hash_sum
+           FROM sw JOIN fin ON fin.w = sw.w0 GROUP BY source)
+         SELECT source, n_words, n_bytes, n_symbols,
+           CAST(n_bytes AS DOUBLE) / CAST(n_symbols AS DOUBLE)
+             AS bytes_per_symbol,
+           sym_hash_sum
+         FROM g""",
     // the SAME min-rank apply loop, as a recursive CTE (shared with
     // q303 via bpeApplyCtes): per-(source, word) instance counts
     // joined to the finished encodings
