@@ -92,6 +92,55 @@ object Packing {
     * shard orders independently (one window per hash partition whose sort
     * spills; never a global sort).
     */
+  /** CROSS-DOCUMENT token packing — the GPT-style pretraining layout,
+    * at the ID level: per shard, documents' id sequences concatenate
+    * in doc_id order and cut every `blockTokens` ids, so block
+    * boundaries genuinely cross documents (what the loader actually
+    * mmaps; [[packChunks]] only assigns START chunks, and the per-doc
+    * `Bpe.idBlocks` pads at doc boundaries).
+    *
+    * Scale shape: each doc's global offset is one per-shard window
+    * cumsum over (doc_id, n_ids) rows (tiny — ids stay packed until
+    * the explode); the explode + (shard, block) aggregation is the
+    * linear reshuffle any physical re-layout of the token stream must
+    * pay, and it carries (shard, block, pos, id) longs only. Shard
+    * count is the parallelism knob — the same contract as
+    * [[packChunks]] (a window per shard, never a global sort).
+    *
+    * @param enc (doc_id, ids) — e.g. [[Bpe.encodeIds]] /
+    *            [[Bpe.encodeIdsWith]] output
+    * @return one row per (shard, block_id): n_ids (= blockTokens
+    *         except each shard's truncating tail), n_docs contributing,
+    *         first_doc, and the block's exact id hash
+    */
+  def packTokenBlocks(enc: DataFrame, idCol: String, idsCol: String,
+                      blockTokens: Int, shards: Int): DataFrame = {
+    require(blockTokens >= 1 && shards >= 1, "blockTokens, shards >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val off = enc.select(col(idCol).cast("long").as("doc_id"),
+        col(idsCol).as("ids"))
+      .where(size(col("ids")) > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("ns", size(col("ids")).cast("long"))
+      .withColumn("off", sum(col("ns")).over(w) - col("ns"))
+    off.select(col("shard"), col("doc_id"), col("off"),
+        posexplode(col("ids")))
+      .select(col("shard"), col("doc_id"),
+        (col("off") + col("pos")).as("gpos"), col("col").as("id"))
+      .groupBy(col("shard"),
+        expr(s"gpos div $blockTokens").as("block_id"))
+      .agg(count(lit(1)).cast("long").as("n_ids"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sort_array(collect_list(struct(col("gpos"), col("id"))))
+          .as("ord"))
+      .select(col("shard"), col("block_id"), col("n_ids"), col("n_docs"),
+        col("first_doc"),
+        TextFunctions.portableHash(
+          array_join(transform(col("ord.id"), i => i.cast("string")), ","),
+          31).as("block_hash"))
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, shards: Int,
                    seed: Int): DataFrame = {
     require(shards > 0)

@@ -1063,6 +1063,19 @@ object CurationQueries {
           col("sym_hash_sum"))
     }),
 
+    // CROSS-DOCUMENT packing at the id level — the GPT-style layout
+    // where block boundaries cross documents: per shard, the external
+    // vocab's id sequences concatenate in doc_id order and cut every
+    // 64 ids. q286 prices pad-vs-concat economics, q304 pins per-doc
+    // blocks; this pins the ACTUAL cross-doc block contents (n_ids,
+    // contributing docs, exact id hash per block).
+    "q308_crossdoc_packing" -> ((s, dir) => {
+      val enc = graft.llm.Bpe.encodeIdsWith(Tables.documents(s, dir),
+        "doc_id", "text", externalMerges, blockTokens = 64)
+      graft.llm.Packing.packTokenBlocks(enc, "doc_id", "ids",
+        blockTokens = 64, shards = 4)
+    }),
+
     // The MATERIALIZED training blocks — what the loader actually mmaps:
     // q303's id sequences cut into 64-id pack units via Bpe.idBlocks
     // (tail truncates), one row per (doc, block) with the block's exact
@@ -1896,6 +1909,41 @@ object CurationQueries {
            CAST(concat('0x', substr(md5(concat('7', '|',
              array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
          FROM byDoc""",
+    // q303's per-doc sequences concatenated per shard (window cumsum
+    // offsets) and cut every 64 global positions — blocks genuinely
+    // cross documents
+    "q308_crossdoc_packing" ->
+      s"""$bpeApplyCtes,
+         vocab AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym)
+               AS BIGINT) AS id
+             FROM (SELECT DISTINCT unnest(s) AS sym FROM fin0)),
+         vm AS (SELECT map_from_entries(list(struct_pack(
+             k := sym, v := id))) AS m2 FROM vocab),
+         ew AS (SELECT w, list_transform(s, sy -> m2[sy][1]) AS wids
+           FROM fin0, vm),
+         dk AS (SELECT doc_id, i AS pos, t[i] AS w
+           FROM tk, unnest(generate_series(1, len(t))) g(i)
+           WHERE len(t) > 0),
+         byDoc AS (SELECT doc_id,
+             flatten(list(wids ORDER BY pos)) AS ids
+           FROM dk JOIN ew USING (w) GROUP BY doc_id),
+         sh AS (SELECT doc_id, doc_id % 4 AS shard, ids,
+             CAST(len(ids) AS BIGINT) AS ns FROM byDoc),
+         off AS (SELECT doc_id, shard, ids, ns,
+             sum(ns) OVER (PARTITION BY shard ORDER BY doc_id) - ns
+               AS off FROM sh),
+         ex AS (SELECT shard, doc_id, off + i - 1 AS gpos, ids[i] AS id
+           FROM off, unnest(generate_series(1, CAST(ns AS INTEGER)))
+             g(i))
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(gpos // 64 AS BIGINT) AS block_id,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(concat('0x', substr(md5(concat('31', '|',
+             array_to_string(list(id ORDER BY gpos), ','))), 1, 8))
+             AS BIGINT) AS block_hash
+         FROM ex GROUP BY 1, 2""",
     // q303's sequences cut into 64-id blocks: DuckDB's 1-based
     // inclusive list slice clamps at the tail exactly like idBlocks'
     // truncating slice
