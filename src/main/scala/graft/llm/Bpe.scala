@@ -276,9 +276,22 @@ object Bpe {
     * task binary. Hard cap 1M rules so a mistaken path fails loudly.
     * Lines that are not exactly two space-separated symbols raise
     * (half-parsed vocabularies silently mis-tokenize everything).
+    *
+    * ORDER CONTRACT: line order IS rank order, which
+    * `textFile(...).collect()` preserves only for a SINGLE file
+    * (splits of one file are offset-ordered) — a directory or glob
+    * would interleave files and silently scramble every rank, so the
+    * path is required to resolve to exactly one regular file.
     */
   def rulesFromFile(spark: org.apache.spark.sql.SparkSession,
                     path: String): Seq[(String, String)] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    require(matches.length == 1 && matches.head.isFile,
+      s"merges path must be exactly one file (line order = rank order; " +
+        s"a directory/glob would scramble ranks): '$path' matched " +
+        s"${matches.length} entries")
     val lines = spark.read.textFile(path).collect()
     val rules = lines.iterator
       .map(l => Option(l).fold("")(_.trim))

@@ -75,10 +75,15 @@ object Domains {
     val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
     val path = pctNormalize(regexp_replace(
       coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", ""))
+    // pctNormalize BEFORE the tracking filter: a percent-encoded
+    // spelling of a tracking param ('?%66bclid=1' -> 'fbclid=1') must
+    // decode first or it survives the strip and splits a dedup bucket
     val params = filter(
-      split(coalesce(try_parse_url(url, lit("QUERY")), lit("")), "&"), p =>
+      transform(
+        split(coalesce(try_parse_url(url, lit("QUERY")), lit("")), "&"),
+        pctNormalize(_)), p =>
         p =!= lit("") && !p.rlike(TrackingParamRegex))
-    val qs = array_join(array_sort(transform(params, pctNormalize(_))), "&")
+    val qs = array_join(array_sort(params), "&")
     val qPart = when(qs =!= lit(""), concat(lit("?"), qs)).otherwise(lit(""))
     when(hostRaw.isNull || hostRaw === lit("") || scheme === lit(""),
       lit(null).cast("string"))

@@ -87,7 +87,15 @@ object Normalize {
       .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
     // numeric refs AFTER the other named entities (so a decoded
     // `&#38;lt;` -> `&lt;` is never re-decoded) and BEFORE `&amp;` (so
-    // double-encoded `&amp;#8217;` stays the literal text `&#8217;`)
+    // double-encoded `&amp;#8217;` stays the literal text `&#8217;`).
+    // Documented divergence from single-pass HTML semantics: the
+    // trailing `&amp;` replace re-scans numeric-pass OUTPUT, so the
+    // doubly-stacked `&#38;amp;x` decodes to `&x` where a browser
+    // stops at `&amp;x`. Accepting it keeps `&amp;` decode a plain
+    // regexp_replace both engines spell identically (the q292 oracle
+    // mirrors this order); fixing it would need `&amp;` folded into
+    // the native numeric pass. Double-stacked escapes are vanishingly
+    // rare in crawls and the result is stable for dedup either way.
     val decoded = regexp_replace(
       decodeNumericEntities(named), "&amp;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))

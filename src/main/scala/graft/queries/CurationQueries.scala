@@ -609,9 +609,11 @@ object CurationQueries {
         // %41 in a query value decodes
         .when(m === 8, concat(lit("https://"), site,
           lit(".com/%7Etilde/%2fpath?a=%41")))
-        // valueless tracking param + lowercase unreserved escape
+        // PERCENT-ENCODED valueless tracking param (%66 = 'f', so the
+        // filter only catches it after pctNormalize runs — the r13
+        // ADVICE ordering fix) + lowercase unreserved escape
         .otherwise(concat(lit("https://"), site,
-          lit(".com/a?fbclid&z=%7a")))
+          lit(".com/a?%66bclid&z=%7a")))
       docs.select(col("source"), url.as("url"))
         .withColumn("canon", graft.llm.Domains.canonicalUrl(col("url")))
         .groupBy(col("source"))
@@ -1708,7 +1710,7 @@ object CurationQueries {
                  || '?b=2&a=1&utm_medium=y'
                WHEN 8 THEN 'https://site' || sd
                  || '.com/%7Etilde/%2fpath?a=%41'
-               ELSE 'https://site' || sd || '.com/a?fbclid&z=%7a'
+               ELSE 'https://site' || sd || '.com/a?%66bclid&z=%7a'
                END AS url,
              CASE m
                WHEN 0 THEN 'https://site' || sd || '.com/Page/' || sd

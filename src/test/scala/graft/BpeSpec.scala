@@ -193,6 +193,16 @@ class BpeSpec extends AnyFunSuite {
       graft.llm.Bpe.rulesFromFile(spark, bad.toString)
     }
     assert(ex.getMessage.contains("malformed"))
+    // a directory (or glob) would interleave files and scramble ranks —
+    // the loader requires exactly one regular file
+    val exDir = intercept[IllegalArgumentException] {
+      graft.llm.Bpe.rulesFromFile(spark, dir.toString)
+    }
+    assert(exDir.getMessage.contains("exactly one file"))
+    val exGlob = intercept[IllegalArgumentException] {
+      graft.llm.Bpe.rulesFromFile(spark, dir.resolve("*.txt").toString)
+    }
+    assert(exGlob.getMessage.contains("exactly one file"))
   }
 
   test("byte-level apply: GPT-2 bytes_to_unicode bijection round-trips " +

@@ -118,6 +118,12 @@ class DomainsSpec extends AnyFunSuite {
       // valueless tracking params strip like their valued spellings
       "https://example.com/a?fbclid&z=1" ->
         Some("https://example.com/a?z=1"),
+      // PERCENT-ENCODED tracking param names decode BEFORE the filter
+      // (pctNormalize runs first), so '%66bclid' strips like 'fbclid'
+      "https://example.com/a?%66bclid=1&z=1" ->
+        Some("https://example.com/a?z=1"),
+      "https://example.com/a?%75tm_source&z=1" ->
+        Some("https://example.com/a?z=1"),
       "https://example.com/a?utm_source" ->
         Some("https://example.com/a"),
       // no parseable host -> null

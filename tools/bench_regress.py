@@ -198,8 +198,13 @@ def anchor_report(cq, cur_sf, path="tools/bench_anchor.json"):
     if len(common) < 8:
         return None, None, 0
     tot = round(sum(cq[q] for q in common) / sum(aq[q] for q in common), 3)
-    med = round(statistics.median(cq[q] / aq[q] for q in common
-                                  if aq[q] >= MEDIAN_FLOOR_SECS), 3)
+    # materialize before median: an all-fast anchor (< MEDIAN_FLOOR_SECS
+    # everywhere) would hand statistics.median an empty sequence and
+    # crash the gate — fall back to the unfiltered ratios instead
+    floored = [cq[q] / aq[q] for q in common if aq[q] >= MEDIAN_FLOOR_SECS]
+    if not floored:
+        floored = [cq[q] / aq[q] for q in common]
+    med = round(statistics.median(floored), 3)
     print(f"anchor     {len(common)} common queries vs "
           f"{anchor.get('anchor_note', path)}: total x{tot}, median x{med} "
           f"(reported, not gated)")
