@@ -308,6 +308,39 @@ object Bpe {
     rules
   }
 
+  /** Load a symbol→id vocabulary from a file in the standard tokenizer
+    * `vocab.json` format (HF/GPT-2 lineage): ONE JSON object mapping
+    * token string → integer id — the id space a pretraining checkpoint
+    * actually loads, for [[encodeIdsWith]]'s `vocab` parameter. Read as
+    * a single whole-file value (order is irrelevant for a map, unlike
+    * [[rulesFromFile]]) and parsed with the Jackson shipped on the
+    * Spark classpath. Driver-side bounded collect: a 50k-token vocab is
+    * ~1 MB of JSON, hard-capped at 5M entries so a mistaken path fails
+    * loudly. Ids must be distinct (the map must invert for decode).
+    */
+  def vocabFromFile(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Map[String, Long] = {
+    val txt = spark.read.option("wholetext", "true").textFile(path)
+      .collect().mkString
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    require(node != null && node.isObject,
+      s"vocab.json must be a single JSON object: '$path'")
+    require(node.size <= 5000000,
+      s"vocab has ${node.size} entries (cap 5M) — is this a vocab.json?")
+    val b = Map.newBuilder[String, Long]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      require(e.getValue.canConvertToLong,
+        s"non-integer id for token '${e.getKey}': ${e.getValue}")
+      b += e.getKey -> e.getValue.asLong()
+    }
+    val m = b.result()
+    require(m.values.toSet.size == m.size,
+      "vocab ids must be distinct (symbol<->id must invert for decode)")
+    m
+  }
+
   /** Apply an EXTERNALLY SUPPLIED merge list to a word — the
     * production-tokenizer apply path. [[encodeIds]] replays its own
     * trained rules as a foldLeft of per-rule projections, which caps
@@ -371,17 +404,44 @@ object Bpe {
     * `byteLevel = true` the base alphabet is the GPT-2 byte remap
     * ([[applyMergesBytes]]) — pass it when `rules` come from a
     * byte-level `merges.txt`.
+    *
+    * With `preTokenize = true` the per-doc units are the GPT-2
+    * pre-tokenizer's segments ([[PreTokenize.gptSegments]] — case
+    * preserved, each word carrying its single leading space, whitespace
+    * runs kept) instead of lowercase whitespace-split words: combined
+    * with `byteLevel = true` and a real `merges.txt` this is the
+    * DOCUMENT-faithful production encode (segments partition the text,
+    * so `ByteLevel.decode(concat(symbols)) == text` corpus-wide —
+    * q311's gate). `n_words` then counts segments. The distinct-unit
+    * replay shape is unchanged: segments repeat heavily (words carry
+    * one canonical " word" spelling), so the encode table stays
+    * content-bounded.
+    *
+    * With `vocab = Some(map)` (a published `vocab.json` id space —
+    * [[vocabFromFile]]) ids come from the external map instead of the
+    * observed-sorted 1-based assignment, making the artifact
+    * loader-compatible with the tokenizer checkpoint the merges came
+    * from. Unknown-symbol policy: a real vocab.json is CLOSED over its
+    * merge rules (every possible post-merge symbol has an id), so an
+    * unmapped symbol maps to the loud -1 sentinel ([[SymbolIdsExpr]]'s
+    * contract) rather than silently renumbering — a -1 anywhere flips
+    * every downstream hash, which is the point.
     */
   def encodeIdsWith(docs: DataFrame, idCol: String, textCol: String,
                     rules: Seq[(String, String)],
                     blockTokens: Int = 64,
-                    byteLevel: Boolean = false): DataFrame = {
+                    byteLevel: Boolean = false,
+                    preTokenize: Boolean = false,
+                    vocab: Option[Map[String, Long]] = None): DataFrame = {
     require(rules.nonEmpty, "empty merge list")
     require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
     val spark = docs.sparkSession
     import spark.implicits._
+    val units =
+      if (preTokenize) PreTokenize.gptSegments(col(textCol))
+      else TextFunctions.tokens(col(textCol))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("t"))
+        units.as("t"))
       .where(size(col("t")) > 0)
     val apply0 =
       if (byteLevel) applyMergesBytes(col("w"), rules)
@@ -389,10 +449,12 @@ object Bpe {
     val enc = toks.select(explode(col("t")).as("w")).distinct()
       .select(col("w"), apply0.as("s"))
       .transform(graft.core.Caching.persist)
-    val vocab = enc.select(explode(col("s")).as("sym")).distinct()
-      .orderBy(col("sym")).as[String].collect()
-    val idMap = vocab.iterator.zipWithIndex
-      .map { case (sym, i) => sym -> (i + 1L) }.toMap
+    val idMap = vocab.getOrElse {
+      val observed = enc.select(explode(col("s")).as("sym")).distinct()
+        .orderBy(col("sym")).as[String].collect()
+      observed.iterator.zipWithIndex
+        .map { case (sym, i) => sym -> (i + 1L) }.toMap
+    }
     val encIds = enc.select(col("w"), symbolIds(col("s"), idMap).as("wids"))
     toks.select(col("doc_id"), posexplode(col("t")))
       .join(encIds, col("col") === col("w"))
@@ -553,6 +615,17 @@ object ByteLevel {
       s.codePointAt(0) -> b.toByte
     }.toMap
 
+  /** [[decode]] as a native column expression — the corpus-wide
+    * detokenizer face (q311's encode→decode round-trip gate). Same
+    * throw-on-foreign-codepoint contract.
+    */
+  def decodeCol(symbols: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(
+      ByteLevelDecodeExpr(ColumnBridge.toExpression(symbols)))
+  }
+
   /** Invert a remapped symbol string back to UTF-8 text (the
     * detokenizer's last step). Throws on a codepoint outside the
     * bijection — such a string was never produced by the encoder.
@@ -571,6 +644,34 @@ object ByteLevel {
     }
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
+}
+
+/** Native byte-level detokenize (see [[ByteLevel.decodeCol]]): a
+  * remapped-symbol string → the original UTF-8 text.
+  */
+case class ByteLevelDecodeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(in: UTF8String): UTF8String =
+    UTF8String.fromString(ByteLevel.decode(in.toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blDecode", this,
+      classOf[ByteLevelDecodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ByteLevelDecodeExpr = copy(child = newChild)
+
+  override def prettyName: String = "bytelevel_decode"
 }
 
 /** Native symbol→id map lookup (see [[Bpe.symbolIds]]): array<string>

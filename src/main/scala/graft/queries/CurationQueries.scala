@@ -1095,8 +1095,73 @@ object CurationQueries {
           graft.llm.TextFunctions.portableHash(
             array_join(transform(col("col"), i => i.cast("string")), ","),
             19).as("block_hash"))
+    }),
+
+    // GPT-2 PRE-TOKENIZATION (the document-faithful split a production
+    // merges.txt is applied over): the published regex's segmentation
+    // — case preserved, each word carrying its single leading space,
+    // contractions split off, letter/digit/punct runs separated,
+    // multi-space backtrack — run by the native scanner over fixture
+    // text DETERMINISTICALLY enriched (both engines apply the same
+    // replace chain) with contractions, mixed case, digits,
+    // punctuation, double spaces, newline/tab, a non-ASCII letter and
+    // apostrophe runs, so every alternation branch is exercised. The
+    // per-doc segment list is hashed (one wrong boundary anywhere
+    // flips the sum) and the partition property (concat(segments) ==
+    // text) is COUNTED, not assumed. The DuckDB oracle replays the
+    // same leftmost-first scan as a recursive one-token-per-step peel
+    // (RE2 lacks the (?!\S) lookahead; the whitespace backtrack is the
+    // explicit run-minus-last CASE).
+    "q309_gpt_pretokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val txt = injectPretok(col("text"))
+      docs.select(col("source"), txt.as("txt"))
+        .select(col("source"), col("txt"),
+          graft.llm.PreTokenize.gptSegments(col("txt")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(col("g"))).cast("long").as("n_segments"),
+          sum(size(filter(col("g"), x =>
+            substring(x, 1, 1) === " "))).cast("long").as("n_space_led"),
+          sum(when(array_join(col("g"), "") === col("txt"), lit(1L))
+            .otherwise(lit(0L))).cast("long").as("n_reconstructed"),
+          sum(graft.llm.TextFunctions.portableHash(
+            array_join(col("g"), "\u0001"), 37))
+            .cast("long").as("seg_hash_sum"))
     })
   )
+
+  /** The q309/q310/q311 text enrichment: fixture text is lowercase
+    * ASCII words + single spaces, so both engines inject the
+    * pre-tokenizer's hard cases through the SAME ordered replace
+    * chain — contractions, double space + capital, digit/letter
+    * alternation, punctuation runs, newline/tab, a two-byte UTF-8
+    * letter, an apostrophe run, and a space-attached contraction.
+    */
+  private def injectPretok(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val steps: Seq[(String, String)] = injectPretokSteps
+    steps.foldLeft(text) { case (c, (a, b)) => replace(c, lit(a), lit(b)) }
+  }
+
+  private val injectPretokSteps: Seq[(String, String)] = Seq(
+    "the " -> "The  ",
+    "key" -> "it's",
+    "row" -> "row7x9",
+    "scan" -> "scan, really!",
+    "slow" -> "slow\nnew\tline",
+    "merge" -> "mergé",
+    "part" -> "part''s",
+    "fast" -> "a  's")
+
+  /** The same chain as DuckDB `replace` nesting over column `text`. */
+  private def injectPretokSql: String =
+    injectPretokSteps.foldLeft("text") { case (e, (a, b)) =>
+      val bq = b.replace("'", "''")
+        .replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '")
+        .replace("é", "' || chr(233) || '")
+      s"replace($e, '${a.replace("'", "''")}', '$bq')"
+    }
 
   /** Deterministic 1352-rule external merge list — the q302 fixture
     * vocabulary, derived from one closed-form formula on BOTH engines
@@ -1973,6 +2038,47 @@ object CurationQueries {
            CAST(concat('0x', substr(md5(concat('19', '|',
              array_to_string(blk, ','))), 1, 8)) AS BIGINT) AS block_hash
          FROM blocks""",
+    // the GPT-2 pre-tokenizer as a recursive one-token-per-step peel:
+    // RE2 is leftmost-first like the published pattern but lacks the
+    // (?!\S) lookahead, so the anchored extract takes the WHOLE
+    // whitespace run and the CASE gives back its last char (run of
+    // n >= 2 before a non-space -> first n-1 chars; the returned char
+    // is then space-attached or matched alone by the next step —
+    // exactly the lookahead's backtrack, proven equivalent in the
+    // PreTokenizeSpec vectors which the Spark scanner also pins)
+    "q309_gpt_pretokenize" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, $injectPretokSql AS txt
+           FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         tl AS (SELECT doc_id, list(tok ORDER BY ord) AS toks FROM seg
+           WHERE tok IS NOT NULL GROUP BY doc_id),
+         j AS (SELECT d.doc_id, d.source, d.txt,
+             coalesce(tl.toks, []) AS toks
+           FROM d LEFT JOIN tl USING (doc_id))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_segments,
+           CAST(sum(len(list_filter(toks, t -> substr(t, 1, 1) = ' ')))
+             AS BIGINT) AS n_space_led,
+           CAST(sum(CASE WHEN array_to_string(toks, '') = txt
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_reconstructed,
+           CAST(sum(CAST(concat('0x', substr(md5(concat('37', '|',
+             array_to_string(toks, chr(1)))), 1, 8)) AS BIGINT))
+             AS BIGINT) AS seg_hash_sum
+         FROM j GROUP BY source""",
     // both LMs from one census; floored scoring LEFT-joins the df>=2
     // table and coalesces onto the per-lang unseen microbits
     "q298_vocab_floor_audit" ->
