@@ -1128,8 +1128,82 @@ object CurationQueries {
           sum(graft.llm.TextFunctions.portableHash(
             array_join(col("g"), "\u0001"), 37))
             .cast("long").as("seg_hash_sum"))
+    }),
+
+    // The PUBLISHED vocab.json ID SPACE (loader-compatible handoff):
+    // the full document-faithful encode -- GPT-2 pre-tokenize ->
+    // byte-level min-rank apply -> ids from an EXTERNAL symbol->id map
+    // shaped exactly like a real tokenizer checkpoint (one id per
+    // byte symbol 0..255, one per merge at 256+rank) instead of the
+    // q303 observed-sorted assignment. Rules: a space-prefix chain
+    // (" the" -> ONE symbol -- the space-attachment payoff), the
+    // two-byte e-acute pair, then the 1352 closed-form ASCII merges.
+    // The oracle rebuilds the bytes_to_unicode table, the rule list,
+    // and the id formula arithmetically and replays the same
+    // segmentation + min-rank loop -- ids match only if every stage
+    // is byte-identical.
+    "q310_vocab_json_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          injectPretok(col("text")).as("text"))
+      graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+          byteLevelRules, blockTokens = 64, byteLevel = true,
+          preTokenize = true, vocab = Some(byteLevelVocab))
+        .select(col("doc_id"), col("n_words").as("n_segments"),
+          col("n_symbols"), col("n_blocks"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(transform(col("ids"), i => i.cast("string")), ","),
+            7).as("ids_hash"))
+    }),
+
+    // DETOKENIZER ROUND-TRIP GATE, corpus-wide: the invariant
+    // ByteLevel.decode promises -- decode(concat(symbols)) == the
+    // EXACT original text (case, spaces, newlines, the two-byte
+    // e-acute) -- asserted cross-engine: Spark computes the text hash
+    // THROUGH encode (pre-tokenize -> byte-level apply) -> concat ->
+    // decode, the oracle computes the same hash from the constructed
+    // text directly. Any loss anywhere in the loop flips the sum.
+    "q311_detok_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("source"), injectPretok(col("text")).as("txt"))
+        .select(col("source"), col("txt"),
+          graft.llm.ByteLevel.decodeCol(array_join(flatten(transform(
+            graft.llm.PreTokenize.gptSegments(col("txt")),
+            seg => graft.llm.Bpe.applyMergesBytes(seg, byteLevelRules))),
+            "")).as("rt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("rt") === col("txt"), lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_roundtrip"),
+          sum(graft.llm.TextFunctions.portableHash(col("rt"), 41))
+            .cast("long").as("rt_hash_sum"))
     })
   )
+
+  /** q310/q311 byte-level rule list: a space-prefix chain proving
+    * space attachment merges across the pre-tokenizer boundary, the
+    * e-acute byte pair, then the closed-form ASCII merges (identical
+    * in byte space for ASCII).
+    */
+  private[graft] lazy val byteLevelRules: Seq[(String, String)] = {
+    val g = graft.llm.ByteLevel.byteToChar(0x20)
+    val c3 = graft.llm.ByteLevel.byteToChar(0xC3)
+    val a9 = graft.llm.ByteLevel.byteToChar(0xA9)
+    Seq((g, "t"), (g + "t", "h"), (g + "th", "e"), (c3, a9)) ++
+      externalMerges
+  }
+
+  /** The vocab.json-shaped id space for [[byteLevelRules]]: byte
+    * symbol b -> id b (0..255), merge of rank i -> id 256+i --
+    * exactly the published GPT-2 vocab structure, closed over the
+    * rules by construction.
+    */
+  private[graft] lazy val byteLevelVocab: Map[String, Long] =
+    (0 until 256).map(b =>
+      graft.llm.ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+      byteLevelRules.zipWithIndex.map { case ((x, y), i) =>
+        (x + y) -> (256L + i)
+      }.toMap
 
   /** The q309/q310/q311 text enrichment: fixture text is lowercase
     * ASCII words + single spaces, so both engines inject the
@@ -2079,6 +2153,108 @@ object CurationQueries {
              array_to_string(toks, chr(1)))), 1, 8)) AS BIGINT))
              AS BIGINT) AS seg_hash_sum
          FROM j GROUP BY source""",
+    // the full document-faithful encode under the vocab.json id
+    // formula: recursive pre-tokenize peel (q309's), byte symbols by
+    // construction knowledge (corpus = ASCII + e-acute, whose bytes
+    // C3/A9 are printable self-mapping; the ASCII non-printables ride
+    // the arithmetic bytes_to_unicode table), min-rank byte-level
+    // apply over the 1356-rule list (4 literal + 1352 closed-form),
+    // ids = byte value for single-byte symbols, 256+rank for merges
+    "q310_vocab_json_ids" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, $injectPretokSql AS txt
+           FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         sg AS (SELECT doc_id, ord, tok FROM seg WHERE tok IS NOT NULL),
+         wd AS (SELECT DISTINCT tok AS w FROM sg),
+         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
+                  ELSE chr(CAST(255 + row_number()
+                    OVER (PARTITION BY printable ORDER BY b)
+                    AS INTEGER)) END AS sym
+                FROM (SELECT i AS b, (i BETWEEN 33 AND 126)
+                        OR (i BETWEEN 161 AND 172)
+                        OR (i BETWEEN 174 AND 255) AS printable
+                      FROM range(256) t(i))),
+         mb AS (SELECT map_from_entries(list(struct_pack(k := b,
+             v := sym))) AS m FROM bu WHERE b < 128),
+         rl AS (SELECT 0 AS rank, chr(288) AS x, 't' AS y
+            UNION ALL SELECT 1, chr(288) || 't', 'h'
+            UNION ALL SELECT 2, chr(288) || 'th', 'e'
+            UNION ALL SELECT 3, chr(195), chr(169)
+            UNION ALL SELECT i + 4, chr(97 + CAST(i // 26 AS INTEGER)),
+                chr(97 + CAST(i % 26 AS INTEGER)) FROM range(676) t(i)
+            UNION ALL SELECT 680 + j, chr(97 + CAST(j // 26 AS INTEGER))
+                || chr(97 + CAST(j % 26 AS INTEGER)),
+                chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER))
+              FROM range(676) t(j)),
+         rk AS (SELECT map_from_entries(list(struct_pack(
+             k := x || chr(10) || y, v := rank))) AS m FROM rl),
+         rx AS (SELECT map_from_entries(list(struct_pack(k := rank,
+             v := struct_pack(x := x, y := y)))) AS m FROM rl),
+         enc AS (
+           SELECT w, flatten(list_transform(
+               list_filter(string_split(w, ''), c -> c <> ''), c ->
+               CASE WHEN unicode(c) = 233 THEN [chr(195), chr(169)]
+                    ELSE [mb.m[unicode(c)][1]] END)) AS s
+             FROM wd, mb
+           UNION ALL
+           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
+               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
+               ELSE acc || ' ' || sy END), ' ') AS s
+           FROM (
+             SELECT w, s, rx.m[br][1].x AS bx, rx.m[br][1].y AS by
+             FROM (
+               SELECT w, s, list_min(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> rk.m[s[i] || chr(10) || s[i+1]][1])) AS br
+               FROM enc, rk WHERE len(s) >= 2), rx
+             WHERE br IS NOT NULL)),
+         fin AS (SELECT w, s FROM enc, rk
+           WHERE len(s) < 2 OR list_min(list_transform(
+             generate_series(1, len(s) - 1),
+             i -> rk.m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
+         idm AS (SELECT map_from_entries(list(struct_pack(k := sym,
+             v := id))) AS m
+           FROM (SELECT sym, CAST(b AS BIGINT) AS id FROM bu
+                 UNION ALL SELECT x || y AS sym,
+                   CAST(256 + rank AS BIGINT) AS id FROM rl)),
+         ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
+           FROM fin, idm),
+         byDoc AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             flatten(list(wids ORDER BY ord)) AS ids
+           FROM sg JOIN ew ON ew.w = sg.tok GROUP BY doc_id)
+         SELECT doc_id, n_segments,
+           CAST(len(ids) AS BIGINT) AS n_symbols,
+           CAST((len(ids) + 63) // 64 AS BIGINT) AS n_blocks,
+           CAST(concat('0x', substr(md5(concat('7', '|',
+             array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
+         FROM byDoc""",
+    // round trip is IDENTITY on the oracle side: the same injected
+    // text, hashed directly -- Spark earns the same sum only if
+    // decode(concat(encode(txt))) is byte-identical corpus-wide
+    "q311_detok_roundtrip" ->
+      s"""WITH d AS (SELECT source, $injectPretokSql AS txt
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip,
+           CAST(sum(CAST(concat('0x', substr(md5(concat('41', '|',
+             txt)), 1, 8)) AS BIGINT)) AS BIGINT) AS rt_hash_sum
+         FROM d GROUP BY source""",
     // both LMs from one census; floored scoring LEFT-joins the df>=2
     // table and coalesces onto the per-lang unseen microbits
     "q298_vocab_floor_audit" ->

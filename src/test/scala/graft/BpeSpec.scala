@@ -205,6 +205,61 @@ class BpeSpec extends AnyFunSuite {
     assert(exGlob.getMessage.contains("exactly one file"))
   }
 
+  test("vocabFromFile loads a vocab.json id space, external ids drive " +
+      "encodeIdsWith, and ids invert back to the exact original BYTES " +
+      "(decode round trip from ids)") {
+    import graft.llm.{Bpe, ByteLevel, PreTokenize}
+    val g = ByteLevel.byteToChar(0x20)
+    val rules = Seq((g, "t"), (g + "t", "h"), (g + "th", "e"), ("i", "t"))
+    // the GPT-2 vocab.json shape: byte symbol b -> id b, merge i -> 256+i
+    val vocab: Map[String, Long] =
+      (0 until 256).map(b => ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+        rules.zipWithIndex.map { case ((x, y), i) => (x + y) -> (256L + i) }
+    // write as real JSON (jackson escapes the quote/backslash symbols)
+    val jmap = new java.util.LinkedHashMap[String, Long]()
+    vocab.toSeq.sortBy(_._2).foreach { case (k, v) => jmap.put(k, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab")
+    val f = dir.resolve("vocab.json")
+    java.nio.file.Files.write(f,
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(jmap).getBytes("UTF-8"))
+    val loaded = Bpe.vocabFromFile(spark, f.toString)
+    assert(loaded === vocab)
+    // rejects: not an object; duplicate ids
+    val badArr = dir.resolve("arr.json")
+    java.nio.file.Files.write(badArr, "[1, 2]".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromFile(spark, badArr.toString)
+    }.getMessage.contains("JSON object"))
+    val badDup = dir.resolve("dup.json")
+    java.nio.file.Files.write(badDup,
+      """{"a": 1, "b": 1}""".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromFile(spark, badDup.toString)
+    }.getMessage.contains("distinct"))
+    // external ids end-to-end + inversion back to bytes
+    val text = "it's the Thing"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val ids = Bpe.encodeIdsWith(docs, "doc_id", "text", rules,
+        blockTokens = 8, byteLevel = true, preTokenize = true,
+        vocab = Some(loaded))
+      .select(col("ids")).as[Seq[Long]].head()
+    val idToSym = loaded.map(_.swap)
+    assert(ids.forall(idToSym.contains), "vocab is closed over the rules")
+    assert(ids.exists(_ >= 256L), "merges actually fired")
+    assert(ByteLevel.decode(ids.map(idToSym).mkString) === text,
+      "ids -> symbols -> bytes reassembles the exact original text")
+    // unknown-symbol policy: a vocab NOT closed over the rules maps
+    // the merged symbol to the loud -1 sentinel
+    val bytesOnly = (0 until 256)
+      .map(b => ByteLevel.byteToChar(b) -> b.toLong).toMap
+    val ids2 = Bpe.encodeIdsWith(docs, "doc_id", "text", rules,
+        blockTokens = 8, byteLevel = true, preTokenize = true,
+        vocab = Some(bytesOnly))
+      .select(col("ids")).as[Seq[Long]].head()
+    assert(ids2.contains(-1L), "unmapped post-merge symbols -> -1")
+  }
+
   test("byte-level apply: GPT-2 bytes_to_unicode bijection round-trips " +
       "all 256 bytes, merges fire on the remapped symbols, and " +
       "decode(concat(symbols)) == word for unicode input") {
