@@ -553,6 +553,33 @@ object Similarity {
     IvfIndex(cents, asn)
   }
 
+  /** int8-quantize a built index's member vectors — the 4× smaller
+    * artifact for corpus-scale serving (float64 lists are corpus-sized
+    * at 100 TB; int8 + a per-vector scale is the standard compression
+    * the q289 audit prices). Lists become (cid, member, mq, mscale,
+    * mnrm): the symmetric-int8 vector ([[quantizeInt8]], same rounding
+    * rule as q71/q289), its reconstruction scale, and its PRECOMPUTED
+    * integer norm (ships with the index so a probe pays one dot
+    * product per candidate, not three). [[ivfQuery]] detects the
+    * quantized schema and reranks in EXACT integer dot products —
+    * per-vector scales cancel in cosine, so no float reconstruction
+    * happens at query time. Recall cost of the compression is measured
+    * by q312's curve, not asserted.
+    */
+  def ivfQuantize(ix: IvfIndex): IvfIndex = {
+    val mq = quantizeInt8(col("mv"), int8Scale(col("mv")))
+    IvfIndex(ix.cents,
+      ix.lists.select(col("cid"), col("member"), mq.as("mq"),
+          int8Scale(col("mv")).as("mscale"))
+        .withColumn("mnrm", sqrt(intDot(col("mq"), col("mq"))
+          .cast("double"))))
+  }
+
+  /** Exact integer dot product of two int vectors as a long. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
+      lit(0L), (acc, x) => acc + x)
+
   /** Write the index as two parquet tables under `dir`. */
   def ivfSave(ix: IvfIndex, dir: String): Unit = {
     ix.cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
@@ -582,11 +609,26 @@ object Similarity {
           .as("score"))
     val probes = topKByQuery(scored, nprobe, withRank = false)
       .select(col("vec_id"), col("nn_id").as("cid"))
-    val cand = probes
-      .join(ix.lists, "cid")
-      .join(q.select(col("vec_id"), col("v")), "vec_id")
-      .select(col("vec_id"), col("member").as("nn_id"),
-        round(cosine(col("v"), col("mv")), 6).as("score"))
+    // an [[ivfQuantize]]d index reranks in exact integer dot products
+    // (per-vector scales cancel in cosine; member norms are
+    // precomputed in the index, the probe set quantizes once)
+    val cand = if (ix.lists.columns.contains("mq")) {
+      val qq = q.select(col("vec_id"),
+          quantizeInt8(col("v"), int8Scale(col("v"))).as("qv"))
+        .withColumn("qnrm", sqrt(intDot(col("qv"), col("qv"))
+          .cast("double")))
+      probes.join(ix.lists, "cid").join(qq, "vec_id")
+        .select(col("vec_id"), col("member").as("nn_id"),
+          when(col("qnrm") === 0.0 || col("mnrm") === 0.0,
+            lit(null).cast("double"))
+            .otherwise(round(intDot(col("qv"), col("mq")).cast("double")
+              / (col("qnrm") * col("mnrm")), 6)).as("score"))
+    } else {
+      probes.join(ix.lists, "cid")
+        .join(q.select(col("vec_id"), col("v")), "vec_id")
+        .select(col("vec_id"), col("member").as("nn_id"),
+          round(cosine(col("v"), col("mv")), 6).as("score"))
+    }
     // lists PARTITION the corpus (one best cid per member), so no
     // candidate can arrive twice — no dedup pass needed
     topKByQuery(cand, k, withRank = true)

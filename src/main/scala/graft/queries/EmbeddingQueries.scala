@@ -85,6 +85,32 @@ object EmbeddingQueries {
         k = 3, maxProbe = 4)
     }),
 
+    // The PRICE of int8-compressing the q305 index's lists (4x
+    // smaller — the 100 TB serving shape): q306's recall curve for
+    // the float index NEXT TO the ivfQuantize'd index, same probe
+    // set, same brute-force truth — recall_delta is the measured cost
+    // of the compression at each probe budget. Same assignment on
+    // both sides (quantization happens after the build); the int8
+    // rerank is exact long arithmetic, so the oracle reproduces it
+    // bit-for-bit with the q289 quantization formula.
+    "q312_ivf_quantized_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val ix = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists)
+      val probe = emb.where(col("vec_id") % 20 === 0)
+      val cf = Similarity.ivfRecallCurve(ix, emb, probe,
+          "vec_id", "embedding", k = 3, maxProbe = 4)
+        .select(col("nprobe"), col("n_queries"), col("possible"),
+          col("recall").as("recall_float"))
+      val cq = Similarity.ivfRecallCurve(Similarity.ivfQuantize(ix),
+          emb, probe, "vec_id", "embedding", k = 3, maxProbe = 4)
+        .select(col("nprobe"), col("recall").as("recall_int8"))
+      cf.join(cq, "nprobe")
+        .select(col("nprobe"), col("n_queries"), col("possible"),
+          col("recall_float"), col("recall_int8"),
+          (col("recall_int8") - col("recall_float")).as("recall_delta"))
+    }),
+
     // SemDeDup-style semantic dedup: sqrt(n) coarse clusters, exact
     // pairwise cosine inside each cluster only, drop vectors with a
     // smaller-id ≥ threshold cluster-mate. (Fixture embeddings are
@@ -592,6 +618,99 @@ object EmbeddingQueries {
       s"""WITH $ivfCommon,
          asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
          qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+         bc AS (SELECT q.vec_id, e.vec_id AS nn_id FROM qs q, ev e
+             WHERE e.vec_id <> q.vec_id),
+         bd AS (SELECT c.vec_id, c.nn_id,
+               list_reduce(list_transform(range(64),
+                 i -> ea.v[i+1] * eb.v[i+1]), (a, b) -> a + b) AS dp
+             FROM bc c JOIN ev ea ON ea.vec_id = c.vec_id
+                       JOIN ev eb ON eb.vec_id = c.nn_id),
+         bs AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM bd d JOIN n na ON na.vec_id = d.vec_id
+                       JOIN n nb ON nb.vec_id = d.nn_id),
+         br AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, nn_id ASC)
+                 AS rnk FROM bs)
+             WHERE rnk <= 3),
+         $ivBlocks
+         $points"""
+    },
+    // q306's float curve + the SAME candidates scored with the q289
+    // int8 formula (exact long dot products, norms from the quantized
+    // vectors) — recall_delta per probe budget
+    "q312_ivf_quantized_recall" -> {
+      val ivBlocks = (1 to 4).map { np =>
+        s"""c$np AS (SELECT pr.vec_id, a.member AS nn_id FROM pr
+               JOIN qs ON qs.vec_id = pr.vec_id
+               JOIN asn a ON a.cid = pr.cid
+               WHERE pr.r <= $np),
+         d$np AS (SELECT c.vec_id, c.nn_id,
+               list_reduce(list_transform(range(64),
+                 i -> ea.v[i+1] * eb.v[i+1]), (a, b) -> a + b) AS dp,
+               CAST(list_reduce(list_transform(range(64),
+                 i -> qa.qv[i+1] * qb.qv[i+1]), (a, b) -> a + b)
+                 AS BIGINT) AS qdp
+             FROM c$np c JOIN ev ea ON ea.vec_id = c.vec_id
+                         JOIN ev eb ON eb.vec_id = c.nn_id
+                         JOIN qv qa ON qa.vec_id = c.vec_id
+                         JOIN qv qb ON qb.vec_id = c.nn_id),
+         s$np AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score,
+               round(CAST(d.qdp AS DOUBLE) / (qa.nrm * qb.nrm), 6)
+                 AS score8
+             FROM d$np d JOIN n na ON na.vec_id = d.vec_id
+                         JOIN n nb ON nb.vec_id = d.nn_id
+                         JOIN qn qa ON qa.vec_id = d.vec_id
+                         JOIN qn qb ON qb.vec_id = d.nn_id),
+         iv$np AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY rnk) AS rr
+               FROM (SELECT vec_id, nn_id, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, nn_id ASC)
+                   AS rnk FROM s$np)
+               WHERE rnk <= 4 AND nn_id <> vec_id)
+             WHERE rr <= 3),
+         iw$np AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY rnk) AS rr
+               FROM (SELECT vec_id, nn_id, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score8 DESC, nn_id ASC)
+                   AS rnk FROM s$np)
+               WHERE rnk <= 4 AND nn_id <> vec_id)
+             WHERE rr <= 3)"""
+      }.mkString(",\n         ")
+      val points = (1 to 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT) FROM br) AS possible,
+           CAST((SELECT count(*) FROM iv$np i JOIN br b
+               ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM br) AS DOUBLE) AS recall_float,
+           CAST((SELECT count(*) FROM iw$np i JOIN br b
+               ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM br) AS DOUBLE) AS recall_int8,
+           CAST((SELECT count(*) FROM iw$np i JOIN br b
+               ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM br) AS DOUBLE)
+             - CAST((SELECT count(*) FROM iv$np i JOIN br b
+               ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM br) AS DOUBLE) AS recall_delta"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH $ivfCommon,
+         asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
+         qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+         sc8 AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+           FROM ev),
+         qv AS (SELECT vec_id, CASE WHEN s = 0
+             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+             END AS qv FROM sc8),
+         qn AS (SELECT vec_id, sqrt(CAST(list_reduce(
+             list_transform(qv, x -> x * x), (a, b) -> a + b) AS DOUBLE))
+             AS nrm FROM qv),
          bc AS (SELECT q.vec_id, e.vec_id AS nn_id FROM qs q, ev e
              WHERE e.vec_id <> q.vec_id),
          bd AS (SELECT c.vec_id, c.nn_id,

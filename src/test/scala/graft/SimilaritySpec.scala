@@ -520,4 +520,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(prof.length === 5)
     assert(prof.map(_._2).sum === 20L, "every vector lands in one list")
   }
+
+  test("ivfQuantize: lists keep the exact partition, norms are the " +
+      "exact integer norms, and the quantized query path reranks in " +
+      "int8 with self-match at exactly 1.0") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val ix = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      centroids = 8)
+    val ix8 = Similarity.ivfQuantize(ix)
+    // same (cid, member) partition, one row per member
+    val a = ix.lists.select("cid", "member")
+      .as[(Long, Long)].collect().toSet
+    val b = ix8.lists.select("cid", "member")
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+    // mnrm is the exact integer norm of mq; mq values are in [-127,127]
+    ix8.lists.select(col("mq"), col("mscale"), col("mnrm"))
+      .as[(Seq[Int], Double, Double)].collect().foreach {
+        case (mq, mscale, mnrm) =>
+          assert(mq.forall(x => x >= -127 && x <= 127))
+          assert(mscale >= 0.0)
+          val n = math.sqrt(mq.map(x => x.toLong * x).sum.toDouble)
+          assert(mnrm === n)
+      }
+    // in-corpus probes: exact self-match at 1.0 rank 1 (an int8
+    // vector's cosine with itself is exactly dot/nrm^2 = 1)
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val top = Similarity.ivfQuery(ix8, q, "vec_id", "embedding",
+        nprobe = 2, k = 1)
+      .select(col("vec_id"), col("nn_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    assert(top.nonEmpty)
+    top.foreach { case (qid, nid, s) =>
+      assert(nid === qid, "rank-1 hit is the exact self match")
+      assert(s === 1.0)
+    }
+    // the saved/loaded quantized index answers identically
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf8").toString
+    Similarity.ivfSave(ix8, dir)
+    val re = Similarity.ivfQuery(Similarity.ivfLoad(spark, dir), q,
+        "vec_id", "embedding", nprobe = 2, k = 1)
+      .select(col("vec_id"), col("nn_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    assert(re.toSet === top.toSet)
+  }
 }
