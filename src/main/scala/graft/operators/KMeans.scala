@@ -69,6 +69,35 @@ object KMeans {
     */
   def assign(embeddings: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): DataFrame = {
+    val (q, centroids) = trained(embeddings, idCol, vecCol, k, iters)
+    val best = assignExpr(col("qv"), centroids)
+    q.select(col("vec_id"), best.getField("c").as("cid"),
+      best.getField("d").as("dist"))
+  }
+
+  /** The centroids the FINAL assignment pass runs against (seeds after
+    * iters−1 recomputes), dequantized back to doubles (exact division
+    * by the power-of-two scale): (cid, cv array<double>) — the table
+    * [[graft.llm.Similarity.ivfBuildWith]] takes as its coarse
+    * quantizer, wiring "sampled k-means centroids" end-to-end (q313).
+    * cids are the seed vec_ids (the k smallest).
+    */
+  def centroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (_, cents) = trained(embeddings, idCol, vecCol, k, iters)
+    cents.map { case (cid, coords) =>
+      (cid, coords.map(_.toDouble / Scale.toDouble))
+    }.toDF("cid", "cv")
+  }
+
+  /** Seeds + iters−1 (assign → recompute) rounds; returns the persisted
+    * quantized corpus and the final-pass centroid literals.
+    */
+  private def trained(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int)
+      : (DataFrame, Seq[(Long, Seq[Long])]) = {
     require(k > 0 && iters > 0)
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -82,31 +111,28 @@ object KMeans {
     var centroids: Seq[(Long, Seq[Long])] = q.orderBy("vec_id").limit(k)
       .as[(Long, Seq[Long])].collect().toSeq
 
-    var pass = 0
-    var assigned: DataFrame = null
+    var pass = 1
     while (pass < iters) {
       val best = assignExpr(col("qv"), centroids)
-      assigned = q.select(col("vec_id"), col("qv"),
-        best.getField("c").as("cid"), best.getField("d").as("dist"))
+      val assigned = q.select(col("vec_id"), col("qv"),
+        best.getField("c").as("cid"))
+      // one hash-agg shuffle: k rows × (d sums + count) — columnar
+      // per-dim sums so the partial aggregate is map-side combined
+      val sums = (0 until d).map(i => sum(col("qv")(i)).as(s"s$i"))
+      val rows = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      centroids = rows.map { r =>
+        val n = r.getAs[Long]("n")
+        val coords = (0 until d).map { i =>
+          val s = r.getAs[Long](s"s$i")
+          Math.floorDiv(2 * s + n, 2 * n) // round-half-up(s/n), exact
+        }
+        r.getAs[Long]("cid") -> coords
+      }.toSeq
       pass += 1
-      if (pass < iters) {
-        // one hash-agg shuffle: k rows × (d sums + count) — columnar
-        // per-dim sums so the partial aggregate is map-side combined
-        val sums = (0 until d).map(i => sum(col("qv")(i)).as(s"s$i"))
-        val rows = assigned.groupBy(col("cid"))
-          .agg(count(lit(1)).as("n"), sums: _*)
-          .collect()
-        centroids = rows.map { r =>
-          val n = r.getAs[Long]("n")
-          val coords = (0 until d).map { i =>
-            val s = r.getAs[Long](s"s$i")
-            Math.floorDiv(2 * s + n, 2 * n) // round-half-up(s/n), exact
-          }
-          r.getAs[Long]("cid") -> coords
-        }.toSeq
-      }
     }
-    assigned.drop("qv")
+    (q, centroids)
   }
 
   /** Cluster summary for the oracle surface: size and inertia (Σ dist of

@@ -111,6 +111,24 @@ object EmbeddingQueries {
           (col("recall_int8") - col("recall_float")).as("recall_delta"))
     }),
 
+    // IVF under a SAMPLED-K-MEANS quantizer, end-to-end (the
+    // Similarity scaladoc's "e.g. sampled k-means centroids" promise,
+    // gated): deterministic integer-grid Lloyd (k=8, 3 passes) over a
+    // 1-in-10 sample, final-pass centroids dequantized (exact
+    // power-of-two division) into ivfBuildWith's (cid, cv) quantizer,
+    // then the q305 query path — broadcast quantizer, 2-probe, exact
+    // rerank, self kept. The oracle unrolls the same Lloyd passes and
+    // replays assignment/probe/rerank with the same tie rules.
+    "q313_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val quant = graft.operators.KMeans.centroids(
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        k = 8, iters = 3)
+      val ix = Similarity.ivfBuildWith(emb, "vec_id", "embedding", quant)
+      Similarity.ivfQuery(ix, emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", nprobe = 2, k = 3)
+    }),
+
     // SemDeDup-style semantic dedup: sqrt(n) coarse clusters, exact
     // pairwise cosine inside each cluster only, drop vectors with a
     // smaller-id ≥ threshold cluster-mate. (Fixture embeddings are
@@ -729,6 +747,75 @@ object EmbeddingQueries {
              WHERE rnk <= 3),
          $ivBlocks
          $points"""
+    },
+    // sampled-k-means quantizer (Lloyd passes unrolled on the 1-in-10
+    // sample, q139's integer grid), centroids dequantized by exact
+    // power-of-two division, then q305's assignment/probe/rerank
+    "q313_ivf_kmeans" -> {
+      val k = 8; val iters = 3; val dims = 64
+      val passes = (1 to (iters - 1)).map { p =>
+        s""",
+         kd$p AS (SELECT q.vec_id, c.cid,
+             sum((q.qv[c.i + 1] - c.c) * (q.qv[c.i + 1] - c.c)) AS dist
+           FROM q, kc${p - 1} c GROUP BY 1, 2),
+         ka$p AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rn
+               FROM kd$p) WHERE rn = 1),
+         ks$p AS (SELECT ka$p.cid, dim.i, sum(q.qv[dim.i + 1]) AS s,
+               count(*) AS n
+             FROM ka$p JOIN q USING (vec_id), dim GROUP BY 1, 2),
+         kc$p AS (SELECT cid, i,
+               CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS c
+             FROM ks$p)"""
+      }.mkString
+      s"""WITH q AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 16384.0 + 0.5) AS BIGINT))
+               AS qv
+           FROM embeddings WHERE vec_id % 10 = 0),
+         dim AS (SELECT unnest(range($dims)) AS i),
+         kc0 AS (SELECT q.vec_id AS cid, dim.i, q.qv[dim.i + 1] AS c
+             FROM q, dim
+             WHERE q.vec_id IN (SELECT vec_id FROM q ORDER BY vec_id
+               LIMIT $k))$passes,
+         km AS (SELECT cid, list_transform(list(c ORDER BY i),
+             x -> x / 16384.0) AS cv
+           FROM kc${iters - 1} GROUP BY cid),
+         $evCte, $nvCte,
+         kn AS (SELECT cid, sqrt(list_reduce(
+             list_transform(cv, x -> x * x), (a, b) -> a + b)) AS nrm
+           FROM km),
+         cc AS (SELECT ev.vec_id, km.cid, list_reduce(
+             list_transform(range($dims), i -> ev.v[i+1] * km.cv[i+1]),
+             (a, b) -> a + b) AS dp
+           FROM ev, km),
+         sc2 AS (SELECT cc.vec_id, cc.cid,
+             round(cc.dp / (nv2.nrm * kn.nrm), 6) AS s
+           FROM cc JOIN n nv2 ON nv2.vec_id = cc.vec_id
+                   JOIN kn ON kn.cid = cc.cid),
+         rr AS (SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS r
+             FROM sc2),
+         asn AS (SELECT vec_id AS member, cid FROM rr WHERE r = 1),
+         qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+         cand AS (SELECT rr.vec_id, a.member AS nn_id FROM rr
+               JOIN qs ON qs.vec_id = rr.vec_id
+               JOIN asn a ON a.cid = rr.cid
+               WHERE rr.r <= 2),
+         ${pairDotCte("cand", "vec_id", "nn_id")},
+         s2 AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM d JOIN n na ON na.vec_id = d.vec_id
+                    JOIN n nb ON nb.vec_id = d.nn_id),
+         r AS (SELECT vec_id, nn_id, score,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, nn_id ASC) AS BIGINT) AS rnk
+             FROM s2)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(nn_id AS BIGINT) AS nn_id, score, rnk
+         FROM r WHERE rnk <= 3"""
     },
     // q77's candidate math for an EXTERNAL probe set, self kept
     "q305_ivf_index_query" ->
