@@ -1177,6 +1177,22 @@ object CurationQueries {
             .cast("long").as("n_roundtrip"),
           sum(graft.llm.TextFunctions.portableHash(col("rt"), 41))
             .cast("long").as("rt_hash_sum"))
+    }),
+
+    // The COMPLETE production pipeline, end to end: GPT-2 pre-tokenize
+    // -> byte-level min-rank apply -> vocab.json-formula ids -> q308's
+    // cross-document packing. One row per (shard, block) with the
+    // exact id hash -- this is the artifact a pretraining loader
+    // mmaps, derived from raw text with every stage document-faithful,
+    // and the whole chain is pinned cross-engine in one compare.
+    "q314_packed_production" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), injectPretok(col("text")).as("text"))
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        byteLevelRules, blockTokens = 64, byteLevel = true,
+        preTokenize = true, vocab = Some(byteLevelVocab))
+      graft.llm.Packing.packTokenBlocks(enc, "doc_id", "ids",
+        blockTokens = 64, shards = 4)
     })
   )
 
@@ -1227,6 +1243,89 @@ object CurationQueries {
     "merge" -> "mergé",
     "part" -> "part''s",
     "fast" -> "a  's")
+
+  /** The q310/q314 oracle machinery: recursive GPT-2 peel, byte
+    * symbols, min-rank byte-level apply, vocab.json-formula ids,
+    * per-doc reassembly into `byDoc(doc_id, n_segments, ids)`.
+    */
+  private def byteLevelEncodeCtes: String =
+    s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, $injectPretokSql AS txt
+           FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         sg AS (SELECT doc_id, ord, tok FROM seg WHERE tok IS NOT NULL),
+         wd AS (SELECT DISTINCT tok AS w FROM sg),
+         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
+                  ELSE chr(CAST(255 + row_number()
+                    OVER (PARTITION BY printable ORDER BY b)
+                    AS INTEGER)) END AS sym
+                FROM (SELECT i AS b, (i BETWEEN 33 AND 126)
+                        OR (i BETWEEN 161 AND 172)
+                        OR (i BETWEEN 174 AND 255) AS printable
+                      FROM range(256) t(i))),
+         mb AS (SELECT map_from_entries(list(struct_pack(k := b,
+             v := sym))) AS m FROM bu WHERE b < 128),
+         rl AS (SELECT 0 AS rank, chr(288) AS x, 't' AS y
+            UNION ALL SELECT 1, chr(288) || 't', 'h'
+            UNION ALL SELECT 2, chr(288) || 'th', 'e'
+            UNION ALL SELECT 3, chr(195), chr(169)
+            UNION ALL SELECT i + 4, chr(97 + CAST(i // 26 AS INTEGER)),
+                chr(97 + CAST(i % 26 AS INTEGER)) FROM range(676) t(i)
+            UNION ALL SELECT 680 + j, chr(97 + CAST(j // 26 AS INTEGER))
+                || chr(97 + CAST(j % 26 AS INTEGER)),
+                chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER))
+              FROM range(676) t(j)),
+         rk AS (SELECT map_from_entries(list(struct_pack(
+             k := x || chr(10) || y, v := rank))) AS m FROM rl),
+         rx AS (SELECT map_from_entries(list(struct_pack(k := rank,
+             v := struct_pack(x := x, y := y)))) AS m FROM rl),
+         enc AS (
+           SELECT w, flatten(list_transform(
+               list_filter(string_split(w, ''), c -> c <> ''), c ->
+               CASE WHEN unicode(c) = 233 THEN [chr(195), chr(169)]
+                    ELSE [mb.m[unicode(c)][1]] END)) AS s
+             FROM wd, mb
+           UNION ALL
+           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
+               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
+               ELSE acc || ' ' || sy END), ' ') AS s
+           FROM (
+             SELECT w, s, rx.m[br][1].x AS bx, rx.m[br][1].y AS by
+             FROM (
+               SELECT w, s, list_min(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> rk.m[s[i] || chr(10) || s[i+1]][1])) AS br
+               FROM enc, rk WHERE len(s) >= 2), rx
+             WHERE br IS NOT NULL)),
+         fin AS (SELECT w, s FROM enc, rk
+           WHERE len(s) < 2 OR list_min(list_transform(
+             generate_series(1, len(s) - 1),
+             i -> rk.m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
+         idm AS (SELECT map_from_entries(list(struct_pack(k := sym,
+             v := id))) AS m
+           FROM (SELECT sym, CAST(b AS BIGINT) AS id FROM bu
+                 UNION ALL SELECT x || y AS sym,
+                   CAST(256 + rank AS BIGINT) AS id FROM rl)),
+         ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
+           FROM fin, idm),
+         byDoc AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             flatten(list(wids ORDER BY ord)) AS ids
+           FROM sg JOIN ew ON ew.w = sg.tok GROUP BY doc_id)"""
 
   /** The same chain as DuckDB `replace` nesting over column `text`. */
   private def injectPretokSql: String =
@@ -2161,89 +2260,35 @@ object CurationQueries {
     // apply over the 1356-rule list (4 literal + 1352 closed-form),
     // ids = byte value for single-byte symbols, 256+rank for merges
     "q310_vocab_json_ids" ->
-      s"""WITH RECURSIVE d AS (
-           SELECT doc_id, source, $injectPretokSql AS txt
-           FROM documents),
-         seg AS (
-           SELECT doc_id, 0 AS ord, txt AS rem,
-               CAST(NULL AS VARCHAR) AS tok
-             FROM d
-           UNION ALL
-           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
-           FROM (
-             SELECT doc_id, ord, rem,
-               CASE WHEN regexp_matches(t0, '^\\s+$$')
-                     AND length(t0) < length(rem) AND length(t0) >= 2
-                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
-             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
-                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
-               FROM seg WHERE rem <> ''))),
-         sg AS (SELECT doc_id, ord, tok FROM seg WHERE tok IS NOT NULL),
-         wd AS (SELECT DISTINCT tok AS w FROM sg),
-         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
-                  ELSE chr(CAST(255 + row_number()
-                    OVER (PARTITION BY printable ORDER BY b)
-                    AS INTEGER)) END AS sym
-                FROM (SELECT i AS b, (i BETWEEN 33 AND 126)
-                        OR (i BETWEEN 161 AND 172)
-                        OR (i BETWEEN 174 AND 255) AS printable
-                      FROM range(256) t(i))),
-         mb AS (SELECT map_from_entries(list(struct_pack(k := b,
-             v := sym))) AS m FROM bu WHERE b < 128),
-         rl AS (SELECT 0 AS rank, chr(288) AS x, 't' AS y
-            UNION ALL SELECT 1, chr(288) || 't', 'h'
-            UNION ALL SELECT 2, chr(288) || 'th', 'e'
-            UNION ALL SELECT 3, chr(195), chr(169)
-            UNION ALL SELECT i + 4, chr(97 + CAST(i // 26 AS INTEGER)),
-                chr(97 + CAST(i % 26 AS INTEGER)) FROM range(676) t(i)
-            UNION ALL SELECT 680 + j, chr(97 + CAST(j // 26 AS INTEGER))
-                || chr(97 + CAST(j % 26 AS INTEGER)),
-                chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER))
-              FROM range(676) t(j)),
-         rk AS (SELECT map_from_entries(list(struct_pack(
-             k := x || chr(10) || y, v := rank))) AS m FROM rl),
-         rx AS (SELECT map_from_entries(list(struct_pack(k := rank,
-             v := struct_pack(x := x, y := y)))) AS m FROM rl),
-         enc AS (
-           SELECT w, flatten(list_transform(
-               list_filter(string_split(w, ''), c -> c <> ''), c ->
-               CASE WHEN unicode(c) = 233 THEN [chr(195), chr(169)]
-                    ELSE [mb.m[unicode(c)][1]] END)) AS s
-             FROM wd, mb
-           UNION ALL
-           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
-               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
-               ELSE acc || ' ' || sy END), ' ') AS s
-           FROM (
-             SELECT w, s, rx.m[br][1].x AS bx, rx.m[br][1].y AS by
-             FROM (
-               SELECT w, s, list_min(list_transform(
-                   generate_series(1, len(s) - 1),
-                   i -> rk.m[s[i] || chr(10) || s[i+1]][1])) AS br
-               FROM enc, rk WHERE len(s) >= 2), rx
-             WHERE br IS NOT NULL)),
-         fin AS (SELECT w, s FROM enc, rk
-           WHERE len(s) < 2 OR list_min(list_transform(
-             generate_series(1, len(s) - 1),
-             i -> rk.m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
-         idm AS (SELECT map_from_entries(list(struct_pack(k := sym,
-             v := id))) AS m
-           FROM (SELECT sym, CAST(b AS BIGINT) AS id FROM bu
-                 UNION ALL SELECT x || y AS sym,
-                   CAST(256 + rank AS BIGINT) AS id FROM rl)),
-         ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
-           FROM fin, idm),
-         byDoc AS (SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_segments,
-             flatten(list(wids ORDER BY ord)) AS ids
-           FROM sg JOIN ew ON ew.w = sg.tok GROUP BY doc_id)
+      s"""$byteLevelEncodeCtes
          SELECT doc_id, n_segments,
            CAST(len(ids) AS BIGINT) AS n_symbols,
            CAST((len(ids) + 63) // 64 AS BIGINT) AS n_blocks,
            CAST(concat('0x', substr(md5(concat('7', '|',
              array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
          FROM byDoc""",
+    // q310's per-doc production ids run through q308's packing tail:
+    // the COMPLETE pipeline a pretraining loader consumes, pinned
+    // block for block
+    "q314_packed_production" ->
+      s"""$byteLevelEncodeCtes,
+         sh AS (SELECT doc_id, doc_id % 4 AS shard, ids,
+             CAST(len(ids) AS BIGINT) AS ns FROM byDoc),
+         off AS (SELECT doc_id, shard, ids, ns,
+             sum(ns) OVER (PARTITION BY shard ORDER BY doc_id) - ns
+               AS off FROM sh),
+         ex AS (SELECT shard, doc_id, off + i - 1 AS gpos, ids[i] AS id
+           FROM off, unnest(generate_series(1, CAST(ns AS INTEGER)))
+             g(i))
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(gpos // 64 AS BIGINT) AS block_id,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(concat('0x', substr(md5(concat('31', '|',
+             array_to_string(list(id ORDER BY gpos), ',')))
+             , 1, 8)) AS BIGINT) AS block_hash
+         FROM ex GROUP BY 1, 2""",
     // round trip is IDENTITY on the oracle side: the same injected
     // text, hashed directly -- Spark earns the same sum only if
     // decode(concat(encode(txt))) is byte-identical corpus-wide

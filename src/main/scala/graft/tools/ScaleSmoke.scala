@@ -145,8 +145,13 @@ object ScaleSmoke {
     // the token mass, not the round count.
     // q303_ = the external-vocab apply (rank map in the expression, so
     // growth must track token mass; the vocab/id tables stay bounded)
+    // q309_/q310_ = the GPT-2 pre-tokenizer and the full byte-level
+    // vocab.json encode over it (r14): both must track text mass —
+    // the scanner is a narrow map, the encode's distinct-segment and
+    // id tables stay content-bounded
     val hot = Seq("q105_", "q106_", "q130_", "q136_", "q147_", "q153_",
-      "q175_", "q191_", "q258_", "q58_", "q272_", "q284_", "q303_")
+      "q175_", "q191_", "q258_", "q58_", "q272_", "q284_", "q303_",
+      "q309_", "q310_")
     val smallDir = "/root/testdata/sf0.01"
     val bigDir = "/root/testdata/sf0.1"
     val sweeps = 2
@@ -217,8 +222,12 @@ object ScaleSmoke {
           col("doc_id") + col("rep") * lit(100000000L))
         .drop("rep")
         .write.parquet(s"$out/documents.parquet")
+      // q308 rides the replicated documents too: its explode +
+      // (shard, block) agg is the ONE linear re-layout the token
+      // stream must pay — the frontier measures that reshuffle
+      // end-to-end next to the BPE family (r13 verdict #6)
       Seq("q105_triangles", "q106_pagerank", "q175_entity_resolution",
-          "q284_token_ids")
+          "q284_token_ids", "q308_crossdoc_packing")
         .foreach { qn =>
           val t10 = time(qn, bigDir) // sf0.1 reference
           var t100 = time(qn, out)   // 10x its rows
