@@ -274,7 +274,20 @@ class PlanSpec extends AnyFunSuite {
       // hit/possible aggs) — a diagnostic query, each point bounded by
       // the probe set
       "q305_ivf_index_query" -> 3,
-      "q306_ivf_recall_curve" -> 25)
+      "q306_ivf_recall_curve" -> 25,
+      // round-14 additions (observed exactly, cold cache): q309/q311
+      // = the one per-source rollup (segmentation itself is a narrow
+      // map); q310's 2 = distinct-segment encode agg + per-doc
+      // reassembly (ids ride the external map, no vocab collect);
+      // q312's 50 = two q306 curves (float + int8) sharing the build;
+      // q313 = k-means recompute aggs + assignment agg + rerank;
+      // q314 = q310's 2 + the one packing re-layout agg
+      "q309_gpt_pretokenize" -> 1,
+      "q310_vocab_json_ids" -> 2,
+      "q311_detok_roundtrip" -> 1,
+      "q312_ivf_quantized_recall" -> 50,
+      "q313_ivf_kmeans" -> 3,
+      "q314_packed_production" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
