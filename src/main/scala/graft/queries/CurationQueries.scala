@@ -1193,6 +1193,36 @@ object CurationQueries {
         preTokenize = true, vocab = Some(byteLevelVocab))
       graft.llm.Packing.packTokenBlocks(enc, "doc_id", "ids",
         blockTokens = 64, shards = 4)
+    }),
+
+    // Tokenizer ECONOMICS under the production encode -- the numbers a
+    // tokenizer eval actually quotes per corpus slice: bytes/token
+    // (compression) and tokens/doc (budget) per source, computed from
+    // the q310 document-faithful pipeline (UTF-8 byte counts, GPT-2
+    // segments, byte-level merges). One extra per-source rollup past
+    // q310's plan; the byte count is octet_length on BOTH engines.
+    "q315_tokenizer_economics" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          injectPretok(col("text")).as("text"))
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        byteLevelRules, blockTokens = 64, byteLevel = true,
+        preTokenize = true, vocab = Some(byteLevelVocab))
+      docs.select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long").as("nb"))
+        .join(enc.select(col("doc_id"), col("n_words"),
+          col("n_symbols")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nb")).cast("long").as("n_bytes"),
+          sum(col("n_words")).cast("long").as("n_segments"),
+          sum(col("n_symbols")).cast("long").as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_bytes"),
+          col("n_segments"), col("n_tokens"),
+          (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+            .as("bytes_per_token"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("tokens_per_doc"))
     })
   )
 
@@ -2289,6 +2319,23 @@ object CurationQueries {
              array_to_string(list(id ORDER BY gpos), ',')))
              , 1, 8)) AS BIGINT) AS block_hash
          FROM ex GROUP BY 1, 2""",
+    // per-source rollup of the q310 per-doc encode; byte counts via
+    // strlen (DuckDB octet length) on the SAME injected text
+    "q315_tokenizer_economics" ->
+      s"""$byteLevelEncodeCtes,
+         g AS (SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(strlen(d.txt)) AS BIGINT) AS n_bytes,
+             CAST(sum(b.n_segments) AS BIGINT) AS n_segments,
+             CAST(sum(len(b.ids)) AS BIGINT) AS n_tokens
+           FROM d JOIN byDoc b ON b.doc_id = d.doc_id
+           GROUP BY d.source)
+         SELECT source, n_docs, n_bytes, n_segments, n_tokens,
+           CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS bytes_per_token,
+           CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS tokens_per_doc
+         FROM g""",
     // round trip is IDENTITY on the oracle side: the same injected
     // text, hashed directly -- Spark earns the same sum only if
     // decode(concat(encode(txt))) is byte-identical corpus-wide

@@ -140,4 +140,34 @@ class NativeExprFuzzSpec extends AnyFunSuite {
       assert(s === refApplyCp(w, rules, rank), s"mismatch on '${w.take(30)}'")
     }
   }
+
+  test("GptPreTokenizeExpr never throws and always PARTITIONS hostile " +
+      "input (concat(segments) == text, byte for byte)") {
+    val in = fuzz(606, 400, 40) ++ Seq("", " ", "'", "''", "'s't're",
+      "  　 mixed\tws\n", "a" + "́" * 5)
+    val got = in.toDF("s")
+      .select(col("s"),
+        graft.llm.PreTokenize.gptSegments(col("s")).as("g"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (s, g) =>
+      assert(g.mkString === s,
+        s"segments must partition '${s.take(30)}'")
+      assert(g.forall(_.nonEmpty), "no empty segments")
+    }
+  }
+
+  test("ByteLevelDecodeExpr inverts the byte-level encode on hostile " +
+      "unicode (decode(concat(applyMergesBytes(w))) == w)") {
+    val words = fuzz(707, 300, 24).filter(_.nonEmpty)
+    // a handful of byte-level rules so merged symbols cross the decode
+    val g = graft.llm.ByteLevel.byteToChar(0x25) // '%' is printable
+    val rules = Seq((g, g), ("a", "b"), ("x", "X"))
+    val got = words.toDF("w")
+      .select(col("w"), graft.llm.ByteLevel.decodeCol(array_join(
+        graft.llm.Bpe.applyMergesBytes(col("w"), rules), "")).as("d"))
+      .as[(String, String)].collect()
+    got.foreach { case (w, d) =>
+      assert(d === w, s"byte-level round trip lost '${w.take(30)}'")
+    }
+  }
 }

@@ -287,7 +287,10 @@ class PlanSpec extends AnyFunSuite {
       "q311_detok_roundtrip" -> 1,
       "q312_ivf_quantized_recall" -> 50,
       "q313_ivf_kmeans" -> 3,
-      "q314_packed_production" -> 3)
+      "q314_packed_production" -> 3,
+      // q315 = q310's 2 + the per-source economics rollup (the
+      // byte-count join broadcasts)
+      "q315_tokenizer_economics" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
