@@ -66,6 +66,20 @@ object Bpe {
             .otherwise(concat(acc, lit(" "), sy))), " "))
   }
 
+  /** The PRODUCTION trainer's census: one weight per distinct GPT-2
+    * SEGMENT ([[PreTokenize.gptSegments]] — case preserved, each word
+    * carrying its leading space) with the byte-level base alphabet
+    * ([[applyMergesBytes]]'s remap) — exactly the input a real GPT-2/HF
+    * tokenizer train consumes, so [[trainFromVocab]] over this census
+    * learns Ġ-prefixed merges a lowercase word census never could.
+    * Same two-aggregate shape as [[charVocab]]: the corpus collapses
+    * once, every training round after is bounded by |segments|.
+    */
+  def segmentVocabBytes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(PreTokenize.gptSegments(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("weight"))
+      .select(col("weight"), applyMergesBytes(col("w"), Nil).as("s"))
+
   /** Train `rounds` merge rules; returns one row per executed round:
     * (merge_round, x, y, pair_n, mass_after) where pair_n is the
     * weighted adjacent-pair count that won the round and mass_after is

@@ -1223,6 +1223,22 @@ object CurationQueries {
             .as("bytes_per_token"),
           (col("n_tokens").cast("double") / col("n_docs").cast("double"))
             .as("tokens_per_doc"))
+    }),
+
+    // BPE TRAINING the way production trains it: the census is GPT-2
+    // SEGMENTS (case preserved, spaces attached) over the byte-level
+    // base alphabet -- so the trainer can learn space-prefixed merges
+    // (the first rule learned on the fixture is (Ġ, s)) that a
+    // lowercase word census structurally cannot. Same deterministic
+    // multi-round loop as q272 (argmax by count desc, x, y; greedy LTR
+    // rewrite; exact long arithmetic); the oracle rebuilds the
+    // segment peel + bytes_to_unicode census and replays the rounds
+    // with MATERIALIZED round CTEs.
+    "q316_bpe_train_segments" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), injectPretok(col("text")).as("text"))
+      graft.llm.Bpe.trainFromVocab(
+        graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 8)
     })
   )
 
@@ -2336,6 +2352,159 @@ object CurationQueries {
            CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
              AS tokens_per_doc
          FROM g""",
+    // the q309 segment peel + bytes_to_unicode census feeding q272's
+    // round chain (MATERIALIZED per round: DuckDB re-inlines multiply
+    // referenced CTEs -- 0.5 s vs 45 s at sf0.01); first learned rule
+    // on the fixture is the space-prefixed (chr(288), 's')
+    "q316_bpe_train_segments" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, $injectPretokSql AS txt
+           FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         sg AS MATERIALIZED (SELECT tok FROM seg WHERE tok IS NOT NULL),
+         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
+                  ELSE chr(CAST(255 + row_number()
+                    OVER (PARTITION BY printable ORDER BY b)
+                    AS INTEGER)) END AS sym
+                FROM (SELECT i AS b, (i BETWEEN 33 AND 126)
+                        OR (i BETWEEN 161 AND 172)
+                        OR (i BETWEEN 174 AND 255) AS printable
+                      FROM range(256) t(i))),
+         mb AS (SELECT map_from_entries(list(struct_pack(k := b,
+             v := sym))) AS m FROM bu WHERE b < 128),
+         v0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS weight
+           FROM sg GROUP BY tok),
+         v1 AS MATERIALIZED (SELECT w, weight, flatten(list_transform(
+               list_filter(string_split(w, ''), c -> c <> ''), c ->
+               CASE WHEN unicode(c) = 233 THEN [chr(195), chr(169)]
+                    ELSE [mb.m[unicode(c)][1]] END)) AS s
+           FROM v0, mb),
+         c1 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v1, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b1 AS (SELECT x, y, n FROM c1 ORDER BY n DESC, x, y LIMIT 1),
+         v2 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v1 LEFT JOIN b1 b ON TRUE),
+         m1 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v2),
+         c2 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v2, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b2 AS (SELECT x, y, n FROM c2 ORDER BY n DESC, x, y LIMIT 1),
+         v3 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v2 LEFT JOIN b2 b ON TRUE),
+         m2 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v3),
+         c3 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v3, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b3 AS (SELECT x, y, n FROM c3 ORDER BY n DESC, x, y LIMIT 1),
+         v4 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v3 LEFT JOIN b3 b ON TRUE),
+         m3 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v4),
+         c4 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v4, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b4 AS (SELECT x, y, n FROM c4 ORDER BY n DESC, x, y LIMIT 1),
+         v5 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v4 LEFT JOIN b4 b ON TRUE),
+         m4 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v5),
+         c5 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v5, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b5 AS (SELECT x, y, n FROM c5 ORDER BY n DESC, x, y LIMIT 1),
+         v6 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v5 LEFT JOIN b5 b ON TRUE),
+         m5 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v6),
+         c6 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v6, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b6 AS (SELECT x, y, n FROM c6 ORDER BY n DESC, x, y LIMIT 1),
+         v7 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v6 LEFT JOIN b6 b ON TRUE),
+         m6 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v7),
+         c7 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v7, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b7 AS (SELECT x, y, n FROM c7 ORDER BY n DESC, x, y LIMIT 1),
+         v8 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v7 LEFT JOIN b7 b ON TRUE),
+         m7 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v8),
+         c8 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v8, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b8 AS (SELECT x, y, n FROM c8 ORDER BY n DESC, x, y LIMIT 1),
+         v9 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v8 LEFT JOIN b8 b ON TRUE),
+         m8 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v9)
+         SELECT CAST(1 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m1) AS mass_after FROM b1\n         UNION ALL\n         SELECT CAST(2 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m2) AS mass_after FROM b2\n         UNION ALL\n         SELECT CAST(3 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m3) AS mass_after FROM b3\n         UNION ALL\n         SELECT CAST(4 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m4) AS mass_after FROM b4\n         UNION ALL\n         SELECT CAST(5 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m5) AS mass_after FROM b5\n         UNION ALL\n         SELECT CAST(6 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m6) AS mass_after FROM b6\n         UNION ALL\n         SELECT CAST(7 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m7) AS mass_after FROM b7\n         UNION ALL\n         SELECT CAST(8 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m8) AS mass_after FROM b8""",
     // round trip is IDENTITY on the oracle side: the same injected
     // text, hashed directly -- Spark earns the same sum only if
     // decode(concat(encode(txt))) is byte-identical corpus-wide

@@ -47,4 +47,28 @@ object StreamingBpeVocab {
         Bpe.applyMerges(col("k"), Nil).as("s")) // = charVocab's splitter
     Bpe.trainFromVocab(wv, rounds)
   }
+
+  /** The PRODUCTION census feed (twin #32's stateless half): one count
+    * event per GPT-2 SEGMENT — case preserved, spaces attached — the
+    * same segmentation as batch [[graft.llm.Bpe.segmentVocabBytes]].
+    * Segmentation is the codegen'd scanner; no shuffle before keyBy.
+    */
+  def segmentEvents(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
+      graft.llm.PreTokenize.gptSegments(col(textCol))).as("k"))
+
+  /** Byte-level retrain over the accumulated SEGMENT census — the
+    * document-faithful tokenizer-refresh loop: equals
+    * `Bpe.trainFromVocab(Bpe.segmentVocabBytes(prefixDocs, textCol))`
+    * rule for rule at every prefix (the twin-#32 spec contract); the
+    * learned merges live in the byte-remap symbol space (Ġ-prefixed
+    * words merge), so they are drop-in rules for
+    * `encodeIdsWith(byteLevel = true, preTokenize = true)`.
+    */
+  def assembleTrainBytes(counts: DataFrame, rounds: Int): DataFrame = {
+    val wv = counts.groupBy(col("k")).agg(max(col("n")).as("weight"))
+      .select(col("weight"),
+        Bpe.applyMergesBytes(col("k"), Nil).as("s"))
+    Bpe.trainFromVocab(wv, rounds)
+  }
 }
