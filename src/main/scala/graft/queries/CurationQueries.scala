@@ -1239,6 +1239,51 @@ object CurationQueries {
         .select(col("doc_id"), injectPretok(col("text")).as("text"))
       graft.llm.Bpe.trainFromVocab(
         graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 8)
+    }),
+
+    // The CLOSED tokenizer lifecycle: train on the corpus (q316's
+    // segment/byte-level census), then tokenize the SAME corpus with
+    // the learned rules -- per-source compression stats with every
+    // per-segment symbol sequence hashed. The 8 trained rules are a
+    // driver-side bounded collect (the q272 trainer charter); the
+    // apply is the native min-rank expression over DISTINCT segments
+    // (trained lists are min-rank == in-order, the BpeSpec drop-in
+    // contract). The oracle trains AND applies in one statement:
+    // q316's round chain feeds a rank map into the q310-style
+    // recursive apply.
+    "q317_trained_tokenizer_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          injectPretok(col("text")).as("text"))
+      val rules = graft.llm.Bpe.trainFromVocab(
+          graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 8)
+        .orderBy(col("merge_round"))
+        .select(col("x"), col("y"))
+        .as[(String, String)].collect().toSeq
+      val sw = docs.select(col("source"),
+          explode(graft.llm.PreTokenize.gptSegments(col("text")))
+            .as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("nsw"),
+          first(octet_length(col("w"))).as("nbytes"))
+      val enc = sw.select(col("w")).distinct()
+        .select(col("w"),
+          graft.llm.Bpe.applyMergesBytes(col("w"), rules).as("s"))
+        .select(col("w"), size(col("s")).cast("long").as("n_sym"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(col("s"), " "), 43).as("h"))
+      sw.join(enc, "w")
+        .groupBy(col("source"))
+        .agg(sum(col("nsw")).cast("long").as("n_segments"),
+          sum(col("nsw") * col("nbytes")).cast("long").as("n_bytes"),
+          sum(col("nsw") * col("n_sym")).cast("long").as("n_symbols"),
+          sum(col("nsw") * col("h")).cast("long").as("sym_hash_sum"))
+        .select(col("source"), col("n_segments"), col("n_bytes"),
+          col("n_symbols"),
+          (col("n_bytes").cast("double") / col("n_symbols").cast("double"))
+            .as("bytes_per_symbol"),
+          col("sym_hash_sum"))
     })
   )
 
@@ -1372,6 +1417,158 @@ object CurationQueries {
              CAST(count(*) AS BIGINT) AS n_segments,
              flatten(list(wids ORDER BY ord)) AS ids
            FROM sg JOIN ew ON ew.w = sg.tok GROUP BY doc_id)"""
+
+  /** The q316/q317 oracle machinery: segment peel + byte census +
+    * the 8 unrolled training rounds (MATERIALIZED per round).
+    */
+  private def segTrainCtes: String =
+    s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, $injectPretokSql AS txt
+           FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         sg AS MATERIALIZED (SELECT doc_id, tok FROM seg WHERE tok IS NOT NULL),
+         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
+                  ELSE chr(CAST(255 + row_number()
+                    OVER (PARTITION BY printable ORDER BY b)
+                    AS INTEGER)) END AS sym
+                FROM (SELECT i AS b, (i BETWEEN 33 AND 126)
+                        OR (i BETWEEN 161 AND 172)
+                        OR (i BETWEEN 174 AND 255) AS printable
+                      FROM range(256) t(i))),
+         mb AS (SELECT map_from_entries(list(struct_pack(k := b,
+             v := sym))) AS m FROM bu WHERE b < 128),
+         v0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS weight
+           FROM sg GROUP BY tok),
+         v1 AS MATERIALIZED (SELECT w, weight, flatten(list_transform(
+               list_filter(string_split(w, ''), c -> c <> ''), c ->
+               CASE WHEN unicode(c) = 233 THEN [chr(195), chr(169)]
+                    ELSE [mb.m[unicode(c)][1]] END)) AS s
+           FROM v0, mb),
+         c1 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v1, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b1 AS (SELECT x, y, n FROM c1 ORDER BY n DESC, x, y LIMIT 1),
+         v2 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v1 LEFT JOIN b1 b ON TRUE),
+         m1 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v2),
+         c2 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v2, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b2 AS (SELECT x, y, n FROM c2 ORDER BY n DESC, x, y LIMIT 1),
+         v3 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v2 LEFT JOIN b2 b ON TRUE),
+         m2 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v3),
+         c3 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v3, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b3 AS (SELECT x, y, n FROM c3 ORDER BY n DESC, x, y LIMIT 1),
+         v4 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v3 LEFT JOIN b3 b ON TRUE),
+         m3 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v4),
+         c4 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v4, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b4 AS (SELECT x, y, n FROM c4 ORDER BY n DESC, x, y LIMIT 1),
+         v5 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v4 LEFT JOIN b4 b ON TRUE),
+         m4 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v5),
+         c5 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v5, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b5 AS (SELECT x, y, n FROM c5 ORDER BY n DESC, x, y LIMIT 1),
+         v6 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v5 LEFT JOIN b5 b ON TRUE),
+         m5 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v6),
+         c6 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v6, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b6 AS (SELECT x, y, n FROM c6 ORDER BY n DESC, x, y LIMIT 1),
+         v7 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v6 LEFT JOIN b6 b ON TRUE),
+         m6 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v7),
+         c7 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v7, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b7 AS (SELECT x, y, n FROM c7 ORDER BY n DESC, x, y LIMIT 1),
+         v8 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v7 LEFT JOIN b7 b ON TRUE),
+         m7 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v8),
+         c8 AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v8, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         b8 AS (SELECT x, y, n FROM c8 ORDER BY n DESC, x, y LIMIT 1),
+         v9 AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v8 LEFT JOIN b8 b ON TRUE),
+         m8 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
+           FROM v9)"""
 
   /** The same chain as DuckDB `replace` nesting over column `text`. */
   private def injectPretokSql: String =
@@ -2357,154 +2554,50 @@ object CurationQueries {
     // referenced CTEs -- 0.5 s vs 45 s at sf0.01); first learned rule
     // on the fixture is the space-prefixed (chr(288), 's')
     "q316_bpe_train_segments" ->
-      s"""WITH RECURSIVE d AS (
-           SELECT doc_id, $injectPretokSql AS txt
-           FROM documents),
-         seg AS (
-           SELECT doc_id, 0 AS ord, txt AS rem,
-               CAST(NULL AS VARCHAR) AS tok
-             FROM d
-           UNION ALL
-           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
-           FROM (
-             SELECT doc_id, ord, rem,
-               CASE WHEN regexp_matches(t0, '^\\s+$$')
-                     AND length(t0) < length(rem) AND length(t0) >= 2
-                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
-             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
-                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
-               FROM seg WHERE rem <> ''))),
-         sg AS MATERIALIZED (SELECT tok FROM seg WHERE tok IS NOT NULL),
-         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
-                  ELSE chr(CAST(255 + row_number()
-                    OVER (PARTITION BY printable ORDER BY b)
-                    AS INTEGER)) END AS sym
-                FROM (SELECT i AS b, (i BETWEEN 33 AND 126)
-                        OR (i BETWEEN 161 AND 172)
-                        OR (i BETWEEN 174 AND 255) AS printable
-                      FROM range(256) t(i))),
-         mb AS (SELECT map_from_entries(list(struct_pack(k := b,
-             v := sym))) AS m FROM bu WHERE b < 128),
-         v0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS weight
-           FROM sg GROUP BY tok),
-         v1 AS MATERIALIZED (SELECT w, weight, flatten(list_transform(
-               list_filter(string_split(w, ''), c -> c <> ''), c ->
-               CASE WHEN unicode(c) = 233 THEN [chr(195), chr(169)]
-                    ELSE [mb.m[unicode(c)][1]] END)) AS s
-           FROM v0, mb),
-         c1 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v1, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b1 AS (SELECT x, y, n FROM c1 ORDER BY n DESC, x, y LIMIT 1),
-         v2 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v1 LEFT JOIN b1 b ON TRUE),
-         m1 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v2),
-         c2 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v2, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b2 AS (SELECT x, y, n FROM c2 ORDER BY n DESC, x, y LIMIT 1),
-         v3 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v2 LEFT JOIN b2 b ON TRUE),
-         m2 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v3),
-         c3 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v3, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b3 AS (SELECT x, y, n FROM c3 ORDER BY n DESC, x, y LIMIT 1),
-         v4 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v3 LEFT JOIN b3 b ON TRUE),
-         m3 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v4),
-         c4 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v4, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b4 AS (SELECT x, y, n FROM c4 ORDER BY n DESC, x, y LIMIT 1),
-         v5 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v4 LEFT JOIN b4 b ON TRUE),
-         m4 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v5),
-         c5 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v5, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b5 AS (SELECT x, y, n FROM c5 ORDER BY n DESC, x, y LIMIT 1),
-         v6 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v5 LEFT JOIN b5 b ON TRUE),
-         m5 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v6),
-         c6 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v6, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b6 AS (SELECT x, y, n FROM c6 ORDER BY n DESC, x, y LIMIT 1),
-         v7 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v6 LEFT JOIN b6 b ON TRUE),
-         m6 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v7),
-         c7 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v7, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b7 AS (SELECT x, y, n FROM c7 ORDER BY n DESC, x, y LIMIT 1),
-         v8 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v7 LEFT JOIN b7 b ON TRUE),
-         m7 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v8),
-         c8 AS (SELECT s[i] AS x, s[i+1] AS y,
-             CAST(sum(weight) AS BIGINT) AS n
-           FROM v8, unnest(generate_series(1, len(s) - 1)) AS g(i)
-           WHERE len(s) >= 2 GROUP BY 1, 2),
-         b8 AS (SELECT x, y, n FROM c8 ORDER BY n DESC, x, y LIMIT 1),
-         v9 AS MATERIALIZED (SELECT w, weight,
-             CASE WHEN b.x IS NULL THEN s
-             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
-               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
-               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
-               ELSE acc || ' ' || sy END), ' ') END AS s
-           FROM v8 LEFT JOIN b8 b ON TRUE),
-         m8 AS (SELECT CAST(sum(weight * len(s)) AS BIGINT) AS mass
-           FROM v9)
+      s"""$segTrainCtes
          SELECT CAST(1 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m1) AS mass_after FROM b1\n         UNION ALL\n         SELECT CAST(2 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m2) AS mass_after FROM b2\n         UNION ALL\n         SELECT CAST(3 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m3) AS mass_after FROM b3\n         UNION ALL\n         SELECT CAST(4 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m4) AS mass_after FROM b4\n         UNION ALL\n         SELECT CAST(5 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m5) AS mass_after FROM b5\n         UNION ALL\n         SELECT CAST(6 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m6) AS mass_after FROM b6\n         UNION ALL\n         SELECT CAST(7 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m7) AS mass_after FROM b7\n         UNION ALL\n         SELECT CAST(8 AS BIGINT) AS merge_round, x, y, n AS pair_n, (SELECT mass FROM m8) AS mass_after FROM b8""",
+    // q316's learned rules fed straight back through the min-rank
+    // apply over the SAME distinct segments (train -> apply, one
+    // statement): rank map from b1..b8, q310-style recursive apply
+    "q317_trained_tokenizer_apply" ->
+      s"""$segTrainCtes,
+         rl AS MATERIALIZED (SELECT 0 AS rank, x, y FROM b1\n            UNION ALL\n            SELECT 1 AS rank, x, y FROM b2\n            UNION ALL\n            SELECT 2 AS rank, x, y FROM b3\n            UNION ALL\n            SELECT 3 AS rank, x, y FROM b4\n            UNION ALL\n            SELECT 4 AS rank, x, y FROM b5\n            UNION ALL\n            SELECT 5 AS rank, x, y FROM b6\n            UNION ALL\n            SELECT 6 AS rank, x, y FROM b7\n            UNION ALL\n            SELECT 7 AS rank, x, y FROM b8),
+         rk AS (SELECT map_from_entries(list(struct_pack(
+             k := x || chr(10) || y, v := rank))) AS m FROM rl),
+         rx AS (SELECT map_from_entries(list(struct_pack(k := rank,
+             v := struct_pack(x := x, y := y)))) AS m FROM rl),
+         enc AS (
+           SELECT w, s FROM v1
+           UNION ALL
+           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
+               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
+               ELSE acc || ' ' || sy END), ' ') AS s
+           FROM (
+             SELECT w, s, rx.m[br][1].x AS bx, rx.m[br][1].y AS by
+             FROM (
+               SELECT w, s, list_min(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> rk.m[s[i] || chr(10) || s[i+1]][1])) AS br
+               FROM enc, rk WHERE len(s) >= 2), rx
+             WHERE br IS NOT NULL)),
+         fin AS (SELECT w AS fw, len(s) AS n_sym,
+             CAST(concat('0x', substr(md5(concat('43', '|',
+               array_to_string(s, ' '))), 1, 8)) AS BIGINT) AS h
+           FROM enc, rk
+           WHERE len(s) < 2 OR list_min(list_transform(
+             generate_series(1, len(s) - 1),
+             i -> rk.m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
+         sw AS (SELECT d.source, sg.tok AS w,
+             CAST(count(*) AS BIGINT) AS nsw
+           FROM sg JOIN d USING (doc_id) GROUP BY 1, 2)
+         SELECT source, CAST(sum(nsw) AS BIGINT) AS n_segments,
+           CAST(sum(nsw * strlen(w)) AS BIGINT) AS n_bytes,
+           CAST(sum(nsw * n_sym) AS BIGINT) AS n_symbols,
+           CAST(sum(nsw * strlen(w)) AS DOUBLE)
+             / CAST(sum(nsw * n_sym) AS DOUBLE) AS bytes_per_symbol,
+           CAST(sum(nsw * h) AS BIGINT) AS sym_hash_sum
+         FROM sw JOIN fin ON fin.fw = sw.w GROUP BY source""",
     // round trip is IDENTITY on the oracle side: the same injected
     // text, hashed directly -- Spark earns the same sum only if
     // decode(concat(encode(txt))) is byte-identical corpus-wide
