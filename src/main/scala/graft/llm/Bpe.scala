@@ -355,6 +355,41 @@ object Bpe {
     m
   }
 
+  /** Write a merge list in the standard `merges.txt` format
+    * ([[rulesFromFile]]'s inverse): a `#version` header then one
+    * `x y` line per rule in rank order — so a tokenizer TRAINED here
+    * ships as the artifact every GPT-2/HF-lineage loader consumes.
+    * Driver-side single-file write (the merge list is bounded by the
+    * training rounds); symbols must be whitespace-free (they are:
+    * both census builders split on whitespace/segments).
+    */
+  def rulesToFile(rules: Seq[(String, String)], path: String): Unit = {
+    require(rules.forall { case (x, y) =>
+      x.nonEmpty && y.nonEmpty &&
+        !(x + y).exists(c => c == ' ' || c == '\n' || c == '\r')
+    }, "merge symbols must be non-empty and whitespace-free")
+    val sb = new StringBuilder("#version: 0.2\n")
+    rules.foreach { case (x, y) => sb.append(x).append(' ').append(y)
+      .append('\n') }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Write a symbol→id map in the standard one-object `vocab.json`
+    * format ([[vocabFromFile]]'s inverse), ids ascending for a stable
+    * diffable artifact. Jackson escapes quote/backslash symbols.
+    */
+  def vocabToFile(vocab: Map[String, Long], path: String): Unit = {
+    require(vocab.values.toSet.size == vocab.size,
+      "vocab ids must be distinct")
+    val jmap = new java.util.LinkedHashMap[String, Long]()
+    vocab.toSeq.sortBy(_._2).foreach { case (k, v) => jmap.put(k, v) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .writerWithDefaultPrettyPrinter().writeValueAsString(jmap)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Apply an EXTERNALLY SUPPLIED merge list to a word — the
     * production-tokenizer apply path. [[encodeIds]] replays its own
     * trained rules as a foldLeft of per-rule projections, which caps

@@ -260,6 +260,50 @@ class BpeSpec extends AnyFunSuite {
     assert(ids2.contains(-1L), "unmapped post-merge symbols -> -1")
   }
 
+  test("trained tokenizer ships as standard artifacts: merges.txt and " +
+      "vocab.json round-trip through the writers and drive an " +
+      "identical apply") {
+    import graft.llm.{Bpe, ByteLevel}
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+      .limit(60)
+    // train on the production census (segments, byte-level alphabet)
+    val trained = Bpe.trainFromVocab(
+        Bpe.segmentVocabBytes(docs, "text"), rounds = 6)
+      .orderBy(col("merge_round")).select(col("x"), col("y"))
+      .as[(String, String)].collect().toSeq
+    assert(trained.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts")
+    val mf = dir.resolve("merges.txt").toString
+    Bpe.rulesToFile(trained, mf)
+    val reloaded = Bpe.rulesFromFile(spark, mf)
+    assert(reloaded === trained, "merges.txt round trip")
+    // vocab.json in the GPT-2 shape over the trained rules
+    val vocab: Map[String, Long] =
+      (0 until 256).map(b => ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+        trained.zipWithIndex.map { case ((x, y), i) => (x + y) -> (256L + i) }
+    val vf = dir.resolve("vocab.json").toString
+    Bpe.vocabToFile(vocab, vf)
+    assert(Bpe.vocabFromFile(spark, vf) === vocab, "vocab.json round trip")
+    // the reloaded artifacts drive the encode identically to the
+    // in-memory rules (the loader-compat contract, end to end)
+    def encode(rules: Seq[(String, String)], v: Map[String, Long]) =
+      Bpe.encodeIdsWith(docs, "doc_id", "text", rules, blockTokens = 16,
+          byteLevel = true, preTokenize = true, vocab = Some(v))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("ids"))
+        .as[(Long, Seq[Long])].collect().toSeq
+    assert(encode(reloaded, Bpe.vocabFromFile(spark, vf))
+      === encode(trained, vocab))
+    // writers reject malformed input loudly
+    assert(intercept[IllegalArgumentException] {
+      Bpe.rulesToFile(Seq(("a b", "c")), dir.resolve("x.txt").toString)
+    }.getMessage.contains("whitespace-free"))
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabToFile(Map("a" -> 1L, "b" -> 1L),
+        dir.resolve("y.json").toString)
+    }.getMessage.contains("distinct"))
+  }
+
   test("byte-level apply: GPT-2 bytes_to_unicode bijection round-trips " +
       "all 256 bytes, merges fire on the remapped symbols, and " +
       "decode(concat(symbols)) == word for unicode input") {
