@@ -141,6 +141,55 @@ object Packing {
           31).as("block_hash"))
   }
 
+  /** [[packTokenBlocks]] with the two details a real pretraining
+    * loader additionally needs: an EOS separator id appended to every
+    * document (GPT-2's <|endoftext|> — documents must not bleed into
+    * each other without a boundary token) and, per block, the sorted
+    * 0-based OFFSETS where a new document starts (the attention-reset
+    * map: positions whose attention must not look back past them).
+    * Same per-shard cumsum + explode + (shard, block) agg shape — the
+    * boundary offsets ride the same aggregate (doc-start tokens are
+    * marked before the explode, no extra pass).
+    *
+    * @return (shard, block_id, n_ids, n_docs, first_doc, block_hash,
+    *         boundaries) — `boundaries` is the comma-joined offsets of
+    *         doc-start tokens inside the block ("" when the block is
+    *         pure continuation).
+    */
+  def packTokenBlocksLoader(enc: DataFrame, idCol: String,
+                            idsCol: String, blockTokens: Int,
+                            shards: Int, eosId: Long): DataFrame = {
+    require(blockTokens >= 1 && shards >= 1, "blockTokens, shards >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val off = enc.select(col(idCol).cast("long").as("doc_id"),
+        concat(col(idsCol), array(lit(eosId))).as("ids"))
+      .where(size(col("ids")) > 1) // >1: ids + the appended EOS
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("ns", size(col("ids")).cast("long"))
+      .withColumn("off", sum(col("ns")).over(w) - col("ns"))
+    off.select(col("shard"), col("doc_id"), col("off"),
+        posexplode(col("ids")))
+      .select(col("shard"), col("doc_id"),
+        (col("off") + col("pos")).as("gpos"), col("col").as("id"),
+        (col("pos") === 0).as("doc_start"))
+      .groupBy(col("shard"),
+        expr(s"gpos div $blockTokens").as("block_id"))
+      .agg(count(lit(1)).cast("long").as("n_ids"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sort_array(collect_list(struct(col("gpos"), col("id"))))
+          .as("ord"),
+        sort_array(collect_list(when(col("doc_start"),
+          pmod(col("gpos"), lit(blockTokens.toLong))))).as("bnd"))
+      .select(col("shard"), col("block_id"), col("n_ids"), col("n_docs"),
+        col("first_doc"),
+        TextFunctions.portableHash(
+          array_join(transform(col("ord.id"), i => i.cast("string")), ","),
+          47).as("block_hash"),
+        array_join(transform(col("bnd"), b => b.cast("string")), ",")
+          .as("boundaries"))
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, shards: Int,
                    seed: Int): DataFrame = {
     require(shards > 0)

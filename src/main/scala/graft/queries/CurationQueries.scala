@@ -1284,6 +1284,25 @@ object CurationQueries {
           (col("n_bytes").cast("double") / col("n_symbols").cast("double"))
             .as("bytes_per_symbol"),
           col("sym_hash_sum"))
+    }),
+
+    // The LOADER-COMPLETE block artifact: q314's production packing
+    // plus the two details a real pretraining loader needs -- an EOS
+    // separator id appended to every document (the <|endoftext|>
+    // convention; id = one past the merge ids, the next free vocab
+    // slot) and per-block ATTENTION-RESET boundary offsets (0-based
+    // positions where a new document starts). One row per (shard,
+    // block): exact id hash + the boundary offset list, both pinned
+    // cross-engine.
+    "q318_packed_loader" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), injectPretok(col("text")).as("text"))
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        byteLevelRules, blockTokens = 64, byteLevel = true,
+        preTokenize = true, vocab = Some(byteLevelVocab))
+      graft.llm.Packing.packTokenBlocksLoader(enc, "doc_id", "ids",
+        blockTokens = 64, shards = 4,
+        eosId = 256L + byteLevelRules.size)
     })
   )
 
@@ -2531,6 +2550,34 @@ object CurationQueries {
            CAST(concat('0x', substr(md5(concat('31', '|',
              array_to_string(list(id ORDER BY gpos), ',')))
              , 1, 8)) AS BIGINT) AS block_hash
+         FROM ex GROUP BY 1, 2""",
+    // q314's tail with ids || [eos] and doc-start markers (i = 1);
+    // boundary offsets ride a FILTERed list aggregate
+    "q318_packed_loader" ->
+      s"""$byteLevelEncodeCtes,
+         sh AS (SELECT doc_id, doc_id % 4 AS shard,
+             list_append(ids, CAST(${256 + 1352 + 4} AS BIGINT)) AS ids
+           FROM byDoc),
+         sh2 AS (SELECT doc_id, shard, ids,
+             CAST(len(ids) AS BIGINT) AS ns FROM sh),
+         off AS (SELECT doc_id, shard, ids, ns,
+             sum(ns) OVER (PARTITION BY shard ORDER BY doc_id) - ns
+               AS off FROM sh2),
+         ex AS (SELECT shard, doc_id, off + i - 1 AS gpos, ids[i] AS id,
+             i = 1 AS doc_start
+           FROM off, unnest(generate_series(1, CAST(ns AS INTEGER)))
+             g(i))
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(gpos // 64 AS BIGINT) AS block_id,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(concat('0x', substr(md5(concat('47', '|',
+             array_to_string(list(id ORDER BY gpos), ',')))
+             , 1, 8)) AS BIGINT) AS block_hash,
+           coalesce(array_to_string(
+             list(CAST(gpos % 64 AS BIGINT) ORDER BY gpos)
+               FILTER (WHERE doc_start), ','), '') AS boundaries
          FROM ex GROUP BY 1, 2""",
     // per-source rollup of the q310 per-doc encode; byte counts via
     // strlen (DuckDB octet length) on the SAME injected text

@@ -391,6 +391,39 @@ class BpeSpec extends AnyFunSuite {
       "a substantial share of blocks spans multiple documents")
   }
 
+  test("packTokenBlocksLoader: EOS appears exactly once per doc, " +
+      "boundary offsets mark exactly the doc-start positions " +
+      "(hand-computed fixture)") {
+    // one shard, blockTokens = 4; ids chosen so boundaries land
+    // mid-block and a block is pure continuation:
+    //   doc 0: [10, 11]       -> +EOS(99): [10, 11, 99]
+    //   doc 4: [20]           -> +EOS:     [20, 99]
+    //   doc 8: [30,31,32,33,34,35] -> +EOS: [30..35, 99]
+    // stream (shard 0): 10 11 99 | 20 99 30 31 | 32 33 34 35 | 99
+    // blocks: b0 ids [10,11,99,20]?? — doc order by doc_id: 0, 4, 8.
+    // concat: [10,11,99, 20,99, 30,31,32,33,34,35,99]
+    //   b0 = [10,11,99,20]  boundaries: 0 (doc0 start), 3 (doc4 start)
+    //   b1 = [99,30,31,32]  boundaries: 1 (doc8 start)
+    //   b2 = [33,34,35,99]  boundaries: (none — pure continuation)
+    val enc = Seq(
+      (0L, Seq(10L, 11L)),
+      (4L, Seq(20L)),
+      (8L, Seq(30L, 31L, 32L, 33L, 34L, 35L))).toDF("doc_id", "ids")
+    val got = graft.llm.Packing.packTokenBlocksLoader(enc, "doc_id",
+        "ids", blockTokens = 4, shards = 1, eosId = 99L)
+      .orderBy(col("block_id"))
+      .select(col("block_id"), col("n_ids"), col("n_docs"),
+        col("first_doc"), col("boundaries"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, 2L, 0L, "0,3"),
+      (1L, 4L, 2L, 4L, "1"),
+      (2L, 4L, 1L, 8L, "")))
+    // EOS count = doc count: id mass = Σ ids + one EOS per doc
+    val mass = got.map(_._2).sum
+    assert(mass === (2 + 1 + 6) + 3L)
+  }
+
   test("symbolIds maps through the hash map; unknown symbols -> -1") {
     val got = Seq(Seq("aa", "b", "zz"), Seq.empty[String])
       .toDF("s")
