@@ -290,7 +290,9 @@ class PlanSpec extends AnyFunSuite {
       "q314_packed_production" -> 3,
       // q315 = q310's 2 + the per-source economics rollup (the
       // byte-count join broadcasts)
-      "q315_tokenizer_economics" -> 3)
+      "q315_tokenizer_economics" -> 3,
+      // q318 = q314's shape (encode 2 + the one packing re-layout)
+      "q318_packed_loader" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
