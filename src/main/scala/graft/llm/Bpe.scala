@@ -334,6 +334,15 @@ object Bpe {
     */
   def vocabFromFile(spark: org.apache.spark.sql.SparkSession,
                     path: String): Map[String, Long] = {
+    // single-file contract like [[rulesFromFile]]: a directory/glob
+    // would concatenate JSON documents and Jackson's readTree would
+    // silently parse only the FIRST — reject loudly instead
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    require(matches.length == 1 && matches.head.isFile,
+      s"vocab path must be exactly one file: '$path' matched " +
+        s"${matches.length} entries")
     val txt = spark.read.option("wholetext", "true").textFile(path)
       .collect().mkString
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)

@@ -237,6 +237,11 @@ class BpeSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Bpe.vocabFromFile(spark, badDup.toString)
     }.getMessage.contains("distinct"))
+    // a glob/directory would concatenate JSON docs and readTree would
+    // silently take the first — single-file contract
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromFile(spark, dir.resolve("*.json").toString)
+    }.getMessage.contains("exactly one file"))
     // external ids end-to-end + inversion back to bytes
     val text = "it's the Thing"
     val docs = Seq((1L, text)).toDF("doc_id", "text")
