@@ -345,7 +345,14 @@ object Bpe {
         s"${matches.length} entries")
     val txt = spark.read.option("wholetext", "true").textFile(path)
       .collect().mkString
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    // STRICT_DUPLICATE_DETECTION: readTree silently keeps the LAST
+    // value for a repeated key, so a corrupted vocab.json with the same
+    // token twice would pass the distinct-ids check (ids differ) while
+    // silently dropping a mapping — fail loudly at parse time instead
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .configure(com.fasterxml.jackson.core.JsonParser.Feature
+        .STRICT_DUPLICATE_DETECTION, true)
+      .readTree(txt)
     require(node != null && node.isObject,
       s"vocab.json must be a single JSON object: '$path'")
     require(node.size <= 5000000,
@@ -373,9 +380,16 @@ object Bpe {
     * both census builders split on whitespace/segments).
     */
   def rulesToFile(rules: Seq[(String, String)], path: String): Unit = {
+    // the reader ([[rulesFromFile]]) TRIMS lines and splits on ' ': any
+    // whitespace-ish char — Java's isWhitespace OR the Unicode
+    // White_Space property the pre-tokenizer uses (each covers chars
+    // the other misses: 0x1C–0x1F vs U+00A0/U+202F) — would write
+    // successfully yet reload trimmed or mis-split, silently changing
+    // ranks. The writer's guard matches the reader's parsing exactly.
     require(rules.forall { case (x, y) =>
       x.nonEmpty && y.nonEmpty &&
-        !(x + y).exists(c => c == ' ' || c == '\n' || c == '\r')
+        !(x + y).exists(c =>
+          Character.isWhitespace(c) || PreTokenize.isWs(c.toInt))
     }, "merge symbols must be non-empty and whitespace-free")
     val sb = new StringBuilder("#version: 0.2\n")
     rules.foreach { case (x, y) => sb.append(x).append(' ').append(y)

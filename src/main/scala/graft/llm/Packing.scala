@@ -122,7 +122,7 @@ object Packing {
       .where(size(col("ids")) > 0)
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .withColumn("ns", size(col("ids")).cast("long"))
-      .withColumn("off", sum(col("ns")).over(w) - col("ns"))
+      .withColumn("off", dupGuardedOffset(w))
     off.select(col("shard"), col("doc_id"), col("off"),
         posexplode(col("ids")))
       .select(col("shard"), col("doc_id"),
@@ -166,7 +166,7 @@ object Packing {
       .where(size(col("ids")) > 1) // >1: ids + the appended EOS
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .withColumn("ns", size(col("ids")).cast("long"))
-      .withColumn("off", sum(col("ns")).over(w) - col("ns"))
+      .withColumn("off", dupGuardedOffset(w))
     off.select(col("shard"), col("doc_id"), col("off"),
         posexplode(col("ids")))
       .select(col("shard"), col("doc_id"),
@@ -189,6 +189,23 @@ object Packing {
         array_join(transform(col("bnd"), b => b.cast("string")), ",")
           .as("boundaries"))
   }
+
+  /** The per-shard cumulative start offset, with a LOUD duplicate-id
+    * guard: the cumsum runs under the window's default RANGE frame, so
+    * two rows with the SAME doc_id in a shard would get identical
+    * offsets and silently interleave their ids inside blocks
+    * (corrupting contents, hashes, and boundary maps). Duplicates are
+    * adjacent under the window's doc_id sort, so a `lag` over the SAME
+    * window spec detects them inside the one Window exec — no extra
+    * exchange, no extra pass — and raises instead of corrupting.
+    */
+  private def dupGuardedOffset(
+      w: org.apache.spark.sql.expressions.WindowSpec)
+      : org.apache.spark.sql.Column =
+    when(lag(col("doc_id"), 1).over(w) === col("doc_id"),
+      raise_error(concat(lit("duplicate doc_id in packing input: "),
+        col("doc_id").cast("string"))).cast("long"))
+      .otherwise(sum(col("ns")).over(w) - col("ns"))
 
   def epochShuffle(docs: DataFrame, idCol: String, shards: Int,
                    seed: Int): DataFrame = {

@@ -68,11 +68,30 @@ object KMeans {
     * the row was assigned against.
     */
   def assign(embeddings: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int): DataFrame = {
-    val (q, centroids) = trained(embeddings, idCol, vecCol, k, iters)
-    val best = assignExpr(col("qv"), centroids)
-    q.select(col("vec_id"), best.getField("c").as("cid"),
+             k: Int, iters: Int): DataFrame =
+    assignWithCentroids(embeddings, idCol, vecCol, k, iters)._1
+
+  /** One `trained()` run serving BOTH faces — the natural IVF flow
+    * (centroids for the build plus the assignments) without running
+    * the full multi-pass Lloyd loop twice. Returns (assignments as in
+    * [[assign]], centroids as in [[centroids]]). The quantized corpus
+    * stays persisted because the assignment DataFrame is lazy over it;
+    * callers needing only the centroid table get the unpersist via
+    * [[centroids]].
+    */
+  def assignWithCentroids(embeddings: DataFrame, idCol: String,
+                          vecCol: String, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (q, cents) = trained(embeddings, idCol, vecCol, k, iters)
+    val best = assignExpr(col("qv"), cents)
+    val asn = q.select(col("vec_id"), best.getField("c").as("cid"),
       best.getField("d").as("dist"))
+    val cdf = cents.map { case (cid, coords) =>
+      (cid, coords.map(_.toDouble / Scale.toDouble))
+    }.toDF("cid", "cv")
+    (asn, cdf)
   }
 
   /** The centroids the FINAL assignment pass runs against (seeds after
@@ -86,7 +105,9 @@ object KMeans {
                 k: Int, iters: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (_, cents) = trained(embeddings, idCol, vecCol, k, iters)
+    val (q, cents) = trained(embeddings, idCol, vecCol, k, iters)
+    q.unpersist() // centroids are a driver-side Seq — the quantized
+                  // corpus has served its last pass
     cents.map { case (cid, coords) =>
       (cid, coords.map(_.toDouble / Scale.toDouble))
     }.toDF("cid", "cv")

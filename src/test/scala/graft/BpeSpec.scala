@@ -429,6 +429,51 @@ class BpeSpec extends AnyFunSuite {
     assert(mass === (2 + 1 + 6) + 3L)
   }
 
+  test("packing rejects duplicate doc_ids loudly (they would silently " +
+      "interleave block contents under the RANGE-frame cumsum)") {
+    val dup = Seq((0L, Seq(10L, 11L)), (0L, Seq(20L)), (4L, Seq(30L)))
+      .toDF("doc_id", "ids")
+    val ex1 = intercept[Exception] {
+      graft.llm.Packing.packTokenBlocks(dup, "doc_id", "ids",
+        blockTokens = 4, shards = 1).collect()
+    }
+    assert(ex1.getMessage.contains("duplicate doc_id"))
+    val ex2 = intercept[Exception] {
+      graft.llm.Packing.packTokenBlocksLoader(dup, "doc_id", "ids",
+        blockTokens = 4, shards = 1, eosId = 99L).collect()
+    }
+    assert(ex2.getMessage.contains("duplicate doc_id"))
+    // distinct ids in the SAME shard still pack fine (the guard is
+    // duplicate ids, not shard collisions)
+    val ok = graft.llm.Packing.packTokenBlocks(
+      Seq((0L, Seq(10L, 11L)), (4L, Seq(20L))).toDF("doc_id", "ids"),
+      "doc_id", "ids", blockTokens = 4, shards = 1)
+    assert(ok.count() === 1L)
+  }
+
+  test("artifact writer/reader contracts: rulesToFile rejects any " +
+      "whitespace the reader would trim or mis-split; vocabFromFile " +
+      "rejects duplicate JSON keys at parse time") {
+    import graft.llm.Bpe
+    val dir = java.nio.file.Files.createTempDirectory("graft-guards")
+    // tab and U+00A0 both survive the old ' '/'\n'/'\r' guard but
+    // reload trimmed/mis-parsed — the writer must reject them
+    for (bad <- Seq("a\tb", "a\u00A0", "a\u2007b", "\u001Fx")) {
+      assert(intercept[IllegalArgumentException] {
+        Bpe.rulesToFile(Seq((bad, "c")), dir.resolve("g.txt").toString)
+      }.getMessage.contains("whitespace-free"), s"must reject '$bad'")
+    }
+    // duplicate KEYS (ids differ, so the distinct-ids check passes):
+    // Jackson's readTree keeps the last silently — strict mode raises
+    val dupKey = dir.resolve("dupkey.json")
+    java.nio.file.Files.write(dupKey,
+      """{"tok": 1, "tok": 2}""".getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      Bpe.vocabFromFile(spark, dupKey.toString)
+    }
+    assert(ex.getMessage.toLowerCase.contains("duplicate"))
+  }
+
   test("symbolIds maps through the hash map; unknown symbols -> -1") {
     val got = Seq(Seq("aa", "b", "zz"), Seq.empty[String])
       .toDF("s")
