@@ -498,26 +498,49 @@ object Bpe {
     * unmapped symbol maps to the loud -1 sentinel ([[SymbolIdsExpr]]'s
     * contract) rather than silently renumbering — a -1 anywhere flips
     * every downstream hash, which is the point.
+    *
+    * With `specialTokens` (requires `preTokenize = true`) the encode is
+    * SPECIAL-TOKEN-FAITHFUL, the full HF/GPT-2 added-token contract:
+    * occurrences of any listed token in the TEXT are segmented out
+    * before the pre-tokenizer ([[PreTokenize.gptSegmentsSpecial]] —
+    * leftmost match, longest special at a position) and bypass BPE
+    * entirely, each mapping to its own single symbol (its vocab.json
+    * id under an external `vocab`; an observed id otherwise). Without
+    * this, a document that merely MENTIONS `<|endoftext|>` would BPE
+    * the literal as ordinary punctuation and diverge from a production
+    * encoding. `n_words` counts specials as one unit each.
     */
   def encodeIdsWith(docs: DataFrame, idCol: String, textCol: String,
                     rules: Seq[(String, String)],
                     blockTokens: Int = 64,
                     byteLevel: Boolean = false,
                     preTokenize: Boolean = false,
-                    vocab: Option[Map[String, Long]] = None): DataFrame = {
+                    vocab: Option[Map[String, Long]] = None,
+                    specialTokens: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty, "empty merge list")
     require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
+    require(specialTokens.isEmpty || preTokenize,
+      "specialTokens require preTokenize = true (the special split " +
+        "runs before the GPT-2 pre-tokenizer, not the whitespace split)")
     val spark = docs.sparkSession
     import spark.implicits._
     val units =
-      if (preTokenize) PreTokenize.gptSegments(col(textCol))
+      if (specialTokens.nonEmpty)
+        PreTokenize.gptSegmentsSpecial(col(textCol), specialTokens)
+      else if (preTokenize) PreTokenize.gptSegments(col(textCol))
       else TextFunctions.tokens(col(textCol))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         units.as("t"))
       .where(size(col("t")) > 0)
-    val apply0 =
+    val applyOrdinary =
       if (byteLevel) applyMergesBytes(col("w"), rules)
       else applyMerges(col("w"), rules)
+    // a special unit is UNSPLITTABLE: its symbol list is itself (one
+    // symbol), so the id lookup maps it straight to its vocab id
+    val apply0 =
+      if (specialTokens.isEmpty) applyOrdinary
+      else when(col("w").isin(specialTokens: _*), array(col("w")))
+        .otherwise(applyOrdinary)
     val enc = toks.select(explode(col("t")).as("w")).distinct()
       .select(col("w"), apply0.as("s"))
       .transform(graft.core.Caching.persist)

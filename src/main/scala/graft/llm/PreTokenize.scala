@@ -46,6 +46,26 @@ object PreTokenize {
       GptPreTokenizeExpr(ColumnBridge.toExpression(text)))
   }
 
+  /** [[gptSegments]] with ADDED SPECIAL TOKENS (the HF/GPT-2
+    * `AddedVocabulary` contract): occurrences of any special token are
+    * segmented out FIRST — leftmost match wins, longest special wins at
+    * the same position — as unsplittable segments, and each text chunk
+    * BETWEEN occurrences runs through the pre-tokenizer independently
+    * (a space before a special is a trailing whitespace run of its own
+    * chunk, never attached across the special). Segments still
+    * partition the text: `concat(segments) == text` exactly.
+    *
+    * This is what makes an encode faithful on documents whose TEXT
+    * contains the literal token (crawl text about LLMs does): without
+    * it, `<|endoftext|>` would be BPE'd as ordinary punctuation and
+    * the ids would diverge from a production tokenizer's.
+    */
+  def gptSegmentsSpecial(text: Column, specials: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(
+      GptPreTokenizeExpr(ColumnBridge.toExpression(text), specials))
+  }
+
   /** Unicode White_Space property — what `\s` means under Java's
     * UNICODE_CHARACTER_CLASS (and Python's `\s` on str), NOT
     * `Character.isWhitespace` (which adds 0x1C–0x1F and drops the
@@ -64,12 +84,55 @@ object PreTokenize {
   }
 
   /** The scanner behind [[gptSegments]], exposed for specs. */
-  def segments(s: String): Seq[String] = {
-    val out = segmentList(s)
+  def segments(s: String): Seq[String] = toSeq(segmentList(s))
+
+  /** The scanner behind [[gptSegmentsSpecial]], exposed for specs. */
+  def segmentsSpecial(s: String, specials: Seq[String]): Seq[String] =
+    toSeq(segmentListSpecial(s, sortedSpecials(specials)))
+
+  private def toSeq(out: java.util.ArrayList[String]): Seq[String] = {
     val b = Seq.newBuilder[String]
     var i = 0
     while (i < out.size) { b += out.get(i); i += 1 }
     b.result()
+  }
+
+  /** Longest-first probe order; validates the list once. */
+  private[llm] def sortedSpecials(specials: Seq[String]): Array[String] = {
+    require(specials.nonEmpty && specials.forall(_.nonEmpty),
+      "special tokens must be non-empty strings")
+    require(specials.distinct.size == specials.size,
+      s"duplicate special tokens: $specials")
+    specials.sortBy(t => (-t.length, t)).toArray
+  }
+
+  /** Special-aware scan: at each position, the longest matching
+    * special token wins (scanning left to right gives leftmost-first);
+    * the chunks between matches pre-tokenize independently through
+    * [[segmentList]].
+    */
+  private[llm] def segmentListSpecial(s: String,
+      byLen: Array[String]): java.util.ArrayList[String] = {
+    val n = s.length
+    val out = new java.util.ArrayList[String](n / 4 + 4)
+    var start = 0
+    var i = 0
+    while (i < n) {
+      var hit: String = null
+      var j = 0
+      while (hit == null && j < byLen.length) {
+        if (s.startsWith(byLen(j), i)) hit = byLen(j)
+        j += 1
+      }
+      if (hit != null) {
+        if (i > start) out.addAll(segmentList(s.substring(start, i)))
+        out.add(hit)
+        i += hit.length
+        start = i
+      } else i += 1
+    }
+    if (start < n) out.addAll(segmentList(s.substring(start, n)))
+    out
   }
 
   private[llm] def segmentList(s: String): java.util.ArrayList[String] = {
@@ -138,19 +201,30 @@ object PreTokenize {
 }
 
 /** Native GPT-2 pre-tokenize (see [[PreTokenize]]): string →
-  * array<string> of segments that partition the input.
+  * array<string> of segments that partition the input. With a
+  * non-empty `specials` list, the special-aware scan
+  * ([[PreTokenize.segmentListSpecial]]) runs instead — same pure
+  * per-row zero-shuffle shape; the probe list ships with the task
+  * binary.
   */
-case class GptPreTokenizeExpr(child: Expression)
+case class GptPreTokenizeExpr(child: Expression,
+                              specials: Seq[String] = Nil)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  @transient private lazy val byLen: Array[String] =
+    if (specials.isEmpty) Array.empty
+    else PreTokenize.sortedSpecials(specials)
+
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
   def compute(in: UTF8String): ArrayData = {
-    val segs = PreTokenize.segmentList(in.toString)
+    val segs =
+      if (specials.isEmpty) PreTokenize.segmentList(in.toString)
+      else PreTokenize.segmentListSpecial(in.toString, byLen)
     val arr = new Array[Any](segs.size)
     var i = 0
     while (i < segs.size) {

@@ -1303,6 +1303,33 @@ object CurationQueries {
       graft.llm.Packing.packTokenBlocksLoader(enc, "doc_id", "ids",
         blockTokens = 64, shards = 4,
         eosId = 256L + byteLevelRules.size)
+    }),
+
+    // SPECIAL-TOKEN-FAITHFUL ENCODE (the HF/GPT-2 added-token
+    // contract): documents whose TEXT contains the literal
+    // <|endoftext|> — planted mid-word, space-surrounded, twice
+    // adjacent, next to a NON-special lookalike — segment it out
+    // BEFORE the pre-tokenizer as an unsplittable unit mapping
+    // straight to its vocab id, while the lookalike BPEs as ordinary
+    // punctuation. Without the bypass, exactly these documents would
+    // encode differently from a production tokenizer. The oracle
+    // splits on the literal, peels each chunk independently, and
+    // interleaves the separators back in order.
+    "q319_special_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), injectSpecial(col("text")).as("text"))
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        byteLevelRules, blockTokens = 64, byteLevel = true,
+        preTokenize = true,
+        vocab = Some(byteLevelVocab + ("<|endoftext|>" -> specialTokenId)),
+        specialTokens = Seq("<|endoftext|>"))
+      enc.select(col("doc_id"), col("n_words").as("n_units"),
+        col("n_symbols"),
+        size(filter(col("ids"), i => i === lit(specialTokenId)))
+          .cast("long").as("n_specials"),
+        graft.llm.TextFunctions.portableHash(
+          array_join(transform(col("ids"), i => i.cast("string")), ","),
+          11).as("ids_hash"))
     })
   )
 
@@ -1378,7 +1405,22 @@ object CurationQueries {
                FROM seg WHERE rem <> ''))),
          sg AS (SELECT doc_id, ord, tok FROM seg WHERE tok IS NOT NULL),
          wd AS (SELECT DISTINCT tok AS w FROM sg),
-         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
+         ${byteApplyCtes()},
+         ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
+           FROM fin, idm),
+         byDoc AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             flatten(list(wids ORDER BY ord)) AS ids
+           FROM sg JOIN ew ON ew.w = sg.tok GROUP BY doc_id)"""
+
+  /** The shared byte-level-apply oracle block (consumes a preceding
+    * `wd(w)` CTE of distinct pre-tokenizer segments): bytes_to_unicode
+    * table, the 1356-rule list, the recursive min-rank apply, and the
+    * vocab.json id map. `extraIdRows` appends additional symbol→id
+    * mappings to `idm` (q319's special token).
+    */
+  private def byteApplyCtes(extraIdRows: String = ""): String =
+    s"""bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
                   ELSE chr(CAST(255 + row_number()
                     OVER (PARTITION BY printable ORDER BY b)
                     AS INTEGER)) END AS sym
@@ -1429,13 +1471,89 @@ object CurationQueries {
              v := id))) AS m
            FROM (SELECT sym, CAST(b AS BIGINT) AS id FROM bu
                  UNION ALL SELECT x || y AS sym,
-                   CAST(256 + rank AS BIGINT) AS id FROM rl)),
+                   CAST(256 + rank AS BIGINT) AS id FROM rl$extraIdRows))"""
+
+  /** The q319 oracle machinery: split the text on the literal special
+    * token FIRST (string_split — leftmost by construction; the query
+    * uses one special so longest-match is trivial), peel each chunk
+    * independently keyed by (doc_id, part_ord), then interleave chunk
+    * segments with the special separators in (part_ord, sp, ord)
+    * order. Non-special segments ride the shared byte apply; the
+    * special maps straight to its id ($specialTokenId — the next free
+    * vocab slot, the q318 eosId convention).
+    */
+  private def specialEncodeCtes: String =
+    s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, $injectSpecialSql AS txt
+           FROM documents),
+         pt AS (SELECT doc_id, string_split(txt, '<|endoftext|>')
+             AS parts FROM d),
+         ch AS (SELECT doc_id, i AS part_ord, parts[i] AS chunk,
+             len(parts) AS n_parts
+           FROM pt, unnest(generate_series(1, len(parts))) g(i)),
+         seg AS (
+           SELECT doc_id, part_ord, 0 AS ord, chunk AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM ch
+           UNION ALL
+           SELECT doc_id, part_ord, ord + 1,
+               substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, part_ord, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, part_ord, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         su AS (SELECT doc_id, part_ord, 0 AS sp, ord, tok FROM seg
+             WHERE tok IS NOT NULL
+           UNION ALL
+           SELECT doc_id, part_ord, 1 AS sp, 0 AS ord,
+               '<|endoftext|>' AS tok
+             FROM ch WHERE part_ord < n_parts),
+         wd AS (SELECT DISTINCT tok AS w FROM su WHERE sp = 0),
+         ${byteApplyCtes(s"""
+                 UNION ALL SELECT '<|endoftext|>' AS sym,
+                   CAST($specialTokenId AS BIGINT) AS id""")},
          ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
            FROM fin, idm),
          byDoc AS (SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_segments,
-             flatten(list(wids ORDER BY ord)) AS ids
-           FROM sg JOIN ew ON ew.w = sg.tok GROUP BY doc_id)"""
+             CAST(count(*) AS BIGINT) AS n_units,
+             flatten(list(CASE WHEN su.sp = 1
+                 THEN [CAST($specialTokenId AS BIGINT)] ELSE ew.wids END
+               ORDER BY su.part_ord, su.sp, su.ord)) AS ids
+           FROM su LEFT JOIN ew ON su.sp = 0 AND ew.w = su.tok
+           GROUP BY doc_id)"""
+
+  /** The special token's id: one past the merge ids — the next free
+    * vocab slot (the q318 eosId convention; a real GPT-2 vocab.json
+    * puts <|endoftext|> at exactly this position, 50256 = 256+50000).
+    */
+  private[graft] lazy val specialTokenId: Long = 256L + byteLevelRules.size
+
+  /** q319 text enrichment: plant the LITERAL special token into
+    * fixture text — mid-word adjacency, space-surrounded, two adjacent
+    * specials (an empty chunk between), and a lookalike `<|endof|>`
+    * that is NOT in the special list (must BPE as ordinary
+    * punctuation). Applied identically on both engines.
+    */
+  private val injectSpecialSteps: Seq[(String, String)] = Seq(
+    "data" -> "data<|endoftext|>Data",
+    "sort " -> "sort <|endoftext|> ",
+    "group" -> "<|endoftext|><|endoftext|>group",
+    "table" -> "tab<|endof|>le")
+
+  private def injectSpecial(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    injectSpecialSteps.foldLeft(text) { case (c, (a, b)) =>
+      replace(c, lit(a), lit(b))
+    }
+
+  private def injectSpecialSql: String =
+    injectSpecialSteps.foldLeft("text") { case (e, (a, b)) =>
+      s"replace($e, '$a', '$b')"
+    }
 
   /** The q316/q317 oracle machinery: segment peel + byte census +
     * the 8 unrolled training rounds (MATERIALIZED per round).
@@ -2579,6 +2697,17 @@ object CurationQueries {
              list(CAST(gpos % 64 AS BIGINT) ORDER BY gpos)
                FILTER (WHERE doc_start), ','), '') AS boundaries
          FROM ex GROUP BY 1, 2""",
+    // the special-split encode: chunks peeled independently,
+    // separators interleaved, special -> its own id, lookalike BPE'd
+    "q319_special_tokens" ->
+      s"""$specialEncodeCtes
+         SELECT doc_id, n_units,
+           CAST(len(ids) AS BIGINT) AS n_symbols,
+           CAST(len(list_filter(ids, x -> x = $specialTokenId))
+             AS BIGINT) AS n_specials,
+           CAST(concat('0x', substr(md5(concat('11', '|',
+             array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
+         FROM byDoc""",
     // per-source rollup of the q310 per-doc encode; byte counts via
     // strlen (DuckDB octet length) on the SAME injected text
     "q315_tokenizer_economics" ->

@@ -292,7 +292,10 @@ class PlanSpec extends AnyFunSuite {
       // byte-count join broadcasts)
       "q315_tokenizer_economics" -> 3,
       // q318 = q314's shape (encode 2 + the one packing re-layout)
-      "q318_packed_loader" -> 3)
+      "q318_packed_loader" -> 3,
+      // round-15: q319 = q310's 2 (special split + bypass are narrow
+      // per-row expressions — no extra shuffle over the plain encode)
+      "q319_special_tokens" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])

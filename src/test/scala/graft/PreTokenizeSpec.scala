@@ -128,6 +128,122 @@ class PreTokenizeSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference for the special-aware scan: leftmost-longest special
+    * split (the HF AddedVocabulary trie), each chunk through the
+    * PUBLISHED regex.
+    */
+  private def refSpecial(s: String, specials: Seq[String]): Seq[String] = {
+    val byLen = specials.sortBy(t => (-t.length, t))
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      byLen.find(t => s.startsWith(t, i)) match {
+        case Some(t) =>
+          if (i > start) out ++= refSegments(s.substring(start, i))
+          out += t
+          i += t.length
+          start = i
+        case None => i += 1
+      }
+    }
+    if (start < s.length) out ++= refSegments(s.substring(start))
+    out.result()
+  }
+
+  test("special-token segmentation: hand vectors (HF added-token " +
+      "behavior), leftmost-longest match, partition property, and the " +
+      "native expression path") {
+    val eot = "<|endoftext|>"
+    // hand vectors, from the published HF behavior: specials split out
+    // first, each chunk pre-tokenized INDEPENDENTLY (a space before a
+    // special is a trailing ws run of its chunk, not attached across)
+    val vectors: Seq[(String, Seq[String], Seq[String])] = Seq(
+      (s"a${eot}b", Seq(eot), Seq("a", eot, "b")),
+      (s"a $eot b", Seq(eot), Seq("a", " ", eot, " b")),
+      (s"$eot$eot", Seq(eot), Seq(eot, eot)),
+      (s"the$eot", Seq(eot), Seq("the", eot)),
+      (s"$eot", Seq(eot), Seq(eot)),
+      ("no specials here", Seq(eot), Seq("no", " specials", " here")),
+      // lookalike prefix is NOT a special: ordinary punct/letter runs
+      ("<|endof|>x", Seq(eot), Seq("<|", "endof", "|>", "x")),
+      // longest special wins at the same position
+      ("ab<|e|>cd", Seq("<|e|>", "<|e"), Seq("ab", "<|e|>", "cd")),
+      ("ab<|ecd", Seq("<|e|>", "<|e"), Seq("ab", "<|e", "cd")),
+      // leftmost wins across overlapping alternatives
+      ("xAByABz", Seq("AB", "BY"), Seq("x", "AB", "y", "AB", "z")))
+    vectors.foreach { case (in, sp, want) =>
+      assert(PreTokenize.segmentsSpecial(in, sp) === want,
+        s"segmentsSpecial(${in.replace("\n", "\\n")}, $sp)")
+      assert(PreTokenize.segmentsSpecial(in, sp) === refSpecial(in, sp),
+        s"reference agreement on '$in'")
+      assert(PreTokenize.segmentsSpecial(in, sp).mkString === in,
+        s"partition property on '$in'")
+    }
+    // seeded fuzz vs the reference composition
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab <|endoftext|>\t'sQ9é"
+    val specials = Seq("<|endoftext|>", "<|pad|>", "QQ")
+    (1 to 300).foreach { _ =>
+      val s = (1 to rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(PreTokenize.segmentsSpecial(s, specials)
+        === refSpecial(s, specials), s"fuzz '$s'")
+      assert(PreTokenize.segmentsSpecial(s, specials).mkString === s)
+    }
+    // the native expression agrees with the scanner
+    val texts = vectors.map(_._1).filter(_ => true)
+    val got = texts.toDF("t")
+      .select(graft.llm.PreTokenize.gptSegmentsSpecial(col("t"),
+        Seq(eot)).as("g"))
+      .as[Seq[String]].collect().toSeq
+    texts.zip(got).foreach { case (in, g) =>
+      assert(g === PreTokenize.segmentsSpecial(in, Seq(eot)))
+    }
+    // invalid special lists fail loudly
+    assert(intercept[IllegalArgumentException] {
+      PreTokenize.segmentsSpecial("x", Seq(""))
+    }.getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException] {
+      PreTokenize.segmentsSpecial("x", Seq("a", "a"))
+    }.getMessage.contains("duplicate"))
+  }
+
+  test("special tokens bypass BPE in encodeIdsWith and map to their " +
+      "vocab ids; the lookalike BPEs as ordinary text") {
+    import graft.llm.{Bpe, ByteLevel}
+    val eot = "<|endoftext|>"
+    val g = ByteLevel.byteToChar(0x20)
+    val rules = Seq((g, "t"), (g + "t", "h"), (g + "th", "e"), ("<", "|"))
+    val vocab: Map[String, Long] =
+      (0 until 256).map(b => ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+        rules.zipWithIndex.map { case ((x, y), i) => (x + y) -> (256L + i) } +
+        (eot -> 999L)
+    val docs = Seq(
+      (1L, s"it the$eot the"),
+      (2L, s"$eot<|endof|> the$eot$eot")).toDF("doc_id", "text")
+    val out = Bpe.encodeIdsWith(docs, "doc_id", "text", rules,
+        blockTokens = 8, byteLevel = true, preTokenize = true,
+        vocab = Some(vocab), specialTokens = Seq(eot))
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("ids"))
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    // doc 1: units [it][ the][special][ the] -> 4 units; special = 999
+    assert(out.head._2 === 4L)
+    assert(out.head._3.count(_ == 999L) === 1)
+    // " the" is one merged symbol (id 258) on BOTH sides of the special
+    assert(out.head._3.count(_ == 258L) === 2)
+    // doc 2: specials at ends + adjacent pair; the lookalike "<|" is a
+    // MERGED ordinary symbol (rank 3 -> id 259), never id 999
+    assert(out(1)._3.count(_ == 999L) === 3)
+    assert(out(1)._3.contains(259L), "lookalike BPEs as ordinary text")
+    // round trip: ids -> symbols -> text (specials are ASCII printable,
+    // so byte-level decode is identity on them)
+    val inv = vocab.map(_.swap)
+    assert(ByteLevel.decode(out.head._3.map(inv).mkString)
+      === s"it the$eot the")
+  }
+
   test("encodeIdsWith(preTokenize = true) is document-faithful: " +
       "byte-level ids of hand-computed GPT-2 encodings match, " +
       "including leading-space and mixed-case segments") {
