@@ -676,6 +676,89 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** [[ivfRecallCurve]] for the float index AND its [[ivfQuantize]]d
+    * twin in ONE candidate pass: the probe ranking runs once at
+    * `maxProbe`, every candidate is scored with BOTH formulas (exact
+    * float cosine and the exact-long int8 rerank) in the same
+    * projection, and each curve point filters the persisted candidate
+    * table by probe rank — nprobe-np candidates are exactly the
+    * rank-≤np prefix of the maxProbe probes (same ordering, same tie
+    * rules), so the output is value-identical to running the two
+    * curves separately while the expensive dot products happen once
+    * instead of 2×maxProbe times.
+    *
+    * @return (nprobe, n_queries, possible, recall_float, recall_int8,
+    *         recall_delta) per nprobe in 1..maxProbe
+    */
+  def ivfRecallCurveDual(ix: IvfIndex, corpus: DataFrame,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int,
+                         maxProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxProbe >= 1, s"maxProbe must be >= 1: $maxProbe")
+    require(!ix.lists.columns.contains("mq"),
+      "takes the FLOAT index; the int8 side is derived internally " +
+        "with ivfQuantize's exact formulas")
+    val brute = knnBruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("nn_id"))
+      .transform(graft.core.Caching.persist)
+    val nq = queries.select(col(idCol)).distinct().count()
+    val q = embVectors(queries, idCol, vecCol)
+    val scored = q.crossJoin(broadcast(ix.cents))
+      .select(col("vec_id"), col("cid").as("nn_id"),
+        coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0))
+          .as("score"))
+    val probes = topKByQuery(scored, maxProbe, withRank = true)
+      .select(col("vec_id"), col("nn_id").as("cid"),
+        col("rnk").as("pr"))
+    val qq = q.select(col("vec_id"), col("v"),
+        quantizeInt8(col("v"), int8Scale(col("v"))).as("qv"))
+      .withColumn("qnrm", sqrt(intDot(col("qv"), col("qv"))
+        .cast("double")))
+    // ivfQuantize's exact per-member quantities, derived inline
+    val lists8 = ix.lists.select(col("cid"), col("member"), col("mv"),
+        quantizeInt8(col("mv"), int8Scale(col("mv"))).as("mq"))
+      .withColumn("mnrm", sqrt(intDot(col("mq"), col("mq"))
+        .cast("double")))
+    val cand = probes.join(lists8, "cid").join(qq, "vec_id")
+      .select(col("vec_id"), col("member").as("nn_id"), col("pr"),
+        round(cosine(col("v"), col("mv")), 6).as("score_f"),
+        when(col("qnrm") === 0.0 || col("mnrm") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(intDot(col("qv"), col("mq")).cast("double")
+            / (col("qnrm") * col("mnrm")), 6)).as("score_i"))
+      .transform(graft.core.Caching.persist)
+    // ivfRecallCurve's exact ranking tail: k+1, drop self, re-rank to k
+    def hits(scoreCol: String, np: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("rnk"))
+      topKByQuery(cand.where(col("pr") <= np)
+          .select(col("vec_id"), col("nn_id"),
+            col(scoreCol).as("score")), k + 1, withRank = true)
+        .where(col("nn_id") =!= col("vec_id"))
+        .withColumn("rr", row_number().over(w))
+        .where(col("rr") <= k)
+        .select(col("vec_id"), col("nn_id"))
+        .join(brute, Seq("vec_id", "nn_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+    }
+    (1 to maxProbe).map { np =>
+      hits("score_f", np).select(col("hits").as("hf"))
+        .crossJoin(broadcast(hits("score_i", np)
+          .select(col("hits").as("hi"))))
+        .crossJoin(broadcast(
+          brute.agg(count(lit(1)).cast("long").as("possible"))))
+        .select(lit(np.toLong).as("nprobe"), lit(nq).as("n_queries"),
+          col("possible"),
+          (col("hf").cast("double") / col("possible").cast("double"))
+            .as("recall_float"),
+          (col("hi").cast("double") / col("possible").cast("double"))
+            .as("recall_int8"))
+        .withColumn("recall_delta",
+          col("recall_int8") - col("recall_float"))
+    }.reduce(_ unionAll _)
+  }
+
   private def embVectors(emb: DataFrame, idCol: String,
                          vecCol: String): DataFrame =
     emb.select(col(idCol).as("vec_id"),

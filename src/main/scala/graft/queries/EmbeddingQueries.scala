@@ -97,18 +97,12 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
       val ix = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists)
-      val probe = emb.where(col("vec_id") % 20 === 0)
-      val cf = Similarity.ivfRecallCurve(ix, emb, probe,
-          "vec_id", "embedding", k = 3, maxProbe = 4)
-        .select(col("nprobe"), col("n_queries"), col("possible"),
-          col("recall").as("recall_float"))
-      val cq = Similarity.ivfRecallCurve(Similarity.ivfQuantize(ix),
-          emb, probe, "vec_id", "embedding", k = 3, maxProbe = 4)
-        .select(col("nprobe"), col("recall").as("recall_int8"))
-      cf.join(cq, "nprobe")
-        .select(col("nprobe"), col("n_queries"), col("possible"),
-          col("recall_float"), col("recall_int8"),
-          (col("recall_int8") - col("recall_float")).as("recall_delta"))
+      // ONE candidate pass scores both formulas (probe ranking runs
+      // once at maxProbe; each point filters by probe rank) — half the
+      // dot-product work of two separate curves, same values
+      Similarity.ivfRecallCurveDual(ix, emb,
+        emb.where(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        k = 3, maxProbe = 4)
     }),
 
     // IVF under a SAMPLED-K-MEANS quantizer, end-to-end (the

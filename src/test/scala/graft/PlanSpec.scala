@@ -279,13 +279,15 @@ class PlanSpec extends AnyFunSuite {
       // = the one per-source rollup (segmentation itself is a narrow
       // map); q310's 2 = distinct-segment encode agg + per-doc
       // reassembly (ids ride the external map, no vocab collect);
-      // q312's 50 = two q306 curves (float + int8) sharing the build;
+      // q312's 31 (was 50 as two full curves) = one probe ranking +
+      // one dual-scored candidate pass + 4 points x 2 bounded
+      // rank/verify tails over the persisted candidates;
       // q313 = k-means recompute aggs + assignment agg + rerank;
       // q314 = q310's 2 + the one packing re-layout agg
       "q309_gpt_pretokenize" -> 1,
       "q310_vocab_json_ids" -> 2,
       "q311_detok_roundtrip" -> 1,
-      "q312_ivf_quantized_recall" -> 50,
+      "q312_ivf_quantized_recall" -> 31,
       "q313_ivf_kmeans" -> 3,
       "q314_packed_production" -> 3,
       // q315 = q310's 2 + the per-source economics rollup (the

@@ -566,4 +566,37 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(re.toSet === top.toSet)
   }
+
+  test("ivfRecallCurveDual == the two separately-run curves (float " +
+      "index + ivfQuantize'd index), point for point") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val ix = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      centroids = 8)
+    val probe = emb.where(col("vec_id") % 20 === 0)
+    def dump(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("nprobe"), col("n_queries"), col("possible"),
+        col("recall_float"), col("recall_int8"), col("recall_delta"))
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val dual = dump(Similarity.ivfRecallCurveDual(ix, emb, probe,
+      "vec_id", "embedding", k = 3, maxProbe = 3))
+    val cf = Similarity.ivfRecallCurve(ix, emb, probe,
+        "vec_id", "embedding", k = 3, maxProbe = 3)
+      .select(col("nprobe"), col("n_queries"), col("possible"),
+        col("recall").as("recall_float"))
+    val cq = Similarity.ivfRecallCurve(Similarity.ivfQuantize(ix),
+        emb, probe, "vec_id", "embedding", k = 3, maxProbe = 3)
+      .select(col("nprobe"), col("recall").as("recall_int8"))
+    val two = dump(cf.join(cq, "nprobe")
+      .withColumn("recall_delta",
+        col("recall_int8") - col("recall_float")))
+    assert(dual === two)
+    // the dual path refuses a pre-quantized index (it derives the
+    // int8 side itself)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfRecallCurveDual(Similarity.ivfQuantize(ix), emb,
+        probe, "vec_id", "embedding", k = 3, maxProbe = 3)
+    }.getMessage.contains("FLOAT index"))
+  }
 }
