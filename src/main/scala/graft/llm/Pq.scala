@@ -1,0 +1,241 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.KMeans
+
+/** IVF-PQ: product quantization of the IVF lists — the published next
+  * compression step past int8 (q312): each member vector is stored as
+  * `m` small CODES (one per dims/m-dim subspace, each pointing into a
+  * ksub-entry codebook trained with the integer-grid
+  * [[graft.operators.KMeans]]), so a 64-dim float64 vector becomes m
+  * longs + one precomputed norm — the 16–32× layout a 100 TB embedding
+  * corpus actually serves. Queries score candidates with ASYMMETRIC
+  * DISTANCE (ADC): the query precomputes one m×ksub table of exact
+  * integer subvector dots against the codebooks, and a candidate's
+  * approximate dot is m table lookups — no reconstruction, no
+  * per-candidate float math. The top ADC candidates are then reranked
+  * EXACTLY (the standard IVFPQ+refine shape; at serving scale the
+  * refine set fetches original vectors from storage).
+  *
+  * Determinism (mirrored verbatim in the q320 oracle): everything
+  * trains and scores on the [[KMeans.Scale]] integer grid — codebook
+  * coords are integer longs, subspace assignment is integer squared-L2
+  * with ties to the LOWER code id, ADC dots and norms are exact long
+  * sums; the only doubles are the final round(·, 6) cosine-style
+  * scores, each a single exact-integer division.
+  *
+  * Scale shape: codebooks are m×ksub rows (a bounded driver collect —
+  * the q259 charter); member encode is a NARROW map over the lists
+  * (the codebook folds into the row expression as literals, zero
+  * joins); the ADC query reads only its nprobe lists and carries
+  * (codes, pnrm2) longs, never vectors.
+  */
+object Pq {
+
+  /** Train per-subspace codebooks on `sample` (1-in-N of the corpus —
+    * the published practice) via the integer-grid Lloyd loop:
+    * one [[KMeans.centroids]] run per subspace, codes = 0-based
+    * ascending rank of the seed cid within the subspace. Returns
+    * (sub, code, qc: array<long>) on the integer grid.
+    */
+  def trainCodebooks(sample: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, m: Int, ksub: Int,
+                     iters: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must divide into m ($m) subspaces")
+    val dsub = dims / m
+    import org.apache.spark.sql.expressions.Window
+    (0 until m).map { j =>
+      val sub = sample.select(col(idCol).cast("long").as("vid"),
+        slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub)
+          .as("subv"))
+      KMeans.centroids(sub, "vid", "subv", ksub, iters)
+        .select(lit(j.toLong).as("sub"), col("cid"), col("cv"))
+    }.reduce(_ unionAll _)
+      // codes renumber the seed cids 0..k-1 per subspace (a window
+      // over the m×ksub-row codebook table — bounded, not corpus)
+      .withColumn("code", (row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("cid"))) - 1)
+        .cast("long"))
+      .select(col("sub"), col("code"),
+        transform(col("cv"), x =>
+          floor(x * lit(KMeans.Scale.toDouble) + lit(0.5)).cast("long"))
+          .as("qc"))
+  }
+
+  /** Driver-side bounded collect of a codebook table:
+    * (sub, code, qc) rows sorted by (sub, code).
+    */
+  def collectCodebooks(cb: DataFrame): Seq[(Int, Int, Seq[Long])] = {
+    val spark = cb.sparkSession
+    import spark.implicits._
+    val rows = cb.select(col("sub").cast("int"), col("code").cast("int"),
+        col("qc")).as[(Int, Int, Seq[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    require(rows.nonEmpty && rows.size <= 65536,
+      s"codebook must be bounded (m×ksub): ${rows.size} rows")
+    rows
+  }
+
+  /** PQ-encode IVF lists (`(cid, member, mv)` — [[Similarity.IvfIndex]]
+    * lists): a narrow map producing (cid, member, codes: array<long>,
+    * pnrm2: long) — per subspace, the integer-grid argmin over the
+    * literal codebook (ties → lower code), and the precomputed
+    * Σ‖chosen centroid‖² that makes a probe pay one division per
+    * candidate.
+    */
+  def encodeLists(lists: DataFrame,
+                  cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    val m = cb.map(_._1).max + 1
+    val dsub = cb.head._3.length
+    require(cb.forall(_._3.length == dsub), "ragged codebook")
+    val qmv = KMeans.quantize(col("mv"))
+    // per subspace: min struct(d, code, n2) over the literal codebook —
+    // array_min is linear-size (the when-fold would be exponential)
+    def best(j: Int): Column = {
+      val subv = slice(qmv, j * dsub + 1, dsub)
+      val entries = cb.filter(_._1 == j).sortBy(_._2).map {
+        case (_, c, qc) =>
+          struct(
+            aggregate(zip_with(subv, typedlit(qc),
+              (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
+            lit(c.toLong).as("c"),
+            lit(qc.map(x => x * x).sum).as("n2"))
+      }
+      array_min(array(entries: _*))
+    }
+    lists
+      .select(Seq(col("cid"), col("member")) ++
+        (0 until m).map(j => best(j).as(s"b$j")): _*)
+      .select(col("cid"), col("member"),
+        array((0 until m).map(j => col(s"b$j").getField("c")): _*)
+          .as("codes"),
+        (0 until m).map(j => col(s"b$j").getField("n2"))
+          .reduce(_ + _).as("pnrm2"))
+  }
+
+  /** Per-query ADC table: array(m)(ksub) of exact long dots between
+    * the quantized query subvectors and each codebook centroid.
+    */
+  private def adcTable(qv: Column,
+                       cb: Seq[(Int, Int, Seq[Long])]): Column = {
+    val m = cb.map(_._1).max + 1
+    val dsub = cb.head._3.length
+    array((0 until m).map { j =>
+      val subv = slice(qv, j * dsub + 1, dsub)
+      array(cb.filter(_._1 == j).sortBy(_._2).map { case (_, _, qc) =>
+        aggregate(zip_with(subv, typedlit(qc), (a, b) => a * b),
+          lit(0L), _ + _)
+      }: _*)
+    }: _*)
+  }
+
+  /** The q320 readout: the PQ recall curve over a prebuilt float IVF
+    * index — per nprobe, recall@k of (a) pure ADC ranking and (b) ADC
+    * top-`refine` reranked exactly, against the brute-force truth.
+    * One probe ranking at `maxProbe`, one PQ-scored candidate pass
+    * (persisted); each curve point filters by probe rank — the q312
+    * dual-curve shape with ADC in place of the int8 rerank.
+    *
+    * @return (nprobe, n_queries, possible, recall_pq, recall_rerank)
+    */
+  def pqRecallCurve(ix: Similarity.IvfIndex,
+                    cb: Seq[(Int, Int, Seq[Long])], corpus: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, maxProbe: Int, refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxProbe >= 1 && refine >= k + 1,
+      s"need maxProbe >= 1 and refine >= k+1: $maxProbe, $refine")
+    val brute = Similarity.knnBruteForce(corpus, queries, idCol,
+        vecCol, k)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("nn_id"))
+      .transform(graft.core.Caching.persist)
+    val nq = queries.select(col(idCol)).distinct().count()
+    val q = queries.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .transform(graft.core.Caching.persist)
+    val scored = q.crossJoin(broadcast(ix.cents))
+      .select(col("vec_id"), col("cid").as("nn_id"),
+        coalesce(round(Similarity.cosine(col("v"), col("cv")), 6),
+          lit(-2.0)).as("score"))
+    val probes = Similarity.topKPerQuery(scored, maxProbe)
+      .select(col("vec_id"), col("nn_id").as("cid"),
+        col("rnk").as("pr"))
+    val plists = encodeLists(ix.lists, cb)
+    val qq = q.select(col("vec_id"),
+        KMeans.quantize(col("v")).as("qv"))
+      .select(col("vec_id"), adcTable(col("qv"), cb).as("qtab"),
+        sqrt(aggregate(col("qv"), lit(0L), (s, x) => s + x * x)
+          .cast("double")).as("qnrm"))
+    val m = cb.map(_._1).max + 1
+    val adot = (0 until m).map(j =>
+      element_at(element_at(col("qtab"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val cand = probes.join(plists, "cid").join(qq, "vec_id")
+      .select(col("vec_id"), col("member").as("nn_id"), col("pr"),
+        when(col("qnrm") === 0.0 || col("pnrm2") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(adot.cast("double")
+            / (col("qnrm") * sqrt(col("pnrm2").cast("double"))), 6))
+          .as("score_pq"))
+      .transform(graft.core.Caching.persist)
+    // exact rerank of an ADC-preselected set: join original vectors
+    // back for the refine candidates only
+    val mvs = ix.lists.select(col("member").as("nn_id"),
+      col("mv").as("nv"))
+    def hitsOf(sel: DataFrame): DataFrame =
+      sel.join(brute, Seq("vec_id", "nn_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("hits"))
+    def topSelfDropped(d: DataFrame, kk: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("rnk"))
+      Similarity.topKPerQuery(d, kk + 1)
+        .where(col("nn_id") =!= col("vec_id"))
+        .withColumn("rr", row_number().over(w))
+        .where(col("rr") <= kk)
+        .select(col("vec_id"), col("nn_id"))
+    }
+    (1 to maxProbe).map { np =>
+      val candNp = cand.where(col("pr") <= np)
+        .select(col("vec_id"), col("nn_id"),
+          col("score_pq").as("score"))
+      val pqHits = hitsOf(topSelfDropped(candNp, k))
+      val pre = Similarity.topKPerQuery(candNp, refine)
+        .select(col("vec_id"), col("nn_id"))
+      val exact = pre.join(mvs, "nn_id")
+        .join(q.select(col("vec_id"), col("v")), "vec_id")
+        .select(col("vec_id"), col("nn_id"),
+          round(Similarity.cosine(col("v"), col("nv")), 6).as("score"))
+      val rrHits = hitsOf(topSelfDropped(exact, k))
+      pqHits.select(col("hits").as("hp"))
+        .crossJoin(broadcast(rrHits.select(col("hits").as("hr"))))
+        .crossJoin(broadcast(
+          brute.agg(count(lit(1)).cast("long").as("possible"))))
+        .select(lit(np.toLong).as("nprobe"), lit(nq).as("n_queries"),
+          col("possible"),
+          (col("hp").cast("double") / col("possible").cast("double"))
+            .as("recall_pq"),
+          (col("hr").cast("double") / col("possible").cast("double"))
+            .as("recall_rerank"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Persist a PQ index (codebooks + encoded lists + the coarse
+    * quantizer) as three parquet tables; [[load]] restores it.
+    */
+  def save(cents: DataFrame, codebooks: DataFrame, plists: DataFrame,
+           dir: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    plists.write.mode("overwrite").parquet(s"$dir/plists.parquet")
+  }
+
+  /** (cents, codebooks, plists) from [[save]]'s layout. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids.parquet"),
+      spark.read.parquet(s"$dir/codebooks.parquet"),
+      spark.read.parquet(s"$dir/plists.parquet"))
+}

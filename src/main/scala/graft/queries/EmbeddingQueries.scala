@@ -123,6 +123,28 @@ object EmbeddingQueries {
         "vec_id", "embedding", nprobe = 2, k = 3)
     }),
 
+    // IVF-PQ (the published step past q312's int8): per-subspace
+    // codebooks trained with the integer-grid k-means on a 1-in-10
+    // sample (m=4 x 16-dim subspaces, ksub=8 — 64 dims -> 4 codes +
+    // one norm per member, the 16-32x layout a 100 TB corpus serves),
+    // members encoded by integer argmin, queries scored by ASYMMETRIC
+    // DISTANCE (one m x ksub exact-integer table per query, m lookups
+    // per candidate), and the ADC top-6 reranked exactly — recall of
+    // both rankings per probe budget against brute truth. The oracle
+    // unrolls the per-subspace Lloyd pass, re-encodes, and replays
+    // ADC + rerank in the same exact arithmetic.
+    "q320_ivf_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nLists = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val ix = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists)
+      val cb = graft.llm.Pq.collectCodebooks(graft.llm.Pq.trainCodebooks(
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 8, iters = 2))
+      graft.llm.Pq.pqRecallCurve(ix, cb, emb,
+        emb.where(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        k = 3, maxProbe = 4, refine = 6)
+    }),
+
     // SemDeDup-style semantic dedup: sqrt(n) coarse clusters, exact
     // pairwise cosine inside each cluster only, drop vectors with a
     // smaller-id ≥ threshold cluster-mate. (Fixture embeddings are
@@ -740,6 +762,147 @@ object EmbeddingQueries {
                  AS rnk FROM bs)
              WHERE rnk <= 3),
          $ivBlocks
+         $points"""
+    },
+    // per-subspace Lloyd unroll (one keyed pass for all m subspaces),
+    // integer member encode, ADC via a (query, sub, code) dot table,
+    // exact rerank of the ADC top-6 — recall per probe budget
+    "q320_ivf_pq_recall" -> {
+      val (m, dsub, ksub, k, maxP, refine) = (4, 16, 8, 3, 4, 6)
+      val train =
+        s"""smp AS (SELECT vec_id, list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 16384.0 + 0.5) AS BIGINT))
+               AS qv
+           FROM embeddings WHERE vec_id % 10 = 0),
+         sdim AS (SELECT unnest(range($dsub)) AS i),
+         subs AS (SELECT unnest(range($m)) AS sub),
+         kc0 AS (SELECT subs.sub, smp.vec_id AS cid, sdim.i,
+             smp.qv[subs.sub * $dsub + sdim.i + 1] AS c
+           FROM smp, sdim, subs
+           WHERE smp.vec_id IN (SELECT vec_id FROM smp
+             ORDER BY vec_id LIMIT $ksub)),
+         kd1 AS (SELECT c.sub, q.vec_id, c.cid,
+             sum((q.qv[c.sub * $dsub + c.i + 1] - c.c)
+               * (q.qv[c.sub * $dsub + c.i + 1] - c.c)) AS dist
+           FROM smp q, kc0 c GROUP BY 1, 2, 3),
+         ka1 AS (SELECT sub, vec_id, cid FROM (SELECT sub, vec_id, cid,
+             row_number() OVER (PARTITION BY sub, vec_id
+               ORDER BY dist, cid) AS rn FROM kd1) WHERE rn = 1),
+         ks1 AS (SELECT a.sub, a.cid, sdim.i,
+             sum(q.qv[a.sub * $dsub + sdim.i + 1]) AS s, count(*) AS cnt
+           FROM ka1 a JOIN smp q USING (vec_id), sdim GROUP BY 1, 2, 3),
+         kc1 AS (SELECT sub, cid, i,
+             CAST(floor((2 * s + cnt) / (2.0 * cnt)) AS BIGINT) AS c
+           FROM ks1),
+         cbr AS (SELECT sub, cid, list(c ORDER BY i) AS qc,
+               CAST(sum(c * c) AS BIGINT) AS n2,
+               row_number() OVER (PARTITION BY sub ORDER BY cid) - 1
+                 AS code
+           FROM kc1 GROUP BY sub, cid)"""
+      val encode =
+        s"""mq AS (SELECT vec_id, list_transform(v, x ->
+               CAST(floor(x * 16384.0 + 0.5) AS BIGINT)) AS qv FROM ev),
+         md AS (SELECT m2.vec_id AS member, c.sub, c.code, c.n2,
+             CAST(list_reduce(list_transform(range($dsub),
+               i -> (m2.qv[c.sub * $dsub + i + 1] - c.qc[i + 1])
+                  * (m2.qv[c.sub * $dsub + i + 1] - c.qc[i + 1])),
+               (a, b) -> a + b) AS BIGINT) AS d
+           FROM mq m2, cbr c),
+         me AS (SELECT member, sub, code, n2 FROM (SELECT member, sub,
+             code, n2, row_number() OVER (PARTITION BY member, sub
+               ORDER BY d, code) AS rn FROM md) WHERE rn = 1),
+         pn AS (SELECT member, CAST(sum(n2) AS BIGINT) AS pn2 FROM me
+           GROUP BY member),
+         qn AS (SELECT q.vec_id, CAST(list_reduce(list_transform(q.qv,
+               x -> x * x), (a, b) -> a + b) AS BIGINT) AS qn2
+           FROM mq q JOIN qs ON qs.vec_id = q.vec_id),
+         qd AS (SELECT q.vec_id, c.sub, c.code,
+             CAST(list_reduce(list_transform(range($dsub),
+               i -> q.qv[c.sub * $dsub + i + 1] * c.qc[i + 1]),
+               (a, b) -> a + b) AS BIGINT) AS dp
+           FROM mq q JOIN qs ON qs.vec_id = q.vec_id, cbr c)"""
+      val blocks = (1 to maxP).map { np =>
+        s"""c$np AS (SELECT pr.vec_id, a.member AS nn_id FROM pr
+               JOIN qs ON qs.vec_id = pr.vec_id
+               JOIN asn a ON a.cid = pr.cid
+               WHERE pr.r <= $np),
+         ad$np AS (SELECT c.vec_id, c.nn_id,
+             CAST(sum(qd.dp) AS BIGINT) AS adot
+           FROM c$np c JOIN me ON me.member = c.nn_id
+                       JOIN qd ON qd.vec_id = c.vec_id
+                         AND qd.sub = me.sub AND qd.code = me.code
+           GROUP BY 1, 2),
+         sp$np AS (SELECT a.vec_id, a.nn_id,
+             CASE WHEN qn.qn2 = 0 OR pn.pn2 = 0 THEN NULL
+               ELSE round(CAST(a.adot AS DOUBLE)
+                 / (sqrt(CAST(qn.qn2 AS DOUBLE))
+                    * sqrt(CAST(pn.pn2 AS DOUBLE))), 6) END AS score
+           FROM ad$np a JOIN qn ON qn.vec_id = a.vec_id
+                        JOIN pn ON pn.member = a.nn_id),
+         iv$np AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY rnk) AS rr
+               FROM (SELECT vec_id, nn_id, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, nn_id ASC)
+                   AS rnk FROM sp$np)
+               WHERE rnk <= ${k + 1} AND nn_id <> vec_id)
+             WHERE rr <= $k),
+         pre$np AS (SELECT vec_id, nn_id FROM (SELECT vec_id, nn_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, nn_id ASC) AS rnk FROM sp$np)
+             WHERE rnk <= $refine),
+         xd$np AS (SELECT p.vec_id, p.nn_id,
+             list_reduce(list_transform(range(64),
+               i -> ea.v[i+1] * eb.v[i+1]), (a, b) -> a + b) AS dp
+           FROM pre$np p JOIN ev ea ON ea.vec_id = p.vec_id
+                         JOIN ev eb ON eb.vec_id = p.nn_id),
+         xs$np AS (SELECT d.vec_id, d.nn_id,
+             round(d.dp / (na.nrm * nb.nrm), 6) AS score
+           FROM xd$np d JOIN n na ON na.vec_id = d.vec_id
+                        JOIN n nb ON nb.vec_id = d.nn_id),
+         iw$np AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY rnk) AS rr
+               FROM (SELECT vec_id, nn_id, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, nn_id ASC)
+                   AS rnk FROM xs$np)
+               WHERE rnk <= ${k + 1} AND nn_id <> vec_id)
+             WHERE rr <= $k)"""
+      }.mkString(",\n         ")
+      val points = (1 to maxP).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT) FROM br) AS possible,
+           CAST((SELECT count(*) FROM iv$np i JOIN br b
+               ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM br) AS DOUBLE) AS recall_pq,
+           CAST((SELECT count(*) FROM iw$np i JOIN br b
+               ON b.vec_id = i.vec_id AND b.nn_id = i.nn_id) AS DOUBLE)
+             / CAST((SELECT count(*) FROM br) AS DOUBLE)
+             AS recall_rerank"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH $ivfCommon,
+         asn AS (SELECT vec_id AS member, cid FROM pr WHERE r = 1),
+         qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 0),
+         bc AS (SELECT q.vec_id, e.vec_id AS nn_id FROM qs q, ev e
+             WHERE e.vec_id <> q.vec_id),
+         bd AS (SELECT c.vec_id, c.nn_id,
+               list_reduce(list_transform(range(64),
+                 i -> ea.v[i+1] * eb.v[i+1]), (a, b) -> a + b) AS dp
+             FROM bc c JOIN ev ea ON ea.vec_id = c.vec_id
+                       JOIN ev eb ON eb.vec_id = c.nn_id),
+         bs AS (SELECT d.vec_id, d.nn_id,
+               round(d.dp / (na.nrm * nb.nrm), 6) AS score
+             FROM bd d JOIN n na ON na.vec_id = d.vec_id
+                       JOIN n nb ON nb.vec_id = d.nn_id),
+         br AS (SELECT vec_id, nn_id FROM (
+               SELECT vec_id, nn_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, nn_id ASC)
+                 AS rnk FROM bs)
+             WHERE rnk <= $k),
+         $train,
+         $encode,
+         $blocks
          $points"""
     },
     // sampled-k-means quantizer (Lloyd passes unrolled on the 1-in-10

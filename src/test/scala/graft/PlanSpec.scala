@@ -296,8 +296,13 @@ class PlanSpec extends AnyFunSuite {
       // q318 = q314's shape (encode 2 + the one packing re-layout)
       "q318_packed_loader" -> 3,
       // round-15: q319 = q310's 2 (special split + bypass are narrow
-      // per-row expressions — no extra shuffle over the plain encode)
-      "q319_special_tokens" -> 2)
+      // per-row expressions — no extra shuffle over the plain encode);
+      // q320 = 4 subspace k-means recomputes + probe ranking + the one
+      // dual-scored candidate pass + 4 points x (ADC rank + refine
+      // rank + exact-rerank joins + hit aggs) over persisted
+      // candidates — same diagnostic-readout charter as q312
+      "q319_special_tokens" -> 2,
+      "q320_ivf_pq_recall" -> 39)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])

@@ -599,4 +599,74 @@ class SimilaritySpec extends AnyFunSuite {
         probe, "vec_id", "embedding", k = 3, maxProbe = 3)
     }.getMessage.contains("FLOAT index"))
   }
+
+  test("PQ: codebooks partition subspaces, encode is the integer " +
+      "argmin with exact precomputed norms, and the saved index " +
+      "round-trips to identical ADC scores") {
+    import spark.implicits._
+    import graft.llm.Pq
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val ix = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      centroids = 8)
+    val cbDf = Pq.trainCodebooks(emb.where(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", dims = 64, m = 4, ksub = 8, iters = 2)
+    val cb = Pq.collectCodebooks(cbDf)
+    assert(cb.map(_._1).distinct.sorted === Seq(0, 1, 2, 3))
+    cb.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (0 until rows.size),
+        "codes are dense 0-based per subspace")
+      assert(rows.forall(_._3.length === 16), "16-dim subvectors")
+    }
+    val plists = Pq.encodeLists(ix.lists, cb)
+      .transform(graft.core.Caching.persist)
+    // one row per member, codes in range, pnrm2 = exact sum of the
+    // chosen centroids' integer norms
+    val cbMap = cb.map { case (s2, c, qc) => (s2.toLong, c.toLong) -> qc }
+      .toMap
+    val rows = plists.select(col("member"), col("codes"), col("pnrm2"))
+      .as[(Long, Seq[Long], Long)].collect()
+    assert(rows.length === ix.lists.count())
+    rows.foreach { case (_, codes, pnrm2) =>
+      assert(codes.length === 4)
+      val want = codes.zipWithIndex.map { case (c, j) =>
+        cbMap((j.toLong, c)).map(x => x * x).sum
+      }.sum
+      assert(pnrm2 === want, "pnrm2 is the exact chosen-centroid norm2")
+    }
+    // brute-check the argmin for one member against the codebook
+    val (mid, mv) = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].head()
+    val qmv = mv.map(x => math.floor(x * 16384.0 + 0.5).toLong)
+    val got = rows.find(_._1 === mid).get._2
+    (0 until 4).foreach { j =>
+      val sub = qmv.slice(j * 16, j * 16 + 16)
+      val best = cb.filter(_._1 == j).sortBy(_._2).minBy { case (_, c, qc) =>
+        (sub.zip(qc).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }._2
+      assert(got(j) === best.toLong, s"member $mid subspace $j argmin")
+    }
+    // save/load round trip answers the recall curve identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Pq.save(ix.cents, cbDf, plists, dir)
+    val (cents2, cb2, _) = Pq.load(spark, dir)
+    val probe = emb.where(col("vec_id") % 20 === 0)
+    def dump(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("nprobe"), col("recall_pq"), col("recall_rerank"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val a = dump(Pq.pqRecallCurve(ix, cb, emb, probe,
+      "vec_id", "embedding", k = 3, maxProbe = 2, refine = 4))
+    val b = dump(Pq.pqRecallCurve(
+      Similarity.IvfIndex(cents2, ix.lists),
+      Pq.collectCodebooks(cb2), emb, probe,
+      "vec_id", "embedding", k = 3, maxProbe = 2, refine = 4))
+    assert(a === b, "saved/loaded PQ index answers identically")
+    // rerank can only refine within the candidate set: with refine
+    // covering everything ADC saw, rerank recall >= pure-ADC recall
+    // is NOT guaranteed pointwise (the refine set truncates), but
+    // both stay in [0, 1]
+    a.foreach { case (_, rp, rr) =>
+      assert(rp >= 0.0 && rp <= 1.0 && rr >= 0.0 && rr <= 1.0)
+    }
+  }
 }
