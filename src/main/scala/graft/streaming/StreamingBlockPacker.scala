@@ -42,6 +42,21 @@ object StreamingBlockPacker {
         col("doc_id"), col("ids"))
   }
 
+  /** [[packEvents]] WITHOUT the empty-doc filter — the out-of-order
+    * packer's input shape: an empty document must still ARRIVE so its
+    * shard's doc_id frontier can advance past it (the frontier cannot
+    * distinguish a missing id that is empty from one that is late;
+    * the batch layout drops it, and appending zero ids preserves that).
+    */
+  def packEventsAll(enc: DataFrame, idCol: String, idsCol: String,
+                    shards: Int): DataFrame = {
+    require(shards >= 1, "shards >= 1")
+    enc.select(col(idCol).cast("long").as("doc_id"),
+        col(idsCol).as("ids"))
+      .select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        col("doc_id"), col("ids"))
+  }
+
   /** The portable block hash (= `portableHash(ids.mkString(","), 31)`:
     * first 8 hex chars of md5("31|" + csv) as a long).
     */
@@ -92,6 +107,86 @@ object StreamingBlockPacker {
             }
           }
           st.update((nextId, buf))
+          out.iterator
+        }
+      }
+    grouped.transformWithState(processor, TimeMode.None(),
+      OutputMode.Append())
+  }
+
+  /** OUT-OF-ORDER-tolerant packer — the 34th streaming twin: [[packer]]
+    * requires doc_id-ordered arrival per shard (a crawl that delivers
+    * doc 9 before doc 7 across a micro-batch boundary would silently
+    * produce different blocks than batch); this variant holds arrivals
+    * ABOVE the contiguous doc_id frontier in a per-shard reorder buffer
+    * and consumes them in id order the moment the frontier reaches
+    * them, so emitted blocks are a pure function of the delivered SET —
+    * prefix-exact vs batch [[graft.llm.Packing.packTokenBlocks]] under
+    * ANY cross-batch arrival order.
+    *
+    * Contract: each shard's doc_ids are the arithmetic progression
+    * shard, shard+shards, … (dense corpus ids — the [[packEventsAll]]
+    * routing) and every id eventually arrives, EMPTY DOCUMENTS
+    * INCLUDED (they advance the frontier and append nothing — the
+    * batch filter's behavior). A duplicate or below-frontier replay
+    * raises instead of corrupting blocks (the batch side's loud
+    * duplicate guard).
+    *
+    * State per shard = (frontier, next_block_id, <blockTokens
+    * leftover, pending map) — pending is bounded by the DISORDER
+    * WINDOW (max ids in flight between the frontier and the newest
+    * arrival), never by stream length.
+    */
+  def packerOoo(grouped: KeyValueGroupedDataset[Long, (Long, Long, Seq[Long])],
+                blockTokens: Int, shards: Int)(
+      implicit stEnc: Encoder[(Long, Long, Seq[Long], Seq[(Long, Seq[Long])])],
+      outEnc: Encoder[(Long, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    require(blockTokens >= 1 && shards >= 1, "blockTokens, shards >= 1")
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, Seq[Long]),
+          (Long, Long, Long, Long)] {
+        // pending rides as an array of (doc_id, ids) structs (the state
+        // encoder takes no MapType); the disorder window stays small,
+        // so the linear scans below cost nothing
+        @transient private var st
+            : ValueState[(Long, Long, Seq[Long], Seq[(Long, Seq[Long])])] = _
+        override def init(outputMode: OutputMode,
+                          timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[
+            (Long, Long, Seq[Long], Seq[(Long, Seq[Long])])]("pko", stEnc,
+            TTLConfig.NONE)
+        override def handleInputRows(shard: Long,
+            rows: Iterator[(Long, Long, Seq[Long])],
+            timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+          var (frontier, nextId, leftover, pend0) =
+            if (st.exists()) st.get()
+            else (shard, 0L, Seq.empty[Long],
+              Seq.empty[(Long, Seq[Long])])
+          val pending =
+            scala.collection.mutable.LinkedHashMap(pend0: _*)
+          rows.foreach { case (_, d, ids) =>
+            require(d >= frontier && !pending.contains(d),
+              s"duplicate or replayed doc_id $d (shard $shard " +
+                s"frontier $frontier)")
+            pending += d -> ids
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
+          var buf = leftover.toVector
+          while (pending.contains(frontier)) {
+            buf = buf ++ pending(frontier)
+            pending -= frontier
+            while (buf.length >= blockTokens) {
+              val (blk, rest) = buf.splitAt(blockTokens)
+              out += ((shard, nextId, blockTokens.toLong, blockHash(blk)))
+              nextId += 1
+              buf = rest
+            }
+            frontier += shards
+          }
+          st.update((frontier, nextId, buf,
+            pending.toSeq.sortBy(_._1)))
           out.iterator
         }
       }
