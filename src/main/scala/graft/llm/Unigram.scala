@@ -1,0 +1,227 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (SentencePiece-style) tokenizer trainer — the second
+  * published tokenizer family beside BPE (q316): a SUBSTRING seed
+  * vocabulary over the GPT-2 segment census, then hard-EM rounds where
+  * the E-step VITERBI-segments every distinct segment under the
+  * current piece scores and the M-step re-estimates scores from the
+  * winning pieces' counts (pieces that win nowhere drop; single
+  * characters never drop — the coverage guarantee every unigram
+  * tokenizer keeps so segmentation is always total).
+  *
+  * Determinism (mirrored verbatim in the q321 oracle): piece scores
+  * are SCALED-INTEGER LOG PROBABILITIES — L(n) = round-half-up(ln(n)·
+  * 10⁶) as a long — so the Viterbi DP sums and compares exact longs;
+  * ties break to the SMALLEST split point (the longest last piece).
+  * The only float op is ln(count) of a small-integer count, identical
+  * across engines at 6 scaled decimals.
+  *
+  * Scale shape (the repo's bounded-census charter): the corpus
+  * collapses once into the distinct-segment weight table; the seed
+  * census, every E-step, and the M-step are bounded by CONTENT
+  * (distinct segments × piece positions / the piece vocabulary), never
+  * by corpus volume. The driver holds only the piece→score map (the
+  * same artifact scale as a merges.txt — capped), and the Viterbi is
+  * one codegen'd per-row expression, zero joins.
+  */
+object Unigram {
+
+  val LogScale = 1000000L
+
+  /** round-half-up(ln(n)·10⁶) — the scaled-integer log. */
+  def scaledLog(n: Long): Long = {
+    require(n >= 1, s"scaledLog needs n >= 1: $n")
+    math.floor(math.log(n.toDouble) * LogScale.toDouble + 0.5).toLong
+  }
+
+  /** Viterbi-segment a string column under a fixed piece→score map
+    * (ships with the task binary — O(len·maxPieceLen) hash probes per
+    * row, zero joins). Every single character of the input must be in
+    * the map (the coverage guarantee) or the expression throws.
+    */
+  def segmentWith(text: Column, scores: Map[String, Long],
+                  maxPieceLen: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(UnigramSegmentExpr(
+      ColumnBridge.toExpression(text), scores, maxPieceLen))
+  }
+
+  /** The GPT-2 segment weight census (segments longer than `maxSegLen`
+    * codepoints are excluded on both engines — the oracle's DP unroll
+    * bound; fixture segments are all far shorter).
+    */
+  def segmentCensus(docs: DataFrame, textCol: String,
+                    maxSegLen: Int): DataFrame =
+    docs.select(explode(PreTokenize.gptSegments(col(textCol))).as("w"))
+      .where(length(col("w")) <= maxSegLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("weight"))
+
+  /** All (piece, weighted occurrence count) substrings of the census,
+    * lengths 1..maxPieceLen — the seed statistics. Pure Column code
+    * (codepoint substr, matching DuckDB), one bounded aggregate.
+    */
+  def seedCensus(census: DataFrame, maxPieceLen: Int): DataFrame =
+    census.select(col("weight"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          filter(transform(sequence(lit(1), lit(maxPieceLen)), l =>
+            when(i + l - lit(1) <= length(col("w")),
+              col("w").substr(i, l))), x => x.isNotNull))))
+        .as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("weight")).cast("long").as("cnt"))
+
+  /** Train `rounds` hard-EM rounds and return the FINAL vocabulary as
+    * a DataFrame (piece, n_cnt, score): seed scores from the substring
+    * census (kept if count ≥ minCount or single-char), rounds−1
+    * E+M rounds driver-side (each a bounded collect of the ≤|vocab|
+    * count table — the q259 charter), and the LAST round computed
+    * distributed so the output plan carries the exact integer
+    * arithmetic end to end.
+    */
+  def train(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+            minCount: Long = 2L, rounds: Int = 2,
+            maxSegLen: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val census = segmentCensus(docs, textCol, maxSegLen)
+      .transform(graft.core.Caching.persist)
+    val seed = seedCensus(census, maxPieceLen)
+      .where(col("cnt") >= minCount || length(col("piece")) === 1)
+      .as[(String, Long)].collect().toMap
+    require(seed.nonEmpty && seed.size <= 5000000,
+      s"seed vocabulary out of range: ${seed.size} (cap 5M — the " +
+        "merges.txt artifact scale)")
+    val singles = seed.keySet
+      .filter(p => p.codePointCount(0, p.length) == 1)
+    def weights(kept: Map[String, Long]): Map[String, Long] = {
+      val total = kept.values.sum
+      kept.map { case (p, c) => p -> (scaledLog(c) - scaledLog(total)) }
+    }
+    def mStep(cnt: Map[String, Long]): Map[String, Long] =
+      cnt.filter(_._2 > 0) ++
+        singles.filterNot(cnt.contains).map(_ -> 1L)
+    var wgt = weights(seed)
+    (1 until rounds).foreach { _ =>
+      val cnt = census.select(col("weight"),
+          explode(segmentWith(col("w"), wgt, maxPieceLen)).as("piece"))
+        .groupBy(col("piece"))
+        .agg(sum(col("weight")).cast("long").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      wgt = weights(mStep(cnt))
+    }
+    // the final round, distributed: E-step counts + coverage singles +
+    // in-plan scaled-log scores (L(cnt) − L(total))
+    val em = census.select(col("weight"),
+        explode(segmentWith(col("w"), wgt, maxPieceLen)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("weight")).cast("long").as("cnt"))
+      .transform(graft.core.Caching.persist)
+    val singlesDf = census.select(explode(transform(
+        sequence(lit(1), length(col("w"))), i =>
+          col("w").substr(i, lit(1)))).as("piece")).distinct()
+    val voc = em.unionByName(
+      singlesDf.join(em, Seq("piece"), "left_anti")
+        .select(col("piece"), lit(1L).as("cnt")))
+    def sl(c: Column): Column =
+      floor(log(c.cast("double")) * lit(LogScale.toDouble) + lit(0.5))
+        .cast("long")
+    voc.crossJoin(broadcast(
+        voc.agg(sum(col("cnt")).cast("long").as("t"))))
+      .select(col("piece"), col("cnt").as("n_cnt"),
+        (sl(col("cnt")) - sl(col("t"))).as("score"))
+  }
+}
+
+/** Native Viterbi segmentation (see [[Unigram.segmentWith]]): string →
+  * array<string> of vocabulary pieces maximizing the summed
+  * scaled-integer scores; ties break to the smallest split point
+  * (longest last piece). Codepoint positions throughout (matching
+  * Spark substring and DuckDB substr).
+  */
+case class UnigramSegmentExpr(child: Expression,
+                              scores: Map[String, Long],
+                              maxPieceLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maxPieceLen >= 1, s"maxPieceLen >= 1: $maxPieceLen")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val wgt: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](scores.size * 2)
+    scores.foreach { case (p, s) => m.put(p, java.lang.Long.valueOf(s)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(in: UTF8String): ArrayData = {
+    val s = in.toString
+    // codepoint boundaries: offs(i) = UTF-16 offset of codepoint i
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var o = 0
+    var i = 0
+    while (i < n) { offs(i) = o; o += Character.charCount(s.codePointAt(o)); i += 1 }
+    offs(n) = s.length
+    val best = new Array[Long](n + 1)
+    val defined = new Array[Boolean](n + 1)
+    val back = new Array[Int](n + 1)
+    defined(0) = true
+    i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (defined(j)) {
+          val w = wgt.get(s.substring(offs(j), offs(i)))
+          if (w != null) {
+            val sc = best(j) + w.longValue()
+            if (!defined(i) || sc > best(i)) { // strict: ties keep the
+              best(i) = sc; back(i) = j       // smallest j seen first
+              defined(i) = true
+            }
+          }
+        }
+        j += 1
+      }
+      if (!defined(i))
+        throw new IllegalArgumentException(
+          s"no vocabulary piece ends at codepoint $i of '$s' — the " +
+            "coverage guarantee (all single chars in vocab) is broken")
+      i += 1
+    }
+    val out = new java.util.ArrayList[String](n)
+    var pos = n
+    while (pos > 0) { out.add(s.substring(offs(back(pos)), offs(pos))); pos = back(pos) }
+    val arr = new Array[Any](out.size)
+    var a = 0
+    while (a < out.size) {
+      arr(a) = UTF8String.fromString(out.get(out.size - 1 - a)); a += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSeg", this,
+      classOf[UnigramSegmentExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramSegmentExpr = copy(child = newChild)
+
+  override def prettyName: String = "unigram_segment"
+}

@@ -1330,7 +1330,19 @@ object CurationQueries {
         graft.llm.TextFunctions.portableHash(
           array_join(transform(col("ids"), i => i.cast("string")), ","),
           11).as("ids_hash"))
-    })
+    }),
+
+    // UNIGRAM-LM (SentencePiece-style) TOKENIZER TRAINING — the second
+    // published tokenizer family beside BPE: substring seed vocabulary
+    // over the GPT-2 segment census, then 2 hard-EM rounds (Viterbi
+    // E-step under scaled-integer log scores, count re-estimation
+    // M-step, single-char coverage floor). All DP arithmetic is exact
+    // longs; the oracle unrolls both EM rounds position by position
+    // (MATERIALIZED per DP step — each level is referenced twice) and
+    // replays the same tie rules.
+    "q321_unigram_train" -> ((s, dir) =>
+      graft.llm.Unigram.train(Tables.documents(s, dir), "text",
+        maxPieceLen = 4, minCount = 2L, rounds = 2, maxSegLen = 12))
   )
 
   /** q310/q311 byte-level rule list: a space-prefix chain proving
@@ -1554,6 +1566,110 @@ object CurationQueries {
     injectSpecialSteps.foldLeft("text") { case (e, (a, b)) =>
       s"replace($e, '$a', '$b')"
     }
+
+  /** The q321 oracle: the hard-EM unigram trainer unrolled — raw-text
+    * segment peel (q309's), substring seed census, then per EM round a
+    * position-by-position Viterbi DP unroll (dp CTEs accumulate
+    * (w, i, best, backpointer); each level references the previous
+    * TWICE, so every step is MATERIALIZED — the re-inline blowup took
+    * this oracle from 98 s to 0.9 s in the prototype), a backward path
+    * reconstruction, and the count/coverage M-step. All comparisons in
+    * scaled-integer logs, ties to the smallest split point.
+    */
+  private def unigramOracle: String = {
+    val (maxP, minC, rounds, lmax) = (4, 2, 2, 12)
+    val peel =
+      s"""seg AS (
+           SELECT doc_id, 0 AS ord, text AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM documents
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> '')))"""
+    val seed =
+      s"""v0 AS MATERIALIZED (SELECT tok AS w,
+           CAST(count(*) AS BIGINT) AS weight
+         FROM seg WHERE tok IS NOT NULL AND length(tok) <= $lmax
+         GROUP BY tok),
+         pieces AS (SELECT substr(w, i, l) AS piece,
+             CAST(sum(weight) AS BIGINT) AS cnt
+           FROM v0, unnest(generate_series(1, $lmax)) gi(i),
+                unnest(generate_series(1, $maxP)) gl(l)
+           WHERE i + l - 1 <= length(w)
+           GROUP BY 1),
+         voc0 AS MATERIALIZED (SELECT piece, cnt FROM pieces
+           WHERE cnt >= $minC OR length(piece) = 1),
+         tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM voc0),
+         wgt0 AS MATERIALIZED (SELECT piece,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+               AS BIGINT)
+           - (SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) FROM tot0) AS wgt
+           FROM voc0)"""
+    def roundCtes(r: Int): String = {
+      val ctes = Seq.newBuilder[String]
+      ctes += s"""dp${r}_0 AS (SELECT w, 0 AS i,
+           CAST(0 AS BIGINT) AS best, 0 AS bj FROM v0)"""
+      (1 to lmax).foreach { i =>
+        ctes += s"""dp${r}_$i AS MATERIALIZED (SELECT * FROM dp${r}_${i - 1}
+           UNION ALL
+           SELECT w, $i AS i, s AS best, j AS bj FROM (
+             SELECT w, s, j, row_number() OVER (PARTITION BY w
+               ORDER BY s DESC, j ASC) AS rn
+             FROM (SELECT d.w, d.best + g.wgt AS s, d.i AS j
+               FROM dp${r}_${i - 1} d JOIN wgt${r - 1} g
+                 ON g.piece = substr(d.w, d.i + 1, $i - d.i)
+               WHERE d.i BETWEEN ${math.max(0, i - maxP)} AND ${i - 1}
+                 AND length(d.w) >= $i)) WHERE rn = 1)"""
+      }
+      ctes += s"dpf$r AS MATERIALIZED (SELECT * FROM dp${r}_$lmax)"
+      ctes += s"""bt${r}_0 AS (SELECT w, length(w) AS pos,
+           CAST(NULL AS VARCHAR) AS piece FROM v0)"""
+      (1 to lmax).foreach { t =>
+        ctes += s"""bt${r}_$t AS MATERIALIZED (SELECT b.w, d.bj AS pos,
+             substr(b.w, d.bj + 1, b.pos - d.bj) AS piece
+           FROM bt${r}_${t - 1} b JOIN dpf$r d
+             ON d.w = b.w AND d.i = b.pos
+           WHERE b.pos > 0)"""
+      }
+      val allbt = (1 to lmax)
+        .map(t => s"SELECT w, piece FROM bt${r}_$t")
+        .mkString("\n           UNION ALL\n           ")
+      ctes += s"""em$r AS MATERIALIZED (SELECT p.piece,
+             CAST(sum(v0.weight) AS BIGINT) AS cnt
+           FROM ($allbt) p JOIN v0 ON v0.w = p.w
+           GROUP BY 1)"""
+      ctes += s"""voc$r AS MATERIALIZED (SELECT piece, cnt FROM em$r
+           UNION ALL
+           SELECT s.piece, CAST(1 AS BIGINT) AS cnt FROM (
+             SELECT DISTINCT substr(w, i, 1) AS piece
+             FROM v0, unnest(generate_series(1, $lmax)) g(i)
+             WHERE i <= length(w)) s
+           WHERE s.piece NOT IN (SELECT piece FROM em$r))"""
+      ctes += s"""tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t
+           FROM voc$r)"""
+      ctes += s"""wgt$r AS MATERIALIZED (SELECT piece,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+               AS BIGINT)
+           - (SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) FROM tot$r) AS wgt
+           FROM voc$r)"""
+      ctes.result().mkString(",\n         ")
+    }
+    s"""WITH RECURSIVE $peel,
+         $seed,
+         ${roundCtes(1)},
+         ${roundCtes(2)}
+         SELECT v.piece, v.cnt AS n_cnt, w.wgt AS score
+         FROM voc$rounds v JOIN wgt$rounds w USING (piece)"""
+  }
 
   /** The q316/q317 oracle machinery: segment peel + byte census +
     * the 8 unrolled training rounds (MATERIALIZED per round).
@@ -2697,6 +2813,8 @@ object CurationQueries {
              list(CAST(gpos % 64 AS BIGINT) ORDER BY gpos)
                FILTER (WHERE doc_start), ','), '') AS boundaries
          FROM ex GROUP BY 1, 2""",
+    // the hard-EM unigram trainer unrolled (see unigramOracle)
+    "q321_unigram_train" -> unigramOracle,
     // the special-split encode: chunks peeled independently,
     // separators interleaved, special -> its own id, lookalike BPE'd
     "q319_special_tokens" ->

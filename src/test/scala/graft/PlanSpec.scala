@@ -302,7 +302,10 @@ class PlanSpec extends AnyFunSuite {
       // rank + exact-rerank joins + hit aggs) over persisted
       // candidates — same diagnostic-readout charter as q312
       "q319_special_tokens" -> 2,
-      "q320_ivf_pq_recall" -> 39)
+      "q320_ivf_pq_recall" -> 39,
+      // q321 = census agg + seed agg + intermediate E-step agg + the
+      // final distributed E-step/singles/anti-join/total aggs
+      "q321_unigram_train" -> 4)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
