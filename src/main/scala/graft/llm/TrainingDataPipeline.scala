@@ -77,6 +77,26 @@ object TrainingDataPipeline {
     *               (canonical null) pass through to the content
     *               stages. "" disables.
     */
+  /** @param tokenizerRounds when > 0, the pipeline ENDS IN TRAINING
+    *               ARTIFACTS: a byte-level BPE tokenizer trains on the
+    *               curated train split (q316's segment census, this
+    *               many merge rounds), the trained tokenizer encodes
+    *               that split under the GPT-2 vocab.json id formula
+    *               (special-token-faithful — a doc mentioning the
+    *               literal <|endoftext|> gets the special id), and the
+    *               id streams pack into loader-complete blocks
+    *               (EOS separators + attention-reset boundaries,
+    *               [[Packing.packTokenBlocksLoader]]). 0 disables.
+    * @param blockTokens loader block size for the terminal stage
+    * @param artifactDir when non-empty (and tokenizerRounds > 0), the
+    *               trained tokenizer also SHIPS as the standard
+    *               artifacts — `merges.txt` + `vocab.json` — under
+    *               this directory ([[Bpe.rulesToFile]] /
+    *               [[Bpe.vocabToFile]]), reloadable by any
+    *               GPT-2/HF-lineage loader (and by [[Bpe.rulesFromFile]]
+    *               / [[Bpe.vocabFromFile]] — the integration spec
+    *               proves write→reload→re-encode identity).
+    */
   final case class Config(
       urlCol: String = "",
       normalize: Boolean = false,
@@ -93,14 +113,33 @@ object TrainingDataPipeline {
       evalChunkLeakMax: Double = 0.0,
       boilerC: Int = 0,
       boilerMinDf: Int = 2,
-      boilerPct: Int = 5)
+      boilerPct: Int = 5,
+      tokenizerRounds: Int = 0,
+      blockTokens: Int = 64,
+      artifactDir: String = "")
+
+  /** The trained-tokenizer handoff: the merge rules in rank order, the
+    * vocab.json-shaped id map (bytes 0..255, merges at 256+rank, the
+    * EOS special at the next free slot), and that EOS id.
+    */
+  final case class Tokenizer(rules: Seq[(String, String)],
+                             vocab: Map[String, Long], eosId: Long)
 
   /** @param corpus  surviving docs with `quality` and `split` columns
     * @param packed  (doc_id, lang, shard, tok_count, chunk_id) of the
     *                train split
     * @param manifest (stage, n_docs) survivorship ledger, stage-ordered
+    * @param blocks  loader-complete (shard, block_id, …, boundaries)
+    *                blocks of the encoded train split (tokenizerRounds
+    *                > 0 only)
+    * @param tokenizer the trained tokenizer (tokenizerRounds > 0 only)
     */
-  final case class Result(corpus: DataFrame, packed: DataFrame, manifest: DataFrame)
+  final case class Result(corpus: DataFrame, packed: DataFrame,
+                          manifest: DataFrame,
+                          blocks: Option[DataFrame] = None,
+                          tokenizer: Option[Tokenizer] = None)
+
+  val EosToken = "<|endoftext|>"
 
   /** @param evalDocs eval/benchmark DOCUMENTS (doc_id, text) for the
     *                  chunk-level decontamination stage — distinct from
@@ -242,9 +281,56 @@ object TrainingDataPipeline {
       TextFunctions.splitAssign(col("doc_id")))
 
     // 6. pack the train split into token-budget chunks
-    val packed = Packing.packChunks(
-      corpus.where(col("split") === "train"), "doc_id", "text", "lang",
+    val trainSplit = corpus.where(col("split") === "train")
+      .transform(graft.core.Caching.persist)
+    val packed = Packing.packChunks(trainSplit, "doc_id", "text", "lang",
       cfg.tokenBudget, cfg.shards)
+
+    // 7. OPTIONAL terminal stages: train the tokenizer on the curated
+    // train split, ship the standard artifacts, encode that split
+    // special-token-faithfully under the vocab.json id formula, and
+    // pack the loader blocks — corpus-in → loader-artifact-out in one
+    // call. The rule collect is bounded by tokenizerRounds (the q272
+    // trainer charter); everything else is the proven q316/q319/q318
+    // machinery.
+    val (blocksOpt, tokOpt) =
+      if (cfg.tokenizerRounds <= 0) (None, None)
+      else {
+        // materialize the curated split and CUT THE LINEAGE before the
+        // iterative trainer (a production run writes the curated
+        // corpus to storage here anyway): the trainer layers one
+        // rewrite plan per round, and stacking those on the full
+        // pipeline plan makes Catalyst's plan strings alone blow the
+        // driver heap
+        val tokBase = trainSplit.select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        val rules = Bpe.trainFromVocab(
+            Bpe.segmentVocabBytes(tokBase, "text"),
+            cfg.tokenizerRounds)
+          .orderBy(col("merge_round"))
+          .select(col("x"), col("y")).as[(String, String)]
+          .collect().toSeq
+        val eosId = 256L + rules.size
+        val vocab: Map[String, Long] =
+          (0 until 256).map(b =>
+            ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+            rules.zipWithIndex.map { case ((x, y), i) =>
+              (x + y) -> (256L + i)
+            } + (EosToken -> eosId)
+        if (cfg.artifactDir.nonEmpty) {
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(cfg.artifactDir))
+          Bpe.rulesToFile(rules, s"${cfg.artifactDir}/merges.txt")
+          Bpe.vocabToFile(vocab, s"${cfg.artifactDir}/vocab.json")
+        }
+        val enc = Bpe.encodeIdsWith(tokBase, "doc_id", "text", rules,
+          cfg.blockTokens, byteLevel = true, preTokenize = true,
+          vocab = Some(vocab), specialTokens = Seq(EosToken))
+        val blocks = Packing.packTokenBlocksLoader(enc, "doc_id", "ids",
+            cfg.blockTokens, cfg.shards, eosId)
+          .transform(graft.core.Caching.persist)
+        (Some(blocks), Some(Tokenizer(rules, vocab, eosId)))
+      }
 
     val chunkStage =
       if (cfg.chunkC > 0 && cfg.chunkNovelMin > 0.0)
@@ -270,9 +356,12 @@ object TrainingDataPipeline {
       Seq(("3_decontaminated", docClean.count())) ++
       chunkDecon ++
       Seq(("4_mixture", balanced.count()),
-        ("5_train_packed", packed.count()))
+        ("5_train_packed", packed.count())) ++
+      tokOpt.map(t =>
+        ("6_tokenizer_rules", t.rules.size.toLong)).toSeq ++
+      blocksOpt.map(b => ("7_loader_blocks", b.count())).toSeq
     ).toDF("stage", "n_docs")
 
-    Result(corpus, packed, manifest)
+    Result(corpus, packed, manifest, blocksOpt, tokOpt)
   }
 }

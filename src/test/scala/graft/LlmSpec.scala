@@ -781,6 +781,58 @@ class LlmSpec extends AnyFunSuite {
     assert(ids1 == ids2, "pipeline must be a pure function of its inputs")
   }
 
+  test("pipeline terminal stages: one call goes corpus-in -> tokenizer " +
+      "artifacts + loader blocks; written merges.txt/vocab.json reload " +
+      "and re-encode to IDENTICAL blocks") {
+    import spark.implicits._
+    import graft.llm.{Bpe, Packing, TrainingDataPipeline}
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+    val evalNgrams = docs.where(col("doc_id") < 5)
+      .select(explode(graft.llm.Dedup.shinglesText(col("text"), 3)).as("g"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pipe-artifacts").toString
+    val cfg = TrainingDataPipeline.Config(tokenizerRounds = 6,
+      blockTokens = 32, artifactDir = dir)
+    val r = TrainingDataPipeline.run(docs, evalNgrams,
+      graft.queries.LlmQueries.stopwords, cfg)
+
+    val tok = r.tokenizer.get
+    assert(tok.rules.nonEmpty && tok.rules.size <= 6)
+    assert(tok.vocab(TrainingDataPipeline.EosToken) === tok.eosId)
+    assert(tok.eosId === 256L + tok.rules.size)
+    val m = r.manifest.as[(String, Long)].collect().toMap
+    assert(m("6_tokenizer_rules") === tok.rules.size.toLong)
+    val blocks = r.blocks.get
+      .select(col("shard"), col("block_id"), col("n_ids"),
+        col("n_docs"), col("first_doc"), col("block_hash"),
+        col("boundaries"))
+      .as[(Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    assert(blocks.nonEmpty)
+    assert(m("7_loader_blocks") === blocks.size.toLong)
+
+    // write -> reload -> re-encode identity: the shipped artifacts
+    // drive the exact same loader blocks
+    val rules2 = Bpe.rulesFromFile(spark, s"$dir/merges.txt")
+    val vocab2 = Bpe.vocabFromFile(spark, s"$dir/vocab.json")
+    assert(rules2 === tok.rules, "merges.txt round trip")
+    assert(vocab2 === tok.vocab, "vocab.json round trip")
+    val train = r.corpus.where(col("split") === "train")
+    val enc2 = Bpe.encodeIdsWith(train, "doc_id", "text", rules2,
+      cfg.blockTokens, byteLevel = true, preTokenize = true,
+      vocab = Some(vocab2),
+      specialTokens = Seq(TrainingDataPipeline.EosToken))
+    val blocks2 = Packing.packTokenBlocksLoader(enc2, "doc_id", "ids",
+        cfg.blockTokens, cfg.shards, vocab2(TrainingDataPipeline.EosToken))
+      .select(col("shard"), col("block_id"), col("n_ids"),
+        col("n_docs"), col("first_doc"), col("block_hash"),
+        col("boundaries"))
+      .as[(Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    assert(blocks2 === blocks,
+      "reloaded artifacts must reproduce the exact loader blocks")
+  }
+
   test("pipeline chunk stages catch what doc-level screens miss: " +
       "leaked eval chunk and chunk-assembled doc") {
     import spark.implicits._
