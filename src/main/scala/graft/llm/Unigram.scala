@@ -139,6 +139,40 @@ object Unigram {
       .select(col("piece"), col("cnt").as("n_cnt"),
         (sl(col("cnt")) - sl(col("t"))).as("score"))
   }
+  /** Per-`byCol` segmentation economics under a TRAINED score map —
+    * the q317 report for the unigram family: segment/char/piece counts,
+    * chars per piece (compression), and the ordered piece-sequence
+    * hash sum (one wrong Viterbi split anywhere flips it). The Viterbi
+    * runs over DISTINCT segments only (content-bounded), then joins
+    * back to per-(group, segment) instance counts — corpus-sized data
+    * is touched exactly twice, both map-side-combined aggregates.
+    */
+  def applyStats(docs: DataFrame, textCol: String, byCol: String,
+                 scores: Map[String, Long], maxPieceLen: Int,
+                 maxSegLen: Int): DataFrame = {
+    val sw = docs.select(col(byCol).as("grp"),
+        explode(PreTokenize.gptSegments(col(textCol))).as("w"))
+      .where(length(col("w")) <= maxSegLen)
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("nsw"))
+      .transform(graft.core.Caching.persist)
+    val enc = sw.select(col("w")).distinct()
+      .select(col("w"),
+        segmentWith(col("w"), scores, maxPieceLen).as("p"))
+      .select(col("w"), size(col("p")).cast("long").as("np"),
+        TextFunctions.portableHash(array_join(col("p"), "\u0001"), 53)
+          .as("h"))
+    sw.join(enc, "w")
+      .groupBy(col("grp"))
+      .agg(sum(col("nsw")).cast("long").as("n_segments"),
+        sum(col("nsw") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("nsw") * col("np")).cast("long").as("n_pieces"),
+        sum(col("nsw") * col("h")).cast("long").as("piece_hash_sum"))
+      .select(col("grp").as(byCol), col("n_segments"), col("n_chars"),
+        col("n_pieces"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"),
+        col("piece_hash_sum"))
+  }
 }
 
 /** Native Viterbi segmentation (see [[Unigram.segmentWith]]): string →

@@ -1342,7 +1342,25 @@ object CurationQueries {
     // replays the same tie rules.
     "q321_unigram_train" -> ((s, dir) =>
       graft.llm.Unigram.train(Tables.documents(s, dir), "text",
-        maxPieceLen = 4, minCount = 2L, rounds = 2, maxSegLen = 12))
+        maxPieceLen = 4, minCount = 2L, rounds = 2, maxSegLen = 12)),
+
+    // The CLOSED unigram lifecycle (q317's statement for the second
+    // tokenizer family): train q321's vocabulary, then Viterbi-segment
+    // the SAME corpus under the trained scores — per-source
+    // segmentation economics with every distinct segment's ordered
+    // piece sequence hashed. The trained score map is a bounded
+    // collect (the artifact scale); the oracle appends ONE more DP
+    // pass (the apply) to the q321 EM unroll and rolls up per source.
+    "q322_unigram_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val wgt = graft.llm.Unigram.train(docs, "text",
+          maxPieceLen = 4, minCount = 2L, rounds = 2, maxSegLen = 12)
+        .select(col("piece"), col("score"))
+        .as[(String, Long)].collect().toMap
+      graft.llm.Unigram.applyStats(docs, "text", "source", wgt,
+        maxPieceLen = 4, maxSegLen = 12)
+    })
   )
 
   /** q310/q311 byte-level rule list: a space-prefix chain proving
@@ -1577,6 +1595,80 @@ object CurationQueries {
     * scaled-integer logs, ties to the smallest split point.
     */
   private def unigramOracle: String = {
+    s"""$unigramCtes
+         SELECT v.piece, v.cnt AS n_cnt, w.wgt AS score
+         FROM voc2 v JOIN wgt2 w USING (piece)"""
+  }
+
+  /** q322: one more Viterbi pass (dp3/bt3 under the FINAL wgt2 — the
+    * APPLY) over the same machinery, rolled up per source with ordered
+    * piece-sequence hashes (q317's shape for the unigram family).
+    */
+  private def unigramApplyOracle: String = {
+    val lmax = 12
+    val allbt3 = (1 to lmax)
+      .map(t => s"SELECT w, pos, piece FROM bt3_$t")
+      .mkString("\n           UNION ALL\n           ")
+    s"""$unigramCtes,
+         ${unigramDpBt(3, 2)},
+         apw AS MATERIALIZED (SELECT w,
+             CAST(count(*) AS BIGINT) AS n_pieces,
+             CAST(concat('0x', substr(md5(concat('53', '|',
+               array_to_string(list(piece ORDER BY pos), chr(1)))), 1, 8))
+               AS BIGINT) AS h
+           FROM ($allbt3) GROUP BY w),
+         swc AS (SELECT d.source, sg.tok AS w,
+             CAST(count(*) AS BIGINT) AS nsw
+           FROM sg JOIN documents d ON d.doc_id = sg.doc_id
+           WHERE length(sg.tok) <= $lmax
+           GROUP BY 1, 2)
+         SELECT swc.source,
+           CAST(sum(swc.nsw) AS BIGINT) AS n_segments,
+           CAST(sum(swc.nsw * length(swc.w)) AS BIGINT) AS n_chars,
+           CAST(sum(swc.nsw * apw.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(swc.nsw * length(swc.w)) AS DOUBLE)
+             / CAST(sum(swc.nsw * apw.n_pieces) AS DOUBLE)
+             AS chars_per_piece,
+           CAST(sum(swc.nsw * apw.h) AS BIGINT) AS piece_hash_sum
+         FROM swc JOIN apw ON apw.w = swc.w
+         GROUP BY swc.source"""
+  }
+
+  /** One Viterbi DP + backtrack block (the dp/bt CTE chains for round
+    * r) under wgt{useWgt} — shared by the EM rounds and the q322
+    * apply pass.
+    */
+  private def unigramDpBt(r: Int, useWgt: Int): String = {
+    val (maxP, lmax) = (4, 12)
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""dp${r}_0 AS (SELECT w, 0 AS i,
+         CAST(0 AS BIGINT) AS best, 0 AS bj FROM v0)"""
+    (1 to lmax).foreach { i =>
+      ctes += s"""dp${r}_$i AS MATERIALIZED (SELECT * FROM dp${r}_${i - 1}
+         UNION ALL
+         SELECT w, $i AS i, s AS best, j AS bj FROM (
+           SELECT w, s, j, row_number() OVER (PARTITION BY w
+             ORDER BY s DESC, j ASC) AS rn
+           FROM (SELECT d.w, d.best + g.wgt AS s, d.i AS j
+             FROM dp${r}_${i - 1} d JOIN wgt$useWgt g
+               ON g.piece = substr(d.w, d.i + 1, $i - d.i)
+             WHERE d.i BETWEEN ${math.max(0, i - maxP)} AND ${i - 1}
+               AND length(d.w) >= $i)) WHERE rn = 1)"""
+    }
+    ctes += s"dpf$r AS MATERIALIZED (SELECT * FROM dp${r}_$lmax)"
+    ctes += s"""bt${r}_0 AS (SELECT w, length(w) AS pos,
+         CAST(NULL AS VARCHAR) AS piece FROM v0)"""
+    (1 to lmax).foreach { t =>
+      ctes += s"""bt${r}_$t AS MATERIALIZED (SELECT b.w, d.bj AS pos,
+           substr(b.w, d.bj + 1, b.pos - d.bj) AS piece
+         FROM bt${r}_${t - 1} b JOIN dpf$r d
+           ON d.w = b.w AND d.i = b.pos
+         WHERE b.pos > 0)"""
+    }
+    ctes.result().mkString(",\n         ")
+  }
+
+  private def unigramCtes: String = {
     val (maxP, minC, rounds, lmax) = (4, 2, 2, 12)
     val peel =
       s"""seg AS (
@@ -1615,30 +1707,7 @@ object CurationQueries {
            FROM voc0)"""
     def roundCtes(r: Int): String = {
       val ctes = Seq.newBuilder[String]
-      ctes += s"""dp${r}_0 AS (SELECT w, 0 AS i,
-           CAST(0 AS BIGINT) AS best, 0 AS bj FROM v0)"""
-      (1 to lmax).foreach { i =>
-        ctes += s"""dp${r}_$i AS MATERIALIZED (SELECT * FROM dp${r}_${i - 1}
-           UNION ALL
-           SELECT w, $i AS i, s AS best, j AS bj FROM (
-             SELECT w, s, j, row_number() OVER (PARTITION BY w
-               ORDER BY s DESC, j ASC) AS rn
-             FROM (SELECT d.w, d.best + g.wgt AS s, d.i AS j
-               FROM dp${r}_${i - 1} d JOIN wgt${r - 1} g
-                 ON g.piece = substr(d.w, d.i + 1, $i - d.i)
-               WHERE d.i BETWEEN ${math.max(0, i - maxP)} AND ${i - 1}
-                 AND length(d.w) >= $i)) WHERE rn = 1)"""
-      }
-      ctes += s"dpf$r AS MATERIALIZED (SELECT * FROM dp${r}_$lmax)"
-      ctes += s"""bt${r}_0 AS (SELECT w, length(w) AS pos,
-           CAST(NULL AS VARCHAR) AS piece FROM v0)"""
-      (1 to lmax).foreach { t =>
-        ctes += s"""bt${r}_$t AS MATERIALIZED (SELECT b.w, d.bj AS pos,
-             substr(b.w, d.bj + 1, b.pos - d.bj) AS piece
-           FROM bt${r}_${t - 1} b JOIN dpf$r d
-             ON d.w = b.w AND d.i = b.pos
-           WHERE b.pos > 0)"""
-      }
+      ctes += unigramDpBt(r, r - 1)
       val allbt = (1 to lmax)
         .map(t => s"SELECT w, piece FROM bt${r}_$t")
         .mkString("\n           UNION ALL\n           ")
@@ -1664,11 +1733,11 @@ object CurationQueries {
       ctes.result().mkString(",\n         ")
     }
     s"""WITH RECURSIVE $peel,
+         sg AS MATERIALIZED (SELECT doc_id, tok FROM seg
+           WHERE tok IS NOT NULL),
          $seed,
          ${roundCtes(1)},
-         ${roundCtes(2)}
-         SELECT v.piece, v.cnt AS n_cnt, w.wgt AS score
-         FROM voc$rounds v JOIN wgt$rounds w USING (piece)"""
+         ${roundCtes(2)}"""
   }
 
   /** The q316/q317 oracle machinery: segment peel + byte census +
@@ -2815,6 +2884,8 @@ object CurationQueries {
          FROM ex GROUP BY 1, 2""",
     // the hard-EM unigram trainer unrolled (see unigramOracle)
     "q321_unigram_train" -> unigramOracle,
+    // q321's EM unroll + one apply DP pass + per-source rollup
+    "q322_unigram_apply" -> unigramApplyOracle,
     // the special-split encode: chunks peeled independently,
     // separators interleaved, special -> its own id, lookalike BPE'd
     "q319_special_tokens" ->

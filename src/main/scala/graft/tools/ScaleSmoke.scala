@@ -149,9 +149,13 @@ object ScaleSmoke {
     // vocab.json encode over it (r14): both must track text mass —
     // the scanner is a narrow map, the encode's distinct-segment and
     // id tables stay content-bounded
+    // q319_/q321_ (r15) = the special-token encode (the split is a
+    // narrow per-row scan over the same encode) and the unigram
+    // hard-EM trainer (census, seed, and E-steps are all
+    // content-bounded — growth must track the one corpus collapse)
     val hot = Seq("q105_", "q106_", "q130_", "q136_", "q147_", "q153_",
       "q175_", "q191_", "q258_", "q58_", "q272_", "q284_", "q303_",
-      "q309_", "q310_")
+      "q309_", "q310_", "q319_", "q321_")
     val smallDir = "/root/testdata/sf0.01"
     val bigDir = "/root/testdata/sf0.1"
     val sweeps = 2

@@ -305,7 +305,10 @@ class PlanSpec extends AnyFunSuite {
       "q320_ivf_pq_recall" -> 39,
       // q321 = census agg + seed agg + intermediate E-step agg + the
       // final distributed E-step/singles/anti-join/total aggs
-      "q321_unigram_train" -> 4)
+      "q321_unigram_train" -> 4,
+      // q322 = q321's trainer aggs + the (source, segment) census +
+      // distinct-segment Viterbi + per-source rollup
+      "q322_unigram_apply" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
