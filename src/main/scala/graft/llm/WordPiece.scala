@@ -1,0 +1,231 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece — the THIRD published tokenizer family (BERT lineage),
+  * beside BPE (q316) and unigram-LM (q321). Training is BPE-shaped but
+  * ranks candidate pairs by the PUBLISHED WordPiece score
+  * count(xy) / (count(x) · count(y)) — likelihood gain instead of raw
+  * frequency — so it prefers pairs whose parts rarely occur apart.
+  * The apply is GREEDY LONGEST-MATCH-FIRST over a piece vocabulary
+  * with `##` continuation prefixes; a position with no matching piece
+  * makes the whole word `[UNK]` (the BERT behavior).
+  *
+  * Determinism (mirrored verbatim in the q323/q324 oracles): pair and
+  * unit counts are exact long sums; the score is ONE double division
+  * of exact integers (< 2^53 — correctly rounded identically on both
+  * engines), ordered (score DESC, x, y); the greedy scan's only choice
+  * is the longest match, a pure set probe.
+  *
+  * Scale shape: the corpus collapses once into the word-weight census;
+  * every training round is two bounded-vocab aggregates + a 1-row
+  * argmax collect (the q272 trainer charter); the apply vocabulary is
+  * a bounded content-sized collect shipping with one codegen'd
+  * expression — zero joins, zero shuffles at apply time.
+  */
+object WordPiece {
+
+  /** Train `rounds` merges by the WordPiece score over the lowercase
+    * word census; returns one row per executed round:
+    * (merge_round, x, y, pair_n, score). Stops early when no pair
+    * remains.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainRules(Bpe.charVocab(docs, textCol), rounds)._1
+      .toDF("merge_round", "x", "y", "pair_n", "score")
+  }
+
+  /** [[train]] plus the APPLY VOCABULARY the trained state implies:
+    * every word-initial final symbol as itself and every continuation
+    * symbol `##`-prefixed — the piece set the greedy tokenizer probes.
+    */
+  def trainWithVocab(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Long, String, String, Long, Double)], Set[String]) = {
+    val (rules, v) = trainRules(Bpe.charVocab(docs, textCol), rounds)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = v.select(posexplode(col("s")))
+      .select(when(col("pos") === 0, col("col"))
+        .otherwise(concat(lit("##"), col("col"))).as("piece"))
+      .distinct().as[String].collect().toSet
+    v.unpersist()
+    require(pieces.size <= 5000000,
+      s"apply vocabulary out of range: ${pieces.size}")
+    (rules, pieces)
+  }
+
+  /** The driver loop: per round, the adjacent-pair census AND the unit
+    * census over the bounded vocab, argmax by (score DESC, x, y), then
+    * the greedy LTR rewrite ([[Bpe.mergePair]]). Returns the rules and
+    * the FINAL persisted vocab table (caller unpersists).
+    */
+  private def trainRules(v0: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long, Double)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16]: $rounds")
+    var v = v0.transform(graft.core.Caching.persist)
+    var prev: DataFrame = null
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Double)]
+    var done = false
+    var r = 1
+    while (r <= rounds && !done) {
+      val pairs = v.where(size(col("s")) >= 2)
+        .select(col("weight"),
+          explode(transform(sequence(lit(1), size(col("s")) - 1), i =>
+            struct(element_at(col("s"), i).as("x"),
+              element_at(col("s"), i + lit(1)).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("weight")).cast("long").as("n"))
+      val units = v.select(col("weight"), explode(col("s")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("weight")).cast("long").as("m"))
+      val top = pairs
+        .join(units.select(col("sym").as("x"), col("m").as("mx")), "x")
+        .join(units.select(col("sym").as("y"), col("m").as("my")), "y")
+        .select(col("x"), col("y"), col("n"),
+          (col("n").cast("double")
+            / (col("mx") * col("my")).cast("double")).as("score"))
+        .orderBy(col("score").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        val (x, y) = (row.getAs[String]("x"), row.getAs[String]("y"))
+        rules += ((r.toLong, x, y, row.getAs[Long]("n"),
+          row.getAs[Double]("score")))
+        val nv = v.select(col("weight"),
+            Bpe.mergePair(col("s"), x, y).as("s"))
+          .transform(graft.core.Caching.persist)
+        if (prev != null) prev.unpersist()
+        prev = v
+        v = nv
+        r += 1
+      }
+    }
+    if (prev != null) prev.unpersist()
+    (rules.toSeq, v)
+  }
+
+  /** Greedy longest-match tokenize of a word column under a fixed
+    * piece set (word-initial pieces plain, continuations `##`-prefixed;
+    * no match at any position → the single piece `[UNK]`).
+    */
+  def applyGreedy(word: Column, vocab: Set[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(WordPieceApplyExpr(
+      ColumnBridge.toExpression(word), vocab))
+  }
+
+  /** Per-`byCol` tokenizer economics under the greedy apply — the
+    * q317/q322 report for the WordPiece family: word/piece/UNK counts
+    * and the ordered piece-sequence hash sum, computed over DISTINCT
+    * words only (content-bounded) and joined back to instance counts.
+    */
+  def applyStats(docs: DataFrame, textCol: String, byCol: String,
+                 vocab: Set[String]): DataFrame = {
+    val sw = docs.select(col(byCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("nsw"))
+      .transform(graft.core.Caching.persist)
+    val enc = sw.select(col("w")).distinct()
+      .select(col("w"), applyGreedy(col("w"), vocab).as("p"))
+      .select(col("w"), size(col("p")).cast("long").as("np"),
+        (element_at(col("p"), 1) === "[UNK]").cast("long").as("unk"),
+        TextFunctions.portableHash(array_join(col("p"), "\u0001"), 59)
+          .as("h"))
+    sw.join(enc, "w")
+      .groupBy(col("grp"))
+      .agg(sum(col("nsw")).cast("long").as("n_words"),
+        sum(col("nsw") * col("np")).cast("long").as("n_pieces"),
+        sum(col("nsw") * col("unk")).cast("long").as("n_unk"),
+        sum(col("nsw") * col("h")).cast("long").as("piece_hash_sum"))
+      .select(col("grp").as(byCol), col("n_words"), col("n_pieces"),
+        col("n_unk"), col("piece_hash_sum"))
+  }
+}
+
+/** Native greedy longest-match WordPiece apply (see
+  * [[WordPiece.applyGreedy]]): word → piece array ([[UNK]] alone when
+  * any position dead-ends). Codepoint positions; probe cost
+  * O(len · maxPieceLen) hash lookups, maxPieceLen derived from the
+  * vocabulary once.
+  */
+case class WordPieceApplyExpr(child: Expression, vocab: Set[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val voc: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  // longest CORE (piece minus any ## prefix) in codepoints
+  @transient private lazy val maxCore: Int =
+    vocab.iterator.map { p =>
+      val core = if (p.startsWith("##") && p.length > 2) p.substring(2)
+        else p
+      core.codePointCount(0, core.length)
+    }.max
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(in: UTF8String): ArrayData = {
+    val w = in.toString
+    val n = w.codePointCount(0, w.length)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var o = 0
+    var i = 0
+    while (i < n) { offs(i) = o; o += Character.charCount(w.codePointAt(o)); i += 1 }
+    offs(n) = w.length
+    val out = new java.util.ArrayList[String](n)
+    var pos = 0
+    var unk = false
+    while (pos < n && !unk) {
+      var l = math.min(maxCore, n - pos)
+      var hit: String = null
+      while (hit == null && l >= 1) {
+        val core = w.substring(offs(pos), offs(pos + l))
+        val cand = if (pos == 0) core else "##" + core
+        if (voc.contains(cand)) hit = cand
+        else l -= 1
+      }
+      if (hit == null) unk = true
+      else { out.add(hit); pos += l }
+    }
+    val arr: Array[Any] =
+      if (unk) Array(UTF8String.fromString("[UNK]"))
+      else {
+        val a = new Array[Any](out.size)
+        var k = 0
+        while (k < out.size) { a(k) = UTF8String.fromString(out.get(k)); k += 1 }
+        a
+      }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpApply", this,
+      classOf[WordPieceApplyExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordPieceApplyExpr = copy(child = newChild)
+
+  override def prettyName: String = "wordpiece_apply"
+}

@@ -1360,6 +1360,30 @@ object CurationQueries {
         .as[(String, Long)].collect().toMap
       graft.llm.Unigram.applyStats(docs, "text", "source", wgt,
         maxPieceLen = 4, maxSegLen = 12)
+    }),
+
+    // WORDPIECE TRAINING (the THIRD published tokenizer family — BERT
+    // lineage): BPE-shaped rounds ranked by the published score
+    // count(xy)/(count(x)·count(y)) — likelihood gain, one exact
+    // double division of exact longs, identical cross-engine. The
+    // oracle replays pair census + unit census + score argmax +
+    // greedy rewrite per round.
+    "q323_wordpiece_train" -> ((s, dir) =>
+      graft.llm.WordPiece.train(Tables.documents(s, dir), "text",
+        rounds = 8)),
+
+    // The CLOSED WordPiece lifecycle: q323's trained state implies the
+    // piece vocabulary (word-initial symbols plain, continuations
+    // ##-prefixed); the corpus re-tokenizes under GREEDY
+    // LONGEST-MATCH-FIRST (dead-end position -> the whole word is
+    // [UNK] — the BERT behavior) — per-source words/pieces/UNKs and
+    // the ordered piece-sequence hash sum. The oracle unrolls the
+    // greedy scan position by position over distinct words.
+    "q324_wordpiece_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, vocab) = graft.llm.WordPiece.trainWithVocab(docs, "text",
+        rounds = 8)
+      graft.llm.WordPiece.applyStats(docs, "text", "source", vocab)
     })
   )
 
@@ -1738,6 +1762,120 @@ object CurationQueries {
          $seed,
          ${roundCtes(1)},
          ${roundCtes(2)}"""
+  }
+
+  /** The q323/q324 oracle machinery: lowercase word census + codepoint
+    * split, then per round the pair census, the UNIT census, the
+    * WordPiece-score argmax (one exact double division of exact longs,
+    * ordered score DESC, x, y), and the greedy rewrite — MATERIALIZED
+    * per round (each vocab CTE is referenced twice).
+    */
+  private def wordpieceCtes(rounds: Int): String = {
+    val base =
+      s"""v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS weight
+           FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+               '\\s+')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w),
+         v1 AS MATERIALIZED (SELECT w, weight,
+             list_filter(string_split(w, ''), c -> c <> '') AS s
+           FROM v0)"""
+    val roundsSql = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT s[i] AS x, s[i+1] AS y,
+             CAST(sum(weight) AS BIGINT) AS n
+           FROM v$r, unnest(generate_series(1, len(s) - 1)) AS g(i)
+           WHERE len(s) >= 2 GROUP BY 1, 2),
+         u$r AS (SELECT s[i] AS sym, CAST(sum(weight) AS BIGINT) AS m
+           FROM v$r, unnest(generate_series(1, len(s))) AS g(i)
+           GROUP BY 1),
+         b$r AS (SELECT x, y, n,
+             CAST(n AS DOUBLE) / CAST(ux.m * uy.m AS DOUBLE) AS score
+           FROM c$r JOIN u$r ux ON ux.sym = c$r.x
+                    JOIN u$r uy ON uy.sym = c$r.y
+           ORDER BY score DESC, x, y LIMIT 1),
+         v${r + 1} AS MATERIALIZED (SELECT w, weight,
+             CASE WHEN b.x IS NULL THEN s
+             ELSE string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = b.x AND sy = b.y
+               THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+               ELSE acc || ' ' || sy END), ' ') END AS s
+           FROM v$r LEFT JOIN b$r b ON TRUE)"""
+    }.mkString(",\n         ")
+    s"$base,\n         $roundsSql"
+  }
+
+  private def wordpieceTrainOracle: String = {
+    val rounds = 8
+    val points = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, x, y, n AS pair_n,
+           score FROM b$r"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH ${wordpieceCtes(rounds)}
+         $points"""
+  }
+
+  /** q324: the greedy longest-match scan unrolled position by position
+    * over DISTINCT words (12 steps cover any fixture word; the longest
+    * is 8 chars) — at each step the longest matching piece wins via a
+    * clen-DESC ranking against the piece table, a dead end emits
+    * [UNK] and terminates the word — then the per-source rollup.
+    */
+  private def wordpieceApplyOracle: String = {
+    val rounds = 8
+    val steps = 12
+    val stepSql = (1 to steps).map { t =>
+      s"""gp$t AS MATERIALIZED (SELECT w, pos + clen AS pos, piece,
+             FALSE AS unk
+           FROM (SELECT g.w, g.pos, v.piece, v.clen, row_number() OVER (
+               PARTITION BY g.w ORDER BY v.clen DESC) AS rn
+             FROM gp${t - 1} g JOIN voc v
+               ON v.cont = (g.pos > 1)
+                 AND v.core = substr(g.w, g.pos, v.clen)
+             WHERE g.pos <= length(g.w) AND NOT g.unk) WHERE rn = 1
+           UNION ALL
+           SELECT g.w, length(g.w) + 1 AS pos, '[UNK]' AS piece,
+             TRUE AS unk
+           FROM gp${t - 1} g
+           WHERE g.pos <= length(g.w) AND NOT g.unk AND NOT EXISTS (
+             SELECT 1 FROM voc v WHERE v.cont = (g.pos > 1)
+               AND v.core = substr(g.w, g.pos, v.clen)))"""
+    }.mkString(",\n         ")
+    val allp = (1 to steps)
+      .map(t => s"SELECT w, pos, piece, unk FROM gp$t " +
+        "WHERE piece IS NOT NULL")
+      .mkString("\n           UNION ALL\n           ")
+    s"""WITH ${wordpieceCtes(rounds)},
+         voc AS MATERIALIZED (SELECT DISTINCT
+             CASE WHEN i = 1 THEN s[i] ELSE '##' || s[i] END AS piece,
+             s[i] AS core, length(s[i]) AS clen, i > 1 AS cont
+           FROM v${rounds + 1}, unnest(generate_series(1, len(s)))
+             AS g(i)),
+         gp0 AS (SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece,
+             FALSE AS unk FROM v0),
+         $stepSql,
+         allp AS ($allp),
+         wenc AS MATERIALIZED (SELECT w,
+             CASE WHEN bool_or(unk) THEN 1 ELSE 0 END AS is_unk,
+             CASE WHEN bool_or(unk) THEN CAST(1 AS BIGINT)
+                  ELSE CAST(count(*) AS BIGINT) END AS n_pieces,
+             CASE WHEN bool_or(unk) THEN '[UNK]'
+                  ELSE array_to_string(list(piece ORDER BY pos), chr(1))
+                  END AS pj
+           FROM allp GROUP BY w),
+         wh AS (SELECT w, is_unk, n_pieces,
+             CAST(concat('0x', substr(md5(concat('59', '|', pj)), 1, 8))
+               AS BIGINT) AS h FROM wenc),
+         sw AS (SELECT d.source, t.w, CAST(count(*) AS BIGINT) AS nsw
+           FROM (SELECT doc_id, unnest(string_split_regex(
+               lower(trim(text)), '\\s+')) AS w FROM documents) t
+           JOIN documents d ON d.doc_id = t.doc_id
+           WHERE t.w <> '' GROUP BY 1, 2)
+         SELECT sw.source,
+           CAST(sum(sw.nsw) AS BIGINT) AS n_words,
+           CAST(sum(sw.nsw * wh.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(sw.nsw * wh.is_unk) AS BIGINT) AS n_unk,
+           CAST(sum(sw.nsw * wh.h) AS BIGINT) AS piece_hash_sum
+         FROM sw JOIN wh ON wh.w = sw.w
+         GROUP BY sw.source"""
   }
 
   /** The q316/q317 oracle machinery: segment peel + byte census +
@@ -2886,6 +3024,10 @@ object CurationQueries {
     "q321_unigram_train" -> unigramOracle,
     // q321's EM unroll + one apply DP pass + per-source rollup
     "q322_unigram_apply" -> unigramApplyOracle,
+    // WordPiece-score training rounds (see wordpieceCtes)
+    "q323_wordpiece_train" -> wordpieceTrainOracle,
+    // trained piece vocabulary + unrolled greedy longest-match scan
+    "q324_wordpiece_apply" -> wordpieceApplyOracle,
     // the special-split encode: chunks peeled independently,
     // separators interleaved, special -> its own id, lookalike BPE'd
     "q319_special_tokens" ->

@@ -308,7 +308,12 @@ class PlanSpec extends AnyFunSuite {
       "q321_unigram_train" -> 4,
       // q322 = q321's trainer aggs + the (source, segment) census +
       // distinct-segment Viterbi + per-source rollup
-      "q322_unigram_apply" -> 3)
+      "q322_unigram_apply" -> 3,
+      // q323/q324 = per-round pair+unit censuses + argmax (bounded
+      // vocab); q324 adds the (source, word) census + distinct-word
+      // greedy apply + rollup
+      "q323_wordpiece_train" -> 0,
+      "q324_wordpiece_apply" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
