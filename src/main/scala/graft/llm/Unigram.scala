@@ -88,12 +88,21 @@ object Unigram {
     */
   def train(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
             minCount: Long = 2L, rounds: Int = 2,
-            maxSegLen: Int = 12): DataFrame = {
+            maxSegLen: Int = 12): DataFrame =
+    trainFromCensus(segmentCensus(docs, textCol, maxSegLen),
+      maxPieceLen, minCount, rounds)
+
+  /** [[train]] from an already-built segment census table
+    * (w, weight) — the streaming twin's assembly point (#35): the
+    * stream maintains one counter per DISTINCT segment, and retraining
+    * on the accumulated census IS the batch train over the prefix.
+    */
+  def trainFromCensus(census0: DataFrame, maxPieceLen: Int,
+                      minCount: Long, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
-    val spark = docs.sparkSession
+    val spark = census0.sparkSession
     import spark.implicits._
-    val census = segmentCensus(docs, textCol, maxSegLen)
-      .transform(graft.core.Caching.persist)
+    val census = census0.transform(graft.core.Caching.persist)
     val seed = seedCensus(census, maxPieceLen)
       .where(col("cnt") >= minCount || length(col("piece")) === 1)
       .as[(String, Long)].collect().toMap
