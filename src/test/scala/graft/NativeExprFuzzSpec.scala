@@ -156,6 +156,75 @@ class NativeExprFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("special-aware GptPreTokenizeExpr partitions hostile input " +
+      "and emits every planted special verbatim") {
+    val eot = "<|endoftext|>"
+    val rnd = new scala.util.Random(808)
+    // interleave hostile fuzz with specials and near-miss lookalikes
+    val in = fuzz(808, 300, 30).map { s =>
+      val parts = s.grouped(math.max(1, s.length / 3)).toSeq
+      parts.mkString(if (rnd.nextBoolean()) eot else "<|endof|>")
+    } ++ Seq("", eot, eot + eot, s"a$eot", s"$eot b", "<|endoftex")
+    val got = in.toDF("s")
+      .select(col("s"), graft.llm.PreTokenize.gptSegmentsSpecial(
+        col("s"), Seq(eot, "<|pad|>")).as("g"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (s, g) =>
+      assert(g.mkString === s,
+        s"special segments must partition '${s.take(30)}'")
+      assert(g.forall(_.nonEmpty))
+      // every literal occurrence surfaces as its own segment
+      val occ = Iterator.iterate(s.indexOf(eot))(i =>
+        s.indexOf(eot, i + 1)).takeWhile(_ >= 0).size
+      assert(g.count(_ == eot) === occ,
+        s"planted specials must all surface in '${s.take(30)}'")
+    }
+  }
+
+  test("UnigramSegmentExpr partitions hostile input under a " +
+      "coverage-complete vocab and never throws") {
+    val in = fuzz(909, 300, 24).filter(_.nonEmpty)
+    // coverage vocab: every single codepoint of the pools + a few
+    // multi-char pieces; scores arbitrary
+    val singles = pools.flatMap(_.codePoints().toArray.map(cp =>
+      new String(Character.toChars(cp)))).distinct
+    val vocab = singles.map(_ -> -7L).toMap ++
+      Map("ab" -> -3L, "xX" -> -4L, "00" -> -2L, "中文" -> -1L)
+    val got = in.toDF("s")
+      .select(col("s"), graft.llm.Unigram.segmentWith(col("s"), vocab,
+        4).as("p"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (s, p) =>
+      assert(p.mkString === s, s"pieces must partition '${s.take(30)}'")
+      assert(p.forall(vocab.contains), "every piece is in the vocab")
+    }
+  }
+
+  test("WordPieceApplyExpr on hostile input: either [UNK] alone or a " +
+      "partition of the word into vocab pieces") {
+    val in = fuzz(1010, 300, 24).filter(_.nonEmpty)
+    // partial vocab (singles for letters/digits only) so UNK genuinely
+    // fires on the unicode pools
+    val vocab = ("abcdefghijklmnopqrstuvwxyz0123456789").map(c =>
+      c.toString).toSet ++
+      ("abcdefghijklmnopqrstuvwxyz0123456789").map(c =>
+        "##" + c.toString).toSet + "ab" + "##ab"
+    val got = in.toDF("s")
+      .select(col("s"), graft.llm.WordPiece.applyGreedy(col("s"),
+        vocab).as("p"))
+      .as[(String, Seq[String])].collect()
+    var unks = 0
+    got.foreach { case (s, p) =>
+      if (p == Seq("[UNK]")) unks += 1
+      else {
+        assert(p.map(_.stripPrefix("##")).mkString === s,
+          s"pieces must reassemble '${s.take(30)}'")
+        assert(p.forall(vocab.contains))
+      }
+    }
+    assert(unks > 0, "the partial vocab must exercise the UNK path")
+  }
+
   test("ByteLevelDecodeExpr inverts the byte-level encode on hostile " +
       "unicode (decode(concat(applyMergesBytes(w))) == w)") {
     val words = fuzz(707, 300, 24).filter(_.nonEmpty)
