@@ -44,24 +44,74 @@ object Pq {
                      iters: Int): DataFrame = {
     require(m >= 1 && dims % m == 0,
       s"dims ($dims) must divide into m ($m) subspaces")
+    require(ksub >= 1 && iters >= 1)
     val dsub = dims / m
-    import org.apache.spark.sql.expressions.Window
-    (0 until m).map { j =>
-      val sub = sample.select(col(idCol).cast("long").as("vid"),
-        slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub)
-          .as("subv"))
-      KMeans.centroids(sub, "vid", "subv", ksub, iters)
-        .select(lit(j.toLong).as("sub"), col("cid"), col("cv"))
-    }.reduce(_ unionAll _)
-      // codes renumber the seed cids 0..k-1 per subspace (a window
-      // over the m×ksub-row codebook table — bounded, not corpus)
-      .withColumn("code", (row_number().over(
-        Window.partitionBy(col("sub")).orderBy(col("cid"))) - 1)
-        .cast("long"))
-      .select(col("sub"), col("code"),
-        transform(col("cv"), x =>
-          floor(x * lit(KMeans.Scale.toDouble) + lit(0.5)).cast("long"))
-          .as("qc"))
+    val spark = sample.sparkSession
+    import spark.implicits._
+    // ONE quantized-sample pass serves ALL m subspaces (running
+    // KMeans.centroids per subspace would re-quantize, re-persist,
+    // and re-collect seeds m times for identical values): seeds are
+    // the ksub smallest vec_ids' vectors — the SAME rows for every
+    // subspace — and each Lloyd recompute is one agg keyed by
+    // (sub, cid, dim) over one posexplode. Values are bit-identical
+    // to the per-subspace KMeans runs (same quantization, same seeds,
+    // same integer argmin/round-half-up rules — PqJointSpec pins it).
+    val q = sample
+      .select(col(idCol).cast("long").as("vid"),
+        KMeans.quantize(col(vecCol)).as("qv"))
+      .transform(graft.core.Caching.persist)
+    val seedRows = q.orderBy("vid").limit(ksub)
+      .as[(Long, Seq[Long])].collect().toSeq
+    // per-subspace centroid state: (sub, cid) -> coords
+    var cents: Map[(Int, Long), Seq[Long]] = (for {
+      j <- 0 until m
+      (vid, qv) <- seedRows
+    } yield (j, vid) -> qv.slice(j * dsub, j * dsub + dsub)).toMap
+    def assignCol(j: Int): Column = {
+      val subv = slice(col("qv"), j * dsub + 1, dsub)
+      val entries = cents.toSeq.filter(_._1._1 == j)
+        .sortBy(_._1._2).map { case ((_, cid), coords) =>
+          struct(
+            aggregate(zip_with(subv, typedlit(coords),
+              (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
+            lit(cid).as("c"))
+        }
+      array_min(array(entries: _*)).getField("c")
+    }
+    var pass = 1
+    while (pass < iters) {
+      // one narrow map assigns ALL subspaces; one agg keyed
+      // (sub, cid, i) recomputes every centroid coordinate
+      val rows = q.select(col("qv"),
+          array((0 until m).map(assignCol): _*).as("asn"))
+        .select(col("asn"), posexplode(col("qv")))
+        .select((col("pos") / lit(dsub)).cast("int").as("sub"),
+          pmod(col("pos"), lit(dsub)).cast("int").as("i"),
+          element_at(col("asn"),
+            (col("pos") / lit(dsub)).cast("int") + 1).as("cid"),
+          col("col").as("v"))
+        .groupBy(col("sub"), col("cid"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        .as[(Int, Long, Int, Long, Long)].collect()
+      cents = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+        k -> rs.sortBy(_._3).map { case (_, _, _, s2, n) =>
+          Math.floorDiv(2 * s2 + n, 2 * n) // round-half-up(s/n), exact
+        }.toSeq
+      }
+      pass += 1
+    }
+    q.unpersist()
+    // codes renumber the surviving cids 0..k'-1 per subspace
+    cents.toSeq
+      .map { case ((j, cid), coords) => (j.toLong, cid, coords) }
+      .sortBy(r => (r._1, r._2))
+      .groupBy(_._1).toSeq
+      .flatMap { case (j, rs) =>
+        rs.sortBy(_._2).zipWithIndex.map { case ((_, _, coords), c) =>
+          (j, c.toLong, coords)
+        }
+      }
+      .toDF("sub", "code", "qc")
   }
 
   /** Driver-side bounded collect of a codebook table:

@@ -611,6 +611,25 @@ class SimilaritySpec extends AnyFunSuite {
     val cbDf = Pq.trainCodebooks(emb.where(col("vec_id") % 10 === 0),
       "vec_id", "embedding", dims = 64, m = 4, ksub = 8, iters = 2)
     val cb = Pq.collectCodebooks(cbDf)
+    // the joint (one-pass-all-subspaces) trainer is value-identical to
+    // composing KMeans.centroids per subspace — same quantization,
+    // seeds, argmin and rounding rules
+    val wantCb = (0 until 4).flatMap { j =>
+      graft.operators.KMeans.centroids(
+          emb.where(col("vec_id") % 10 === 0)
+            .select(col("vec_id"),
+              slice(col("embedding").cast("array<double>"),
+                j * 16 + 1, 16).as("subv")),
+          "vec_id", "subv", k = 8, iters = 2)
+        .orderBy(col("cid"))
+        .select(col("cid"), col("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq
+        .zipWithIndex.map { case ((_, cv), c) =>
+          (j, c, cv.map(x =>
+            math.floor(x * 16384.0 + 0.5).toLong))
+        }
+    }
+    assert(cb === wantCb, "joint codebook trainer == per-subspace runs")
     assert(cb.map(_._1).distinct.sorted === Seq(0, 1, 2, 3))
     cb.groupBy(_._1).foreach { case (_, rows) =>
       assert(rows.map(_._2).sorted === (0 until rows.size),
