@@ -148,6 +148,61 @@ object Unigram {
       .select(col("piece"), col("cnt").as("n_cnt"),
         (sl(col("cnt")) - sl(col("t"))).as("score"))
   }
+  /** Write a trained unigram vocabulary in the `spm_export_vocab`
+    * shape (the SentencePiece dump every published pipeline consumes):
+    * one `piece<TAB>score` line per piece. The format carries no
+    * metadata, so the score scale is the file contract: integer
+    * scores are this trainer's scaled logs ([[scaledLog]] units —
+    * divide by 10⁶ for natural-log units). Pieces must be
+    * tab/newline-free (the reader splits on them).
+    */
+  def modelToFile(vocab: Seq[(String, Long)], path: String): Unit = {
+    require(vocab.nonEmpty &&
+      vocab.map(_._1).distinct.size == vocab.size,
+      "pieces must be non-empty and distinct")
+    require(vocab.forall { case (p, _) => p.nonEmpty &&
+      !p.exists(c => c == '\t' || c == '\n' || c == '\r') },
+      "pieces must be non-empty and tab/newline-free")
+    val sb = new StringBuilder
+    vocab.foreach { case (p, s) =>
+      sb.append(p).append('\t').append(s).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load an [[modelToFile]]-format piece/score table. Single-file
+    * contract (order preserved though scores, not order, carry the
+    * model); 5M cap; malformed lines raise.
+    */
+  def modelFromFile(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, Long)] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    require(matches.length == 1 && matches.head.isFile,
+      s"model path must be exactly one file: '$path' matched " +
+        s"${matches.length} entries")
+    val lines = spark.read.textFile(path).collect().toSeq
+      .filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.size <= 5000000,
+      s"model has ${lines.size} lines (cap 5M)")
+    val vocab = lines.map { l =>
+      val i = l.indexOf('\t')
+      require(i > 0 && i < l.length - 1 && l.indexOf('\t', i + 1) < 0,
+        s"malformed model line (want 'piece<TAB>score'): '$l'")
+      val score = try l.substring(i + 1).toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"non-integer score in model line: '$l'")
+      }
+      (l.substring(0, i), score)
+    }
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "duplicate pieces in model file")
+    vocab
+  }
+
   /** Per-`byCol` segmentation economics under a TRAINED score map —
     * the q317 report for the unigram family: segment/char/piece counts,
     * chars per piece (compression), and the ordered piece-sequence

@@ -114,6 +114,50 @@ object WordPiece {
     (rules.toSeq, v)
   }
 
+  /** Write a piece vocabulary in the standard BERT `vocab.txt` format:
+    * one piece per line, LINE ORDER = ID ORDER (callers pass the order
+    * they want ids assigned in; [[trainWithVocab]]'s set is unordered —
+    * sort it deterministically first). Pieces must be non-empty and
+    * free of line-breaking whitespace (the reader splits on lines).
+    */
+  def vocabToFile(pieces: Seq[String], path: String): Unit = {
+    require(pieces.nonEmpty && pieces.distinct.size == pieces.size,
+      "pieces must be non-empty and distinct (line order = id order)")
+    require(pieces.forall(p => p.nonEmpty &&
+      !p.exists(c => c == '\n' || c == '\r')),
+      "pieces must be non-empty and line-break-free")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (pieces.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a `vocab.txt` piece list ([[vocabToFile]]'s inverse; also
+    * reads real BERT vocab files). Single-file contract like
+    * [[Bpe.rulesFromFile]] — line order IS id order, and a dir/glob
+    * would interleave splits; 5M cap so a mistaken path fails loudly.
+    * Blank lines are rejected (a real vocab.txt has none and a silent
+    * skip would shift every id after it).
+    */
+  def vocabFromFile(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    require(matches.length == 1 && matches.head.isFile,
+      s"vocab.txt path must be exactly one file (line order = id " +
+        s"order): '$path' matched ${matches.length} entries")
+    val lines = spark.read.textFile(path).collect().toSeq
+    val pieces = if (lines.nonEmpty && lines.last.isEmpty)
+      lines.init else lines // a single trailing newline is the format
+    require(pieces.nonEmpty && pieces.size <= 5000000,
+      s"piece list has ${pieces.size} lines (cap 5M)")
+    require(pieces.forall(_.nonEmpty),
+      "blank vocab.txt line would silently shift every later id")
+    require(pieces.distinct.size == pieces.size,
+      "duplicate pieces in vocab.txt")
+    pieces
+  }
+
   /** Greedy longest-match tokenize of a word column under a fixed
     * piece set (word-initial pieces plain, continuations `##`-prefixed;
     * no match at any position → the single piece `[UNK]`).

@@ -162,4 +162,45 @@ class UnigramSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq.sorted
     assert(got === want)
   }
+
+  test("spm_export_vocab-shape model file round-trips and the " +
+      "reloaded scores drive an identical Viterbi; malformed input " +
+      "rejected loudly") {
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+      .limit(60)
+    val trained = Unigram.train(docs, "text", 4, 2L, 2, 12)
+      .select(col("piece"), col("score"))
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spm")
+    val f = dir.resolve("unigram.vocab").toString
+    Unigram.modelToFile(trained, f)
+    val reloaded = Unigram.modelFromFile(spark, f)
+    assert(reloaded === trained, "model round trip")
+    // reloaded scores segment identically
+    val segs = docs
+      .select(explode(graft.llm.PreTokenize.gptSegments(col("text"))))
+      .where(length(col("col")) <= 12)
+      .distinct().as[String].collect().toSeq.take(50)
+    def seg(w: Map[String, Long]) = segs.toDF("s")
+      .select(Unigram.segmentWith(col("s"), w, 4))
+      .as[Seq[String]].collect().toSeq
+    assert(seg(reloaded.toMap) === seg(trained.toMap))
+    // loud failures: two tabs, non-integer score, glob
+    val bad1 = dir.resolve("two.vocab")
+    java.nio.file.Files.write(bad1, "a\t1\t2\n".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      Unigram.modelFromFile(spark, bad1.toString)
+    }.getMessage.contains("malformed"))
+    val bad2 = dir.resolve("float.vocab")
+    java.nio.file.Files.write(bad2, "a\t-1.5\n".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      Unigram.modelFromFile(spark, bad2.toString)
+    }.getMessage.contains("non-integer"))
+    assert(intercept[IllegalArgumentException] {
+      Unigram.modelFromFile(spark, dir.resolve("*.vocab").toString)
+    }.getMessage.contains("exactly one file"))
+    assert(intercept[IllegalArgumentException] {
+      Unigram.modelToFile(Seq(("a\tb", 1L)), f)
+    }.getMessage.contains("tab/newline-free"))
+  }
 }

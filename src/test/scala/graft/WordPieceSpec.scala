@@ -145,4 +145,37 @@ class WordPieceSpec extends AnyFunSuite {
       assert(p.map(_.stripPrefix("##")).mkString === w)
     }
   }
+
+  test("vocab.txt artifact: line order = id order round-trips; the " +
+      "reloaded set drives an identical greedy apply; malformed " +
+      "input rejected loudly") {
+    import graft.llm.WordPiece
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+      .limit(60)
+    val (_, pieces) = WordPiece.trainWithVocab(docs, "text", rounds = 6)
+    val ordered = pieces.toSeq.sorted // deterministic id order
+    val dir = java.nio.file.Files.createTempDirectory("graft-wp")
+    val f = dir.resolve("vocab.txt").toString
+    WordPiece.vocabToFile(ordered, f)
+    val reloaded = WordPiece.vocabFromFile(spark, f)
+    assert(reloaded === ordered, "vocab.txt round trip preserves order")
+    // reloaded set drives the exact same tokenization
+    val words = docs
+      .select(explode(graft.llm.TextFunctions.tokens(col("text"))))
+      .distinct().as[String].collect().toSeq.take(50)
+    assert(sparkGreedy(words, reloaded.toSet)
+      === sparkGreedy(words, pieces))
+    // loud failures: blank line (id shift), duplicate, glob
+    val blank = dir.resolve("blank.txt")
+    java.nio.file.Files.write(blank, "a\n\nb\n".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      WordPiece.vocabFromFile(spark, blank.toString)
+    }.getMessage.contains("blank"))
+    assert(intercept[IllegalArgumentException] {
+      WordPiece.vocabFromFile(spark, dir.resolve("*.txt").toString)
+    }.getMessage.contains("exactly one file"))
+    assert(intercept[IllegalArgumentException] {
+      WordPiece.vocabToFile(Seq("a", "b\nc"), f)
+    }.getMessage.contains("line-break-free"))
+  }
 }
