@@ -1362,6 +1362,39 @@ object CurationQueries {
         maxPieceLen = 4, maxSegLen = 12)
     }),
 
+    // SPECIAL-TOKEN ECONOMICS — the curation readout that motivates
+    // q319: per source, how many documents literally mention the
+    // special token, how many id slots the mentions occupy, and their
+    // share of the total id mass (crawl text about LLMs mentions
+    // <|endoftext|> constantly; without the faithful bypass these are
+    // exactly the documents that mis-encode). One per-source rollup
+    // past q319's per-doc encode.
+    "q325_special_token_economics" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          injectSpecial(col("text")).as("text"))
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        byteLevelRules, blockTokens = 64, byteLevel = true,
+        preTokenize = true,
+        vocab = Some(byteLevelVocab + ("<|endoftext|>" -> specialTokenId)),
+        specialTokens = Seq("<|endoftext|>"))
+      docs.select(col("doc_id"), col("source"))
+        .join(enc.select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          size(filter(col("ids"), i => i === lit(specialTokenId)))
+            .cast("long").as("n_sp")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("n_sp") > 0, 1L).otherwise(0L)).cast("long")
+            .as("docs_with_special"),
+          sum(col("n_sp")).cast("long").as("special_ids"),
+          sum(col("n_ids")).cast("long").as("total_ids"))
+        .select(col("source"), col("n_docs"), col("docs_with_special"),
+          col("special_ids"), col("total_ids"),
+          (col("special_ids").cast("double")
+            / col("total_ids").cast("double")).as("special_share"))
+    }),
+
     // WORDPIECE TRAINING (the THIRD published tokenizer family — BERT
     // lineage): BPE-shaped rounds ranked by the published score
     // count(xy)/(count(x)·count(y)) — likelihood gain, one exact
@@ -3024,6 +3057,23 @@ object CurationQueries {
     "q321_unigram_train" -> unigramOracle,
     // q321's EM unroll + one apply DP pass + per-source rollup
     "q322_unigram_apply" -> unigramApplyOracle,
+    // q319's byDoc rolled up per source (special-id occupancy)
+    "q325_special_token_economics" ->
+      s"""$specialEncodeCtes,
+         ds AS (SELECT doc_id, source FROM documents)
+         SELECT ds.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN len(list_filter(b.ids,
+               x -> x = $specialTokenId)) > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_special,
+           CAST(sum(len(list_filter(b.ids, x -> x = $specialTokenId)))
+             AS BIGINT) AS special_ids,
+           CAST(sum(len(b.ids)) AS BIGINT) AS total_ids,
+           CAST(sum(len(list_filter(b.ids, x -> x = $specialTokenId)))
+             AS DOUBLE) / CAST(sum(len(b.ids)) AS DOUBLE)
+             AS special_share
+         FROM byDoc b JOIN ds ON ds.doc_id = b.doc_id
+         GROUP BY ds.source""",
     // WordPiece-score training rounds (see wordpieceCtes)
     "q323_wordpiece_train" -> wordpieceTrainOracle,
     // trained piece vocabulary + unrolled greedy longest-match scan

@@ -313,7 +313,10 @@ class PlanSpec extends AnyFunSuite {
       // vocab); q324 adds the (source, word) census + distinct-word
       // greedy apply + rollup
       "q323_wordpiece_train" -> 0,
-      "q324_wordpiece_apply" -> 3)
+      "q324_wordpiece_apply" -> 3,
+      // q325 = q319's encode 2 + the per-source rollup (the doc-side
+      // join broadcasts)
+      "q325_special_token_economics" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
