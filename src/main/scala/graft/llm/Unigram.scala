@@ -150,11 +150,16 @@ object Unigram {
   }
   /** Write a trained unigram vocabulary in the `spm_export_vocab`
     * shape (the SentencePiece dump every published pipeline consumes):
-    * one `piece<TAB>score` line per piece. The format carries no
-    * metadata, so the score scale is the file contract: integer
-    * scores are this trainer's scaled logs ([[scaledLog]] units —
-    * divide by 10⁶ for natural-log units). Pieces must be
-    * tab/newline-free (the reader splits on them).
+    * one `piece<TAB>score` line per piece, scores as FLOAT natural-log
+    * probabilities — exactly what a real `spm_export_vocab` dump
+    * carries, so an external spm-shaped consumer reads the scores in
+    * the units it expects. The trainer's scaled-integer score
+    * ([[scaledLog]] units, ln·10⁶) divides out exactly: it is written
+    * as the 6-decimal fixed-point value score/10⁶, and
+    * [[modelFromFile]] recovers the integer bit-for-bit
+    * (movePointRight(6) of a 6-decimal literal is exact — no float
+    * round-trip anywhere). Pieces must be tab/newline-free (the
+    * reader splits on them).
     */
   def modelToFile(vocab: Seq[(String, Long)], path: String): Unit = {
     require(vocab.nonEmpty &&
@@ -165,15 +170,22 @@ object Unigram {
       "pieces must be non-empty and tab/newline-free")
     val sb = new StringBuilder
     vocab.foreach { case (p, s) =>
-      sb.append(p).append('\t').append(s).append('\n')
+      sb.append(p).append('\t')
+        .append(java.math.BigDecimal.valueOf(s, 6).toPlainString)
+        .append('\n')
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Load an [[modelToFile]]-format piece/score table. Single-file
-    * contract (order preserved though scores, not order, carry the
-    * model); 5M cap; malformed lines raise.
+  /** Load an [[modelToFile]]-format piece/score table back into
+    * scaled-integer units. Scores parse as decimal natural-log values
+    * (the spm shape — a real SentencePiece dump's floats load too) and
+    * rescale to [[scaledLog]] units, rounding half-up past 6 decimals;
+    * a bare integer score (this trainer's pre-float legacy dumps) is
+    * taken as ALREADY scaled. Single-file contract (order preserved
+    * though scores, not order, carry the model); 5M cap; malformed
+    * lines raise.
     */
   def modelFromFile(spark: org.apache.spark.sql.SparkSession,
                     path: String): Seq[(String, Long)] = {
@@ -191,10 +203,16 @@ object Unigram {
       val i = l.indexOf('\t')
       require(i > 0 && i < l.length - 1 && l.indexOf('\t', i + 1) < 0,
         s"malformed model line (want 'piece<TAB>score'): '$l'")
-      val score = try l.substring(i + 1).toLong catch {
-        case _: NumberFormatException =>
+      val raw = l.substring(i + 1)
+      val score = try {
+        if (raw.exists(c => c == '.' || c == 'e' || c == 'E'))
+          new java.math.BigDecimal(raw).movePointRight(6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        else raw.toLong // legacy integer dump: already scaledLog units
+      } catch {
+        case _: NumberFormatException | _: ArithmeticException =>
           throw new IllegalArgumentException(
-            s"non-integer score in model line: '$l'")
+            s"unparseable score in model line: '$l'")
       }
       (l.substring(0, i), score)
     }

@@ -160,12 +160,15 @@ object WordPiece {
 
   /** Greedy longest-match tokenize of a word column under a fixed
     * piece set (word-initial pieces plain, continuations `##`-prefixed;
-    * no match at any position → the single piece `[UNK]`).
+    * no match at any position → the single piece `[UNK]`). Words longer
+    * than `maxInputChars` codepoints are `[UNK]` outright — the HF
+    * WordPiece `max_input_chars_per_word` contract (BERT default 100).
     */
-  def applyGreedy(word: Column, vocab: Set[String]): Column = {
+  def applyGreedy(word: Column, vocab: Set[String],
+                  maxInputChars: Int = 100): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.toColumn(WordPieceApplyExpr(
-      ColumnBridge.toExpression(word), vocab))
+      ColumnBridge.toExpression(word), vocab, maxInputChars))
   }
 
   /** Per-`byCol` tokenizer economics under the greedy apply — the
@@ -198,12 +201,19 @@ object WordPiece {
 
 /** Native greedy longest-match WordPiece apply (see
   * [[WordPiece.applyGreedy]]): word → piece array ([[UNK]] alone when
-  * any position dead-ends). Codepoint positions; probe cost
-  * O(len · maxPieceLen) hash lookups, maxPieceLen derived from the
-  * vocabulary once.
+  * any position dead-ends, or when the word exceeds `maxInputChars`
+  * codepoints — HF's `max_input_chars_per_word`, BERT default 100).
+  * Codepoint positions; probe cost O(len · maxPieceLen) hash lookups.
+  * The probe length bound is the longest RAW piece (not its
+  * `##`-stripped core): HF's word-initial lookup is a raw-substring
+  * probe, so a vocab piece that literally begins with `##` (e.g. from
+  * markdown heading text) must stay reachable at position 0 even when
+  * it is longer than every continuation core.
   */
-case class WordPieceApplyExpr(child: Expression, vocab: Set[String])
+case class WordPieceApplyExpr(child: Expression, vocab: Set[String],
+                              maxInputChars: Int = 100)
     extends UnaryExpression with ExpectsInputTypes {
+  require(maxInputChars >= 1, s"maxInputChars >= 1: $maxInputChars")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType =
@@ -215,13 +225,14 @@ case class WordPieceApplyExpr(child: Expression, vocab: Set[String])
     s
   }
 
-  // longest CORE (piece minus any ## prefix) in codepoints
-  @transient private lazy val maxCore: Int =
-    vocab.iterator.map { p =>
-      val core = if (p.startsWith("##") && p.length > 2) p.substring(2)
-        else p
-      core.codePointCount(0, core.length)
-    }.max
+  // longest probe we could ever need, in codepoints: the raw piece
+  // length bounds word-initial probes (HF probes the raw substring at
+  // position 0 — a piece literally starting with "##" matches there),
+  // and core length bounds continuation probes; raw >= core always, so
+  // one bound covers both (over-probing a continuation position by the
+  // two ## codepoints just misses the set — no false matches).
+  @transient private lazy val maxProbe: Int =
+    vocab.iterator.map(p => p.codePointCount(0, p.length)).max
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -230,6 +241,9 @@ case class WordPieceApplyExpr(child: Expression, vocab: Set[String])
     val w = in.toString
     val n = w.codePointCount(0, w.length)
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n > maxInputChars)
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString("[UNK]")))
     val offs = new Array[Int](n + 1)
     var o = 0
     var i = 0
@@ -239,16 +253,17 @@ case class WordPieceApplyExpr(child: Expression, vocab: Set[String])
     var pos = 0
     var unk = false
     while (pos < n && !unk) {
-      var l = math.min(maxCore, n - pos)
+      var l = math.min(maxProbe, n - pos)
       var hit: String = null
+      var hl = 0
       while (hit == null && l >= 1) {
         val core = w.substring(offs(pos), offs(pos + l))
         val cand = if (pos == 0) core else "##" + core
-        if (voc.contains(cand)) hit = cand
+        if (voc.contains(cand)) { hit = cand; hl = l }
         else l -= 1
       }
       if (hit == null) unk = true
-      else { out.add(hit); pos += l }
+      else { out.add(hit); pos += hl }
     }
     val arr: Array[Any] =
       if (unk) Array(UTF8String.fromString("[UNK]"))

@@ -140,9 +140,12 @@ object EmbeddingQueries {
       val cb = graft.llm.Pq.collectCodebooks(graft.llm.Pq.trainCodebooks(
         emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
         dims = 64, m = 4, ksub = 8, iters = 2))
+      // maxProbe 3 (was 4): the curve's cost is ~linear in probe
+      // points and this was the suite's most expensive query — 3
+      // points still show the recall knee (r15 ADVICE)
       graft.llm.Pq.pqRecallCurve(ix, cb, emb,
         emb.where(col("vec_id") % 20 === 0), "vec_id", "embedding",
-        k = 3, maxProbe = 4, refine = 6)
+        k = 3, maxProbe = 3, refine = 6)
     }),
 
     // SemDeDup-style semantic dedup: sqrt(n) coarse clusters, exact
@@ -768,7 +771,7 @@ object EmbeddingQueries {
     // integer member encode, ADC via a (query, sub, code) dot table,
     // exact rerank of the ADC top-6 — recall per probe budget
     "q320_ivf_pq_recall" -> {
-      val (m, dsub, ksub, k, maxP, refine) = (4, 16, 8, 3, 4, 6)
+      val (m, dsub, ksub, k, maxP, refine) = (4, 16, 8, 3, 3, 6)
       val train =
         s"""smp AS (SELECT vec_id, list_transform(embedding, x ->
                CAST(floor(CAST(x AS DOUBLE) * 16384.0 + 0.5) AS BIGINT))

@@ -185,17 +185,32 @@ class UnigramSpec extends AnyFunSuite {
       .select(Unigram.segmentWith(col("s"), w, 4))
       .as[Seq[String]].collect().toSeq
     assert(seg(reloaded.toMap) === seg(trained.toMap))
-    // loud failures: two tabs, non-integer score, glob
+    // the written file carries FLOAT natural-log scores (the real
+    // spm_export_vocab shape, r15 ADVICE) — 6-decimal fixed point,
+    // exactly score/1e6
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8").split("\n").toSeq
+    assert(lines.forall(_.matches("""[^\t]+\t-?\d+\.\d{6}""")),
+      s"spm dump must carry 6-decimal float scores: ${lines.take(3)}")
+    // an EXTERNAL spm-style dump (arbitrary-precision float scores)
+    // loads into scaled units, rounding half-up past 6 decimals;
+    // a bare-integer legacy dump loads as already-scaled
+    val ext = dir.resolve("ext.vocab")
+    java.nio.file.Files.write(ext,
+      "a\t-9.3281\nb\t-1.23456789\nc\t-7\n".getBytes("UTF-8"))
+    assert(Unigram.modelFromFile(spark, ext.toString) ===
+      Seq(("a", -9328100L), ("b", -1234568L), ("c", -7L)))
+    // loud failures: two tabs, unparseable score, glob
     val bad1 = dir.resolve("two.vocab")
     java.nio.file.Files.write(bad1, "a\t1\t2\n".getBytes("UTF-8"))
     assert(intercept[IllegalArgumentException] {
       Unigram.modelFromFile(spark, bad1.toString)
     }.getMessage.contains("malformed"))
-    val bad2 = dir.resolve("float.vocab")
-    java.nio.file.Files.write(bad2, "a\t-1.5\n".getBytes("UTF-8"))
+    val bad2 = dir.resolve("junk.vocab")
+    java.nio.file.Files.write(bad2, "a\tx1.5z\n".getBytes("UTF-8"))
     assert(intercept[IllegalArgumentException] {
       Unigram.modelFromFile(spark, bad2.toString)
-    }.getMessage.contains("non-integer"))
+    }.getMessage.contains("unparseable"))
     assert(intercept[IllegalArgumentException] {
       Unigram.modelFromFile(spark, dir.resolve("*.vocab").toString)
     }.getMessage.contains("exactly one file"))

@@ -38,6 +38,12 @@ class WordPieceSpec extends AnyFunSuite {
       .select(WordPiece.applyGreedy(col("w"), voc).as("p"))
       .as[Seq[String]].collect().toSeq
 
+  private def words4(w: String, voc: Set[String],
+                     maxChars: Int): Seq[String] =
+    Seq(w).toDF("w")
+      .select(WordPiece.applyGreedy(col("w"), voc, maxChars).as("p"))
+      .as[Seq[String]].collect().head
+
   test("greedy apply: hand vectors (longest match first, ## " +
       "continuations, dead end -> [UNK]) under CODEGEN_ONLY + fuzz") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
@@ -55,6 +61,23 @@ class WordPieceSpec extends AnyFunSuite {
       assert(sparkGreedy(Seq("unaffordable"), v1).head === Seq("[UNK]"))
       // dead end at the first position
       assert(sparkGreedy(Seq("xyz"), v1).head === Seq("[UNK]"))
+      // HF max_input_chars_per_word (r15 ADVICE): a word longer than
+      // 100 codepoints is [UNK] outright even when fully coverable
+      val vCover = Set("u", "##u")
+      assert(sparkGreedy(Seq("u" * 100), vCover).head
+        === Seq("u") ++ Seq.fill(99)("##u"))
+      assert(sparkGreedy(Seq("u" * 101), vCover).head === Seq("[UNK]"))
+      // ... and the cap is a parameter
+      assert(words4("uuuu", vCover, maxChars = 3) === Seq("[UNK]"))
+      assert(words4("uuu", vCover, maxChars = 3)
+        === Seq("u", "##u", "##u"))
+      // word-initial probes are bounded by the longest RAW piece (r15
+      // ADVICE): a vocab piece literally starting with "##" and longer
+      // than every continuation core must match at position 0 — HF's
+      // raw-substring lookup behavior
+      val vRaw = Set("##abcde", "#", "##", "a", "b", "c", "d", "e",
+        "##a", "##b", "##c", "##d", "##e", "###")
+      assert(sparkGreedy(Seq("##abcde"), vRaw).head === Seq("##abcde"))
       // seeded fuzz vs the reference
       val rnd = new scala.util.Random(815)
       val alpha = "abc"
