@@ -153,6 +153,34 @@ object Bpe {
     rules.toSeq
   }
 
+  /** Collect a (weight, s) vocabulary census driver-side — the
+    * production trainer's one deliberate collect. The census is
+    * content-bounded (one row per DISTINCT word/segment regardless of
+    * corpus volume — the same scale as the merges.txt artifact every
+    * pipeline already holds at the driver), and [[FastTrainers]]'s
+    * own row/symbol caps fail loudly on a mistaken corpus-scale input.
+    */
+  def collectVocab(wv: DataFrame): Seq[(Long, IndexedSeq[String])] = {
+    val spark = wv.sparkSession
+    import spark.implicits._
+    wv.select(col("weight").cast("long"), col("s"))
+      .as[(Long, Seq[String])].collect()
+      .iterator.map { case (w, s) => (w, s.toIndexedSeq) }.toSeq
+  }
+
+  /** PRODUCTION-SCALE training ([[FastTrainers.trainBpe]]): collect
+    * the content-bounded census ONCE, then run the merge loop driver
+    * side with per-merge delta updates — 1k–50k merges in seconds
+    * where [[trainFromVocab]] schedules one distributed census per
+    * round. Pinned rule-for-rule equal to [[trainFromVocab]] on the
+    * same census by FastTrainerSpec; returns (x, y) pairs in rank
+    * order — exactly what [[applyMerges]]/[[encodeIdsWith]]/
+    * [[rulesToFile]] consume.
+    */
+  def trainFastFromVocab(wv: DataFrame, rounds: Int): Seq[(String, String)] =
+    FastTrainers.trainBpe(collectVocab(wv), rounds)
+      .rules.map(r => (r.x, r.y))
+
   /** The merge-depth compression curve — the vocab-size tuning
     * readout: after r = 0..`rounds` trained merges, the corpus-wide
     * symbol mass and symbols/word fertility. Each point is one bounded

@@ -62,6 +62,29 @@ object WordPiece {
     (rules, pieces)
   }
 
+  /** PRODUCTION-SCALE training ([[FastTrainers.trainWordPiece]]):
+    * collect the content-bounded census once ([[Bpe.collectVocab]]),
+    * run the score-argmax merge loop driver-side with per-merge delta
+    * updates — 1k+ merges in seconds where [[train]] schedules two
+    * distributed censuses per round. Pinned rule-for-rule equal to
+    * [[train]] on the same census by FastTrainerSpec. Returns the
+    * rules and the implied greedy-apply piece vocabulary (the
+    * [[trainWithVocab]] shape, derived from the trainer's final
+    * symbol state).
+    */
+  def trainFastWithVocab(wv: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long, Double)], Set[String]) = {
+    val t = FastTrainers.trainWordPiece(Bpe.collectVocab(wv), rounds)
+    val pieces = t.finalSymbols.iterator.flatMap { ss =>
+      ss.iterator.zipWithIndex.map { case (sym, i) =>
+        if (i == 0) sym else "##" + sym
+      }
+    }.toSet
+    require(pieces.size <= 5000000,
+      s"apply vocabulary out of range: ${pieces.size}")
+    (t.rules.map(r => (r.round, r.x, r.y, r.n, r.score)), pieces)
+  }
+
   /** The driver loop: per round, the adjacent-pair census AND the unit
     * census over the bounded vocab, argmax by (score DESC, x, y), then
     * the greedy LTR rewrite ([[Bpe.mergePair]]). Returns the rules and

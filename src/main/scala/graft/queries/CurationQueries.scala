@@ -1417,6 +1417,58 @@ object CurationQueries {
       val (_, vocab) = graft.llm.WordPiece.trainWithVocab(docs, "text",
         rounds = 8)
       graft.llm.WordPiece.applyStats(docs, "text", "source", vocab)
+    }),
+
+    // PRODUCTION-SCALE TOKENIZER TRAINING (the r15 capability-scale
+    // gap): the fast driver-side trainer (FastTrainers — the HF
+    // `tokenizers` shape: collect the content-bounded census ONCE,
+    // delta-update the pair table per merge) learns >=1024 byte-level
+    // merges in seconds, where the distributed trainer would schedule
+    // 1024 census jobs; the corpus then encodes under the full learned
+    // vocabulary (vocab.json-formula ids) via the one-expression
+    // min-rank apply. Fixture text is enriched with a deterministic
+    // per-doc hash-digit word (both engines, same chain) so the tiny
+    // synthetic vocabulary is deep enough to learn 1024+ merges. The
+    // oracle replays the APPLY + economics with the trained rules as
+    // an external literal list (the q310/q318 contract); the TRAINER
+    // is pinned rule-for-rule to the oracle-gated distributed trainer
+    // by FastTrainerSpec.
+    "q326_bpe_vocab_scale" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          injectVocabScale(col("text"), col("doc_id")).as("text"))
+      val rules = graft.llm.Bpe.trainFastFromVocab(
+        graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 1100)
+      require(rules.size >= 1024,
+        s"expected >=1024 learned merges on the enriched census: " +
+          s"${rules.size}")
+      TrainedStash.putRules("q326_bpe_vocab_scale", rules)
+      // the published vocab.json id formula: byte b -> b, rank i ->
+      // 256+i — closed over the rules by construction
+      val vocab = (0 until 256).map(b =>
+        graft.llm.ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+        rules.zipWithIndex.map { case ((x, y), i) =>
+          (x + y) -> (256L + i)
+        }.toMap
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        rules, blockTokens = 64, byteLevel = true, preTokenize = true,
+        vocab = Some(vocab))
+      docs.select(col("doc_id"), col("source"))
+        .join(enc.select(col("doc_id"), col("n_words"),
+          col("n_symbols"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(transform(col("ids"), i => i.cast("string")),
+              ","), 17).as("h")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_units"),
+          sum(col("n_symbols")).cast("long").as("n_tokens"),
+          sum(col("h")).cast("long").as("ids_hash_sum"))
+        .select(col("source"), col("n_docs"), col("n_units"),
+          col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_units").cast("double"))
+            .as("tokens_per_unit"),
+          col("ids_hash_sum"))
     })
   )
 
@@ -1502,11 +1554,14 @@ object CurationQueries {
 
   /** The shared byte-level-apply oracle block (consumes a preceding
     * `wd(w)` CTE of distinct pre-tokenizer segments): bytes_to_unicode
-    * table, the 1356-rule list, the recursive min-rank apply, and the
+    * table, the merge-rule list, the recursive min-rank apply, and the
     * vocab.json id map. `extraIdRows` appends additional symbol→id
-    * mappings to `idm` (q319's special token).
+    * mappings to `idm` (q319's special token); `rlBody` overrides the
+    * default closed-form 1356-rule list (q326 injects the rule list its
+    * query just TRAINED, as literal VALUES — see [[TrainedStash]]).
     */
-  private def byteApplyCtes(extraIdRows: String = ""): String =
+  private def byteApplyCtes(extraIdRows: String = "",
+                            rlBody: String = defaultRlBody): String =
     s"""bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
                   ELSE chr(CAST(255 + row_number()
                     OVER (PARTITION BY printable ORDER BY b)
@@ -1517,16 +1572,7 @@ object CurationQueries {
                       FROM range(256) t(i))),
          mb AS (SELECT map_from_entries(list(struct_pack(k := b,
              v := sym))) AS m FROM bu WHERE b < 128),
-         rl AS (SELECT 0 AS rank, chr(288) AS x, 't' AS y
-            UNION ALL SELECT 1, chr(288) || 't', 'h'
-            UNION ALL SELECT 2, chr(288) || 'th', 'e'
-            UNION ALL SELECT 3, chr(195), chr(169)
-            UNION ALL SELECT i + 4, chr(97 + CAST(i // 26 AS INTEGER)),
-                chr(97 + CAST(i % 26 AS INTEGER)) FROM range(676) t(i)
-            UNION ALL SELECT 680 + j, chr(97 + CAST(j // 26 AS INTEGER))
-                || chr(97 + CAST(j % 26 AS INTEGER)),
-                chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER))
-              FROM range(676) t(j)),
+         rl(rank, x, y) AS ($rlBody),
          rk AS (SELECT map_from_entries(list(struct_pack(
              k := x || chr(10) || y, v := rank))) AS m FROM rl),
          rx AS (SELECT map_from_entries(list(struct_pack(k := rank,
@@ -1559,6 +1605,22 @@ object CurationQueries {
            FROM (SELECT sym, CAST(b AS BIGINT) AS id FROM bu
                  UNION ALL SELECT x || y AS sym,
                    CAST(256 + rank AS BIGINT) AS id FROM rl$extraIdRows))"""
+
+  /** The q310-lineage fixed rule list (a space-prefix chain + the
+    * e-acute byte pair + the closed-form ASCII merges), as the default
+    * `rl` body for [[byteApplyCtes]].
+    */
+  private def defaultRlBody: String =
+    s"""SELECT 0 AS rank, chr(288) AS x, 't' AS y
+            UNION ALL SELECT 1, chr(288) || 't', 'h'
+            UNION ALL SELECT 2, chr(288) || 'th', 'e'
+            UNION ALL SELECT 3, chr(195), chr(169)
+            UNION ALL SELECT i + 4, chr(97 + CAST(i // 26 AS INTEGER)),
+                chr(97 + CAST(i % 26 AS INTEGER)) FROM range(676) t(i)
+            UNION ALL SELECT 680 + j, chr(97 + CAST(j // 26 AS INTEGER))
+                || chr(97 + CAST(j % 26 AS INTEGER)),
+                chr(97 + CAST((j * 7 + 3) % 26 AS INTEGER))
+              FROM range(676) t(j)"""
 
   /** The q319 oracle machinery: split the text on the literal special
     * token FIRST (string_split — leftmost by construction; the query
@@ -1640,6 +1702,79 @@ object CurationQueries {
   private def injectSpecialSql: String =
     injectSpecialSteps.foldLeft("text") { case (e, (a, b)) =>
       s"replace($e, '$a', '$b')"
+    }
+
+  /** q326 text enrichment: the pre-tokenizer hard cases (injectPretok)
+    * plus a deterministic per-doc hash-digit word. The fixture's 31
+    * distinct words support only ~107 merges before every word fully
+    * merges; the per-doc digit word deepens the census so >=1024
+    * merges stay learnable at every SF. Applied identically on both
+    * engines (Knuth multiplier, exact long arithmetic, non-negative
+    * doc_ids).
+    */
+  private def injectVocabScale(text: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(injectPretok(text), lit(" q"),
+      ((docId * lit(2654435761L)) % lit(100000L)).cast("string"))
+
+  private def injectVocabScaleSql: String =
+    s"$injectPretokSql || ' q' || " +
+      "CAST((doc_id * 2654435761) % 100000 AS VARCHAR)"
+
+  /** The q326 oracle: the byte-level encode + per-source economics
+    * under the rule list the query just TRAINED ([[TrainedStash]]) —
+    * same recursive peel/min-rank apply as q315/q317, rl = the 1024+
+    * trained merges as literal VALUES, ids by the vocab.json formula
+    * (byte b → b, rank i → 256+i — exactly the query's id map).
+    */
+  private def fastBpeOracle: String =
+    TrainedStash.rules("q326_bpe_vocab_scale") match {
+      case None => TrainedStash.notRun
+      case Some(rules) =>
+        def lit0(s: String) = "'" + s.replace("'", "''") + "'"
+        val rlRows = rules.zipWithIndex.map { case ((x, y), i) =>
+          s"($i,${lit0(x)},${lit0(y)})"
+        }.mkString(",")
+        s"""WITH RECURSIVE d AS (
+           SELECT doc_id, source, $injectVocabScaleSql AS txt
+           FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         sg AS (SELECT doc_id, ord, tok FROM seg WHERE tok IS NOT NULL),
+         wd AS (SELECT DISTINCT tok AS w FROM sg),
+         ${byteApplyCtes(rlBody = s"VALUES $rlRows")},
+         ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
+           FROM fin, idm),
+         byDoc AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_units,
+             flatten(list(wids ORDER BY ord)) AS ids
+           FROM sg JOIN ew ON ew.w = sg.tok GROUP BY doc_id),
+         g AS (SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(b.n_units) AS BIGINT) AS n_units,
+             CAST(sum(len(b.ids)) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(concat('0x', substr(md5(concat('17', '|',
+               array_to_string(b.ids, ','))), 1, 8)) AS BIGINT))
+               AS BIGINT) AS ids_hash_sum
+           FROM d JOIN byDoc b ON b.doc_id = d.doc_id
+           GROUP BY d.source)
+         SELECT source, n_docs, n_units, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(n_units AS DOUBLE)
+             AS tokens_per_unit,
+           ids_hash_sum
+         FROM g"""
     }
 
   /** The q321 oracle: the hard-EM unigram trainer unrolled — raw-text
@@ -3074,6 +3209,10 @@ object CurationQueries {
              AS special_share
          FROM byDoc b JOIN ds ON ds.doc_id = b.doc_id
          GROUP BY ds.source""",
+    // the >=1024-merge fast-trained encode: apply + economics replayed
+    // with the trained rules as an external literal list (see
+    // fastBpeOracle / TrainedStash)
+    "q326_bpe_vocab_scale" -> fastBpeOracle,
     // WordPiece-score training rounds (see wordpieceCtes)
     "q323_wordpiece_train" -> wordpieceTrainOracle,
     // trained piece vocabulary + unrolled greedy longest-match scan

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production-scale driver-side trainers
+  * (`graft.llm.FastTrainers`): pinned RULE-FOR-RULE equal to the
+  * oracle-gated distributed trainers on the same census (the
+  * equivalence that lets q326/q328 train ≥1024 merges in seconds),
+  * plus the scale/early-stop/partition invariants.
+  */
+class FastTrainerSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import graft.llm.{Bpe, FastTrainers, WordPiece}
+
+  private def docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+
+  // the q326 enrichment: a deterministic per-doc hash-digit word makes
+  // the tiny fixture vocabulary deep enough to learn 1024+ merges
+  private def enriched = docs.select(col("doc_id"),
+    concat(col("text"), lit(" q"),
+      ((col("doc_id") * 2654435761L) % 100000L).cast("string")).as("text"))
+
+  test("fast BPE == distributed trainFromVocab, rule-for-rule with " +
+      "counts, on the byte-level segment census (8 rounds)") {
+    val wv = Bpe.segmentVocabBytes(enriched, "text")
+    val slow = Bpe.trainFromVocab(wv, rounds = 8)
+      .select(col("merge_round"), col("x"), col("y"), col("pair_n"))
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val fast = FastTrainers.trainBpe(Bpe.collectVocab(wv), rounds = 8)
+      .rules.map(r => (r.round, r.x, r.y, r.n))
+    assert(fast === slow)
+    // ... and the (x, y) face used by encodeIdsWith matches too
+    assert(Bpe.trainFastFromVocab(wv, 8) === slow.map(t => (t._2, t._3)))
+  }
+
+  test("fast WordPiece == distributed train, rule-for-rule with the " +
+      "published score (8 rounds), and the derived piece vocabulary " +
+      "matches trainWithVocab's") {
+    val slow = WordPiece.train(docs, "text", rounds = 8)
+      .select(col("merge_round"), col("x"), col("y"), col("pair_n"),
+        col("score"))
+      .as[(Long, String, String, Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    val (fastRules, fastPieces) = WordPiece.trainFastWithVocab(
+      Bpe.charVocab(docs, "text"), rounds = 8)
+    assert(fastRules === slow)
+    val (_, slowPieces) = WordPiece.trainWithVocab(docs, "text",
+      rounds = 8)
+    assert(fastPieces === slowPieces)
+  }
+
+  test("scale + invariants: >=1024 merges learn from the enriched " +
+      "census; final symbols still partition each word; early stop on " +
+      "an unmergeable census") {
+    val wv = Bpe.segmentVocabBytes(enriched, "text")
+    val census = Bpe.collectVocab(wv)
+    val t = FastTrainers.trainBpe(census, rounds = 1100)
+    assert(t.rules.size >= 1024,
+      s"enrichment must leave >=1024 learnable merges: ${t.rules.size}")
+    // ranks are 1..k and every rule's pair count is positive
+    assert(t.rules.map(_.round) === (1L to t.rules.size.toLong))
+    assert(t.rules.forall(_.n >= 1L))
+    // char-mass invariant: symbols only ever concatenate
+    census.zip(t.finalSymbols).foreach { case ((_, s0), s1) =>
+      assert(s1.mkString === s0.mkString)
+    }
+    // asking for more rounds than the census supports stops at the
+    // empty pair table, identically
+    val t2 = FastTrainers.trainBpe(census, rounds = 100000)
+    assert(t2.rules.size >= t.rules.size)
+    assert(t2.finalSymbols.forall(_.size == 1),
+      "exhaustive training must fully merge every census word")
+    // an already-fully-merged census trains zero rules
+    val t3 = FastTrainers.trainBpe(
+      Seq((5L, IndexedSeq("ab")), (2L, IndexedSeq("cd"))), rounds = 4)
+    assert(t3.rules.isEmpty)
+    // min-rank apply of the fast rules == the trainer's own final
+    // state (the BpeSpec drop-in contract, here at 1000+ rules)
+    val rules = t.rules.map(r => (r.x, r.y))
+    val applied = wv.select(col("s"), Bpe.applyMergesBytes(
+        graft.llm.ByteLevel.decodeCol(array_join(col("s"), "")), rules)
+      .as("a")).select(col("a")).as[Seq[String]].collect().toSeq
+    val byWord = census.map(_._2.mkString).zip(t.finalSymbols).toMap
+    applied.foreach { a =>
+      assert(byWord(a.mkString) === a)
+    }
+  }
+}

@@ -302,7 +302,8 @@ class PlanSpec extends AnyFunSuite {
       // rank + exact-rerank joins + hit aggs) over persisted
       // candidates — same diagnostic-readout charter as q312
       "q319_special_tokens" -> 2,
-      "q320_ivf_pq_recall" -> 39,
+      // (30 after the r16 trim to 3 probe points — was 39 at 4)
+      "q320_ivf_pq_recall" -> 30,
       // q321 = census agg + seed agg + intermediate E-step agg + the
       // final distributed E-step/singles/anti-join/total aggs
       "q321_unigram_train" -> 4,
@@ -316,7 +317,12 @@ class PlanSpec extends AnyFunSuite {
       "q324_wordpiece_apply" -> 3,
       // q325 = q319's encode 2 + the per-source rollup (the doc-side
       // join broadcasts)
-      "q325_special_token_economics" -> 3)
+      "q325_special_token_economics" -> 3,
+      // round-16 (observed exactly, cold cache): q326 = the census agg
+      // feeding the driver-side fast trainer + q315's encode/rollup
+      // shape under the 1024+ learned rules (the rules ride the task
+      // binary — rule count never adds a shuffle)
+      "q326_bpe_vocab_scale" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
