@@ -1469,8 +1469,81 @@ object CurationQueries {
           (col("n_tokens").cast("double") / col("n_units").cast("double"))
             .as("tokens_per_unit"),
           col("ids_hash_sum"))
+    }),
+
+    // MULTI-SPECIAL-TOKEN ENCODE with OVERLAPPING PREFIXES — the
+    // chat-template corpus reality past q319's single special:
+    // `<|im_start|>` is a strict prefix of `<|im_start|>user`, so the
+    // leftmost-longest scan must pick the longer exactly where it
+    // completes ("<|im_start|>user hi") and the prefix where it
+    // doesn't ("<|im_start|>us") — the HF AddedVocabulary contract.
+    // The fixture plants: longer-wins, bare-prefix mid-word,
+    // special-after-word, almost-the-longer, adjacent specials with an
+    // empty chunk, and a `<|im_sta|>` lookalike that must BPE as
+    // ordinary punctuation. The oracle peels specials by a recursive
+    // (position, longest-first-priority) argmin scan, pre-tokenizes
+    // each chunk independently, and interleaves.
+    "q327_chat_specials" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), injectChat(col("text")).as("text"))
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        byteLevelRules, blockTokens = 64, byteLevel = true,
+        preTokenize = true,
+        vocab = Some(byteLevelVocab ++ chatSpecialIds),
+        specialTokens = chatSpecials)
+      def nOf(tok: String) = size(filter(col("ids"),
+        i => i === lit(chatSpecialIds(tok)))).cast("long")
+      enc.select(col("doc_id"), col("n_words").as("n_units"),
+        col("n_symbols"),
+        nOf("<|im_start|>").as("n_im_start"),
+        nOf("<|im_start|>user").as("n_im_start_user"),
+        nOf("<|im_end|>").as("n_im_end"),
+        graft.llm.TextFunctions.portableHash(
+          array_join(transform(col("ids"), i => i.cast("string")), ","),
+          19).as("ids_hash"))
     })
   )
+
+  /** The q327 special list (overlapping prefixes) and their vocab ids
+    * (the next free slots past the merge ids, in list order — the
+    * added-token convention).
+    */
+  private[graft] val chatSpecials: Seq[String] =
+    Seq("<|im_start|>", "<|im_start|>user", "<|im_end|>")
+  private[graft] lazy val chatSpecialIds: Map[String, Long] =
+    chatSpecials.zipWithIndex.map { case (t, i) =>
+      t -> (specialTokenId + i)
+    }.toMap
+
+  /** q327 text enrichment: the overlapping-prefix hard cases, applied
+    * identically on both engines (each step's output contains no later
+    * step's pattern).
+    */
+  private val injectChatSteps: Seq[(String, String)] = Seq(
+    // the longer special completes -> it must win over its prefix
+    "value" -> "<|im_start|>user value",
+    // bare prefix special mid-text, chunk boundary mid-word
+    "join" -> "x<|im_start|>join",
+    // special immediately after a word (no space)
+    "scan" -> "scan<|im_end|>",
+    // ALMOST the longer special: "us" does not complete "user", so the
+    // prefix special matches and "us" is ordinary text
+    "small" -> "<|im_start|>us",
+    // adjacent specials with an empty chunk between
+    "filter" -> "<|im_end|><|im_start|>user",
+    // lookalike, NOT in the special list: BPEs as ordinary punctuation
+    "batch" -> "<|im_sta|>batch")
+
+  private def injectChat(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    injectChatSteps.foldLeft(text) { case (c, (a, b)) =>
+      replace(c, lit(a), lit(b))
+    }
+
+  private def injectChatSql: String =
+    injectChatSteps.foldLeft("text") { case (e, (a, b)) =>
+      s"replace($e, '$a', '$b')"
+    }
 
   /** q310/q311 byte-level rule list: a space-prefix chain proving
     * space attachment merges across the pre-tokenizer boundary, the
@@ -1776,6 +1849,85 @@ object CurationQueries {
            ids_hash_sum
          FROM g"""
     }
+
+  /** The q327 oracle machinery: peel special occurrences by a
+    * recursive (position, longest-first-priority) argmin scan — at
+    * each step the next special is the struct-min over the candidate
+    * list (leftmost position first, then lowest priority = longest
+    * token; struct comparison is field-order lexicographic), the chunk
+    * before it pre-tokenizes independently, and the scan recurses on
+    * the remainder. Specials map to their added-token ids
+    * (specialTokenId + list index); everything else rides the shared
+    * byte apply.
+    */
+  private def chatSpecialEncodeCtes: String = {
+    // candidate list in longest-first priority order
+    val probes = chatSpecials.sortBy(t => (-t.length, t)).zipWithIndex
+      .map { case (t, pri) =>
+        s"""CASE WHEN instr(rem, '$t') > 0 THEN {'p': instr(rem, '$t'),
+             'pri': $pri, 't': '$t'} END"""
+      }.mkString(",\n               ")
+    val idRows = chatSpecials.map { t =>
+      s"""
+                 UNION ALL SELECT '$t' AS sym,
+                   CAST(${chatSpecialIds(t)} AS BIGINT) AS id"""
+    }.mkString
+    val spIdCase = chatSpecials.map { t =>
+      s"WHEN '$t' THEN CAST(${chatSpecialIds(t)} AS BIGINT)"
+    }.mkString(" ")
+    s"""WITH RECURSIVE d AS (
+           SELECT doc_id, $injectChatSql AS txt FROM documents),
+         pr AS (
+           SELECT doc_id, 0 AS part_ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS chunk,
+               CAST(NULL AS VARCHAR) AS sp_tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, part_ord + 1,
+               CASE WHEN b IS NULL THEN ''
+                 ELSE substr(rem, b.p + length(b.t)) END,
+               CASE WHEN b IS NULL THEN rem
+                 ELSE substr(rem, 1, b.p - 1) END,
+               b.t
+           FROM (SELECT doc_id, part_ord, rem,
+               list_min(list_filter([
+               $probes
+             ], x -> x IS NOT NULL)) AS b
+             FROM pr WHERE rem <> '')),
+         ch AS (SELECT doc_id, part_ord, chunk, sp_tok FROM pr
+           WHERE part_ord > 0),
+         seg AS (
+           SELECT doc_id, part_ord, 0 AS ord, chunk AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM ch WHERE chunk <> ''
+           UNION ALL
+           SELECT doc_id, part_ord, ord + 1,
+               substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, part_ord, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, part_ord, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         su AS (SELECT doc_id, part_ord, 0 AS sp, ord, tok FROM seg
+             WHERE tok IS NOT NULL
+           UNION ALL
+           SELECT doc_id, part_ord, 1 AS sp, 0 AS ord, sp_tok AS tok
+             FROM ch WHERE sp_tok IS NOT NULL),
+         wd AS (SELECT DISTINCT tok AS w FROM su WHERE sp = 0),
+         ${byteApplyCtes(idRows)},
+         ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
+           FROM fin, idm),
+         byDoc AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_units,
+             flatten(list(CASE WHEN su.sp = 1
+                 THEN [CASE su.tok $spIdCase END] ELSE ew.wids END
+               ORDER BY su.part_ord, su.sp, su.ord)) AS ids
+           FROM su LEFT JOIN ew ON su.sp = 0 AND ew.w = su.tok
+           GROUP BY doc_id)"""
+  }
 
   /** The q321 oracle: the hard-EM unigram trainer unrolled — raw-text
     * segment peel (q309's), substring seed census, then per EM round a
@@ -3213,6 +3365,23 @@ object CurationQueries {
     // with the trained rules as an external literal list (see
     // fastBpeOracle / TrainedStash)
     "q326_bpe_vocab_scale" -> fastBpeOracle,
+    // overlapping-prefix specials peeled by the recursive
+    // (position, longest-first) argmin scan (see chatSpecialEncodeCtes)
+    "q327_chat_specials" -> {
+      val counts = chatSpecials.zip(
+        Seq("n_im_start", "n_im_start_user", "n_im_end")).map {
+        case (t, alias) =>
+          s"""CAST(len(list_filter(ids, x -> x = ${chatSpecialIds(t)}))
+             AS BIGINT) AS $alias"""
+      }.mkString(",\n           ")
+      s"""$chatSpecialEncodeCtes
+         SELECT doc_id, n_units,
+           CAST(len(ids) AS BIGINT) AS n_symbols,
+           $counts,
+           CAST(concat('0x', substr(md5(concat('19', '|',
+             array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
+         FROM byDoc"""
+    },
     // WordPiece-score training rounds (see wordpieceCtes)
     "q323_wordpiece_train" -> wordpieceTrainOracle,
     // trained piece vocabulary + unrolled greedy longest-match scan

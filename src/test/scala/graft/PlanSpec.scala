@@ -322,7 +322,10 @@ class PlanSpec extends AnyFunSuite {
       // feeding the driver-side fast trainer + q315's encode/rollup
       // shape under the 1024+ learned rules (the rules ride the task
       // binary — rule count never adds a shuffle)
-      "q326_bpe_vocab_scale" -> 3)
+      "q326_bpe_vocab_scale" -> 3,
+      // q327 = q319's 2 (the multi-special split is the same narrow
+      // per-row expression — overlapping prefixes add zero shuffles)
+      "q327_chat_specials" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])

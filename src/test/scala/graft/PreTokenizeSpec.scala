@@ -171,7 +171,22 @@ class PreTokenizeSpec extends AnyFunSuite {
       ("ab<|e|>cd", Seq("<|e|>", "<|e"), Seq("ab", "<|e|>", "cd")),
       ("ab<|ecd", Seq("<|e|>", "<|e"), Seq("ab", "<|e", "cd")),
       // leftmost wins across overlapping alternatives
-      ("xAByABz", Seq("AB", "BY"), Seq("x", "AB", "y", "AB", "z")))
+      ("xAByABz", Seq("AB", "BY"), Seq("x", "AB", "y", "AB", "z")),
+      // chat-template reality (q327): one special a strict PREFIX of
+      // another — the longer wins where it completes, the prefix wins
+      // where it doesn't, matching HF AddedVocabulary on the same list
+      ("<|im_start|>user hi<|im_end|>",
+        Seq("<|im_start|>", "<|im_start|>user", "<|im_end|>"),
+        Seq("<|im_start|>user", " hi", "<|im_end|>")),
+      ("<|im_start|>us x",
+        Seq("<|im_start|>", "<|im_start|>user", "<|im_end|>"),
+        Seq("<|im_start|>", "us", " x")),
+      ("<|im_end|><|im_start|>user",
+        Seq("<|im_start|>", "<|im_start|>user", "<|im_end|>"),
+        Seq("<|im_end|>", "<|im_start|>user")),
+      ("a<|im_start|>userb",
+        Seq("<|im_start|>", "<|im_start|>user", "<|im_end|>"),
+        Seq("a", "<|im_start|>user", "b")))
     vectors.foreach { case (in, sp, want) =>
       assert(PreTokenize.segmentsSpecial(in, sp) === want,
         s"segmentsSpecial(${in.replace("\n", "\\n")}, $sp)")
