@@ -1501,6 +1501,29 @@ object CurationQueries {
         graft.llm.TextFunctions.portableHash(
           array_join(transform(col("ids"), i => i.cast("string")), ","),
           19).as("ids_hash"))
+    }),
+
+    // PRODUCTION-SCALE WORDPIECE (q326's statement for the third
+    // family): the fast driver-side trainer learns >=1024
+    // published-score merges on the collected char census, the implied
+    // piece vocabulary (word-initial plain, continuations ##-prefixed)
+    // drives the greedy longest-match apply over the corpus — q324's
+    // economics under a thousand-piece vocabulary. Same oracle
+    // contract as q326: the apply + rollup replay with the trained
+    // piece set as an external literal table; the trainer is pinned
+    // rule-for-rule (scores included) to the oracle-gated distributed
+    // trainer by FastTrainerSpec.
+    "q328_wordpiece_vocab_scale" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          injectVocabScale(col("text"), col("doc_id")).as("text"))
+      val (rules, pieces) = graft.llm.WordPiece.trainFastWithVocab(
+        graft.llm.Bpe.charVocab(docs, "text"), rounds = 1100)
+      require(rules.size >= 1024,
+        s"expected >=1024 learned merges on the enriched census: " +
+          s"${rules.size}")
+      TrainedStash.putPieces("q328_wordpiece_vocab_scale", pieces)
+      graft.llm.WordPiece.applyStats(docs, "text", "source", pieces)
     })
   )
 
@@ -2197,6 +2220,81 @@ object CurationQueries {
          FROM sw JOIN wh ON wh.w = sw.w
          GROUP BY sw.source"""
   }
+
+  /** The q328 oracle: q324's greedy longest-match unroll + per-source
+    * rollup, with the piece vocabulary the query just TRAINED
+    * ([[TrainedStash]]) as an external literal table, over the q326
+    * enriched text. 12 unroll steps still cover every fixture word
+    * (longest enriched word is 8 codepoints).
+    */
+  private def fastWordPieceOracle: String =
+    TrainedStash.pieces("q328_wordpiece_vocab_scale") match {
+      case None => TrainedStash.notRun
+      case Some(pieces) =>
+        def lit0(s: String) = "'" + s.replace("'", "''") + "'"
+        val vocRows = pieces.toSeq.sorted.map { p =>
+          val cont = p.startsWith("##") && p.length > 2
+          val core = if (cont) p.substring(2) else p
+          s"(${lit0(p)},${lit0(core)},${core.length},$cont)"
+        }.mkString(",")
+        val steps = 12
+        val stepSql = (1 to steps).map { t =>
+          s"""gp$t AS MATERIALIZED (SELECT w, pos + clen AS pos, piece,
+             FALSE AS unk
+           FROM (SELECT g.w, g.pos, v.piece, v.clen, row_number() OVER (
+               PARTITION BY g.w ORDER BY v.clen DESC) AS rn
+             FROM gp${t - 1} g JOIN voc v
+               ON v.cont = (g.pos > 1)
+                 AND v.core = substr(g.w, g.pos, v.clen)
+             WHERE g.pos <= length(g.w) AND NOT g.unk) WHERE rn = 1
+           UNION ALL
+           SELECT g.w, length(g.w) + 1 AS pos, '[UNK]' AS piece,
+             TRUE AS unk
+           FROM gp${t - 1} g
+           WHERE g.pos <= length(g.w) AND NOT g.unk AND NOT EXISTS (
+             SELECT 1 FROM voc v WHERE v.cont = (g.pos > 1)
+               AND v.core = substr(g.w, g.pos, v.clen)))"""
+        }.mkString(",\n         ")
+        val allp = (1 to steps)
+          .map(t => s"SELECT w, pos, piece, unk FROM gp$t " +
+            "WHERE piece IS NOT NULL")
+          .mkString("\n           UNION ALL\n           ")
+        s"""WITH d AS (SELECT doc_id, source, $injectVocabScaleSql AS txt
+             FROM documents),
+         v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS weight
+           FROM (SELECT unnest(string_split_regex(lower(trim(txt)),
+               '\\s+')) AS w FROM d)
+           WHERE w <> '' GROUP BY w),
+         voc(piece, core, clen, cont) AS MATERIALIZED (
+           SELECT * FROM (VALUES $vocRows) t(p0, c0, l0, k0)),
+         gp0 AS (SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece,
+             FALSE AS unk FROM v0),
+         $stepSql,
+         allp AS ($allp),
+         wenc AS MATERIALIZED (SELECT w,
+             CASE WHEN bool_or(unk) THEN 1 ELSE 0 END AS is_unk,
+             CASE WHEN bool_or(unk) THEN CAST(1 AS BIGINT)
+                  ELSE CAST(count(*) AS BIGINT) END AS n_pieces,
+             CASE WHEN bool_or(unk) THEN '[UNK]'
+                  ELSE array_to_string(list(piece ORDER BY pos), chr(1))
+                  END AS pj
+           FROM allp GROUP BY w),
+         wh AS (SELECT w, is_unk, n_pieces,
+             CAST(concat('0x', substr(md5(concat('59', '|', pj)), 1, 8))
+               AS BIGINT) AS h FROM wenc),
+         sw AS (SELECT d.source, t.w, CAST(count(*) AS BIGINT) AS nsw
+           FROM (SELECT doc_id, unnest(string_split_regex(
+               lower(trim(txt)), '\\s+')) AS w FROM d) t
+           JOIN d ON d.doc_id = t.doc_id
+           WHERE t.w <> '' GROUP BY 1, 2)
+         SELECT sw.source,
+           CAST(sum(sw.nsw) AS BIGINT) AS n_words,
+           CAST(sum(sw.nsw * wh.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(sw.nsw * wh.is_unk) AS BIGINT) AS n_unk,
+           CAST(sum(sw.nsw * wh.h) AS BIGINT) AS piece_hash_sum
+         FROM sw JOIN wh ON wh.w = sw.w
+         GROUP BY sw.source"""
+    }
 
   /** The q316/q317 oracle machinery: segment peel + byte census +
     * the 8 unrolled training rounds (MATERIALIZED per round).
@@ -3382,6 +3480,9 @@ object CurationQueries {
              array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
          FROM byDoc"""
     },
+    // q324's greedy unroll + rollup under the >=1024-piece trained
+    // vocabulary as an external literal table (see fastWordPieceOracle)
+    "q328_wordpiece_vocab_scale" -> fastWordPieceOracle,
     // WordPiece-score training rounds (see wordpieceCtes)
     "q323_wordpiece_train" -> wordpieceTrainOracle,
     // trained piece vocabulary + unrolled greedy longest-match scan

@@ -325,7 +325,12 @@ class PlanSpec extends AnyFunSuite {
       "q326_bpe_vocab_scale" -> 3,
       // q327 = q319's 2 (the multi-special split is the same narrow
       // per-row expression — overlapping prefixes add zero shuffles)
-      "q327_chat_specials" -> 2)
+      "q327_chat_specials" -> 2,
+      // q328 = q324's applyStats shape (the (source, word) census +
+      // distinct-word greedy apply + rollup; the 1024-round training
+      // happens at build time on the collected census — the returned
+      // plan carries the piece set as an expression literal)
+      "q328_wordpiece_vocab_scale" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
