@@ -88,9 +88,10 @@ object Unigram {
     */
   def train(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
             minCount: Long = 2L, rounds: Int = 2,
-            maxSegLen: Int = 12): DataFrame =
+            maxSegLen: Int = 12,
+            targetVocab: Option[Int] = None): DataFrame =
     trainFromCensus(segmentCensus(docs, textCol, maxSegLen),
-      maxPieceLen, minCount, rounds)
+      maxPieceLen, minCount, rounds, targetVocab)
 
   /** [[train]] from an already-built segment census table
     * (w, weight) — the streaming twin's assembly point (#35): the
@@ -98,8 +99,11 @@ object Unigram {
     * on the accumulated census IS the batch train over the prefix.
     */
   def trainFromCensus(census0: DataFrame, maxPieceLen: Int,
-                      minCount: Long, rounds: Int): DataFrame = {
+                      minCount: Long, rounds: Int,
+                      targetVocab: Option[Int] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
+    require(targetVocab.forall(_ >= 1),
+      s"targetVocab must be >= 1: $targetVocab")
     val spark = census0.sparkSession
     import spark.implicits._
     val census = census0.transform(graft.core.Caching.persist)
@@ -118,6 +122,39 @@ object Unigram {
     def mStep(cnt: Map[String, Long]): Map[String, Long] =
       cnt.filter(_._2 > 0) ++
         singles.filterNot(cnt.contains).map(_ -> 1L)
+    // SentencePiece-style size pruning (hard-EM, exact-integer
+    // variant): single-char pieces NEVER drop (the coverage floor);
+    // multi-char pieces rank by (count DESC, piece ASC in UTF-8 byte
+    // order — Spark/DuckDB string order) and only the top
+    // k − |singles| survive. Real SPM ranks candidates by the EM
+    // likelihood loss of removal; the count rank is its hard-EM
+    // stand-in (documented divergence — loss needs a per-piece
+    // alternative-segmentation Viterbi), with the same shrink
+    // schedule: intermediate rounds prune to max(target, 3·|V|/4)
+    // (the published shrinking_factor = 0.75, exact integer), the
+    // final round cuts to the target exactly.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def prune(m: Map[String, Long], k: Int): Map[String, Long] = {
+      val (sing, multi) = m.partition { case (p, _) =>
+        p.codePointCount(0, p.length) == 1
+      }
+      val nMulti = math.max(0, k - sing.size)
+      val kept = multi.toSeq.sortWith { case ((pa, ca), (pb, cb)) =>
+        if (ca != cb) ca > cb else utf8Lt(pa, pb)
+      }.take(nMulti)
+      sing ++ kept
+    }
     var wgt = weights(seed)
     (1 until rounds).foreach { _ =>
       val cnt = census.select(col("weight"),
@@ -125,10 +162,16 @@ object Unigram {
         .groupBy(col("piece"))
         .agg(sum(col("weight")).cast("long").as("cnt"))
         .as[(String, Long)].collect().toMap
-      wgt = weights(mStep(cnt))
+      val m = mStep(cnt)
+      val kept = targetVocab match {
+        case Some(t) => prune(m, math.max(t, (m.size.toLong * 3L / 4L).toInt))
+        case None => m
+      }
+      wgt = weights(kept)
     }
     // the final round, distributed: E-step counts + coverage singles +
-    // in-plan scaled-log scores (L(cnt) − L(total))
+    // (optional) exact-size prune + in-plan scaled-log scores
+    // (L(cnt) − L(total))
     val em = census.select(col("weight"),
         explode(segmentWith(col("w"), wgt, maxPieceLen)).as("piece"))
       .groupBy(col("piece"))
@@ -137,9 +180,22 @@ object Unigram {
     val singlesDf = census.select(explode(transform(
         sequence(lit(1), length(col("w"))), i =>
           col("w").substr(i, lit(1)))).as("piece")).distinct()
-    val voc = em.unionByName(
+    val voc0 = em.unionByName(
       singlesDf.join(em, Seq("piece"), "left_anti")
         .select(col("piece"), lit(1L).as("cnt")))
+    val voc = targetVocab match {
+      case None => voc0
+      case Some(t) =>
+        // two bounded actions on the ≤|vocab| table (the q259 charter):
+        // the surviving-singles count sizes the multi quota, and the
+        // top-k cut is a TakeOrdered under the same total order
+        val vp = voc0.transform(graft.core.Caching.persist)
+        val nSingles = vp.where(length(col("piece")) === 1).count()
+        val nMulti = math.max(0L, t.toLong - nSingles).toInt
+        vp.where(length(col("piece")) === 1).unionByName(
+          vp.where(length(col("piece")) > 1)
+            .orderBy(col("cnt").desc, col("piece")).limit(nMulti))
+    }
     def sl(c: Column): Column =
       floor(log(c.cast("double")) * lit(LogScale.toDouble) + lit(0.5))
         .cast("long")

@@ -1524,7 +1524,22 @@ object CurationQueries {
           s"${rules.size}")
       TrainedStash.putPieces("q328_wordpiece_vocab_scale", pieces)
       graft.llm.WordPiece.applyStats(docs, "text", "source", pieces)
-    })
+    }),
+
+    // UNIGRAM SIZE PRUNING — real SentencePiece trains to a REQUESTED
+    // vocab size (`--vocab_size`), shrinking across EM rounds: q321's
+    // hard-EM with targetVocab = 48 — intermediate rounds prune to
+    // max(48, 3·|V|/4) (the published shrinking_factor = 0.75, exact
+    // integer), the final round cuts to 48 exactly; single-char
+    // pieces never drop (the coverage floor), multi-char pieces rank
+    // by (count DESC, piece) — the hard-EM count-ranked stand-in for
+    // SPM's likelihood-loss rank (documented divergence), and scores
+    // recompute over the KEPT total. The oracle replays every prune
+    // inside the q321 EM unroll.
+    "q329_unigram_prune" -> ((s, dir) =>
+      graft.llm.Unigram.train(Tables.documents(s, dir), "text",
+        maxPieceLen = 4, minCount = 2L, rounds = 2, maxSegLen = 12,
+        targetVocab = Some(48)))
   )
 
   /** The q327 special list (overlapping prefixes) and their vocab ids
@@ -2035,7 +2050,18 @@ object CurationQueries {
     ctes.result().mkString(",\n         ")
   }
 
-  private def unigramCtes: String = {
+  private def unigramCtes: String = unigramCtesWith(None)
+
+  /** [[unigramCtes]] generalized with the q329 SIZE PRUNE: with
+    * `target = Some(k)`, every round's vocabulary prunes after the
+    * M-step — singles always survive (coverage), multi-char pieces
+    * rank (cnt DESC, piece) and keep only the quota: intermediate
+    * rounds to greatest(k, 3·|V|/4) (the published shrinking_factor =
+    * 0.75, exact integer), the final round to k exactly — and the
+    * round's scores recompute over the KEPT total, mirroring
+    * `Unigram.trainFromCensus(targetVocab = ...)` step for step.
+    */
+  private def unigramCtesWith(target: Option[Int]): String = {
     val (maxP, minC, rounds, lmax) = (4, 2, 2, 12)
     val peel =
       s"""seg AS (
@@ -2089,14 +2115,34 @@ object CurationQueries {
              FROM v0, unnest(generate_series(1, $lmax)) g(i)
              WHERE i <= length(w)) s
            WHERE s.piece NOT IN (SELECT piece FROM em$r))"""
+      val vsrc = target match {
+        case None => s"voc$r"
+        case Some(t) =>
+          // the multi-piece quota: the round's size budget minus the
+          // always-kept singles; intermediate rounds shrink by 3/4
+          // (never below the target), the final round cuts exactly
+          val kExpr =
+            if (r == rounds) s"$t"
+            else s"greatest($t, (SELECT count(*) FROM voc$r) * 3 // 4)"
+          ctes += s"""kept$r AS MATERIALIZED (
+           SELECT piece, cnt FROM voc$r WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, cnt FROM (
+             SELECT piece, cnt, row_number() OVER (
+               ORDER BY cnt DESC, piece) AS rn
+             FROM voc$r WHERE length(piece) > 1)
+           WHERE rn <= $kExpr - (SELECT count(*) FROM voc$r
+             WHERE length(piece) = 1))"""
+          s"kept$r"
+      }
       ctes += s"""tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t
-           FROM voc$r)"""
+           FROM $vsrc)"""
       ctes += s"""wgt$r AS MATERIALIZED (SELECT piece,
              CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
                AS BIGINT)
            - (SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000.0 + 0.5)
                 AS BIGINT) FROM tot$r) AS wgt
-           FROM voc$r)"""
+           FROM $vsrc)"""
       ctes.result().mkString(",\n         ")
     }
     s"""WITH RECURSIVE $peel,
@@ -3440,6 +3486,12 @@ object CurationQueries {
          FROM ex GROUP BY 1, 2""",
     // the hard-EM unigram trainer unrolled (see unigramOracle)
     "q321_unigram_train" -> unigramOracle,
+    // the EM unroll with every round's size prune replayed (kept1/
+    // kept2 — see unigramCtesWith)
+    "q329_unigram_prune" ->
+      s"""${unigramCtesWith(Some(48))}
+         SELECT v.piece, v.cnt AS n_cnt, w.wgt AS score
+         FROM kept2 v JOIN wgt2 w USING (piece)""",
     // q321's EM unroll + one apply DP pass + per-source rollup
     "q322_unigram_apply" -> unigramApplyOracle,
     // q319's byDoc rolled up per source (special-id occupancy)

@@ -330,7 +330,11 @@ class PlanSpec extends AnyFunSuite {
       // distinct-word greedy apply + rollup; the 1024-round training
       // happens at build time on the collected census — the returned
       // plan carries the piece set as an expression literal)
-      "q328_wordpiece_vocab_scale" -> 3)
+      "q328_wordpiece_vocab_scale" -> 3,
+      // q329 = the final score projection over the PRUNED persisted
+      // vocab (the trainer aggs run at build time against the cached
+      // census; the prune's top-k cut is a TakeOrdered, no window)
+      "q329_unigram_prune" -> 1)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])

@@ -163,6 +163,68 @@ class UnigramSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("targetVocab pruning == a reference replay (singles never " +
+      "drop, count-ranked multi quota, 3/4 shrink then exact final " +
+      "cut, scores over the kept total)") {
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(80)
+    val (maxP, minC, rounds, lmax, target) = (4, 2L, 2, 12, 40)
+    val census = docs
+      .select(explode(graft.llm.PreTokenize.gptSegments(col("text")))
+        .as("w"))
+      .where(length(col("w")) <= lmax)
+      .groupBy(col("w")).agg(count(lit(1)).as("weight"))
+      .as[(String, Long)].collect().toMap
+    def L(n: Long) = Unigram.scaledLog(n)
+    val seedCnt = scala.collection.mutable.Map.empty[String, Long]
+    census.foreach { case (w, wt) =>
+      (0 until w.length).foreach { i =>
+        (1 to maxP).foreach { l =>
+          if (i + l <= w.length) {
+            val p = w.substring(i, i + l)
+            seedCnt(p) = seedCnt.getOrElse(p, 0L) + wt
+          }
+        }
+      }
+    }
+    val seed = seedCnt.toMap
+      .filter { case (p, c) => c >= minC || p.length == 1 }
+    val singles = seed.keySet.filter(_.length == 1)
+    def weights(kept: Map[String, Long]) = {
+      val t = kept.values.sum
+      kept.map { case (p, c) => p -> (L(c) - L(t)) }
+    }
+    def prune(m: Map[String, Long], k: Int): Map[String, Long] = {
+      val (s0, mu) = m.partition(_._1.length == 1)
+      s0 ++ mu.toSeq.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, k - s0.size))
+    }
+    var wgt = weights(seed)
+    var kept = seed
+    (1 to rounds).foreach { r =>
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      census.foreach { case (w, wt) =>
+        refViterbi(w, wgt, maxP).foreach { p =>
+          cnt(p) = cnt.getOrElse(p, 0L) + wt
+        }
+      }
+      val m = cnt.toMap.filter(_._2 > 0) ++
+        singles.filterNot(cnt.contains).map(_ -> 1L)
+      kept = prune(m,
+        if (r == rounds) target else math.max(target, m.size * 3 / 4))
+      wgt = weights(kept)
+    }
+    val want = kept.toSeq.map { case (p, c) => (p, c, wgt(p)) }.sorted
+    val got = Unigram.train(docs, "text", maxP, minC, rounds, lmax,
+        targetVocab = Some(target))
+      .select(col("piece"), col("n_cnt"), col("score"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.size <= target)
+    // every single-char piece of the census survives the cut
+    val gotPieces = got.map(_._1).toSet
+    assert(singles.subsetOf(gotPieces), "coverage floor violated")
+  }
+
   test("spm_export_vocab-shape model file round-trips and the " +
       "reloaded scores drive an identical Viterbi; malformed input " +
       "rejected loudly") {
