@@ -62,6 +62,23 @@ object WordPiece {
     (rules, pieces)
   }
 
+  /** [[train]] from an already-built word-frequency table
+    * (w, weight) — the streaming twin's assembly point (#36): the
+    * stream maintains one counter per DISTINCT word (bounded by the
+    * vocabulary), and retraining on the accumulated census IS the
+    * batch train over the prefix — rule for rule, score for score
+    * (the score's unit counts are census-derived too).
+    */
+  def trainFromWords(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val (rules, v) = trainRules(
+      words.select(col("weight"),
+        Bpe.applyMerges(col("w"), Nil).as("s")), rounds)
+    v.unpersist()
+    rules.toDF("merge_round", "x", "y", "pair_n", "score")
+  }
+
   /** PRODUCTION-SCALE training ([[FastTrainers.trainWordPiece]]):
     * collect the content-bounded census once ([[Bpe.collectVocab]]),
     * run the score-argmax merge loop driver-side with per-merge delta
