@@ -579,6 +579,17 @@ object Bpe {
         .map { case (sym, i) => sym -> (i + 1L) }.toMap
     }
     val encIds = enc.select(col("w"), symbolIds(col("s"), idMap).as("wids"))
+    assembleIds(toks, encIds, blockTokens)
+  }
+
+  /** The shared per-doc id assembly behind [[encodeIdsWith]] and the
+    * WordPiece/unigram family encoders: `toks` is (doc_id, t:
+    * array<string> of units), `encIds` the DISTINCT-unit encode table
+    * (w, wids: array<bigint>) — one posexplode + one hash join + one
+    * per-doc aggregate; the shuffled payload is id arrays only.
+    */
+  private[llm] def assembleIds(toks: DataFrame, encIds: DataFrame,
+                               blockTokens: Int): DataFrame =
     toks.select(col("doc_id"), posexplode(col("t")))
       .join(encIds, col("col") === col("w"))
       .groupBy(col("doc_id"))
@@ -591,7 +602,6 @@ object Bpe {
         expr(s"CAST((size(ids) + ${blockTokens - 1}) div $blockTokens " +
           "AS BIGINT)").as("n_blocks"),
         col("ids"))
-  }
 
   /** Split an id sequence into `blockTokens`-sized training blocks
     * (tail block truncates) — the pack boundary the loader consumes.

@@ -97,6 +97,21 @@ object TrainingDataPipeline {
     *               / [[Bpe.vocabFromFile]] — the integration spec
     *               proves write→reload→re-encode identity).
     */
+  /** @param tokenizerFamily which of the three tokenizer families the
+    *               terminal stage trains and ships (tokenizerRounds >
+    *               0 only): "bpe" (byte-level merges; artifacts
+    *               merges.txt + vocab.json, EOS `<|endoftext|>`),
+    *               "wordpiece" (published-score merges over the
+    *               lowercase word census; artifact the BERT-shape
+    *               vocab.txt with `[UNK]`/`[SEP]` leading, separator
+    *               `[SEP]`), or "unigram" (hard-EM over the segment
+    *               census, EM rounds capped at the family's 8;
+    *               artifact the spm-shape piece/score dump with
+    *               `</s>` leading, separator `</s>`). Every family
+    *               ships a line-order = id-order artifact that the
+    *               integration spec reloads and re-encodes to
+    *               identical loader blocks.
+    */
   final case class Config(
       urlCol: String = "",
       normalize: Boolean = false,
@@ -116,14 +131,20 @@ object TrainingDataPipeline {
       boilerPct: Int = 5,
       tokenizerRounds: Int = 0,
       blockTokens: Int = 64,
-      artifactDir: String = "")
+      artifactDir: String = "",
+      tokenizerFamily: String = "bpe")
 
-  /** The trained-tokenizer handoff: the merge rules in rank order, the
-    * vocab.json-shaped id map (bytes 0..255, merges at 256+rank, the
-    * EOS special at the next free slot), and that EOS id.
+  /** The trained-tokenizer handoff: the merge rules in rank order
+    * (empty for unigram — it learns scores, not merges), the
+    * line-order id map of the shipped artifact, the separator id the
+    * loader blocks use, plus the family-specific apply state — the
+    * WordPiece piece set, the unigram Viterbi score map.
     */
   final case class Tokenizer(rules: Seq[(String, String)],
-                             vocab: Map[String, Long], eosId: Long)
+                             vocab: Map[String, Long], eosId: Long,
+                             family: String = "bpe",
+                             pieces: Set[String] = Set.empty,
+                             scores: Map[String, Long] = Map.empty)
 
   /** @param corpus  surviving docs with `quality` and `split` columns
     * @param packed  (doc_id, lang, shard, tok_count, chunk_id) of the
@@ -140,6 +161,15 @@ object TrainingDataPipeline {
                           tokenizer: Option[Tokenizer] = None)
 
   val EosToken = "<|endoftext|>"
+  val WpUnk = "[UNK]"
+  val WpSep = "[SEP]"
+  val UniEos = "</s>"
+  /** Unigram-family fixed parameters: piece length for the substring
+    * seed, and a generous census segment cap (the trainer's own
+    * coverage set must span every char the encode will meet).
+    */
+  val UniMaxPiece = 8
+  val UniMaxSeg = 64
 
   /** @param evalDocs eval/benchmark DOCUMENTS (doc_id, text) for the
     *                  chunk-level decontamination stage — distinct from
@@ -293,6 +323,9 @@ object TrainingDataPipeline {
     // call. The rule collect is bounded by tokenizerRounds (the q272
     // trainer charter); everything else is the proven q316/q319/q318
     // machinery.
+    require(Seq("bpe", "wordpiece", "unigram")
+      .contains(cfg.tokenizerFamily),
+      s"unknown tokenizerFamily: '${cfg.tokenizerFamily}'")
     val (blocksOpt, tokOpt) =
       if (cfg.tokenizerRounds <= 0) (None, None)
       else {
@@ -304,32 +337,81 @@ object TrainingDataPipeline {
         // driver heap
         val tokBase = trainSplit.select(col("doc_id"), col("text"))
           .localCheckpoint()
-        val rules = Bpe.trainFromVocab(
-            Bpe.segmentVocabBytes(tokBase, "text"),
-            cfg.tokenizerRounds)
-          .orderBy(col("merge_round"))
-          .select(col("x"), col("y")).as[(String, String)]
-          .collect().toSeq
-        val eosId = 256L + rules.size
-        val vocab: Map[String, Long] =
-          (0 until 256).map(b =>
-            ByteLevel.byteToChar(b) -> b.toLong).toMap ++
-            rules.zipWithIndex.map { case ((x, y), i) =>
-              (x + y) -> (256L + i)
-            } + (EosToken -> eosId)
-        if (cfg.artifactDir.nonEmpty) {
+        def mkDir(): Unit =
           java.nio.file.Files.createDirectories(
             java.nio.file.Paths.get(cfg.artifactDir))
-          Bpe.rulesToFile(rules, s"${cfg.artifactDir}/merges.txt")
-          Bpe.vocabToFile(vocab, s"${cfg.artifactDir}/vocab.json")
+        val (enc, tok) = cfg.tokenizerFamily match {
+          case "bpe" =>
+            val rules = Bpe.trainFromVocab(
+                Bpe.segmentVocabBytes(tokBase, "text"),
+                cfg.tokenizerRounds)
+              .orderBy(col("merge_round"))
+              .select(col("x"), col("y")).as[(String, String)]
+              .collect().toSeq
+            val eosId = 256L + rules.size
+            val vocab: Map[String, Long] =
+              (0 until 256).map(b =>
+                ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+                rules.zipWithIndex.map { case ((x, y), i) =>
+                  (x + y) -> (256L + i)
+                } + (EosToken -> eosId)
+            if (cfg.artifactDir.nonEmpty) {
+              mkDir()
+              Bpe.rulesToFile(rules, s"${cfg.artifactDir}/merges.txt")
+              Bpe.vocabToFile(vocab, s"${cfg.artifactDir}/vocab.json")
+            }
+            (Bpe.encodeIdsWith(tokBase, "doc_id", "text", rules,
+              cfg.blockTokens, byteLevel = true, preTokenize = true,
+              vocab = Some(vocab), specialTokens = Seq(EosToken)),
+              Tokenizer(rules, vocab, eosId))
+          case "wordpiece" =>
+            // the fast driver-side trainer (census collected once) —
+            // tokenizerRounds can be production-scale here
+            val (rules5, pieces) = WordPiece.trainFastWithVocab(
+              Bpe.charVocab(tokBase, "text"), cfg.tokenizerRounds)
+            val rules = rules5.map(r => (r._2, r._3))
+            // vocab.txt line order = id order: the BERT convention
+            // leads with the specials, then the pieces, sorted
+            val ordered = Seq(WpUnk, WpSep) ++
+              (pieces -- Set(WpUnk, WpSep)).toSeq.sorted
+            val vocab = ordered.zipWithIndex
+              .map { case (p, i) => p -> i.toLong }.toMap
+            if (cfg.artifactDir.nonEmpty) {
+              mkDir()
+              WordPiece.vocabToFile(ordered,
+                s"${cfg.artifactDir}/vocab.txt")
+            }
+            (WordPiece.encodeIds(tokBase, "doc_id", "text", pieces,
+              vocab, cfg.blockTokens),
+              Tokenizer(rules, vocab, vocab(WpSep),
+                family = "wordpiece", pieces = pieces))
+          case "unigram" =>
+            // EM rounds are naturally few — the family caps at 8
+            val rounds = math.min(math.max(cfg.tokenizerRounds, 1), 8)
+            val voc = Unigram.train(tokBase, "text", UniMaxPiece,
+                minCount = 2L, rounds, UniMaxSeg)
+              .select(col("piece"), col("score"))
+              .as[(String, Long)].collect().toSeq.sortBy(_._1)
+            // spm dump line order = id order: the separator control
+            // symbol leads (score 0 — never emitted by Viterbi: it is
+            // not in the score map), then the pieces, sorted
+            val model = (UniEos, 0L) +: voc
+            val vocab = model.zipWithIndex
+              .map { case ((p, _), i) => p -> i.toLong }.toMap
+            if (cfg.artifactDir.nonEmpty) {
+              mkDir()
+              Unigram.modelToFile(model,
+                s"${cfg.artifactDir}/unigram.vocab")
+            }
+            (Unigram.encodeIds(tokBase, "doc_id", "text", voc.toMap,
+              UniMaxPiece, vocab, cfg.blockTokens),
+              Tokenizer(Nil, vocab, vocab(UniEos),
+                family = "unigram", scores = voc.toMap))
         }
-        val enc = Bpe.encodeIdsWith(tokBase, "doc_id", "text", rules,
-          cfg.blockTokens, byteLevel = true, preTokenize = true,
-          vocab = Some(vocab), specialTokens = Seq(EosToken))
         val blocks = Packing.packTokenBlocksLoader(enc, "doc_id", "ids",
-            cfg.blockTokens, cfg.shards, eosId)
+            cfg.blockTokens, cfg.shards, tok.eosId)
           .transform(graft.core.Caching.persist)
-        (Some(blocks), Some(Tokenizer(rules, vocab, eosId)))
+        (Some(blocks), Some(tok))
       }
 
     val chunkStage =
@@ -357,8 +439,9 @@ object TrainingDataPipeline {
       chunkDecon ++
       Seq(("4_mixture", balanced.count()),
         ("5_train_packed", packed.count())) ++
-      tokOpt.map(t =>
-        ("6_tokenizer_rules", t.rules.size.toLong)).toSeq ++
+      tokOpt.map(t => ("6_tokenizer_rules",
+        if (t.family == "unigram") t.scores.size.toLong
+        else t.rules.size.toLong)).toSeq ++
       blocksOpt.map(b => ("7_loader_blocks", b.count())).toSeq
     ).toDF("stage", "n_docs")
 

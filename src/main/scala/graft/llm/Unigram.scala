@@ -277,6 +277,28 @@ object Unigram {
     vocab
   }
 
+  /** Per-document token-id sequences under a TRAINED score map — the
+    * [[Bpe.encodeIdsWith]] shape for the unigram family (the
+    * pipeline's `tokenizerFamily = unigram` terminal): GPT-2 segment
+    * units, the Viterbi split over DISTINCT segments only, ids from
+    * the supplied spm-model line-order map. Segments must be covered
+    * by the score map's single chars (the trainer guarantee on its own
+    * corpus); an uncovered char throws loudly. Output schema =
+    * (doc_id, n_words, n_symbols, n_blocks, ids).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                scores: Map[String, Long], maxPieceLen: Int,
+                ids: Map[String, Long],
+                blockTokens: Int = 64): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        PreTokenize.gptSegments(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+    val enc = toks.select(explode(col("t")).as("w")).distinct()
+      .select(col("w"), Bpe.symbolIds(
+        segmentWith(col("w"), scores, maxPieceLen), ids).as("wids"))
+    Bpe.assembleIds(toks, enc, blockTokens)
+  }
+
   /** Per-`byCol` segmentation economics under a TRAINED score map —
     * the q317 report for the unigram family: segment/char/piece counts,
     * chars per piece (compression), and the ordered piece-sequence

@@ -211,6 +211,28 @@ object WordPiece {
       ColumnBridge.toExpression(word), vocab, maxInputChars))
   }
 
+  /** Per-document token-id sequences under the greedy apply — the
+    * [[Bpe.encodeIdsWith]] shape for the WordPiece family (the
+    * pipeline's `tokenizerFamily = wordpiece` terminal): lowercase
+    * word units, the greedy longest-match piece split over DISTINCT
+    * words only, ids from the supplied vocab.txt line-order map
+    * (`[UNK]` must be mapped — dead-ended words emit it). Output
+    * schema = (doc_id, n_words, n_symbols, n_blocks, ids).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: Set[String], ids: Map[String, Long],
+                blockTokens: Int = 64): DataFrame = {
+    require(ids.contains("[UNK]"),
+      "the id map must cover [UNK] (dead-ended words emit it)")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+    val enc = toks.select(explode(col("t")).as("w")).distinct()
+      .select(col("w"),
+        Bpe.symbolIds(applyGreedy(col("w"), vocab), ids).as("wids"))
+    Bpe.assembleIds(toks, enc, blockTokens)
+  }
+
   /** Per-`byCol` tokenizer economics under the greedy apply — the
     * q317/q322 report for the WordPiece family: word/piece/UNK counts
     * and the ordered piece-sequence hash sum, computed over DISTINCT

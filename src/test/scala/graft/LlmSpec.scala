@@ -833,6 +833,101 @@ class LlmSpec extends AnyFunSuite {
       "reloaded artifacts must reproduce the exact loader blocks")
   }
 
+  test("pipeline tokenizerFamily = wordpiece: ships vocab.txt; reload " +
+      "rebuilds the line-order id map and re-encodes to IDENTICAL " +
+      "loader blocks") {
+    import spark.implicits._
+    import graft.llm.{Packing, TrainingDataPipeline, WordPiece}
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+    val evalNgrams = docs.where(col("doc_id") < 5)
+      .select(explode(graft.llm.Dedup.shinglesText(col("text"), 3)).as("g"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pipe-wp").toString
+    val cfg = TrainingDataPipeline.Config(tokenizerRounds = 24,
+      blockTokens = 32, artifactDir = dir, tokenizerFamily = "wordpiece")
+    val r = TrainingDataPipeline.run(docs, evalNgrams,
+      graft.queries.LlmQueries.stopwords, cfg)
+    val tok = r.tokenizer.get
+    assert(tok.family === "wordpiece")
+    assert(tok.rules.nonEmpty && tok.rules.size <= 24)
+    assert(tok.vocab(TrainingDataPipeline.WpUnk) === 0L)
+    assert(tok.eosId === tok.vocab(TrainingDataPipeline.WpSep))
+    val m = r.manifest.as[(String, Long)].collect().toMap
+    assert(m("6_tokenizer_rules") === tok.rules.size.toLong)
+    def blockSet(b: org.apache.spark.sql.DataFrame) = b
+      .select(col("shard"), col("block_id"), col("n_ids"),
+        col("n_docs"), col("first_doc"), col("block_hash"),
+        col("boundaries"))
+      .as[(Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    val blocks = blockSet(r.blocks.get)
+    assert(blocks.nonEmpty && m("7_loader_blocks") === blocks.size.toLong)
+    // write -> reload -> re-encode identity off the vocab.txt ALONE
+    // (line order = id order; specials lead, pieces follow)
+    val lines = WordPiece.vocabFromFile(spark, s"$dir/vocab.txt")
+    assert(lines.take(2) === Seq(TrainingDataPipeline.WpUnk,
+      TrainingDataPipeline.WpSep))
+    val ids2 = lines.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+    assert(ids2 === tok.vocab, "vocab.txt round trip")
+    val pieces2 = lines.drop(2).toSet
+    assert(pieces2 === tok.pieces)
+    val train = r.corpus.where(col("split") === "train")
+    val enc2 = WordPiece.encodeIds(train, "doc_id", "text", pieces2,
+      ids2, cfg.blockTokens)
+    val blocks2 = blockSet(Packing.packTokenBlocksLoader(enc2,
+      "doc_id", "ids", cfg.blockTokens, cfg.shards,
+      ids2(TrainingDataPipeline.WpSep)))
+    assert(blocks2 === blocks,
+      "reloaded vocab.txt must reproduce the exact loader blocks")
+  }
+
+  test("pipeline tokenizerFamily = unigram: ships the spm-shape " +
+      "piece/score dump; reload rebuilds scores + line-order ids and " +
+      "re-encodes to IDENTICAL loader blocks") {
+    import spark.implicits._
+    import graft.llm.{Packing, TrainingDataPipeline, Unigram}
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+    val evalNgrams = docs.where(col("doc_id") < 5)
+      .select(explode(graft.llm.Dedup.shinglesText(col("text"), 3)).as("g"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pipe-uni").toString
+    val cfg = TrainingDataPipeline.Config(tokenizerRounds = 2,
+      blockTokens = 32, artifactDir = dir, tokenizerFamily = "unigram")
+    val r = TrainingDataPipeline.run(docs, evalNgrams,
+      graft.queries.LlmQueries.stopwords, cfg)
+    val tok = r.tokenizer.get
+    assert(tok.family === "unigram" && tok.rules.isEmpty)
+    assert(tok.vocab(TrainingDataPipeline.UniEos) === 0L)
+    assert(tok.eosId === 0L)
+    val m = r.manifest.as[(String, Long)].collect().toMap
+    assert(m("6_tokenizer_rules") === tok.scores.size.toLong)
+    def blockSet(b: org.apache.spark.sql.DataFrame) = b
+      .select(col("shard"), col("block_id"), col("n_ids"),
+        col("n_docs"), col("first_doc"), col("block_hash"),
+        col("boundaries"))
+      .as[(Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    val blocks = blockSet(r.blocks.get)
+    assert(blocks.nonEmpty && m("7_loader_blocks") === blocks.size.toLong)
+    // write -> reload -> re-encode identity off the spm dump ALONE:
+    // line order = id order, scores rescale exactly, the leading
+    // separator is a control symbol the Viterbi never emits
+    val model2 = Unigram.modelFromFile(spark, s"$dir/unigram.vocab")
+    assert(model2.head === (TrainingDataPipeline.UniEos, 0L))
+    val ids2 = model2.zipWithIndex
+      .map { case ((p, _), i) => p -> i.toLong }.toMap
+    assert(ids2 === tok.vocab, "spm dump round trip (ids)")
+    val scores2 = model2.tail.toMap
+    assert(scores2 === tok.scores, "spm dump round trip (scores)")
+    val train = r.corpus.where(col("split") === "train")
+    val enc2 = Unigram.encodeIds(train, "doc_id", "text", scores2,
+      TrainingDataPipeline.UniMaxPiece, ids2, cfg.blockTokens)
+    val blocks2 = blockSet(Packing.packTokenBlocksLoader(enc2,
+      "doc_id", "ids", cfg.blockTokens, cfg.shards, 0L))
+    assert(blocks2 === blocks,
+      "reloaded spm dump must reproduce the exact loader blocks")
+  }
+
   test("pipeline chunk stages catch what doc-level screens miss: " +
       "leaked eval chunk and chunk-assembled doc") {
     import spark.implicits._
