@@ -153,9 +153,14 @@ object ScaleSmoke {
     // narrow per-row scan over the same encode) and the unigram
     // hard-EM trainer (census, seed, and E-steps are all
     // content-bounded — growth must track the one corpus collapse)
+    // q326_/q328_ (r16) = the production-scale fast trainers: the
+    // 1100-merge driver loop is bounded by the collected census (which
+    // the per-doc enrichment words make grow ~linearly with docs here
+    // — the worst case for the trainer), plus the full learned-vocab
+    // encode — growth must stay ~linear in rows end to end
     val hot = Seq("q105_", "q106_", "q130_", "q136_", "q147_", "q153_",
       "q175_", "q191_", "q258_", "q58_", "q272_", "q284_", "q303_",
-      "q309_", "q310_", "q319_", "q321_")
+      "q309_", "q310_", "q319_", "q321_", "q326_", "q328_")
     val smallDir = "/root/testdata/sf0.01"
     val bigDir = "/root/testdata/sf0.1"
     val sweeps = 2
