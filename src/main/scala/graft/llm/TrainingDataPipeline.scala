@@ -342,12 +342,13 @@ object TrainingDataPipeline {
             java.nio.file.Paths.get(cfg.artifactDir))
         val (enc, tok) = cfg.tokenizerFamily match {
           case "bpe" =>
-            val rules = Bpe.trainFromVocab(
-                Bpe.segmentVocabBytes(tokBase, "text"),
-                cfg.tokenizerRounds)
-              .orderBy(col("merge_round"))
-              .select(col("x"), col("y")).as[(String, String)]
-              .collect().toSeq
+            // the fast driver-side trainer (rule-for-rule == the
+            // oracle-gated distributed loop, FastTrainerSpec) — so
+            // tokenizerRounds can be production-scale (30k+) here,
+            // like the other two families
+            val rules = Bpe.trainFastFromVocab(
+              Bpe.segmentVocabBytes(tokBase, "text"),
+              cfg.tokenizerRounds)
             val eosId = 256L + rules.size
             val vocab: Map[String, Long] =
               (0 until 256).map(b =>

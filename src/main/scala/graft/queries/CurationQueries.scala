@@ -1526,6 +1526,88 @@ object CurationQueries {
       graft.llm.WordPiece.applyStats(docs, "text", "source", pieces)
     }),
 
+    // MERGE-DEPTH COMPRESSION CURVE AT PRODUCTION DEPTH — the
+    // vocab-size tuning readout q299 sketches at 8 merges, here where
+    // the decision actually lives: after 0/16/64/256/1024 trained
+    // byte-level merges, the corpus-weighted symbol mass and the two
+    // ratios every tokenizer build quotes (bytes/symbol compression,
+    // symbols/segment fertility). One fast train + five bounded-vocab
+    // aggregates (the corpus collapses into the distinct-segment
+    // census once; each depth point re-applies the rank-truncated rule
+    // list natively per distinct segment — zero extra corpus scans).
+    // The oracle replays each depth with the trained rules as an
+    // external literal list, rank-filtered per point.
+    "q330_vocab_depth_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          injectVocabScale(col("text"), col("doc_id")).as("text"))
+      val wv = docs.select(explode(
+          graft.llm.PreTokenize.gptSegments(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("weight"))
+        .transform(graft.core.Caching.persist)
+      val rules = graft.llm.Bpe.trainFastFromVocab(
+        wv.select(col("weight"),
+          graft.llm.Bpe.applyMergesBytes(col("w"), Nil).as("s")),
+        rounds = 1100)
+      require(rules.size >= 1024,
+        s"expected >=1024 learned merges: ${rules.size}")
+      TrainedStash.putRules("q330_vocab_depth_curve", rules)
+      Seq(0, 16, 64, 256, 1024).map { r =>
+        wv.agg(sum(col("weight")).cast("long").as("n_segments"),
+            sum(col("weight") * octet_length(col("w"))).cast("long")
+              .as("n_bytes"),
+            sum(col("weight") * size(graft.llm.Bpe.applyMergesBytes(
+              col("w"), rules.take(r)))).cast("long").as("n_symbols"))
+          .select(lit(r.toLong).as("depth"), col("n_segments"),
+            col("n_bytes"), col("n_symbols"),
+            (col("n_bytes").cast("double")
+              / col("n_symbols").cast("double")).as("bytes_per_symbol"),
+            (col("n_symbols").cast("double")
+              / col("n_segments").cast("double"))
+              .as("symbols_per_segment"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // TOKEN-FREQUENCY COVERAGE under the production-trained vocab —
+    // the tokenizer-QA readout every vocab build quotes next to the
+    // q330 curve: the top-64 token ids by corpus occupancy and the id
+    // stream share each covers (a head dominated by a handful of ids
+    // means wasted vocab slots; a flat head means under-merging). Same
+    // fast-trained >=1024-merge vocabulary as q326; counting is one
+    // bounded (|vocab|-keyed) aggregate over the encode, the top-64
+    // cut a TakeOrdered under a total order — no window, no corpus
+    // collect. The oracle replays the encode under the stashed rules
+    // and re-counts.
+    "q331_token_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          injectVocabScale(col("text"), col("doc_id")).as("text"))
+      val rules = graft.llm.Bpe.trainFastFromVocab(
+        graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 1100)
+      require(rules.size >= 1024,
+        s"expected >=1024 learned merges: ${rules.size}")
+      TrainedStash.putRules("q331_token_coverage", rules)
+      val vocab = (0 until 256).map(b =>
+        graft.llm.ByteLevel.byteToChar(b) -> b.toLong).toMap ++
+        rules.zipWithIndex.map { case ((x, y), i) =>
+          (x + y) -> (256L + i)
+        }.toMap
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        rules, blockTokens = 64, byteLevel = true, preTokenize = true,
+        vocab = Some(vocab))
+      val idc = enc.select(explode(col("ids")).as("token_id"))
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).cast("long").as("n_occurrences"))
+        .transform(graft.core.Caching.persist)
+      idc.crossJoin(broadcast(
+          idc.agg(sum(col("n_occurrences")).cast("long").as("t"))))
+        .orderBy(col("n_occurrences").desc, col("token_id"))
+        .limit(64)
+        .select(col("token_id"), col("n_occurrences"),
+          (col("n_occurrences").cast("double") / col("t").cast("double"))
+            .as("share"))
+    }),
+
     // UNIGRAM SIZE PRUNING — real SentencePiece trains to a REQUESTED
     // vocab size (`--vocab_size`), shrinking across EM rounds: q321's
     // hard-EM with targetVocab = 48 — intermediate rounds prune to
@@ -2340,6 +2422,155 @@ object CurationQueries {
            CAST(sum(sw.nsw * wh.h) AS BIGINT) AS piece_hash_sum
          FROM sw JOIN wh ON wh.w = sw.w
          GROUP BY sw.source"""
+    }
+
+  /** The q331 oracle: the q326 encode machinery under the stashed
+    * rules, then one |vocab|-keyed occupancy count (segment-occurrence
+    * weights × per-segment id multiplicity) and the top-64 cut under
+    * the total order (n DESC, token_id).
+    */
+  private def tokenCoverageOracle: String =
+    TrainedStash.rules("q331_token_coverage") match {
+      case None => TrainedStash.notRun
+      case Some(rules) =>
+        def lit0(s: String) = "'" + s.replace("'", "''") + "'"
+        val rlRows = rules.zipWithIndex.map { case ((x, y), i) =>
+          s"($i,${lit0(x)},${lit0(y)})"
+        }.mkString(",")
+        s"""WITH RECURSIVE d AS (
+           SELECT doc_id, $injectVocabScaleSql AS txt
+           FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         sg AS (SELECT doc_id, ord, tok FROM seg WHERE tok IS NOT NULL),
+         wd AS (SELECT DISTINCT tok AS w FROM sg),
+         ${byteApplyCtes(rlBody = s"VALUES $rlRows")},
+         ew AS (SELECT w, list_transform(s, sy -> idm.m[sy][1]) AS wids
+           FROM fin, idm),
+         sc AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+           FROM sg GROUP BY tok),
+         idc AS (SELECT u.id AS token_id,
+             CAST(sum(sc.n) AS BIGINT) AS n_occurrences
+           FROM sc JOIN ew ON ew.w = sc.w, unnest(ew.wids) AS u(id)
+           GROUP BY u.id),
+         tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS t
+           FROM idc)
+         SELECT token_id, n_occurrences,
+           CAST(n_occurrences AS DOUBLE) / CAST(t AS DOUBLE) AS share
+         FROM idc, tot
+         ORDER BY n_occurrences DESC, token_id
+         LIMIT 64"""
+    }
+
+  /** The q330 oracle: the q326 enriched segment census, byte symbols,
+    * and ONE min-rank apply chain PER DEPTH POINT — each under the
+    * trained rule list ([[TrainedStash]]) rank-filtered to its depth
+    * (take(r) ≡ rank < r). Depth 0 aggregates the raw byte split
+    * directly (no empty-map machinery).
+    */
+  private def vocabDepthOracle: String =
+    TrainedStash.rules("q330_vocab_depth_curve") match {
+      case None => TrainedStash.notRun
+      case Some(rules) =>
+        def lit0(s: String) = "'" + s.replace("'", "''") + "'"
+        val rlRows = rules.zipWithIndex.map { case ((x, y), i) =>
+          s"($i,${lit0(x)},${lit0(y)})"
+        }.mkString(",")
+        def depthCtes(r: Int): String =
+          s"""rk$r AS (SELECT map_from_entries(list(struct_pack(
+             k := x || chr(10) || y, v := rank))) AS m FROM rl
+           WHERE rank < $r),
+         rx$r AS (SELECT map_from_entries(list(struct_pack(k := rank,
+             v := struct_pack(x := x, y := y)))) AS m FROM rl
+           WHERE rank < $r),
+         enc$r AS (
+           SELECT w, s FROM base
+           UNION ALL
+           SELECT w, string_split(list_reduce(s, (acc, sy) -> CASE
+               WHEN string_split(acc, ' ')[-1] = bx AND sy = by
+               THEN substr(acc, 1, length(acc) - length(bx)) || bx || by
+               ELSE acc || ' ' || sy END), ' ') AS s
+           FROM (
+             SELECT w, s, rx$r.m[br][1].x AS bx, rx$r.m[br][1].y AS by
+             FROM (
+               SELECT w, s, list_min(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> rk$r.m[s[i] || chr(10) || s[i+1]][1])) AS br
+               FROM enc$r, rk$r WHERE len(s) >= 2), rx$r
+             WHERE br IS NOT NULL)),
+         fin$r AS (SELECT w, s FROM enc$r, rk$r
+           WHERE len(s) < 2 OR list_min(list_transform(
+             generate_series(1, len(s) - 1),
+             i -> rk$r.m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
+         p$r AS (SELECT CAST($r AS BIGINT) AS depth,
+             CAST(sum(v0.weight) AS BIGINT) AS n_segments,
+             CAST(sum(v0.weight * strlen(v0.w)) AS BIGINT) AS n_bytes,
+             CAST(sum(v0.weight * len(f.s)) AS BIGINT) AS n_symbols
+           FROM fin$r f JOIN v0 ON v0.w = f.w)"""
+        val depths = Seq(16, 64, 256, 1024)
+        val points = (s"""SELECT CAST(0 AS BIGINT) AS depth,
+             CAST(sum(v0.weight) AS BIGINT) AS n_segments,
+             CAST(sum(v0.weight * strlen(v0.w)) AS BIGINT) AS n_bytes,
+             CAST(sum(v0.weight * len(b.s)) AS BIGINT) AS n_symbols
+           FROM base b JOIN v0 ON v0.w = b.w""" +:
+          depths.map(r => s"SELECT depth, n_segments, n_bytes, " +
+            s"n_symbols FROM p$r"))
+          .mkString("\n           UNION ALL\n           ")
+        s"""WITH RECURSIVE d AS (
+           SELECT doc_id, $injectVocabScaleSql AS txt FROM documents),
+         seg AS (
+           SELECT doc_id, 0 AS ord, txt AS rem,
+               CAST(NULL AS VARCHAR) AS tok
+             FROM d
+           UNION ALL
+           SELECT doc_id, ord + 1, substr(rem, length(tok) + 1), tok
+           FROM (
+             SELECT doc_id, ord, rem,
+               CASE WHEN regexp_matches(t0, '^\\s+$$')
+                     AND length(t0) < length(rem) AND length(t0) >= 2
+                 THEN substr(t0, 1, length(t0) - 1) ELSE t0 END AS tok
+             FROM (SELECT doc_id, ord, rem, regexp_extract(rem,
+                 '^(''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+)') AS t0
+               FROM seg WHERE rem <> ''))),
+         v0 AS MATERIALIZED (SELECT tok AS w,
+             CAST(count(*) AS BIGINT) AS weight
+           FROM seg WHERE tok IS NOT NULL GROUP BY tok),
+         bu AS (SELECT b, CASE WHEN printable THEN chr(CAST(b AS INTEGER))
+                  ELSE chr(CAST(255 + row_number()
+                    OVER (PARTITION BY printable ORDER BY b)
+                    AS INTEGER)) END AS sym
+                FROM (SELECT i AS b, (i BETWEEN 33 AND 126)
+                        OR (i BETWEEN 161 AND 172)
+                        OR (i BETWEEN 174 AND 255) AS printable
+                      FROM range(256) t(i))),
+         mb AS (SELECT map_from_entries(list(struct_pack(k := b,
+             v := sym))) AS m FROM bu WHERE b < 128),
+         rl(rank, x, y) AS (VALUES $rlRows),
+         base AS MATERIALIZED (SELECT w, flatten(list_transform(
+               list_filter(string_split(w, ''), c -> c <> ''), c ->
+               CASE WHEN unicode(c) = 233 THEN [chr(195), chr(169)]
+                    ELSE [mb.m[unicode(c)][1]] END)) AS s
+           FROM v0, mb),
+         ${depths.map(depthCtes).mkString(",\n         ")},
+         pts AS ($points)
+         SELECT depth, n_segments, n_bytes, n_symbols,
+           CAST(n_bytes AS DOUBLE) / CAST(n_symbols AS DOUBLE)
+             AS bytes_per_symbol,
+           CAST(n_symbols AS DOUBLE) / CAST(n_segments AS DOUBLE)
+             AS symbols_per_segment
+         FROM pts"""
     }
 
   /** The q316/q317 oracle machinery: segment peel + byte census +
@@ -3535,6 +3766,11 @@ object CurationQueries {
     // q324's greedy unroll + rollup under the >=1024-piece trained
     // vocabulary as an external literal table (see fastWordPieceOracle)
     "q328_wordpiece_vocab_scale" -> fastWordPieceOracle,
+    // per-depth min-rank apply chains under the rank-filtered trained
+    // rules (see vocabDepthOracle)
+    "q330_vocab_depth_curve" -> vocabDepthOracle,
+    // encode re-count + top-64 occupancy cut (see tokenCoverageOracle)
+    "q331_token_coverage" -> tokenCoverageOracle,
     // WordPiece-score training rounds (see wordpieceCtes)
     "q323_wordpiece_train" -> wordpieceTrainOracle,
     // trained piece vocabulary + unrolled greedy longest-match scan

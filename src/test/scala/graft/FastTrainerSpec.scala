@@ -87,4 +87,36 @@ class FastTrainerSpec extends AnyFunSuite {
       assert(byWord(a.mkString) === a)
     }
   }
+
+  test("REAL production scale: 30k merges train driver-side in " +
+      "seconds on a 6k-word census (the 30k-50k vocabulary a real " +
+      "tokenizer ships)") {
+    // deterministic synthetic census — the fixture's content caps near
+    // 20k merges, a real vocab needs 30k+: 6000 distinct 12-char words
+    // (seeded, letters skewed so pair counts are non-trivial)
+    val rnd = new scala.util.Random(1016)
+    val words = (0 until 9000).map { _ =>
+      (0 until 14).map { _ =>
+        val r = rnd.nextInt(10)
+        ('a' + (if (r < 3) r else rnd.nextInt(26))).toChar
+      }.mkString
+    }.distinct
+    val census = words.map(w =>
+      ((1 + rnd.nextInt(50)).toLong, w.map(_.toString).toIndexedSeq))
+    val capacity = census.map(_._2.size - 1).sum
+    assert(capacity >= 30000, s"census capacity $capacity")
+    val t0 = System.nanoTime()
+    val t = graft.llm.FastTrainers.trainBpe(census, rounds = 30000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"trained ${t.rules.size} merges in $secs%.1f s")
+    assert(t.rules.size >= 30000,
+      s"expected >=30000 learned merges: ${t.rules.size}")
+    assert(secs < 300.0, f"30k merges too slow driver-side: $secs%.1f s")
+    // ranks dense, counts positive, mass invariant
+    assert(t.rules.map(_.round) === (1L to t.rules.size.toLong))
+    assert(t.rules.forall(_.n >= 1L))
+    census.zip(t.finalSymbols).foreach { case ((_, s0), s1) =>
+      assert(s1.mkString === s0.mkString)
+    }
+  }
 }

@@ -334,7 +334,14 @@ class PlanSpec extends AnyFunSuite {
       // q329 = the final score projection over the PRUNED persisted
       // vocab (the trainer aggs run at build time against the cached
       // census; the prune's top-k cut is a TakeOrdered, no window)
-      "q329_unigram_prune" -> 1)
+      "q329_unigram_prune" -> 1,
+      // q330/q331 (observed exactly, cold cache): q330 = the census
+      // agg + 5 unioned bounded-vocab depth aggregates (each depth's
+      // rank-truncated apply is a per-row expression); q331 = q326's
+      // encode + the |vocab|-keyed occupancy agg + the TakeOrdered
+      // top-64 cut (no window)
+      "q330_vocab_depth_curve" -> 5,
+      "q331_token_coverage" -> 4)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
