@@ -1608,6 +1608,55 @@ object CurationQueries {
             .as("share"))
     }),
 
+    // WORDPIECE PER-DOC TOKEN IDS — the family's loader handoff as an
+    // oracle-gated query (q310's statement for the second apply
+    // family, and the exact path the pipeline's tokenizerFamily =
+    // wordpiece terminal runs): train 8 published-score rounds, ids
+    // from the BERT vocab.txt line order ([UNK]=0, [SEP]=1, sorted
+    // pieces after), the greedy split over DISTINCT words joined back
+    // per doc. A dead-ended word contributes the single [UNK] id. The
+    // oracle trains in SQL (q323's machinery), unrolls the greedy
+    // scan, ranks the piece ids identically, and reassembles per doc.
+    "q332_wordpiece_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, pieces) = graft.llm.WordPiece.trainWithVocab(docs, "text",
+        rounds = 8)
+      val ordered = Seq("[UNK]", "[SEP]") ++
+        (pieces -- Set("[UNK]", "[SEP]")).toSeq.sorted
+      val ids = ordered.zipWithIndex
+        .map { case (p, i) => p -> i.toLong }.toMap
+      graft.llm.WordPiece.encodeIds(docs, "doc_id", "text", pieces,
+          ids, blockTokens = 64)
+        .select(col("doc_id"), col("n_words"), col("n_symbols"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(transform(col("ids"), i => i.cast("string")),
+              ","), 23).as("ids_hash"))
+    }),
+
+    // UNIGRAM PER-DOC TOKEN IDS — the same statement for the third
+    // family (the pipeline's tokenizerFamily = unigram terminal):
+    // q321's trained scores Viterbi-split every segment, ids from the
+    // spm dump line order (</s> control at 0, sorted pieces after).
+    // The oracle appends the apply DP pass to the EM unroll (q322's
+    // machinery), ranks piece ids identically, and reassembles per doc
+    // in segment order.
+    "q333_unigram_ids" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val voc = graft.llm.Unigram.train(docs, "text", maxPieceLen = 4,
+          minCount = 2L, rounds = 2, maxSegLen = 12)
+        .select(col("piece"), col("score"))
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+      val ids = (("</s>", 0L) +: voc).zipWithIndex
+        .map { case ((p, _), i) => p -> i.toLong }.toMap
+      graft.llm.Unigram.encodeIds(docs, "doc_id", "text", voc.toMap,
+          maxPieceLen = 4, ids, blockTokens = 64)
+        .select(col("doc_id"), col("n_words"), col("n_symbols"),
+          graft.llm.TextFunctions.portableHash(
+            array_join(transform(col("ids"), i => i.cast("string")),
+              ","), 29).as("ids_hash"))
+    }),
+
     // UNIGRAM SIZE PRUNING — real SentencePiece trains to a REQUESTED
     // vocab size (`--vocab_size`), shrinking across EM rounds: q321's
     // hard-EM with targetVocab = 48 — intermediate rounds prune to
@@ -2572,6 +2621,103 @@ object CurationQueries {
              AS symbols_per_segment
          FROM pts"""
     }
+
+  /** The q332 oracle: q323's SQL training (8 rounds) + the greedy
+    * unroll, piece ids by the BERT vocab.txt line-order rule
+    * ([UNK]=0, [SEP]=1, sorted pieces from 2), per-doc reassembly in
+    * word order. A dead-ended word contributes [CAST(0)] (the [UNK]
+    * id) exactly like the Spark path's symbolIds over the [UNK]
+    * singleton.
+    */
+  private def wordpieceIdsOracle: String = {
+    val rounds = 8
+    val steps = 12
+    val stepSql = (1 to steps).map { t =>
+      s"""gp$t AS MATERIALIZED (SELECT w, pos + clen AS pos, piece,
+             FALSE AS unk
+           FROM (SELECT g.w, g.pos, v.piece, v.clen, row_number() OVER (
+               PARTITION BY g.w ORDER BY v.clen DESC) AS rn
+             FROM gp${t - 1} g JOIN voc v
+               ON v.cont = (g.pos > 1)
+                 AND v.core = substr(g.w, g.pos, v.clen)
+             WHERE g.pos <= length(g.w) AND NOT g.unk) WHERE rn = 1
+           UNION ALL
+           SELECT g.w, length(g.w) + 1 AS pos, '[UNK]' AS piece,
+             TRUE AS unk
+           FROM gp${t - 1} g
+           WHERE g.pos <= length(g.w) AND NOT g.unk AND NOT EXISTS (
+             SELECT 1 FROM voc v WHERE v.cont = (g.pos > 1)
+               AND v.core = substr(g.w, g.pos, v.clen)))"""
+    }.mkString(",\n         ")
+    val allp = (1 to steps)
+      .map(t => s"SELECT w, pos, piece, unk FROM gp$t " +
+        "WHERE piece IS NOT NULL")
+      .mkString("\n           UNION ALL\n           ")
+    s"""WITH ${wordpieceCtes(rounds)},
+         voc AS MATERIALIZED (SELECT DISTINCT
+             CASE WHEN i = 1 THEN s[i] ELSE '##' || s[i] END AS piece,
+             s[i] AS core, length(s[i]) AS clen, i > 1 AS cont
+           FROM v${rounds + 1}, unnest(generate_series(1, len(s)))
+             AS g(i)),
+         pid AS (SELECT piece,
+             CAST(1 + row_number() OVER (ORDER BY piece) AS BIGINT)
+               AS id
+           FROM (SELECT DISTINCT piece FROM voc)),
+         gp0 AS (SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece,
+             FALSE AS unk FROM v0),
+         $stepSql,
+         allp AS ($allp),
+         wenc AS MATERIALIZED (SELECT a.w,
+             CASE WHEN bool_or(a.unk) THEN [CAST(0 AS BIGINT)]
+                  ELSE list(CAST(p.id AS BIGINT) ORDER BY a.pos) END
+               AS wids
+           FROM allp a LEFT JOIN pid p ON p.piece = a.piece
+           GROUP BY a.w),
+         dw AS (SELECT doc_id, g.i AS pos, wl[g.i] AS w
+           FROM (SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(text)), '\\s+'), x -> x <> '') AS wl
+             FROM documents) t,
+             unnest(generate_series(1, len(wl))) g(i)
+           WHERE len(wl) > 0),
+         byDoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             flatten(list(e.wids ORDER BY dw.pos)) AS ids
+           FROM dw JOIN wenc e ON e.w = dw.w GROUP BY doc_id)
+         SELECT doc_id, n_words,
+           CAST(len(ids) AS BIGINT) AS n_symbols,
+           CAST(concat('0x', substr(md5(concat('23', '|',
+             array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
+         FROM byDoc"""
+  }
+
+  /** The q333 oracle: the q322 apply DP pass over the EM unroll,
+    * piece ids by the spm line-order rule (</s> control at 0, sorted
+    * pieces from 1), per-doc reassembly in segment order.
+    */
+  private def unigramIdsOracle: String = {
+    val lmax = 12
+    val allbt3 = (1 to lmax)
+      .map(t => s"SELECT w, pos, piece FROM bt3_$t")
+      .mkString("\n           UNION ALL\n           ")
+    s"""$unigramCtes,
+         ${unigramDpBt(3, 2)},
+         uid AS (SELECT piece,
+             CAST(row_number() OVER (ORDER BY piece) AS BIGINT) AS id
+           FROM voc2),
+         sw3 AS MATERIALIZED (SELECT p.w,
+             list(CAST(u.id AS BIGINT) ORDER BY p.pos) AS wids
+           FROM ($allbt3) p JOIN uid u ON u.piece = p.piece
+           GROUP BY p.w),
+         sgo AS (SELECT doc_id, ord, tok FROM seg
+           WHERE tok IS NOT NULL AND length(tok) <= $lmax),
+         byDoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             flatten(list(s3.wids ORDER BY sgo.ord)) AS ids
+           FROM sgo JOIN sw3 s3 ON s3.w = sgo.tok GROUP BY doc_id)
+         SELECT doc_id, n_words,
+           CAST(len(ids) AS BIGINT) AS n_symbols,
+           CAST(concat('0x', substr(md5(concat('29', '|',
+             array_to_string(ids, ','))), 1, 8)) AS BIGINT) AS ids_hash
+         FROM byDoc"""
+  }
 
   /** The q316/q317 oracle machinery: segment peel + byte census +
     * the 8 unrolled training rounds (MATERIALIZED per round).
@@ -3771,6 +3917,10 @@ object CurationQueries {
     "q330_vocab_depth_curve" -> vocabDepthOracle,
     // encode re-count + top-64 occupancy cut (see tokenCoverageOracle)
     "q331_token_coverage" -> tokenCoverageOracle,
+    // trained greedy split + vocab.txt-order ids + per-doc reassembly
+    "q332_wordpiece_ids" -> wordpieceIdsOracle,
+    // apply DP pass + spm-order ids + per-doc reassembly
+    "q333_unigram_ids" -> unigramIdsOracle,
     // WordPiece-score training rounds (see wordpieceCtes)
     "q323_wordpiece_train" -> wordpieceTrainOracle,
     // trained piece vocabulary + unrolled greedy longest-match scan

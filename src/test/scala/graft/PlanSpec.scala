@@ -341,7 +341,12 @@ class PlanSpec extends AnyFunSuite {
       // encode + the |vocab|-keyed occupancy agg + the TakeOrdered
       // top-64 cut (no window)
       "q330_vocab_depth_curve" -> 5,
-      "q331_token_coverage" -> 4)
+      "q331_token_coverage" -> 4,
+      // q332/q333 = the family encodeIds shape: distinct-unit apply
+      // agg + per-doc reassembly (ids ride literal maps, no vocab
+      // join); training runs at build time
+      "q332_wordpiece_ids" -> 2,
+      "q333_unigram_ids" -> 2)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
