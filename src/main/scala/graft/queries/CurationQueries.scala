@@ -1608,6 +1608,48 @@ object CurationQueries {
             .as("share"))
     }),
 
+    // CHAT-MARKER ECONOMICS — q325's per-source curation readout for
+    // the OVERLAPPING-prefix special set: how many documents carry any
+    // chat marker, the id slots each marker occupies, and the total
+    // marker share of the id stream. The longest-wins discipline is
+    // load-bearing here: counting `<|im_start|>` occurrences without
+    // it would double-count every `<|im_start|>user`. One per-source
+    // rollup past q327's per-doc encode.
+    "q334_chat_marker_economics" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          injectChat(col("text")).as("text"))
+      val enc = graft.llm.Bpe.encodeIdsWith(docs, "doc_id", "text",
+        byteLevelRules, blockTokens = 64, byteLevel = true,
+        preTokenize = true,
+        vocab = Some(byteLevelVocab ++ chatSpecialIds),
+        specialTokens = chatSpecials)
+      def nOf(tok: String) = size(filter(col("ids"),
+        i => i === lit(chatSpecialIds(tok)))).cast("long")
+      val sp = chatSpecials.map(t => nOf(t)).reduce(_ + _)
+      docs.select(col("doc_id"), col("source"))
+        .join(enc.select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          nOf("<|im_start|>").as("n_start"),
+          nOf("<|im_start|>user").as("n_start_user"),
+          nOf("<|im_end|>").as("n_end"),
+          sp.as("n_sp")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("n_sp") > 0, 1L).otherwise(0L)).cast("long")
+            .as("docs_with_marker"),
+          sum(col("n_start")).cast("long").as("im_start_ids"),
+          sum(col("n_start_user")).cast("long").as("im_start_user_ids"),
+          sum(col("n_end")).cast("long").as("im_end_ids"),
+          sum(col("n_ids")).cast("long").as("total_ids"))
+        .select(col("source"), col("n_docs"), col("docs_with_marker"),
+          col("im_start_ids"), col("im_start_user_ids"),
+          col("im_end_ids"), col("total_ids"),
+          ((col("im_start_ids") + col("im_start_user_ids")
+            + col("im_end_ids")).cast("double")
+            / col("total_ids").cast("double")).as("marker_share"))
+    }),
+
     // WORDPIECE PER-DOC TOKEN IDS — the family's loader handoff as an
     // oracle-gated query (q310's statement for the second apply
     // family, and the exact path the pipeline's tokenizerFamily =
@@ -3917,6 +3959,32 @@ object CurationQueries {
     "q330_vocab_depth_curve" -> vocabDepthOracle,
     // encode re-count + top-64 occupancy cut (see tokenCoverageOracle)
     "q331_token_coverage" -> tokenCoverageOracle,
+    // q327's byDoc rolled up per source (marker-id occupancy; the
+    // leftmost-longest discipline keeps the prefix counts honest)
+    "q334_chat_marker_economics" -> {
+      val i0 = chatSpecialIds("<|im_start|>")
+      val i1 = chatSpecialIds("<|im_start|>user")
+      val i2 = chatSpecialIds("<|im_end|>")
+      s"""$chatSpecialEncodeCtes,
+         ds AS (SELECT doc_id, source FROM documents)
+         SELECT ds.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN len(list_filter(b.ids,
+               x -> x IN ($i0, $i1, $i2))) > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_marker,
+           CAST(sum(len(list_filter(b.ids, x -> x = $i0)))
+             AS BIGINT) AS im_start_ids,
+           CAST(sum(len(list_filter(b.ids, x -> x = $i1)))
+             AS BIGINT) AS im_start_user_ids,
+           CAST(sum(len(list_filter(b.ids, x -> x = $i2)))
+             AS BIGINT) AS im_end_ids,
+           CAST(sum(len(b.ids)) AS BIGINT) AS total_ids,
+           CAST(sum(len(list_filter(b.ids,
+               x -> x IN ($i0, $i1, $i2)))) AS DOUBLE)
+             / CAST(sum(len(b.ids)) AS DOUBLE) AS marker_share
+         FROM byDoc b JOIN ds ON ds.doc_id = b.doc_id
+         GROUP BY ds.source"""
+    },
     // trained greedy split + vocab.txt-order ids + per-doc reassembly
     "q332_wordpiece_ids" -> wordpieceIdsOracle,
     // apply DP pass + spm-order ids + per-doc reassembly

@@ -346,7 +346,10 @@ class PlanSpec extends AnyFunSuite {
       // agg + per-doc reassembly (ids ride literal maps, no vocab
       // join); training runs at build time
       "q332_wordpiece_ids" -> 2,
-      "q333_unigram_ids" -> 2)
+      "q333_unigram_ids" -> 2,
+      // q334 = q327's encode 2 + the per-source rollup (doc-side join
+      // broadcasts — q325's shape)
+      "q334_chat_marker_economics" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       spark.sharedState.cacheManager.clearCache()
       val got = census(plan(name), _.isInstanceOf[ShuffleExchangeExec])
