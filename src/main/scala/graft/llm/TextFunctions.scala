@@ -26,6 +26,30 @@ object TextFunctions {
   def portableHash(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 8), 16, 10).cast("long")
 
+  /** The Spark/DuckDB string sort order — UNSIGNED UTF-8 BYTE order —
+    * for DRIVER-SIDE ordering decisions that must agree with an
+    * `ORDER BY` on either engine (vocab id assignment, argmax tie
+    * breaks, prune ranks). Java's `String.compareTo` is UTF-16
+    * code-unit order, which disagrees for astral codepoints vs
+    * U+E000..U+FFFF (surrogates sort below them) — a one-emoji piece
+    * would silently shift every id after it. One comparator,
+    * single-sourced.
+    */
+  val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** Whitespace normalization: lowercase, collapse runs, trim. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

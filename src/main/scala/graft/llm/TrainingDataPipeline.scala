@@ -372,9 +372,11 @@ object TrainingDataPipeline {
               Bpe.charVocab(tokBase, "text"), cfg.tokenizerRounds)
             val rules = rules5.map(r => (r._2, r._3))
             // vocab.txt line order = id order: the BERT convention
-            // leads with the specials, then the pieces, sorted
+            // leads with the specials, then the pieces in UTF-8 byte
+            // order (the engine-portable sort — q332's contract)
             val ordered = Seq(WpUnk, WpSep) ++
-              (pieces -- Set(WpUnk, WpSep)).toSeq.sorted
+              (pieces -- Set(WpUnk, WpSep)).toSeq
+                .sorted(TextFunctions.utf8Ordering)
             val vocab = ordered.zipWithIndex
               .map { case (p, i) => p -> i.toLong }.toMap
             if (cfg.artifactDir.nonEmpty) {
@@ -392,7 +394,8 @@ object TrainingDataPipeline {
             val voc = Unigram.train(tokBase, "text", UniMaxPiece,
                 minCount = 2L, rounds, UniMaxSeg)
               .select(col("piece"), col("score"))
-              .as[(String, Long)].collect().toSeq.sortBy(_._1)
+              .as[(String, Long)].collect().toSeq
+              .sortBy(_._1)(TextFunctions.utf8Ordering)
             // spm dump line order = id order: the separator control
             // symbol leads (score 0 — never emitted by Viterbi: it is
             // not in the score map), then the pieces, sorted
@@ -405,7 +408,7 @@ object TrainingDataPipeline {
                 s"${cfg.artifactDir}/unigram.vocab")
             }
             (Unigram.encodeIds(tokBase, "doc_id", "text", voc.toMap,
-              UniMaxPiece, vocab, cfg.blockTokens),
+              UniMaxPiece, vocab, UniMaxSeg, cfg.blockTokens),
               Tokenizer(Nil, vocab, vocab(UniEos),
                 family = "unigram", scores = voc.toMap))
         }

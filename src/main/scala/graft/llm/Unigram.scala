@@ -133,25 +133,14 @@ object Unigram {
     // schedule: intermediate rounds prune to max(target, 3·|V|/4)
     // (the published shrinking_factor = 0.75, exact integer), the
     // final round cuts to the target exactly.
-    def utf8Lt(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) {
-        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
-        if (d != 0) return d < 0
-        i += 1
-      }
-      x.length < y.length
-    }
     def prune(m: Map[String, Long], k: Int): Map[String, Long] = {
       val (sing, multi) = m.partition { case (p, _) =>
         p.codePointCount(0, p.length) == 1
       }
       val nMulti = math.max(0, k - sing.size)
       val kept = multi.toSeq.sortWith { case ((pa, ca), (pb, cb)) =>
-        if (ca != cb) ca > cb else utf8Lt(pa, pb)
+        if (ca != cb) ca > cb
+        else TextFunctions.utf8Ordering.lt(pa, pb)
       }.take(nMulti)
       sing ++ kept
     }
@@ -235,13 +224,17 @@ object Unigram {
   }
 
   /** Load an [[modelToFile]]-format piece/score table back into
-    * scaled-integer units. Scores parse as decimal natural-log values
-    * (the spm shape — a real SentencePiece dump's floats load too) and
-    * rescale to [[scaledLog]] units, rounding half-up past 6 decimals;
-    * a bare integer score (this trainer's pre-float legacy dumps) is
-    * taken as ALREADY scaled. Single-file contract (order preserved
-    * though scores, not order, carry the model); 5M cap; malformed
-    * lines raise.
+    * scaled-integer units. The score format is detected PER FILE, not
+    * per line: if ANY score in the file carries a decimal point or
+    * exponent, the whole file is float natural-log units (the spm
+    * shape — real SentencePiece dumps always have fractional scores
+    * somewhere, and C++ float formatting may print an individual
+    * integral score as `-7`, which a per-line rule would misscale by
+    * 10⁶); every score then rescales to [[scaledLog]] units, rounding
+    * half-up past 6 decimals. A file with ONLY bare integers is this
+    * trainer's pre-float legacy dump, already in scaled units.
+    * Single-file contract (order preserved though scores, not order,
+    * carry the model); 5M cap; malformed lines raise.
     */
   def modelFromFile(spark: org.apache.spark.sql.SparkSession,
                     path: String): Seq[(String, Long)] = {
@@ -255,22 +248,26 @@ object Unigram {
       .filter(_.nonEmpty)
     require(lines.nonEmpty && lines.size <= 5000000,
       s"model has ${lines.size} lines (cap 5M)")
-    val vocab = lines.map { l =>
+    val split = lines.map { l =>
       val i = l.indexOf('\t')
       require(i > 0 && i < l.length - 1 && l.indexOf('\t', i + 1) < 0,
         s"malformed model line (want 'piece<TAB>score'): '$l'")
-      val raw = l.substring(i + 1)
+      (l.substring(0, i), l.substring(i + 1))
+    }
+    val floatFile = split.exists(_._2
+      .exists(c => c == '.' || c == 'e' || c == 'E'))
+    val vocab = split.map { case (piece, raw) =>
       val score = try {
-        if (raw.exists(c => c == '.' || c == 'e' || c == 'E'))
+        if (floatFile)
           new java.math.BigDecimal(raw).movePointRight(6)
             .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-        else raw.toLong // legacy integer dump: already scaledLog units
+        else raw.toLong // legacy all-integer dump: already scaled
       } catch {
         case _: NumberFormatException | _: ArithmeticException =>
           throw new IllegalArgumentException(
-            s"unparseable score in model line: '$l'")
+            s"unparseable score in model line: '$piece\t$raw'")
       }
-      (l.substring(0, i), score)
+      (piece, score)
     }
     require(vocab.map(_._1).distinct.size == vocab.size,
       "duplicate pieces in model file")
@@ -281,17 +278,22 @@ object Unigram {
     * [[Bpe.encodeIdsWith]] shape for the unigram family (the
     * pipeline's `tokenizerFamily = unigram` terminal): GPT-2 segment
     * units, the Viterbi split over DISTINCT segments only, ids from
-    * the supplied spm-model line-order map. Segments must be covered
-    * by the score map's single chars (the trainer guarantee on its own
-    * corpus); an uncovered char throws loudly. Output schema =
+    * the supplied spm-model line-order map. `maxSegLen` must be the
+    * TRAINING census bound ([[segmentCensus]]'s): segments past it are
+    * excluded here exactly as they were from training — they are
+    * outside the trained domain, and one containing a char that never
+    * appears in any in-bound segment would break the Viterbi coverage
+    * guarantee (the [[applyStats]] discipline). Output schema =
     * (doc_id, n_words, n_symbols, n_blocks, ids).
     */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 scores: Map[String, Long], maxPieceLen: Int,
-                ids: Map[String, Long],
+                ids: Map[String, Long], maxSegLen: Int,
                 blockTokens: Int = 64): DataFrame = {
+    require(maxSegLen >= 1, s"maxSegLen >= 1: $maxSegLen")
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        PreTokenize.gptSegments(col(textCol)).as("t"))
+        filter(PreTokenize.gptSegments(col(textCol)),
+          s => length(s) <= maxSegLen).as("t"))
       .where(size(col("t")) > 0)
     val enc = toks.select(explode(col("t")).as("w")).distinct()
       .select(col("w"), Bpe.symbolIds(

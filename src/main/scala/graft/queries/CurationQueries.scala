@@ -1444,7 +1444,10 @@ object CurationQueries {
           s"${rules.size}")
       TrainedStash.putRules("q326_bpe_vocab_scale", rules)
       // the published vocab.json id formula: byte b -> b, rank i ->
-      // 256+i — closed over the rules by construction
+      // 256+i — closed over the rules by construction. If two learned
+      // rules' concatenations collide (('a','bc') vs ('ab','c')),
+      // toMap keeps the LAST = highest rank; the oracle's idm dedupes
+      // to max(id) — same choice on both engines.
       val vocab = (0 until 256).map(b =>
         graft.llm.ByteLevel.byteToChar(b) -> b.toLong).toMap ++
         rules.zipWithIndex.map { case ((x, y), i) =>
@@ -1663,8 +1666,11 @@ object CurationQueries {
       val docs = Tables.documents(s, dir)
       val (_, pieces) = graft.llm.WordPiece.trainWithVocab(docs, "text",
         rounds = 8)
+      // vocab.txt line order = id order, sorted in UTF-8 byte order —
+      // the same ORDER BY piece the oracle ranks with
       val ordered = Seq("[UNK]", "[SEP]") ++
-        (pieces -- Set("[UNK]", "[SEP]")).toSeq.sorted
+        (pieces -- Set("[UNK]", "[SEP]")).toSeq
+          .sorted(graft.llm.TextFunctions.utf8Ordering)
       val ids = ordered.zipWithIndex
         .map { case (p, i) => p -> i.toLong }.toMap
       graft.llm.WordPiece.encodeIds(docs, "doc_id", "text", pieces,
@@ -1688,11 +1694,12 @@ object CurationQueries {
       val voc = graft.llm.Unigram.train(docs, "text", maxPieceLen = 4,
           minCount = 2L, rounds = 2, maxSegLen = 12)
         .select(col("piece"), col("score"))
-        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+        .as[(String, Long)].collect().toSeq
+        .sortBy(_._1)(graft.llm.TextFunctions.utf8Ordering)
       val ids = (("</s>", 0L) +: voc).zipWithIndex
         .map { case ((p, _), i) => p -> i.toLong }.toMap
       graft.llm.Unigram.encodeIds(docs, "doc_id", "text", voc.toMap,
-          maxPieceLen = 4, ids, blockTokens = 64)
+          maxPieceLen = 4, ids, maxSegLen = 12, blockTokens = 64)
         .select(col("doc_id"), col("n_words"), col("n_symbols"),
           graft.llm.TextFunctions.portableHash(
             array_join(transform(col("ids"), i => i.cast("string")),
@@ -1886,9 +1893,19 @@ object CurationQueries {
              i -> rk.m[s[i] || chr(10) || s[i+1]][1])) IS NULL),
          idm AS (SELECT map_from_entries(list(struct_pack(k := sym,
              v := id))) AS m
-           FROM (SELECT sym, CAST(b AS BIGINT) AS id FROM bu
+           FROM (
+             -- max-id dedupe: a TRAINED rule list (q326/q330/q331) can
+             -- legitimately learn two rules whose concatenations
+             -- collide (('a','bc') and ('ab','c') both yield 'abc');
+             -- the Spark side's `++`/toMap keeps the LAST = highest
+             -- rank, and map_from_entries would ERROR on the duplicate
+             -- key — group to the same highest-rank id instead (a
+             -- no-op for the collision-free closed-form default list)
+             SELECT sym, CAST(max(id) AS BIGINT) AS id FROM (
+               SELECT sym, CAST(b AS BIGINT) AS id FROM bu
                  UNION ALL SELECT x || y AS sym,
-                   CAST(256 + rank AS BIGINT) AS id FROM rl$extraIdRows))"""
+                   CAST(256 + rank AS BIGINT) AS id FROM rl$extraIdRows)
+             GROUP BY sym))"""
 
   /** The q310-lineage fixed rule list (a space-prefix chain + the
     * e-acute byte pair + the closed-form ASCII merges), as the default
@@ -2365,6 +2382,28 @@ object CurationQueries {
     s"$base,\n         $roundsSql"
   }
 
+  /** The derived greedy-apply piece table shared by the q324/q332
+    * oracles, mirroring [[graft.llm.WordPieceApplyExpr]]'s probe rule
+    * exactly: word-initial probes are RAW-substring lookups (the HF
+    * behavior — a piece literally starting with `##` is reachable at
+    * position 1 as itself), continuation probes strip the `##`. The
+    * raw rows for `##`-pieces are unreachable on a `#`-free corpus
+    * (identical results there) but keep the contract honest.
+    */
+  private def wordpieceVocCtes(rounds: Int): String =
+    s"""voc0 AS (SELECT DISTINCT
+             CASE WHEN i = 1 THEN s[i] ELSE '##' || s[i] END AS piece
+           FROM v${rounds + 1}, unnest(generate_series(1, len(s)))
+             AS g(i)),
+         voc AS MATERIALIZED (
+           SELECT piece, piece AS core, length(piece) AS clen,
+               FALSE AS cont
+             FROM voc0
+           UNION ALL
+           SELECT piece, substr(piece, 3) AS core,
+               length(piece) - 2 AS clen, TRUE AS cont
+             FROM voc0 WHERE piece LIKE '##%' AND length(piece) > 2)"""
+
   private def wordpieceTrainOracle: String = {
     val rounds = 8
     val points = (1 to rounds).map { r =>
@@ -2406,20 +2445,18 @@ object CurationQueries {
         "WHERE piece IS NOT NULL")
       .mkString("\n           UNION ALL\n           ")
     s"""WITH ${wordpieceCtes(rounds)},
-         voc AS MATERIALIZED (SELECT DISTINCT
-             CASE WHEN i = 1 THEN s[i] ELSE '##' || s[i] END AS piece,
-             s[i] AS core, length(s[i]) AS clen, i > 1 AS cont
-           FROM v${rounds + 1}, unnest(generate_series(1, len(s)))
-             AS g(i)),
+         ${wordpieceVocCtes(rounds)},
          gp0 AS (SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece,
              FALSE AS unk FROM v0),
          $stepSql,
          allp AS ($allp),
          wenc AS MATERIALIZED (SELECT w,
-             CASE WHEN bool_or(unk) THEN 1 ELSE 0 END AS is_unk,
-             CASE WHEN bool_or(unk) THEN CAST(1 AS BIGINT)
+             CASE WHEN bool_or(unk) OR length(w) > 100 THEN 1 ELSE 0
+               END AS is_unk,
+             CASE WHEN bool_or(unk) OR length(w) > 100
+                  THEN CAST(1 AS BIGINT)
                   ELSE CAST(count(*) AS BIGINT) END AS n_pieces,
-             CASE WHEN bool_or(unk) THEN '[UNK]'
+             CASE WHEN bool_or(unk) OR length(w) > 100 THEN '[UNK]'
                   ELSE array_to_string(list(piece ORDER BY pos), chr(1))
                   END AS pj
            FROM allp GROUP BY w),
@@ -2451,10 +2488,16 @@ object CurationQueries {
       case None => TrainedStash.notRun
       case Some(pieces) =>
         def lit0(s: String) = "'" + s.replace("'", "''") + "'"
-        val vocRows = pieces.toSeq.sorted.map { p =>
-          val cont = p.startsWith("##") && p.length > 2
-          val core = if (cont) p.substring(2) else p
-          s"(${lit0(p)},${lit0(core)},${core.length},$cont)"
+        def cpLen(s: String) = s.codePointCount(0, s.length)
+        // the expression's dual probe rule (see wordpieceVocCtes): a
+        // raw pos-1 row for EVERY piece, a ##-stripped continuation
+        // row for the ##-pieces
+        val vocRows = pieces.toSeq.sorted.flatMap { p =>
+          val raw = s"(${lit0(p)},${lit0(p)},${cpLen(p)},false)"
+          if (p.startsWith("##") && p.length > 2) {
+            val core = p.substring(2)
+            Seq(raw, s"(${lit0(p)},${lit0(core)},${cpLen(core)},true)")
+          } else Seq(raw)
         }.mkString(",")
         val steps = 12
         val stepSql = (1 to steps).map { t =>
@@ -2491,10 +2534,12 @@ object CurationQueries {
          $stepSql,
          allp AS ($allp),
          wenc AS MATERIALIZED (SELECT w,
-             CASE WHEN bool_or(unk) THEN 1 ELSE 0 END AS is_unk,
-             CASE WHEN bool_or(unk) THEN CAST(1 AS BIGINT)
+             CASE WHEN bool_or(unk) OR length(w) > 100 THEN 1 ELSE 0
+               END AS is_unk,
+             CASE WHEN bool_or(unk) OR length(w) > 100
+                  THEN CAST(1 AS BIGINT)
                   ELSE CAST(count(*) AS BIGINT) END AS n_pieces,
-             CASE WHEN bool_or(unk) THEN '[UNK]'
+             CASE WHEN bool_or(unk) OR length(w) > 100 THEN '[UNK]'
                   ELSE array_to_string(list(piece ORDER BY pos), chr(1))
                   END AS pj
            FROM allp GROUP BY w),
@@ -2696,11 +2741,7 @@ object CurationQueries {
         "WHERE piece IS NOT NULL")
       .mkString("\n           UNION ALL\n           ")
     s"""WITH ${wordpieceCtes(rounds)},
-         voc AS MATERIALIZED (SELECT DISTINCT
-             CASE WHEN i = 1 THEN s[i] ELSE '##' || s[i] END AS piece,
-             s[i] AS core, length(s[i]) AS clen, i > 1 AS cont
-           FROM v${rounds + 1}, unnest(generate_series(1, len(s)))
-             AS g(i)),
+         ${wordpieceVocCtes(rounds)},
          pid AS (SELECT piece,
              CAST(1 + row_number() OVER (ORDER BY piece) AS BIGINT)
                AS id
@@ -2710,7 +2751,8 @@ object CurationQueries {
          $stepSql,
          allp AS ($allp),
          wenc AS MATERIALIZED (SELECT a.w,
-             CASE WHEN bool_or(a.unk) THEN [CAST(0 AS BIGINT)]
+             CASE WHEN bool_or(a.unk) OR length(a.w) > 100
+                  THEN [CAST(0 AS BIGINT)]
                   ELSE list(CAST(p.id AS BIGINT) ORDER BY a.pos) END
                AS wids
            FROM allp a LEFT JOIN pid p ON p.piece = a.piece

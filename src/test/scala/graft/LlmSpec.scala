@@ -921,7 +921,8 @@ class LlmSpec extends AnyFunSuite {
     assert(scores2 === tok.scores, "spm dump round trip (scores)")
     val train = r.corpus.where(col("split") === "train")
     val enc2 = Unigram.encodeIds(train, "doc_id", "text", scores2,
-      TrainingDataPipeline.UniMaxPiece, ids2, cfg.blockTokens)
+      TrainingDataPipeline.UniMaxPiece, ids2,
+      TrainingDataPipeline.UniMaxSeg, cfg.blockTokens)
     val blocks2 = blockSet(Packing.packTokenBlocksLoader(enc2,
       "doc_id", "ids", cfg.blockTokens, cfg.shards, 0L))
     assert(blocks2 === blocks,

@@ -255,13 +255,20 @@ class UnigramSpec extends AnyFunSuite {
     assert(lines.forall(_.matches("""[^\t]+\t-?\d+\.\d{6}""")),
       s"spm dump must carry 6-decimal float scores: ${lines.take(3)}")
     // an EXTERNAL spm-style dump (arbitrary-precision float scores)
-    // loads into scaled units, rounding half-up past 6 decimals;
-    // a bare-integer legacy dump loads as already-scaled
+    // loads into scaled units, rounding half-up past 6 decimals —
+    // format detected PER FILE, so an integral-formatted score line
+    // ('-7', C++ float printing) inside a float file scales correctly
     val ext = dir.resolve("ext.vocab")
     java.nio.file.Files.write(ext,
       "a\t-9.3281\nb\t-1.23456789\nc\t-7\n".getBytes("UTF-8"))
     assert(Unigram.modelFromFile(spark, ext.toString) ===
-      Seq(("a", -9328100L), ("b", -1234568L), ("c", -7L)))
+      Seq(("a", -9328100L), ("b", -1234568L), ("c", -7000000L)))
+    // ... while an ALL-integer file is the legacy already-scaled dump
+    val leg = dir.resolve("legacy.vocab")
+    java.nio.file.Files.write(leg,
+      "a\t-9328100\nc\t-7\n".getBytes("UTF-8"))
+    assert(Unigram.modelFromFile(spark, leg.toString) ===
+      Seq(("a", -9328100L), ("c", -7L)))
     // loud failures: two tabs, unparseable score, glob
     val bad1 = dir.resolve("two.vocab")
     java.nio.file.Files.write(bad1, "a\t1\t2\n".getBytes("UTF-8"))
