@@ -3,9 +3,9 @@ package graft.llm
 import scala.collection.mutable
 
 /** Production-scale tokenizer TRAINING, driver-side — the HF
-  * `tokenizers`/SentencePiece shape (reference capability: the r15
-  * VERDICT's one capability-scale gap; no analogue exists in
-  * `/root/reference` — the reference has no tokenizer surface at all).
+  * `tokenizers`/SentencePiece shape (the r15 VERDICT's one
+  * capability-scale gap; beyond-reference — FLINK.NET ships no
+  * tokenizer surface at all).
   *
   * The distributed trainers ([[Bpe.trainFromVocab]],
   * [[WordPiece.train]]) run one full vocab census + a 1-row argmax
