@@ -114,17 +114,49 @@ object FastTrainers {
     val pc = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     val uc = new java.util.HashMap[Integer, java.lang.Long]()
     val pw = new java.util.HashMap[java.lang.Long, mutable.ArrayBuffer[Int]]()
+    // BPE argmax heap (lazy deletion — the HF `tokenizers` shape): an
+    // entry [n, x, y] is pushed on EVERY count change, so each live
+    // pair always has one entry carrying its CURRENT count; a popped
+    // entry is valid iff the live count still matches, and the first
+    // valid pop IS the (count DESC, x, y) argmax (everything ordered
+    // above it was stale). This makes the per-round cost proportional
+    // to the stale backlog instead of O(|pairs|) — the difference
+    // between minutes and hours at a 50k-merge production vocabulary.
+    // WordPiece cannot use it (unit-count denominators move EVERY
+    // pair's score each round) and keeps the full scan.
+    val heap: java.util.PriorityQueue[Array[Long]] =
+      if (byScore) null
+      else new java.util.PriorityQueue[Array[Long]](1024,
+        new java.util.Comparator[Array[Long]] {
+          def compare(a: Array[Long], b: Array[Long]): Int = {
+            if (a(0) != b(0)) java.lang.Long.compare(b(0), a(0))
+            else {
+              val cx = cmpSym(a(1).toInt, b(1).toInt)
+              if (cx != 0) cx else cmpSym(a(2).toInt, b(2).toInt)
+            }
+          }
+        })
+    // during the initial census build counts accumulate one occurrence
+    // at a time — heap pushes start after it, one entry per final count
+    var heapLive = false
     def addPair(x: Int, y: Int, wt: Long, widx: Int): Unit = {
       val k = java.lang.Long.valueOf(key(x, y))
-      pc.merge(k, java.lang.Long.valueOf(wt), (a, b) =>
+      val now = pc.merge(k, java.lang.Long.valueOf(wt), (a, b) =>
         java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      if (heap != null && heapLive)
+        heap.add(Array(now.longValue(), x.toLong, y.toLong))
       pw.computeIfAbsent(k, _ => mutable.ArrayBuffer.empty[Int]) += widx
     }
     def subPair(x: Int, y: Int, wt: Long): Unit = {
       val k = java.lang.Long.valueOf(key(x, y))
       val left = pc.get(k).longValue() - wt
       if (left == 0L) { pc.remove(k); pw.remove(k) }
-      else pc.put(k, java.lang.Long.valueOf(left))
+      else {
+        pc.put(k, java.lang.Long.valueOf(left))
+        if (heap != null)
+          heap.add(Array(left, (k.longValue() >>> 32),
+            k.longValue() & 0xFFFFFFFFL))
+      }
     }
     def addUnit(x: Int, wt: Long): Unit =
       uc.merge(Integer.valueOf(x), java.lang.Long.valueOf(wt), (a, b) =>
@@ -140,29 +172,52 @@ object FastTrainers {
       }
       i += 1
     }
+    if (heap != null) {
+      heapLive = true
+      val it0 = pc.entrySet().iterator()
+      while (it0.hasNext) {
+        val e = it0.next()
+        val k = e.getKey.longValue()
+        heap.add(Array(e.getValue.longValue(), k >>> 32,
+          k & 0xFFFFFFFFL))
+      }
+    }
     // ---- the merge loop ----
     val rules = mutable.ArrayBuffer.empty[Rule]
     var r = 1
     var done = pc.isEmpty
     while (r <= rounds && !done) {
-      // argmax scan of the live pair table: (count|score DESC, x, y).
-      // The scan is O(|pairs|); pairs are content-bounded (adjacent
-      // distinct-symbol pairs actually present), and for BPE most
-      // rounds touch a tiny fraction of them — a lazy heap would cut
-      // this further but the scan is already sub-second at the 50M cap.
+      // argmax by (count|score DESC, x, y). BPE pops the lazy heap
+      // until the first LIVE entry (stale counts discard — everything
+      // ordered above a live entry is stale, so the first live pop is
+      // the exact argmax); WordPiece scans the live pair table (its
+      // scores move globally every round — no heap order survives).
       var bk = 0L
       var bn = -1L
-      var bs = 0.0
-      var first = true
-      val it = pc.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val k = e.getKey.longValue()
-        val n = e.getValue.longValue()
-        val x = (k >>> 32).toInt
-        val y = (k & 0xFFFFFFFFL).toInt
-        var better = false
-        if (byScore) {
+      var bestScore = Double.NaN
+      if (!byScore) {
+        var found = false
+        while (!found) {
+          val e = heap.poll()
+          require(e != null, "argmax heap drained with live pairs " +
+            "remaining — heap/count invariant broken")
+          val k = key(e(1).toInt, e(2).toInt)
+          val cur = pc.get(java.lang.Long.valueOf(k))
+          if (cur != null && cur.longValue() == e(0)) {
+            bk = k; bn = e(0); found = true
+          }
+        }
+      } else {
+        var bs = 0.0
+        var first = true
+        val it = pc.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = e.getKey.longValue()
+          val n = e.getValue.longValue()
+          val x = (k >>> 32).toInt
+          val y = (k & 0xFFFFFFFFL).toInt
+          var better = false
           val s = n.toDouble /
             (uc.get(Integer.valueOf(x)).longValue() *
               uc.get(Integer.valueOf(y)).longValue()).toDouble
@@ -175,22 +230,13 @@ object FastTrainers {
               better = true
           }
           if (better) { bk = k; bn = n; bs = s; first = false }
-        } else {
-          if (first || n > bn) better = true
-          else if (n == bn) {
-            val bx = (bk >>> 32).toInt
-            val cx = cmpSym(x, bx)
-            if (cx < 0) better = true
-            else if (cx == 0 && cmpSym(y, (bk & 0xFFFFFFFFL).toInt) < 0)
-              better = true
-          }
-          if (better) { bk = k; bn = n; first = false }
         }
+        bestScore = bs
       }
       val x = (bk >>> 32).toInt
       val y = (bk & 0xFFFFFFFFL).toInt
       rules += Rule(r.toLong, syms(x), syms(y), bn,
-        if (byScore) bs else Double.NaN)
+        if (byScore) bestScore else Double.NaN)
       val xy = intern(syms(x) + syms(y))
       // rewrite every word that may contain (x, y): full-word delta —
       // retract the word's pairs/units, greedy-LTR merge, re-add.

@@ -88,6 +88,64 @@ class FastTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("heap argmax == a naive recount-every-round reference on " +
+      "random censuses (the lazy-deletion path has no unverified " +
+      "branch)") {
+    // independent reference: recompute the full pair census from the
+    // current word state every round — no deltas, no heap, no shared
+    // code with the implementation beyond the tie order
+    def utf8 = graft.llm.TextFunctions.utf8Ordering
+    def refTrain(census0: Seq[(Long, IndexedSeq[String])], rounds: Int)
+        : Seq[(String, String, Long)] = {
+      var ws = census0.map { case (wt, s) => (wt, s.toList) }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var stop = false
+      while (r < rounds && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        ws.foreach { case (wt, s) =>
+          s.zip(s.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + wt
+          }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((x, y), n) = counts.minBy { case ((px, py), pn) =>
+            (-pn, px, py)
+          }(Ordering.Tuple3(Ordering.Long, utf8, utf8))
+          out += ((x, y, n))
+          ws = ws.map { case (wt, s) =>
+            val b = List.newBuilder[String]
+            var rest = s
+            while (rest.nonEmpty) rest match {
+              case a :: b2 :: t if a == x && b2 == y =>
+                b += x + y; rest = t
+              case a :: t => b += a; rest = t
+              case Nil =>
+            }
+            (wt, b.result())
+          }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(2024)
+    (1 to 25).foreach { trial =>
+      val census = (1 to 5 + rnd.nextInt(40)).map { _ =>
+        ((1 + rnd.nextInt(9)).toLong,
+          (1 to 1 + rnd.nextInt(10))
+            .map(_ => ('a' + rnd.nextInt(3)).toChar.toString)
+            .toIndexedSeq)
+      }.distinct
+      val rounds = 1 + rnd.nextInt(200)
+      val got = graft.llm.FastTrainers.trainBpe(census, rounds)
+        .rules.map(r => (r.x, r.y, r.n))
+      assert(got === refTrain(census, rounds),
+        s"trial $trial: census $census rounds $rounds")
+    }
+  }
+
   test("REAL production scale: 30k merges train driver-side in " +
       "seconds on a 6k-word census (the 30k-50k vocabulary a real " +
       "tokenizer ships)") {
