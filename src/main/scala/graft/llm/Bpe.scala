@@ -181,6 +181,27 @@ object Bpe {
     FastTrainers.trainBpe(collectVocab(wv), rounds)
       .rules.map(r => (r.x, r.y))
 
+  /** [[trainFromVocab]]'s exact output (merge_round, x, y, pair_n,
+    * mass_after) computed by the fast driver-side trainer: ONE census
+    * collect replaces the per-round distributed census + mass aggregate
+    * (2·rounds jobs). Value-identical by FastTrainerSpec's
+    * rule-for-rule (and mass-for-mass) pin; the distributed
+    * [[trainFromVocab]] stays as the spec's reference implementation.
+    */
+  def trainFromVocabFast(wv: DataFrame, rounds: Int): DataFrame = {
+    val spark = wv.sparkSession
+    import spark.implicits._
+    FastTrainers.trainBpe(collectVocab(wv), rounds)
+      .rules.map(r => (r.round, r.x, r.y, r.n, r.massAfter))
+      .toDF("merge_round", "x", "y", "pair_n", "mass_after")
+  }
+
+  /** [[train]] through the fast driver-side trainer (same output,
+    * one census collect instead of 2·rounds distributed jobs).
+    */
+  def trainFast(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    trainFromVocabFast(charVocab(docs, textCol), rounds)
+
   /** The merge-depth compression curve — the vocab-size tuning
     * readout: after r = 0..`rounds` trained merges, the corpus-wide
     * symbol mass and symbols/word fertility. Each point is one bounded
@@ -194,9 +215,6 @@ object Bpe {
     */
   def compressionCurve(docs: DataFrame, textCol: String, rounds: Int)
       : DataFrame = {
-    val rules = trainRules(charVocab(docs, textCol), rounds,
-      withMass = false)
-      .map(r => (r._2, r._3))
     // state r = one native min-rank apply of the first r trained rules
     // over the persisted word-weight vocab (≡ replaying them in order,
     // BpeSpec's drop-in contract) — each curve point is a FLAT plan
@@ -209,6 +227,13 @@ object Bpe {
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("weight"))
       .transform(graft.core.Caching.persist)
+    // fast driver-side trainer over the SAME persisted census the curve
+    // aggregates read (rule-for-rule = the distributed trainer,
+    // FastTrainerSpec): the corpus collapses once, training is one
+    // bounded collect instead of `rounds` census jobs
+    val rules = trainFastFromVocab(
+      wv.select(col("weight"), applyMerges(col("w"), Nil).as("s")),
+      rounds)
     (0 to rounds).map { r =>
       val rs = rules.take(math.min(r, rules.length))
       wv.agg(sum(col("weight")).cast("long").as("n_words"),
@@ -232,13 +257,19 @@ object Bpe {
     */
   def encodeStats(docs: DataFrame, textCol: String, byCol: String,
                   rounds: Int): DataFrame = {
-    val rules = trainRules(charVocab(docs, textCol), rounds,
-      withMass = false)
-      .map(r => (r._2, r._3))
     val sw = docs.select(col(byCol).as("grp"),
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("nsw"))
       .transform(graft.core.Caching.persist)
+    // the word census IS sw re-aggregated over groups (Σ nsw per word =
+    // charVocab's count), so the corpus collapses ONCE and the fast
+    // driver-side trainer (rule-for-rule = the distributed trainer,
+    // FastTrainerSpec) replaces `rounds` census jobs with one bounded
+    // collect over the already-persisted table
+    val rules = trainFastFromVocab(
+      sw.groupBy(col("w")).agg(sum(col("nsw")).cast("long").as("weight"))
+        .select(col("weight"), applyMerges(col("w"), Nil).as("s")),
+      rounds)
     // one native min-rank apply instead of `rounds` chained folds —
     // identical for trained rule lists (BpeSpec's drop-in contract)
     // and it keeps the plan tree flat (the fold chain was ~4^rounds
@@ -279,9 +310,10 @@ object Bpe {
     require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
     val spark = docs.sparkSession
     import spark.implicits._
-    val rules = trainRules(charVocab(docs, textCol), rounds,
-        withMass = false)
-      .map(r => (r._2, r._3))
+    // fast driver-side trainer (rule-for-rule = the distributed one,
+    // FastTrainerSpec): one bounded census collect instead of `rounds`
+    // distributed census jobs
+    val rules = trainFastFromVocab(charVocab(docs, textCol), rounds)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("t"))
       .where(size(col("t")) > 0)

@@ -36,10 +36,11 @@ import scala.collection.mutable
 object FastTrainers {
 
   /** One trained merge: (round 1-based, x, y, weighted pair count,
-    * WordPiece score — NaN for the BPE trainer).
+    * WordPiece score — NaN for the BPE trainer, post-merge symbol mass
+    * Σ weight·|s| — the distributed trainer's `mass_after`).
     */
   final case class Rule(round: Long, x: String, y: String, n: Long,
-                        score: Double)
+                        score: Double, massAfter: Long)
 
   /** Training result: the merge rules in rank order plus the census's
     * FINAL post-merge symbol sequences (aligned with the input order —
@@ -183,6 +184,12 @@ object FastTrainers {
       }
     }
     // ---- the merge loop ----
+    // running Σ weight·|s| — updated per rewrite so each rule can carry
+    // the exact post-merge mass (the distributed trainer recomputes it
+    // with a full aggregate per round)
+    var mass = 0L
+    i = 0
+    while (i < words.length) { mass += weights(i) * words(i).length; i += 1 }
     val rules = mutable.ArrayBuffer.empty[Rule]
     var r = 1
     var done = pc.isEmpty
@@ -235,8 +242,6 @@ object FastTrainers {
       }
       val x = (bk >>> 32).toInt
       val y = (bk & 0xFFFFFFFFL).toInt
-      rules += Rule(r.toLong, syms(x), syms(y), bn,
-        if (byScore) bestScore else Double.NaN)
       val xy = intern(syms(x) + syms(y))
       // rewrite every word that may contain (x, y): full-word delta —
       // retract the word's pairs/units, greedy-LTR merge, re-add.
@@ -274,6 +279,7 @@ object FastTrainers {
                 } else { out += w(j); j += 1 }
               }
               val nw = out.toArray
+              mass -= wt * (w.length - nw.length)
               words(widx) = nw
               j = 0
               while (j < nw.length) {
@@ -286,6 +292,8 @@ object FastTrainers {
           ci += 1
         }
       }
+      rules += Rule(r.toLong, syms(x), syms(y), bn,
+        if (byScore) bestScore else Double.NaN, mass)
       done = pc.isEmpty
       r += 1
     }

@@ -79,6 +79,21 @@ object WordPiece {
     rules.toDF("merge_round", "x", "y", "pair_n", "score")
   }
 
+  /** [[train]]'s exact output computed by the fast driver-side trainer
+    * ([[FastTrainers.trainWordPiece]]): ONE census collect replaces the
+    * per-round distributed pair+unit censuses. Value-identical by
+    * FastTrainerSpec's rule-for-rule (and score-for-score) pin; the
+    * distributed [[train]] stays as the spec's reference implementation.
+    */
+  def trainFast(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    FastTrainers.trainWordPiece(
+        Bpe.collectVocab(Bpe.charVocab(docs, textCol)), rounds)
+      .rules.map(r => (r.round, r.x, r.y, r.n, r.score))
+      .toDF("merge_round", "x", "y", "pair_n", "score")
+  }
+
   /** PRODUCTION-SCALE training ([[FastTrainers.trainWordPiece]]):
     * collect the content-bounded census once ([[Bpe.collectVocab]]),
     * run the score-argmax merge loop driver-side with per-merge delta

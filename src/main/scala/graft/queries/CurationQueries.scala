@@ -189,8 +189,10 @@ object CurationQueries {
     // dependency of round r on rounds 1..r-1. See llm/Bpe for the
     // per-round shape (vocab-collapsed census, one-row argmax collect,
     // per-row greedy fold rewrite).
+    // r16: trained by the fast driver-side loop (one census collect,
+    // rule-for-rule = the distributed reference — FastTrainerSpec)
     "q272_bpe_merge_rounds" -> ((s, dir) =>
-      graft.llm.Bpe.train(Tables.documents(s, dir), "text", 8)),
+      graft.llm.Bpe.trainFast(Tables.documents(s, dir), "text", 8)),
 
     // Tokenizer application: replay q272's 8 learned merges over the
     // distinct-word table and report per-source compression (chars per
@@ -1237,7 +1239,9 @@ object CurationQueries {
     "q316_bpe_train_segments" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), injectPretok(col("text")).as("text"))
-      graft.llm.Bpe.trainFromVocab(
+      // r16: fast driver-side trainer (one census collect; rule-for-rule
+      // = the distributed reference — FastTrainerSpec)
+      graft.llm.Bpe.trainFromVocabFast(
         graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 8)
     }),
 
@@ -1252,15 +1256,14 @@ object CurationQueries {
     // q316's round chain feeds a rank map into the q310-style
     // recursive apply.
     "q317_trained_tokenizer_apply" -> ((s, dir) => {
-      import s.implicits._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           injectPretok(col("text")).as("text"))
-      val rules = graft.llm.Bpe.trainFromVocab(
-          graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 8)
-        .orderBy(col("merge_round"))
-        .select(col("x"), col("y"))
-        .as[(String, String)].collect().toSeq
+      // r16: fast driver-side trainer returns the rank-ordered (x, y)
+      // list directly (rule-for-rule = the distributed reference —
+      // FastTrainerSpec); one census collect instead of 8 round jobs
+      val rules = graft.llm.Bpe.trainFastFromVocab(
+        graft.llm.Bpe.segmentVocabBytes(docs, "text"), rounds = 8)
       val sw = docs.select(col("source"),
           explode(graft.llm.PreTokenize.gptSegments(col("text")))
             .as("w"))
@@ -1401,8 +1404,10 @@ object CurationQueries {
     // double division of exact longs, identical cross-engine. The
     // oracle replays pair census + unit census + score argmax +
     // greedy rewrite per round.
+    // r16: fast driver-side trainer (one census collect, rule-for-rule
+    // and score-for-score = the distributed reference — FastTrainerSpec)
     "q323_wordpiece_train" -> ((s, dir) =>
-      graft.llm.WordPiece.train(Tables.documents(s, dir), "text",
+      graft.llm.WordPiece.trainFast(Tables.documents(s, dir), "text",
         rounds = 8)),
 
     // The CLOSED WordPiece lifecycle: q323's trained state implies the
@@ -1414,8 +1419,10 @@ object CurationQueries {
     // greedy scan position by position over distinct words.
     "q324_wordpiece_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (_, vocab) = graft.llm.WordPiece.trainWithVocab(docs, "text",
-        rounds = 8)
+      // r16: fast driver-side trainer (rules + derived piece vocabulary
+      // pinned to the distributed trainWithVocab — FastTrainerSpec)
+      val (_, vocab) = graft.llm.WordPiece.trainFastWithVocab(
+        graft.llm.Bpe.charVocab(docs, "text"), rounds = 8)
       graft.llm.WordPiece.applyStats(docs, "text", "source", vocab)
     }),
 
@@ -1664,8 +1671,10 @@ object CurationQueries {
     // scan, ranks the piece ids identically, and reassembles per doc.
     "q332_wordpiece_ids" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (_, pieces) = graft.llm.WordPiece.trainWithVocab(docs, "text",
-        rounds = 8)
+      // r16: fast driver-side trainer (piece vocabulary pinned to the
+      // distributed trainWithVocab — FastTrainerSpec)
+      val (_, pieces) = graft.llm.WordPiece.trainFastWithVocab(
+        graft.llm.Bpe.charVocab(docs, "text"), rounds = 8)
       // vocab.txt line order = id order, sorted in UTF-8 byte order —
       // the same ORDER BY piece the oracle ranks with
       val ordered = Seq("[UNK]", "[SEP]") ++

@@ -23,16 +23,22 @@ class FastTrainerSpec extends AnyFunSuite {
       ((col("doc_id") * 2654435761L) % 100000L).cast("string")).as("text"))
 
   test("fast BPE == distributed trainFromVocab, rule-for-rule with " +
-      "counts, on the byte-level segment census (8 rounds)") {
+      "counts AND post-merge mass, on the byte-level segment census " +
+      "(8 rounds)") {
     val wv = Bpe.segmentVocabBytes(enriched, "text")
     val slow = Bpe.trainFromVocab(wv, rounds = 8)
-      .select(col("merge_round"), col("x"), col("y"), col("pair_n"))
-      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .select(col("merge_round"), col("x"), col("y"), col("pair_n"),
+        col("mass_after"))
+      .as[(Long, String, String, Long, Long)].collect().toSeq.sortBy(_._1)
     val fast = FastTrainers.trainBpe(Bpe.collectVocab(wv), rounds = 8)
-      .rules.map(r => (r.round, r.x, r.y, r.n))
+      .rules.map(r => (r.round, r.x, r.y, r.n, r.massAfter))
     assert(fast === slow)
-    // ... and the (x, y) face used by encodeIdsWith matches too
-    assert(Bpe.trainFastFromVocab(wv, 8) === slow.map(t => (t._2, t._3)))
+    // ... and the two DataFrame/rule faces the queries consume match too
+    assert(Bpe.trainFastFromVocab(wv, 8) ===
+      slow.map(t => (t._2, t._3)))
+    val fastDf = Bpe.trainFromVocabFast(wv, 8)
+      .as[(Long, String, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(fastDf === slow)
   }
 
   test("fast WordPiece == distributed train, rule-for-rule with the " +
