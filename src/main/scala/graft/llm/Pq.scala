@@ -194,7 +194,6 @@ object Pq {
                     cb: Seq[(Int, Int, Seq[Long])], corpus: DataFrame,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, maxProbe: Int, refine: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxProbe >= 1 && refine >= k + 1,
       s"need maxProbe >= 1 and refine >= k+1: $maxProbe, $refine")
     val brute = Similarity.knnBruteForce(corpus, queries, idCol,
@@ -232,44 +231,46 @@ object Pq {
             / (col("qnrm") * sqrt(col("pnrm2").cast("double"))), 6))
           .as("score_pq"))
       .transform(graft.core.Caching.persist)
-    // exact rerank of an ADC-preselected set: join original vectors
-    // back for the refine candidates only
+    // the whole curve in ONE pass per ranking (r16, the
+    // Similarity.curveHits shape): candidates explode to every probe
+    // budget np >= their probe rank; the ADC ranking, the refine
+    // selection, and the exact rerank each run once over the composite
+    // (query, np) key instead of once per curve point — identical
+    // values (same rows, same order inside every group).
     val mvs = ix.lists.select(col("member").as("nn_id"),
       col("mv").as("nv"))
-    def hitsOf(sel: DataFrame): DataFrame =
-      sel.join(brute, Seq("vec_id", "nn_id"), "left_semi")
-        .agg(count(lit(1)).cast("long").as("hits"))
-    def topSelfDropped(d: DataFrame, kk: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("rnk"))
-      Similarity.topKPerQuery(d, kk + 1)
-        .where(col("nn_id") =!= col("vec_id"))
-        .withColumn("rr", row_number().over(w))
-        .where(col("rr") <= kk)
-        .select(col("vec_id"), col("nn_id"))
-    }
-    (1 to maxProbe).map { np =>
-      val candNp = cand.where(col("pr") <= np)
-        .select(col("vec_id"), col("nn_id"),
-          col("score_pq").as("score"))
-      val pqHits = hitsOf(topSelfDropped(candNp, k))
-      val pre = Similarity.topKPerQuery(candNp, refine)
-        .select(col("vec_id"), col("nn_id"))
-      val exact = pre.join(mvs, "nn_id")
-        .join(q.select(col("vec_id"), col("v")), "vec_id")
-        .select(col("vec_id"), col("nn_id"),
-          round(Similarity.cosine(col("v"), col("nv")), 6).as("score"))
-      val rrHits = hitsOf(topSelfDropped(exact, k))
-      pqHits.select(col("hits").as("hp"))
-        .crossJoin(broadcast(rrHits.select(col("hits").as("hr"))))
-        .crossJoin(broadcast(
-          brute.agg(count(lit(1)).cast("long").as("possible"))))
-        .select(lit(np.toLong).as("nprobe"), lit(nq).as("n_queries"),
-          col("possible"),
-          (col("hp").cast("double") / col("possible").cast("double"))
-            .as("recall_pq"),
-          (col("hr").cast("double") / col("possible").cast("double"))
-            .as("recall_rerank"))
-    }.reduce(_ unionAll _)
+    val ex = cand.withColumn("np",
+      explode(sequence(col("pr"), lit(maxProbe.toLong))))
+    val hp = Similarity.curveHits(ex.select(col("vec_id"), col("nn_id"),
+      col("np"), col("score_pq").as("score")), brute, k, maxProbe, "hp")
+    // exact rerank of the ADC top-`refine` per (query, np): one
+    // composite-key topK selects the refine set for ALL curve points,
+    // original vectors join back once, and the reranked hits run the
+    // same one-pass tail
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(maxProbe.toLong)
+    val mask = (1L << bits) - 1L
+    val pre = Similarity.topKPerQuery(ex.select(
+        shiftleft(col("vec_id").cast("long"), bits)
+          .bitwiseOR(col("np")).as("vec_id"),
+        col("nn_id"), col("score_pq").as("score")), refine)
+      .select(shiftright(col("vec_id"), bits).as("vec_id"),
+        col("vec_id").bitwiseAND(lit(mask)).as("np"), col("nn_id"))
+    val exact = pre.join(mvs, "nn_id")
+      .join(q.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id"), col("nn_id"), col("np"),
+        round(Similarity.cosine(col("v"), col("nv")), 6).as("score"))
+    val hr = Similarity.curveHits(exact, brute, k, maxProbe, "hr")
+    queries.sparkSession.range(1L, maxProbe + 1L)
+      .select(col("id").as("np"))
+      .join(hp, Seq("np"), "left").join(hr, Seq("np"), "left")
+      .crossJoin(broadcast(
+        brute.agg(count(lit(1)).cast("long").as("possible"))))
+      .select(col("np").as("nprobe"), lit(nq).as("n_queries"),
+        col("possible"),
+        (coalesce(col("hp"), lit(0L)).cast("double")
+          / col("possible").cast("double")).as("recall_pq"),
+        (coalesce(col("hr"), lit(0L)).cast("double")
+          / col("possible").cast("double")).as("recall_rerank"))
   }
 
   /** Persist a PQ index (codebooks + encoded lists + the coarse

@@ -649,31 +649,56 @@ object Similarity {
   def ivfRecallCurve(ix: IvfIndex, corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      maxProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxProbe >= 1, s"maxProbe must be >= 1: $maxProbe")
     val brute = knnBruteForce(corpus, queries, idCol, vecCol, k)
       .select(col("query_id").as("vec_id"),
         col("neighbor_id").as("nn_id"))
       .transform(graft.core.Caching.persist)
     val nq = queries.select(col(idCol)).distinct().count()
-    (1 to maxProbe).map { np =>
-      // k+1 then drop self then re-rank: an exact self-match occupies
-      // one slot at score 1, never a neighbor slot
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("rnk"))
-      val ivf = ivfQuery(ix, queries, idCol, vecCol, np, k + 1)
-        .where(col("nn_id") =!= col("vec_id"))
-        .withColumn("rr", row_number().over(w))
-        .where(col("rr") <= k)
-        .select(col("vec_id"), col("nn_id"))
-      ivf.join(brute, Seq("vec_id", "nn_id"), "left_semi")
-        .agg(count(lit(1)).cast("long").as("hits"))
-        .crossJoin(broadcast(
-          brute.agg(count(lit(1)).cast("long").as("possible"))))
-        .select(lit(np.toLong).as("nprobe"),
-          lit(nq).as("n_queries"), col("hits"), col("possible"),
-          (col("hits").cast("double") / col("possible").cast("double"))
-            .as("recall"))
-    }.reduce(_ unionAll _)
+    // ONE probe ranking at maxProbe + ONE candidate-scoring pass; every
+    // curve point is the probe-rank-≤np slice (nprobe-np candidates ARE
+    // the rank-≤np prefix of the maxProbe probes — same ordering, same
+    // tie rules), and the whole curve's ranking tail runs once through
+    // [[curveHits]] instead of once per point (r16: 3 shuffle chains
+    // per point → 1 total).
+    val q = embVectors(queries, idCol, vecCol)
+    val scored = q.crossJoin(broadcast(ix.cents))
+      .select(col("vec_id"), col("cid").as("nn_id"),
+        coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0))
+          .as("score"))
+    val probes = topKByQuery(scored, maxProbe, withRank = true)
+      .select(col("vec_id"), col("nn_id").as("cid"),
+        col("rnk").as("pr"))
+    // ivfQuery's exact two scoring branches, with the probe rank kept
+    val cand = if (ix.lists.columns.contains("mq")) {
+      val qq = q.select(col("vec_id"),
+          quantizeInt8(col("v"), int8Scale(col("v"))).as("qv"))
+        .withColumn("qnrm", sqrt(intDot(col("qv"), col("qv"))
+          .cast("double")))
+      probes.join(ix.lists, "cid").join(qq, "vec_id")
+        .select(col("vec_id"), col("member").as("nn_id"), col("pr"),
+          when(col("qnrm") === 0.0 || col("mnrm") === 0.0,
+            lit(null).cast("double"))
+            .otherwise(round(intDot(col("qv"), col("mq")).cast("double")
+              / (col("qnrm") * col("mnrm")), 6)).as("score"))
+    } else {
+      probes.join(ix.lists, "cid")
+        .join(q.select(col("vec_id"), col("v")), "vec_id")
+        .select(col("vec_id"), col("member").as("nn_id"), col("pr"),
+          round(cosine(col("v"), col("mv")), 6).as("score"))
+    }
+    val ex = cand.withColumn("np",
+      explode(sequence(col("pr"), lit(maxProbe.toLong))))
+    val h = curveHits(ex, brute, k, maxProbe, "h")
+    queries.sparkSession.range(1L, maxProbe + 1L)
+      .select(col("id").as("np"))
+      .join(h, Seq("np"), "left")
+      .crossJoin(broadcast(
+        brute.agg(count(lit(1)).cast("long").as("possible"))))
+      .select(col("np").as("nprobe"), lit(nq).as("n_queries"),
+        coalesce(col("h"), lit(0L)).as("hits"), col("possible"),
+        (coalesce(col("h"), lit(0L)).cast("double")
+          / col("possible").cast("double")).as("recall"))
   }
 
   /** [[ivfRecallCurve]] for the float index AND its [[ivfQuantize]]d
@@ -694,7 +719,6 @@ object Similarity {
                          queries: DataFrame, idCol: String,
                          vecCol: String, k: Int,
                          maxProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxProbe >= 1, s"maxProbe must be >= 1: $maxProbe")
     require(!ix.lists.columns.contains("mq"),
       "takes the FLOAT index; the int8 side is derived internally " +
@@ -729,34 +753,70 @@ object Similarity {
           .otherwise(round(intDot(col("qv"), col("mq")).cast("double")
             / (col("qnrm") * col("mnrm")), 6)).as("score_i"))
       .transform(graft.core.Caching.persist)
-    // ivfRecallCurve's exact ranking tail: k+1, drop self, re-rank to k
-    def hits(scoreCol: String, np: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("rnk"))
-      topKByQuery(cand.where(col("pr") <= np)
-          .select(col("vec_id"), col("nn_id"),
-            col(scoreCol).as("score")), k + 1, withRank = true)
-        .where(col("nn_id") =!= col("vec_id"))
-        .withColumn("rr", row_number().over(w))
-        .where(col("rr") <= k)
-        .select(col("vec_id"), col("nn_id"))
-        .join(brute, Seq("vec_id", "nn_id"), "left_semi")
-        .agg(count(lit(1)).cast("long").as("hits"))
-    }
-    (1 to maxProbe).map { np =>
-      hits("score_f", np).select(col("hits").as("hf"))
-        .crossJoin(broadcast(hits("score_i", np)
-          .select(col("hits").as("hi"))))
-        .crossJoin(broadcast(
-          brute.agg(count(lit(1)).cast("long").as("possible"))))
-        .select(lit(np.toLong).as("nprobe"), lit(nq).as("n_queries"),
-          col("possible"),
-          (col("hf").cast("double") / col("possible").cast("double"))
-            .as("recall_float"),
-          (col("hi").cast("double") / col("possible").cast("double"))
-            .as("recall_int8"))
-        .withColumn("recall_delta",
-          col("recall_int8") - col("recall_float"))
-    }.reduce(_ unionAll _)
+    // the whole curve's ranking tail in ONE pass per score type (r16):
+    // each candidate explodes to every probe budget np >= its probe
+    // rank, and [[curveHits]] ranks all (query, np) groups in one
+    // bounded topK instead of one chain per curve point — identical
+    // values (same rows, same order inside every group).
+    val ex = cand.withColumn("np",
+      explode(sequence(col("pr"), lit(maxProbe.toLong))))
+    val hf = curveHits(ex.select(col("vec_id"), col("nn_id"), col("np"),
+      col("score_f").as("score")), brute, k, maxProbe, "hf")
+    val hi = curveHits(ex.select(col("vec_id"), col("nn_id"), col("np"),
+      col("score_i").as("score")), brute, k, maxProbe, "hi")
+    queries.sparkSession.range(1L, maxProbe + 1L)
+      .select(col("id").as("np"))
+      .join(hf, Seq("np"), "left").join(hi, Seq("np"), "left")
+      .crossJoin(broadcast(
+        brute.agg(count(lit(1)).cast("long").as("possible"))))
+      .select(col("np").as("nprobe"), lit(nq).as("n_queries"),
+        col("possible"),
+        (coalesce(col("hf"), lit(0L)).cast("double")
+          / col("possible").cast("double")).as("recall_float"),
+        (coalesce(col("hi"), lit(0L)).cast("double")
+          / col("possible").cast("double")).as("recall_int8"))
+      .withColumn("recall_delta",
+        col("recall_int8") - col("recall_float"))
+  }
+
+  /** Per-(query, nprobe) top-k hits against the brute truth for a WHOLE
+    * recall curve in ONE ranking pass (r16): `ex` carries one row per
+    * (vec_id, nn_id, np, score) — each candidate exploded to every
+    * probe budget np in [its probe rank, maxProbe] — and rides the
+    * TopKAggregator under a composite bit-packed (vec_id, np) key, so
+    * the curve pays ONE bounded topK shuffle + ONE re-rank window + ONE
+    * brute semi-join instead of one of each per curve point. Ranking
+    * inside a (vec_id, np) group sees exactly the pr <= np candidate
+    * set in the same (score DESC, nn_id) total order, so the hits are
+    * bit-identical to the per-point loop. Key packing needs
+    * |vec_id| < 2^(63−bits), bits = ⌈log2(maxProbe+1)⌉ — the
+    * [[labeledTopK]] id-domain charter. The k+1 / drop-self / re-rank
+    * tail is [[ivfRecallCurve]]'s: an exact self-match occupies one
+    * slot at score 1, never a neighbor slot.
+    *
+    * @return (np, `hitsName`) — nps with zero hits are ABSENT (callers
+    *         left-join the full 1..maxProbe range and coalesce to 0)
+    */
+  private[llm] def curveHits(ex: DataFrame, brute: DataFrame, k: Int,
+                             maxProbe: Int,
+                             hitsName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(maxProbe.toLong)
+    val mask = (1L << bits) - 1L
+    val keyed = ex.select(
+      shiftleft(col("vec_id").cast("long"), bits)
+        .bitwiseOR(col("np")).as("vec_id"),
+      col("nn_id"), col("score"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("rnk"))
+    topKByQuery(keyed, k + 1, withRank = true)
+      .where(col("nn_id") =!= shiftright(col("vec_id"), bits))
+      .withColumn("rr", row_number().over(w))
+      .where(col("rr") <= k)
+      .select(shiftright(col("vec_id"), bits).as("vec_id"),
+        col("vec_id").bitwiseAND(lit(mask)).as("np"), col("nn_id"))
+      .join(brute, Seq("vec_id", "nn_id"), "left_semi")
+      .groupBy(col("np"))
+      .agg(count(lit(1)).cast("long").as(hitsName))
   }
 
   private def embVectors(emb: DataFrame, idCol: String,

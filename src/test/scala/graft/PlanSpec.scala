@@ -269,25 +269,25 @@ class PlanSpec extends AnyFunSuite {
       "q302_bpe_apply_external" -> 3,
       "q303_external_token_ids" -> 1,
       // q305 = lists build agg + probe-ranking agg + rerank agg (the
-      // quantizer broadcasts); q306's 25 = the brute ranking + 4 curve
-      // points x (probe agg + rerank + re-rank window + semi join +
-      // hit/possible aggs) — a diagnostic query, each point bounded by
-      // the probe set
+      // quantizer broadcasts); q306's 8 (was 25 as a per-point loop) =
+      // brute ranking + one probe ranking + ONE exploded-by-np
+      // rank/verify tail over the whole curve (r16 curveHits)
       "q305_ivf_index_query" -> 3,
-      "q306_ivf_recall_curve" -> 25,
+      "q306_ivf_recall_curve" -> 8,
       // round-14 additions (observed exactly, cold cache): q309/q311
       // = the one per-source rollup (segmentation itself is a narrow
       // map); q310's 2 = distinct-segment encode agg + per-doc
       // reassembly (ids ride the external map, no vocab collect);
-      // q312's 31 (was 50 as two full curves) = one probe ranking +
-      // one dual-scored candidate pass + 4 points x 2 bounded
-      // rank/verify tails over the persisted candidates;
+      // q312's 11 (was 50 as two full curves, 31 as the dual pass with
+      // a per-point tail) = one probe ranking + one dual-scored
+      // candidate pass + ONE exploded-by-np rank/verify tail per score
+      // type (r16 curveHits);
       // q313 = k-means recompute aggs + assignment agg + rerank;
       // q314 = q310's 2 + the one packing re-layout agg
       "q309_gpt_pretokenize" -> 1,
       "q310_vocab_json_ids" -> 2,
       "q311_detok_roundtrip" -> 1,
-      "q312_ivf_quantized_recall" -> 31,
+      "q312_ivf_quantized_recall" -> 11,
       "q313_ivf_kmeans" -> 3,
       "q314_packed_production" -> 3,
       // q315 = q310's 2 + the per-source economics rollup (the
@@ -297,13 +297,12 @@ class PlanSpec extends AnyFunSuite {
       "q318_packed_loader" -> 3,
       // round-15: q319 = q310's 2 (special split + bypass are narrow
       // per-row expressions — no extra shuffle over the plain encode);
-      // q320 = 4 subspace k-means recomputes + probe ranking + the one
-      // dual-scored candidate pass + 4 points x (ADC rank + refine
-      // rank + exact-rerank joins + hit aggs) over persisted
-      // candidates — same diagnostic-readout charter as q312
+      // q320's 13 (was 39/30 with a per-point tail) = the joint
+      // codebook recompute + probe ranking + the one ADC-scored
+      // candidate pass + ONE exploded-by-np tail for the ADC ranking
+      // and ONE for the refine/exact rerank (r16 curveHits)
       "q319_special_tokens" -> 2,
-      // (30 after the r16 trim to 3 probe points — was 39 at 4)
-      "q320_ivf_pq_recall" -> 30,
+      "q320_ivf_pq_recall" -> 13,
       // q321 = census agg + seed agg + intermediate E-step agg + the
       // final distributed E-step/singles/anti-join/total aggs
       "q321_unigram_train" -> 4,
