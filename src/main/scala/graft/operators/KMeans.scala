@@ -48,19 +48,20 @@ object KMeans {
 
   /** One assignment pass: per-row argmin over the broadcast centroid
     * literal. `centroids` are (cid, coords) with coords.length = d.
-    * Ascending-cid fold with strict `<` ⇒ ties keep the lowest cid.
+    * `array_min` over (d, c) structs — lexicographic struct compare =
+    * smallest distance, ties to the LOWEST cid, exactly the ascending
+    * strict-`<` scan (r16: the previous when-fold referenced its
+    * accumulator twice per centroid, doubling the expression tree per
+    * centroid — 2^k nodes; this is linear in k, same values).
     */
-  private def assignExpr(qv: Column, centroids: Seq[(Long, Seq[Long])]): Column = {
-    val start = struct(lit(Long.MaxValue).as("d"), lit(-1L).as("c"))
-    val best = centroids.sortBy(_._1).foldLeft(start) { case (acc, (cid, coords)) =>
-      val dist = aggregate(
-        zip_with(qv, typedlit(coords), (a, b) => (a - b) * (a - b)),
-        lit(0L), (s, v) => s + v)
-      when(dist < acc.getField("d"), struct(dist.as("d"), lit(cid).as("c")))
-        .otherwise(acc)
-    }
-    best
-  }
+  private def assignExpr(qv: Column, centroids: Seq[(Long, Seq[Long])]): Column =
+    array_min(array(centroids.sortBy(_._1).map { case (cid, coords) =>
+      struct(
+        aggregate(
+          zip_with(qv, typedlit(coords), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, v) => s + v).as("d"),
+        lit(cid).as("c"))
+    }: _*))
 
   /** Run `iters` assignment passes (centroids recomputed between passes,
     * not after the last). Returns the final assignment:
@@ -126,11 +127,12 @@ object KMeans {
       .select(col(idCol).cast("long").as("vec_id"), quantize(col(vecCol)).as("qv"))
       // consumed once per assignment pass + once per recompute
       .transform(graft.core.Caching.persist)
-    val d = q.select(size(col("qv"))).head().getInt(0)
-
     // seeds: the k smallest vec_ids' quantized vectors (tiny sorted take)
     var centroids: Seq[(Long, Seq[Long])] = q.orderBy("vec_id").limit(k)
       .as[(Long, Seq[Long])].collect().toSeq
+    // dims from the seed rows — one fewer driver job than a head() on q
+    // (empty input fails on the same seed collect either way)
+    val d = centroids.head._2.length
 
     var pass = 1
     while (pass < iters) {
