@@ -352,8 +352,18 @@ object EvalQueries {
     // mass via the self-term.
     "q258_markov_stationary" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // the transition matrix is |types|²-BOUNDED (event types are an
+      // enum, not a scaling dimension), so the power iteration runs
+      // DRIVER-SIDE on the collected matrix (the q259 charter) instead
+      // of ~18 tiny shuffle stages: one windowed corpus pass collects
+      // the matrix, one column-pruned pass the type list. Exact BigInt
+      // replays the DECIMAL(38,0) DIV arithmetic term for term —
+      // truncating division of non-negative operands, per-term division
+      // THEN the sum — so every value is bit-identical to the
+      // distributed form the oracle mirrors.
       val trans = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("from_type"),
@@ -361,35 +371,29 @@ object EvalQueries {
         .where(col("to_type").isNotNull)
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("c"))
-        .transform(graft.core.Caching.persist)
+        .as[(String, String, Long)].collect()
       val types = Tables.events(s, dir)
-        .select(col("event_type")).distinct()
-      val rowSums = trans.groupBy(col("from_type"))
-        .agg(sum(col("c")).as("r"))
-      val nTypes = types.agg(count(lit(1)).as("nt"))
-      val x0 = types.crossJoin(broadcast(nTypes))
-        .select(col("event_type"),
-          expr("CAST(1000000000000 AS DECIMAL(38,0)) DIV nt").as("x"))
-      def step(x: DataFrame): DataFrame = {
-        val flow = x.join(trans, x("event_type") === trans("from_type"))
-          .join(rowSums, "from_type")
-          .groupBy(col("to_type"))
-          .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * c DIV r")).as("xin"))
-          .withColumnRenamed("to_type", "event_type")
-        val absorbing = x.join(rowSums,
-            x("event_type") === rowSums("from_type"), "left_anti")
-          .select(col("event_type"), col("x").as("xself"))
-        x.select(col("event_type"))
-          .join(flow, Seq("event_type"), "left")
-          .join(absorbing, Seq("event_type"), "left")
-          .select(col("event_type"),
-            (coalesce(col("xin"), lit(0L))
-              + coalesce(col("xself"), lit(0L))).as("x"))
+        .select(col("event_type")).distinct().as[String].collect()
+      require(types.length <= 65536,
+        s"event-type domain must be bounded: ${types.length}")
+      val rowSums: Map[String, Long] =
+        trans.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+      val nt = types.length
+      var x: Map[String, BigInt] =
+        types.iterator.map(t => t -> BigInt(1000000000000L) / nt).toMap
+      (1 to 3).foreach { _ =>
+        val xin = scala.collection.mutable.Map.empty[String, BigInt]
+        trans.foreach { case (f, t, c) =>
+          xin(t) = xin.getOrElse(t, BigInt(0)) + x(f) * c / rowSums(f)
+        }
+        x = types.iterator.map { t =>
+          val xself = if (rowSums.contains(t)) BigInt(0) else x(t)
+          t -> (xin.getOrElse(t, BigInt(0)) + xself)
+        }.toMap
       }
-      val x3 = step(step(step(x0)))
-      x3.join(rowSums, x3("event_type") === rowSums("from_type"), "left")
-        .select(col("event_type"), coalesce(col("r"), lit(0L)).as("n_out"),
-          (col("x").cast("double") / lit(1e12)).as("p3"))
+      types.toSeq
+        .map(t => (t, rowSums.getOrElse(t, 0L), x(t).toDouble / 1e12))
+        .toDF("event_type", "n_out", "p3")
     }))
 
   def oracles: Map[String, String] = Map(
