@@ -47,6 +47,20 @@ object Caching {
     p
   }
 
+  /** [[persist]] + EAGER cache fill (one count pass at full cluster
+    * parallelism) — for intermediates consumed by BOTH sides of a
+    * self-join. AQE submits the two join-side map stages concurrently,
+    * and both find the cache cold: each recomputes the full input
+    * pipeline (measured on q166: two concurrent ~3.7 s fill jobs where
+    * one ~1.9 s fill + two cheap cache reads do the same work). The
+    * count is the fill; everything downstream reads the cache.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val p = persist(df)
+    p.count()
+    p
+  }
+
   /** Run `body`, then unpersist every operator cache acquired inside
     * it (in a `finally` — failures release too). Returns `body`'s
     * result.

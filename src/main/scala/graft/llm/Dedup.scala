@@ -138,7 +138,10 @@ object Dedup {
     require(maxHamming <= 3, "4 bands guarantee recall only for distance <= 3")
     val hashed = docs
       .select(col(idCol).as("doc_id"), simhash(tokens(col(textCol)), 64).as("sh"))
-      .transform(graft.core.Caching.persist)
+      // materialize, not just persist: the guard's self-join sides and
+      // the two attribute joins are submitted concurrently and would
+      // each recompute the cold simhash pass (r16 JobProfile)
+      .transform(graft.core.Caching.materialize)
     val banded = hashed.select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("band"), col("sh"))
       .select(col("doc_id"), col("band"),
@@ -206,7 +209,11 @@ object Dedup {
     // is O(n·bands) narrow rows (ids + 32-char bucket), cheap to hold
     // and spillable at any scale.
     val banded = bandsFromShingles(sh, k, bands)
-      .transform(graft.core.Caching.persist)
+      // EAGER fill (r16): the guard's bucket census and the self-join's
+      // two map stages are submitted concurrently — a cold cache makes
+      // each recompute the signature pipeline; one count pass fills it
+      // (and the upstream `sh` cache) at full parallelism instead
+      .transform(graft.core.Caching.materialize)
     val cand = LshGuard.guardedCandidates(banded, Seq("band", "bucket"),
         "doc_id", maxBucket, ordered = true)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -248,7 +255,9 @@ object Dedup {
     def prep(d: DataFrame) = d.select(col(idCol).as("doc_id"),
         shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .transform(graft.core.Caching.persist)
+      // eager fill: the band build and the capped join consume each
+      // side from concurrent stages (r16)
+      .transform(graft.core.Caching.materialize)
     val refSh = prep(refDocs)
     val newSh = prep(newDocs)
     val refB = bandsFromShingles(refSh, k, bands)
@@ -295,8 +304,9 @@ object Dedup {
     val d = docs.select(col(partitionCol).as("grp"), col(idCol).as("doc_id"),
         shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      // consumed twice (sizes + exploded index): materialize one pass
-      .transform(graft.core.Caching.persist)
+      // consumed twice (sizes + exploded index) by CONCURRENT stages:
+      // eager fill, or each map stage recomputes the shingle pass (r16)
+      .transform(graft.core.Caching.materialize)
     val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
     val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"),
@@ -364,8 +374,9 @@ object Dedup {
     val d = docs.select(col(partitionCol).as("grp"), col(idCol).as("doc_id"),
         shinglesText(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      // consumed three times: df counts, prefix build, exact verify
-      .transform(graft.core.Caching.persist)
+      // consumed three times (df counts, prefix build, exact verify) by
+      // concurrent stages: eager fill (r16)
+      .transform(graft.core.Caching.materialize)
     val ex = d.select(col("grp"), col("doc_id"), explode(col("sh")).as("s"))
     // document frequency per (group, token): the order key. Rarest-first
     // prefixes make candidate buckets as small as possible; ties break on

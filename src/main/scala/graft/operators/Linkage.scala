@@ -120,7 +120,11 @@ object Linkage {
       .select(col(idCol) +: blockCols.map(col) :+
         explode(DeletionBandExpr(col(nameCol), bandPrefix, bandFromEnd))
           .as("band"): _*)
-      .transform(graft.core.Caching.persist)
+      // materialize, not just persist: the self-join's two map stages
+      // are submitted concurrently and would EACH recompute the cold
+      // variant explode (r16 JobProfile: 2 × 3.7 s concurrent fills →
+      // one 1.9 s fill + cached reads)
+      .transform(graft.core.Caching.materialize)
     maxBucket match {
       case Some(cap) =>
         // opt-in star-cap: the same LshGuard every LSH band join runs —

@@ -404,6 +404,10 @@ object AnalyticQueries {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
         .distinct()
+        // plain persist, NOT the eager materialize: the basket build is
+        // one broadcast join + distinct, and the measured extra count
+        // pass cost more than the consumer race (r16: 2.69 → 2.91 s
+        // eager, reverted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // basket total as a broadcast 1-row aggregate (the q143/q138
       // pattern), not a separate count() action — the whole query bills

@@ -115,6 +115,10 @@ object CorpusQueries {
       val cd = graft.llm.ChunkDedup
         .chunkMembership(docs, "doc_id", "text", 20, 7)
         .select(col("chash"), col("doc_id")).distinct()
+        // plain persist, NOT the eager materialize: the chunk-hash fill
+        // is cheap, and the measured extra count pass cost more than
+        // the concurrent-consumer race it prevents (r16: 1.95 → 2.78 s
+        // eager, reverted)
         .transform(graft.core.Caching.persist)
       val shared = cd.groupBy(col("chash"))
         .agg(count(lit(1)).as("df"))
