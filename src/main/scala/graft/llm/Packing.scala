@@ -100,12 +100,14 @@ object Packing {
     * `Bpe.idBlocks` pads at doc boundaries).
     *
     * Scale shape: each doc's global offset is one per-shard window
-    * cumsum over (doc_id, n_ids) rows (tiny — ids stay packed until
-    * the explode); the explode + (shard, block) aggregation is the
-    * linear reshuffle any physical re-layout of the token stream must
-    * pay, and it carries (shard, block, pos, id) longs only. Shard
-    * count is the parallelism knob — the same contract as
-    * [[packChunks]] (a window per shard, never a global sort).
+    * cumsum over (doc_id, n_ids) rows (tiny — ids stay packed the
+    * whole way); the (shard, block) aggregation is the linear
+    * reshuffle any physical re-layout of the token stream must pay,
+    * and it carries ONE (doc, block) row per id-array SLICE — never a
+    * row per token (r16: blockTokens× fewer exchange rows, the ids
+    * ride as packed arrays). Shard count is the parallelism knob — the
+    * same contract as [[packChunks]] (a window per shard, never a
+    * global sort).
     *
     * @param enc (doc_id, ids) — e.g. [[Bpe.encodeIds]] /
     *            [[Bpe.encodeIdsWith]] output
@@ -123,22 +125,51 @@ object Packing {
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .withColumn("ns", size(col("ids")).cast("long"))
       .withColumn("off", dupGuardedOffset(w))
-    off.select(col("shard"), col("doc_id"), col("off"),
-        posexplode(col("ids")))
-      .select(col("shard"), col("doc_id"),
-        (col("off") + col("pos")).as("gpos"), col("col").as("id"))
-      .groupBy(col("shard"),
-        expr(s"gpos div $blockTokens").as("block_id"))
-      .agg(count(lit(1)).cast("long").as("n_ids"),
+    // one SLICE row per (doc, block) instead of one row per TOKEN
+    // (r16): a doc's ids are contiguous in the stream, so the
+    // re-layout exchange carries blockTokens× fewer rows — the ids
+    // stay packed as arrays — and each block reassembles by sorting
+    // its disjoint slices by start offset. Values are identical: the
+    // flattened slice order IS the gpos order.
+    docBlockSlices(off, blockTokens)
+      .groupBy(col("shard"), col("block_id"))
+      .agg(sum(size(col("sl"))).cast("long").as("n_ids"),
         countDistinct(col("doc_id")).cast("long").as("n_docs"),
         min(col("doc_id")).as("first_doc"),
-        sort_array(collect_list(struct(col("gpos"), col("id"))))
+        sort_array(collect_list(struct(col("gpos0"), col("sl"))))
           .as("ord"))
       .select(col("shard"), col("block_id"), col("n_ids"), col("n_docs"),
         col("first_doc"),
         TextFunctions.portableHash(
-          array_join(transform(col("ord.id"), i => i.cast("string")), ","),
+          array_join(transform(flatten(col("ord.sl")),
+            i => i.cast("string")), ","),
           31).as("block_hash"))
+  }
+
+  /** The (doc, block) slice rows behind [[packTokenBlocks]] /
+    * [[packTokenBlocksLoader]]: for each doc spanning blocks
+    * b0 = off div B .. b1 = (off+ns−1) div B, its id sub-array inside
+    * each block, with the slice's global start `gpos0` (unique per
+    * (block, doc) — slices of one block are disjoint ranges) and
+    * whether the slice carries the doc's FIRST token (`has_start`,
+    * the loader's attention-reset marker).
+    */
+  private def docBlockSlices(off: DataFrame,
+                             blockTokens: Int): DataFrame = {
+    val b = lit(blockTokens.toLong)
+    off.select(col("shard"), col("doc_id"), col("off"), col("ns"),
+        col("ids"),
+        explode(sequence(expr(s"off div $blockTokens"),
+          expr(s"(off + ns - 1) div $blockTokens"))).as("block_id"))
+      .select(col("shard"), col("doc_id"), col("block_id"), col("off"),
+        greatest(col("block_id") * b - col("off"), lit(0L)).as("s0"),
+        least(col("ns"), (col("block_id") + 1) * b - col("off")).as("s1"),
+        col("ids"))
+      .select(col("shard"), col("doc_id"), col("block_id"),
+        (col("off") + col("s0")).as("gpos0"),
+        slice(col("ids"), (col("s0") + 1).cast("int"),
+          (col("s1") - col("s0")).cast("int")).as("sl"),
+        (col("s0") === 0).as("has_start"))
   }
 
   /** [[packTokenBlocks]] with the two details a real pretraining
@@ -167,24 +198,23 @@ object Packing {
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .withColumn("ns", size(col("ids")).cast("long"))
       .withColumn("off", dupGuardedOffset(w))
-    off.select(col("shard"), col("doc_id"), col("off"),
-        posexplode(col("ids")))
-      .select(col("shard"), col("doc_id"),
-        (col("off") + col("pos")).as("gpos"), col("col").as("id"),
-        (col("pos") === 0).as("doc_start"))
-      .groupBy(col("shard"),
-        expr(s"gpos div $blockTokens").as("block_id"))
-      .agg(count(lit(1)).cast("long").as("n_ids"),
+    // (doc, block) slice rows, not per-token rows — see
+    // [[packTokenBlocks]]; the doc-start boundary is the slice that
+    // carries the doc's first token, at offset gpos0 mod blockTokens
+    docBlockSlices(off, blockTokens)
+      .groupBy(col("shard"), col("block_id"))
+      .agg(sum(size(col("sl"))).cast("long").as("n_ids"),
         countDistinct(col("doc_id")).cast("long").as("n_docs"),
         min(col("doc_id")).as("first_doc"),
-        sort_array(collect_list(struct(col("gpos"), col("id"))))
+        sort_array(collect_list(struct(col("gpos0"), col("sl"))))
           .as("ord"),
-        sort_array(collect_list(when(col("doc_start"),
-          pmod(col("gpos"), lit(blockTokens.toLong))))).as("bnd"))
+        sort_array(collect_list(when(col("has_start"),
+          pmod(col("gpos0"), lit(blockTokens.toLong))))).as("bnd"))
       .select(col("shard"), col("block_id"), col("n_ids"), col("n_docs"),
         col("first_doc"),
         TextFunctions.portableHash(
-          array_join(transform(col("ord.id"), i => i.cast("string")), ","),
+          array_join(transform(flatten(col("ord.sl")),
+            i => i.cast("string")), ","),
           47).as("block_hash"),
         array_join(transform(col("bnd"), b => b.cast("string")), ",")
           .as("boundaries"))
