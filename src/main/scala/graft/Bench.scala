@@ -96,6 +96,12 @@ object Bench {
     // 3-sweep baseline reads as a uniform phantom slowdown — recording
     // the count lets the gate flag that instead of crying wolf
     var emittedSweeps = 0
+    // last summary line emitted — re-printed once more after the regression
+    // gate so the metric JSON is the FINAL JSON line on the merged
+    // stdout+stderr tail the driver captures (r15/r16 PERF per_query came
+    // back empty because the gate's own JSON, printed after the metric
+    // line, was what the driver's last-JSON-line parser picked up)
+    var lastLine = ""
     def emit(results: Map[String, Double]): Unit = {
       val total = results.values.filter(_ >= 0).sum
       // full per-query map (full names, 3 decimals) → side file the judge
@@ -129,6 +135,7 @@ object Bench {
       require(line.length <= 1500,
         s"bench summary line ${line.length} chars — must stay far inside the " +
           "driver's 2000-char tail capture; move data to bench_detail.json")
+      lastLine = line
       println(line)
     }
     // Multiple full sweeps, per-query MINIMUM. The harness host exhibits
@@ -176,10 +183,22 @@ object Bench {
       proc.waitFor()
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_regress.txt"),
         out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println("bench_regress (rc=" + proc.exitValue + "):\n" + out)
+      // echo WITHOUT the gate's JSON lines: stdout/stderr interleaving
+      // through sbt is not deterministic, so any JSON printed here can
+      // land AFTER the final metric line on the merged tail the driver
+      // parses (exactly the r15/r16 empty-PERF failure). The full
+      // report, JSON included, is in bench_regress.txt.
+      val noJson = out.linesIterator
+        .filterNot(_.trim.startsWith("{")).mkString("\n")
+      System.err.println("bench_regress (rc=" + proc.exitValue +
+        ", full report in bench_regress.txt):\n" + noJson)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_regress unavailable: $e")
     }
+    // the metric line AGAIN, after every other JSON this process (or its
+    // children) can print: the driver parses the last JSON line of the
+    // merged tail, and that line must be the metric, not the gate report
+    if (lastLine.nonEmpty) println(lastLine)
   }
 
   /** Force full evaluation of EVERY output column. `count()` would let

@@ -285,14 +285,22 @@ object LmScore {
       .where(size(col("t")) >= 2)
       .transform(graft.core.Caching.persist)
     // (doc_id, lang, u, w) bigram stream — persisted for the same
-    // generator-re-evaluation reason as unigram's token stream
+    // generator-re-evaluation reason as unigram's token stream, and
+    // EAGERLY (materialize): its two consumers (the bc aggregation and
+    // the final scoring join) are submitted concurrently by AQE and
+    // each re-ran the cold explode otherwise (r17 JobProfile on the KN
+    // twin: two concurrent 1.9 s fills → one fill + cache reads).
+    // (A per-(doc, bigram) count restructure was tried and reverted:
+    // natural-text bigrams rarely repeat within a doc, so the extra
+    // grouping was a full-volume shuffle with no reduction — q261
+    // 1.55 → 2.45 s.)
     val big = toks
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(2), size(col("t"))), i =>
           struct(element_at(col("t"), i - lit(1)).as("u"),
             element_at(col("t"), i).as("w")))).as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.u"), col("bg.w"))
-      .transform(graft.core.Caching.persist)
+      .transform(graft.core.Caching.materialize)
     val uni = toks
       .select(col("lang"), explode(col("t")).as("tok"))
       .groupBy(col("lang"), col("tok"))
@@ -362,16 +370,22 @@ object LmScore {
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         TextFunctions.tokens(col(textCol)).as("t"))
       .where(size(col("t")) >= 2)
+    // eager fills (materialize), not lazy persists: `big` is consumed
+    // by the bc aggregation AND the final scoring join, `bc` by FOUR
+    // census/scoring subtrees — AQE submits those consumers
+    // concurrently and each re-ran the cold fill (r17 JobProfile: two
+    // concurrent 1.9 s `big` fills; see bigramSurprisal for the
+    // reverted per-(doc, bigram) count restructure)
     val big = toks
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(2), size(col("t"))), i =>
           struct(element_at(col("t"), i - lit(1)).as("u"),
             element_at(col("t"), i).as("w")))).as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.u"), col("bg.w"))
-      .transform(graft.core.Caching.persist)
+      .transform(graft.core.Caching.materialize)
     val bc = big.groupBy(col("lang"), col("u"), col("w"))
       .agg(count(lit(1)).as("cb"))
-      .transform(graft.core.Caching.persist)
+      .transform(graft.core.Caching.materialize)
     val ctx = bc.groupBy(col("lang"), col("u"))
       .agg(sum(col("cb")).cast("long").as("cc"),
         count(lit(1)).as("nfu")) // N₁₊(u·): distinct continuations

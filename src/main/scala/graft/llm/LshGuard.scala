@@ -51,16 +51,39 @@ object LshGuard {
                         maxBucket: Int, ordered: Boolean): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
     val keys = keyCols.map(col)
-    def selfJoinPairs(t: DataFrame): DataFrame = {
-      // shuffle_hash: LSH buckets are near-singleton by construction
-      // (that is the point of banding), so a sort-merge join's two full
-      // sorts of the banded stream are pure overhead — measured 2× on
-      // the deletion-band linkage family, same shape here
-      val j = t.as("a").join(t.as("b").hint("shuffle_hash"), keyCols)
-      val filtered =
-        if (ordered) j.where(col(s"a.$idCol") < col(s"b.$idCol"))
-        else j.where(col(s"a.$idCol") =!= col(s"b.$idCol"))
-      filtered.select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // Pairs generated INSIDE each bucket from one grouped aggregation,
+    // not by self-joining the banded stream (r17, the Linkage/co-edge
+    // rewrite, §2.4): the a⋈b shape shuffled the banded table TWICE and
+    // probed a hash relation per row where one groupBy ships it once —
+    // and the second groupBy's exchange is the SAME (keys-partitioned)
+    // exchange the hot census above it already ran, so AQE reuses it.
+    // Per-bucket list state is SAFE here precisely because the census
+    // runs first: every bucket this sees is ≤ maxBucket members (the
+    // fast path verified no bucket is hot; the cold branch filtered the
+    // hot ones out), so the collect_list buffer is cap-bounded. Sorted
+    // positions i < j enumerate each pair once with id_a ≤ id_b; the
+    // strict filters reproduce the join's a < b / a =!= b semantics
+    // exactly, including for callers whose banded rows can repeat an
+    // (id, key) row.
+    def bucketPairs(t: DataFrame): DataFrame = {
+      val n = size(col("ids"))
+      val base = t.groupBy(keys: _*)
+        .agg(sort_array(collect_list(col(idCol))).as("ids"))
+        .where(n >= 2)
+      val onePer = flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j =>
+          struct(element_at(col("ids"), i).as("id_a"),
+            element_at(col("ids"), j).as("id_b")))))
+      val bothDirs = flatten(transform(sequence(lit(1), n - 1), i =>
+        flatten(transform(sequence(i + 1, n), j =>
+          array(struct(element_at(col("ids"), i).as("id_a"),
+              element_at(col("ids"), j).as("id_b")),
+            struct(element_at(col("ids"), j).as("id_a"),
+              element_at(col("ids"), i).as("id_b")))))))
+      base.select(explode(if (ordered) onePer else bothDirs).as("pr"))
+        .select(col("pr.id_a"), col("pr.id_b"))
+        .where(if (ordered) col("id_a") < col("id_b")
+          else col("id_a") =!= col("id_b"))
     }
     // persisted: the isEmpty probe below materializes it, and in the hot
     // branch it feeds THREE downstream subtrees (flag join, hotRows, reps)
@@ -78,12 +101,12 @@ object LshGuard {
     // runs directly against the (persisted) banded table, zero extra
     // joins. The guard only costs real work when it is actually saving
     // quadratic work.
-    if (hot.isEmpty) { hot.unpersist(); return selfJoinPairs(banded).distinct() }
+    if (hot.isEmpty) { hot.unpersist(); return bucketPairs(banded).distinct() }
 
     val flagged = banded.join(hot, keyCols, "left")
     val cold = flagged.where(col("is_hot").isNull).drop("is_hot")
     val hotRows = flagged.where(col("is_hot")).drop("is_hot")
-    val coldPairs = selfJoinPairs(cold)
+    val coldPairs = bucketPairs(cold)
     // Star edges: every member ↔ the bucket's min-id representative.
     // min(id) < id for every non-rep member, so ordered pairs are (rep, x).
     val reps = hotRows.groupBy(keys: _*).agg(min(col(idCol)).as("rep"))

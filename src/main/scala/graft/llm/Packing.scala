@@ -157,7 +157,13 @@ object Packing {
   private def docBlockSlices(off: DataFrame,
                              blockTokens: Int): DataFrame = {
     val b = lit(blockTokens.toLong)
-    off.select(col("shard"), col("doc_id"), col("off"), col("ns"),
+    // ns = 0 guard INSIDE the helper, not only at the callers: for an
+    // empty doc whose offset sits exactly on a block boundary,
+    // sequence(off div B, (off+ns-1) div B) is DESCENDING and would emit
+    // spurious empty-slice rows that count the doc in n_docs/first_doc —
+    // the old per-token posexplode form dropped such docs entirely
+    off.where(col("ns") > 0)
+      .select(col("shard"), col("doc_id"), col("off"), col("ns"),
         col("ids"),
         explode(sequence(expr(s"off div $blockTokens"),
           expr(s"(off + ns - 1) div $blockTokens"))).as("block_id"))

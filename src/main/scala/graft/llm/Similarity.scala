@@ -49,7 +49,16 @@ object Similarity {
     private def keep(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
       s.sortBy { case (id, score) => (-score, id) }.take(k)
     override def zero: Seq[(Long, Double)] = Seq.empty
-    override def reduce(b: Seq[(Long, Double)], a: (Long, Double)) = keep(b :+ a)
+    // buffers are always keep()-sorted by (-score, id), so b.last is the
+    // worst kept row: a full buffer rejects a strictly-worse row with one
+    // comparison instead of re-sorting k+1 rows on every input row.
+    // Only the STRICT primitive < short-circuits — score ties (and the
+    // -0.0/0.0, NaN edges, where primitive compare and the sort's total
+    // ordering disagree) fall through to keep(), which decides exactly
+    // as before.
+    override def reduce(b: Seq[(Long, Double)], a: (Long, Double)) =
+      if (b.length >= k && a._2 < b.last._2) b
+      else keep(b :+ a)
     override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]) = keep(a ++ b)
     override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = keep(r)
     override def bufferEncoder = seqEnc

@@ -111,20 +111,11 @@ object Linkage {
     // variant, vs the HOF substr/concat pyramid that dominated the
     // linkage bench); a hash collision can only merge two of one name's
     // variants into the same join key — never lose a shared key — so
-    // completeness for lev ≤ 2 is untouched. MATERIALIZED before the
-    // self-join (the LSH-signature contract, Dedup.nearDuplicatePairs):
-    // otherwise each join side re-derives every variant of every name.
-    // Released via the harness clearCache, like every banded-signature
-    // cache in the repo.
+    // completeness for lev ≤ 2 is untouched.
     val keyed = df
       .select(col(idCol) +: blockCols.map(col) :+
         explode(DeletionBandExpr(col(nameCol), bandPrefix, bandFromEnd))
           .as("band"): _*)
-      // materialize, not just persist: the self-join's two map stages
-      // are submitted concurrently and would EACH recompute the cold
-      // variant explode (r16 JobProfile: 2 × 3.7 s concurrent fills →
-      // one 1.9 s fill + cached reads)
-      .transform(graft.core.Caching.materialize)
     maxBucket match {
       case Some(cap) =>
         // opt-in star-cap: the same LshGuard every LSH band join runs —
@@ -136,23 +127,41 @@ object Linkage {
         // it is off by default: variant-bucket sizes are a DATA property
         // (how many truly near-identical names exist), already the
         // boundedness argument, and LinkageScaleSpec tracks it.
-        graft.llm.LshGuard.guardedCandidates(keyed, blockCols :+ "band",
-          idCol, cap, ordered = true)
+        // MATERIALIZED here: guardedCandidates probes the banded table
+        // with an isEmpty action and then self-joins it (two concurrent
+        // map stages) — without the eager fill each consumer re-derives
+        // every variant of every name.
+        graft.llm.LshGuard.guardedCandidates(
+          keyed.transform(graft.core.Caching.materialize),
+          blockCols :+ "band", idCol, cap, ordered = true)
           .select(col("id_a"), col("id_b"))
       case None =>
-        val a = keyed.columns.foldLeft(keyed)((d, c0) =>
-          d.withColumnRenamed(c0, "a_" + c0))
-        val b = keyed.columns.foldLeft(keyed)((d, c0) =>
-          d.withColumnRenamed(c0, "b_" + c0))
-        val joinKeys = blockCols :+ "band"
-        val cond = joinKeys.map(k => col("a_" + k) === col("b_" + k))
-          .reduce(_ && _) && col("a_" + idCol) < col("b_" + idCol)
-        // pairs sharing several variants collapse here; distinct runs
-        // over candidate ids only (two longs), never the attribute
-        // payload. shuffle_hash: band buckets are near-singleton, so
-        // the SMJ's two full sorts of the variant stream are overhead
-        a.join(b.hint("shuffle_hash"), cond)
-          .select(col("a_" + idCol).as("id_a"), col("b_" + idCol).as("id_b"))
+        // Pairs are generated INSIDE each variant bucket from one
+        // grouped aggregation, not by self-joining the banded stream:
+        // the old a⋈b shape shuffled the 211-variants-per-name table
+        // TWICE (plus an eager materialize pass to stop the two join
+        // map stages racing the cold cache fill — r16) where one
+        // groupBy ships it once and needs no cache at all (r17: q166
+        // fill 1.25 s + 2 × 0.67 s cache-read map stages → one 0.7 s
+        // aggregation). ids within a bucket are distinct (one row per
+        // id upstream, variants deduped per name), so the sorted
+        // collect_list yields each unordered pair exactly once with
+        // id_a < id_b — identical to the join's a < b filter. Bucket
+        // state is bounded by the variant-bucket size — the SAME data
+        // property that already bounds the join's Σ bucket² output;
+        // degenerate-hot corpora use the maxBucket star-cap branch.
+        val n = size(col("ids"))
+        keyed
+          .groupBy((blockCols :+ "band").map(col): _*)
+          .agg(sort_array(collect_list(col(idCol))).as("ids"))
+          .where(n >= 2)
+          .select(explode(flatten(transform(sequence(lit(1), n - 1), i =>
+            transform(sequence(i + 1, n), j =>
+              struct(element_at(col("ids"), i).as("id_a"),
+                element_at(col("ids"), j).as("id_b")))))).as("pr"))
+          // pairs sharing several variants collapse here; distinct runs
+          // over candidate ids only (two longs), never the payload
+          .select(col("pr.id_a"), col("pr.id_b"))
           .distinct()
     }
   }

@@ -37,8 +37,14 @@ object PageRank {
     // the ONLY thing that touches the caller's (possibly expensive) edge
     // DAG: everything else — initial ranks included — derives from this
     // persisted table, so the edge build executes exactly once, not once
-    // per consumer
+    // per consumer. Explicitly hash-partitioned by src BEFORE the
+    // persist: every round's ranks join requires exactly that
+    // distribution, so the cached layout satisfies it and only the
+    // (node-sized) ranks side shuffles per round — without it the
+    // edge-sized table was re-exchanged and re-sorted on every
+    // iteration (r17 plan: one Exchange+Sort over the cache per round).
     val eo = edges.join(outdeg, Seq("src"))
+      .repartition(col("src"))
       .transform(graft.core.Caching.persist)
     val teleport = lit(unit * 3 / 20)
     val p0 = eo.select(col("src").as("node")).distinct()

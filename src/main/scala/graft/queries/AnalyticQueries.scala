@@ -30,11 +30,27 @@ object AnalyticQueries {
     * graph buildable at 100 TB.
     */
   private def frequentCoEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    // pairs are generated INSIDE each order from ONE grouped
+    // aggregation, not by self-joining the fact table on the basket key:
+    // the self-join shuffled lineitem twice (and its two map stages
+    // raced the scan) where one groupBy ships it once (§2.4). The
+    // sorted per-order part list emits, for positions i < j with
+    // ps[i] < ps[j], exactly count(a)·count(b) pairs per (a, b) — the
+    // join's multiplicity — and the strict value filter drops same-part
+    // line pairs exactly like the old u < v condition. Per-order state
+    // is the basket (single-digit lines), the same Σ basket² bound.
+    val n = size(col("ps"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .where(n >= 2)
+      .select(explode(flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j =>
+          struct(element_at(col("ps"), i).as("u"),
+            element_at(col("ps"), j).as("v")))))).as("pr"))
+      .filter(col("pr.u") < col("pr.v"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+      .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("u"), col("v"))
   }
@@ -232,15 +248,33 @@ object AnalyticQueries {
     "q147_bfs_reach" -> ((s, dir) => {
       import s.implicits._
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // RAW edge rows, no distinct: both hop expansions below are
+      // semi-joins, so duplicate (o, p) rows cannot duplicate anything
+      // — the old inner-join form needed the deduped edge table (and
+      // paid its full shuffle) just to bound the join fan-out.
+      // PRE-PARTITIONED once by each hop key and persisted: every
+      // round's part→order and order→part expansion then satisfies its
+      // join distribution from the cache, so only the (small) frontier
+      // side shuffles per round — the old shape re-exchanged the full
+      // edge table on every one of the 6 hop joins (§2.4).
       val edges = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct().persist(lvl)
+        .persist(lvl)
       val seed = edges.agg(min(col("p"))).head().getLong(0)
       var reached = Seq((seed, 0L)).toDF("p", "hops").persist(lvl)
       var frontier = reached.select(col("p"))
       for (h <- 1 to 3) {
-        val next = frontier.join(edges, "p").select(col("o")).distinct()
-          .join(edges, "o").select(col("p")).distinct()
+        // hop 1's frontier is the single collected seed — a filter on
+        // the cached edges, not a join; later rounds expand through
+        // SEMI-joins (the frontier/order set is a lookup, never a
+        // fan-out multiplier), so the raw edge rows need no distinct
+        // and nothing edge-sized is ever duplicated into the distincts
+        val adjO =
+          if (h == 1) edges.where(col("p") === lit(seed))
+          else edges.join(frontier, Seq("p"), "left_semi")
+        val next = edges
+          .join(adjO.select(col("o")).distinct(), Seq("o"), "left_semi")
+          .select(col("p")).distinct()
           .join(reached, Seq("p"), "left_anti")
           .withColumn("hops", lit(h.toLong))
           .persist(lvl)
@@ -397,28 +431,41 @@ object AnalyticQueries {
     // exact integer counts; each metric is ONE double division (or one
     // product each side) on identical operands — no rounding needed.
     "q136_assoc_rules" -> ((s, dir) => {
+      // Baskets as ONE grouped row per order (sorted distinct brand
+      // list) instead of a distinct (ok, brand) table self-joined on
+      // ok: the self-join shuffled the basket table twice more and its
+      // two map stages raced the cold persist (the r16 eager-fill
+      // experiment measured the race but the fix cost more than it
+      // saved — this removes the race by removing the second and third
+      // shuffle outright, §2.4). Pair semantics are identical: the
+      // per-order list is DISTINCT brands, so positions i < j of the
+      // sorted list emit each unordered brand pair once — the join's
+      // brand_a < brand_b rows.
       val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(Tables.part(s, dir)
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-        .distinct()
-        // plain persist, NOT the eager materialize: the basket build is
-        // one broadcast join + distinct, and the measured extra count
-        // pass cost more than the consumer race (r16: 2.69 → 2.91 s
-        // eager, reverted)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(array_distinct(collect_list(col("p_brand"))))
+          .as("bs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // basket total as a broadcast 1-row aggregate (the q143/q138
-      // pattern), not a separate count() action — the whole query bills
-      // ONE job over the persisted baskets
+      // pattern), not a separate count() action — every order with a
+      // lineitem row groups to exactly one basket row
       val nBaskets = broadcast(
-        baskets.agg(count_distinct(col("ok")).as("n_baskets")))
-      val cnt = baskets.groupBy(col("brand")).agg(count(lit(1)).as("n"))
-      val pairs = baskets.select(col("ok"), col("brand").as("brand_a"))
-        .join(baskets.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
-        .filter(col("brand_a") < col("brand_b"))
-        .groupBy(col("brand_a"), col("brand_b"))
+        baskets.agg(count(lit(1)).as("n_baskets")))
+      val cnt = baskets.select(explode(col("bs")).as("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("n"))
+      val nb = size(col("bs"))
+      val pairs = baskets
+        .where(nb >= 2)
+        .select(explode(flatten(transform(sequence(lit(1), nb - 1), i =>
+          transform(sequence(i + 1, nb), j =>
+            struct(element_at(col("bs"), i).as("brand_a"),
+              element_at(col("bs"), j).as("brand_b")))))).as("pr"))
+        .groupBy(col("pr.brand_a").as("brand_a"),
+          col("pr.brand_b").as("brand_b"))
         .agg(count(lit(1)).as("n_ab"))
       pairs
         .join(broadcast(cnt.select(col("brand").as("brand_a"), col("n").as("n_a"))),

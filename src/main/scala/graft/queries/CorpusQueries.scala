@@ -124,11 +124,23 @@ object CorpusQueries {
         .agg(count(lit(1)).as("df"))
         .where(col("df") >= 2L && col("df") <= 100L)
         .select(col("chash"))
-      val eligible = cd.join(shared, "chash")
-      val edges = eligible.as("a")
-        .join(eligible.as("b").hint("shuffle_hash"), "chash")
-        .where(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // pairs generated INSIDE each chunk bucket from one grouped
+      // aggregation instead of self-joining the eligible stream on
+      // chash (r17 LshGuard/co-edge rewrite, §2.4): one shuffle of the
+      // membership rows, no second join side. The df census above runs
+      // FIRST (count only, safe at any skew) so every collected bucket
+      // is ≤ 100 docs; cd rows are distinct (chash, doc_id), so sorted
+      // positions i < j enumerate each doc pair once with doc_a < doc_b
+      // — identical to the join's a < b rows, once per shared chunk.
+      val n = size(col("ds"))
+      val edges = cd.join(shared, Seq("chash"), "left_semi")
+        .groupBy(col("chash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(flatten(transform(sequence(lit(1), n - 1), i =>
+          transform(sequence(i + 1, n), j =>
+            struct(element_at(col("ds"), i).as("doc_a"),
+              element_at(col("ds"), j).as("doc_b")))))).as("pr"))
+        .groupBy(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 2L)
         .select(col("doc_a"), col("doc_b"))

@@ -72,7 +72,6 @@ object OperationalQueries {
       // lazy, so there is no in-query point where it is safe) — harness
       // loops rely on the Verify/Bench per-query clearCache, the same
       // contract as the LSH operators (Verify.scala:51).
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val pairs = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
@@ -80,16 +79,20 @@ object OperationalQueries {
         .agg(max(when(
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 150 DAYS"),
           lit(1L)).otherwise(lit(0L))).as("is_late"))
-        .persist(lvl)
-      val part = pairs.select(col("l_orderkey"), col("l_suppkey"))
-      val late = pairs.filter(col("is_late") === 1L)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val hasOther = late.alias("lt").join(part.alias("p"),
-        col("lt.l_orderkey") === col("p.l_orderkey") &&
-          col("lt.l_suppkey") =!= col("p.l_suppkey"), "left_semi")
-      val lone = hasOther.alias("lt").join(late.alias("o2"),
-        col("lt.l_orderkey") === col("o2.l_orderkey") &&
-          col("lt.l_suppkey") =!= col("o2.l_suppkey"), "left_anti")
+        // eager fill (r16 Caching.materialize charter): TWO consumers —
+        // the per-order stats and the late filter — race the cold cache
+        .transform(graft.core.Caching.materialize)
+      // the EXISTS / NOT-EXISTS pair as ONE per-order aggregate instead
+      // of a semi + anti self-join of the pair table (§2.4): a late
+      // supplier is lone-late iff its order had ≥ 2 participating
+      // suppliers (someone else exists) and exactly 1 late one (itself —
+      // no other late supplier exists). Same rows, two fewer joins.
+      val ostats = pairs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("is_late")).as("n_late"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1L)
+      val lone = pairs.filter(col("is_late") === 1L)
+        .join(ostats, Seq("l_orderkey"), "left_semi")
       lone.groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(Tables.supplier(s, dir)),

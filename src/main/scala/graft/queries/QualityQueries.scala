@@ -191,13 +191,26 @@ object QualityQueries {
     // per partial aggregate, never a ranking window over the corpus.
     "q168_cooccur_recs" -> ((s, dir) => {
       import s.implicits._
-      val bi = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val co = bi.select(col("ok"), col("pk").as("item"))
-        .join(bi.select(col("ok"), col("pk").as("rec")), "ok")
-        .filter(col("item") =!= col("rec"))
-        .groupBy(col("item"), col("rec"))
+      // ordered co-occurrence pairs generated INSIDE each basket from
+      // one grouped aggregation instead of the distinct + self-join on
+      // the basket key (§2.4 — the r17 frequentCoEdges/q136 rewrite):
+      // the sorted DISTINCT per-order part list emits, for positions
+      // i < j, both (ps[i], ps[j]) and (ps[j], ps[i]) — exactly the
+      // item =!= rec rows the join produced, once per order each
+      val n = size(col("ps"))
+      val co = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(array_distinct(collect_list(col("l_partkey"))))
+          .as("ps"))
+        .where(n >= 2)
+        .select(explode(flatten(transform(sequence(lit(1), n - 1), i =>
+          flatten(transform(sequence(i + 1, n), j =>
+            array(struct(element_at(col("ps"), i).as("item"),
+                element_at(col("ps"), j).as("rec")),
+              struct(element_at(col("ps"), j).as("item"),
+                element_at(col("ps"), i).as("rec"))))))))
+          .as("pr"))
+        .groupBy(col("pr.item").as("item"), col("pr.rec").as("rec"))
         .agg(count(lit(1)).as("cnt"))
       val topk = new graft.llm.Similarity.TopKAggregator(3).toColumn
       co.select(col("item"), col("rec"), col("cnt").cast("double").as("score"))

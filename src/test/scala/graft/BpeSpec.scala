@@ -451,6 +451,25 @@ class BpeSpec extends AnyFunSuite {
     assert(ok.count() === 1L)
   }
 
+  test("packTokenBlocks: an empty-id doc whose offset lands exactly on " +
+      "a block boundary contributes nothing (no spurious empty-slice " +
+      "rows in n_docs/first_doc — the descending-sequence edge)") {
+    // doc 0 fills block 0 exactly; doc 1 is EMPTY with off = 4 = 1*B
+    // (the boundary case where sequence(off div B, (off+ns-1) div B)
+    // would be descending); doc 2 fills block 1
+    val enc = Seq(
+      (0L, Seq(10L, 11L, 12L, 13L)),
+      (1L, Seq.empty[Long]),
+      (2L, Seq(20L, 21L, 22L, 23L))).toDF("doc_id", "ids")
+    val got = graft.llm.Packing.packTokenBlocks(enc, "doc_id", "ids",
+        blockTokens = 4, shards = 1)
+      .orderBy(col("block_id"))
+      .select(col("block_id"), col("n_ids"), col("n_docs"),
+        col("first_doc"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 4L, 1L, 0L), (1L, 4L, 1L, 2L)))
+  }
+
   test("artifact writer/reader contracts: rulesToFile rejects any " +
       "whitespace the reader would trim or mis-split; vocabFromFile " +
       "rejects duplicate JSON keys at parse time") {
