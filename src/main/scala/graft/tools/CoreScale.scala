@@ -25,9 +25,17 @@ import graft.core.{GraftSession, Tables}
   */
 object CoreScale {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.getOrCreate()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the session MUST be built at the requested core count — the
+    // plain getOrCreate() default is local[32], which silently turns
+    // the "8-core" leg into a second 32-core run (the first committed
+    // core_scale.json was exactly that artifact: flat ratios)
+    val spark = GraftSession.builder(
+      master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.llm.GraftFunctions.register(spark)
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt.max(1)
     // reuse an existing replicated dir (the 8-core and 32-core runs must
@@ -61,6 +69,14 @@ object CoreScale {
     // every shifted fact key still resolves
     materialize("part", Tables.part(spark, dir),
       Seq("p_partkey"), 100000000L)
+    // supplier stays 1x UNREPLICATED: l_suppkey is not shifted, so the
+    // original dimension rows already resolve every fact key (a blind
+    // rep-crossJoin would duplicate dimension rows and join results)
+    val supplierPath = s"$out/supplier.parquet"
+    if (!new java.io.File(supplierPath).exists()) {
+      Tables.supplier(spark, dir).write.mode("overwrite")
+        .parquet(supplierPath)
+    }
     spark.catalog.clearCache()
 
     // the heavy, corpus-bound bench families (r16/r17 cost table top):
@@ -70,9 +86,12 @@ object CoreScale {
     val heavy = Seq("q105_", "q106_", "q147_", "q166_", "q175_", "q58_",
       "q261_", "q277_", "q314_", "q318_", "q191_", "q136_", "q168_",
       "q320_", "q153_")
+    // optional prefix filter after the dir arg (deeper-replication runs
+    // time a subset: repl x heavy-count x 4 alternating JVMs adds up)
+    val wanted = if (args.length > 1) args.drop(1).toSeq else heavy
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => heavy.exists(n.startsWith))
-    require(names.size == heavy.size, s"heavy-set resolution: $names")
+      .filter(n => wanted.exists(n.startsWith))
+    require(names.size == wanted.size, s"heavy-set resolution: $names")
     val times = names.map { n =>
       val fn = graft.SparkEntry.queries(n)
       val secs = (1 to sweeps).map { _ =>

@@ -5,29 +5,45 @@
 # (8-core suite total ~= 32-core total), so THIS is the artifact that
 # certifies the heavy plans parallelize.
 #
+# The two core counts run in ALTERNATING JVMs (32, 8, 32, 8) and the
+# merge takes per-(query, cores) minima: the harness host has
+# minutes-long CPU-steal bursts, and back-to-back blocks put one whole
+# core count inside a burst (first attempt read 32 cores "slower" than
+# 8 on identical bytes; the same query differed 3x between two 32-core
+# runs minutes apart).
+#
 # Usage: tools/core_scale.sh [replicated-data-dir]
-#   (the dir is created+materialized on first use and REUSED by both
-#   core counts so they time identical bytes)
+#   (the dir is created+materialized on first use and REUSED by every
+#   run so all core counts time identical bytes)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 DIR="${1:-/tmp/graft-corescale-data}"
 mkdir -p "$DIR"
+OUT=/tmp/core_scale_lines.jsonl
+: > "$OUT"
 run() {
   local cpus="$1"
-  SPARK_GRAFT_CPUS="$cpus" sbt -batch "runMain graft.tools.CoreScale $DIR" \
-    | grep '"tool":"core_scale"' | sed 's/^\[info\] //' | tail -1
+  SPARK_GRAFT_CPUS="$cpus" SPARK_GRAFT_SWEEPS=1 \
+    sbt -batch "runMain graft.tools.CoreScale $DIR" \
+    | grep '"tool":"core_scale"' | sed 's/^\[info\] //' | tail -1 >> "$OUT"
 }
-J32=$(run 32)
-J8=$(run 8)
-python3 - "$J32" "$J8" <<'EOF'
+run 32; run 8; run 32; run 8
+python3 - "$OUT" <<'EOF'
 import json, sys
-j32, j8 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
-out = {"tool": "core_scale", "repl": j32["repl"],
-       "cpus_high": j32["cpus"], "cpus_low": j8["cpus"],
-       "per_query": {}}
-for q, t32 in j32["queries"].items():
-    t8 = j8["queries"].get(q)
-    if t8 is None:
+best = {}  # (cpus, query) -> min sec
+repl = None
+for line in open(sys.argv[1]):
+    j = json.loads(line)
+    repl = j["repl"]
+    for q, t in j["queries"].items():
+        k = (j["cpus"], q)
+        best[k] = min(best.get(k, t), t)
+qs = sorted({q for (_, q) in best})
+out = {"tool": "core_scale", "repl": repl, "cpus_high": 32, "cpus_low": 8,
+       "runs_per_core_count": 2, "per_query": {}}
+for q in qs:
+    t32, t8 = best.get((32, q)), best.get((8, q))
+    if t32 is None or t8 is None:
         continue
     out["per_query"][q] = {
         "high_cores_sec": t32, "low_cores_sec": t8,
